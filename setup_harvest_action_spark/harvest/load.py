@@ -1,0 +1,197 @@
+"""The harvest load path: upsert + anti-join append (O13/O14/O15).
+
+The reference's per-row SQL loop (reference: harvest.py:292-380) is an
+implementation artifact — O(rows) round-trips, 2 point lookups per row
+(:327, :352).  Its *semantics* are set-oriented and collapse to exactly
+one keyed merge on ``terms`` plus one anti-join append on
+``term_fields`` (SURVEY.md §2.1 notes):
+
+  * ``terms`` upsert (O13): new URIs are inserted with fresh surrogate
+    ids and ``created_at = updated_at = batch_ts``; existing URIs keep
+    id + created_at and only advance ``updated_at`` (harvest.py:326-349);
+  * ``term_fields`` insert-if-absent (O14): composite key
+    ``(term_id, field_uri, original_value)`` — INSERT OR IGNORE becomes
+    dropDuplicates + left_anti against existing rows (harvest.py:363-372,
+    constraint at :210);
+  * FK resolution (O15): the reference's 2-per-row point lookups become
+    ONE equi-join against ``terms`` (:327, :352-356);
+  * intra-batch dedup (O16): ``terms_processed`` set → ``distinct()``
+    before the merge (:318, :326, :349);
+  * load statistics (O18): inserted/updated counters from the merge
+    branches (:312-315, :377-380).
+
+Surrogate ids replicate AUTOINCREMENT (harvest.py:191): stable across
+reruns (ids are FK targets, :204), dense, assigned as
+``max(existing id) + row_number() over new rows``.  At 100 TB scale the
+global ``row_number`` over *new rows only* is the one serial point; it
+is bounded by batch novelty, not table size, and can be swapped for
+``xxhash64(uri)`` where density isn't required (SURVEY.md §1.3).
+
+State is kept as plain DataFrames so the pipeline is storage-agnostic;
+``HarvestState.write``/``read`` persist them as parquet.  On a Delta
+deployment the same algebra is one ``MERGE INTO`` — the semantics here
+are deliberately identical.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from setup_harvest_action_spark.harvest.normalize import clean_bindings, unpivot_bindings
+from setup_harvest_action_spark.schemas import TERM_FIELDS, TERMS
+
+
+@dataclass
+class LoadStats:
+    """The reference's printed load summary (harvest.py:312-315, 377-380)."""
+
+    terms_inserted: int
+    terms_updated: int
+    fields_inserted: int
+
+
+@dataclass
+class HarvestState:
+    """The two tables the harvest writes (translations/appeals/users are
+    downstream-only: the harvest never touches them — harvest.py:163-168)."""
+
+    terms: DataFrame
+    term_fields: DataFrame
+
+    @classmethod
+    def empty(cls, spark: SparkSession) -> "HarvestState":
+        return cls(
+            terms=spark.createDataFrame([], TERMS),
+            term_fields=spark.createDataFrame([], TERM_FIELDS),
+        )
+
+    @classmethod
+    def read(cls, spark: SparkSession, path: str) -> "HarvestState":
+        return cls(
+            terms=spark.read.schema(TERMS).parquet(os.path.join(path, "terms")),
+            term_fields=spark.read.schema(TERM_FIELDS).parquet(
+                os.path.join(path, "term_fields")
+            ),
+        )
+
+    def write(self, path: str) -> None:
+        # Atomic-per-table directory commit — the Spark analogue of the
+        # reference's per-batch transaction (harvest.py:374).
+        self.terms.write.mode("overwrite").parquet(os.path.join(path, "terms"))
+        self.term_fields.write.mode("overwrite").parquet(
+            os.path.join(path, "term_fields")
+        )
+
+
+def _next_id_base(df: DataFrame) -> int:
+    row = df.agg(F.max("id").alias("m")).first()
+    return int(row["m"] or 0)
+
+
+def upsert_terms(
+    terms: DataFrame, batch_concepts: DataFrame, batch_ts: _dt.datetime
+) -> tuple[DataFrame, int, int]:
+    """Keyed merge on ``uri``: insert new concepts, touch updated_at on
+    existing ones.  Returns (new_terms, n_inserted, n_updated).
+
+    ``batch_ts`` is pinned per batch — SQLite's CURRENT_TIMESTAMP is
+    per-statement, Spark's current_timestamp() per-query; an explicit
+    literal keeps reruns deterministic (SURVEY.md §7 risk register).
+    """
+    concepts = batch_concepts.select(F.col("concept").alias("uri")).distinct()
+    ts = F.lit(batch_ts).cast("timestamp")
+
+    matched = terms.join(concepts, "uri", "left_semi")
+    untouched = terms.join(concepts, "uri", "left_anti")
+    updated = matched.withColumn("updated_at", ts)
+
+    new_uris = concepts.join(terms.select("uri"), "uri", "left_anti")
+    base = _next_id_base(terms)
+    inserted = new_uris.select(
+        (F.row_number().over(__import__("pyspark").sql.Window.orderBy("uri")) + base)
+        .cast("long")
+        .alias("id"),
+        "uri",
+        ts.alias("created_at"),
+        ts.alias("updated_at"),
+    )
+
+    n_updated = matched.count()
+    n_inserted = inserted.count()
+    merged = untouched.unionByName(updated).unionByName(inserted)
+    return merged, n_inserted, n_updated
+
+
+def append_term_fields(
+    term_fields: DataFrame,
+    terms: DataFrame,
+    batch_long: DataFrame,
+    batch_ts: _dt.datetime,
+) -> tuple[DataFrame, int]:
+    """INSERT OR IGNORE on composite key (term_id, field_uri,
+    original_value): dedup + FK-resolve via ONE join + left_anti against
+    existing.  Returns (new_term_fields, n_inserted)."""
+    ts = F.lit(batch_ts).cast("timestamp")
+
+    resolved = batch_long.join(
+        terms.select(F.col("id").alias("term_id"), F.col("uri").alias("concept")),
+        "concept",
+    ).select("term_id", "field_uri", "field_term", "original_value")
+
+    fresh = resolved.join(
+        term_fields.select("term_id", "field_uri", "original_value"),
+        ["term_id", "field_uri", "original_value"],
+        "left_anti",
+    )
+
+    base = _next_id_base(term_fields)
+    window = __import__("pyspark").sql.Window.orderBy(
+        "term_id", "field_uri", "original_value"
+    )
+    inserted = fresh.select(
+        (F.row_number().over(window) + base).cast("long").alias("id"),
+        "term_id",
+        "field_uri",
+        "field_term",
+        "original_value",
+        ts.alias("created_at"),
+        ts.alias("updated_at"),
+    )
+    n_inserted = inserted.count()
+    return term_fields.unionByName(inserted), n_inserted
+
+
+def harvest_batch(
+    state: HarvestState,
+    bindings: DataFrame,
+    batch_ts: _dt.datetime | None = None,
+) -> tuple[HarvestState, LoadStats]:
+    """Load one page/batch of SPARQL bindings — the set-oriented form of
+    the reference's ``insert_results`` (harvest.py:292-380).
+
+    Idempotence contract (harvest.py:163-168, 292-299): re-running the
+    same bindings inserts 0 terms and 0 term_fields; only
+    ``terms.updated_at`` advances.  Proven by the golden double-run
+    test (tests/test_harvest_load.py).
+    """
+    batch_ts = batch_ts or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+
+    cleaned = clean_bindings(bindings)
+    long = unpivot_bindings(bindings)
+
+    # Materialize inputs once: both merge branches and the FK join reuse
+    # them, and the id bases must be computed against a frozen snapshot.
+    cleaned = cleaned.cache()
+    long = long.cache()
+
+    terms, n_ins_t, n_upd_t = upsert_terms(state.terms, cleaned, batch_ts)
+    terms = terms.cache()
+    term_fields, n_ins_f = append_term_fields(state.term_fields, terms, long, batch_ts)
+
+    new_state = HarvestState(terms=terms, term_fields=term_fields)
+    return new_state, LoadStats(n_ins_t, n_upd_t, n_ins_f)

@@ -1,0 +1,214 @@
+"""Aggregation operators: hash aggregates, multi-dim grouping, approx sketches.
+
+All plain ``groupBy().agg()`` — Catalyst plans these as partial
+(map-side combine) + final hash aggregates, so the shuffle carries one
+row per (partition × group), not per input row.  That is the property
+that makes these queries survive a 100× scale-up: shuffle volume is
+bounded by group cardinality.
+
+Floating aggregates are rounded to a fixed scale on BOTH the Spark and
+oracle side so accumulation order cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from setup_harvest_action_spark.catalog import query
+from setup_harvest_action_spark.io.loaders import load_table
+
+
+@query(
+    "q_pricing_summary",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(round(sum(l_quantity), 2) AS DOUBLE)       AS sum_qty,
+       CAST(round(sum(l_extendedprice), 2) AS DOUBLE)  AS sum_base_price,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DOUBLE) AS sum_charge,
+       CAST(round(avg(l_quantity), 4) AS DOUBLE)       AS avg_qty,
+       CAST(round(avg(l_extendedprice), 4) AS DOUBLE)  AS avg_price,
+       CAST(round(avg(l_discount), 4) AS DOUBLE)       AS avg_disc,
+       count(*)                                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the canonical partial/final hash
+    aggregate.  Group cardinality is 6 (3 returnflags × 2 linestatuses),
+    so the final shuffle is 6 rows per map partition regardless of SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_revenue_by_nation",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+GROUP BY n.n_name
+""",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup: fact-fact shuffle join (lineitem⋈orders) plus
+    explicitly broadcast dimension joins (customer at small SF would
+    broadcast anyway via AQE; nation/region always).  The region filter
+    is applied before the join so the broadcast side is pre-pruned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    dims = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    ).select("c_custkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_rollup_order_stats",
+    oracle="""
+SELECT o_orderstatus,
+       o_orderpriority,
+       CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def q_rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — hierarchical subtotals (status, status×priority, grand
+    total) in one pass; Spark expands grouping sets before the hash agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q_cube_lineitem_flags",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2^2 grouping-set combinations in one aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+SELECT o_orderstatus,
+       o_orderpriority,
+       count(*) AS n_orders,
+       CAST(round(avg(o_totalprice), 4) AS DOUBLE) AS avg_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two independent group-bys in one scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               count(*) AS n_orders,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query("q_approx_count_distinct")
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct sketch — the at-scale replacement for the
+    reference's exact COUNT(DISTINCT) sizing query (O2) when a ±2%
+    answer is enough to plan with.  No oracle: approximate by design
+    (DuckDB's approx_count_distinct uses a different sketch); the
+    rows-only check plus the exact-count test in tests/ cover it."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_members")
+    )
+
+
+@query(
+    "q_agg_minmax_stats",
+    oracle="""
+SELECT l_returnflag,
+       CAST(min(l_quantity) AS DOUBLE)  AS min_qty,
+       CAST(max(l_quantity) AS DOUBLE)  AS max_qty,
+       CAST(round(stddev_samp(l_quantity), 4) AS DOUBLE) AS std_qty,
+       CAST(min(l_shipdate) AS TIMESTAMP) AS first_ship,
+       CAST(max(l_shipdate) AS TIMESTAMP) AS last_ship
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_minmax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/stddev over numeric + timestamp columns in one hash agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
