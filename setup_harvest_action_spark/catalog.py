@@ -32,7 +32,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-# Modules that register queries on import.
+# Modules that register queries on import.  Every name listed here MUST
+# import cleanly — a missing module is only tolerated when it is also in
+# _EXPECTED_MISSING (i.e. explicitly not built yet).  Anything else —
+# typo'd name, broken transitive import — raises at load_catalog() time
+# so the driver sees an error, not a silently smaller catalog.
 _OPERATOR_MODULES = (
     "setup_harvest_action_spark.operators.relational",
     "setup_harvest_action_spark.operators.aggregates",
@@ -46,6 +50,23 @@ _OPERATOR_MODULES = (
     "setup_harvest_action_spark.functions.similarity",
     "setup_harvest_action_spark.functions.multimodal",
     "setup_harvest_action_spark.streaming.events",
+)
+
+# Declared-but-not-yet-built modules.  Shrinks to empty as phases land;
+# keep in sync or load_catalog() raises on purpose.
+_EXPECTED_MISSING: frozenset[str] = frozenset(
+    {
+        "setup_harvest_action_spark.operators.windows",
+        "setup_harvest_action_spark.operators.joins",
+        "setup_harvest_action_spark.operators.setops",
+        "setup_harvest_action_spark.operators.scalar_funcs",
+        "setup_harvest_action_spark.operators.harvest_queries",
+        "setup_harvest_action_spark.functions.text",
+        "setup_harvest_action_spark.functions.dedup",
+        "setup_harvest_action_spark.functions.similarity",
+        "setup_harvest_action_spark.functions.multimodal",
+        "setup_harvest_action_spark.streaming.events",
+    }
 )
 
 _loaded = False
@@ -73,9 +94,12 @@ def load_catalog() -> tuple[dict[str, QueryFn], dict[str, str]]:
             try:
                 importlib.import_module(mod)
             except ModuleNotFoundError as exc:
-                # Module not built yet (incremental rounds) — skip, don't break
-                # the whole catalog for one missing phase.
-                if mod.split(".")[-1] not in str(exc):
-                    raise
+                # ModuleNotFoundError.name is the exact missing module —
+                # only the declared module itself may be absent, and only
+                # when explicitly expected; a failing transitive import
+                # always raises.
+                if exc.name == mod and mod in _EXPECTED_MISSING:
+                    continue
+                raise
         _loaded = True
     return QUERIES, ORACLES

@@ -37,10 +37,12 @@ from __future__ import annotations
 
 import datetime as _dt
 import os
+from collections.abc import Iterable
 from dataclasses import dataclass
+from dataclasses import field as _dc_field
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from setup_harvest_action_spark.harvest.normalize import clean_bindings, unpivot_bindings
 from setup_harvest_action_spark.schemas import TERM_FIELDS, TERMS
@@ -58,10 +60,17 @@ class LoadStats:
 @dataclass
 class HarvestState:
     """The two tables the harvest writes (translations/appeals/users are
-    downstream-only: the harvest never touches them — harvest.py:163-168)."""
+    downstream-only: the harvest never touches them — harvest.py:163-168).
+
+    ``retained`` lists DataFrames cached on behalf of this state by
+    ``harvest_batch``; ``release()`` unpersists them once the state has
+    been durably written (or is otherwise done with).  Without this a
+    multi-batch loop accumulates cached RDDs without bound.
+    """
 
     terms: DataFrame
     term_fields: DataFrame
+    retained: list[DataFrame] = _dc_field(default_factory=list)
 
     @classmethod
     def empty(cls, spark: SparkSession) -> "HarvestState":
@@ -87,6 +96,12 @@ class HarvestState:
             os.path.join(path, "term_fields")
         )
 
+    def release(self) -> None:
+        """Unpersist every frame cached on behalf of this state."""
+        for df in self.retained:
+            df.unpersist()
+        self.retained.clear()
+
 
 def _next_id_base(df: DataFrame) -> int:
     row = df.agg(F.max("id").alias("m")).first()
@@ -94,7 +109,10 @@ def _next_id_base(df: DataFrame) -> int:
 
 
 def upsert_terms(
-    terms: DataFrame, batch_concepts: DataFrame, batch_ts: _dt.datetime
+    terms: DataFrame,
+    batch_concepts: DataFrame,
+    batch_ts: _dt.datetime,
+    id_strategy: str = "dense",
 ) -> tuple[DataFrame, int, int]:
     """Keyed merge on ``uri``: insert new concepts, touch updated_at on
     existing ones.  Returns (new_terms, n_inserted, n_updated).
@@ -102,6 +120,12 @@ def upsert_terms(
     ``batch_ts`` is pinned per batch — SQLite's CURRENT_TIMESTAMP is
     per-statement, Spark's current_timestamp() per-query; an explicit
     literal keeps reruns deterministic (SURVEY.md §7 risk register).
+
+    ``id_strategy``: ``"dense"`` replicates AUTOINCREMENT exactly
+    (max id + row_number over new rows — a global window, serial but
+    bounded by batch *novelty*, not table size); ``"hash"`` uses
+    ``xxhash64(uri)`` — fully parallel, stable across reruns, the
+    default choice at 100 TB when density isn't required (SURVEY §1.3).
     """
     concepts = batch_concepts.select(F.col("concept").alias("uri")).distinct()
     ts = F.lit(batch_ts).cast("timestamp")
@@ -111,11 +135,13 @@ def upsert_terms(
     updated = matched.withColumn("updated_at", ts)
 
     new_uris = concepts.join(terms.select("uri"), "uri", "left_anti")
-    base = _next_id_base(terms)
+    if id_strategy == "hash":
+        new_id = F.xxhash64("uri")
+    else:
+        base = _next_id_base(terms)
+        new_id = F.row_number().over(Window.orderBy("uri")) + base
     inserted = new_uris.select(
-        (F.row_number().over(__import__("pyspark").sql.Window.orderBy("uri")) + base)
-        .cast("long")
-        .alias("id"),
+        new_id.cast("long").alias("id"),
         "uri",
         ts.alias("created_at"),
         ts.alias("updated_at"),
@@ -150,9 +176,7 @@ def append_term_fields(
     )
 
     base = _next_id_base(term_fields)
-    window = __import__("pyspark").sql.Window.orderBy(
-        "term_id", "field_uri", "original_value"
-    )
+    window = Window.orderBy("term_id", "field_uri", "original_value")
     inserted = fresh.select(
         (F.row_number().over(window) + base).cast("long").alias("id"),
         "term_id",
@@ -181,17 +205,57 @@ def harvest_batch(
     """
     batch_ts = batch_ts or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
 
-    cleaned = clean_bindings(bindings)
-    long = unpivot_bindings(bindings)
-
     # Materialize inputs once: both merge branches and the FK join reuse
     # them, and the id bases must be computed against a frozen snapshot.
-    cleaned = cleaned.cache()
-    long = long.cache()
+    cleaned = clean_bindings(bindings).cache()
+    long = unpivot_bindings(bindings).cache()
 
     terms, n_ins_t, n_upd_t = upsert_terms(state.terms, cleaned, batch_ts)
     terms = terms.cache()
     term_fields, n_ins_f = append_term_fields(state.term_fields, terms, long, batch_ts)
 
-    new_state = HarvestState(terms=terms, term_fields=term_fields)
+    # The returned frames stay lazy; the caches above are registered on
+    # the new state so a driver loop can release them after it durably
+    # commits the state (see ``harvest_run``).  Everything here is
+    # deterministic, so re-evaluation after release is safe.
+    new_state = HarvestState(
+        terms=terms, term_fields=term_fields, retained=[cleaned, long, terms]
+    )
     return new_state, LoadStats(n_ins_t, n_upd_t, n_ins_f)
+
+
+def harvest_run(
+    spark: SparkSession,
+    batches: Iterable[DataFrame],
+    state_path: str,
+    state: HarvestState | None = None,
+    batch_ts: _dt.datetime | None = None,
+) -> tuple[HarvestState, LoadStats]:
+    """Multi-batch driver loop — the Spark form of the reference's page
+    loop (harvest.py:405-416): every batch is durably committed before
+    the next is processed, so a mid-run crash leaves a prefix of
+    batches loaded (the reference's per-page ``conn.commit()``,
+    harvest.py:374).
+
+    State ping-pongs between two subdirectories (``slot=0``/``slot=1``)
+    because Spark cannot overwrite a parquet directory it is also
+    reading from.  The per-batch parquet round-trip doubles as lineage
+    truncation: without it the state plan grows as an unbounded chain
+    of unions/joins over every batch ever loaded.  Cached batch inputs
+    are released as soon as each commit lands, so executor storage
+    stays O(one batch) for the whole run.
+    """
+    state = state or HarvestState.empty(spark)
+    totals = LoadStats(0, 0, 0)
+    for i, bindings in enumerate(batches):
+        state, stats = harvest_batch(state, bindings, batch_ts)
+        slot = os.path.join(state_path, f"slot={i % 2}")
+        state.write(slot)
+        state.release()
+        state = HarvestState.read(spark, slot)
+        totals = LoadStats(
+            totals.terms_inserted + stats.terms_inserted,
+            totals.terms_updated + stats.terms_updated,
+            totals.fields_inserted + stats.fields_inserted,
+        )
+    return state, totals

@@ -77,9 +77,11 @@ GROUP BY n.n_name
 )
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-schema rollup: fact-fact shuffle join (lineitem⋈orders) plus
-    explicitly broadcast dimension joins (customer at small SF would
-    broadcast anyway via AQE; nation/region always).  The region filter
-    is applied before the join so the broadcast side is pre-pruned."""
+    dimension joins.  Only the true dimensions (nation 25 rows, region
+    5 rows) are force-broadcast; customer scales with the fact tables,
+    so its join is left to AQE — broadcast when it turns out small,
+    shuffle join at 100 TB.  The region filter is applied before the
+    join so the broadcast side is pre-pruned."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -94,7 +96,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "n_name")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.round(
