@@ -11,14 +11,24 @@ from __future__ import annotations
 
 import os
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from setup_harvest_action_spark.schemas import FIXTURE_SCHEMAS
+from setup_harvest_action_spark.schemas import EVENTS_RAW, FIXTURE_SCHEMAS
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table from ``{sf_dir}/{name}.parquet``."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # ts is INT64 TIMESTAMP(NANOS) on disk (illegal as Spark
+        # TimestampType): read as long nanos, floor to microseconds.
+        # The conversion is a codegen'd arithmetic cast — pushdown on
+        # other columns is unaffected.
+        # Integer `div`, not `/`: 2024-epoch nanos (~1.7e18) exceed
+        # double's 2^53 mantissa, so float division drifts by ±1 µs.
+        raw = spark.read.schema(EVENTS_RAW).parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     schema = FIXTURE_SCHEMAS.get(name)
     reader = spark.read
     if schema is not None:

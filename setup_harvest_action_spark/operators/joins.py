@@ -1,0 +1,284 @@
+"""Join catalog: semi/anti/outer/cross/multi-key/range/as-of.
+
+The reference's join surface is three OPTIONAL patterns (= left outer,
+reference: harvest.py:77-79) plus the load path's implicit semi/anti
+joins (exists-check at :327-328, INSERT OR IGNORE at :363-372).  Those
+semantics are surfaced here as first-class operators, extended with the
+§2.2 join breadth (full/right/cross/range/as-of).
+
+Scale notes per join type:
+  * semi/anti — plan as hash joins carrying only the key column of the
+    right side; the cheapest existence checks at 100 TB.
+  * full/right outer — shuffle on the key; AQE handles skew splitting.
+  * cross — only ever dimension×dimension (region×nation = 125 rows);
+    a fact-side cross join is an anti-pattern and deliberately absent.
+  * range — expressed as equi-join + range predicate so Catalyst still
+    gets a hash/sort-merge join on the equi key and evaluates the range
+    as a cheap post-filter; a pure theta-join (no equi key) would be a
+    cartesian product.
+  * as-of — implemented as union + partitioned window (one shuffle),
+    NOT as a pairwise join + per-key max (two shuffles and a fact×fact
+    blowup at scale).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from setup_harvest_action_spark.catalog import query
+from setup_harvest_action_spark.io.loaders import load_table
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi — customers having at least one big order (the
+    reference's exists-check, harvest.py:327-328, as an operator).
+    The probe side never widens: only customer columns survive."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti — customers with no pending order (the INSERT OR
+    IGNORE dedup idiom, harvest.py:363-372 / constraint at :210)."""
+    customer = load_table(spark, sf_dir, "customer")
+    pending = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "P"
+    )
+    return customer.join(
+        pending, customer.c_custkey == pending.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(count(c.c_custkey) AS BIGINT) AS n_customers,
+       CAST(count(s.s_suppkey) AS BIGINT) AS n_suppliers
+FROM (SELECT DISTINCT c_nationkey, c_custkey FROM customer) c
+FULL JOIN (SELECT DISTINCT s_nationkey, s_suppkey FROM supplier) s
+       ON c.c_nationkey = s.s_nationkey AND c.c_custkey = s.s_suppkey
+FULL JOIN nation n ON coalesce(c.c_nationkey, s.s_nationkey) = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """full outer — both unmatched sides survive with nulls; the
+    coalesce-of-keys pattern is the reference's OPTIONAL null handling
+    (harvest.py:360-361) generalized to two-sided optionality."""
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_custkey")
+        .distinct()
+    )
+    supplier = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_nationkey", "s_suppkey")
+        .distinct()
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    both = customer.join(
+        supplier,
+        (customer.c_nationkey == supplier.s_nationkey)
+        & (customer.c_custkey == supplier.s_suppkey),
+        "full_outer",
+    )
+    return (
+        both.join(
+            nation,
+            F.coalesce(both.c_nationkey, both.s_nationkey) == nation.n_nationkey,
+            "full_outer",
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.count("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "q_join_right_outer",
+    oracle="""
+SELECT n.n_name AS nation, s.s_suppkey, s.s_name
+FROM supplier s
+RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+""",
+)
+def q_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """right outer — every nation survives even with zero suppliers."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return supplier.join(
+        nation, supplier.s_nationkey == nation.n_nationkey, "right"
+    ).select(F.col("n_name").alias("nation"), "s_suppkey", "s_name")
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+""",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross join — dimension×dimension only (5×25 rows).  The only
+    safe cardinality class for a cartesian product at any scale."""
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(nation)
+
+
+@query(
+    "q_join_multikey",
+    oracle="""
+SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+FROM orders o
+JOIN (SELECT o_custkey, max(o_orderdate) AS last_date
+      FROM orders GROUP BY o_custkey) m
+  ON o.o_custkey = m.o_custkey AND o.o_orderdate = m.last_date
+""",
+)
+def q_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key equi join — each customer's order(s) on their most
+    recent order date (groupBy-max then 2-key join back).  Both sides
+    hash-partition on the same compound key: one co-located shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    last = orders.groupBy(F.col("o_custkey").alias("m_custkey")).agg(
+        F.max("o_orderdate").alias("last_date")
+    )
+    return (
+        orders.join(
+            last,
+            (orders.o_custkey == last.m_custkey)
+            & (orders.o_orderdate == last.last_date),
+        )
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+SELECT o.o_orderkey,
+       CAST(count(*) AS BIGINT) AS n_shipped_within_30d,
+       CAST(round(sum(l.l_extendedprice), 2) AS DOUBLE) AS value_shipped
+FROM orders o
+JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <  o.o_orderdate + INTERVAL 30 DAY
+WHERE o.o_custkey < 200
+GROUP BY o.o_orderkey
+""",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join anchored on an equi key: lineitems shipped within 30
+    days of their order's date.  The equi key keeps it a hash join;
+    the date range is a residual predicate — no cartesian blowup."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate >= orders.o_orderdate)
+            & (li.l_shipdate < F.date_add(orders.o_orderdate, 30)),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipped_within_30d"),
+            F.round(F.sum("l_extendedprice"), 2).alias("value_shipped"),
+        )
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts, c.value AS last_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent click at-or-before
+    it, per user.
+
+    Implemented as union + partitioned window (`last(..., ignorenulls)`
+    over user_id ordered by ts): ONE shuffle on user_id, state bounded
+    by one row per side.  The naive pairwise join + groupBy-max is two
+    shuffles and an O(purchases × clicks per user) intermediate — this
+    form is the one that survives 100 TB.  Ties (click.ts == purchase.ts)
+    sort clicks first so same-instant clicks are visible, matching
+    ASOF's >= semantics.
+    """
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    merged = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_click"),
+        F.col("event_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(None).cast("double").alias("click_value"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            F.col("click_ts").alias("ts"),
+            F.lit(1).alias("is_click"),
+            F.lit(None).cast("long").alias("event_id"),
+            "click_ts",
+            "click_value",
+        )
+    )
+    # At equal ts the click must sort BEFORE the purchase so the
+    # purchase row sees it (ASOF >= semantics): ts asc, is_click desc.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.desc("is_click"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.last("click_ts", ignorenulls=True).over(w).alias("last_click_ts"),
+            F.last("click_value", ignorenulls=True).over(w).alias("last_click_value"),
+        )
+        .filter(F.col("event_id").isNotNull())
+        .select("event_id", "user_id", "ts", "last_click_ts", "last_click_value")
+    )

@@ -1,0 +1,258 @@
+"""Window functions: ranking, analytic (lag/lead/first/last), frames, top-k.
+
+The reference has no window functions (SURVEY.md §2.3) — this module is
+§2.2 north-star breadth.  Internally the harvest load path already uses
+``row_number`` for surrogate ids (harvest/load.py); here the full
+surface is exposed as catalog queries.
+
+Scale notes: every window below is PARTITIONED — Spark hash-partitions
+on the partition key and sorts within partitions, so work scales out
+with key cardinality.  A window with no ``partitionBy`` collapses to a
+single task and is the #1 window anti-pattern at 100 TB; none are used
+here (the load path's global id window is the documented exception,
+bounded by batch novelty).  Ties are always broken by a unique key so
+results are deterministic and hash-comparable against the oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from setup_harvest_action_spark.catalog import query
+from setup_harvest_action_spark.io.loaders import load_table
+
+
+@query(
+    "q_window_ranking",
+    oracle="""
+SELECT o_orderkey,
+       o_orderstatus,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(rank()       OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4)     OVER w AS BIGINT) AS quartile
+FROM orders
+WHERE o_totalprice > 400000
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile in one partitioned window.
+    One shuffle on the partition key serves all four functions."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+    )
+
+
+@query(
+    "q_window_lag_lead",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       o_totalprice,
+       lag(o_totalprice)  OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       CAST(round(o_totalprice - coalesce(lag(o_totalprice) OVER w, o_totalprice), 2) AS DOUBLE) AS delta_vs_prev
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead per customer ordered by order date — the classic
+    prev/next-row analytic with a null-coalesced delta."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return (
+        orders.filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            prev.alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+            F.round(
+                F.col("o_totalprice") - F.coalesce(prev, F.col("o_totalprice")), 2
+            ).alias("delta_vs_prev"),
+        )
+    )
+
+
+@query(
+    "q_window_running_sum",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       CAST(round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total,
+       CAST(count(*) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_so_far
+FROM orders
+WHERE o_custkey < 100
+""",
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) frame — ROWS UNBOUNDED PRECEDING..CURRENT."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+            F.count(F.lit(1)).over(w).cast("long").alias("n_so_far"),
+        )
+    )
+
+
+@query(
+    "q_window_sliding_frame",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       CAST(round(avg(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS moving_avg_3
+FROM orders
+WHERE o_custkey < 100
+""",
+)
+def q_window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS frame — 3-row moving average per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        orders.filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg_3"),
+        )
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       o_totalprice,
+       CAST(count(*) OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice
+           RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within_50k
+FROM orders
+WHERE o_custkey < 100
+""",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering — peers within a value
+    distance, not a row distance."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-50000, Window.currentRow)
+    )
+    return (
+        orders.filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_within_50k"),
+        )
+    )
+
+
+@query(
+    "q_window_first_last",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value analytics; last over the full-partition
+    frame (the default growing frame would return the current row)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w_full).alias("last_price"),
+        )
+    )
+
+
+@query(
+    "q_window_topk_per_group",
+    oracle="""
+SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+FROM (
+    SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+           row_number() OVER (PARTITION BY c.c_mktsegment
+                              ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+WHERE rn <= 5
+""",
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: row_number() <= k — the distributed top-k idiom
+    (fills the O6/O7 'no per-group top-k' gap flagged in round 1).
+
+    At scale this is one shuffle on the group key; Spark's
+    WindowGroupLimit pushes the k-limit into the sort so each partition
+    keeps only k rows per group before the final filter.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        joined.select(
+            "c_mktsegment",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )

@@ -92,6 +92,19 @@ LINEITEM = _st(
     ("l_shipdate", TimestampType(), True),
 )
 
+# ts is stored as INT64 TIMESTAMP(NANOS) in the fixture parquet, which
+# Spark cannot map to TimestampType (PARQUET_TYPE_ILLEGAL).  It is read
+# as long (spark.sql.legacy.parquet.nanosAsLong) and converted to a
+# microsecond timestamp by the loader — see io/loaders.py.
+EVENTS_RAW = _st(
+    ("event_id", LongType(), True),
+    ("ts", LongType(), True),
+    ("user_id", LongType(), True),
+    ("event_type", StringType(), True),
+    ("value", DoubleType(), True),
+    ("props", StringType(), True),
+)
+
 EVENTS = _st(
     ("event_id", LongType(), True),
     ("ts", TimestampType(), True),
