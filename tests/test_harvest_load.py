@@ -1,0 +1,153 @@
+"""Golden tests for the harvest load path.
+
+The double-run test is the reference's idempotence contract
+(reference: harvest.py:163-168, 292-299): re-running the same
+bindings must insert nothing anywhere; only ``terms.updated_at``
+advances.  Cited by harvest/load.py docstrings.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from setup_harvest_action_spark.harvest.constraints import (
+    check_harvest_state,
+    domain_violations,
+    duplicate_keys,
+    fk_orphans,
+)
+from setup_harvest_action_spark.harvest.load import (
+    HarvestState,
+    harvest_batch,
+    harvest_run,
+    upsert_terms,
+)
+from setup_harvest_action_spark.schemas import SPARQL_BINDINGS, TRANSLATION_LANGUAGES
+
+T1 = dt.datetime(2026, 1, 1)
+T2 = dt.datetime(2026, 1, 2)
+
+ROWS = [
+    ("http://v.example/a", "A", "A-alt", "def a"),
+    ("http://v.example/a", "A", "A-alt2", "def a"),  # cross-product dup
+    ("http://v.example/b", "B", None, None),
+    ("http://v.example/b", "B", None, None),  # exact dup
+    (None, "ghost", None, None),  # skipped: null concept
+    ("", "empty", None, None),  # skipped: empty concept
+]
+
+
+@pytest.fixture(scope="module")
+def bindings(spark):
+    return spark.createDataFrame(ROWS, SPARQL_BINDINGS)
+
+
+def test_first_run_inserts_everything(spark, bindings):
+    state, stats = harvest_batch(HarvestState.empty(spark), bindings, T1)
+    assert stats.terms_inserted == 2
+    assert stats.terms_updated == 0
+    # a: prefLabel + 2 altLabels + definition; b: prefLabel  -> 5 fields
+    assert stats.fields_inserted == 5
+    terms = {r["uri"]: r for r in state.terms.collect()}
+    assert set(terms) == {"http://v.example/a", "http://v.example/b"}
+    assert all(r["created_at"] == T1 and r["updated_at"] == T1 for r in terms.values())
+    # dense, stable ids ordered by uri
+    assert [terms[u]["id"] for u in sorted(terms)] == [1, 2]
+
+
+def test_double_run_is_idempotent(spark, bindings):
+    state1, _ = harvest_batch(HarvestState.empty(spark), bindings, T1)
+    before_fields = sorted(
+        tuple(r) for r in state1.term_fields.collect()
+    )
+    state2, stats2 = harvest_batch(state1, bindings, T2)
+
+    # 0 inserts anywhere; every concept touched as an update
+    assert stats2.terms_inserted == 0
+    assert stats2.terms_updated == 2
+    assert stats2.fields_inserted == 0
+
+    terms = {r["uri"]: r for r in state2.terms.collect()}
+    # ids and created_at survive byte-identical, updated_at advances
+    assert [terms[u]["id"] for u in sorted(terms)] == [1, 2]
+    assert all(r["created_at"] == T1 for r in terms.values())
+    assert all(r["updated_at"] == T2 for r in terms.values())
+    # term_fields untouched (append-only with composite-key dedup)
+    after_fields = sorted(tuple(r) for r in state2.term_fields.collect())
+    assert after_fields == before_fields
+
+
+def test_incremental_batch_appends_only_new(spark, bindings):
+    state, _ = harvest_batch(HarvestState.empty(spark), bindings, T1)
+    extra = spark.createDataFrame(
+        [
+            ("http://v.example/a", "A", "A-alt", "def a"),  # fully known
+            ("http://v.example/c", "C", None, None),  # new concept
+        ],
+        SPARQL_BINDINGS,
+    )
+    state2, stats2 = harvest_batch(state, extra, T2)
+    assert stats2.terms_inserted == 1
+    assert stats2.terms_updated == 1  # only 'a' was in this batch
+    assert stats2.fields_inserted == 1  # C's prefLabel
+    terms = {r["uri"]: r for r in state2.terms.collect()}
+    # new id continues the dense sequence; untouched b keeps T1
+    assert terms["http://v.example/c"]["id"] == 3
+    assert terms["http://v.example/b"]["updated_at"] == T1
+    assert terms["http://v.example/a"]["updated_at"] == T2
+
+
+def test_harvest_run_commits_per_batch_and_bounds_memory(spark, bindings, tmp_path):
+    rdds_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    batches = [bindings, bindings]
+    state, totals = harvest_run(spark, batches, str(tmp_path), batch_ts=T1)
+    assert totals.terms_inserted == 2  # second batch inserts nothing
+    assert totals.fields_inserted == 5
+    assert state.terms.count() == 2
+    # cached inputs all released after durable commits.  Compared as
+    # no-increase, not equality: the shared session may hold unrelated
+    # caches AND Spark's ContextCleaner may concurrently drop entries
+    # whose references were garbage-collected.
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= rdds_before
+    # constraint pack holds on the durable state
+    report = {r["constraint"]: r["violations"] for r in
+              check_harvest_state(state.terms, state.term_fields).collect()}
+    assert set(report.values()) == {0}, report
+
+
+def test_hash_id_strategy_is_stable_and_parallel(spark, bindings):
+    state0 = HarvestState.empty(spark)
+    from setup_harvest_action_spark.harvest.normalize import clean_bindings
+
+    t1, _, _ = upsert_terms(state0.terms, clean_bindings(bindings), T1, "hash")
+    t2, _, _ = upsert_terms(state0.terms, clean_bindings(bindings), T1, "hash")
+    assert sorted(tuple(r) for r in t1.collect()) == sorted(
+        tuple(r) for r in t2.collect()
+    )
+    ids = [r["id"] for r in t1.collect()]
+    assert len(set(ids)) == len(ids)
+
+
+def test_constraint_checks_catch_violations(spark):
+    terms = spark.createDataFrame(
+        [(1, "u1", T1, T1), (2, "u1", T1, T1)],  # duplicate uri
+        "id long, uri string, created_at timestamp, updated_at timestamp",
+    )
+    dups = duplicate_keys(terms, ["uri"]).collect()
+    assert len(dups) == 1 and dups[0]["n_rows"] == 2
+
+    fields = spark.createDataFrame(
+        [(1, 99, "f", "t", "v", T1, T1)],  # term_id 99 has no parent
+        "id long, term_id long, field_uri string, field_term string, "
+        "original_value string, created_at timestamp, updated_at timestamp",
+    )
+    orphans = fk_orphans(fields, terms, "term_id", "id").collect()
+    assert len(orphans) == 1 and orphans[0]["term_id"] == 99
+
+    trans = spark.createDataFrame(
+        [("nl",), ("xx",), (None,)], "language string"
+    )
+    bad = domain_violations(trans, "language", TRANSLATION_LANGUAGES).collect()
+    assert {r["language"] for r in bad} == {"xx", None}
