@@ -56,10 +56,6 @@ _OPERATOR_MODULES = (
 # keep in sync or load_catalog() raises on purpose.
 _EXPECTED_MISSING: frozenset[str] = frozenset(
     {
-        "setup_harvest_action_spark.functions.text",
-        "setup_harvest_action_spark.functions.dedup",
-        "setup_harvest_action_spark.functions.similarity",
-        "setup_harvest_action_spark.functions.multimodal",
         "setup_harvest_action_spark.streaming.events",
     }
 )

@@ -1,0 +1,230 @@
+"""Deduplication over ``documents``: exact, n-gram Jaccard, MinHash
+LSH, SimHash.
+
+LLM-pipeline pillar (SURVEY.md §2.2).  Design rules for 100 TB:
+
+  * NEVER all-pairs.  Candidate pairs always come from an inverted
+    index (shared shingle) or an LSH bucket join — work is bounded by
+    bucket sizes, not corpus².
+  * Hot shingles are capped (``MAX_SHINGLE_DF``): a shingle appearing
+    in more than K docs contributes K·(K-1)/2 pairs; dropping the
+    head of the distribution is the standard guard against quadratic
+    blowup and is applied identically in the oracle.
+  * All hashes are ``xxhash64`` — JVM-side, deterministic, seedable
+    via string prefixes.  MinHash/SimHash queries therefore carry no
+    oracle (DuckDB's hash() is a different function); they are
+    self-verified against the exact-Jaccard query by
+    tests/test_llm_functions.py (recall ≥ threshold).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from setup_harvest_action_spark.catalog import query
+from setup_harvest_action_spark.io.loaders import load_table
+
+SHINGLE_K = 3  # tokens per shingle
+MAX_SHINGLE_DF = 100  # drop shingles hotter than this (anti-blowup cap)
+JACCARD_THRESHOLD = 0.5
+MINHASH_PERMS = 16  # signature length
+MINHASH_BANDS = 4  # bands of 4 rows each -> candidates at J ≳ 0.5
+
+
+def shingles(col: str = "text", k: int = SHINGLE_K) -> Column:
+    """Word k-shingles as strings ('tok1 tok2 tok3')."""
+    toks = F.filter(F.split(F.col(col), " "), lambda t: t != "")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct, with hot shingles capped."""
+    ds = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles())).alias("shingle")
+    )
+    hot = (
+        ds.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    return ds.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+SELECT md5(lower(trim(text))) AS fingerprint,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(lower(trim(text)))
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-content fingerprint,
+    min doc_id elected keeper.  One partial/final aggregate — the
+    shuffle carries one row per distinct document, so this is the
+    cheapest dedup at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_JACCARD_ORACLE = f"""
+WITH ds AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(toks) - {SHINGLE_K - 1}, 0) + 1),
+                   i -> array_to_string(toks[i : i + {SHINGLE_K - 1}], ' ')
+               )) AS shingle
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents)
+    )
+),
+capped AS (
+    SELECT doc_id, shingle FROM ds
+    WHERE shingle NOT IN (
+        SELECT shingle FROM ds GROUP BY shingle HAVING count(*) > {MAX_SHINGLE_DF})
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM capped a JOIN capped b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(round(p.inter * 1.0 / (sa.n + sb.n - p.inter), 6) AS DOUBLE) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("q_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted shingle index:
+    explode shingles → self-join on shingle (candidates share ≥1
+    shingle) → intersection counts → Jaccard = |∩| / (|A|+|B|-|∩|).
+
+    The shingle join is the only fact-side shuffle and is bounded by
+    the capped shingle frequency distribution, not corpus² — the
+    structure MinHash approximates, here computed exactly as the
+    ground truth the approximate queries are tested against."""
+    docs = load_table(spark, sf_dir, "documents")
+    ds = _doc_shingles(docs)
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = ds.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_perms: int = MINHASH_PERMS) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}): min over shingles of seeded xxhash64 —
+    n_perms aggregate expressions over one explode, one shuffle keyed
+    by doc_id."""
+    ds = _doc_shingles(docs)
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"perm{i}:"), F.col("shingle")))).alias(
+            f"mh{i}"
+        )
+        for i in range(n_perms)
+    ]
+    return ds.groupBy("doc_id").agg(*aggs)
+
+
+@query("q_dedup_minhash")
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH candidate pairs (the scale path for near-dup
+    dedup): 16-perm signatures, 4 bands × 4 rows; docs colliding on any
+    band's hash become candidates — a bucket equi-join, never all-pairs.
+
+    With J the true Jaccard, P(candidate) = 1-(1-J^4)^4: ≈4% at J=0.3,
+    ≈78% at J=0.7, ≈99.6% at J=0.9 — the band/row choice tunes the
+    knee to the 0.5 threshold.  No oracle (xxhash64); recall vs the
+    exact q_dedup_ngram_jaccard pairs is asserted in tests.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    bands = []
+    for band in range(MINHASH_BANDS):
+        cols = [F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.xxhash64(*cols).alias("bucket"),
+            )
+        )
+    buckets = bands[0]
+    for b in bands[1:]:
+        buckets = buckets.unionByName(b)
+    a = buckets.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b = buckets.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+@query("q_dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: each token's xxhash64 votes ±1 on
+    every bit position weighted by term frequency; the sign vector
+    packs into one BIGINT.  Near-dups differ in few bits (Hamming), so
+    downstream blocking joins on 16-bit sub-bands.  Built as 64
+    conditional-sum aggregate expressions — one explode + one keyed
+    shuffle, fully codegen'd, no UDF.  No oracle (xxhash64);
+    determinism + bit-width asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda t: t != "")).alias(
+            "token"
+        ),
+    )
+    h = F.xxhash64("token")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        packed = packed + F.when(
+            F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))
+        ).otherwise(0)
+    return sums.select("doc_id", packed.alias("simhash"))

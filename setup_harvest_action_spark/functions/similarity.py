@@ -1,0 +1,310 @@
+"""Similarity search over ``embeddings.embedding`` (array<float>, 64-d).
+
+LLM-pipeline pillar (SURVEY.md §2.2): exact top-k cosine as the
+correctness baseline, random-hyperplane LSH as the scale path.
+
+Design for 100 TB:
+  * The exact query joins a SMALL query set (broadcast) against the
+    full corpus — cost is |queries| × corpus, embarrassingly parallel,
+    and the per-group top-k uses WindowGroupLimit so only k rows per
+    query survive each partition.  An unbounded corpus × corpus
+    cross-join is deliberately not offered.
+  * The LSH query buckets vectors by the sign pattern of H fixed
+    hyperplane projections; candidates share a bucket → the join is
+    bucket-keyed, never all-pairs.  Hyperplanes are deterministic
+    (seeded xxhash64 → uniform in [-1,1]) so results are stable and
+    testable.
+  * All vector math is JVM-side higher-order functions
+    (``zip_with``/``aggregate``) — no UDF, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from setup_harvest_action_spark.catalog import query
+from setup_harvest_action_spark.io.loaders import load_table
+
+N_QUERY_VECS = 5  # exact top-k query set: vec_id < 5
+TOP_K = 3
+LSH_TABLES = 8  # multi-table LSH: L tables ...
+LSH_BITS = 6  # ... of H sign-bits each
+IVF_CENTROIDS = 16  # IVF coarse quantizer size
+IVF_NPROBE = 4  # clusters probed per query
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns — zip_with + aggregate,
+    whole-stage-codegen'd."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _as_double(col: str = "embedding") -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+@query(
+    "q_similarity_exact_topk",
+    oracle=f"""
+WITH vecs AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {N_QUERY_VECS}),
+scored AS (
+    SELECT q.query_id, vecs.vec_id AS neighbor_id,
+           list_cosine_similarity(q.qv, vecs.v) AS cos
+    FROM q JOIN vecs ON q.query_id <> vecs.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(round(cos, 6) AS DOUBLE) AS cosine,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rn
+    FROM scored
+)
+WHERE rn <= {TOP_K}
+""",
+)
+def q_similarity_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query vectors against the
+    corpus, score with zip_with/aggregate, keep k per query via
+    row_number (WindowGroupLimit).  The ground truth the ANN query's
+    recall is measured against."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+    queries = vecs.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        vecs.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+@query(
+    "q_similarity_pairs_threshold",
+    oracle="""
+WITH vecs AS (
+    SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE vec_id < 300
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(round(list_cosine_similarity(a.v, b.v), 6) AS DOUBLE) AS cosine,
+       CAST(a.label = b.label AS BOOLEAN) AS same_label
+FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.8
+""",
+)
+def q_similarity_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-similarity pairs within a bounded slice (embedding near-dup
+    detection): pairwise cosine ≥ 0.8 over the first 300 vectors.  The
+    slice bound keeps the quadratic explicitly sized; the at-scale form
+    is the LSH bucket join below."""
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", "label", _as_double().alias("v"))
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("v").alias("va")
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("v").alias("vb")
+    )
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cos, 6).alias("cosine"),
+            (F.col("la") == F.col("lb")).alias("same_label"),
+        )
+        .filter(F.col("cosine") >= 0.8)
+    )
+
+
+def hyperplanes_df(
+    spark: SparkSession,
+    dim: int = 64,
+    tables: int = LSH_TABLES,
+    bits: int = LSH_BITS,
+) -> DataFrame:
+    """Deterministic pseudo-random hyperplanes for ``tables`` × ``bits``
+    sign tests: component (t, b, d) = xxhash64('hp:t:b:d') scaled to
+    [-1, 1].  Seeded, reproducible, tiny — always the broadcast side."""
+    rows = [(t, b) for t in range(tables) for b in range(bits)]
+    hp = spark.createDataFrame(rows, "table_id int, bit_id int")
+    comps = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.xxhash64(
+                F.concat_ws(
+                    ":", F.lit("hp"), F.col("table_id"), F.col("bit_id"), d
+                )
+            )
+            / F.lit(float(2**63))
+        ),
+    )
+    return hp.select("table_id", "bit_id", comps.alias("h"))
+
+
+def lsh_codes(vecs: DataFrame, planes: DataFrame) -> DataFrame:
+    """(vec_id, table_id, code): per-table sign-pattern bucket codes.
+    One broadcast of the plane table, one keyed aggregate."""
+    proj = (
+        vecs.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "table_id",
+            "bit_id",
+            (dot(F.col("v"), F.col("h")) > 0).cast("long").alias("bit"),
+        )
+    )
+    # shiftleft needs a literal shift; 2^bit_id via pow is exact below 53.
+    return proj.groupBy("vec_id", "table_id").agg(
+        F.sum(
+            (F.col("bit") * F.pow(F.lit(2.0), F.col("bit_id"))).cast("long")
+        ).alias("code")
+    )
+
+
+@query("q_similarity_ann_lsh")
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via MULTI-TABLE random-hyperplane LSH: L=8
+    independent tables of H=6 sign-bits; candidates = vectors sharing
+    any table's bucket with the query; exact cosine only on candidates;
+    top-k among them.
+
+    Bucket-keyed join — never all-pairs.  P(bit agree) = 1 - θ/π, so
+    per-table collision is p^H and overall 1-(1-p^H)^L — multiple
+    tables trade candidate volume for recall, the standard fix when a
+    single wide code (p^12) collides on almost nothing.  On this
+    fixture (near-random vectors, best cosines ≈ 0.4) it scans ~19% of
+    the corpus for ~40% top-3 recall.  No oracle (hash-seeded
+    hyperplanes aren't SQL-portable); recall vs q_similarity_exact_topk
+    asserted in tests/test_llm_functions.py."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+    codes = lsh_codes(vecs, hyperplanes_df(spark))
+    qcodes = codes.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "table_id", "code"
+    )
+    cand_ids = (
+        codes.join(F.broadcast(qcodes), ["table_id", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    queries = vecs.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand_ids.join(vecs, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank"
+        )
+    )
+
+
+@query("q_similarity_ann_ivf")
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file index, the FAISS-style
+    scale path): a coarse quantizer of C=16 deterministic centroids
+    partitions the corpus by nearest centroid; each query probes its
+    nprobe=4 nearest clusters and scores only those members.
+
+    Cost is (corpus × C) cheap centroid dots for assignment — one
+    broadcast — then exact cosine on ~nprobe/C of the corpus.  On this
+    fixture it scans ~24% for ~93% top-3 recall (measured; asserted in
+    tests).  At 100 TB the assignment is a write-once partitioning
+    (cluster id = partition key), so probes prune to nprobe partitions
+    — the same pruning story as partitioned parquet.  Centroids here
+    are the first C vectors (deterministic stand-in for a k-means fit,
+    which would be an offline job at scale).  No oracle: argmax
+    assignment + probing isn't reasonably SQL-expressible."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+    cents = vecs.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        cosine(F.col("v"), F.col("cv")).alias("cc"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cc"), F.asc("centroid_id")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w_assign))
+    assignment = ranked.filter(F.col("rn") == 1).select("vec_id", "centroid_id")
+    probes = (
+        ranked.filter(
+            (F.col("vec_id") < N_QUERY_VECS) & (F.col("rn") <= IVF_NPROBE)
+        )
+        .select(F.col("vec_id").alias("query_id"), "centroid_id")
+    )
+    cand_ids = (
+        assignment.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    queries = vecs.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand_ids.join(vecs, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank"
+        )
+    )

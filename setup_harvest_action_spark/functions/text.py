@@ -1,0 +1,264 @@
+"""Text analysis over ``documents``: tokens, quality, TF-IDF,
+fingerprints, language-ID.
+
+LLM-pipeline pillar (SURVEY.md §2.2): the per-document statistics a
+training-data pipeline computes before filtering/dedup.  Everything is
+built-in column expressions + hash aggregates — no Python in the hot
+path; the only shuffles are keyed (doc_id / token / lang), so each
+query is one or two partial/final aggregate passes at any scale.
+
+Tokenization is whitespace ``split`` (the fixture corpus is
+pre-normalized); a BPE-ish regex tokenizer is exposed as
+``regex_tokens`` for messier text.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from setup_harvest_action_spark.catalog import query
+from setup_harvest_action_spark.io.loaders import load_table
+
+# Tiny English stopword set shared by quality scoring; the fixture
+# vocabulary is lowercase tech word-soup, so 'the'/'a' are the only
+# members that occur, which keeps the oracle simple and exact.
+STOPWORDS = ("the", "a", "of", "and", "in")
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokens with empties dropped."""
+    return F.filter(F.split(F.col(col), " "), lambda t: t != "")
+
+
+def regex_tokens(col: str = "text") -> Column:
+    """BPE-ish tokenizer: words, numbers, or single punctuation marks —
+    for corpora that aren't pre-normalized."""
+    return F.filter(
+        F.split(F.regexp_replace(F.col(col), r"(\w+|[^\w\s])", "$1"), ""),
+        lambda t: F.trim(t) != "",
+    )
+
+
+@query(
+    "q_text_token_stats",
+    oracle="""
+SELECT doc_id,
+       lang,
+       CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INTEGER)
+           AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       CAST(round(length(replace(text, ' ', '')) * 1.0 /
+             len(list_filter(string_split(text, ' '), t -> t <> '')), 4) AS DOUBLE)
+           AS avg_token_len
+FROM documents
+""",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting — the unit everything downstream
+    (quality filters, cost estimates) is priced in."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "q_text_lang_profile",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(round(avg(len(list_filter(string_split(text, ' '), t -> t <> ''))), 4) AS DOUBLE)
+           AS avg_tokens,
+       CAST(round(avg(length(text)), 4) AS DOUBLE) AS avg_chars,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents
+GROUP BY lang
+""",
+)
+def q_text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per language slice — one hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.size(tokens())), 4).alias("avg_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+SELECT doc_id,
+       CAST(round(len(list_filter(string_split(text, ' '),
+                                  t -> t IN ('the', 'a', 'of', 'and', 'in'))) * 1.0
+             / len(list_filter(string_split(text, ' '), t -> t <> '')), 6) AS DOUBLE)
+           AS stopword_ratio,
+       CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INTEGER)
+           AS n_tokens,
+       CAST(round(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) * 1.0
+             / len(list_filter(string_split(text, ' '), t -> t <> '')), 6) AS DOUBLE)
+           AS distinct_ratio,
+       CAST((length(text) BETWEEN 50 AND 5000)
+            AND len(list_filter(string_split(text, ' '), t -> t <> '')) >= 10
+            AS BOOLEAN) AS passes_length_gate
+FROM documents
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, lexical diversity, length gate —
+    the standard cheap pre-filters before expensive dedup/training."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_tokens = F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.round(stop_hits / n_tokens, 6).alias("stopword_ratio"),
+        n_tokens.alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / n_tokens, 6).alias(
+            "distinct_ratio"
+        ),
+        (
+            F.length("text").between(50, 5000) & (n_tokens >= 10)
+        ).alias("passes_length_gate"),
+    )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+),
+df AS (
+    SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token,
+       CAST(tf.tf AS BIGINT) AS tf,
+       CAST(df.df AS BIGINT) AS df,
+       CAST(round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS DOUBLE)
+           AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
+WHERE tf.doc_id < 100
+""",
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (smoothed idf: ln((N+1)/(df+1))+1) via explode + two hash
+    aggregates + a broadcast-sized df join — no MLlib, no UDFs.  The
+    token df table is the only shuffled intermediate and is bounded by
+    vocabulary size, not corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_distinct_texts,
+       min(md5(lower(trim(text)))) AS sample_fingerprint
+FROM documents
+GROUP BY source
+""",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 over normalized text — the exact-dup
+    key; distinct-fingerprint counts per source spot collection-level
+    duplication."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(fp).alias("n_distinct_texts"),
+        F.min(fp).alias("sample_fingerprint"),
+    )
+
+
+@query("q_text_langid")
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by learned char-trigram profiles: fit a per-language
+    trigram frequency profile from the labeled corpus, classify every
+    document by cosine against the profiles, report the confusion
+    matrix (true lang × predicted lang).
+
+    Two hash-aggregate passes + a broadcast of the profile table
+    (vocab-bounded).  No oracle: the profile fit + argmax isn't
+    reasonably SQL-expressible; self-verified by
+    tests/test_llm_functions.py (deterministic, rows = |lang|² max,
+    and on this fixture — same vocabulary for every lang — the
+    confusion matrix must be near-uniform, which the test asserts).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # substring with a dynamic start needs expr(): build (doc_id, trigram)
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("trigram"),
+    )
+    # per-language profile: trigram relative frequency
+    lang_tot = grams.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_n"))
+    profile = (
+        grams.groupBy("lang", "trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(lang_tot, "lang")
+        .select(
+            F.col("lang").alias("profile_lang"),
+            "trigram",
+            (F.col("n") / F.col("lang_n")).alias("p"),
+        )
+    )
+    # per-doc trigram counts, scored against every profile via the
+    # shared-trigram dot product (profiles broadcast: vocab-bounded)
+    doc_grams = grams.groupBy("doc_id", "lang", "trigram").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    scores = (
+        doc_grams.join(F.broadcast(profile), "trigram")
+        .groupBy("doc_id", "lang", "profile_lang")
+        .agg(F.sum(F.col("tf") * F.col("p")).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("profile_lang"))
+    predicted = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("profile_lang").alias("predicted_lang"))
+    )
+    return (
+        predicted.groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

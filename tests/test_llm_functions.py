@@ -1,0 +1,137 @@
+"""Self-verification for the no-oracle LLM-pipeline operators.
+
+The approximate operators (MinHash LSH, hyperplane-LSH ANN, SimHash)
+carry no DuckDB oracle; their contract is recall against the exact
+queries computed on the same fixtures — asserted here, as promised in
+their docstrings.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from setup_harvest_action_spark.catalog import load_catalog
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    q, _ = load_catalog()
+    return q
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, queries):
+    exact = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in queries["q_dedup_ngram_jaccard"](spark, SF).collect()
+    }
+    candidates = {
+        (r["doc_a"], r["doc_b"])
+        for r in queries["q_dedup_minhash"](spark, SF).collect()
+    }
+    # recall on CLEAR near-dups (J >= 0.7): banded LSH with 4 bands of 4
+    # gives P(candidate) >= 78% per pair; across the fixture's pair set
+    # we require >= 70% aggregate recall, and >= 90% at J >= 0.9.
+    strong = {(a, b) for a, b, j in exact if j >= 0.7}
+    if strong:
+        hit = len(strong & candidates) / len(strong)
+        assert hit >= 0.7, f"minhash recall {hit:.2f} on {len(strong)} pairs"
+    certain = {(a, b) for a, b, j in exact if j >= 0.9}
+    if certain:
+        hit = len(certain & candidates) / len(certain)
+        assert hit >= 0.9, f"minhash recall {hit:.2f} on J>=0.9 pairs"
+
+
+def test_minhash_is_deterministic(spark, queries):
+    a = sorted(tuple(r) for r in queries["q_dedup_minhash"](spark, SF).collect())
+    b = sorted(tuple(r) for r in queries["q_dedup_minhash"](spark, SF).collect())
+    assert a == b
+
+
+def _topk_recall(exact_rows, approx_rows):
+    exact_sets, approx_sets = {}, {}
+    for r in exact_rows:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx_rows:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    total = sum(len(v) for v in exact_sets.values())
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    return hits, total
+
+
+def test_ann_recall_vs_exact_topk(spark, queries):
+    # Fixture vectors are near-random (best cosines ~0.4, no planted
+    # neighbors) — the hardest case for ANN.  Thresholds are set from
+    # measured behavior with margin: IVF(16,4) ~0.93, LSH(8x6) ~0.40.
+    exact = queries["q_similarity_exact_topk"](spark, SF).collect()
+    assert exact
+
+    ivf = queries["q_similarity_ann_ivf"](spark, SF).collect()
+    hits, total = _topk_recall(exact, ivf)
+    assert hits / total >= 0.6, f"IVF recall {hits}/{total}"
+
+    lsh = queries["q_similarity_ann_lsh"](spark, SF).collect()
+    hits, total = _topk_recall(exact, lsh)
+    assert hits / total >= 0.2, f"LSH recall {hits}/{total}"
+
+    for r in list(ivf) + list(lsh):
+        assert 1 <= r["rank"] <= 3
+        assert -1.0 <= r["cosine"] <= 1.0
+
+
+def test_simhash_is_stable_64bit(spark, queries):
+    rows = queries["q_dedup_simhash"](spark, SF).collect()
+    assert len(rows) == 500
+    again = queries["q_dedup_simhash"](spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # near-identical docs should have near-identical simhashes:
+    # a doc is hamming-0 from itself by construction; sanity-check the
+    # packing produced 64-bit spread (not everything collapsed)
+    values = {r["simhash"] for r in rows}
+    assert len(values) > 400
+
+
+def test_multimodal_features_match_python(spark, queries):
+    feats = {
+        r["doc_id"]: r
+        for r in queries["q_multimodal_features"](spark, SF).collect()
+    }
+    from setup_harvest_action_spark.io.loaders import load_table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF, "documents").limit(50).collect()
+    }
+    for doc_id, text in docs.items():
+        raw = text.encode("utf-8")
+        r = feats[doc_id]
+        assert r["n_bytes"] == len(raw)
+        assert abs(r["byte_mean"] - sum(raw) / len(raw)) < 1e-9
+        assert r["byte_min"] == min(raw)
+        assert r["byte_max"] == max(raw)
+        assert r["format"] == "bytes"
+
+
+def test_decode_stub_raises_without_library():
+    from setup_harvest_action_spark.functions.multimodal import decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL unexpectedly present")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG fake")
+
+
+def test_langid_confusion_is_well_formed(spark, queries):
+    rows = queries["q_text_langid"](spark, SF).collect()
+    langs = {"en", "de", "es", "fr", "zh"}
+    assert {r["lang"] for r in rows} <= langs
+    assert {r["predicted_lang"] for r in rows} <= langs
+    # fixture text shares one vocabulary across langs, so predictions
+    # must NOT be trivially perfect — the matrix covers multiple
+    # predicted langs and totals to the doc count
+    assert sum(r["n_docs"] for r in rows) == 500
