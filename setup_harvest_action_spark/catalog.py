@@ -54,11 +54,7 @@ _OPERATOR_MODULES = (
 
 # Declared-but-not-yet-built modules.  Shrinks to empty as phases land;
 # keep in sync or load_catalog() raises on purpose.
-_EXPECTED_MISSING: frozenset[str] = frozenset(
-    {
-        "setup_harvest_action_spark.streaming.events",
-    }
-)
+_EXPECTED_MISSING: frozenset[str] = frozenset()
 
 _loaded = False
 

@@ -1,0 +1,217 @@
+"""Structured Streaming over ``events``: windowed aggs, watermarks,
+streaming dedup, session windows.
+
+Each catalog query runs a REAL streaming query — ``readStream`` over
+the events parquet, watermarked event-time processing, memory sink —
+driven to completion with ``Trigger.AvailableNow`` and returned as the
+sink table, so the driver's batch compare sees exactly what the stream
+emitted.  The batch-equivalent SQL is the oracle: for these windowed
+aggregations the streaming and batch results must be identical, which
+is itself the semantic contract under test.
+
+Mode choices (the load-bearing details):
+  * Windowed aggregations run in **complete** mode: in append mode a
+    finite stream never emits windows past the final watermark (the
+    classic last-window-swallowed pitfall), so availableNow + append
+    would silently drop the tail.  Complete mode emits every window at
+    end-of-stream.  Watermarks are still declared — they bound state
+    at scale; on this bounded fixture they change nothing.
+  * Streaming dedup runs in **append** mode (no aggregation): each
+    first-seen key flows through exactly once.
+  * At 100 TB the same plans run unmodified against a real source
+    (Kafka/files); state is keyed by (window × group) or dedup key and
+    bounded by the watermark horizon — the only unbounded thing is the
+    input.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from setup_harvest_action_spark.catalog import query
+from setup_harvest_action_spark.schemas import EVENTS_RAW
+
+_counter = itertools.count()
+
+
+def _stream_source_dir(sf_dir: str) -> str:
+    """FileStreamSource requires a DIRECTORY (a bare file path fails
+    with "basePath must be a directory"), and the fixture dir holds all
+    ten tables — so expose events.parquet alone through a per-sf_dir
+    symlink directory under the system temp root.  In production the
+    source is a dedicated landing directory (or Kafka) and this shim
+    disappears."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"spark_events_src_{tag}")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.islink(link):
+        os.makedirs(d, exist_ok=True)
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same ns→µs ts
+    conversion as the batch loader (io/loaders.py)."""
+    raw = spark.readStream.schema(EVENTS_RAW).parquet(_stream_source_dir(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_completion(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Drive a streaming DataFrame to end-of-input (AvailableNow) into a
+    memory sink; return the sink contents as a batch DataFrame."""
+    name = f"stream_sink_{next(_counter)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@query(
+    "q_stream_tumbling_counts",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows with a 30-minute watermark — the
+    canonical streaming aggregate.  Oracle = the batch time_bucket
+    equivalent: stream and batch must agree exactly."""
+    events = read_event_stream(spark, sf_dir)
+    windowed = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = run_to_completion(windowed, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
+    "q_stream_sliding_avg",
+    oracle="""
+WITH starts AS (
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, value FROM events
+    UNION ALL
+    SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour', value FROM events
+)
+SELECT window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+FROM starts
+GROUP BY window_start
+""",
+)
+def q_stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h size, 1h slide): every event contributes to
+    two windows.  The oracle materializes the same two window starts
+    per event in SQL.  Emits sum + count (the average is their ratio):
+    a rounded avg can land exactly on a round-half boundary where the
+    engines' rounding modes diverge, while 2-decimal inputs keep the
+    rounded sum boundary-safe."""
+    events = read_event_stream(spark, sf_dir)
+    windowed = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = run_to_completion(windowed, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"), "n_events", "total_value"
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on (user_id, event_type): first occurrence
+    flows through, the rest are dropped against keyed state.  The
+    watermark bounds that state at scale (dropDuplicatesWithinWatermark
+    would expire keys; plain dropDuplicates keeps them forever — fine
+    on a bounded fixture, stated here because at 100 TB the watermarked
+    variant is the only safe one)."""
+    events = read_event_stream(spark, sf_dir)
+    deduped = (
+        events.withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_completion(deduped, "append")
+
+
+@query(
+    "q_stream_session_windows",
+    oracle="""
+WITH gaps AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+islands AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM gaps
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM islands
+GROUP BY user_id, session_id
+""",
+)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user — Spark's
+    ``session_window`` merges events closer than the gap into one
+    growing window whose end is last-event + gap.  The oracle derives
+    the identical sessions with the lag/gap-islands idiom; agreement
+    proves the stateful merge semantics."""
+    events = read_event_stream(spark, sf_dir)
+    sessions = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_completion(sessions, "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )

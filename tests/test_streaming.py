@@ -1,0 +1,88 @@
+"""Streaming semantics tests: watermark late-data handling.
+
+The catalog's streaming queries are oracle-checked for batch
+equivalence; what the oracle CANNOT show is watermark behavior across
+micro-batches — that rows behind the watermark are dropped and that
+append mode only emits watermark-closed windows.  This test runs the
+same checkpointed query twice (two AvailableNow runs): run 1 ingests
+the on-time file and advances the watermark; run 2 ingests a file
+containing a late row for an already-closed window and asserts the
+drop.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyspark.sql.functions as F
+
+
+def _write_part(spark, flat: str, name: str, rows, order: int) -> None:
+    tmp = os.path.join(flat, f"_tmp_{name}")
+    df = spark.createDataFrame(rows, "ts timestamp, v long").coalesce(1)
+    df.write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    dst = os.path.join(flat, f"{name}.parquet")
+    os.rename(os.path.join(tmp, part), dst)
+    ts = 1_700_000_000 + order * 60
+    os.utime(dst, (ts, ts))
+
+
+def _run_once(spark, flat: str, checkpoint: str, sink_dir: str) -> dict:
+    # Parquet file sink: append-mode, checkpoint-recoverable (the
+    # memory sink cannot restart from a checkpoint).  The sink
+    # accumulates across runs, so results are CUMULATIVE emissions.
+    stream = spark.readStream.schema("ts timestamp, v long").parquet(flat)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        .select(F.col("window.start").alias("ws"), "n", "sv")
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        r["ws"].hour: (r["n"], r["sv"])
+        for r in spark.read.parquet(sink_dir).collect()
+    }
+
+
+def test_watermark_drops_late_rows_and_append_emits_closed_windows(
+    spark, tmp_path
+):
+    flat = str(tmp_path / "src")
+    os.makedirs(flat)
+    checkpoint = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    t = lambda h, m=0: dt.datetime(2026, 3, 1, h, m)
+
+    # Run 1: one event in the 10:00 window, two in the 12:00 window.
+    # Watermark advances to 12:10 - 30min = 11:40; AvailableNow's final
+    # no-data batch then flushes the closed 10:00-11:00 window.  The
+    # open 12:00 window is withheld (append semantics).
+    _write_part(spark, flat, "f1", [(t(10, 0), 1), (t(12, 0), 2), (t(12, 10), 3)], 0)
+    out1 = _run_once(spark, flat, checkpoint, sink)
+    assert out1 == {10: (1, 1)}, out1
+
+    # Run 2 (same checkpoint -> watermark restored at 11:40): a LATE
+    # row for the already-emitted 10:00 window plus a fresh 12:20 row.
+    # The late row must be dropped — no re-emission, no new window.
+    _write_part(spark, flat, "f2", [(t(10, 30), 4), (t(12, 20), 5)], 1)
+    out2 = _run_once(spark, flat, checkpoint, sink)
+    assert out2 == {10: (1, 1)}, out2  # sink unchanged
+
+    # Run 3: an on-time 14:30 row pushes the watermark past 13:00,
+    # closing the 12:00 window.  Its emitted aggregate contains exactly
+    # the three on-time rows (2, 3, 5 -> sum 10): the late 10:30 row
+    # never contaminated state.
+    _write_part(spark, flat, "f3", [(t(14, 30), 6)], 2)
+    out3 = _run_once(spark, flat, checkpoint, sink)
+    assert out3 == {10: (1, 1), 12: (3, 10)}, out3
