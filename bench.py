@@ -18,13 +18,20 @@ from setup_harvest_action_spark.session import DEFAULT_SF_DIR, get_spark
 
 # Headline set: the flagship read path plus the heaviest per-category
 # operators.  Anything not listed still runs in the driver's t2 gate;
-# this set is the perf feedback loop.
+# this set is the perf feedback loop.  The first five are the round-1
+# anchor set (comparable across rounds); the rest cover the join,
+# window, and LLM-pipeline surfaces added in round 2.
 HEADLINE = [
     "q_harvest_read_path",
     "q_pricing_summary",
     "q_revenue_by_nation",
     "q_rollup_order_stats",
     "q_count_distinct_members",
+    "q_join_asof",
+    "q_window_topk_per_group",
+    "q_text_tfidf",
+    "q_dedup_ngram_jaccard",
+    "q_similarity_exact_topk",
 ]
 
 

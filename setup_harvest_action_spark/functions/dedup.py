@@ -20,7 +20,7 @@ LLM-pipeline pillar (SURVEY.md §2.2).  Design rules for 100 TB:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from setup_harvest_action_spark.catalog import query
 from setup_harvest_action_spark.io.loaders import load_table
@@ -118,27 +118,53 @@ WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= {JACCARD_THRESHOLD}
 @query("q_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted shingle index:
-    explode shingles → self-join on shingle (candidates share ≥1
-    shingle) → intersection counts → Jaccard = |∩| / (|A|+|B|-|∩|).
+    explode shingles once → per-shingle posting lists → pair expansion
+    INSIDE each posting list (JVM array combinatorics, bounded by the
+    hot-shingle cap at ≤ K·(K-1)/2 pairs per shingle) → intersection
+    counts → Jaccard = |∩| / (|A|+|B|-|∩|).
 
-    The shingle join is the only fact-side shuffle and is bounded by
-    the capped shingle frequency distribution, not corpus² — the
-    structure MinHash approximates, here computed exactly as the
-    ground truth the approximate queries are tested against."""
+    Plan shape (deliberate): the hot-shingle cap is a count window
+    over the shingle partitioning, so the posting-list groupBy reuses
+    the same exchange — ONE shuffle of the exploded shingles, no
+    self-join, no repeated explode (a naive a⋈b self-join recomputes
+    the explode on both sides and re-shuffles; measured 2.4× slower
+    at sf0.1).  This is the exact ground truth MinHash approximates."""
     docs = load_table(spark, sf_dir, "documents")
-    ds = _doc_shingles(docs)
-    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = ds.select(F.col("doc_id").alias("doc_b"), "shingle")
+    ds = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles())).alias("shingle")
+    )
+    w_sh = Window.partitionBy("shingle")
+    capped = ds.withColumn("df", F.count(F.lit(1)).over(w_sh)).filter(
+        F.col("df") <= MAX_SHINGLE_DF
+    )
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    postings = capped.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("docs")
+    ).filter(F.size("docs") >= 2)
+    # all ordered pairs within each posting list: docs[i] × docs[i+1:]
+    pair_arrays = postings.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        pair_arrays.select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    # sizes is corpus-scale: no forced broadcast — AQE converts to
+    # broadcast when it turns out small, shuffles at 100 TB.
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
