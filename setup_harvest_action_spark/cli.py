@@ -1,0 +1,107 @@
+"""CLI entry point (O22) — the reference's ``main()`` re-expressed.
+
+Reference contract (harvest.py:383-399, 474-485): usage error and
+``ValueError`` exit 1 with a message; database errors exit 1 with
+"Database error during harvest"; unexpected errors exit 1 with a
+traceback; fixed default output path ``translations.db``
+(harvest.py:392); printed load summary (harvest.py:377-380).
+
+Sources: a bindings parquet/json file (offline harvest — the engine's
+canonical path) or ``--fake-endpoint N`` (the deterministic in-process
+SPARQL endpoint, exercising the full paginated-fetch machinery).  A
+real remote harvest would wire a urllib transport into
+``sources.sparql.sparql_source`` — deliberately not a default so the
+CLI never touches the network unasked.
+
+Usage:
+    python -m setup_harvest_action_spark harvest <bindings.parquet>
+        [--db translations.db] [--state-dir DIR] [--batch-size 1000]
+    python -m setup_harvest_action_spark harvest --fake-endpoint 2500
+"""
+
+from __future__ import annotations
+
+import argparse
+import sqlite3
+import sys
+import tempfile
+import traceback
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="setup_harvest_action_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+    h = sub.add_parser("harvest", help="run the harvest load pipeline")
+    h.add_argument("bindings", nargs="?", help="bindings parquet/json path")
+    h.add_argument("--fake-endpoint", type=int, metavar="N",
+                   help="harvest N synthetic concepts via the in-process endpoint")
+    h.add_argument("--db", default="translations.db",
+                   help="sqlite output path (default: translations.db, harvest.py:392)")
+    h.add_argument("--state-dir", default=None,
+                   help="parquet state directory (default: temp)")
+    h.add_argument("--batch-size", type=int, default=1000)
+    return p
+
+
+def _run_harvest(args) -> int:
+    from setup_harvest_action_spark.harvest.load import harvest_run
+    from setup_harvest_action_spark.io.sqlite_export import export_sqlite
+    from setup_harvest_action_spark.schemas import SPARQL_BINDINGS
+    from setup_harvest_action_spark.session import get_spark
+
+    if not args.bindings and args.fake_endpoint is None:
+        raise ValueError("a bindings path or --fake-endpoint N is required")
+
+    spark = get_spark("harvest-cli")
+    if args.fake_endpoint is not None:
+        from setup_harvest_action_spark.sources.sparql import (
+            FakeSparqlEndpoint,
+            sparql_source,
+        )
+
+        bindings = sparql_source(
+            spark,
+            "http://vocab.example/collection",
+            FakeSparqlEndpoint(n_concepts=args.fake_endpoint),
+            page_size=args.batch_size,
+        )
+    elif args.bindings.endswith(".json"):
+        bindings = spark.read.schema(SPARQL_BINDINGS).json(args.bindings)
+    else:
+        bindings = spark.read.schema(SPARQL_BINDINGS).parquet(args.bindings)
+
+    state_dir = args.state_dir or tempfile.mkdtemp(prefix="harvest_state_")
+    state, stats = harvest_run(spark, [bindings], state_dir)
+    counts = export_sqlite(state.terms, state.term_fields, args.db)
+
+    # the reference's printed summary (harvest.py:377-380)
+    print("Harvest summary:")
+    print(f"  - New terms inserted: {stats.terms_inserted}")
+    print(f"  - Existing terms updated: {stats.terms_updated}")
+    print(f"  - New term fields inserted: {stats.fields_inserted}")
+    print(f"Output database: {args.db} "
+          f"({counts['terms']} terms, {counts['term_fields']} term_fields)")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    """Error taxonomy per the reference (harvest.py:474-485): invalid
+    input, database error, and unexpected error are distinguished in
+    the message; all exit 1."""
+    try:
+        args = _build_parser().parse_args(argv)
+        return _run_harvest(args)
+    except ValueError as e:
+        print(f"Invalid input: {e}")
+        return 1
+    except sqlite3.Error as e:
+        print(f"Database error during harvest: {e}")
+        return 1
+    except Exception as e:  # noqa: BLE001 — the reference's catch-all
+        print(f"Error during harvest: {e}")
+        traceback.print_exc()
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

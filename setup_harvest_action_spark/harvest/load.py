@@ -66,11 +66,16 @@ class HarvestState:
     ``harvest_batch``; ``release()`` unpersists them once the state has
     been durably written (or is otherwise done with).  Without this a
     multi-batch loop accumulates cached RDDs without bound.
+
+    ``source_path`` records the parquet directory backing this state
+    (set by ``read``); ``harvest_run`` consults it so it never
+    overwrites the directory it is still scanning.
     """
 
     terms: DataFrame
     term_fields: DataFrame
     retained: list[DataFrame] = _dc_field(default_factory=list)
+    source_path: str | None = None
 
     @classmethod
     def empty(cls, spark: SparkSession) -> "HarvestState":
@@ -86,6 +91,7 @@ class HarvestState:
             term_fields=spark.read.schema(TERM_FIELDS).parquet(
                 os.path.join(path, "term_fields")
             ),
+            source_path=path,
         )
 
     def write(self, path: str) -> None:
@@ -239,17 +245,21 @@ def harvest_run(
 
     State ping-pongs between two subdirectories (``slot=0``/``slot=1``)
     because Spark cannot overwrite a parquet directory it is also
-    reading from.  The per-batch parquet round-trip doubles as lineage
-    truncation: without it the state plan grows as an unbounded chain
-    of unions/joins over every batch ever loaded.  Cached batch inputs
-    are released as soon as each commit lands, so executor storage
-    stays O(one batch) for the whole run.
+    reading from.  A resumed state (``state=`` from a previous run over
+    the same ``state_path``) starts the ping-pong on the slot it is NOT
+    backed by, for the same reason.  The per-batch parquet round-trip
+    doubles as lineage truncation: without it the state plan grows as an
+    unbounded chain of unions/joins over every batch ever loaded.
+    Cached batch inputs are released as soon as each commit lands, so
+    executor storage stays O(one batch) for the whole run.
     """
     state = state or HarvestState.empty(spark)
+    next_slot = 1 if state.source_path == os.path.join(state_path, "slot=0") else 0
     totals = LoadStats(0, 0, 0)
-    for i, bindings in enumerate(batches):
+    for bindings in batches:
         state, stats = harvest_batch(state, bindings, batch_ts)
-        slot = os.path.join(state_path, f"slot={i % 2}")
+        slot = os.path.join(state_path, f"slot={next_slot}")
+        next_slot = 1 - next_slot
         state.write(slot)
         state.release()
         state = HarvestState.read(spark, slot)

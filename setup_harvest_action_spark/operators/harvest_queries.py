@@ -206,6 +206,47 @@ def q_harvest_rerun_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sparql_source_sim",
+    oracle="""
+WITH idx AS (SELECT unnest(range(0, 2500)) AS i),
+base AS (
+    SELECT printf('http://vocab.example/collection/c%05d', i) AS concept,
+           'Term ' || i AS prefLabel,
+           CASE WHEN i % 2 = 0 THEN 'Alt ' || i END AS altLabel,
+           CASE WHEN i % 3 = 0 THEN 'Definition of term ' || i END AS definition,
+           i
+    FROM idx
+)
+SELECT concept, prefLabel, altLabel, definition FROM base
+UNION ALL
+SELECT concept, prefLabel, 'Alt ' || i || ' bis' AS altLabel, definition
+FROM base WHERE i % 10 = 0
+""",
+)
+def q_sparql_source_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live SPARQL source machinery (O1/O8/O10) end-to-end against
+    a deterministic in-process endpoint: count pre-query sizes the page
+    range, executors fetch LIMIT/OFFSET pages in parallel via
+    mapInPandas, JSON bindings parse to nullable rows.  The oracle
+    regenerates the synthetic collection arithmetically — 2,500
+    concepts with reference-shaped optionality and cross-product
+    altLabel rows.  Only the HTTP transport is fake; every other moving
+    part (query text, pagination, backoff wiring, parsing, schema) is
+    the production path (sources/sparql.py)."""
+    from setup_harvest_action_spark.sources.sparql import (
+        FakeSparqlEndpoint,
+        sparql_source,
+    )
+
+    return sparql_source(
+        spark,
+        "http://vocab.example/collection",
+        FakeSparqlEndpoint(n_concepts=2500),
+        page_size=1000,
+    )
+
+
+@query(
     "q_constraint_report",
     oracle="""
 SELECT 'fk_orders_customer' AS constraint_name,

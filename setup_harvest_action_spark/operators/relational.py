@@ -139,6 +139,41 @@ def q_count_distinct_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_parameterized_sql",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_totalprice > 250000.0
+GROUP BY o_orderstatus
+""",
+)
+def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized-SQL front door (O10, fixed): named parameters are
+    bound AFTER parsing (`spark.sql(text, args=...)`), removing the
+    injection class the reference's f-string interpolation carries
+    (reference: harvest.py:54-87).  The oracle inlines the same
+    values."""
+    from setup_harvest_action_spark.sql_api import register_fixture_views, run_sql
+
+    register_fixture_views(spark, sf_dir)
+    return run_sql(
+        spark,
+        """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_orderdate >= :cutoff AND o_totalprice > :min_price
+        GROUP BY o_orderstatus
+        """,
+        {"cutoff": "1996-01-01 00:00:00", "min_price": 250000.0},
+    )
+
+
+@query(
     "q_pagination_page",
     oracle="""
 SELECT o_orderkey, o_orderdate, o_totalprice

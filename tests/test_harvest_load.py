@@ -117,6 +117,22 @@ def test_harvest_run_commits_per_batch_and_bounds_memory(spark, bindings, tmp_pa
     assert set(report.values()) == {0}, report
 
 
+def test_harvest_run_resume_does_not_clobber_backing_slot(spark, bindings, tmp_path):
+    # A resumed run whose input state is backed by slot=0 of the SAME
+    # state dir must start the ping-pong on slot=1 — otherwise the
+    # first batch overwrites the parquet it is still scanning
+    # (FAILED_READ_FILE mid-job).
+    state1, _ = harvest_run(spark, [bindings], str(tmp_path), batch_ts=T1)
+    assert state1.source_path.endswith("slot=0")
+    state2, stats2 = harvest_run(
+        spark, [bindings], str(tmp_path), state=state1, batch_ts=T2
+    )
+    assert stats2.terms_inserted == 0 and stats2.fields_inserted == 0
+    assert stats2.terms_updated == 2
+    assert state2.source_path.endswith("slot=1")
+    assert state2.terms.count() == 2
+
+
 def test_hash_id_strategy_is_stable_and_parallel(spark, bindings):
     state0 = HarvestState.empty(spark)
     from setup_harvest_action_spark.harvest.normalize import clean_bindings

@@ -1,0 +1,144 @@
+"""Tests for the SPARQL source machinery, sqlite export, and CLI."""
+
+from __future__ import annotations
+
+import sqlite3
+import subprocess
+import sys
+from urllib.error import HTTPError
+
+import pytest
+
+from setup_harvest_action_spark.sources.sparql import (
+    FakeSparqlEndpoint,
+    bindings_to_rows,
+    create_sparql_query,
+    fetch_with_backoff,
+    get_member_count,
+    sparql_source,
+)
+
+
+def test_backoff_retries_502_with_exponential_delays():
+    endpoint = FakeSparqlEndpoint(n_concepts=10, fail_502_first=2)
+    sleeps: list[float] = []
+    out = fetch_with_backoff(
+        endpoint, "SELECT (COUNT(DISTINCT ?concept) AS ?count) WHERE {}",
+        max_retries=3, base_delay=1.0, sleep=sleeps.append,
+    )
+    # two 502s -> delays 1s, 2s (base * 2^attempt, harvest.py:150)
+    assert sleeps == [1.0, 2.0]
+    assert out["results"]["bindings"][0]["count"]["value"] == "10"
+
+
+def test_backoff_gives_up_after_max_retries():
+    endpoint = FakeSparqlEndpoint(n_concepts=10, fail_502_first=99)
+    sleeps: list[float] = []
+    with pytest.raises(RuntimeError, match="SPARQL query failed"):
+        fetch_with_backoff(endpoint, "q", max_retries=3, base_delay=1.0,
+                           sleep=sleeps.append)
+    assert sleeps == [1.0, 2.0]  # third attempt raises, no third sleep
+
+
+def test_non_502_errors_do_not_retry():
+    calls = []
+
+    def transport(q):
+        calls.append(q)
+        raise HTTPError("http://x", 500, "Internal", None, None)
+
+    with pytest.raises(RuntimeError):
+        fetch_with_backoff(transport, "q", max_retries=3, sleep=lambda s: None)
+    assert len(calls) == 1
+
+
+def test_query_text_matches_reference_shape():
+    q = create_sparql_query("http://vocab.example/c", limit=1000, offset=2000)
+    for frag in ("SELECT DISTINCT ?concept ?prefLabel ?altLabel ?definition",
+                 "skos:member ?concept",
+                 "OPTIONAL { ?concept skos:prefLabel ?prefLabel }",
+                 "ORDER BY ?concept", "LIMIT 1000", "OFFSET 2000"):
+        assert frag in q, frag
+    with pytest.raises(ValueError):
+        create_sparql_query("not-a-uri")
+
+
+def test_bindings_absent_optionals_become_none():
+    rows = bindings_to_rows({"results": {"bindings": [
+        {"concept": {"value": "u"}, "prefLabel": {"value": "p"}},
+    ]}})
+    assert rows == [("u", "p", None, None)]
+
+
+def test_sparql_source_distributed_fetch(spark):
+    endpoint = FakeSparqlEndpoint(n_concepts=250)
+    df = sparql_source(spark, "http://vocab.example/collection", endpoint,
+                       page_size=100)
+    rows = df.collect()
+    # 250 concepts + one extra cross-product row per i % 10 == 0
+    assert len(rows) == 250 + 25
+    assert get_member_count(endpoint, "http://vocab.example/collection") == 250
+    by_concept = {}
+    for r in rows:
+        by_concept.setdefault(r["concept"], []).append(r)
+    assert len(by_concept) == 250
+    # optionality shape survives the JSON -> DataFrame path
+    c1 = by_concept["http://vocab.example/collection/c00001"][0]
+    assert c1["altLabel"] is None and c1["definition"] is None
+
+
+def test_sqlite_export_roundtrip(spark, tmp_path):
+    import datetime as dt
+
+    from setup_harvest_action_spark.harvest.load import HarvestState, harvest_batch
+    from setup_harvest_action_spark.io.sqlite_export import export_sqlite
+    from setup_harvest_action_spark.schemas import SPARQL_BINDINGS
+
+    bindings = spark.createDataFrame(
+        [("http://v.example/a", "A", "A-alt", "def a"),
+         ("http://v.example/b", "B", None, None)],
+        SPARQL_BINDINGS,
+    )
+    state, _ = harvest_batch(HarvestState.empty(spark), bindings,
+                             dt.datetime(2026, 1, 1))
+    db = str(tmp_path / "out.db")
+    counts = export_sqlite(state.terms, state.term_fields, db)
+    # a -> prefLabel + altLabel + definition, b -> prefLabel only
+    assert counts == {"terms": 2, "term_fields": 4}
+
+    conn = sqlite3.connect(db)
+    assert conn.execute("SELECT count(*) FROM terms").fetchone()[0] == 2
+    uri, = conn.execute(
+        "SELECT uri FROM terms WHERE id = 1").fetchone()
+    assert uri == "http://v.example/a"
+    # FK integrity holds inside sqlite itself
+    orphans = conn.execute("""
+        SELECT count(*) FROM term_fields tf
+        WHERE NOT EXISTS (SELECT 1 FROM terms t WHERE t.id = tf.term_id)
+    """).fetchone()[0]
+    assert orphans == 0
+    conn.close()
+
+
+def test_cli_error_taxonomy_no_spark():
+    # Usage error path exits 1 with the reference's message shape —
+    # cheap (argparse + ValueError before any Spark session).
+    from setup_harvest_action_spark.cli import main
+
+    assert main(["harvest"]) == 1
+
+
+@pytest.mark.slow
+def test_cli_end_to_end_fake_endpoint(tmp_path):
+    db = str(tmp_path / "translations.db")
+    proc = subprocess.run(
+        [sys.executable, "-m", "setup_harvest_action_spark", "harvest",
+         "--fake-endpoint", "120", "--db", db,
+         "--state-dir", str(tmp_path / "state"), "--batch-size", "50"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "New terms inserted: 120" in proc.stdout
+    conn = sqlite3.connect(db)
+    assert conn.execute("SELECT count(*) FROM terms").fetchone()[0] == 120
+    conn.close()
