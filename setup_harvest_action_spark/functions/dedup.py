@@ -254,3 +254,78 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))
         ).otherwise(0)
     return sums.select("doc_id", packed.alias("simhash"))
+
+
+EMB_SLICE = 300  # bounded pairwise slice (the scale path is LSH buckets)
+EMB_THRESHOLD = 0.4  # near-dup cosine cutoff on this fixture
+
+
+@query(
+    "q_dedup_embedding_cosine",
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings WHERE vec_id < {EMB_SLICE}
+),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= {EMB_THRESHOLD}
+)
+SELECT v.vec_id,
+       CAST(least(v.vec_id,
+                  coalesce(min(least(p.vec_a, p.vec_b)), v.vec_id))
+            AS BIGINT) AS canonical_id,
+       CAST(count(p.vec_a) AS BIGINT) AS n_near_dups
+FROM v LEFT JOIN pairs p ON v.vec_id IN (p.vec_a, p.vec_b)
+GROUP BY v.vec_id
+""",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: every vector is assigned a
+    canonical representative = min(vec_id) over itself and its
+    cosine-≥-threshold neighbors — ONE round of star contraction
+    (full transitive closure iterates this to a fixpoint; one round is
+    the per-batch dedup decision most pipelines apply).
+
+    Pairs here come from a bounded slice so the quadratic is explicitly
+    sized and DuckDB-checkable; at corpus scale the identical contract
+    runs off LSH-bucket candidates (q_dedup_minhash /
+    q_similarity_ann_lsh) — candidate generation is the only part that
+    changes.  Vector math is zip_with/aggregate, JVM-side."""
+    from setup_harvest_action_spark.functions.similarity import _as_double, cosine
+
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < EMB_SLICE)
+        .select("vec_id", _as_double().alias("v"))
+    )
+    a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= EMB_THRESHOLD)
+        .select("vec_a", "vec_b")
+    )
+    # membership edges in both directions: (self, other endpoint)
+    edges = pairs.select(
+        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("other")
+    ).unionByName(
+        pairs.select(F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("other"))
+    )
+    agg = edges.groupBy("vec_id").agg(
+        F.min("other").alias("min_other"), F.count(F.lit(1)).alias("n_near_dups")
+    )
+    return (
+        vecs.select("vec_id")
+        .join(agg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.least(
+                F.col("vec_id"), F.coalesce(F.col("min_other"), F.col("vec_id"))
+            ).alias("canonical_id"),
+            F.coalesce(F.col("n_near_dups"), F.lit(0)).cast("long").alias(
+                "n_near_dups"
+            ),
+        )
+    )

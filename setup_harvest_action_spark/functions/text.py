@@ -262,3 +262,44 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         predicted.groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "q_text_zscore_by_lang",
+    oracle="""
+SELECT doc_id, lang,
+       CAST(round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                  / stddev_samp(n_chars) OVER (PARTITION BY lang), 6)
+            AS DOUBLE) AS z_chars
+FROM documents
+""",
+)
+def q_text_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDF surface (SURVEY.md §2.2 "UDF surface"):
+    per-language z-score of document length via
+    ``groupBy.applyInPandas`` — each language slice arrives as ONE
+    Arrow-backed pandas DataFrame and returns transformed rows.
+
+    This statistic is deliberately also expressible as a window
+    aggregate (that IS the oracle), so the grouped-map path gets an
+    exact hash-checked gate — the pattern to copy for genuinely
+    non-SQL per-group logic (model scoring, sklearn fits).  Scale
+    fence: one group must fit one executor's memory; with ~5 language
+    groups this caps parallelism at |groups| and a huge slice OOMs —
+    for skewed/huge groups prefer the window form or mapInPandas over
+    pre-partitioned data."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+    def zscore(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)  # sample stddev = stddev_samp
+        pdf["z_chars"] = ((pdf["n_chars"] - mu) / sd).round(6)
+        return pdf[["doc_id", "lang", "z_chars"]]
+
+    return docs.groupBy("lang").applyInPandas(
+        zscore, "doc_id long, lang string, z_chars double"
+    )

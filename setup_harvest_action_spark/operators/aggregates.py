@@ -214,3 +214,40 @@ def q_agg_minmax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
+
+
+@query(
+    "q_agg_pivot",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(coalesce(count(*) FILTER (o_orderstatus = 'F'), 0) AS BIGINT) AS n_f,
+       CAST(coalesce(count(*) FILTER (o_orderstatus = 'O'), 0) AS BIGINT) AS n_o,
+       CAST(coalesce(count(*) FILTER (o_orderstatus = 'P'), 0) AS BIGINT) AS n_p
+FROM orders
+GROUP BY year(o_orderdate)
+""",
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide, the inverse of O12's unpivot — SURVEY.md §2.2):
+    order counts per year with one column per order status.
+
+    The pivot values are an EXPLICIT list: without it Spark runs an
+    extra distinct-scan job to discover them, and the output schema
+    becomes data-dependent — both wrong at 100 TB.  With the list the
+    plan is a single partial/final hash aggregate (pivot compiles to
+    `count(CASE WHEN status = v THEN 1 END)` per value, exactly the
+    oracle's FILTER form); absent combinations surface as null and are
+    coalesced to 0 like SQL's FILTER-count."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy(F.year("o_orderdate").alias("o_year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "o_year",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}")
+            for s in ("F", "O", "P")
+        ],
+    )

@@ -1,0 +1,93 @@
+"""File-format sources beyond parquet: CSV and JSON scans (SURVEY.md
+§2.2 "Scans / sources / sinks").
+
+The engine's canonical storage is parquet (columnar, statistics,
+predicate pushdown).  CSV/JSON are interchange formats: each query here
+round-trips a fixture table through the format and returns the re-read
+content, proving write fidelity, schema-explicit reads, and null
+handling against the parquet-backed oracle.
+
+Design rules for 100 TB:
+  * ALWAYS pass an explicit schema.  Schema inference is a full extra
+    pass over the data before the real scan, and infers unstable types.
+  * Uncompressed CSV/JSON are line-splittable so reads parallelize per
+    HDFS/S3 block; gzip is NOT splittable (one task per file) — at
+    scale, prefer many medium files or a splittable codec.
+  * Neither format carries column statistics: no predicate pushdown,
+    no column pruning at the reader (JSON prunes fields at parse).
+    They are ingest/egress formats — convert to parquet at the
+    boundary, which is exactly what these round-trips exercise.
+
+Delta Lake would add ACID MERGE and time travel on top of parquet
+(SURVEY.md §2.2 lists it as the sink upgrade path); the package is not
+available in this environment, so the transactional story lives in
+``harvest.load`` (atomic directory commits) instead.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from setup_harvest_action_spark.catalog import query
+from setup_harvest_action_spark.io.loaders import load_table
+from setup_harvest_action_spark.schemas import FIXTURE_SCHEMAS
+
+
+def _roundtrip_dir(sf_dir: str, fmt: str, table: str) -> str:
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(
+        tempfile.gettempdir(), "shas_sources", label, f"{table}_{fmt}"
+    )
+
+
+@query(
+    "q_source_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source: write ``nation`` as headered CSV, read it back
+    with the explicit fixture schema (no inference pass).  Content must
+    hash-match the parquet original — proving quoting, header, and type
+    round-trip fidelity."""
+    out = _roundtrip_dir(sf_dir, "csv", "nation")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "header", True
+    ).csv(out)
+    return (
+        spark.read.schema(FIXTURE_SCHEMAS["nation"])
+        .option("header", True)
+        .csv(out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@query(
+    "q_source_json_roundtrip",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey,
+       CAST(round(s_acctbal, 2) AS DOUBLE) AS s_acctbal
+FROM supplier
+""",
+)
+def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source: write ``supplier``, read it back with
+    the explicit fixture schema.  JSON prunes fields at parse time but
+    has no row-group statistics — the docstring above is the scale
+    fence; the query proves numeric/string/null fidelity through the
+    text representation."""
+    out = _roundtrip_dir(sf_dir, "json", "supplier")
+    load_table(spark, sf_dir, "supplier").write.mode("overwrite").json(out)
+    return (
+        spark.read.schema(FIXTURE_SCHEMAS["supplier"])
+        .json(out)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "s_nationkey",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+    )
