@@ -162,3 +162,105 @@ def q_multimodal_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("nb"), 4).alias("avg_bytes"),
         )
     )
+
+
+FRAME_BYTES = 256  # bytes per synthetic "frame"
+FRAME_STRIDE = 4  # keep every 4th frame
+THUMB_BYTES = 64  # fake-resize output size
+
+
+def fake_resize(payload: bytes, out_len: int = THUMB_BYTES) -> bytes:
+    """Deterministic stand-in for image resize: stride-sample the bytes
+    down to ``out_len`` (nearest-neighbor over the byte axis).  The real
+    ``decode_image`` + PIL ``Image.resize`` slots in here unchanged when
+    a decoder is present."""
+    if len(payload) <= out_len:
+        return bytes(payload)
+    stride = len(payload) / out_len
+    return bytes(payload[int(i * stride)] for i in range(out_len))
+
+
+def sample_frames(batches: Iterator, *, frame_bytes: int = FRAME_BYTES,
+                  stride: int = FRAME_STRIDE):
+    """mapInPandas frame sampler — the 1→N fan-out shape of video
+    processing: each payload ("video") splits into fixed-size byte
+    frames, every ``stride``-th frame is kept, and per-frame statistics
+    are emitted.  Arrow carries the bytes batched both ways; one input
+    row yields many output rows without any driver involvement."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        out_doc, out_idx, out_n, out_md5, out_mean = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            p = bytes(payload)
+            n_frames = (len(p) + frame_bytes - 1) // frame_bytes
+            for idx in range(0, n_frames, stride):
+                frame = p[idx * frame_bytes : (idx + 1) * frame_bytes]
+                out_doc.append(doc_id)
+                out_idx.append(idx)
+                out_n.append(len(frame))
+                out_md5.append(hashlib.md5(frame).hexdigest())
+                out_mean.append(sum(frame) / len(frame))
+        yield pd.DataFrame(
+            {
+                "doc_id": out_doc,
+                "frame_idx": out_idx,
+                "n_frame_bytes": out_n,
+                "frame_md5": out_md5,
+                "frame_mean": out_mean,
+            }
+        )
+
+
+@query("q_multimodal_frame_sample")
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (the video path of the
+    multimodal pillar): mapInPandas splits each payload into 256-byte
+    frames, keeps every 4th, and emits per-frame size/hash/statistics —
+    a 1→N Arrow-batched fan-out with a declared schema.
+
+    At 100 TB the input is partitioned by asset id so frames of one
+    asset stay in one task, and the decoder (here the deterministic
+    byte-splitter; in production an ffmpeg/PIL call inside the same
+    iterator) runs where the bytes live.  No oracle (byte slicing is
+    outside DuckDB); exact per-frame values on a sample are asserted in
+    tests/test_llm_functions.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs).select("doc_id", "payload")
+    return payloads.mapInPandas(
+        sample_frames,
+        "doc_id long, frame_idx int, n_frame_bytes int, frame_md5 string, "
+        "frame_mean double",
+    )
+
+
+@query("q_multimodal_thumbnail")
+def q_multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize path of the multimodal pillar: per-payload fake resize
+    (stride byte-sampling standing in for PIL ``Image.resize`` — see
+    ``fake_resize``) emitting the thumbnail bytes + integrity hash.
+    1→1 mapInPandas: bytes in, smaller bytes out, schema declared.
+    No oracle; determinism + output-size bound asserted in tests."""
+    import hashlib
+
+    import pandas as pd
+
+    def thumbs(batches: Iterator):
+        for pdf in batches:
+            tb = [fake_resize(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": tb,
+                    "thumb_bytes": [len(t) for t in tb],
+                    "thumb_md5": [hashlib.md5(t).hexdigest() for t in tb],
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs).select("doc_id", "payload")
+    return payloads.mapInPandas(
+        thumbs, "doc_id long, thumb binary, thumb_bytes int, thumb_md5 string"
+    )

@@ -215,3 +215,66 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_window.end").alias("session_end"),
         "n_events",
     )
+
+
+@query(
+    "q_stream_stateful_user_totals",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value), 2) AS DOUBLE) AS total_value,
+       CAST(round(max(value), 2) AS DOUBLE) AS max_value
+FROM events
+GROUP BY user_id
+""",
+)
+def q_stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful operator via ``applyInPandasWithState`` — the
+    escape hatch for stream logic the built-in windowed aggregates
+    can't express: per-user running (count, sum, max) held in explicit
+    GroupState and re-emitted on every update.
+
+    Each micro-batch hands the operator (key, iterator of Arrow-backed
+    pandas frames, state handle); the state tuple is read, folded with
+    the batch, written back, and the running totals are emitted.  The
+    fixture directory holds ONE parquet file, so availableNow runs
+    exactly one micro-batch and append mode emits exactly one row per
+    user — which is why the batch GROUP BY oracle matches.  On a
+    multi-batch stream the same code emits one row per (user × batch)
+    — a changelog; production variants emit on state timeout
+    (GroupStateTimeout) instead.  State is keyed by user_id and O(1)
+    per key; the watermark would bound key count via timeouts at
+    scale."""
+    import pandas as pd
+
+    events = read_event_stream(spark, sf_dir).select("user_id", "value")
+
+    def fold_user(key, pdfs, state):
+        count, total, vmax = (
+            state.get if state.exists else (0, 0.0, float("-inf"))
+        )
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+            vmax = max(vmax, float(pdf["value"].max()))
+        state.update((count, total, vmax))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [count],
+                "total_value": [round(total, 2)],
+                "max_value": [round(vmax, 2)],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    folded = events.groupBy("user_id").applyInPandasWithState(
+        fold_user,
+        outputStructType="user_id long, n_events long, total_value double, "
+        "max_value double",
+        stateStructType="count long, total double, vmax double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_completion(folded, "append")

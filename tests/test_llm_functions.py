@@ -135,3 +135,55 @@ def test_langid_confusion_is_well_formed(spark, queries):
     # must NOT be trivially perfect — the matrix covers multiple
     # predicted langs and totals to the doc count
     assert sum(r["n_docs"] for r in rows) == 500
+
+
+def test_frame_sample_matches_python(spark, queries):
+    import hashlib
+
+    from setup_harvest_action_spark.functions.multimodal import (
+        FRAME_BYTES,
+        FRAME_STRIDE,
+    )
+    from setup_harvest_action_spark.io.loaders import load_table
+
+    frames = {}
+    for r in queries["q_multimodal_frame_sample"](spark, SF).collect():
+        frames[(r["doc_id"], r["frame_idx"])] = r
+    docs = {
+        r["doc_id"]: r["text"].encode("utf-8")
+        for r in load_table(spark, SF, "documents").limit(20).collect()
+    }
+    for doc_id, raw in docs.items():
+        n_frames = (len(raw) + FRAME_BYTES - 1) // FRAME_BYTES
+        expected_idx = list(range(0, n_frames, FRAME_STRIDE))
+        got_idx = sorted(i for (d, i) in frames if d == doc_id)
+        assert got_idx == expected_idx
+        for idx in expected_idx:
+            frame = raw[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+            r = frames[(doc_id, idx)]
+            assert r["n_frame_bytes"] == len(frame)
+            assert r["frame_md5"] == hashlib.md5(frame).hexdigest()
+            assert abs(r["frame_mean"] - sum(frame) / len(frame)) < 1e-9
+
+
+def test_thumbnail_is_deterministic_and_bounded(spark, queries):
+    import hashlib
+
+    from setup_harvest_action_spark.functions.multimodal import (
+        THUMB_BYTES,
+        fake_resize,
+    )
+    from setup_harvest_action_spark.io.loaders import load_table
+
+    thumbs = {
+        r["doc_id"]: r
+        for r in queries["q_multimodal_thumbnail"](spark, SF).collect()
+    }
+    docs = load_table(spark, SF, "documents").limit(20).collect()
+    for d in docs:
+        raw = d["text"].encode("utf-8")
+        expected = fake_resize(raw)
+        r = thumbs[d["doc_id"]]
+        assert r["thumb_bytes"] == len(expected) <= THUMB_BYTES
+        assert bytes(r["thumb"]) == expected
+        assert r["thumb_md5"] == hashlib.md5(expected).hexdigest()
