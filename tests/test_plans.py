@@ -1,0 +1,101 @@
+"""Physical-plan contracts — the scale properties VERDICT.md grades.
+
+These tests pin the PLAN, not the result: filters reach the parquet
+scan, only true dimensions are broadcast, per-group top-k uses
+WindowGroupLimit, aggregates run partial/final.  A regression here
+means a query silently degraded to a shape that breaks at 100 TB even
+though its sf0.01 results still hash-match.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from setup_harvest_action_spark.catalog import load_catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    q, _ = load_catalog()
+    return q
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def tree_of(df) -> str:
+    """Just the operator tree of the formatted explain (the node-detail
+    section repeats every operator name, which breaks counting)."""
+    return plan_of(df).split("\n\n")[0]
+
+
+@contextlib.contextmanager
+def conf(spark, key: str, value: str):
+    old = spark.conf.get(key)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, queries):
+    plan = plan_of(queries["q_filter_project"](spark, SF))
+    # predicate pushdown into the parquet reader
+    assert "PushedFilters" in plan
+    assert "GreaterThan(o_totalprice,1000.0)" in plan
+    assert "EqualTo(o_orderstatus,O)" in plan
+    # column pruning: unreferenced columns never enter ReadSchema
+    assert "o_orderdate" not in plan
+    assert "o_comment" not in plan
+
+
+def test_revenue_broadcasts_only_true_dimensions(spark, queries):
+    # Simulate fact-scale inputs: with auto-broadcast off, ONLY the
+    # explicit hints may broadcast.  nation+region are hinted (bounded
+    # dims); customer and lineitem⋈orders must shuffle (SMJ) — a forced
+    # broadcast of a customer-derived side here is the round-1 OOM
+    # anti-pattern this test pins down.
+    with conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        tree = tree_of(queries["q_revenue_by_nation"](spark, SF))
+    assert tree.count("BroadcastHashJoin") == 2  # nation, region only
+    assert tree.count("SortMergeJoin") == 2  # li⋈orders, fact⋈customer
+
+
+def test_topk_per_group_uses_window_group_limit(spark, queries):
+    # rank<=k over a window must compile to WindowGroupLimit (partial
+    # per-partition top-k before the shuffle), not a full sort of every
+    # group.
+    plan = plan_of(queries["q_window_topk_per_group"](spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_pricing_summary_aggregates_partially(spark, queries):
+    # partial (map-side) + final hash aggregate around one exchange, so
+    # the shuffle carries one row per (group × partition), not per row.
+    tree = tree_of(queries["q_pricing_summary"](spark, SF))
+    assert tree.count("HashAggregate") == 2
+    assert "Exchange" in tree
+    simple = plan_of(queries["q_pricing_summary"](spark, SF), "simple")
+    assert "partial_sum" in simple  # map-side combine is real
+    # whole-stage codegen spans (stars) — visible once AQE wrapping is off
+    with conf(spark, "spark.sql.adaptive.enabled", "false"):
+        nonaqe = plan_of(queries["q_pricing_summary"](spark, SF), "simple")
+    assert "*(" in nonaqe
+
+
+def test_read_path_scan_prunes_to_projection(spark, queries):
+    # the flagship's customer scan must not read the wide comment /
+    # address columns the query never touches.
+    plan = plan_of(queries["q_harvest_read_path"](spark, SF))
+    assert "c_comment" not in plan
+    assert "o_comment" not in plan
