@@ -260,6 +260,29 @@ EMB_SLICE = 300  # bounded pairwise slice (the scale path is LSH buckets)
 EMB_THRESHOLD = 0.4  # near-dup cosine cutoff on this fixture
 
 
+def _emb_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from setup_harvest_action_spark.functions.similarity import _as_double
+
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < EMB_SLICE)
+        .select("vec_id", _as_double().alias("v"))
+    )
+
+
+def _emb_pairs(vecs: DataFrame) -> DataFrame:
+    """Cosine-≥-threshold pairs over the bounded slice (vec_a < vec_b)."""
+    from setup_harvest_action_spark.functions.similarity import cosine
+
+    a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= EMB_THRESHOLD)
+        .select("vec_a", "vec_b")
+    )
+
+
 @query(
     "q_dedup_embedding_cosine",
     oracle=f"""
@@ -293,20 +316,8 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs off LSH-bucket candidates (q_dedup_minhash /
     q_similarity_ann_lsh) — candidate generation is the only part that
     changes.  Vector math is zip_with/aggregate, JVM-side."""
-    from setup_harvest_action_spark.functions.similarity import _as_double, cosine
-
-    vecs = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < EMB_SLICE)
-        .select("vec_id", _as_double().alias("v"))
-    )
-    a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    pairs = (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= EMB_THRESHOLD)
-        .select("vec_a", "vec_b")
-    )
+    vecs = _emb_vecs(spark, sf_dir)
+    pairs = _emb_pairs(vecs)
     # membership edges in both directions: (self, other endpoint)
     edges = pairs.select(
         F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("other")
@@ -327,5 +338,107 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_near_dups"), F.lit(0)).cast("long").alias(
                 "n_near_dups"
             ),
+        )
+    )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "vec_a", dst: str = "vec_b", max_iter: int = 25
+) -> DataFrame:
+    """Iterative min-label propagation: every vertex converges to the
+    smallest id reachable from it — the full transitive closure the
+    single-round star contraction (q_dedup_embedding_cosine)
+    approximates.  Returns (id, label).
+
+    The Spark idiom for iterative graph algorithms (GraphFrames does
+    the same under the hood): each round is one join + one min-agg,
+    materialized via cache()+count() so the next round's lineage starts
+    from the materialized result instead of re-deriving every prior
+    round (lineage otherwise grows exponentially).  Rounds needed =
+    graph diameter ≤ max_iter; convergence is detected with an explicit
+    changed-labels count, so bounded components cost bounded rounds.
+    At 100 TB each round is a shuffle keyed by vertex id — the
+    partitioning is stable across rounds, so AQE reuses the exchange
+    layout; for week-long graphs swap cache() for checkpoint() to
+    survive executor loss."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .cache()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        neigh = sym.join(
+            labels.withColumnRenamed("id", "v"), "v"
+        ).select(F.col("u").alias("id"), "label")
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    result = labels
+    labels.unpersist()  # lazy flag; rows already computed for the caller
+    return result
+
+
+@query(
+    "q_dedup_components",
+    oracle=f"""
+WITH RECURSIVE
+v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings WHERE vec_id < {EMB_SLICE}
+),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= {EMB_THRESHOLD}
+),
+edges AS (
+    SELECT vec_a AS a, vec_b AS b FROM pairs
+    UNION ALL
+    SELECT vec_b, vec_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT vec_id, vec_id FROM v
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS component_id
+FROM reach
+GROUP BY src
+""",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS via iterative connected components over the
+    cosine-threshold graph: the dedup decision most pipelines actually
+    need (keep one doc per component, not per edge).  Singleton vectors
+    are their own component.  The oracle derives the identical closure
+    with a recursive CTE — agreement proves the iterative propagation
+    converged to the true components, not a one-round approximation."""
+    vecs = _emb_vecs(spark, sf_dir)
+    comp = connected_components(_emb_pairs(vecs))
+    return (
+        vecs.select("vec_id")
+        .join(comp.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("label"), F.col("vec_id")).alias("component_id"),
         )
     )

@@ -282,3 +282,62 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id").isNotNull())
         .select("event_id", "user_id", "ts", "last_click_ts", "last_click_value")
     )
+
+
+JOIN_SALT = 8  # fact-side salt fan-out for the skew-safe join
+
+
+@query(
+    "q_join_salted_skew",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(e.value), 2) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join — the manual skew idiom for when one key holds
+    a disproportionate share of the fact rows and AQE's skew-join
+    splitting isn't available (e.g. the build side must shuffle too):
+    the fact side gets a deterministic salt in [0, S) so a hot key's
+    rows spread over S shuffle partitions; the dimension side is
+    replicated S× (explode of a salt sequence) so every salted fact
+    row still finds its match; the salt never escapes the join, so
+    results are bit-identical to the unsalted plan — which is exactly
+    what the oracle checks.
+
+    Salt is ``pmod(xxhash64(event_id), S)`` — deterministic, uniform,
+    re-runnable (rand() would break retries: a re-executed task would
+    re-salt differently).  Replication cost is |dim|×S rows shuffled,
+    the price of spreading the hot key; choose S ≈ skew factor.  This
+    fixture's user_ids are uniform, so the query proves the mechanics
+    and bit-equivalence, not a speedup — at 100 TB with a genuinely
+    hot key this shape is the difference between one straggler task
+    and S balanced ones."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    salted_fact = events.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(JOIN_SALT)).cast("int")
+    )
+    salted_dim = customer.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALT - 1)))
+    )
+    return (
+        salted_fact.join(
+            salted_dim,
+            (salted_fact.user_id == salted_dim.c_custkey)
+            & (salted_fact.salt == salted_dim.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

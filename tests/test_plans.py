@@ -99,3 +99,38 @@ def test_read_path_scan_prunes_to_projection(spark, queries):
     plan = plan_of(queries["q_harvest_read_path"](spark, SF))
     assert "c_comment" not in plan
     assert "o_comment" not in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, queries):
+    # Bucketing is the co-located-join story at 100 TB: both fact
+    # tables bucketed+sorted on the join key read straight into a
+    # sort-merge join with NO Exchange on either side — the shuffle
+    # happened once at write time and is amortized over every
+    # subsequent join.
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.io.loaders import load_table
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("orders_bkt")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("lineitem_bkt")
+    joined = spark.table("orders_bkt").join(
+        spark.table("lineitem_bkt"), F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    with conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        tree = tree_of(joined)
+    assert "SortMergeJoin" in tree
+    assert "Exchange" not in tree  # bucket layout co-locates both sides
+    # sanity: the same join on the unbucketed parquet DOES shuffle
+    with conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        plain = tree_of(
+            orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        )
+    assert "Exchange" in plain
