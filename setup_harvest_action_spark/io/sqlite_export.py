@@ -7,6 +7,14 @@ The reference's only sink is a SQLite file at a fixed path
 (HarvestState.write); this module provides bit-compat interchange for
 downstream consumers of ``translations.db``.
 
+The export UPSERTS, mirroring the reference's write semantics
+(harvest.py:326-372): terms merge on uri (updated_at advances),
+term_fields insert-or-ignore on the composite key.  That makes the
+export idempotent AND preserves downstream rows (translations, appeals
+— tables the harvest never writes, harvest.py:163-168) across
+re-exports; a DELETE-and-reload would cascade-delete them through the
+FK chain.
+
 Driver-side by design: rows stream through ``toLocalIterator()`` in
 batches, so driver memory stays O(batch), but the write itself is a
 single process — correct for the compat use-case (the reference's
@@ -21,8 +29,9 @@ import sqlite3
 
 from pyspark.sql import DataFrame
 
-# Reference DDL, harvest.py:188-213 (types mapped per SURVEY.md §1.3;
-# constraints kept so downstream consumers see the same guarantees).
+# Reference DDL, harvest.py:188-289 — the COMPLETE schema, including
+# the downstream tables the harvest itself never writes, so a
+# translation-workflow consumer can open the exported file directly.
 _DDL = """
 CREATE TABLE IF NOT EXISTS terms (
     id INTEGER PRIMARY KEY,
@@ -41,39 +50,104 @@ CREATE TABLE IF NOT EXISTS term_fields (
     FOREIGN KEY (term_id) REFERENCES terms(id) ON DELETE CASCADE,
     UNIQUE(term_id, field_uri, original_value)
 );
+CREATE TABLE IF NOT EXISTS translations (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    term_field_id INTEGER NOT NULL REFERENCES term_fields(id) ON DELETE CASCADE,
+    language TEXT NOT NULL CHECK(language IN ('nl','fr','de','es','it','pt')),
+    value TEXT NOT NULL,
+    status TEXT NOT NULL DEFAULT 'draft'
+        CHECK(status IN ('draft', 'review', 'approved', 'rejected', 'merged')),
+    created_at DATETIME DEFAULT CURRENT_TIMESTAMP,
+    updated_at DATETIME DEFAULT CURRENT_TIMESTAMP,
+    created_by TEXT NOT NULL,
+    modified_at DATETIME,
+    modified_by TEXT,
+    reviewed_by TEXT,
+    UNIQUE(term_field_id, language)
+);
+CREATE TABLE IF NOT EXISTS appeals (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    translation_id INTEGER NOT NULL REFERENCES translations(id) ON DELETE CASCADE,
+    opened_by TEXT NOT NULL,
+    opened_at DATETIME DEFAULT CURRENT_TIMESTAMP,
+    closed_at DATETIME,
+    status TEXT NOT NULL DEFAULT 'open'
+        CHECK(status IN ('open', 'closed', 'resolved')),
+    resolution TEXT,
+    UNIQUE(translation_id, status)
+);
+CREATE TABLE IF NOT EXISTS appeal_messages (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    appeal_id INTEGER NOT NULL REFERENCES appeals(id) ON DELETE CASCADE,
+    author TEXT NOT NULL,
+    message TEXT NOT NULL,
+    created_at DATETIME DEFAULT CURRENT_TIMESTAMP
+);
+CREATE TABLE IF NOT EXISTS users (
+    username TEXT PRIMARY KEY,
+    reputation INTEGER DEFAULT 0,
+    joined_at DATETIME DEFAULT CURRENT_TIMESTAMP,
+    extra TEXT
+);
+CREATE INDEX IF NOT EXISTS idx_translations_status ON translations(status);
+CREATE INDEX IF NOT EXISTS idx_translations_lang ON translations(language);
+CREATE INDEX IF NOT EXISTS idx_appeals_status ON appeals(status);
 CREATE INDEX IF NOT EXISTS idx_term_fields_term_id ON term_fields(term_id);
 """
 
 _BATCH = 10_000
 
+# terms merge on uri — the reference's insert-or-update (harvest.py:326-349)
+_UPSERT_TERMS = """
+INSERT INTO terms (id, uri, created_at, updated_at) VALUES (?, ?, ?, ?)
+ON CONFLICT(uri) DO UPDATE SET updated_at = excluded.updated_at
+"""
+# term_fields composite-key dedup — INSERT OR IGNORE (harvest.py:363-372)
+_INSERT_FIELDS = """
+INSERT OR IGNORE INTO term_fields
+    (id, term_id, field_uri, field_term, original_value, created_at, updated_at)
+VALUES (?, ?, ?, ?, ?, ?, ?)
+"""
 
-def _insert_stream(conn: sqlite3.Connection, table: str, df: DataFrame) -> int:
-    cols = df.columns
-    sql = f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({', '.join('?' * len(cols))})"
-    total = 0
-    it = (tuple(str(v) if hasattr(v, "isoformat") else v for v in row) for row in df.toLocalIterator())
+
+def _stream(conn: sqlite3.Connection, sql: str, df: DataFrame, cols: list[str]) -> None:
+    it = (
+        tuple(
+            str(v) if hasattr(v, "isoformat") else v
+            for v in (row[c] for c in cols)
+        )
+        for row in df.toLocalIterator()
+    )
     while True:
         batch = list(itertools.islice(it, _BATCH))
         if not batch:
             break
         conn.executemany(sql, batch)
-        total += len(batch)
-    return total
 
 
 def export_sqlite(terms: DataFrame, term_fields: DataFrame, db_path: str) -> dict:
-    """Write (terms, term_fields) into ``db_path`` with the reference
-    DDL, replacing existing contents (the export is a snapshot, like
-    the reference's idempotent full harvest).  Returns row counts."""
+    """Upsert (terms, term_fields) into ``db_path`` under the full
+    reference DDL.  Idempotent: re-exporting the same state changes
+    only ``terms.updated_at``; downstream tables are never touched.
+    Returns post-export row counts."""
     conn = sqlite3.connect(db_path)
     try:
         conn.execute("PRAGMA foreign_keys = ON")  # harvest.py:185
         conn.executescript(_DDL)
-        conn.execute("DELETE FROM term_fields")
-        conn.execute("DELETE FROM terms")
-        n_terms = _insert_stream(conn, "terms", terms)
-        n_fields = _insert_stream(conn, "term_fields", term_fields)
+        _stream(conn, _UPSERT_TERMS, terms, ["id", "uri", "created_at", "updated_at"])
+        _stream(
+            conn,
+            _INSERT_FIELDS,
+            term_fields,
+            ["id", "term_id", "field_uri", "field_term", "original_value",
+             "created_at", "updated_at"],
+        )
         conn.commit()
-        return {"terms": n_terms, "term_fields": n_fields}
+        return {
+            "terms": conn.execute("SELECT count(*) FROM terms").fetchone()[0],
+            "term_fields": conn.execute(
+                "SELECT count(*) FROM term_fields"
+            ).fetchone()[0],
+        }
     finally:
         conn.close()

@@ -117,6 +117,25 @@ def test_sqlite_export_roundtrip(spark, tmp_path):
         WHERE NOT EXISTS (SELECT 1 FROM terms t WHERE t.id = tf.term_id)
     """).fetchone()[0]
     assert orphans == 0
+    # the full reference schema is present (harvest.py:161-289)
+    tables = {r[0] for r in conn.execute(
+        "SELECT name FROM sqlite_master WHERE type = 'table'")}
+    assert {"terms", "term_fields", "translations", "appeals",
+            "appeal_messages", "users"} <= tables
+    # downstream rows a consumer added survive a re-export (the
+    # reference's rerun contract, harvest.py:163-168): the export
+    # upserts, it never deletes-and-reloads.
+    conn.execute("""
+        INSERT INTO translations (term_field_id, language, value, created_by)
+        VALUES (1, 'nl', 'vertaling', 'tester')
+    """)
+    conn.commit()
+    conn.close()
+
+    counts2 = export_sqlite(state.terms, state.term_fields, db)
+    assert counts2 == {"terms": 2, "term_fields": 4}  # idempotent
+    conn = sqlite3.connect(db)
+    assert conn.execute("SELECT count(*) FROM translations").fetchone()[0] == 1
     conn.close()
 
 
