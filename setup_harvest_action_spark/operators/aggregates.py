@@ -251,3 +251,53 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in ("F", "O", "P")
         ],
     )
+
+
+@query(
+    "q_agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       CAST(round(quantile_cont(l_extendedprice, 0.25), 4) AS DOUBLE) AS p25,
+       CAST(round(quantile_cont(l_extendedprice, 0.50), 4) AS DOUBLE) AS p50,
+       CAST(round(quantile_cont(l_extendedprice, 0.95), 4) AS DOUBLE) AS p95
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation — Spark `percentile`
+    ≡ DuckDB `quantile_cont`).  Exact percentile is a full-sort-per-
+    group aggregate: fine as ground truth, the sketch below is the
+    100 TB path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+@query("q_agg_approx_quantiles")
+def q_agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles via the KLL-style percentile_approx sketch
+    (Greenwald-Khanna variant): mergeable per-partition summaries, so
+    the shuffle carries one bounded sketch per group instead of every
+    value — the only viable shape at 100 TB, where exact percentile
+    means sorting the full column per group.
+
+    accuracy=10000 bounds rank error at 1/10000.  No oracle (sketch
+    internals differ across engines); tests/test_aggregates.py asserts
+    each approx percentile lands within the exact p±2 rank window from
+    q_agg_percentiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.25), F.lit(10000)).alias(
+            "p25"
+        ),
+        F.percentile_approx("l_extendedprice", F.lit(0.50), F.lit(10000)).alias(
+            "p50"
+        ),
+        F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)).alias(
+            "p95"
+        ),
+    )

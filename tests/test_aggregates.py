@@ -20,3 +20,31 @@ def test_hll_estimate_within_rsd_of_exact(spark):
     )
     # rsd=0.02 requested; allow 3 sigma.
     assert abs(approx - exact) <= 3 * 0.02 * exact, (approx, exact)
+
+
+def test_approx_quantiles_within_rank_window(spark):
+    from setup_harvest_action_spark.catalog import load_catalog
+    from setup_harvest_action_spark.io.loaders import load_table
+
+    queries, _ = load_catalog()
+    approx = {r["l_returnflag"]: r
+              for r in queries["q_agg_approx_quantiles"](spark, SF).collect()}
+    li = load_table(spark, SF, "lineitem")
+    import pyspark.sql.functions as F
+
+    # exact p±2% rank window per group — far looser than the sketch's
+    # 1/10000 rank bound, tight enough to catch a broken sketch.
+    for p, lo, hi in ((0.25, 0.23, 0.27), (0.50, 0.48, 0.52), (0.95, 0.93, 0.97)):
+        bounds = {
+            r["l_returnflag"]: r
+            for r in li.groupBy("l_returnflag")
+            .agg(
+                F.percentile("l_extendedprice", F.lit(lo)).alias("lo"),
+                F.percentile("l_extendedprice", F.lit(hi)).alias("hi"),
+            )
+            .collect()
+        }
+        key = f"p{int(p * 100)}"
+        for flag, row in approx.items():
+            assert bounds[flag]["lo"] <= row[key] <= bounds[flag]["hi"], (
+                flag, key, row[key])
