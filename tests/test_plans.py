@@ -107,9 +107,18 @@ def test_bucketed_join_avoids_shuffle(spark, queries):
     # sort-merge join with NO Exchange on either side — the shuffle
     # happened once at write time and is amortized over every
     # subsequent join.
+    import shutil
+
     import pyspark.sql.functions as F
 
     from setup_harvest_action_spark.io.loaders import load_table
+
+    # the warehouse dir outlives the in-memory catalog: remove stale
+    # locations from previous sessions or saveAsTable refuses them
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name in ("orders_bkt", "lineitem_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
 
     orders = load_table(spark, SF, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -134,3 +143,34 @@ def test_bucketed_join_avoids_shuffle(spark, queries):
             orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         )
     assert "Exchange" in plain
+
+
+def test_partitioned_write_prunes_partitions(spark, queries, tmp_path):
+    # Hive-style partitioned layout is the other half of the pruning
+    # story (row-group stats being the first): a filter on the
+    # partition column must become a PartitionFilters entry so
+    # non-matching directories are never opened.
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.io.loaders import load_table
+
+    out = str(tmp_path / "orders_by_status")
+    load_table(spark, SF, "orders").write.partitionBy("o_orderstatus").mode(
+        "overwrite"
+    ).parquet(out)
+    df = (
+        spark.read.parquet(out)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = plan_of(df)
+    import re
+
+    assert re.search(r"PartitionFilters: \[.*o_orderstatus#\d+ = F", plan), plan
+    # and the filter is gone from the data-level pushdown (it is a
+    # directory decision now, not a row decision)
+    n_f = df.count()
+    n_all = load_table(spark, SF, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).count()
+    assert n_f == n_all
