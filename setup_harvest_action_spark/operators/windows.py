@@ -256,3 +256,28 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 5)
     )
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank,
+       CAST(round(cume_dist()    OVER w, 6) AS DOUBLE) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank (rank-1)/(n-1) and
+    cume_dist — the normalized-position primitives quantile bucketing
+    and outlier trimming build on.  Tie-broken on the key so both
+    engines see one deterministic ordering."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
