@@ -303,3 +303,87 @@ def q_text_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").applyInPandas(
         zscore, "doc_id long, lang string, z_chars double"
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("join", "hash", "scan")  # fixed bag-of-words query
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+    FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(len) AS avgdl FROM dl),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('join', 'hash', 'scan')
+    GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scored AS (
+    SELECT tf.doc_id,
+           sum(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.len / stats.avgdl))
+           ) AS score
+    FROM tf
+    JOIN df ON df.tok = tf.tok
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(round(score, 6) AS DOUBLE) AS bm25
+FROM scored
+WHERE round(score, 6) > 1.0
+""",
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring against a fixed bag-of-words query — the
+    lexical ranking function TF-IDF feeds into (k1=1.2, b=0.75,
+    Robertson idf with the +1 floor).
+
+    Plan shape: one explode of the matched terms only (the IN filter
+    prunes before the shuffle), per-doc term frequencies, document
+    frequencies as a tiny broadcast-joined aggregate, corpus stats as a
+    1-row cross join.  Everything stays in codegen'd column arithmetic;
+    at 100 TB the df/avgdl aggregates are the only corpus-wide state
+    and they are O(|query terms|) and O(1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*BM25_QUERY))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("len") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom).alias("score"))
+    )
+    return scored.select(
+        "doc_id", F.round("score", 6).alias("bm25")
+    ).filter(F.col("bm25") > 1.0)

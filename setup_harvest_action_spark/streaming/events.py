@@ -278,3 +278,66 @@ def q_stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_completion(folded, "append")
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id,
+       p.ts AS purchase_ts, c.ts AS click_ts,
+       CAST(round(p.value, 2) AS DOUBLE) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL '1 hour'
+ AND c.ts <= p.ts
+""",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join — purchases joined to the clicks that
+    preceded them by ≤1 hour, per user.  Both sides are unbounded
+    streams, so Spark buffers each in keyed state and the TIME-RANGE
+    condition + watermarks are what make that state bounded: a click
+    older than (purchase watermark - 1h) can never match again and is
+    evicted.  Without the range condition the state grows forever —
+    the join would be rejected in append mode.
+
+    The oracle is the identical batch join: for an inner join with
+    event-time bounds, streaming and batch results must agree exactly
+    (late-data drops aside; this fixture replays in order)."""
+    events = read_event_stream(spark, sf_dir)
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("pvalue"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    )
+    out = run_to_completion(joined, "append")
+    return out.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        "purchase_ts",
+        "click_ts",
+        F.round("pvalue", 2).alias("purchase_value"),
+    )
