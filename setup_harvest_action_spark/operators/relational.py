@@ -193,3 +193,30 @@ def q_pagination_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(2000)
         .limit(1000)
     )
+
+
+@query(
+    "q_pagination_keyset",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_custkey > 700
+ORDER BY c_custkey
+LIMIT 100
+""",
+)
+def q_pagination_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination — the scale idiom the OFFSET shim
+    (q_pagination_page) should be traded for at 100 TB: the cursor is
+    the last key of the previous page, so the predicate pushes into the
+    parquet scan (row groups below the cursor are never read) and the
+    sort+limit compiles to TakeOrderedAndProject — a per-partition
+    top-k merged on the driver, O(k) memory, no global sort, no
+    single-partition offset gather."""
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.filter(F.col("c_custkey") > 700)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+        .limit(100)
+    )

@@ -174,3 +174,12 @@ def test_partitioned_write_prunes_partitions(spark, queries, tmp_path):
         F.col("o_orderstatus") == "F"
     ).count()
     assert n_f == n_all
+
+
+def test_keyset_pagination_takes_ordered(spark, queries):
+    # keyset pagination must compile to per-partition top-k
+    # (TakeOrderedAndProject) with the cursor predicate pushed to the
+    # scan — the two properties that make it the at-scale pagination.
+    plan = plan_of(queries["q_pagination_keyset"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "GreaterThan(c_custkey,700)" in plan
