@@ -387,3 +387,41 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", F.round("score", 6).alias("bm25")
     ).filter(F.col("bm25") > 1.0)
+
+
+# GPT-2-style pre-tokenizer shape without lookarounds, so the Java
+# (Spark) and RE2 (DuckDB) engines count identical pieces: contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+# residual whitespace.
+BPE_ISH = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+@query(
+    "q_text_token_estimate",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+            AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, $${BPE_ISH}$$)) AS INTEGER)
+           AS bpe_ish_tokens,
+       CAST(round(length(text) * 1.0 /
+                  len(regexp_extract_all(text, $${BPE_ISH}$$)), 4) AS DOUBLE)
+           AS chars_per_token
+FROM documents
+""",
+)
+def q_text_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM token-count estimation: whitespace tokens next to a BPE-ish
+    regex piece count (the GPT-2 pre-tokenizer split — what a real BPE
+    merges down from, so it upper-bounds and tracks the true token
+    count far better than words do).  Pure `regexp_count` — JVM-side,
+    no tokenizer library, the standard way to price a 100 TB corpus in
+    tokens before committing to a training run."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_count(F.col("text"), F.lit(BPE_ISH))
+    return docs.select(
+        "doc_id",
+        F.size(tokens()).alias("ws_tokens"),
+        bpe.cast("int").alias("bpe_ish_tokens"),
+        F.round(F.length("text") / bpe, 4).alias("chars_per_token"),
+    )
