@@ -19,6 +19,8 @@ LLM-pipeline pillar (SURVEY.md §2.2).  Design rules for 100 TB:
 
 from __future__ import annotations
 
+import tempfile
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
@@ -398,9 +400,19 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    result = labels
-    labels.unpersist()  # lazy flag; rows already computed for the caller
-    return result
+    # Truncate lineage before handing the result to the caller: the
+    # iterative DAG references each round's labels twice (neighbor join
+    # + union), so an un-truncated plan re-derives every prior round
+    # multiplicatively on each caller action once the cache is gone.
+    # Materialize to parquet and return a plain scan of it (the same
+    # ping-pong pattern harvest_run uses) — unlike cache() the result
+    # needs no caller-side release, and unlike localCheckpoint() it
+    # holds no unreleasable executor storage.  At cluster scale the
+    # temp dir is a shared-FS checkpoint location.
+    out_dir = tempfile.mkdtemp(prefix="cc_labels_")
+    labels.write.mode("overwrite").parquet(out_dir)
+    labels.unpersist()
+    return labels.sparkSession.read.parquet(out_dir)
 
 
 @query(

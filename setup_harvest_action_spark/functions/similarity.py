@@ -110,9 +110,12 @@ def q_similarity_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAIRS_THRESHOLD = 0.42  # yields a small non-empty pair set on the fixtures
+
+
 @query(
     "q_similarity_pairs_threshold",
-    oracle="""
+    oracle=f"""
 WITH vecs AS (
     SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings WHERE vec_id < 300
@@ -121,14 +124,16 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        CAST(round(list_cosine_similarity(a.v, b.v), 6) AS DOUBLE) AS cosine,
        CAST(a.label = b.label AS BOOLEAN) AS same_label
 FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.v, b.v) >= 0.8
+WHERE list_cosine_similarity(a.v, b.v) >= {PAIRS_THRESHOLD}
 """,
 )
 def q_similarity_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """High-similarity pairs within a bounded slice (embedding near-dup
-    detection): pairwise cosine ≥ 0.8 over the first 300 vectors.  The
-    slice bound keeps the quadratic explicitly sized; the at-scale form
-    is the LSH bucket join below."""
+    detection): pairwise cosine ≥ PAIRS_THRESHOLD over the first 300
+    vectors (threshold tuned so the fixture yields a small non-empty
+    pair set — an always-empty result would make the correctness row
+    trivial).  The slice bound keeps the quadratic explicitly sized;
+    the at-scale form is the LSH bucket join below."""
     vecs = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 300)
@@ -141,15 +146,19 @@ def q_similarity_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("v").alias("vb")
     )
     cos = cosine(F.col("va"), F.col("vb"))
+    # Filter on the UNROUNDED cosine exactly like the oracle's WHERE;
+    # rounding happens only in the projection — filtering on the rounded
+    # value would admit pairs just below the threshold that the oracle
+    # excludes.
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= PAIRS_THRESHOLD)
         .select(
             "vec_a",
             "vec_b",
             F.round(cos, 6).alias("cosine"),
             (F.col("la") == F.col("lb")).alias("same_label"),
         )
-        .filter(F.col("cosine") >= 0.8)
     )
 
 

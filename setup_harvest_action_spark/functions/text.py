@@ -32,11 +32,16 @@ def tokens(col: str = "text") -> Column:
 
 
 def regex_tokens(col: str = "text") -> Column:
-    """BPE-ish tokenizer: words, numbers, or single punctuation marks —
-    for corpora that aren't pre-normalized."""
+    """Word/punct tokenizer for corpora that aren't pre-normalized:
+    words, numbers, or single punctuation marks, in document order.
+    Each match is marked with a trailing \\x01 delimiter
+    (regexp_replace keeps the match via $1), the string is split on
+    that delimiter, and residual inter-match whitespace is trimmed off
+    each cell before empties are dropped."""
+    marked = F.regexp_replace(F.col(col), r"(\w+|[^\w\s])", "$1")
     return F.filter(
-        F.split(F.regexp_replace(F.col(col), r"(\w+|[^\w\s])", "$1"), ""),
-        lambda t: F.trim(t) != "",
+        F.transform(F.split(marked, ""), lambda t: F.trim(t)),
+        lambda t: t != "",
     )
 
 
@@ -162,22 +167,33 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF (smoothed idf: ln((N+1)/(df+1))+1) via explode + two hash
     aggregates + a broadcast-sized df join — no MLlib, no UDFs.  The
     token df table is the only shuffled intermediate and is bounded by
-    vocabulary size, not corpus size."""
+    vocabulary size, not corpus size.  Corpus cardinality arrives the
+    same way BM25's stats do — a 1-row aggregate broadcast-cross-joined
+    into the plan — so constructing the query launches NO Spark job and
+    the count is not baked in as a driver-side literal."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs_total"))
     toks = docs.select("doc_id", F.explode(tokens()).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
     return (
         tf.join(F.broadcast(df), "token")
         .filter(F.col("doc_id") < 100)
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "token",
             "tf",
             "df",
             F.round(
-                F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs_total") + 1.0) / (F.col("df") + 1.0)
+                    )
+                    + 1.0
+                ),
+                6,
             ).alias("tfidf"),
         )
     )

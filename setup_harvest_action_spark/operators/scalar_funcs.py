@@ -198,7 +198,7 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scalar_map",
     oracle="""
 SELECT event_id,
-       json_keys(props)                                        AS prop_keys,
+       array_to_string(list_sort(json_keys(props)), ',')       AS prop_keys,
        CAST(json_extract_string(props, '$.k') AS BIGINT)       AS k_value,
        CAST(len(json_keys(props)) AS INTEGER)                  AS n_keys
 FROM events
@@ -207,12 +207,17 @@ WHERE event_id < 1000
 )
 def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map pack: parse JSON into MapType, then map_keys / element_at /
-    size — the typed-map view of semi-structured props."""
+    size — the typed-map view of semi-structured props.
+
+    Every output column is scalar: the key list is emitted as a sorted
+    comma-joined string because the driver's hash canonicalization
+    (pandas sort_values) cannot order array cells — oracled queries must
+    never return array/map-typed columns."""
     events = load_table(spark, sf_dir, "events")
     props_map = F.from_json("props", MapType(StringType(), LongType()))
     return events.filter(F.col("event_id") < 1000).select(
         "event_id",
-        F.map_keys(props_map).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(props_map)), ",").alias("prop_keys"),
         F.element_at(props_map, "k").alias("k_value"),
         F.size(F.map_keys(props_map)).alias("n_keys"),
     )

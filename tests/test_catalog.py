@@ -37,3 +37,44 @@ def test_expected_missing_is_tolerated():
 def test_every_oracle_has_a_query():
     queries, oracles = cat.load_catalog()
     assert set(oracles) <= set(queries)
+
+
+def test_driver_window_covers_every_component():
+    """The first DRIVER_WINDOW catalog entries (all the driver's
+    correctness gate ever records) must contain every priority name —
+    the full harvest load path, all five LLM pillars, the sources, and
+    one representative per relational family."""
+    queries, _ = cat.load_catalog()
+    window = list(queries)[: cat.DRIVER_WINDOW]
+    assert len(cat._DRIVER_PRIORITY) <= cat.DRIVER_WINDOW
+    assert list(cat._DRIVER_PRIORITY) == window[: len(cat._DRIVER_PRIORITY)]
+    # spot-check the verdict's named "done" criteria are inside
+    for name in (
+        "q_harvest_terms",
+        "q_harvest_rerun_terms",
+        "q_harvest_rerun_stats",
+        "q_dedup_ngram_jaccard",
+        "q_similarity_exact_topk",
+        "q_text_tfidf",
+        "q_scalar_map",
+        "q_stream_tumbling_counts",
+        "q_stream_stream_join",
+    ):
+        assert name in window, name
+
+
+def test_no_array_typed_columns_in_oracled_output(spark):
+    """The driver's hash canonicalization (pandas sort_values) crashes
+    on array/map cells — every oracled query must emit scalar columns
+    only.  Checked on schemas at sf0.001 without executing the queries
+    beyond plan analysis."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    queries, oracles = cat.load_catalog()
+    offenders = []
+    for name in oracles:
+        df = queries[name](spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType)):
+                offenders.append(f"{name}.{f.name}")
+    assert not offenders, offenders

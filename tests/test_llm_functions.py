@@ -187,3 +187,23 @@ def test_thumbnail_is_deterministic_and_bounded(spark, queries):
         assert r["thumb_bytes"] == len(expected) <= THUMB_BYTES
         assert bytes(r["thumb"]) == expected
         assert r["thumb_md5"] == hashlib.md5(expected).hexdigest()
+
+
+def test_regex_tokens_splits_words_numbers_punct(spark):
+    """regex_tokens must yield words, numbers, and single punctuation
+    marks in document order, with no whitespace residue — the fallback
+    tokenizer for corpora that aren't pre-normalized."""
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.functions.text import regex_tokens
+
+    df = spark.createDataFrame(
+        [("Hello, world! 42 gpt-4 end",), ("  spaced   out  ",), ("",)],
+        "text string",
+    )
+    rows = df.select(regex_tokens().alias("toks")).collect()
+    assert rows[0].toks == [
+        "Hello", ",", "world", "!", "42", "gpt", "-", "4", "end"
+    ]
+    assert rows[1].toks == ["spaced", "out"]
+    assert rows[2].toks == []
