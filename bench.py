@@ -32,6 +32,9 @@ HEADLINE = [
     "q_text_tfidf",
     "q_dedup_ngram_jaccard",
     "q_similarity_exact_topk",
+    # round 3: regression numbers for the streaming and LSH paths
+    "q_stream_tumbling_counts",
+    "q_dedup_minhash",
 ]
 
 

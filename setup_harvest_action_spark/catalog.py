@@ -111,6 +111,7 @@ _DRIVER_PRIORITY = (
     "q_multimodal_thumbnail",
     # streaming pillar
     "q_stream_tumbling_counts",
+    "q_stream_tumbling_append_filesink",
     "q_stream_sliding_avg",
     "q_stream_dedup",
     "q_stream_session_windows",
@@ -127,7 +128,6 @@ _DRIVER_PRIORITY = (
     "q_parameterized_sql",
     "q_scalar_map",
     "q_pricing_summary",
-    "q_revenue_by_nation",
     "q_join_asof",
 )
 

@@ -7,16 +7,19 @@ traceback; fixed default output path ``translations.db``
 (harvest.py:392); printed load summary (harvest.py:377-380).
 
 Sources: a bindings parquet/json file (offline harvest — the engine's
-canonical path) or ``--fake-endpoint N`` (the deterministic in-process
-SPARQL endpoint, exercising the full paginated-fetch machinery).  A
-real remote harvest would wire a urllib transport into
-``sources.sparql.sparql_source`` — deliberately not a default so the
-CLI never touches the network unasked.
+canonical path), ``--fake-endpoint N`` (the deterministic in-process
+SPARQL endpoint, exercising the full paginated-fetch machinery), or
+``--endpoint URL --collection URI`` (the real remote harvest via
+``sources.sparql.UrllibTransport`` — the ONLY opt-in network path;
+nothing else in the engine or its tests touches the network).
 
 Usage:
     python -m setup_harvest_action_spark harvest <bindings.parquet>
         [--db translations.db] [--state-dir DIR] [--batch-size 1000]
     python -m setup_harvest_action_spark harvest --fake-endpoint 2500
+    python -m setup_harvest_action_spark harvest \\
+        --endpoint http://vocab.nerc.ac.uk/sparql/ \\
+        --collection http://vocab.nerc.ac.uk/collection/P01/current/
 """
 
 from __future__ import annotations
@@ -35,6 +38,11 @@ def _build_parser() -> argparse.ArgumentParser:
     h.add_argument("bindings", nargs="?", help="bindings parquet/json path")
     h.add_argument("--fake-endpoint", type=int, metavar="N",
                    help="harvest N synthetic concepts via the in-process endpoint")
+    h.add_argument("--endpoint", metavar="URL",
+                   help="real SPARQL endpoint URL (opt-in network access; "
+                        "requires --collection)")
+    h.add_argument("--collection", metavar="URI",
+                   help="SKOS collection URI to harvest from --endpoint")
     h.add_argument("--db", default="translations.db",
                    help="sqlite output path (default: translations.db, harvest.py:392)")
     h.add_argument("--state-dir", default=None,
@@ -49,11 +57,29 @@ def _run_harvest(args) -> int:
     from setup_harvest_action_spark.schemas import SPARQL_BINDINGS
     from setup_harvest_action_spark.session import get_spark
 
-    if not args.bindings and args.fake_endpoint is None:
-        raise ValueError("a bindings path or --fake-endpoint N is required")
+    if not args.bindings and args.fake_endpoint is None and not args.endpoint:
+        raise ValueError(
+            "a bindings path, --fake-endpoint N, or --endpoint URL is required"
+        )
+    if args.endpoint and not args.collection:
+        raise ValueError("--endpoint requires --collection URI")
 
     spark = get_spark("harvest-cli")
-    if args.fake_endpoint is not None:
+    if args.endpoint:
+        # the reference's live path (harvest.py:403-416), opt-in only:
+        # this is the single place the engine ever touches the network
+        from setup_harvest_action_spark.sources.sparql import (
+            UrllibTransport,
+            sparql_source,
+        )
+
+        bindings = sparql_source(
+            spark,
+            args.collection,
+            UrllibTransport(args.endpoint),
+            page_size=args.batch_size,
+        )
+    elif args.fake_endpoint is not None:
         from setup_harvest_action_spark.sources.sparql import (
             FakeSparqlEndpoint,
             sparql_source,

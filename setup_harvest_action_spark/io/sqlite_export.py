@@ -27,6 +27,7 @@ from __future__ import annotations
 import itertools
 import sqlite3
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 # Reference DDL, harvest.py:188-289 — the COMPLETE schema, including
@@ -97,27 +98,36 @@ CREATE INDEX IF NOT EXISTS idx_term_fields_term_id ON term_fields(term_id);
 
 _BATCH = 10_000
 
-# terms merge on uri — the reference's insert-or-update (harvest.py:326-349)
+# terms merge on uri — the reference's insert-or-update (harvest.py:326-349).
+# Ids are NEVER forced: the db assigns (and keeps) its own rowids, so an
+# existing database's ids stay authoritative across re-exports.
 _UPSERT_TERMS = """
-INSERT INTO terms (id, uri, created_at, updated_at) VALUES (?, ?, ?, ?)
+INSERT INTO terms (uri, created_at, updated_at) VALUES (?, ?, ?)
 ON CONFLICT(uri) DO UPDATE SET updated_at = excluded.updated_at
 """
 # term_fields composite-key dedup — INSERT OR IGNORE (harvest.py:363-372)
 _INSERT_FIELDS = """
 INSERT OR IGNORE INTO term_fields
-    (id, term_id, field_uri, field_term, original_value, created_at, updated_at)
-VALUES (?, ?, ?, ?, ?, ?, ?)
+    (term_id, field_uri, field_term, original_value, created_at, updated_at)
+VALUES (?, ?, ?, ?, ?, ?)
 """
 
 
-def _stream(conn: sqlite3.Connection, sql: str, df: DataFrame, cols: list[str]) -> None:
-    it = (
-        tuple(
+def _stream(
+    conn: sqlite3.Connection,
+    sql: str,
+    df: DataFrame,
+    cols: list[str],
+    transform=None,
+) -> None:
+    def to_params(row):
+        vals = tuple(
             str(v) if hasattr(v, "isoformat") else v
             for v in (row[c] for c in cols)
         )
-        for row in df.toLocalIterator()
-    )
+        return transform(vals) if transform else vals
+
+    it = (to_params(row) for row in df.toLocalIterator())
     while True:
         batch = list(itertools.islice(it, _BATCH))
         if not batch:
@@ -129,18 +139,50 @@ def export_sqlite(terms: DataFrame, term_fields: DataFrame, db_path: str) -> dic
     """Upsert (terms, term_fields) into ``db_path`` under the full
     reference DDL.  Idempotent: re-exporting the same state changes
     only ``terms.updated_at``; downstream tables are never touched.
-    Returns post-export row counts."""
+    Returns post-export row counts.
+
+    Term ids are resolved THROUGH uri at export time: Spark-assigned
+    state ids are state-local, and a rebuilt state (the CLI defaults to
+    a fresh --state-dir while --db persists) would otherwise carry ids
+    that diverge from an existing database's — silently attaching
+    term_fields to the wrong term on uri conflict, or violating the
+    terms PK.  So terms insert WITHOUT ids (the db keeps or assigns its
+    own), the db's uri→id map is read back (vocabulary-bounded, same
+    O(|terms|) driver budget as the export itself), and term_fields
+    rows are rewired through ``terms.uri`` before insert."""
     conn = sqlite3.connect(db_path)
     try:
         conn.execute("PRAGMA foreign_keys = ON")  # harvest.py:185
         conn.executescript(_DDL)
-        _stream(conn, _UPSERT_TERMS, terms, ["id", "uri", "created_at", "updated_at"])
+        _stream(conn, _UPSERT_TERMS, terms, ["uri", "created_at", "updated_at"])
+        uri_to_id = dict(conn.execute("SELECT uri, id FROM terms"))
+
+        def resolve_term_id(vals):
+            uri = vals[0]
+            if uri not in uri_to_id:
+                raise ValueError(
+                    f"term_fields row references a uri absent from terms: {uri!r}"
+                )
+            return (uri_to_id[uri], *vals[1:])
+
+        fields_by_uri = (
+            term_fields.alias("tf")
+            .join(
+                terms.select("id", "uri").alias("t"),
+                F.col("tf.term_id") == F.col("t.id"),
+            )
+            .select(
+                "t.uri", "tf.field_uri", "tf.field_term", "tf.original_value",
+                "tf.created_at", "tf.updated_at",
+            )
+        )
         _stream(
             conn,
             _INSERT_FIELDS,
-            term_fields,
-            ["id", "term_id", "field_uri", "field_term", "original_value",
+            fields_by_uri,
+            ["uri", "field_uri", "field_term", "original_value",
              "created_at", "updated_at"],
+            transform=resolve_term_id,
         )
         conn.commit()
         return {

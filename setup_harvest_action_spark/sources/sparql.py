@@ -22,7 +22,10 @@ No network is touched unless a caller provides a real transport.
 
 from __future__ import annotations
 
+import json
 import time
+import urllib.parse
+import urllib.request
 from collections.abc import Callable, Iterator
 from urllib.error import HTTPError
 
@@ -35,6 +38,38 @@ Transport = Callable[[str], dict]
 
 SPARQL_ENDPOINT = "http://vocab.nerc.ac.uk/sparql/"  # reference: harvest.py:14
 DEFAULT_PAGE_SIZE = 1000  # reference: harvest.py:405
+
+
+class UrllibTransport:
+    """Production HTTP transport (the reference's wire protocol,
+    harvest.py:102-106, 144-147): POST the query text form-encoded and
+    ask for ``application/sparql-results+json``.  A plain class so it
+    is picklable with stock pickle — instances ship to executors inside
+    the ``sparql_source`` mapInPandas fetch.  HTTP errors propagate as
+    ``urllib.error.HTTPError`` so ``fetch_with_backoff`` sees the 502
+    status exactly as the reference does (harvest.py:149).
+
+    Never constructed by default anywhere — tests and the catalog use
+    ``FakeSparqlEndpoint``; the network is opt-in via the CLI's
+    ``--endpoint`` flag."""
+
+    def __init__(self, endpoint_url: str = SPARQL_ENDPOINT, timeout: float = 60.0):
+        self.endpoint_url = endpoint_url
+        self.timeout = timeout
+
+    def __call__(self, query_text: str) -> dict:
+        data = urllib.parse.urlencode({"query": query_text}).encode("utf-8")
+        req = urllib.request.Request(
+            self.endpoint_url,
+            data=data,
+            headers={
+                "Accept": "application/sparql-results+json",
+                "Content-Type": "application/x-www-form-urlencoded",
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return json.loads(resp.read().decode("utf-8"))
 
 
 def create_sparql_query(

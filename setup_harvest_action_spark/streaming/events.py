@@ -111,6 +111,116 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SENTINEL_TS_NS = 1_735_689_600_000_000_000  # 2025-01-01T00:00:00Z in ns
+
+
+def _append_stream_source_dir(sf_dir: str) -> str:
+    """Source directory for the append-mode query: the events parquet
+    plus a single far-future sentinel event written as a SECOND file.
+    With ``maxFilesPerTrigger=1`` the sentinel arrives as its own
+    micro-batch, advancing the watermark past every real window so
+    append mode emits them all — the standard way to flush a
+    finite replay through an append-mode windowed aggregate (on an
+    unbounded production stream the watermark advances on its own and
+    no sentinel exists).  The sentinel's own window always ends after
+    the final watermark, so it can never leak into the output."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"spark_events_append_src_{tag}")
+    link = os.path.join(d, "events.parquet")
+    sentinel = os.path.join(d, "zz_sentinel.parquet")
+    if not os.path.islink(link):
+        os.makedirs(d, exist_ok=True)
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    if not os.path.exists(sentinel):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.int64()),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        table = pa.table(
+            {
+                "event_id": [-1],
+                "ts": [SENTINEL_TS_NS],
+                "user_id": [-1],
+                "event_type": ["__sentinel__"],
+                "value": [0.0],
+                "props": [None],
+            },
+            schema=schema,
+        )
+        pq.write_table(table, sentinel)
+    return d
+
+
+@query(
+    "q_stream_tumbling_append_filesink",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_stream_tumbling_append_filesink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The AT-SCALE form of the tumbling-window aggregate: **append**
+    output mode into a **parquet file sink** with a checkpoint — the
+    only mode/sink combination that runs unbounded (complete mode
+    re-emits all windows every trigger and a memory sink accumulates
+    them on the driver; both are fixture-only, see module docstring).
+    Each window is written exactly once, when the watermark passes its
+    end; the checkpoint makes the write exactly-once across restarts.
+
+    The finite fixture needs a watermark push to flush its tail
+    windows, supplied by the sentinel file (see
+    ``_append_stream_source_dir``); the sentinel's own window stays
+    forever unemitted, so the result equals the batch GROUP BY oracle
+    over the real events exactly."""
+    src = _append_stream_source_dir(sf_dir)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    windowed = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_filesink_out_")
+    ck_dir = tempfile.mkdtemp(prefix="stream_filesink_ck_")
+    q = (
+        windowed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
 @query(
     "q_stream_sliding_avg",
     oracle="""

@@ -161,3 +161,105 @@ def test_cli_end_to_end_fake_endpoint(tmp_path):
     conn = sqlite3.connect(db)
     assert conn.execute("SELECT count(*) FROM terms").fetchone()[0] == 120
     conn.close()
+
+
+def test_sqlite_export_rewires_ids_through_uri(spark, tmp_path):
+    """A rebuilt state (fresh --state-dir, persistent --db) carries
+    Spark ids that diverge from the existing db's: the export must
+    resolve term_fields through uri, never trust state-local ids."""
+    import datetime as dt
+
+    from setup_harvest_action_spark.harvest.load import HarvestState, harvest_batch
+    from setup_harvest_action_spark.io.sqlite_export import export_sqlite
+    from setup_harvest_action_spark.schemas import SPARQL_BINDINGS
+
+    db = str(tmp_path / "persistent.db")
+    first = spark.createDataFrame(
+        [("http://v.example/a", "A", None, None),
+         ("http://v.example/b", "B", None, None)],
+        SPARQL_BINDINGS,
+    )
+    state1, _ = harvest_batch(HarvestState.empty(spark), first,
+                              dt.datetime(2026, 1, 1))
+    export_sqlite(state1.terms, state1.term_fields, db)
+
+    # rebuilt state: b arrives FIRST, so its state-local ids flip
+    # relative to the db's (b would collide with a's db id)
+    second = spark.createDataFrame(
+        [("http://v.example/b", "B", "B-alt", None),
+         ("http://v.example/a", "A", None, None),
+         ("http://v.example/c", "C", None, None)],
+        SPARQL_BINDINGS,
+    )
+    state2, _ = harvest_batch(HarvestState.empty(spark), second,
+                              dt.datetime(2026, 2, 1))
+    counts = export_sqlite(state2.terms, state2.term_fields, db)
+    assert counts["terms"] == 3
+
+    conn = sqlite3.connect(db)
+    # every field row hangs off the term whose uri produced it
+    rows = conn.execute("""
+        SELECT t.uri, tf.field_term, tf.original_value
+        FROM term_fields tf JOIN terms t ON t.id = tf.term_id
+        ORDER BY t.uri, tf.field_term
+    """).fetchall()
+    conn.close()
+    assert ("http://v.example/b", "skos:altLabel", "B-alt") in rows
+    by_uri = {}
+    for uri, field, value in rows:
+        by_uri.setdefault(uri, set()).add((field, value))
+    assert by_uri["http://v.example/a"] == {("skos:prefLabel", "A")}
+    assert by_uri["http://v.example/c"] == {("skos:prefLabel", "C")}
+    assert by_uri["http://v.example/b"] == {("skos:prefLabel", "B"),
+                                            ("skos:altLabel", "B-alt")}
+
+
+def test_urllib_transport_posts_sparql_json(monkeypatch):
+    """The production transport must POST the query form-encoded with
+    the sparql-results+json Accept header (the reference's wire shape,
+    harvest.py:102-106) — verified against a patched urlopen, no
+    network."""
+    import io
+    import json
+    import pickle
+    import urllib.request
+
+    from setup_harvest_action_spark.sources.sparql import UrllibTransport
+
+    seen = {}
+
+    class FakeResp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req, timeout=None):
+        seen["url"] = req.full_url
+        seen["method"] = req.get_method()
+        seen["body"] = req.data.decode("utf-8")
+        seen["accept"] = req.get_header("Accept")
+        seen["timeout"] = timeout
+        return FakeResp(json.dumps(
+            {"results": {"bindings": [{"count": {"value": "7"}}]}}
+        ).encode("utf-8"))
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    t = UrllibTransport("http://sparql.example/endpoint", timeout=12.5)
+    out = t("SELECT (COUNT(DISTINCT ?concept) AS ?count) WHERE { }")
+    assert out["results"]["bindings"][0]["count"]["value"] == "7"
+    assert seen["url"] == "http://sparql.example/endpoint"
+    assert seen["method"] == "POST"
+    assert seen["body"].startswith("query=SELECT")
+    assert seen["accept"] == "application/sparql-results+json"
+    assert seen["timeout"] == 12.5
+    # must survive stock pickle — it ships to executors in mapInPandas
+    t2 = pickle.loads(pickle.dumps(t))
+    assert t2.endpoint_url == t.endpoint_url
+
+
+def test_cli_endpoint_requires_collection():
+    from setup_harvest_action_spark.cli import main
+
+    assert main(["harvest", "--endpoint", "http://sparql.example/x"]) == 1
