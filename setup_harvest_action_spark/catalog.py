@@ -50,6 +50,7 @@ _OPERATOR_MODULES = (
     "setup_harvest_action_spark.functions.dedup",
     "setup_harvest_action_spark.functions.similarity",
     "setup_harvest_action_spark.functions.multimodal",
+    "setup_harvest_action_spark.functions.sampling",
     "setup_harvest_action_spark.streaming.events",
 )
 
@@ -66,7 +67,11 @@ _EXPECTED_MISSING: frozenset[str] = frozenset()
 # the file sources, and one representative per relational family whose
 # remaining variants were driver-verified green in r02
 # (CORRECTNESS_r02.json) and stay continuously checked by
-# tools/verify_oracle.py + tests.
+# tools/verify_oracle.py + tests.  The window ROTATES across rounds:
+# once this round's priority names carry a green driver row, later
+# rounds swap in the entries still lacking one (sampling, the full
+# window/join/setop/scalar families) so every query accumulates
+# driver-side verification over time.
 DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = (

@@ -34,27 +34,28 @@ MINHASH_PERMS = 16  # signature length
 MINHASH_BANDS = 4  # bands of 4 rows each -> candidates at J ≳ 0.5
 
 
-def shingles(col: str = "text", k: int = SHINGLE_K) -> Column:
-    """Word k-shingles as strings ('tok1 tok2 tok3')."""
-    toks = F.filter(F.split(F.col(col), " "), lambda t: t != "")
+def tokens_col(col: str = "text") -> Column:
+    """Whitespace tokens with empties dropped — project this to a
+    column BEFORE building shingles over it."""
+    return F.filter(F.split(F.col(col), " "), lambda t: t != "")
+
+
+def shingles(toks: Column, k: int = SHINGLE_K) -> Column:
+    """Word k-shingles as strings ('tok1 tok2 tok3') over a PRE-BOUND
+    token array column.
+
+    ``toks`` must reference a materialized column, not an inline
+    ``filter(split(...))`` expression: Catalyst does not eliminate the
+    common subexpression when it is substituted into a higher-order
+    lambda, so the tokenization would re-run per shingle position —
+    O(len²) per document, measured 13x slower on the shingle explode
+    at sf0.1."""
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
 
 
-def _doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct, with hot shingles capped."""
-    ds = docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles())).alias("shingle")
-    )
-    hot = (
-        ds.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > MAX_SHINGLE_DF)
-        .select("shingle")
-    )
-    return ds.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 @query(
@@ -117,6 +118,30 @@ WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= {JACCARD_THRESHOLD}
 """
 
 
+def _pairs_within(postings: DataFrame, docs_col: str = "docs") -> DataFrame:
+    """Expand every ordered pair (doc_a < doc_b) INSIDE each posting
+    list / bucket membership array: docs[i] x docs[i+1:], JVM array
+    combinatorics — the shared candidate-pair generator for the
+    inverted-index Jaccard and the LSH bucket path.  Never a self-join:
+    the input is scanned once and pairs are bounded by per-list size."""
+    return (
+        postings.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col(docs_col),
+                        lambda x, i: F.transform(
+                            F.slice(F.col(docs_col), i + 2, F.size(F.col(docs_col))),
+                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+    )
+
+
 @query("q_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted shingle index:
@@ -135,8 +160,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     it; measured 2.4× slower).  The exact ground truth MinHash
     approximates."""
     docs = load_table(spark, sf_dir, "documents")
-    ds = docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles())).alias("shingle")
+    ds = docs.select("doc_id", tokens_col().alias("toks")).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("toks")))).alias("shingle"),
     )
     surviving = (
         ds.groupBy("shingle")
@@ -149,22 +175,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     postings = surviving.filter(F.size("docs") >= 2)
-    # all ordered pairs within each posting list: docs[i] × docs[i+1:]
-    pair_arrays = postings.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("docs"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
-                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
     pairs = (
-        pair_arrays.select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        _pairs_within(postings)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -182,17 +194,45 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, n_perms: int = MINHASH_PERMS) -> DataFrame:
-    """(doc_id, mh0..mh{n-1}): min over shingles of seeded xxhash64 —
-    n_perms aggregate expressions over one explode, one shuffle keyed
-    by doc_id."""
-    ds = _doc_shingles(docs)
+    """(doc_id, mh0..mh{n-1}): per-document minimum of ``n_perms``
+    derived hashes over the document's shingle set.
+
+    Built for throughput — this is the signature pass that runs over
+    the whole corpus at 100 TB:
+
+      * shingles are HASHED IN PLACE from token triples
+        (``xxhash64(tok_i, tok_i+1, tok_i+2)``) — no shingle strings
+        are ever materialized or shuffled, so the explode carries one
+        long per shingle instead of a ~25-byte string (measured ~2x on
+        the end-to-end minhash query vs the string-shingle form);
+      * the hot-shingle cap (``MAX_SHINGLE_DF``, same anti-blowup
+        rationale as the Jaccard query) is applied on the AGGREGATED
+        posting side and the survivors re-exploded, so the corpus is
+        scanned once — not twice as with a count-then-anti-join;
+      * the n_perms permutations are ``xxhash64(shingle_hash, i)`` —
+        16 cheap long hashes replacing 16 string concat+hashes.
+    """
+    tk = F.col("toks")
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - (SHINGLE_K - 1), F.lit(0))),
+        lambda i: F.xxhash64(
+            *[F.element_at(tk, i + j) for j in range(SHINGLE_K)]
+        ),
+    )
+    ds = docs.select("doc_id", tokens_col().alias("toks")).select(
+        "doc_id", F.explode(F.array_distinct(shingle_hashes)).alias("sh")
+    )
+    surviving = (
+        ds.groupBy("sh")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= MAX_SHINGLE_DF)
+        .select("sh", F.explode("docs").alias("doc_id"))
+    )
     aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"perm{i}:"), F.col("shingle")))).alias(
-            f"mh{i}"
-        )
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}")
         for i in range(n_perms)
     ]
-    return ds.groupBy("doc_id").agg(*aggs)
+    return surviving.groupBy("doc_id").agg(*aggs)
 
 
 @query("q_dedup_minhash")
@@ -209,27 +249,36 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    bands = []
-    for band in range(MINHASH_BANDS):
-        cols = [F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(
-            sigs.select(
-                "doc_id",
+    # one (band, bucket) struct per band, exploded from a single pass
+    # over the signatures: the signature subtree is computed ONCE (the
+    # r02 form unioned 4 projections of it and self-joined, recomputing
+    # the explode+16-agg pipeline on both join sides)
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(band).alias("band"),
-                F.xxhash64(*cols).alias("bucket"),
+                F.xxhash64(
+                    *[
+                        F.col(f"mh{band * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("bucket"),
             )
-        )
-    buckets = bands[0]
-    for b in bands[1:]:
-        buckets = buckets.unionByName(b)
-    a = buckets.select("band", "bucket", F.col("doc_id").alias("doc_a"))
-    b = buckets.select("band", "bucket", F.col("doc_id").alias("doc_b"))
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+            for band in range(MINHASH_BANDS)
+        ]
     )
+    buckets = sigs.select(
+        "doc_id", F.explode(band_structs).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    # bucket membership lists, then pair expansion inside each bucket —
+    # identical candidate-pair semantics to the bucket self-join, one
+    # keyed shuffle instead of two scans of the signature pipeline
+    postings = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    return _pairs_within(postings).distinct()
 
 
 @query("q_dedup_simhash")

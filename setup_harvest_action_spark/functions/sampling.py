@@ -1,0 +1,241 @@
+"""Sampling & corpus assembly over ``documents``: deterministic hash
+sampling, train/valid/test splits, stratified draws, mixture design,
+context-window chunking.
+
+LLM-pipeline pillar (SURVEY.md §2.2 extension): after filtering and
+dedup, a training-data pipeline SAMPLES (to hit a token budget), SPLITS
+(held-out sets), BALANCES (per-language / per-source quotas), WEIGHTS
+(mixture proportions across sources) and CHUNKS (documents into context
+windows).  Design rules:
+
+  * All sampling is DETERMINISTIC-BY-HASH: membership is a pure
+    function of the row key (md5 hex-prefix compare), so samples are
+    reproducible across runs/engines, stable under re-partitioning,
+    and need no state or RNG seeds shipped to executors.  md5 is
+    bit-identical in Spark and DuckDB, so every query here carries an
+    exact value-hash oracle — rare for sampling operators.
+  * Everything is one scan + narrow ops (filter/window/explode); the
+    only shuffles are keyed aggregates or per-class windows.  At
+    100 TB the Bernoulli/split queries are map-only: they pushdown-
+    prune columns and never shuffle at all.
+  * Fractions are hex-prefix thresholds over the first 2 md5 chars
+    (256 buckets): '1a' = 26/256 ≈ 10.2%, 'cc' = 204/256 ≈ 79.7%.
+    Finer grain would use more chars; 2 keep the oracle legible.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from setup_harvest_action_spark.catalog import query
+from setup_harvest_action_spark.io.loaders import load_table
+
+SAMPLE_THRESHOLD = "1a"  # 26/256 ~ 10.2% Bernoulli sample
+TRAIN_THRESHOLD = "cc"  # < cc -> train  (204/256 ~ 79.7%)
+VALID_THRESHOLD = "e6"  # < e6 -> valid  (another 26/256 ~ 10.2%)
+STRATA_K = 50  # stratified draw size per language
+CHUNK_SIZE = 64  # tokens per context window
+CHUNK_STRIDE = 48  # window stride (16-token overlap)
+
+
+def hash_bucket(key: Column) -> Column:
+    """First two hex chars of md5(key) — a uniform 256-way bucket that
+    is identical in Spark and DuckDB (and any engine with md5), the
+    portable primitive under every sampler here."""
+    return F.substring(F.md5(key.cast("string")), 1, 2)
+
+
+@query(
+    "q_sample_bernoulli_hash",
+    oracle=f"""
+SELECT doc_id, lang, source,
+       substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SAMPLE_THRESHOLD}'
+""",
+)
+def q_sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% Bernoulli sample by key hash: membership is a
+    pure function of doc_id, so the sample is reproducible, stable
+    under repartitioning, and needs no RNG state.  Map-only — no
+    shuffle at any scale (contrast ``df.sample()``, which is seeded
+    per-partition and changes under repartitioning)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "source", bucket.alias("bucket"))
+        .filter(F.col("bucket") < SAMPLE_THRESHOLD)
+    )
+
+
+@query(
+    "q_sample_train_valid_test",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{TRAIN_THRESHOLD}'
+                THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{VALID_THRESHOLD}'
+                THEN 'valid'
+            ELSE 'test' END AS split,
+       lang
+FROM documents
+""",
+)
+def q_sample_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-assigned train/valid/test split (~80/10/10): every document
+    lands in exactly one split, forever — re-running the pipeline, on
+    any cluster layout, reproduces the same membership, which is the
+    property held-out sets must have.  Map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        F.when(bucket < TRAIN_THRESHOLD, "train")
+        .when(bucket < VALID_THRESHOLD, "valid")
+        .otherwise("test")
+        .alias("split"),
+        "lang",
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS draw_rank
+FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents
+)
+WHERE rn <= {STRATA_K}
+""",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: exactly K documents per language, drawn in
+    deterministic hash order (md5 of the key is the shuffle; rank ≤ K
+    is the draw).  One per-class window — WindowGroupLimit keeps only
+    K rows per class per partition before the shuffle, so the
+    at-scale cost is O(K × classes), not a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", F.row_number().over(w).cast("long").alias("draw_rank")
+        )
+        .filter(F.col("draw_rank") <= STRATA_K)
+    )
+
+
+@query(
+    "q_sample_mixture_weights",
+    oracle="""
+WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+t AS (SELECT count(*) AS total, count(DISTINCT source) AS n_sources
+      FROM documents)
+SELECT s.source,
+       CAST(s.n_docs AS BIGINT) AS n_docs,
+       CAST(round(s.n_docs * 1.0 / t.total, 6) AS DOUBLE) AS share,
+       CAST(round(1.0 / t.n_sources, 6) AS DOUBLE) AS target_share,
+       CAST(round(least(1.0,
+            (1.0 / t.n_sources) / (s.n_docs * 1.0 / t.total)), 6) AS DOUBLE)
+           AS accept_rate
+FROM s CROSS JOIN t
+""",
+)
+def q_sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture design: per-source acceptance rates that rebalance the
+    corpus toward a target mixture (uniform across sources here) —
+    downsample over-represented sources (rate = target/actual, capped
+    at 1), keep the rest whole.  The rates then drive the hash sampler
+    (``q_sample_bernoulli_hash`` with a per-source threshold).  One
+    keyed aggregate + a broadcast 1-row corpus-stats cross join — the
+    same no-driver-side-count shape as BM25/TF-IDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = docs.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    share = F.col("n_docs") / F.col("total")
+    target = F.lit(1.0) / F.col("n_sources")
+    return per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        F.round(share, 6).alias("share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(F.least(F.lit(1.0), target / share), 6).alias("accept_rate"),
+    )
+
+
+@query(
+    "q_sample_chunk_windows",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+    WHERE doc_id < 200
+),
+n AS (
+    SELECT doc_id, toks,
+           CAST(ceil(greatest(len(toks) - {CHUNK_SIZE}, 0) / {CHUNK_STRIDE}.0)
+                AS BIGINT) + 1 AS n_chunks
+    FROM t
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(len(toks[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_SIZE}])
+            AS INTEGER) AS chunk_tokens,
+       array_to_string(
+           toks[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' ')
+           AS chunk_text
+FROM n, unnest(range(0, n_chunks)) AS u(i)
+""",
+)
+def q_sample_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into fixed-size
+    token windows (64 tokens, stride 48 → 16-token overlap) — the
+    corpus-assembly step that turns documents into training sequences.
+    Short documents yield one (short) chunk; every token lands in ≥1
+    chunk.
+
+    One scan, one explode; the token array is BOUND AS A COLUMN before
+    the per-chunk slices (Catalyst does not CSE a tokenizer expression
+    substituted into a lambda — re-evaluating it per chunk is O(len²)
+    per document, the same trap measured 13x on minhash shingles)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    tk = F.col("toks")
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.size(tk) - CHUNK_SIZE, F.lit(0)) / F.lit(float(CHUNK_STRIDE))
+        )
+        + 1
+    ).cast("int")
+    chunk = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.size(F.slice(tk, i * CHUNK_STRIDE + 1, CHUNK_SIZE)).alias(
+                "chunk_tokens"
+            ),
+            F.concat_ws(" ", F.slice(tk, i * CHUNK_STRIDE + 1, CHUNK_SIZE)).alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(chunk).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_tokens").alias("chunk_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )

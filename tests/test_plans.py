@@ -237,3 +237,20 @@ def test_connected_components_truncates_lineage(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20), (23, 20),
     }
+
+
+def test_tfidf_construction_launches_no_job(spark, queries):
+    """q_text_tfidf's corpus cardinality must enter the plan as a
+    broadcast 1-row aggregate, not a driver-side count(): constructing
+    the query therefore launches ZERO Spark jobs (the r02 version ran a
+    full corpus scan per construction)."""
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    n_before = len(before) if before else 0
+    df = queries["q_text_tfidf"](spark, SF)
+    after = tracker.getJobIdsForGroup(None)
+    n_after = len(after) if after else 0
+    assert n_after == n_before, "query construction ran a Spark job"
+    # and the plan carries the corpus count as a broadcast join input
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
