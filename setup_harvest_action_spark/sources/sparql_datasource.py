@@ -1,0 +1,145 @@
+"""PySpark 4 Python DataSource for the SPARQL endpoint:
+``spark.read.format("sparql")``.
+
+The DataFrame-native form of the reference's paginated remote read
+(O1/O8/O10, harvest.py:90-158, 405-416) — SURVEY §4 names this API as
+the custom-work item for live endpoint parity.  Compared to the
+``sparql_source`` mapInPandas helper (sources/sparql.py), the data
+source registers as a first-class format: the COUNT pre-query sizes
+the scan at planning time, each LIMIT/OFFSET page becomes one
+``InputPartition`` (parallel fetch, one page per task, memory bounded
+by page_size), and every fetch reuses the production query text,
+502-backoff, and bindings parser.
+
+Options:
+  * ``endpoint``   — ``fake:N`` (in-process deterministic endpoint with
+    N concepts; tests/catalog) or an HTTP URL (opt-in network via
+    ``UrllibTransport``);
+  * ``collection`` — the SKOS collection URI;
+  * ``pagesize``   — rows per page (default 1000, harvest.py:405).
+
+At 100 TB-scale ingest the page range is the parallelism: 10⁶ pages
+fan out across executors with no driver loop, and failed fetches
+retry per-task (spark.task.maxFailures) on top of the app-level 502
+backoff.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from setup_harvest_action_spark.catalog import query
+from setup_harvest_action_spark.sources.sparql import (
+    DEFAULT_PAGE_SIZE,
+    FakeSparqlEndpoint,
+    Transport,
+    UrllibTransport,
+    bindings_to_rows,
+    create_sparql_query,
+    fetch_with_backoff,
+    get_member_count,
+)
+
+BINDINGS_DDL = "concept string, prefLabel string, altLabel string, definition string"
+
+
+def make_transport(spec: str) -> Transport:
+    """``fake:N`` → in-process endpoint; anything else → urllib POST.
+    Resolved independently on driver (count) and executors (pages), so
+    only the STRING spec ships in the plan."""
+    if spec.startswith("fake:"):
+        return FakeSparqlEndpoint(n_concepts=int(spec.split(":", 1)[1]))
+    return UrllibTransport(spec)
+
+
+class SparqlPagePartition(InputPartition):
+    def __init__(self, offset: int, limit: int):
+        self.offset = offset
+        self.limit = limit
+
+
+class SparqlDataSourceReader(DataSourceReader):
+    def __init__(self, options: dict):
+        try:
+            self.endpoint = options["endpoint"]
+            self.collection = options["collection"]
+        except KeyError as exc:
+            raise ValueError(
+                "sparql source requires 'endpoint' and 'collection' options"
+            ) from exc
+        self.page_size = int(options.get("pagesize", DEFAULT_PAGE_SIZE))
+
+    def partitions(self) -> list[InputPartition]:
+        """One partition per LIMIT/OFFSET page, sized by the COUNT
+        pre-query (harvest.py:403-405) at planning time."""
+        n = get_member_count(make_transport(self.endpoint), self.collection)
+        return [
+            SparqlPagePartition(off, self.page_size)
+            for off in range(0, n, self.page_size)
+        ]
+
+    def read(self, partition: SparqlPagePartition) -> Iterator[tuple]:
+        """Executor-side: fetch + parse ONE page with the production
+        query text and 502 backoff."""
+        transport = make_transport(self.endpoint)
+        text = create_sparql_query(
+            self.collection, limit=partition.limit, offset=partition.offset
+        )
+        yield from bindings_to_rows(fetch_with_backoff(transport, text))
+
+
+class SparqlDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "sparql"
+
+    def schema(self) -> str:
+        return BINDINGS_DDL
+
+    def reader(self, schema) -> DataSourceReader:
+        return SparqlDataSourceReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the format with a session."""
+    spark.dataSource.register(SparqlDataSource)
+
+
+_DS_N_CONCEPTS = 1200
+
+
+@query(
+    "q_sparql_datasource",
+    oracle=f"""
+WITH idx AS (SELECT unnest(range(0, {_DS_N_CONCEPTS})) AS i),
+base AS (
+    SELECT printf('http://vocab.example/collection/c%05d', i) AS concept,
+           'Term ' || i AS prefLabel,
+           CASE WHEN i % 2 = 0 THEN 'Alt ' || i END AS altLabel,
+           CASE WHEN i % 3 = 0 THEN 'Definition of term ' || i END AS definition,
+           i
+    FROM idx
+)
+SELECT concept, prefLabel, altLabel, definition FROM base
+UNION ALL
+SELECT concept, prefLabel, 'Alt ' || i || ' bis' AS altLabel, definition
+FROM base WHERE i % 10 = 0
+""",
+)
+def q_sparql_datasource(spark, sf_dir: str):
+    """The registered ``format("sparql")`` read end-to-end against the
+    deterministic fake endpoint: COUNT pre-query → page partitions →
+    parallel fetch/parse.  Oracle regenerates the synthetic collection
+    arithmetically (same construction as ``q_sparql_source_sim`` —
+    this query proves the DataSource wrapper, that one the mapInPandas
+    helper)."""
+    register(spark)
+    return (
+        spark.read.format("sparql")
+        .option("endpoint", f"fake:{_DS_N_CONCEPTS}")
+        .option("collection", "http://vocab.example/collection")
+        .option("pagesize", "500")
+        .load()
+    )

@@ -263,3 +263,31 @@ def test_cli_endpoint_requires_collection():
     from setup_harvest_action_spark.cli import main
 
     assert main(["harvest", "--endpoint", "http://sparql.example/x"]) == 1
+
+
+def test_sparql_datasource_paginates(spark):
+    """format("sparql") must plan one InputPartition per page (COUNT
+    pre-query / pagesize) and deliver the same rows as the mapInPandas
+    helper; registration is idempotent."""
+    from setup_harvest_action_spark.sources.sparql_datasource import register
+
+    register(spark)
+    register(spark)  # re-registration must not raise
+    df = (
+        spark.read.format("sparql")
+        .option("endpoint", "fake:120")
+        .option("collection", "http://vocab.example/collection")
+        .option("pagesize", "50")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # ceil(120 / 50)
+    rows = df.collect()
+    # 120 concepts + one cross-product 'bis' row per i % 10 == 0
+    assert len(rows) == 132
+    by_concept = {}
+    for r in rows:
+        by_concept.setdefault(r.concept, []).append(r)
+    assert len(by_concept) == 120
+    c1 = by_concept["http://vocab.example/collection/c00001"][0]
+    assert c1.altLabel is None and c1.definition is None
+    assert len(by_concept["http://vocab.example/collection/c00010"]) == 2
