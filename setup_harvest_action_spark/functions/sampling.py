@@ -239,3 +239,114 @@ def q_sample_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.chunk_text").alias("chunk_text"),
         )
     )
+
+
+PACK_BUDGET = 256  # tokens per packed training sequence
+PACK_SHARDS = 16  # parallel packing shards (first md5 hex char)
+
+
+@query(
+    "q_sample_pack_sequences",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+),
+n AS (
+    SELECT doc_id, shard, toks,
+           CAST(ceil(greatest(len(toks) - {CHUNK_SIZE}, 0) / {CHUNK_STRIDE}.0)
+                AS BIGINT) + 1 AS n_chunks
+    FROM t
+),
+chunks AS (
+    SELECT doc_id, shard,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(len(toks[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_SIZE}])
+                AS BIGINT) AS chunk_tokens
+    FROM n, unnest(range(0, n_chunks)) AS u(i)
+),
+placed AS (
+    SELECT doc_id, shard, chunk_idx, chunk_tokens,
+           sum(chunk_tokens) OVER (
+               PARTITION BY shard
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)),
+                        doc_id, chunk_idx
+               ROWS UNBOUNDED PRECEDING) - chunk_tokens AS token_start
+    FROM chunks
+)
+SELECT doc_id, shard, chunk_idx, chunk_tokens,
+       CAST(token_start AS BIGINT) AS token_start,
+       CAST(token_start // {PACK_BUDGET} AS BIGINT) AS bin_id
+FROM placed
+""",
+)
+def q_sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the corpus-assembly step after chunking:
+    concatenate chunks in a deterministic order and reslice the token
+    stream into fixed {PACK_BUDGET}-token training sequences.  Each
+    chunk is placed at ``token_start`` (running token sum before it)
+    and assigned ``bin_id = token_start // budget`` — the training
+    sequence its first token lands in.
+
+    Scale design: packing is SHARDED (first md5 hex char of doc_id, 16
+    shards) and the running sum is a per-shard window, so the shards
+    pack in parallel and no global single-partition sort exists; at
+    100 TB shard count scales with the cluster while per-shard order
+    stays deterministic (hash of (doc_id, chunk_idx)).  This greedy
+    concat-then-slice is exactly how pretraining pipelines pack — and
+    being a window cumsum, it carries an exact DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    tk = F.col("toks")
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.size(tk) - CHUNK_SIZE, F.lit(0)) / F.lit(float(CHUNK_STRIDE))
+        )
+        + 1
+    ).cast("int")
+    chunk = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.size(F.slice(tk, i * CHUNK_STRIDE + 1, CHUNK_SIZE))
+            .cast("long")
+            .alias("chunk_tokens"),
+        ),
+    )
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
+            toks.alias("toks"),
+        )
+        .select("doc_id", "shard", F.explode(chunk).alias("c"))
+        .select(
+            "doc_id",
+            "shard",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_tokens").alias("chunk_tokens"),
+        )
+    )
+    order_hash = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("chunk_idx").cast("string"),
+        )
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(order_hash, "doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    token_start = F.sum("chunk_tokens").over(w) - F.col("chunk_tokens")
+    return chunks.select(
+        "doc_id",
+        "shard",
+        "chunk_idx",
+        "chunk_tokens",
+        token_start.alias("token_start"),
+        F.floor(token_start / PACK_BUDGET).alias("bin_id"),
+    )

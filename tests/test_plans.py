@@ -254,3 +254,15 @@ def test_tfidf_construction_launches_no_job(spark, queries):
     # and the plan carries the corpus count as a broadcast join input
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_hash_samplers_are_map_only(spark, queries):
+    """The Bernoulli sample and split assignment must stay map-only —
+    membership is a pure function of the row, so there is NO Exchange
+    at any scale (the property that makes hash sampling free at 100 TB
+    while df.sample() still rescans and a groupBy-based sampler
+    shuffles)."""
+    for name in ("q_sample_bernoulli_hash", "q_sample_train_valid_test"):
+        tree = tree_of(queries[name](spark, SF))
+        assert "Exchange" not in tree, name
+        assert "Scan parquet" in tree, name
