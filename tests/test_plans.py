@@ -266,3 +266,63 @@ def test_hash_samplers_are_map_only(spark, queries):
         tree = tree_of(queries[name](spark, SF))
         assert "Exchange" not in tree, name
         assert "Scan parquet" in tree, name
+
+
+def test_zorder_write_tightens_stats_on_both_dims(spark, tmp_path):
+    """Z-order clustering must shrink per-file min/max spans on EVERY
+    clustered dimension — the property parquet stats pruning feeds on.
+    A plain single-column sort leaves the second dimension's spans at
+    ~the global range (no pruning possible); the Morton layout bounds
+    both."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.io.layout import write_zordered
+    from setup_harvest_action_spark.io.loaders import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    zdir = str(tmp_path / "zorder")
+    write_zordered(orders, zdir, ["o_custkey", "o_totalprice"], n_files=8)
+    sdir = str(tmp_path / "sorted")
+    (
+        orders.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+
+    def mean_span_ratio(d: str, column: str) -> float:
+        lo, hi = float("inf"), float("-inf")
+        spans = []
+        per_file = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            fmin, fmax = float("inf"), float("-inf")
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == column and col.statistics:
+                        fmin = min(fmin, float(col.statistics.min))
+                        fmax = max(fmax, float(col.statistics.max))
+            per_file.append((fmin, fmax))
+            lo, hi = min(lo, fmin), max(hi, fmax)
+        return sum(mx - mn for mn, mx in per_file) / len(per_file) / (hi - lo)
+
+    z_price = mean_span_ratio(zdir, "o_totalprice")
+    z_cust = mean_span_ratio(zdir, "o_custkey")
+    s_price = mean_span_ratio(sdir, "o_totalprice")
+    s_cust = mean_span_ratio(sdir, "o_custkey")
+    # single-dim sort: first dim tight, second dim ~global
+    assert s_cust < 0.35
+    assert s_price > 0.85
+    # z-order: BOTH dims bounded well below global
+    assert z_cust < 0.7, z_cust
+    assert z_price < 0.7, z_price
+    assert z_price < s_price
+    # and the rewrite loses no rows
+    assert spark.read.parquet(zdir).count() == orders.count()

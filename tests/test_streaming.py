@@ -86,3 +86,26 @@ def test_watermark_drops_late_rows_and_append_emits_closed_windows(
     _write_part(spark, flat, "f3", [(t(14, 30), 6)], 2)
     out3 = _run_once(spark, flat, checkpoint, sink)
     assert out3 == {10: (1, 1), 12: (3, 10)}, out3
+
+
+def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Re-running an availableNow file-sink query against the SAME
+    checkpoint with no new input must emit nothing: the checkpoint's
+    source offsets make the restart exactly-once (no re-processing, no
+    duplicate windows in the sink) — the property that lets a 100 TB
+    ingest crash and resume without double-counting."""
+    flat = str(tmp_path / "src")
+    os.makedirs(flat)
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    _write_part(
+        spark, flat, "a",
+        [(base + dt.timedelta(minutes=m), 1) for m in range(0, 120, 10)],
+        order=0,
+    )
+    ck = str(tmp_path / "ck")
+    sink = str(tmp_path / "sink")
+    first = _run_once(spark, flat, ck, sink)
+    again = _run_once(spark, flat, ck, sink)
+    assert again == first  # cumulative sink unchanged: nothing re-emitted
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == len(set(r["ws"] for r in rows))  # no dup windows
