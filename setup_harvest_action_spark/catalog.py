@@ -45,6 +45,7 @@ _OPERATOR_MODULES = (
     "setup_harvest_action_spark.operators.setops",
     "setup_harvest_action_spark.operators.scalar_funcs",
     "setup_harvest_action_spark.operators.harvest_queries",
+    "setup_harvest_action_spark.operators.events_analytics",
     "setup_harvest_action_spark.sources.files",
     "setup_harvest_action_spark.functions.text",
     "setup_harvest_action_spark.functions.dedup",

@@ -1,0 +1,186 @@
+"""Event analytics over ``events``: funnel attribution and time-grid
+resampling with forward fill.
+
+The batch-side complements of the streaming pack (streaming/events.py):
+the same event stream, analyzed with rolling event-time windows and
+grid joins — the queries a product-analytics / feature-engineering
+pipeline runs over 100 TB of event history.
+
+Both queries quantize event time to epoch SECONDS on both engines
+(Spark ``unix_timestamp`` truncates; the oracle floors) so RANGE
+window frames and bucket arithmetic agree exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from setup_harvest_action_spark.catalog import query
+from setup_harvest_action_spark.io.loaders import load_table
+
+FUNNEL_WINDOW_SEC = 3600  # max gap between funnel steps
+RESAMPLE_BUCKET_SEC = 600  # 10-minute resampling grid
+RESAMPLE_USERS = 20  # bounded user slice for the grid query
+
+
+@query(
+    "q_events_funnel",
+    oracle=f"""
+WITH e AS (
+    SELECT user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec
+    FROM events
+),
+w AS (
+    SELECT user_id, event_type, sec,
+           max(CASE WHEN event_type = 'click' THEN sec END) OVER (
+               PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN {FUNNEL_WINDOW_SEC} PRECEDING AND CURRENT ROW)
+               AS last_click,
+           max(CASE WHEN event_type = 'view' THEN sec END) OVER (
+               PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN {FUNNEL_WINDOW_SEC} PRECEDING AND CURRENT ROW)
+               AS last_view
+    FROM e
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(*) FILTER (
+           last_click IS NOT NULL AND last_view IS NOT NULL
+           AND last_view <= last_click
+           AND last_view >= last_click - {FUNNEL_WINDOW_SEC}) AS BIGINT)
+           AS n_attributed
+FROM w
+WHERE event_type = 'purchase'
+GROUP BY user_id
+""",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel attribution (view → click → purchase): a purchase is
+    attributed when its most recent click lies within 1 h before it AND
+    that click's most recent view lies within 1 h before the click —
+    most-recent-step attribution over rolling event-time windows.
+
+    One window pass per user (two conditional-max frames over the same
+    RANGE window share one sort), then a per-user aggregate.  No
+    self-joins: the rolling-frame form scans the events once, which at
+    100 TB is the difference between one shuffle and a purchases ×
+    clicks × views join explosion."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-FUNNEL_WINDOW_SEC, 0)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("sec"))
+    ).over(w)
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("sec"))
+    ).over(w)
+    attributed = (
+        last_click.isNotNull()
+        & last_view.isNotNull()
+        & (last_view <= last_click)
+        & (last_view >= last_click - FUNNEL_WINDOW_SEC)
+    )
+    return (
+        e.select("user_id", "event_type", attributed.alias("attributed"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count_if("attributed").alias("n_attributed"),
+        )
+    )
+
+
+@query(
+    "q_events_resample_ffill",
+    oracle=f"""
+WITH e AS (
+    SELECT user_id, event_id, value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec
+    FROM events
+    WHERE user_id < {RESAMPLE_USERS}
+),
+b AS (
+    SELECT user_id,
+           (sec // {RESAMPLE_BUCKET_SEC}) * {RESAMPLE_BUCKET_SEC} AS bucket,
+           count(*) AS n_events,
+           arg_max(value, sec * 10000000 + event_id) AS v_last
+    FROM e
+    GROUP BY 1, 2
+),
+bounds AS (
+    SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY 1
+),
+grid AS (
+    SELECT user_id, g AS bucket
+    FROM bounds, unnest(generate_series(b0, b1, {RESAMPLE_BUCKET_SEC})) AS u(g)
+)
+SELECT grid.user_id,
+       to_timestamp(grid.bucket)::TIMESTAMP AS bucket_ts,
+       CAST(coalesce(b.n_events, 0) AS BIGINT) AS n_events,
+       CAST(round(last_value(b.v_last IGNORE NULLS) OVER (
+           PARTITION BY grid.user_id ORDER BY grid.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+           AS v_filled,
+       CAST(b.bucket IS NULL AS BOOLEAN) AS is_gap
+FROM grid LEFT JOIN b USING (user_id, bucket)
+""",
+)
+def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: snap each user's events onto a 10-minute
+    grid spanning their activity, carry the latest observed value
+    forward through empty buckets (``last`` with ignoreNulls), and mark
+    the gaps — the gap-filling shape feature-engineering pipelines run
+    before training on event histories.
+
+    The grid is generated per user from aggregated bounds (explode of a
+    ``sequence`` — no driver-side loop); the per-bucket representative
+    is ``max_by`` with a (sec, event_id) composite key, so ties within
+    a bucket resolve identically on both engines.  One aggregate + one
+    keyed join + one window pass."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < RESAMPLE_USERS
+    ).select(
+        "user_id", "event_id", "value", F.unix_timestamp("ts").alias("sec")
+    )
+    bucket = (F.floor(F.col("sec") / RESAMPLE_BUCKET_SEC) * RESAMPLE_BUCKET_SEC)
+    b = e.groupBy("user_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max_by(
+            "value", F.col("sec") * 10000000 + F.col("event_id")
+        ).alias("v_last"),
+    )
+    grid = (
+        b.groupBy("user_id")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("b0", "b1", F.lit(RESAMPLE_BUCKET_SEC))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(b, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            F.timestamp_seconds("bucket").alias("bucket_ts"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.round(
+                F.last("v_last", ignorenulls=True).over(w), 2
+            ).alias("v_filled"),
+            F.col("n_events").isNull().alias("is_gap"),
+        )
+    )
