@@ -509,3 +509,128 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("label"), F.col("vec_id")).alias("component_id"),
         )
     )
+
+
+INCR_SPLIT = 400  # doc_id >= SPLIT is the "new batch", < SPLIT the corpus
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+WITH ds AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(toks) - {SHINGLE_K - 1}, 0) + 1),
+                   i -> array_to_string(toks[i : i + {SHINGLE_K - 1}], ' ')
+               )) AS shingle
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents)
+    )
+),
+capped AS (
+    SELECT doc_id, shingle FROM ds
+    WHERE shingle NOT IN (
+        SELECT shingle FROM ds GROUP BY shingle HAVING count(*) > {MAX_SHINGLE_DF})
+),
+near AS (
+    SELECT b.doc_id AS new_id, count(DISTINCT a.doc_id) AS n_near
+    FROM capped a JOIN capped b ON a.shingle = b.shingle
+    WHERE a.doc_id < {INCR_SPLIT} AND b.doc_id >= {INCR_SPLIT}
+    GROUP BY b.doc_id
+),
+fp AS (SELECT doc_id, md5(lower(trim(text))) AS f FROM documents),
+exact AS (
+    SELECT n.doc_id AS new_id, min(o.doc_id) AS exact_dup_of
+    FROM fp n JOIN fp o ON n.f = o.f AND o.doc_id < {INCR_SPLIT}
+    WHERE n.doc_id >= {INCR_SPLIT}
+    GROUP BY n.doc_id
+)
+SELECT d.doc_id,
+       CAST(exact.exact_dup_of AS BIGINT) AS exact_dup_of,
+       CAST(coalesce(near.n_near, 0) AS BIGINT) AS n_near_candidates,
+       CAST(exact.exact_dup_of IS NULL AND coalesce(near.n_near, 0) = 0
+            AS BOOLEAN) AS is_novel
+FROM documents d
+LEFT JOIN exact ON exact.new_id = d.doc_id
+LEFT JOIN near ON near.new_id = d.doc_id
+WHERE d.doc_id >= {INCR_SPLIT}
+""",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the continuous-ingest shape: a new batch
+    (doc_id ≥ {INCR_SPLIT}) is checked against the existing corpus,
+    never against itself and never corpus × corpus.  Per new document:
+    the corpus doc it exactly duplicates (normalized-content md5, min
+    id), how many corpus docs share ≥1 surviving shingle (near-dup
+    candidates), and whether it is novel.
+
+    Scale shape: the shingle posting lists split into (corpus_docs,
+    batch_docs) arrays per shingle and ONLY the old × new cross product
+    expands — per-shingle work is |old|·|new| instead of the full
+    K·(K-1)/2, and batches being small keeps it near-linear.  The same
+    hot-shingle cap as the full Jaccard applies (on total df, matching
+    the oracle).  Exact-dup check is one keyed join on fingerprints.
+    This is the loop a 100 TB pipeline actually runs daily; the full
+    pairwise queries are its backfill counterpart."""
+    docs = load_table(spark, sf_dir, "documents")
+    ds = docs.select("doc_id", tokens_col().alias("toks")).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("toks")))).alias("shingle"),
+    )
+    is_new = F.col("doc_id") >= INCR_SPLIT
+    postings = (
+        ds.groupBy("shingle")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.when(~is_new, F.col("doc_id")))
+            ).alias("olds"),
+            F.sort_array(
+                F.collect_set(F.when(is_new, F.col("doc_id")))
+            ).alias("news"),
+        )
+        .filter(
+            (F.size("olds") + F.size("news") <= MAX_SHINGLE_DF)
+            & (F.size("olds") >= 1)
+            & (F.size("news") >= 1)
+        )
+    )
+    cross = postings.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("olds"),
+                    lambda x: F.transform(
+                        F.col("news"),
+                        lambda y: F.struct(
+                            x.alias("old_id"), y.alias("new_id")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.old_id").alias("old_id"), F.col("p.new_id").alias("new_id"))
+    near = cross.groupBy("new_id").agg(
+        F.count_distinct("old_id").alias("n_near")
+    )
+    fp = docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("f")
+    )
+    old_min_fp = (
+        fp.filter(~is_new).groupBy("f").agg(F.min("doc_id").alias("exact_dup_of"))
+    )
+    new_docs = fp.filter(is_new)
+    return (
+        new_docs.join(old_min_fp, "f", "left")
+        .join(near, new_docs["doc_id"] == near["new_id"], "left")
+        .select(
+            "doc_id",
+            "exact_dup_of",
+            F.coalesce("n_near", F.lit(0)).alias("n_near_candidates"),
+            (
+                F.col("exact_dup_of").isNull() & (F.coalesce("n_near", F.lit(0)) == 0)
+            ).alias("is_novel"),
+        )
+    )
