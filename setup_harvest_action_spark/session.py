@@ -54,6 +54,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # the Python DataSource (sources/sparql_datasource.py) implements
+        # pushFilters(), which Spark refuses to plan unless this is on
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark
         # rejects by default; read as long and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -73,18 +73,28 @@ class UrllibTransport:
 
 
 def create_sparql_query(
-    collection_uri: str, limit: int | None = None, offset: int | None = None
+    collection_uri: str,
+    limit: int | None = None,
+    offset: int | None = None,
+    concept_uri: str | None = None,
 ) -> str:
     """The reference's harvest SELECT, verbatim semantics
     (harvest.py:54-87).  The URI is validated before interpolation —
-    same guard, same injection posture."""
+    same guard, same injection posture.  ``concept_uri`` adds a
+    server-side ``FILTER(?concept = <uri>)`` — the pushdown hook the
+    Python DataSource uses to ship an equality predicate to the
+    endpoint instead of scanning every page."""
     validate_collection_uri(collection_uri)
+    concept_filter = ""
+    if concept_uri is not None:
+        validate_collection_uri(concept_uri)
+        concept_filter = f"\n        FILTER(?concept = <{concept_uri}>)"
     query = f"""
     PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
 
     SELECT DISTINCT ?concept ?prefLabel ?altLabel ?definition
     WHERE {{
-        <{collection_uri}> skos:member ?concept .
+        <{collection_uri}> skos:member ?concept .{concept_filter}
         OPTIONAL {{ ?concept skos:prefLabel ?prefLabel }}
         OPTIONAL {{ ?concept skos:altLabel ?altLabel }}
         OPTIONAL {{ ?concept skos:definition ?definition }}
@@ -262,7 +272,18 @@ class FakeSparqlEndpoint:
 
         limit = re.search(r"LIMIT (\d+)", query_text)
         offset = re.search(r"OFFSET (\d+)", query_text)
+        concept = re.search(r"FILTER\(\?concept = <([^>]+)>\)", query_text)
         rows = self.rows()
+        if concept:
+            return {
+                "results": {
+                    "bindings": [
+                        r
+                        for r in rows
+                        if r["concept"]["value"] == concept.group(1)
+                    ]
+                }
+            }
         # LIMIT/OFFSET page over DISTINCT CONCEPTS, not rows — a
         # concept's cross-product rows travel together, like a real
         # endpoint ordering by ?concept.

@@ -28,7 +28,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
 
 from setup_harvest_action_spark.catalog import query
 from setup_harvest_action_spark.sources.sparql import (
@@ -70,10 +76,31 @@ class SparqlDataSourceReader(DataSourceReader):
                 "sparql source requires 'endpoint' and 'collection' options"
             ) from exc
         self.page_size = int(options.get("pagesize", DEFAULT_PAGE_SIZE))
+        self.pushed_concept: str | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Ship a ``concept = <uri>`` equality to the endpoint as a
+        SPARQL ``FILTER`` clause — the source then plans ONE partition
+        and skips the COUNT pre-query entirely, instead of fetching
+        every page and filtering in Spark.  Everything else is returned
+        for Spark to evaluate post-scan."""
+        for f in filters:
+            if (
+                self.pushed_concept is None
+                and isinstance(f, EqualTo)
+                and f.attribute == ("concept",)
+                and isinstance(f.value, str)
+            ):
+                self.pushed_concept = f.value
+            else:
+                yield f
 
     def partitions(self) -> list[InputPartition]:
         """One partition per LIMIT/OFFSET page, sized by the COUNT
-        pre-query (harvest.py:403-405) at planning time."""
+        pre-query (harvest.py:403-405) at planning time; a pushed
+        concept filter collapses the scan to a single page."""
+        if self.pushed_concept is not None:
+            return [SparqlPagePartition(0, self.page_size)]
         n = get_member_count(make_transport(self.endpoint), self.collection)
         return [
             SparqlPagePartition(off, self.page_size)
@@ -85,7 +112,10 @@ class SparqlDataSourceReader(DataSourceReader):
         query text and 502 backoff."""
         transport = make_transport(self.endpoint)
         text = create_sparql_query(
-            self.collection, limit=partition.limit, offset=partition.offset
+            self.collection,
+            limit=partition.limit,
+            offset=partition.offset,
+            concept_uri=self.pushed_concept,
         )
         yield from bindings_to_rows(fetch_with_backoff(transport, text))
 
@@ -103,7 +133,12 @@ class SparqlDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotently register the format with a session."""
+    """Idempotently register the format with a session.  Also enables
+    Python-source filter pushdown: with ``pushFilters`` implemented,
+    Spark refuses to plan ANY read of this source while the flag is
+    off — so registration turns it on for sessions (like the driver's)
+    that didn't set it at build time (it is runtime-settable)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SparqlDataSource)
 
 

@@ -291,3 +291,29 @@ def test_sparql_datasource_paginates(spark):
     c1 = by_concept["http://vocab.example/collection/c00001"][0]
     assert c1.altLabel is None and c1.definition is None
     assert len(by_concept["http://vocab.example/collection/c00010"]) == 2
+
+
+def test_sparql_datasource_pushes_concept_filter(spark):
+    """concept = <uri> must reach the endpoint as a SPARQL FILTER: the
+    scan plans ONE partition (no COUNT pre-query, no page sweep) and
+    the endpoint returns only that concept's rows."""
+    from pyspark.sql import functions as F
+
+    from setup_harvest_action_spark.sources.sparql_datasource import register
+
+    register(spark)
+    base = (
+        spark.read.format("sparql")
+        .option("endpoint", "fake:120")
+        .option("collection", "http://vocab.example/collection")
+        .option("pagesize", "50")
+        .load()
+    )
+    target = "http://vocab.example/collection/c00010"
+    filtered = base.filter(F.col("concept") == target)
+    assert filtered.rdd.getNumPartitions() == 1  # vs 3 unfiltered pages
+    rows = filtered.collect()
+    # c00010: i%10==0 and i%2==0 -> prefLabel + two altLabel rows
+    assert len(rows) == 2
+    assert {r.concept for r in rows} == {target}
+    assert {r.altLabel for r in rows} == {"Alt 10", "Alt 10 bis"}
