@@ -441,3 +441,65 @@ def q_text_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.cast("int").alias("bpe_ish_tokens"),
         F.round(F.length("text") / bpe, 4).alias("chars_per_token"),
     )
+
+
+@query(
+    "q_text_entropy_pandas_udf",
+    oracle="""
+WITH chars AS (
+    SELECT doc_id, length(text) AS n_chars, unnest(string_split(text, '')) AS c
+    FROM documents WHERE doc_id < 300
+),
+freq AS (SELECT doc_id, n_chars, c, count(*) AS n FROM chars GROUP BY 1, 2, 3)
+SELECT doc_id,
+       CAST(max(n_chars) AS INTEGER) AS n_chars,
+       CAST(round(-sum((n * 1.0 / n_chars) * ln(n * 1.0 / n_chars)), 4)
+            AS DOUBLE) AS char_entropy
+FROM freq
+GROUP BY doc_id
+""",
+)
+def q_text_entropy_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar ``@pandas_udf`` surface (SURVEY.md §2.2 "UDF surface"):
+    per-document character-level Shannon entropy, computed vectorized
+    in numpy over Arrow-batched series — the fourth UDF form beside
+    mapInPandas (multimodal), applyInPandas (z-score) and
+    applyInPandasWithState (streaming).
+
+    Deliberately also expressible as explode + two hash aggregates
+    (that IS the oracle), so the Python batch boundary gets an exact
+    value-hash gate.  Entropy is a quality signal LLM pipelines use to
+    drop binary junk / repeated-token spam; at 100 TB this runs as one
+    map-only pass, no shuffle — but prefer the pure-SQL explode form
+    in the hot path when the metric is SQL-expressible (UDFs are the
+    slow path; this entry exists to prove the boundary, not to
+    recommend it)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: module-level `from __future__ import annotations`
+    # stringifies them and the UDF type-hint inference can't resolve
+    # the function-local `pd` alias; hint-less defaults to SCALAR
+    @pandas_udf("double")
+    def char_entropy(texts):
+        out = []
+        for t in texts:
+            if not t:
+                out.append(0.0)
+                continue
+            arr = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            # fixture text is ascii; counts per byte == counts per char
+            counts = np.bincount(arr)
+            p = counts[counts > 0] / len(arr)
+            # sort for deterministic summation order
+            p.sort()
+            out.append(round(float(-(p * np.log(p)).sum()), 4))
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        char_entropy(F.col("text")).alias("char_entropy"),
+    )
