@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import datetime as _dt
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from setup_harvest_action_spark.catalog import query
@@ -270,25 +271,38 @@ SELECT 'unique_customer_pk',
 def q_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The constraint pack (O11's UNIQUE/FK assertions) run against the
     fixture star schema — referential integrity as data, with a real
-    SQL oracle.  Each check is one anti-join or one keyed aggregate."""
+    SQL oracle.  Each check is one anti-join or one keyed aggregate,
+    UNIONED into one lazy plan: constructing the report launches no
+    Spark jobs, and one action evaluates every check (the checks run
+    as parallel stages of a single job instead of serial driver-side
+    counts)."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    rows = [
-        (
+
+    def check(name: str, violations: DataFrame) -> DataFrame:
+        return violations.agg(F.count(F.lit(1)).alias("violations")).select(
+            F.lit(name).alias("constraint_name"), "violations"
+        )
+
+    checks = [
+        check(
             "fk_orders_customer",
-            fk_orphans(orders, customer, "o_custkey", "c_custkey").count(),
+            fk_orphans(orders, customer, "o_custkey", "c_custkey"),
         ),
-        (
+        check(
             "fk_lineitem_orders",
-            fk_orphans(lineitem, orders, "l_orderkey", "o_orderkey").count(),
+            fk_orphans(lineitem, orders, "l_orderkey", "o_orderkey"),
         ),
-        (
+        check(
             "fk_nation_region",
-            fk_orphans(nation, region, "n_regionkey", "r_regionkey").count(),
+            fk_orphans(nation, region, "n_regionkey", "r_regionkey"),
         ),
-        ("unique_customer_pk", duplicate_keys(customer, ["c_custkey"]).count()),
+        check("unique_customer_pk", duplicate_keys(customer, ["c_custkey"])),
     ]
-    return spark.createDataFrame(rows, "constraint_name string, violations long")
+    report = checks[0]
+    for c in checks[1:]:
+        report = report.unionByName(c)
+    return report

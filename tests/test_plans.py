@@ -326,3 +326,17 @@ def test_zorder_write_tightens_stats_on_both_dims(spark, tmp_path):
     assert z_price < s_price
     # and the rewrite loses no rows
     assert spark.read.parquet(zdir).count() == orders.count()
+
+
+def test_constraint_report_construction_launches_no_job(spark, queries):
+    """q_constraint_report must be one lazy unioned plan — constructing
+    it runs zero Spark jobs (the r02 form ran four serial counts on the
+    driver during construction)."""
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    n_before = len(before) if before else 0
+    df = queries["q_constraint_report"](spark, SF)
+    after = tracker.getJobIdsForGroup(None)
+    n_after = len(after) if after else 0
+    assert n_after == n_before
+    assert df.count() == 4
