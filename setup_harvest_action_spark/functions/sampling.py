@@ -350,3 +350,86 @@ def q_sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_start.alias("token_start"),
         F.floor(token_start / PACK_BUDGET).alias("bin_id"),
     )
+
+
+@query(
+    "q_pipeline_corpus_prep",
+    oracle=f"""
+WITH gated AS (
+    SELECT doc_id, text,
+           list_filter(string_split(text, ' '), t -> t <> '') AS toks
+    FROM documents
+    WHERE length(text) BETWEEN 50 AND 5000
+      AND len(list_filter(string_split(text, ' '), t -> t <> '')) >= 10
+),
+kept AS (
+    SELECT doc_id, toks FROM (
+        SELECT doc_id, toks,
+               row_number() OVER (
+                   PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+        FROM gated
+    ) WHERE rn = 1
+),
+train AS (
+    SELECT doc_id, toks FROM kept
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{TRAIN_THRESHOLD}'
+),
+n AS (
+    SELECT doc_id, toks,
+           CAST(ceil(greatest(len(toks) - {CHUNK_SIZE}, 0) / {CHUNK_STRIDE}.0)
+                AS BIGINT) + 1 AS n_chunks
+    FROM train
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(len(toks[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_SIZE}])
+            AS INTEGER) AS chunk_tokens
+FROM n, unnest(range(0, n_chunks)) AS u(i)
+""",
+)
+def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE corpus-prep pipeline as ONE lazy plan: quality gate
+    (length bounds + min tokens) → exact dedup (min doc_id per
+    normalized fingerprint) → train-split selection (stable hash) →
+    context-window chunking.  Each stage is individually oracled
+    elsewhere (q_text_quality, q_dedup_exact, q_sample_train_valid_test,
+    q_sample_chunk_windows); this entry proves they COMPOSE — one
+    Catalyst plan, one pass over the corpus plus one fingerprint
+    window, with the same exact value-hash gate end-to-end.  At 100 TB
+    this is the actual nightly job: no intermediate materialization,
+    pushdown and pruning flow through every stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    gated = docs.select("doc_id", "text", toks.alias("toks")).filter(
+        F.length("text").between(50, 5000) & (F.size(F.col("toks")) >= 10)
+    )
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy(
+        "doc_id"
+    )
+    train = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(hash_bucket(F.col("doc_id")) < TRAIN_THRESHOLD)
+        .select("doc_id", "toks")
+    )
+    tk = F.col("toks")
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.size(tk) - CHUNK_SIZE, F.lit(0)) / F.lit(float(CHUNK_STRIDE))
+        )
+        + 1
+    ).cast("int")
+    chunk = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.size(F.slice(tk, i * CHUNK_STRIDE + 1, CHUNK_SIZE))
+            .cast("int")
+            .alias("chunk_tokens"),
+        ),
+    )
+    return train.select("doc_id", F.explode(chunk).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_tokens").alias("chunk_tokens"),
+    )
