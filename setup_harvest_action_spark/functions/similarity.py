@@ -317,3 +317,121 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank"
         )
     )
+
+
+HYBRID_QUERY_VEC = 0  # embedding of doc 0 is the query vector
+HYBRID_TOP_K = 10
+HYBRID_ALPHA = 0.5  # lexical/vector blend
+
+
+@query(
+    "q_similarity_hybrid_rerank",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+    FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(len) AS avgdl FROM dl),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('join', 'hash', 'scan')
+    GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+bm AS (
+    SELECT tf.doc_id,
+           round(sum(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * tf.tf * (1.2 + 1)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.len / stats.avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df ON df.tok = tf.tok
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+),
+bmmax AS (SELECT max(bm25) AS mx FROM bm),
+vecs AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+qv AS (SELECT v AS qvec FROM vecs WHERE vec_id = {HYBRID_QUERY_VEC}),
+scored AS (
+    SELECT bm.doc_id,
+           round(bm.bm25 / bmmax.mx, 6) AS bm25_norm,
+           round(list_cosine_similarity(vecs.v, qv.qvec), 6) AS cos
+    FROM bm
+    JOIN vecs ON vecs.vec_id = bm.doc_id
+    CROSS JOIN bmmax CROSS JOIN qv
+    WHERE bm.doc_id <> {HYBRID_QUERY_VEC}
+),
+ranked AS (
+    SELECT doc_id, bm25_norm, cos,
+           round({HYBRID_ALPHA} * bm25_norm + {1 - HYBRID_ALPHA} * cos, 6)
+               AS hybrid,
+           row_number() OVER (
+               ORDER BY round({HYBRID_ALPHA} * bm25_norm
+                              + {1 - HYBRID_ALPHA} * cos, 6) DESC, doc_id)
+               AS rank
+    FROM scored
+)
+SELECT doc_id,
+       CAST(bm25_norm AS DOUBLE) AS bm25_norm,
+       CAST(cos AS DOUBLE) AS cosine,
+       CAST(hybrid AS DOUBLE) AS hybrid,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked
+WHERE rank <= {HYBRID_TOP_K}
+""",
+)
+def q_similarity_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (the RAG shape): BM25 lexical candidates
+    re-ranked by embedding cosine to a query vector —
+    score = α·bm25_norm + (1-α)·cosine, top-k overall.
+
+    Plan: the BM25 scorer (one matched-term explode + broadcast stats,
+    ``functions.text.bm25_scores``) joins the embedding table on the
+    shared id, the query vector and the bm25 max arrive as broadcast
+    1-row aggregates, and the final top-k is one global
+    TakeOrdered-style window.  Both halves are individually oracled
+    elsewhere; this entry gates the BLEND exactly (all components
+    rounded before blending so both engines rank identical doubles).
+    At 100 TB: candidates are |bm25-matched docs|, not the corpus —
+    the vector join touches only them."""
+    from setup_harvest_action_spark.functions.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = bm25_scores(docs).select(
+        "doc_id", F.round("score", 6).alias("bm25")
+    )
+    bmmax = bm.agg(F.max("bm25").alias("mx"))
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+    qv = vecs.filter(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+        F.col("v").alias("qvec")
+    )
+    scored = (
+        bm.filter(F.col("doc_id") != HYBRID_QUERY_VEC)
+        .join(vecs, bm["doc_id"] == vecs["vec_id"])
+        .crossJoin(F.broadcast(bmmax))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            F.round(F.col("bm25") / F.col("mx"), 6).alias("bm25_norm"),
+            F.round(cosine(F.col("v"), F.col("qvec")), 6).alias("cosine"),
+        )
+    )
+    hybrid = F.round(
+        HYBRID_ALPHA * F.col("bm25_norm") + (1 - HYBRID_ALPHA) * F.col("cosine"),
+        6,
+    )
+    w = Window.orderBy(F.desc("hybrid"), F.asc("doc_id"))
+    return (
+        scored.withColumn("hybrid", hybrid)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= HYBRID_TOP_K)
+        .select("doc_id", "bm25_norm", "cosine", "hybrid", "rank")
+    )

@@ -326,6 +326,43 @@ BM25_B = 0.75
 BM25_QUERY = ("join", "hash", "scan")  # fixed bag-of-words query
 
 
+def bm25_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, score): BM25 against the fixed BM25_QUERY bag of words
+    (k1=1.2, b=0.75, Robertson idf with the +1 floor) — the shared
+    scorer behind q_text_bm25 and the hybrid re-rank.  One explode of
+    matched terms only, df as a tiny broadcast aggregate, corpus stats
+    as a 1-row cross join; all codegen'd arithmetic."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*BM25_QUERY))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("len") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom).alias("score"))
+    )
+
+
 @query(
     "q_text_bm25",
     oracle=f"""
@@ -361,45 +398,11 @@ WHERE round(score, 6) > 1.0
 )
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval scoring against a fixed bag-of-words query — the
-    lexical ranking function TF-IDF feeds into (k1=1.2, b=0.75,
-    Robertson idf with the +1 floor).
-
-    Plan shape: one explode of the matched terms only (the IN filter
-    prunes before the shuffle), per-doc term frequencies, document
-    frequencies as a tiny broadcast-joined aggregate, corpus stats as a
-    1-row cross join.  Everything stays in codegen'd column arithmetic;
-    at 100 TB the df/avgdl aggregates are the only corpus-wide state
-    and they are O(|query terms|) and O(1)."""
+    lexical ranking function TF-IDF feeds into.  See ``bm25_scores``
+    for the plan shape; at 100 TB the df/avgdl aggregates are the only
+    corpus-wide state and they are O(|query terms|) and O(1)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-        ).alias("tok"),
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avgdl")
-    )
-    tf = (
-        toks.filter(F.col("tok").isin(*BM25_QUERY))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
-    )
-    denom = F.col("tf") + BM25_K1 * (
-        1 - BM25_B + BM25_B * F.col("len") / F.col("avgdl")
-    )
-    scored = (
-        tf.join(F.broadcast(df), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom).alias("score"))
-    )
+    scored = bm25_scores(docs)
     return scored.select(
         "doc_id", F.round("score", 6).alias("bm25")
     ).filter(F.col("bm25") > 1.0)
