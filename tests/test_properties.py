@@ -116,6 +116,13 @@ def test_harvest_invariants_hold_for_random_batches(spark, rows):
     from setup_harvest_action_spark.harvest.load import HarvestState, harvest_batch
     from setup_harvest_action_spark.schemas import SPARQL_BINDINGS
 
+    # Other tests in the shared session may legitimately hold caches
+    # (e.g. connected_components returns a cached frame its caller
+    # releases later) — record them so the release-contract assertion
+    # below checks only the caches THIS test created.
+    jsc = spark.sparkContext._jsc.sc()
+    preexisting = int(jsc.getPersistentRDDs().size())
+
     bindings = spark.createDataFrame(rows, SPARQL_BINDINGS)
     ts = dt.datetime(2026, 3, 1)
     state, stats = harvest_batch(HarvestState.empty(spark), bindings, ts)
@@ -143,4 +150,4 @@ def test_harvest_invariants_hold_for_random_batches(spark, rows):
     # done (harvest_run does this per committed batch)
     state.release()
     state2.release()
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+    assert int(jsc.getPersistentRDDs().size()) == preexisting
