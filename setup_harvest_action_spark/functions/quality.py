@@ -1,0 +1,342 @@
+"""Corpus quality & safety operators over ``documents`` /
+``embeddings``: repetition filters, PII redaction, benchmark
+decontamination, embedding-outlier scoring.
+
+LLM-pipeline pillar (SURVEY.md §2.2 extension; complements
+``functions/text.py`` quality scores and ``functions/sampling.py``
+assembly).  A training-data pipeline FILTERS repetitive documents
+(Gopher-style repetition signals), REDACTS sensitive spans before the
+corpus leaves the trust boundary, DECONTAMINATES against held-out
+evaluation sets (n-gram overlap), and DROPS embedding-space outliers
+(mislabeled / off-distribution rows).  Design rules:
+
+  * Repetition metrics are one explode + one keyed aggregation with
+    map-side partial combine; the per-document token stats ride through
+    the explode as carried columns (``any_value``-style ``first``), so
+    no join back to the document table is needed.
+  * The benchmark shingle set is TINY relative to the corpus (eval
+    suites are a few thousand documents even when the corpus is
+    100 TB), so decontamination broadcasts it: the corpus side is one
+    explode + broadcast-hash semi-join + per-doc count, with NO
+    corpus-scale shuffle on the join itself.
+  * Redaction is pure per-row regex (map-only, whole-stage codegen,
+    zero shuffle at any scale).
+  * Outlier scoring never explodes the corpus-scale side twice: the
+    per-label centroid is computed once via ``posexplode`` + partial
+    avg (rows = labels x dim, trivially small), collected back into an
+    array, and BROADCAST; each vector then computes its distance with
+    JVM array lambdas (``zip_with`` + ``aggregate``) — the big side
+    stays one row per vector.
+  * Thresholds are applied to UNROUNDED values; rounding happens only
+    in the output projection (oracle-parity rule, ADVICE r02).
+
+No counterpart in the reference (`/root/reference/harvest.py` is a
+vocabulary ETL); these are the north-star extension ops (BASELINE.json)
+a corpus pipeline needs between harvest and training.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from setup_harvest_action_spark.catalog import query
+from setup_harvest_action_spark.functions.text import tokens
+from setup_harvest_action_spark.io.loaders import load_table
+
+# Gopher-style repetition gates (Rae et al. 2021, table A1 spirit —
+# values tuned to the synthetic fixture's vocabulary so both outcomes
+# occur): drop a document when too few of its tokens are distinct or
+# when one bigram dominates.
+MAX_DUP_TOKEN_FRAC = 0.55
+MAX_TOP_BIGRAM_FRAC = 0.10
+
+# One alternation, compiled once per task: email addresses, US-style
+# 7-digit phone tails, and a configurable sensitive-term list (the
+# fixture text contains no real PII, so the term list is what exercises
+# the path end-to-end; real deployments extend the alternation).
+PII_PATTERN = (
+    r"(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    r"|\b\d{3}[- ]\d{4}\b"
+    r"|\b(?:customer|supplier)\b)"
+)
+REDACTION = "[REDACTED]"
+
+# Benchmark membership for decontamination: a deterministic key
+# predicate stands in for "doc_id IN (eval-suite ids)".
+BENCH_MOD = 97
+DECONTAM_NGRAM = 3  # shingle width for overlap detection
+DECONTAM_MIN_SHARED = 3  # >= this many shared shingles -> contaminated
+
+OUTLIER_TOP_K = 10  # reported outliers per label
+
+
+def _with_tokens(docs: DataFrame) -> DataFrame:
+    """Project the token array to a real column FIRST — substituting
+    ``tokens()`` into later higher-order-function lambdas re-tokenizes
+    per element (Catalyst does not CSE inside lambda bodies; measured
+    13x on the shingle explode)."""
+    return docs.select("doc_id", tokens().alias("toks"))
+
+
+def ngrams(toks: Column, n: int) -> Column:
+    """Space-joined n-gram strings over a token array column.
+    ``sequence`` is guarded: for fewer than ``n`` tokens it yields an
+    empty array (Spark's ``sequence(1, 0)`` would DESCEND)."""
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@query(
+    "q_quality_repetition",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1]) AS bgs
+  FROM tok
+),
+bg AS (
+  SELECT doc_id, n_tokens, n_distinct, unnest(bgs) AS bigram FROM base
+),
+cnt AS (
+  SELECT doc_id, bigram,
+         count(*) AS c,
+         any_value(n_tokens) AS nt,
+         any_value(n_distinct) AS nd
+  FROM bg GROUP BY doc_id, bigram
+)
+SELECT doc_id,
+       CAST(nt AS INTEGER) AS n_tokens,
+       CAST(round(1.0 - nd * 1.0 / nt, 4) AS DOUBLE) AS dup_token_frac,
+       CAST(round(max(c) * 1.0 / sum(c), 4) AS DOUBLE) AS top_bigram_frac,
+       (1.0 - nd * 1.0 / nt) <= {MAX_DUP_TOKEN_FRAC}
+           AND max(c) * 1.0 / sum(c) <= {MAX_TOP_BIGRAM_FRAC} AS keep
+FROM cnt
+GROUP BY doc_id, nt, nd
+""",
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction (1 - distinct/total) and the fraction of bigram
+    occurrences claimed by the single most common bigram; ``keep`` is
+    the unrounded-threshold filter verdict.
+
+    One explode + one two-level keyed aggregation; the per-doc token
+    stats are array-function columns (no shuffle) carried through the
+    explode via ``first``, so there is no join back to ``documents``.
+    Both aggregations partial-combine map-side; at 100 TB the shuffle
+    carries only (doc_id, bigram) partial counts."""
+    toks = _with_tokens(load_table(spark, sf_dir, "documents"))
+    base = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        ngrams(F.col("toks"), 2).alias("bgs"),
+    )
+    counted = (
+        base.select(
+            "doc_id", "n_tokens", "n_distinct", F.explode("bgs").alias("bigram")
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(
+            F.count("*").alias("c"),
+            F.first("n_tokens").alias("nt"),
+            F.first("n_distinct").alias("nd"),
+        )
+    )
+    dup_frac = F.lit(1.0) - F.col("nd") / F.col("nt")
+    top_frac = F.col("mx") / F.col("tot")
+    return (
+        counted.groupBy("doc_id", "nt", "nd")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+        .select(
+            "doc_id",
+            F.col("nt").cast("int").alias("n_tokens"),
+            F.round(dup_frac, 4).alias("dup_token_frac"),
+            F.round(top_frac, 4).alias("top_bigram_frac"),
+            (
+                (dup_frac <= MAX_DUP_TOKEN_FRAC)
+                & (top_frac <= MAX_TOP_BIGRAM_FRAC)
+            ).alias("keep"),
+        )
+    )
+
+
+@query(
+    "q_quality_pii_redact",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_PATTERN}')) AS INTEGER)
+           AS n_pii_hits,
+       md5(regexp_replace(text, '{PII_PATTERN}', '{REDACTION}', 'g'))
+           AS redacted_md5
+FROM documents
+""",
+)
+def q_quality_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitive-span detection + redaction: per-document match count
+    and the md5 of the redacted text (md5 is bit-identical across
+    engines, so the oracle value-checks the full redacted string
+    without shipping it).
+
+    Pure per-row regex — map-only, whole-stage codegen, zero shuffle
+    at any scale.  Spark's ``regexp_replace`` is global by default;
+    DuckDB needs the explicit ``'g'`` flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_PATTERN))
+        .cast("int")
+        .alias("n_pii_hits"),
+        F.md5(F.regexp_replace(F.col("text"), PII_PATTERN, REDACTION)).alias(
+            "redacted_md5"
+        ),
+    )
+
+
+@query(
+    "q_quality_decontaminate",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             AS shingle
+  FROM tok
+),
+bench AS (
+  SELECT DISTINCT shingle FROM tri WHERE doc_id % {BENCH_MOD} = 0
+),
+corpus AS (
+  SELECT DISTINCT doc_id, shingle FROM tri WHERE doc_id % {BENCH_MOD} <> 0
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared,
+       count(*) >= {DECONTAM_MIN_SHARED} AS contaminated
+FROM corpus c JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+""",
+)
+def q_quality_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose
+    ``DECONTAM_NGRAM``-gram shingles overlap the held-out benchmark
+    set (membership: ``doc_id % BENCH_MOD == 0``), reporting the
+    number of distinct shared shingles per document.
+
+    The benchmark shingle set is broadcast (eval suites stay small no
+    matter how big the corpus grows), so the corpus side is explode →
+    per-doc dedup → broadcast-hash join → per-doc count: the only
+    corpus-scale shuffle is the (doc_id, shingle) dedup aggregation,
+    which partial-combines map-side."""
+    toks = _with_tokens(load_table(spark, sf_dir, "documents"))
+    tri = toks.select(
+        "doc_id", F.explode(ngrams(F.col("toks"), DECONTAM_NGRAM)).alias("shingle")
+    )
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = tri.filter(is_bench).select("shingle").distinct()
+    corpus = tri.filter(~is_bench).dropDuplicates(["doc_id", "shingle"])
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .select(
+            "doc_id",
+            "n_shared",
+            (F.col("n_shared") >= DECONTAM_MIN_SHARED).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "q_embedding_outliers",
+    oracle=f"""
+WITH ex AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos, avg(val) AS c FROM ex GROUP BY label, pos
+),
+dist AS (
+  SELECT ex.vec_id, ex.label,
+         CAST(round(sqrt(sum((ex.val - cent.c) * (ex.val - cent.c))), 6)
+              AS DOUBLE) AS dist
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+  GROUP BY ex.vec_id, ex.label
+)
+SELECT vec_id, label, dist, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT vec_id, label, dist,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY dist DESC, vec_id) AS rk
+  FROM dist
+)
+WHERE rk <= {OUTLIER_TOP_K}
+""",
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: Euclidean distance to the label
+    centroid, top ``OUTLIER_TOP_K`` per label (mislabeled /
+    off-distribution candidates a curation pipeline drops or reviews).
+
+    The corpus-scale side is exploded exactly once — to compute the
+    centroids (partial avg map-side; output rows = labels × dim,
+    trivially small).  Centroids are collected back into arrays and
+    BROADCAST; each vector computes its distance with ``zip_with`` +
+    ``aggregate`` JVM lambdas, so the big side stays one row per
+    vector and the only corpus shuffle is the final per-label top-k
+    window (WindowGroupLimit prunes to k per partition map-side).
+    Ranking orders by the ROUNDED distance (ties broken by vec_id) so
+    engine-level float noise cannot reorder the cut."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    centroids = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+    diff2 = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        F.col("centroid"),
+        lambda v, c: (v - c) * (v - c),
+    )
+    dist = emb.join(F.broadcast(centroids), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)), 6
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dist"), F.asc("vec_id"))
+    return (
+        dist.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= OUTLIER_TOP_K)
+    )

@@ -1,0 +1,151 @@
+"""Quality/safety operator tests: exact values on hand-built corpora
+plus plan-shape checks for the broadcast contracts
+(functions/quality.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from setup_harvest_action_spark.catalog import load_catalog
+from setup_harvest_action_spark.functions.quality import (
+    DECONTAM_MIN_SHARED,
+    PII_PATTERN,
+    REDACTION,
+    ngrams,
+)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return load_catalog()[0]
+
+
+def test_ngrams_counts_and_edges(spark):
+    """n-gram construction: len-n+1 grams in order; short arrays give
+    an empty list (the sequence() descending-range trap is guarded)."""
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d"]), (2, ["x"]), (3, [])],
+        "id int, toks array<string>",
+    )
+    out = {
+        r["id"]: r["g"]
+        for r in df.select("id", ngrams(F.col("toks"), 3).alias("g")).collect()
+    }
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == []
+    assert out[3] == []
+
+
+def test_repetition_metrics_exact(spark, monkeypatch):
+    """dup_token_frac and top_bigram_frac on a document with known
+    repetition: 'x y x y x y' has 6 tokens, 2 distinct, 5 bigrams of
+    which 'x y' appears 3 times."""
+    import setup_harvest_action_spark.functions.quality as qual
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "a b c d e f")],
+        "doc_id int, text string",
+    )
+    monkeypatch.setattr(
+        qual, "load_table", lambda spark, sf_dir, name: docs
+    )
+    rows = {r["doc_id"]: r for r in qual.q_quality_repetition(spark, "").collect()}
+    r1, r2 = rows[1], rows[2]
+    assert r1["n_tokens"] == 6
+    assert r1["dup_token_frac"] == pytest.approx(1 - 2 / 6, abs=1e-4)
+    assert r1["top_bigram_frac"] == pytest.approx(3 / 5, abs=1e-4)
+    assert not r1["keep"]
+    assert r2["dup_token_frac"] == 0.0
+    assert r2["top_bigram_frac"] == pytest.approx(1 / 5, abs=1e-4)
+
+
+def test_pii_redaction_patterns(spark):
+    """Every alternation arm fires: email, phone tail, sensitive term;
+    clean text passes through untouched."""
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com and call 555-1234 now"),
+            (2, "the customer met a supplier"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            F.regexp_count("text", F.lit(PII_PATTERN)).alias("n"),
+            F.regexp_replace("text", PII_PATTERN, REDACTION).alias("red"),
+        ).collect()
+    }
+    assert out[1]["n"] == 2
+    assert out[1]["red"] == f"mail {REDACTION} and call {REDACTION} now"
+    assert out[2]["n"] == 2
+    assert out[3]["n"] == 0
+    assert out[3]["red"] == "nothing sensitive here"
+
+
+def test_decontaminate_overlap_exact(spark, monkeypatch):
+    """A corpus doc sharing exactly the benchmark's trigrams is
+    flagged with the right shared count; disjoint docs don't appear."""
+    import setup_harvest_action_spark.functions.quality as qual
+
+    bench_text = "q w e r t y"  # doc_id 0 -> benchmark (0 % 97 == 0)
+    docs = spark.createDataFrame(
+        [
+            (0, bench_text),
+            (1, "q w e r zz yy"),  # shares 'q w e' and 'w e r'
+            (2, "totally disjoint words here"),
+        ],
+        "doc_id int, text string",
+    )
+    monkeypatch.setattr(qual, "load_table", lambda spark, sf_dir, name: docs)
+    rows = {r["doc_id"]: r for r in qual.q_quality_decontaminate(spark, "").collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_shared"] == 2
+    assert rows[1]["contaminated"] == (2 >= DECONTAM_MIN_SHARED)
+
+
+def test_embedding_outliers_ranks_known_outlier(spark, monkeypatch):
+    """The planted far-away vector ranks first in its label and the
+    distances follow from the hand-computed centroid."""
+    import setup_harvest_action_spark.functions.quality as qual
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0], 0),
+            (2, [2.0, 0.0], 0),
+            (3, [10.0, 0.0], 0),  # centroid x = 4.0 -> dist 6.0
+            (4, [1.0, 1.0], 1),
+        ],
+        "vec_id int, embedding array<float>, label int",
+    )
+    monkeypatch.setattr(qual, "load_table", lambda spark, sf_dir, name: emb)
+    out = qual.q_embedding_outliers(spark, "").collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(r)
+    top0 = sorted(by_label[0], key=lambda r: r["rk"])[0]
+    assert top0["vec_id"] == 3
+    assert top0["dist"] == pytest.approx(6.0, abs=1e-6)
+    # singleton label: centroid is itself, distance 0
+    assert by_label[1][0]["dist"] == 0.0
+
+
+def test_decontaminate_broadcasts_benchmark(spark, queries):
+    """The benchmark shingle side must be broadcast — a corpus-scale
+    shuffle join here would defeat the design (the eval set is tiny at
+    any corpus size)."""
+    df = queries["q_quality_decontaminate"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_outliers_broadcasts_centroids(spark, queries):
+    """Centroids (labels x dim rows) join the corpus side via
+    broadcast; the vector table itself is never exploded for the
+    distance computation."""
+    df = queries["q_embedding_outliers"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
