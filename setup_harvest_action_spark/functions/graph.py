@@ -1,0 +1,145 @@
+"""Graph analytics over event-derived graphs: fixed-iteration
+PageRank (iterative label propagation / connected components live in
+``functions/dedup.py``).
+
+LLM-pipeline pillar extension: corpus curation ranks sources and
+documents by link/co-occurrence structure (domain authority for
+crawl prioritization, co-visitation importance for dedup-cluster
+representative selection).  The graph here is the bipartite
+user↔item co-visitation graph extracted from ``events`` (item = the
+``props.k`` key), symmetrized so every node has out-degree ≥ 1 —
+which also removes the dangling-node mass question from the PageRank
+recurrence.
+
+Design rules:
+
+  * The recurrence is the standard simplified PageRank
+    ``r' = (1-d)/N + d * Σ_in r/outdeg`` with a FIXED iteration
+    count, so the whole computation is one lazy unrolled plan —
+    exactly expressible in SQL (the DuckDB oracle unrolls the same
+    three iterations as CTEs) and bounded in lineage depth.  A
+    production variant with convergence looping would checkpoint per
+    iteration like ``functions/dedup.py:connected_components``.
+  * The node count enters the plan as a broadcast one-row aggregate
+    (``crossJoin(broadcast(...))``), never a driver-side
+    ``.count()`` (the q_text_tfidf lesson, ADVICE r02).
+  * Per-iteration work is one join edges×ranks + one keyed sum with
+    map-side partial combine; the degree table joins on the same key
+    so AQE can reuse the exchange.  Nothing corpus-scale is ever
+    broadcast.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from setup_harvest_action_spark.catalog import query
+from setup_harvest_action_spark.io.loaders import load_table
+
+DAMPING = 0.85
+ITERATIONS = 3
+
+
+def pagerank(edges: DataFrame, iterations: int = ITERATIONS,
+             damping: float = DAMPING) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list
+    ``(src, dst)``.  Every node must appear as a ``src`` at least once
+    (symmetrize the graph first if needed) — that keeps out-degrees
+    positive and drops the dangling-mass term from the recurrence.
+
+    Returns ``(node, rank)`` with the UNROUNDED rank; callers round
+    for value comparison."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_row = nodes.agg(F.count("*").cast("double").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_row))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
+@query(
+    "q_graph_pagerank",
+    oracle=f"""
+WITH pairs AS (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u,
+                  'i' || json_extract_string(props, '$.k') AS i
+  FROM events
+),
+edges AS (
+  SELECT u AS src, i AS dst FROM pairs
+  UNION ALL
+  SELECT i AS src, u AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+c1 AS (
+  SELECT e.dst AS node, sum(r.rank / d.outdeg) AS s
+  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT nodes.node, {1.0 - DAMPING} / nn.n + {DAMPING} * coalesce(c1.s, 0) AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node
+),
+c2 AS (
+  SELECT e.dst AS node, sum(r.rank / d.outdeg) AS s
+  FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT nodes.node, {1.0 - DAMPING} / nn.n + {DAMPING} * coalesce(c2.s, 0) AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node
+),
+c3 AS (
+  SELECT e.dst AS node, sum(r.rank / d.outdeg) AS s
+  FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT nodes.node, {1.0 - DAMPING} / nn.n + {DAMPING} * coalesce(c3.s, 0) AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node
+)
+SELECT node, CAST(round(rank, 8) AS DOUBLE) AS rank FROM r3
+""",
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized user↔item co-visitation graph
+    (item = ``props.k``), {ITERATIONS} iterations, damping {DAMPING}.
+    The oracle unrolls the identical recurrence as three SQL CTEs, so
+    the iterative algebra is value-checked end to end — same pattern
+    as the recursive-CTE oracle for connected components."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("u"),
+        F.concat(F.lit("i"), F.get_json_object("props", "$.k")).alias("i"),
+    )
+    pairs = ev.distinct()
+    edges = pairs.select(F.col("u").alias("src"), F.col("i").alias("dst")).unionAll(
+        pairs.select(F.col("i").alias("src"), F.col("u").alias("dst"))
+    )
+    return pagerank(edges).select("node", F.round("rank", 8).alias("rank"))

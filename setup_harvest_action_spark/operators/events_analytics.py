@@ -184,3 +184,81 @@ def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").isNull().alias("is_gap"),
         )
     )
+
+
+SESSION_GAP_US = 1_800_000_000  # 30-minute inactivity gap, microseconds
+
+
+@query(
+    "q_events_sessionize",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events
+),
+m AS (
+  SELECT *,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       CAST(sid AS INTEGER) AS session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value), 4) AS DOUBLE) AS total_value,
+       CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec
+FROM s
+GROUP BY user_id, sid
+""",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization — the batch counterpart of
+    ``q_stream_session_windows``: a session breaks after 30 minutes of
+    user inactivity; per session report bounds, event count, value sum
+    and duration.
+
+    Classic lag → flag → running-sum → aggregate: one window shuffle
+    keyed by user plus one (user, session) aggregation that
+    partial-combines map-side.  Gap arithmetic runs on exact integer
+    MICROSECONDS on both engines (Spark ``unix_micros`` truncates ns,
+    DuckDB's ns→µs parquet conversion also truncates — verified on the
+    fixture), so no float time math anywhere.  Order is
+    (us, event_id), making session assignment deterministic under
+    same-microsecond events."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("us").over(w)
+    is_new = (prev.isNull() | (F.col("us") - prev > SESSION_GAP_US)).cast("long")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = e.withColumn("sid", F.sum(is_new).over(run))
+    return (
+        s.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            ((F.max("us") - F.min("us")) / F.lit(1000000))
+            .cast("long")
+            .alias("duration_sec"),
+        )
+        .select(
+            "user_id",
+            F.col("sid").cast("int").alias("session_id"),
+            "session_start",
+            "session_end",
+            "n_events",
+            "total_value",
+            "duration_sec",
+        )
+    )

@@ -1,0 +1,68 @@
+"""Exact-value tests for batch sessionization and PageRank
+(operators/events_analytics.py, functions/graph.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from setup_harvest_action_spark.functions.graph import pagerank
+
+
+def test_sessionize_breaks_on_gap(spark, monkeypatch):
+    """Events 10 min apart share a session; a 40-min gap (> 30-min
+    threshold) starts a new one, and bounds/counts/durations follow."""
+    import setup_harvest_action_spark.operators.events_analytics as ea
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    mins = lambda m: t0 + dt.timedelta(minutes=m)
+    events = spark.createDataFrame(
+        [
+            (1, mins(0), 7, "view", 1.0, "{}"),
+            (2, mins(10), 7, "click", 2.0, "{}"),
+            (3, mins(50), 7, "view", 4.0, "{}"),  # 40-min gap -> new session
+            (4, mins(0), 8, "view", 8.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(ea, "load_table", lambda spark, sf_dir, name: events)
+    rows = {
+        (r["user_id"], r["session_id"]): r
+        for r in ea.q_events_sessionize(spark, "").collect()
+    }
+    assert set(rows) == {(7, 1), (7, 2), (8, 1)}
+    s1 = rows[(7, 1)]
+    assert s1["n_events"] == 2
+    assert s1["session_start"] == mins(0) and s1["session_end"] == mins(10)
+    assert s1["duration_sec"] == 600
+    assert s1["total_value"] == pytest.approx(3.0)
+    s2 = rows[(7, 2)]
+    assert s2["n_events"] == 1 and s2["duration_sec"] == 0
+
+
+def test_pagerank_mass_and_symmetry(spark):
+    """On the symmetric path graph a—b—c: total rank mass stays 1 (no
+    dangling nodes), the endpoints tie by symmetry, and the center
+    out-ranks them."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")],
+        "src string, dst string",
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-12)
+    assert ranks["a"] == pytest.approx(ranks["c"], abs=1e-12)
+    assert ranks["b"] > ranks["a"]
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    """On a regular graph (directed 3-cycle) PageRank is exactly
+    uniform at every iteration — a closed-form check of the
+    recurrence."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    for v in ranks.values():
+        assert v == pytest.approx(1 / 3, abs=1e-12)
