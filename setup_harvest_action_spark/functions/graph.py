@@ -31,6 +31,8 @@ Design rules:
 
 from __future__ import annotations
 
+import tempfile
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -138,7 +140,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("u"), F.col("user_id")).alias("u"),
         F.concat(F.lit("i"), F.get_json_object("props", "$.k")).alias("i"),
     )
-    pairs = ev.distinct()
+    # Materialize the distinct pair set once (same lineage-truncation
+    # pattern as connected_components): the unrolled iterations
+    # reference edges/degrees/nodes ~10 times each, and without the
+    # cut every reference re-scans the EVENTS source — 28 scans of the
+    # raw table in the static plan, which is the difference between a
+    # pipeline and a disaster at 100 TB.  The pair set is bounded by
+    # |users| x |items|, far smaller than the event log; at cluster
+    # scale the temp dir is a shared-FS checkpoint location.
+    out_dir = tempfile.mkdtemp(prefix="pagerank_pairs_")
+    ev.distinct().write.mode("overwrite").parquet(out_dir)
+    pairs = spark.read.parquet(out_dir)
     edges = pairs.select(F.col("u").alias("src"), F.col("i").alias("dst")).unionAll(
         pairs.select(F.col("i").alias("src"), F.col("u").alias("dst"))
     )

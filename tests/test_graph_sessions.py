@@ -66,3 +66,29 @@ def test_pagerank_uniform_on_regular_graph(spark):
     ranks = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
     for v in ranks.values():
         assert v == pytest.approx(1 / 3, abs=1e-12)
+
+
+def test_sessionize_single_exchange(spark):
+    """The user-id hash partitioning must satisfy the lag window, the
+    running-sum window AND the (user, session) aggregation — exactly
+    one Exchange in the whole plan."""
+    from setup_harvest_action_spark.catalog import load_catalog
+
+    q, _ = load_catalog()
+    df = q["q_events_sessionize"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pagerank_never_rescans_events(spark):
+    """The returned plan must read only the materialized pair set: the
+    unrolled iterations reference edges/degrees/nodes ~10x each, and
+    without the lineage cut each reference re-scans the raw events
+    source (28 scans measured)."""
+    from setup_harvest_action_spark.catalog import load_catalog
+
+    q, _ = load_catalog()
+    df = q["q_graph_pagerank"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "events.parquet" not in plan
+    assert "pagerank_pairs_" in plan
