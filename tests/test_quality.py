@@ -149,3 +149,12 @@ def test_outliers_broadcasts_centroids(spark, queries):
     df = queries["q_embedding_outliers"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_is_map_only(spark, queries):
+    """All repetition metrics are computed inside the row (sorted-run
+    counting instead of explode + GROUP BY) — the plan must contain no
+    Exchange at all."""
+    df = queries["q_quality_repetition"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
