@@ -35,6 +35,11 @@ HEADLINE = [
     # round 3: regression numbers for the streaming and LSH paths
     "q_stream_tumbling_counts",
     "q_dedup_minhash",
+    # round 3 additions: map-only quality gate, iterative PageRank,
+    # batch sessionization
+    "q_quality_repetition",
+    "q_graph_pagerank",
+    "q_events_sessionize",
 ]
 
 
