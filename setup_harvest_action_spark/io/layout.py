@@ -82,3 +82,46 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_rows_per_file: int,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite the parquet directory at ``src``
+    into ``dst`` with files of ~``target_rows_per_file`` rows each,
+    returning the output file count.
+
+    Streaming ingestion (one file per micro-batch per partition) and
+    fine-grained upserts leave tables as thousands of KB-sized files;
+    at 100 TB the scan's task-scheduling and footer-reading overhead
+    then dominates I/O.  Compaction is the standard maintenance
+    rewrite (Delta OPTIMIZE / Iceberg rewrite_data_files), built here
+    from plain Spark primitives:
+
+      * the file count derives from the SOURCE's own row count — one
+        count() maintenance action, the same cost class as the
+        rewrite itself (this is a table-maintenance job, not a query);
+      * ``repartition(n)`` round-robins rows into equal-sized files;
+        with ``sort_cols`` it becomes ``repartitionByRange`` + sort so
+        the rewrite also restores clustering (tight min/max stats),
+        like OPTIMIZE ZORDER's 1-D little sibling;
+      * ``dst`` must differ from ``src``: Spark cannot overwrite a
+        directory it is reading, and a separate destination is also
+        what makes the swap atomic at the table-catalog layer.
+    """
+    if src == dst:
+        raise ValueError("compact_parquet: dst must differ from src")
+    df = spark.read.parquet(src)
+    n_files = max(1, -(-df.count() // target_rows_per_file))
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst)
+    return n_files

@@ -340,3 +340,44 @@ def test_constraint_report_construction_launches_no_job(spark, queries):
     n_after = len(after) if after else 0
     assert n_after == n_before
     assert df.count() == 4
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """64 tiny input files compact into ceil(rows/target) outputs with
+    identical content; with sort columns the rewrite also restores
+    clustering (non-overlapping per-file key ranges)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from setup_harvest_action_spark.io.layout import compact_parquet
+    from setup_harvest_action_spark.io.loaders import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    src = str(tmp_path / "fragmented")
+    orders.repartition(64).write.parquet(src)
+    assert len(glob.glob(src + "/*.parquet")) == 64
+
+    dst = str(tmp_path / "compacted")
+    total = orders.count()
+    n = compact_parquet(spark, src, dst, target_rows_per_file=(total + 3) // 4,
+                        sort_cols=["o_orderkey"])
+    files = glob.glob(dst + "/*.parquet")
+    assert n == 4 and len(files) <= 4
+    out = spark.read.parquet(dst)
+    assert out.count() == total
+    assert out.select("o_orderkey").exceptAll(
+        orders.select("o_orderkey")
+    ).isEmpty()
+    # clustering restored: per-file o_orderkey ranges don't overlap
+    spans = sorted(
+        (
+            pq.read_metadata(f).row_group(0).column(0).statistics.min,
+            pq.read_metadata(f).row_group(0).column(0).statistics.max,
+        )
+        for f in files
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
