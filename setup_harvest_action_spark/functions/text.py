@@ -506,3 +506,59 @@ def q_text_entropy_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars"),
         char_entropy(F.col("text")).alias("char_entropy"),
     )
+
+
+TOPK_TOKENS = 25
+
+
+@query(
+    "q_text_topk_tokens",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+agg AS (
+  SELECT token,
+         count(*) AS n_occurrences,
+         count(DISTINCT doc_id) AS n_docs
+  FROM tok GROUP BY token
+)
+SELECT token,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, token) AS rk
+  FROM agg
+)
+WHERE rk <= {TOPK_TOKENS}
+""",
+)
+def q_text_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level heavy hitters: the {TOPK_TOKENS} most frequent
+    tokens with occurrence and document-frequency counts — the exact
+    ground truth a sketch-based frequent-items pass (count-min,
+    space-saving) approximates at stream scale.
+
+    One explode into a token-keyed hash aggregate (partial combine
+    map-side shrinks the shuffle to one row per token per task), then
+    a global top-k.  The final rank window is a single-partition
+    gather, but its input is already vocabulary-sized (one row per
+    distinct token), not corpus-sized — the same TakeOrdered economics
+    as q_pagination_keyset.  Ties rank deterministically by token."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = (
+        docs.select("doc_id", F.explode(tokens()).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= TOPK_TOKENS)
+    )
