@@ -562,3 +562,63 @@ def q_text_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= TOPK_TOKENS)
     )
+
+
+KWIC_TERM = "spark"
+KWIC_WINDOW = 3  # context tokens on each side
+
+
+@query(
+    "q_text_kwic_udtf",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, toks,
+         generate_subscripts(toks, 1) AS i,
+         unnest(toks) AS t
+  FROM tok
+)
+SELECT doc_id,
+       CAST(i - 1 AS INTEGER) AS pos,
+       array_to_string(
+           toks[greatest(1, i - {KWIC_WINDOW}):least(len(toks), i + {KWIC_WINDOW})],
+           ' ') AS context
+FROM pos WHERE t = '{KWIC_TERM}'
+""",
+)
+def q_text_kwic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context via a Python UDTF (Spark 4 ``@udtf``): each
+    occurrence of the target term expands to one row carrying its
+    token position and a ±{KWIC_WINDOW}-token context window — the
+    classic corpus-linguistics concordance, and the catalog's UDTF
+    surface entry (completing scalar pandas_udf / mapInPandas /
+    applyInPandas / applyInPandasWithState).
+
+    A UDTF is the Python slow path: this exact semantics is also
+    expressible natively (posexplode + HOF slice — the oracle states
+    it relationally), so the UDTF form exists for the 1→N LATERAL
+    surface, not for speed.  It still runs WHERE THE DATA IS: the
+    lateral join is per-partition, Arrow-batched, and never collects."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, context string")
+    class Kwic:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF protocol
+            if text is None:
+                return
+            toks = [t for t in text.split(" ") if t]
+            for i, t in enumerate(toks):
+                if t == KWIC_TERM:
+                    lo = max(0, i - KWIC_WINDOW)
+                    yield doc_id, i, " ".join(toks[lo : i + KWIC_WINDOW + 1])
+
+    spark.udtf.register("kwic_concordance", Kwic)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__kwic_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.context "
+        "FROM __kwic_docs, LATERAL kwic_concordance(doc_id, text) t"
+    )
