@@ -28,6 +28,11 @@ def _write_batch(spark, rows, path):
 
 
 def test_stream_drains_backlog_and_merges(spark, tmp_path):
+    # scope the cache-release assertion to this test's own caches —
+    # other suite tests may legitimately hold some (see
+    # test_properties.py for the same pattern)
+    jsc = spark.sparkContext._jsc.sc()
+    preexisting = int(jsc.getPersistentRDDs().size())
     src = str(tmp_path / "bindings")
     _write_batch(spark, BATCH_A, src + "/a")
     _write_batch(spark, BATCH_B, src + "/b")
@@ -65,7 +70,7 @@ def test_stream_drains_backlog_and_merges(spark, tmp_path):
     vals = {v for (_, _, v) in fields}
     assert {"One", "Uno", "Eins", "first", "Two", "Three", "third"} <= vals
     # bounded caching: every micro-batch released its caches on commit
-    assert int(spark.sparkContext._jsc.sc().getPersistentRDDs().size()) == 0
+    assert int(jsc.getPersistentRDDs().size()) == preexisting
 
 
 def test_stream_resume_skips_processed_files(spark, tmp_path):
