@@ -262,3 +262,69 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_sec",
         )
     )
+
+
+@query(
+    "q_events_cohort_retention",
+    oracle="""
+WITH first AS (
+  SELECT user_id, min(ts) AS signup_ts,
+         CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_trunc('week', e.ts) AS DATE) AS week
+  FROM events e JOIN first f USING (user_id)
+  WHERE e.ts >= f.signup_ts
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) // 7 AS INTEGER) AS week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM active
+GROUP BY cohort_week, week_offset
+""",
+)
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the week of their
+    first ``signup`` event, counted as retained in every subsequent
+    week they produce any event — the product-analytics staple
+    (cohort_week × week_offset × n_users).
+
+    Week truncation is ISO-Monday on both engines; offsets are exact
+    integer day-diffs of Monday-aligned dates divided by 7, so no
+    float time math.  The cohort table (one row per signed-up user)
+    rides the join keyed by user_id; both aggregations
+    partial-combine, and the (user, week) distinct collapses the
+    corpus-scale side to at most |users| × |weeks| rows before the
+    final small matrix aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    first = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+        .select(
+            "user_id",
+            "signup_ts",
+            F.date_trunc("week", "signup_ts").cast("date").alias("cohort_week"),
+        )
+    )
+    active = (
+        events.join(first, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+        )
+        .distinct()
+    )
+    return (
+        active.groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / F.lit(7))
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

@@ -92,3 +92,36 @@ def test_pagerank_never_rescans_events(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "events.parquet" not in plan
     assert "pagerank_pairs_" in plan
+
+
+def test_cohort_retention_exact(spark, monkeypatch):
+    """Hand-built two-cohort timeline: week-1 signup retained in week
+    2; week-2 signup active only in its own week; pre-signup activity
+    is excluded."""
+    import datetime as dt
+
+    import setup_harvest_action_spark.operators.events_analytics as ea
+
+    d = lambda day, h=12: dt.datetime(2026, 6, day, h)  # June 1 2026 = Monday
+    events = spark.createDataFrame(
+        [
+            (1, d(1), 1, "signup", 0.0, "{}"),
+            (2, d(9), 1, "click", 0.0, "{}"),    # week offset 1
+            (3, d(8), 2, "signup", 0.0, "{}"),   # second cohort
+            (4, d(2), 2, "view", 0.0, "{}"),     # BEFORE signup: excluded
+            (5, d(10), 2, "click", 0.0, "{}"),   # own week
+            (6, d(3), 3, "view", 0.0, "{}"),     # never signs up: excluded
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(ea, "load_table", lambda spark, sf_dir, name: events)
+    rows = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in ea.q_events_cohort_retention(spark, "").collect()
+    }
+    assert rows == {
+        ("2026-06-01", 0): 1,
+        ("2026-06-01", 1): 1,
+        ("2026-06-08", 0): 1,
+    }
