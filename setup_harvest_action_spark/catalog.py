@@ -54,6 +54,7 @@ _OPERATOR_MODULES = (
     "setup_harvest_action_spark.functions.sampling",
     "setup_harvest_action_spark.functions.quality",
     "setup_harvest_action_spark.functions.graph",
+    "setup_harvest_action_spark.operators.scd",
     "setup_harvest_action_spark.sources.sparql_datasource",
     "setup_harvest_action_spark.streaming.events",
 )
