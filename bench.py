@@ -40,6 +40,8 @@ HEADLINE = [
     "q_quality_repetition",
     "q_graph_pagerank",
     "q_events_sessionize",
+    "q_events_cohort_retention",
+    "q_scd2_customer_segment",
 ]
 
 
