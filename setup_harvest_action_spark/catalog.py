@@ -80,65 +80,68 @@ _EXPECTED_MISSING: frozenset[str] = frozenset()
 DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = (
-    # reference load path + constraints (O11-O18, harvest.py:292-380)
-    "q_harvest_unpivot",
-    "q_harvest_terms",
-    "q_harvest_rerun_terms",
-    "q_harvest_term_fields",
-    "q_harvest_rerun_stats",
-    "q_sparql_source_sim",
-    "q_constraint_report",
-    # file sources round-trips
-    "q_source_csv_roundtrip",
-    "q_source_json_roundtrip",
-    # text analysis pillar
-    "q_text_token_stats",
-    "q_text_lang_profile",
-    "q_text_quality",
-    "q_text_tfidf",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_zscore_by_lang",
-    "q_text_bm25",
-    "q_text_token_estimate",
-    # dedup pillar
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dedup_embedding_cosine",
-    "q_dedup_components",
-    # similarity pillar
-    "q_similarity_exact_topk",
-    "q_similarity_pairs_threshold",
-    "q_similarity_ann_lsh",
-    "q_similarity_ann_ivf",
-    # multimodal pillar
-    "q_multimodal_metadata",
-    "q_multimodal_features",
-    "q_multimodal_modality_mix",
-    "q_multimodal_frame_sample",
-    "q_multimodal_thumbnail",
-    # streaming pillar
-    "q_stream_tumbling_counts",
-    "q_stream_tumbling_append_filesink",
-    "q_stream_sliding_avg",
-    "q_stream_dedup",
-    "q_stream_session_windows",
-    "q_stream_stateful_user_totals",
-    "q_stream_stream_join",
-    # relational/aggregate/join/scalar representatives (rest of each
-    # family: green in CORRECTNESS_r02.json)
-    "q_harvest_read_path",
-    "q_pagination_keyset",
-    "q_count_distinct_members",
-    "q_distinct_projection",
-    "q_filter_project",
-    "q_regex_filter",
-    "q_parameterized_sql",
-    "q_scalar_map",
-    "q_pricing_summary",
-    "q_join_asof",
+    # ---- r04 rotation: every query that has never carried a driver
+    # CORRECTNESS row (r01∪r02∪r03) goes first.  The r03 window
+    # (harvest load path + the five LLM pillars + relational
+    # representatives) is all green in CORRECTNESS_r03.json and stays
+    # continuously checked by tools/verify_oracle.py + pytest.
+    # sampling / corpus assembly (r3)
+    "q_sample_bernoulli_hash",
+    "q_sample_train_valid_test",
+    "q_sample_stratified",
+    "q_sample_mixture_weights",
+    "q_sample_chunk_windows",
+    "q_sample_pack_sequences",
+    "q_pipeline_corpus_prep",
+    # quality & safety (r3)
+    "q_quality_repetition",
+    "q_quality_pii_redact",
+    "q_quality_decontaminate",
+    "q_embedding_outliers",
+    # event analytics + graph (r3)
+    "q_events_sessionize",
+    "q_events_funnel",
+    "q_events_resample_ffill",
+    "q_events_cohort_retention",
+    "q_graph_pagerank",
+    # remaining r3 additions
+    "q_scd2_customer_segment",
+    "q_sparql_datasource",
+    "q_dedup_incremental",
+    "q_similarity_hybrid_rerank",
+    "q_text_topk_tokens",
+    "q_text_kwic_udtf",
+    "q_text_entropy_pandas_udf",
+    "q_multimodal_ppm_pipeline",
+    # ---- r02-green families rotated out of the r03 window, back in
+    # for driver re-confirmation (windows 8, joins 8, setops 7,
+    # scalar remainder)
+    "q_window_ranking",
+    "q_window_lag_lead",
+    "q_window_running_sum",
+    "q_window_sliding_frame",
+    "q_window_range_frame",
+    "q_window_first_last",
+    "q_window_topk_per_group",
+    "q_window_distribution",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_full_outer",
+    "q_join_right_outer",
+    "q_join_cross",
+    "q_join_multikey",
+    "q_join_range",
+    "q_join_salted_skew",
+    "q_setop_union_all",
+    "q_setop_union_distinct",
+    "q_setop_union_by_name",
+    "q_setop_intersect",
+    "q_setop_except",
+    "q_setop_intersect_all",
+    "q_setop_except_all",
+    "q_scalar_string",
+    "q_scalar_date",
+    "q_scalar_json",
 )
 
 _loaded = False

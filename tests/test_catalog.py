@@ -41,24 +41,29 @@ def test_every_oracle_has_a_query():
 
 def test_driver_window_covers_every_component():
     """The first DRIVER_WINDOW catalog entries (all the driver's
-    correctness gate ever records) must contain every priority name —
-    the full harvest load path, all five LLM pillars, the sources, and
-    one representative per relational family."""
+    correctness gate ever records) must front the r04 rotation: every
+    query that has never carried a driver CORRECTNESS row, then the
+    r02-green families rotated out of the r03 window."""
     queries, _ = cat.load_catalog()
     window = list(queries)[: cat.DRIVER_WINDOW]
     assert len(cat._DRIVER_PRIORITY) <= cat.DRIVER_WINDOW
     assert list(cat._DRIVER_PRIORITY) == window[: len(cat._DRIVER_PRIORITY)]
-    # spot-check the verdict's named "done" criteria are inside
+    # spot-check the r4 verdict's named "done" criteria are inside
     for name in (
-        "q_harvest_terms",
-        "q_harvest_rerun_terms",
-        "q_harvest_rerun_stats",
-        "q_dedup_ngram_jaccard",
-        "q_similarity_exact_topk",
-        "q_text_tfidf",
-        "q_scalar_map",
-        "q_stream_tumbling_counts",
-        "q_stream_stream_join",
+        "q_sample_bernoulli_hash",
+        "q_pipeline_corpus_prep",
+        "q_quality_repetition",
+        "q_events_sessionize",
+        "q_events_cohort_retention",
+        "q_graph_pagerank",
+        "q_scd2_customer_segment",
+        "q_sparql_datasource",
+        "q_dedup_incremental",
+        "q_similarity_hybrid_rerank",
+        "q_text_kwic_udtf",
+        "q_window_ranking",
+        "q_join_salted_skew",
+        "q_setop_except_all",
     ):
         assert name in window, name
 
