@@ -27,6 +27,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -92,13 +93,29 @@ LINEITEM = _st(
     ("l_shipdate", TimestampType(), True),
 )
 
-# ts is stored as INT64 TIMESTAMP(NANOS) in the fixture parquet, which
-# Spark cannot map to TimestampType (PARQUET_TYPE_ILLEGAL).  It is read
-# as long (spark.sql.legacy.parquet.nanosAsLong) and converted to a
-# microsecond timestamp by the loader — see io/loaders.py.
+# The on-disk unit of events.ts has CHANGED across fixture
+# regenerations (timestamp[ns] in round 1, timestamp[us] as of round
+# 4) — so the loader inspects the parquet footer per path and picks a
+# read schema, rather than assuming either (io/loaders.py:events_ts_unit).
+#
+# EVENTS_RAW: read shape for a NANOS footer — Spark cannot map INT64
+# TIMESTAMP(NANOS) to TimestampType (PARQUET_TYPE_ILLEGAL), so ts is
+# read as long nanos and floored to µs by the loader.
 EVENTS_RAW = _st(
     ("event_id", LongType(), True),
     ("ts", LongType(), True),
+    ("user_id", LongType(), True),
+    ("event_type", StringType(), True),
+    ("value", DoubleType(), True),
+    ("props", StringType(), True),
+)
+
+# EVENTS_NTZ: read shape for a MICROS/MILLIS footer written without a
+# timezone (isAdjustedToUTC=false → TIMESTAMP_NTZ); the loader casts to
+# session-local TimestampType so downstream queries see one type.
+EVENTS_NTZ = _st(
+    ("event_id", LongType(), True),
+    ("ts", TimestampNTZType(), True),
     ("user_id", LongType(), True),
     ("event_type", StringType(), True),
     ("value", DoubleType(), True),

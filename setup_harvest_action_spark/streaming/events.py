@@ -35,20 +35,32 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from setup_harvest_action_spark.catalog import query
-from setup_harvest_action_spark.schemas import EVENTS_RAW
+from setup_harvest_action_spark.io.loaders import events_ts_unit
+from setup_harvest_action_spark.schemas import EVENTS_NTZ, EVENTS_RAW
 
 _counter = itertools.count()
+
+
+def _fixture_tag(sf_dir: str) -> str:
+    """Cache key for derived stream-source directories: path PLUS the
+    events fixture's mtime/size, so a driver-side fixture regeneration
+    (which has happened — the ts unit changed between rounds) mints a
+    fresh directory instead of serving stale symlinks/sentinels."""
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    return hashlib.md5(key.encode()).hexdigest()[:12]
 
 
 def _stream_source_dir(sf_dir: str) -> str:
     """FileStreamSource requires a DIRECTORY (a bare file path fails
     with "basePath must be a directory"), and the fixture dir holds all
-    ten tables — so expose events.parquet alone through a per-sf_dir
+    ten tables — so expose events.parquet alone through a per-fixture
     symlink directory under the system temp root.  In production the
     source is a dedicated landing directory (or Kafka) and this shim
     disappears."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"spark_events_src_{tag}")
+    d = os.path.join(
+        tempfile.gettempdir(), f"spark_events_src_{_fixture_tag(sf_dir)}"
+    )
     link = os.path.join(d, "events.parquet")
     if not os.path.islink(link):
         os.makedirs(d, exist_ok=True)
@@ -56,11 +68,23 @@ def _stream_source_dir(sf_dir: str) -> str:
     return d
 
 
+def _events_stream(spark: SparkSession, sf_dir: str, src: str, **options) -> DataFrame:
+    """readStream over an events source directory with ``ts`` normalized
+    exactly like the batch loader (io/loaders.py:load_events): the unit
+    comes from the parquet footer, never from an assumption."""
+    reader = spark.readStream
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if events_ts_unit(os.path.join(sf_dir, "events.parquet")) == "ns":
+        raw = reader.schema(EVENTS_RAW).parquet(src)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = reader.schema(EVENTS_NTZ).parquet(src)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the same ns→µs ts
-    conversion as the batch loader (io/loaders.py)."""
-    raw = spark.readStream.schema(EVENTS_RAW).parquet(_stream_source_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """readStream over the events parquet, unit-adaptive ts decode."""
+    return _events_stream(spark, sf_dir, _stream_source_dir(sf_dir))
 
 
 def run_to_completion(stream_df: DataFrame, mode: str) -> DataFrame:
@@ -123,9 +147,15 @@ def _append_stream_source_dir(sf_dir: str) -> str:
     finite replay through an append-mode windowed aggregate (on an
     unbounded production stream the watermark advances on its own and
     no sentinel exists).  The sentinel's own window always ends after
-    the final watermark, so it can never leak into the output."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"spark_events_append_src_{tag}")
+    the final watermark, so it can never leak into the output.
+
+    The sentinel's ``ts`` is written in the SAME parquet unit the
+    fixture carries (footer-detected), so both files decode through one
+    read schema; the per-fixture directory tag retires the sentinel
+    automatically whenever the fixture is regenerated."""
+    d = os.path.join(
+        tempfile.gettempdir(), f"spark_events_append_src_{_fixture_tag(sf_dir)}"
+    )
     link = os.path.join(d, "events.parquet")
     sentinel = os.path.join(d, "zz_sentinel.parquet")
     if not os.path.islink(link):
@@ -135,10 +165,14 @@ def _append_stream_source_dir(sf_dir: str) -> str:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        unit = events_ts_unit(os.path.join(sf_dir, "events.parquet"))
+        ts_arr = pa.array([SENTINEL_TS_NS], type=pa.timestamp("ns")).cast(
+            pa.timestamp(unit)
+        )
         schema = pa.schema(
             [
                 ("event_id", pa.int64()),
-                ("ts", pa.int64()),
+                ("ts", pa.timestamp(unit)),
                 ("user_id", pa.int64()),
                 ("event_type", pa.string()),
                 ("value", pa.float64()),
@@ -147,12 +181,12 @@ def _append_stream_source_dir(sf_dir: str) -> str:
         )
         table = pa.table(
             {
-                "event_id": [-1],
-                "ts": [SENTINEL_TS_NS],
-                "user_id": [-1],
-                "event_type": ["__sentinel__"],
-                "value": [0.0],
-                "props": [None],
+                "event_id": pa.array([-1], type=pa.int64()),
+                "ts": ts_arr,
+                "user_id": pa.array([-1], type=pa.int64()),
+                "event_type": pa.array(["__sentinel__"]),
+                "value": pa.array([0.0], type=pa.float64()),
+                "props": pa.array([None], type=pa.string()),
             },
             schema=schema,
         )
@@ -188,12 +222,7 @@ def q_stream_tumbling_append_filesink(
     forever unemitted, so the result equals the batch GROUP BY oracle
     over the real events exactly."""
     src = _append_stream_source_dir(sf_dir)
-    raw = (
-        spark.readStream.schema(EVENTS_RAW)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = _events_stream(spark, sf_dir, src, maxFilesPerTrigger="1")
     windowed = (
         events.withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "1 hour"), "event_type")

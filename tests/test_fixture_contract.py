@@ -1,0 +1,101 @@
+"""Fixture-contract guard: the loader's decoded timestamps must equal
+pyarrow's own decode of the same parquet file.
+
+The driver regenerates /root/testdata between rounds and has already
+changed the on-disk unit of ``events.ts`` once (timestamp[ns] →
+timestamp[us]); a loader that assumes a unit silently lands every
+event in January 1970 while the rest of the suite stays green.  These
+tests pin the contract end-to-end: whatever unit the footer declares,
+the Spark-decoded values match the Arrow-decoded values exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+import pytest
+
+from setup_harvest_action_spark.io.loaders import events_ts_unit, load_table
+
+from conftest import SF_SMOKE
+
+EVENTS_PATH = os.path.join(SF_SMOKE, "events.parquet")
+
+
+def _arrow_ts_bounds():
+    """(min, max) of events.ts decoded by pyarrow, as naive µs datetimes."""
+    col = pq.read_table(EVENTS_PATH, columns=["ts"])["ts"]
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us"))
+    else:  # raw int64 epoch nanos (round-1 fixture shape)
+        col = col.cast(pa.timestamp("ns")).cast(pa.timestamp("us"))
+    return pc.min(col).as_py(), pc.max(col).as_py()
+
+
+def test_events_ts_unit_matches_footer():
+    t = pq.ParquetFile(EVENTS_PATH).schema_arrow.field("ts").type
+    expected = t.unit if pa.types.is_timestamp(t) else "ns"
+    assert events_ts_unit(EVENTS_PATH) == expected
+    assert events_ts_unit(SF_SMOKE) == expected  # directory form
+
+
+def test_loader_ts_equals_arrow_decode(spark):
+    lo, hi = _arrow_ts_bounds()
+    row = (
+        load_table(spark, SF_SMOKE, "events")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()[0]
+    )
+    # Session tz is UTC (session.py pins it), so LTZ collect == naive.
+    assert row["lo"].replace(tzinfo=None) == lo
+    assert row["hi"].replace(tzinfo=None) == hi
+
+
+def test_events_span_is_2024_not_1970(spark):
+    """The regression's signature: a wrong-unit decode lands in 1970
+    (µs read as ns) or year ~56k (ns read as µs).  The fixture's events
+    span 2024; a near-zero or far-future min is the bug."""
+    lo, hi = _arrow_ts_bounds()
+    assert lo.year == 2024, f"arrow decode starts {lo} — fixture changed?"
+    row = load_table(spark, SF_SMOKE, "events").agg(F.min("ts")).collect()[0]
+    assert row[0].year == 2024, f"loader decodes min(ts)={row[0]}"
+
+
+def test_streaming_read_matches_batch_loader(spark):
+    """Batch loader and streaming reader share one unit-detection path;
+    assert their decoded bounds agree (this is the pair that diverged
+    silently in round 4)."""
+    from setup_harvest_action_spark.streaming.events import (
+        read_event_stream,
+        run_to_completion,
+    )
+
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()[0]
+    )
+    streamed = run_to_completion(
+        read_event_stream(spark, SF_SMOKE).select("ts"), "append"
+    )
+    srow = streamed.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    assert srow["lo"] == batch["lo"]
+    assert srow["hi"] == batch["hi"]
+
+
+def test_unit_cache_invalidates_on_regeneration(tmp_path):
+    """events_ts_unit is cached by (path, mtime, size): rewriting the
+    file with a different unit — what the driver did between r3 and r4
+    — must change the answer, not serve the stale cached unit."""
+    p = str(tmp_path / "events.parquet")
+    ts_us = pa.array([1_704_067_200_000_000], type=pa.timestamp("us"))
+    pq.write_table(pa.table({"ts": ts_us}), p)
+    assert events_ts_unit(p) == "us"
+    ts_ns = ts_us.cast(pa.timestamp("ns"))
+    pq.write_table(pa.table({"ts": ts_ns}), p)
+    os.utime(p, ns=(os.stat(p).st_atime_ns, os.stat(p).st_mtime_ns + 1))
+    assert events_ts_unit(p) == "ns"
