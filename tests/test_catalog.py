@@ -41,29 +41,32 @@ def test_every_oracle_has_a_query():
 
 def test_driver_window_covers_every_component():
     """The first DRIVER_WINDOW catalog entries (all the driver's
-    correctness gate ever records) must front the r04 rotation: every
-    query that has never carried a driver CORRECTNESS row, then the
-    r02-green families rotated out of the r03 window."""
+    correctness gate ever records) must front the r05 rotation: the 12
+    queries invalidated by the events-fixture regeneration, then the
+    stalest driver rows (r02-latest aggregates/scalars, r03-latest
+    harvest/dedup/similarity/relational representatives)."""
     queries, _ = cat.load_catalog()
     window = list(queries)[: cat.DRIVER_WINDOW]
     assert len(cat._DRIVER_PRIORITY) <= cat.DRIVER_WINDOW
     assert list(cat._DRIVER_PRIORITY) == window[: len(cat._DRIVER_PRIORITY)]
-    # spot-check the r4 verdict's named "done" criteria are inside
+    # spot-check the r4 verdict's named "done" criteria are inside:
+    # all 10 events-ts casualties plus representatives of each group
     for name in (
-        "q_sample_bernoulli_hash",
-        "q_pipeline_corpus_prep",
-        "q_quality_repetition",
         "q_events_sessionize",
+        "q_events_funnel",
+        "q_events_resample_ffill",
         "q_events_cohort_retention",
-        "q_graph_pagerank",
-        "q_scd2_customer_segment",
-        "q_sparql_datasource",
-        "q_dedup_incremental",
-        "q_similarity_hybrid_rerank",
-        "q_text_kwic_udtf",
-        "q_window_ranking",
-        "q_join_salted_skew",
-        "q_setop_except_all",
+        "q_join_asof",
+        "q_stream_tumbling_counts",
+        "q_stream_session_windows",
+        "q_stream_sliding_avg",
+        "q_stream_stream_join",
+        "q_stream_tumbling_append_filesink",
+        "q_revenue_by_nation",
+        "q_agg_pivot",
+        "q_harvest_read_path",
+        "q_dedup_exact",
+        "q_pricing_summary",
     ):
         assert name in window, name
 
