@@ -19,13 +19,13 @@ LLM-pipeline pillar (SURVEY.md §2.2).  Design rules for 100 TB:
 
 from __future__ import annotations
 
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from setup_harvest_action_spark.catalog import query
 from setup_harvest_action_spark.io.loaders import load_table
+from setup_harvest_action_spark.io.materialize import materialize
 
 SHINGLE_K = 3  # tokens per shingle
 MAX_SHINGLE_DF = 100  # drop shingles hotter than this (anti-blowup cap)
@@ -400,7 +400,11 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, src: str = "vec_a", dst: str = "vec_b", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "vec_a",
+    dst: str = "vec_b",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Iterative min-label propagation: every vertex converges to the
     smallest id reachable from it — the full transitive closure the
@@ -453,15 +457,12 @@ def connected_components(
     # iterative DAG references each round's labels twice (neighbor join
     # + union), so an un-truncated plan re-derives every prior round
     # multiplicatively on each caller action once the cache is gone.
-    # Materialize to parquet and return a plain scan of it (the same
-    # ping-pong pattern harvest_run uses) — unlike cache() the result
-    # needs no caller-side release, and unlike localCheckpoint() it
-    # holds no unreleasable executor storage.  At cluster scale the
-    # temp dir is a shared-FS checkpoint location.
-    out_dir = tempfile.mkdtemp(prefix="cc_labels_")
-    labels.write.mode("overwrite").parquet(out_dir)
+    # The materialization location resolves explicit arg > session
+    # checkpoint conf (shared FS on a cluster) > per-app local temp —
+    # see io/materialize.py.
+    out = materialize(labels, "cc_labels", checkpoint_dir)
     labels.unpersist()
-    return labels.sparkSession.read.parquet(out_dir)
+    return out
 
 
 @query(

@@ -31,13 +31,13 @@ Design rules:
 
 from __future__ import annotations
 
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from setup_harvest_action_spark.catalog import query
 from setup_harvest_action_spark.io.loaders import load_table
+from setup_harvest_action_spark.io.materialize import materialize
 
 DAMPING = 0.85
 ITERATIONS = 3
@@ -136,6 +136,15 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle unrolls the identical recurrence as three SQL CTEs, so
     the iterative algebra is value-checked end to end — same pattern
     as the recursive-CTE oracle for connected components."""
+    return pagerank_user_item(spark, sf_dir)
+
+
+def pagerank_user_item(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Library form of q_graph_pagerank with the materialization
+    location exposed (tests pass a tmp_path; cluster jobs a shared-FS
+    path — see io/materialize.py)."""
     ev = load_table(spark, sf_dir, "events").select(
         F.concat(F.lit("u"), F.col("user_id")).alias("u"),
         F.concat(F.lit("i"), F.get_json_object("props", "$.k")).alias("i"),
@@ -146,11 +155,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cut every reference re-scans the EVENTS source — 28 scans of the
     # raw table in the static plan, which is the difference between a
     # pipeline and a disaster at 100 TB.  The pair set is bounded by
-    # |users| x |items|, far smaller than the event log; at cluster
-    # scale the temp dir is a shared-FS checkpoint location.
-    out_dir = tempfile.mkdtemp(prefix="pagerank_pairs_")
-    ev.distinct().write.mode("overwrite").parquet(out_dir)
-    pairs = spark.read.parquet(out_dir)
+    # |users| x |items|, far smaller than the event log.
+    pairs = materialize(ev.distinct(), "pagerank_pairs", checkpoint_dir)
     edges = pairs.select(F.col("u").alias("src"), F.col("i").alias("dst")).unionAll(
         pairs.select(F.col("i").alias("src"), F.col("u").alias("dst"))
     )

@@ -91,7 +91,36 @@ def test_pagerank_never_rescans_events(spark):
     df = q["q_graph_pagerank"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "events.parquet" not in plan
-    assert "pagerank_pairs_" in plan
+    assert "pagerank_pairs" in plan
+
+
+def test_iterative_checkpoint_dir_knob(spark, tmp_path):
+    """connected_components and PageRank accept an explicit
+    checkpoint_dir (a cluster job passes a shared-FS path; a
+    driver-local mkdtemp would be unreadable by executors there), and
+    repeated calls reuse ONE directory per tag instead of leaking a new
+    one per call."""
+    from setup_harvest_action_spark.functions.dedup import connected_components
+    from setup_harvest_action_spark.functions.graph import pagerank_user_item
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "vec_a long, vec_b long"
+    )
+    ck = str(tmp_path / "ck")
+    labels = connected_components(edges, checkpoint_dir=ck)
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert (tmp_path / "ck" / "cc_labels").is_dir()
+
+    ranks = pagerank_user_item(spark, "/root/testdata/sf0.001", checkpoint_dir=ck)
+    assert ranks.limit(1).count() == 1
+    assert (tmp_path / "ck" / "pagerank_pairs").is_dir()
+
+    # repeated calls overwrite in place — no per-call directory growth
+    before = sorted(p.name for p in (tmp_path / "ck").iterdir())
+    connected_components(edges, checkpoint_dir=ck).collect()
+    after = sorted(p.name for p in (tmp_path / "ck").iterdir())
+    assert before == after
 
 
 def test_cohort_retention_exact(spark, monkeypatch):
