@@ -88,30 +88,40 @@ def check_harvest_state(terms: DataFrame, term_fields: DataFrame) -> DataFrame:
                                                  (harvest.py:210)
       * FK term_fields.term_id → terms.id        (harvest.py:204)
       * NOT NULL on all declared non-nullables
-    """
-    spark = terms.sparkSession
-    rows = [
-        ("unique_terms_uri", duplicate_keys(terms, ["uri"]).count()),
-        ("unique_terms_id", duplicate_keys(terms, ["id"]).count()),
-        (
+
+    LAZY: the six checks are unioned into one plan (the
+    q_constraint_report pattern) — constructing the report launches no
+    Spark jobs, and a single action evaluates every check as parallel
+    stages of one job instead of six serial driver-side counts."""
+
+    def tally(name: str, violations: DataFrame) -> DataFrame:
+        return violations.agg(F.count(F.lit(1)).alias("violations")).select(
+            F.lit(name).alias("constraint"), "violations"
+        )
+
+    checks = [
+        tally("unique_terms_uri", duplicate_keys(terms, ["uri"])),
+        tally("unique_terms_id", duplicate_keys(terms, ["id"])),
+        tally(
             "unique_term_fields_composite",
-            duplicate_keys(
-                term_fields, ["term_id", "field_uri", "original_value"]
-            ).count(),
+            duplicate_keys(term_fields, ["term_id", "field_uri", "original_value"]),
         ),
-        (
+        tally(
             "fk_term_fields_term_id",
-            fk_orphans(term_fields, terms, "term_id", "id").count(),
+            fk_orphans(term_fields, terms, "term_id", "id"),
         ),
-        ("notnull_terms", null_violations(terms, ["id", "uri"]).count()),
-        (
+        tally("notnull_terms", null_violations(terms, ["id", "uri"])),
+        tally(
             "notnull_term_fields",
             null_violations(
                 term_fields, ["id", "term_id", "field_uri", "original_value"]
-            ).count(),
+            ),
         ),
     ]
-    return spark.createDataFrame(rows, "constraint string, violations long")
+    report = checks[0]
+    for c in checks[1:]:
+        report = report.unionByName(c)
+    return report
 
 
 # Domains re-exported for load-time CHECK assertions on downstream

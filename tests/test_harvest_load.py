@@ -112,8 +112,12 @@ def test_harvest_run_commits_per_batch_and_bounds_memory(spark, bindings, tmp_pa
     # whose references were garbage-collected.
     assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= rdds_before
     # constraint pack holds on the durable state
-    report = {r["constraint"]: r["violations"] for r in
-              check_harvest_state(state.terms, state.term_fields).collect()}
+    report_df = check_harvest_state(state.terms, state.term_fields)
+    # one lazy unioned plan: all six checks evaluate in a single action
+    # (no serial driver-side counts)
+    assert report_df._jdf.queryExecution().analyzed().toString().count("Union") >= 1
+    report = {r["constraint"]: r["violations"] for r in report_df.collect()}
+    assert len(report) == 6
     assert set(report.values()) == {0}, report
 
 
