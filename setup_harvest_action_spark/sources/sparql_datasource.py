@@ -26,6 +26,7 @@ backoff.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
@@ -61,9 +62,22 @@ def make_transport(spec: str) -> Transport:
 
 
 class SparqlPagePartition(InputPartition):
-    def __init__(self, offset: int, limit: int):
+    def __init__(self, offset: int, limit: int | None):
         self.offset = offset
         self.limit = limit
+
+
+# A value is only shipped into the SPARQL text if it looks like a bare
+# http(s) URI with no whitespace or angle-bracket/brace characters —
+# anything else could escape the <...> IRI wrapper (injection) or is
+# simply not a URI equality the endpoint can serve (e.g. comparing
+# ?concept to a literal).  Rejected values are NOT errors: the filter
+# is yielded back to Spark and evaluated post-scan.
+_PUSHABLE_URI = re.compile(r'^https?://[^\s<>"{}\\]+$')
+
+
+def _pushable_concept(value) -> bool:
+    return isinstance(value, str) and bool(_PUSHABLE_URI.match(value))
 
 
 class SparqlDataSourceReader(DataSourceReader):
@@ -82,14 +96,17 @@ class SparqlDataSourceReader(DataSourceReader):
         """Ship a ``concept = <uri>`` equality to the endpoint as a
         SPARQL ``FILTER`` clause — the source then plans ONE partition
         and skips the COUNT pre-query entirely, instead of fetching
-        every page and filtering in Spark.  Everything else is returned
-        for Spark to evaluate post-scan."""
+        every page and filtering in Spark.  Everything else — including
+        a concept equality whose value is NOT a safely-interpolatable
+        URI (``_pushable_concept``) — is returned for Spark to evaluate
+        post-scan, so a literal like ``concept = 'x'`` filters to empty
+        instead of crashing the executor-side query builder."""
         for f in filters:
             if (
                 self.pushed_concept is None
                 and isinstance(f, EqualTo)
                 and f.attribute == ("concept",)
-                and isinstance(f.value, str)
+                and _pushable_concept(f.value)
             ):
                 self.pushed_concept = f.value
             else:
@@ -98,9 +115,13 @@ class SparqlDataSourceReader(DataSourceReader):
     def partitions(self) -> list[InputPartition]:
         """One partition per LIMIT/OFFSET page, sized by the COUNT
         pre-query (harvest.py:403-405) at planning time; a pushed
-        concept filter collapses the scan to a single page."""
+        concept filter collapses the scan to a single UNBOUNDED page —
+        no LIMIT clause, because one concept's OPTIONAL cross-product
+        can exceed page_size rows and a LIMIT would silently truncate
+        the result (the row count is bounded by one concept's
+        multi-valued properties, not by the collection size)."""
         if self.pushed_concept is not None:
-            return [SparqlPagePartition(0, self.page_size)]
+            return [SparqlPagePartition(0, None)]
         n = get_member_count(make_transport(self.endpoint), self.collection)
         return [
             SparqlPagePartition(off, self.page_size)

@@ -105,13 +105,17 @@ def _read_latest_slot(spark: SparkSession, state_path: str) -> HarvestState | No
     markers — the conservative choice, matching harvest_run's default
     starting slot)."""
     candidates = []
-    for slot in ("slot=0", "slot=1"):
+    for idx, slot in enumerate(("slot=0", "slot=1")):
         d = os.path.join(state_path, slot)
         if os.path.isdir(os.path.join(d, "terms")):
             marker = os.path.join(d, "terms", "_SUCCESS")
             mtime = os.path.getmtime(marker) if os.path.exists(marker) else 0.0
-            candidates.append((mtime, d))
+            # tie-break on EQUAL mtime (e.g. neither slot has a marker):
+            # slot=0 wins, per the documented conservative fallback —
+            # without the -idx key the max() would compare paths and
+            # silently prefer slot=1.
+            candidates.append((mtime, -idx, d))
     if not candidates:
         return None
-    _, latest = max(candidates)
+    _, _, latest = max(candidates)
     return HarvestState.read(spark, latest)

@@ -317,3 +317,48 @@ def test_sparql_datasource_pushes_concept_filter(spark):
     assert len(rows) == 2
     assert {r.concept for r in rows} == {target}
     assert {r.altLabel for r in rows} == {"Alt 10", "Alt 10 bis"}
+
+
+def test_sparql_datasource_non_uri_filter_not_pushed(spark):
+    """A concept equality whose value is not a safely-interpolatable
+    URI must NOT be consumed by pushFilters: Spark evaluates it
+    post-scan (full page sweep, empty result) instead of the executor
+    crashing on query construction."""
+    from pyspark.sql import functions as F
+
+    from setup_harvest_action_spark.sources.sparql_datasource import register
+
+    register(spark)
+    base = (
+        spark.read.format("sparql")
+        .option("endpoint", "fake:120")
+        .option("collection", "http://vocab.example/collection")
+        .option("pagesize", "50")
+        .load()
+    )
+    for bad in ("not-a-uri", "http://vocab.example/a> } FILTER(?x = <b"):
+        filtered = base.filter(F.col("concept") == bad)
+        assert filtered.rdd.getNumPartitions() == 3  # unfiltered page sweep
+        assert filtered.collect() == []
+
+
+def test_sparql_datasource_pushed_concept_exceeds_pagesize(spark):
+    """The pushed-concept partition carries NO LIMIT: a concept whose
+    OPTIONAL cross-product exceeds pagesize must return every row, not
+    a silently truncated page."""
+    from pyspark.sql import functions as F
+
+    from setup_harvest_action_spark.sources.sparql_datasource import register
+
+    register(spark)
+    base = (
+        spark.read.format("sparql")
+        .option("endpoint", "fake:120")
+        .option("collection", "http://vocab.example/collection")
+        .option("pagesize", "1")
+        .load()
+    )
+    target = "http://vocab.example/collection/c00010"
+    rows = base.filter(F.col("concept") == target).collect()
+    assert len(rows) == 2  # > pagesize=1; the old LIMIT truncated to 1
+    assert {r.altLabel for r in rows} == {"Alt 10", "Alt 10 bis"}

@@ -100,3 +100,34 @@ def test_stream_resume_skips_processed_files(spark, tmp_path):
     state, t3 = harvest_stream(spark, flat, state_dir, ckpt, batch_ts=_T)
     assert t3.terms_inserted == 1  # only c3 is new
     assert state.terms.count() == 3
+
+
+def test_read_latest_slot_prefers_slot0_on_tie(spark, tmp_path):
+    """With neither slot carrying a commit marker (equal mtime=0.0),
+    the documented conservative fallback is slot=0 — the tuple max()
+    must not tie-break on the path string (which would pick slot=1)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.streaming.ingest import _read_latest_slot
+
+    for slot, uri in (("slot=0", "http://vocab.example/a"),
+                      ("slot=1", "http://vocab.example/b")):
+        d = os.path.join(str(tmp_path), slot)
+        terms = spark.createDataFrame(
+            [(1, uri)], "id long, uri string"
+        ).withColumn("created_at", F.current_timestamp()).withColumn(
+            "updated_at", F.current_timestamp()
+        )
+        fields = spark.createDataFrame(
+            [], "id long, term_id long, field_uri string, field_term string, "
+            "original_value string, created_at timestamp, updated_at timestamp"
+        )
+        terms.write.mode("overwrite").parquet(os.path.join(d, "terms"))
+        fields.write.mode("overwrite").parquet(os.path.join(d, "term_fields"))
+        os.remove(os.path.join(d, "terms", "_SUCCESS"))
+
+    state = _read_latest_slot(spark, str(tmp_path))
+    assert state is not None
+    assert [r.uri for r in state.terms.collect()] == ["http://vocab.example/a"]
