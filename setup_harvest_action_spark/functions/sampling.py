@@ -433,3 +433,43 @@ def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.chunk_idx").alias("chunk_idx"),
         F.col("c.chunk_tokens").alias("chunk_tokens"),
     )
+
+
+SOURCE_CAP = 15  # max documents kept per source
+
+
+@query(
+    "q_sample_source_cap",
+    oracle=f"""
+SELECT doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(src_rank AS INTEGER) AS src_rank
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS src_rank
+  FROM documents
+)
+WHERE src_rank <= {SOURCE_CAP}
+""",
+)
+def q_sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the per-domain cap every web-scale
+    corpus applies so a single prolific domain cannot dominate the
+    training mix: keep the top {SOURCE_CAP} documents per source
+    (longest first, doc_id tie-break), drop the rest.
+
+    One shuffle on source; the rank filter is a WindowGroupLimit, so
+    executors push the top-k INTO the sort — per-partition state is
+    K rows per source, not the source's full document list.  Skewed
+    sources (the usual reason domains get capped at all) therefore
+    cost O(K) memory, not O(domain size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("src_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("src_rank") <= SOURCE_CAP)
+    )

@@ -622,3 +622,62 @@ def q_text_kwic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.pos, t.context "
         "FROM __kwic_docs, LATERAL kwic_concordance(doc_id, text) t"
     )
+
+
+@query(
+    "q_text_lm_score",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM tf)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(round(avg(log10(f.tf / tot.n)), 6) AS DOUBLE) AS avg_logp
+FROM tok t JOIN tf f USING (token) CROSS JOIN tot
+GROUP BY t.doc_id
+""",
+)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model score per document — the cheap
+    stand-in for the KenLM perplexity filter in CCNet-style corpus
+    curation: documents whose tokens are improbable under the corpus
+    unigram distribution score low (avg log10 probability) and can be
+    filtered or bucketed by fluency.
+
+    Plan: the explode is aggregated ONCE into per-(doc, token) counts;
+    the corpus term-frequency table, the corpus total, and the per-doc
+    score all derive from that one shuffled aggregate, so Spark's
+    exchange reuse keeps it a single documents scan (pinned by
+    tests/test_plans contract) instead of re-exploding the corpus per
+    branch.  The token->tf join shuffles on token with a
+    vocabulary-sized build side; the corpus total enters as a
+    broadcast one-row aggregate — never a driver collect.  At 100 TB
+    the vocabulary table is exactly the model; a real KenLM swap-in
+    would replace the join with a Pandas-UDF scorer against a
+    broadcast binary model."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select("doc_id", F.explode(tokens()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tf = dt.groupBy("token").agg(F.sum("c").alias("tf"))
+    total = tf.agg(F.sum("tf").cast("double").alias("n"))
+    # weighted mean: avg over token OCCURRENCES == sum(c·logp)/sum(c)
+    return (
+        dt.join(tf, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * F.log10(F.col("tf") / F.col("n")))
+                / F.sum("c"),
+                6,
+            ).alias("avg_logp"),
+        )
+    )

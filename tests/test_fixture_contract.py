@@ -87,6 +87,67 @@ def test_streaming_read_matches_batch_loader(spark):
     assert srow["hi"] == batch["hi"]
 
 
+def _spark_equiv(t):
+    """Expected Spark type for an Arrow physical type, as the loader
+    maps it."""
+    from pyspark.sql import types as T
+
+    if pa.types.is_int64(t):
+        return T.LongType()
+    if pa.types.is_int32(t):
+        return T.IntegerType()
+    if pa.types.is_float64(t):
+        return T.DoubleType()
+    if pa.types.is_float32(t):
+        return T.FloatType()
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return T.StringType()
+    if pa.types.is_timestamp(t):
+        return T.TimestampType()
+    if pa.types.is_list(t):
+        return T.ArrayType(_spark_equiv(t.value_type), True)
+    raise AssertionError(f"unmapped arrow type {t}")
+
+
+def test_all_fixture_schemas_match_footers():
+    """Declared read schemas vs the parquet footers for ALL ten tables
+    — the r4 regression class generalized: a driver-side regeneration
+    that changes any column's type must fail HERE, not silently
+    misdecode.  events.ts is exempt from exact type match (the loader
+    adapts by footer unit, tested above)."""
+    from setup_harvest_action_spark.schemas import FIXTURE_SCHEMAS
+
+    for name, schema in FIXTURE_SCHEMAS.items():
+        fields = pq.ParquetFile(
+            os.path.join(SF_SMOKE, f"{name}.parquet")
+        ).schema_arrow
+        declared = {f.name: f.dataType for f in schema.fields}
+        on_disk = {fields.field(i).name: fields.field(i).type
+                   for i in range(len(fields))}
+        assert set(declared) == set(on_disk), (
+            f"{name}: declared columns {sorted(declared)} != "
+            f"on-disk {sorted(on_disk)}"
+        )
+        for col, t in on_disk.items():
+            if name == "events" and col == "ts":
+                continue
+            assert _spark_equiv(t) == declared[col], (
+                f"{name}.{col}: on-disk {t} no longer matches declared "
+                f"{declared[col]} — fixture regenerated with new types?"
+            )
+
+
+def test_all_tables_load_and_project(spark):
+    """Every fixture table loads through load_table with the declared
+    column set and survives a 1-row materialization."""
+    from setup_harvest_action_spark.schemas import FIXTURE_SCHEMAS
+    from setup_harvest_action_spark.io.loaders import load_tables
+
+    for name, df in load_tables(spark, SF_SMOKE).items():
+        assert df.columns == [f.name for f in FIXTURE_SCHEMAS[name].fields]
+        assert df.limit(1).count() == 1, f"{name} is empty?"
+
+
 def test_unit_cache_invalidates_on_regeneration(tmp_path):
     """events_ts_unit is cached by (path, mtime, size): rewriting the
     file with a different unit — what the driver did between r3 and r4

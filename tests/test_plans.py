@@ -381,3 +381,25 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     )
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2
+
+
+def test_lm_score_scans_documents_once(spark, queries):
+    """The unigram LM scorer derives corpus term frequencies, the
+    corpus total, AND the per-doc probe from ONE shuffled per-(doc,
+    token) aggregate: with AQE off the whole-plan canonical form must
+    expose a single documents scan plus reused exchanges — never a
+    re-explode of the corpus per branch."""
+    with conf(spark, "spark.sql.adaptive.enabled", "false"):
+        tree = tree_of(queries["q_text_lm_score"](spark, SF))
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("ReusedExchange") >= 2
+
+
+def test_source_cap_pushes_topk_into_sort(spark, queries):
+    """The per-source cap must plan one source-keyed Exchange and a
+    WindowGroupLimit (running top-k inside the sort): a skewed source
+    costs O(cap) memory per partition, not O(domain size)."""
+    df = queries["q_sample_source_cap"](spark, SF)
+    tree = tree_of(df)
+    assert "WindowGroupLimit" in tree
+    assert tree.count("Exchange") == 1
