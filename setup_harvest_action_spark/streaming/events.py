@@ -32,7 +32,7 @@ import os
 import tempfile
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from setup_harvest_action_spark.catalog import query
 from setup_harvest_action_spark.io.loaders import events_ts_unit
@@ -479,4 +479,37 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts",
         "click_ts",
         F.round("pvalue", 2).alias("purchase_value"),
+    )
+
+
+@query(
+    "q_stream_dedup_within_watermark",
+    oracle="""
+SELECT user_id, event_type, count(*) OVER () AS n_distinct
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+""",
+)
+def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AT-SCALE streaming dedup: ``dropDuplicatesWithinWatermark``
+    holds each key only until the watermark passes its event time, so
+    state is bounded by the watermark horizon instead of growing with
+    every key ever seen — on an unbounded stream this is the only safe
+    exact-dedup operator (plain ``dropDuplicates``, q_stream_dedup,
+    keeps keys forever).
+
+    Dedup keys are (user_id, event_type); the fixture replays in one
+    availableNow pass whose span is far shorter than any key's
+    recurrence gap, so the result equals batch DISTINCT — the oracle.
+    The n_distinct window column double-checks cardinality in the same
+    hash-checked result."""
+    events = read_event_stream(spark, sf_dir)
+    deduped = (
+        events.withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    out = run_to_completion(deduped, "append")
+    return out.withColumn(
+        "n_distinct", F.count(F.lit(1)).over(Window.partitionBy())
     )
