@@ -435,3 +435,132 @@ def q_similarity_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= HYBRID_TOP_K)
         .select("doc_id", "bm25_norm", "cosine", "hybrid", "rank")
     )
+
+
+KMEANS_K = 8  # clusters
+KMEANS_ITERS = 2  # Lloyd iterations (unrolled in plan AND oracle)
+
+
+def _l2(a: Column, b: Column) -> Column:
+    """Euclidean distance of two array<double> columns — zip_with +
+    aggregate, JVM-side, no UDF."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the K centroids against
+    the corpus, keep the arg-min with a deterministic (dist, cluster)
+    tie-break.  K·dim doubles ship to every executor — bytes, not a
+    shuffle of the corpus."""
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("dist", _l2(F.col("e"), F.col("c")))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("cluster", "e", "dist"), F.struct("dist", "cluster")
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.cluster").alias("cluster"),
+            F.col("m.e").alias("e"),
+            F.col("m.dist").alias("dist"),
+        )
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """Per-cluster centroid update: posexplode dims → (cluster, dim)
+    mean — one keyed aggregate with map-side partial combine — then
+    re-assemble the ordered centroid array.  Empty clusters drop (both
+    engines)."""
+    return (
+        assigned.select("cluster", F.posexplode("e").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+    )
+
+
+@query(
+    "q_embedding_kmeans",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cluster, e AS c FROM v
+  WHERE vec_id < {KMEANS_K}
+),
+a1 AS (
+  SELECT vec_id, e, cluster FROM (
+    SELECT v.vec_id, v.e, c0.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_distance(v.e, c0.c), c0.cluster) AS rn
+    FROM v CROSS JOIN c0
+  ) WHERE rn = 1
+),
+x1 AS (SELECT cluster, generate_subscripts(e, 1) AS dim, unnest(e) AS val FROM a1),
+m1 AS (SELECT cluster, dim, avg(val) AS m FROM x1 GROUP BY cluster, dim),
+c1 AS (SELECT cluster, list(m ORDER BY dim) AS c FROM m1 GROUP BY cluster),
+a2 AS (
+  SELECT vec_id, e, cluster FROM (
+    SELECT v.vec_id, v.e, c1.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_distance(v.e, c1.c), c1.cluster) AS rn
+    FROM v CROSS JOIN c1
+  ) WHERE rn = 1
+),
+x2 AS (SELECT cluster, generate_subscripts(e, 1) AS dim, unnest(e) AS val FROM a2),
+m2 AS (SELECT cluster, dim, avg(val) AS m FROM x2 GROUP BY cluster, dim),
+c2 AS (SELECT cluster, list(m ORDER BY dim) AS c FROM m2 GROUP BY cluster)
+SELECT vec_id, cluster, CAST(round(dist, 6) AS DOUBLE) AS dist FROM (
+  SELECT v.vec_id, c2.cluster, list_distance(v.e, c2.c) AS dist,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_distance(v.e, c2.c), c2.cluster) AS rn
+  FROM v CROSS JOIN c2
+) WHERE rn = 1
+""",
+)
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means corpus clustering over embeddings ({KMEANS_K} clusters,
+    {KMEANS_ITERS} Lloyd iterations, deterministic init = the first K
+    vectors by vec_id) — the clustering step behind SemDeDup-style
+    semantic dedup and topic-balanced data mixing: cluster the corpus,
+    then dedup/sample WITHIN clusters.
+
+    Each iteration is one broadcast nearest-centroid assignment (K·dim
+    doubles to every executor, never a corpus shuffle) plus one keyed
+    per-(cluster, dim) mean.  The fixed iteration count keeps the whole
+    computation one lazy unrolled plan — same pattern as PageRank — and
+    lets the DuckDB oracle unroll the identical recurrence, so the
+    iterative geometry is value-checked end to end.  A convergence-
+    looping production variant would materialize centroids per round
+    via io/materialize.py.  Output: (vec_id, cluster, dist) under the
+    final centroids."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    cent = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("e").alias("c")
+    )
+    for _ in range(KMEANS_ITERS):
+        cent = _update(_assign(emb, cent))
+    return _assign(emb, cent).select(
+        "vec_id", "cluster", F.round("dist", 6).alias("dist")
+    )

@@ -403,3 +403,17 @@ def test_source_cap_pushes_topk_into_sort(spark, queries):
     tree = tree_of(df)
     assert "WindowGroupLimit" in tree
     assert tree.count("Exchange") == 1
+
+
+def test_kmeans_broadcasts_centroids_never_shuffles_corpus_for_assign(
+    spark, queries
+):
+    """Every nearest-centroid assignment must be a BroadcastNestedLoop/
+    BroadcastExchange of the K centroids against the corpus — a
+    SortMergeJoin would shuffle the full embedding table once per
+    iteration."""
+    tree = tree_of(queries["q_embedding_kmeans"](spark, SF))
+    assert "SortMergeJoin" not in tree
+    assert tree.count("BroadcastExchange") + tree.count(
+        "ReusedExchange"
+    ) >= 3  # one per assignment (2 iterations + final)
