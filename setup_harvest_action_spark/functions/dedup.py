@@ -635,3 +635,68 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_novel"),
         )
     )
+
+
+SEMANTIC_THRESHOLD = 0.4  # within-cluster near-dup cosine cutoff
+
+
+@query(
+    "q_dedup_semantic",
+    oracle=None,  # assembled below — needs the kmeans CTE prefix
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: k-means the embedding corpus
+    (functions/similarity.py, broadcast-assignment Lloyd iterations),
+    then compare vectors ONLY within their cluster and emit near-dup
+    pairs above the cosine threshold with the lower vec_id as keeper.
+
+    This is the production answer to the all-pairs problem the bounded
+    `q_dedup_embedding_cosine` slice sidesteps: clustering bounds the
+    quadratic to cluster-size², and cluster count scales with the
+    corpus so cluster sizes stay roughly constant.  The self-join
+    shuffles both sides on cluster — the pair work is embarrassingly
+    parallel per cluster."""
+    from setup_harvest_action_spark.functions.similarity import (
+        cosine,
+        kmeans_assignments,
+    )
+
+    a = kmeans_assignments(spark, sf_dir)
+    x = a.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), "cluster"
+    )
+    y = a.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), "cluster"
+    )
+    return (
+        x.join(y, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos") >= SEMANTIC_THRESHOLD)
+        .select(
+            "vec_a",
+            "vec_b",
+            "cluster",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+def _register_semantic_oracle() -> None:
+    from setup_harvest_action_spark.catalog import ORACLES
+    from setup_harvest_action_spark.functions.similarity import (
+        KMEANS_ORACLE_CTES,
+    )
+
+    ORACLES["q_dedup_semantic"] = (
+        KMEANS_ORACLE_CTES
+        + f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster,
+       CAST(round(list_cosine_similarity(a.e, b.e), 6) AS DOUBLE) AS cosine
+FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= {SEMANTIC_THRESHOLD}
+"""
+    ).strip()
+
+
+_register_semantic_oracle()

@@ -495,9 +495,12 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "q_embedding_kmeans",
-    oracle=f"""
+# Unrolled-Lloyd CTE prefix shared by the kmeans oracle and the
+# within-cluster semantic-dedup oracle (functions/dedup.py): v = cast
+# embeddings, c0 = deterministic init, aN/cN = assignment/update per
+# iteration, af = final assignment under c2 (with the vector kept for
+# downstream pair math).
+KMEANS_ORACLE_CTES = f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
@@ -527,13 +530,22 @@ a2 AS (
 ),
 x2 AS (SELECT cluster, generate_subscripts(e, 1) AS dim, unnest(e) AS val FROM a2),
 m2 AS (SELECT cluster, dim, avg(val) AS m FROM x2 GROUP BY cluster, dim),
-c2 AS (SELECT cluster, list(m ORDER BY dim) AS c FROM m2 GROUP BY cluster)
-SELECT vec_id, cluster, CAST(round(dist, 6) AS DOUBLE) AS dist FROM (
-  SELECT v.vec_id, c2.cluster, list_distance(v.e, c2.c) AS dist,
-         row_number() OVER (PARTITION BY v.vec_id
-                            ORDER BY list_distance(v.e, c2.c), c2.cluster) AS rn
-  FROM v CROSS JOIN c2
-) WHERE rn = 1
+c2 AS (SELECT cluster, list(m ORDER BY dim) AS c FROM m2 GROUP BY cluster),
+af AS (
+  SELECT vec_id, e, cluster, dist FROM (
+    SELECT v.vec_id, v.e, c2.cluster, list_distance(v.e, c2.c) AS dist,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_distance(v.e, c2.c), c2.cluster) AS rn
+    FROM v CROSS JOIN c2
+  ) WHERE rn = 1
+)"""
+
+
+@query(
+    "q_embedding_kmeans",
+    oracle=KMEANS_ORACLE_CTES
+    + """
+SELECT vec_id, cluster, CAST(round(dist, 6) AS DOUBLE) AS dist FROM af
 """,
 )
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,15 +564,27 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     looping production variant would materialize centroids per round
     via io/materialize.py.  Output: (vec_id, cluster, dist) under the
     final centroids."""
+    return kmeans_assignments(spark, sf_dir).select(
+        "vec_id", "cluster", F.round("dist", 6).alias("dist")
+    )
+
+
+def kmeans_assignments(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Library form of the k-means fit: returns (vec_id, cluster, e,
+    dist) under the final centroids — the shared input for
+    q_embedding_kmeans and the within-cluster semantic dedup."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    cent = emb.filter(F.col("vec_id") < KMEANS_K).select(
+    cent = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cluster"), F.col("e").alias("c")
     )
-    for _ in range(KMEANS_ITERS):
+    for _ in range(iters):
         cent = _update(_assign(emb, cent))
-    return _assign(emb, cent).select(
-        "vec_id", "cluster", F.round("dist", 6).alias("dist")
-    )
+    return _assign(emb, cent)

@@ -328,3 +328,52 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "q_events_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type, next_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6)
+            AS DOUBLE) AS share
+FROM pairs
+""",
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event transition matrix (first-order Markov chain) per
+    user journey: for every ordered in-session pair (event, next
+    event), the transition count and its share of the source event's
+    outgoing edges — the standard product-analytics "where do users go
+    after X" summary, and the input to Markov-chain attribution.
+
+    One Exchange on user_id serves the lead() window; the pair counts
+    then aggregate to event-type cardinality² rows (tiny), and the
+    share renormalization windows over THAT — so everything after the
+    first shuffle is vocabulary-sized.  Ordering ties broken by
+    event_id so both engines sequence identically."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    share_w = Window.partitionBy("event_type")
+    return pairs.withColumn(
+        "share", F.round(F.col("n") / F.sum("n").over(share_w), 6)
+    )
