@@ -48,3 +48,21 @@ def test_approx_quantiles_within_rank_window(spark):
         for flag, row in approx.items():
             assert bounds[flag]["lo"] <= row[key] <= bounds[flag]["hi"], (
                 flag, key, row[key])
+
+
+def test_hll_sketch_tolerance_beyond_sparse_regime(spark):
+    """Past the sparse-exact regime the HLL estimate must stay within
+    2% of exact — the operator's honest contract at scale (the oracle
+    only covers the sparse regime the gate runs in)."""
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.io.loaders import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.1", "events")
+    r = (
+        ev.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+            F.count_distinct("user_id").alias("exact"),
+        ).collect()[0]
+    )
+    assert abs(r["est"] - r["exact"]) / r["exact"] < 0.02, r
