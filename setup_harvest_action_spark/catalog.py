@@ -107,11 +107,21 @@ _DRIVER_PRIORITY = (
     "q_scalar_math",
     "q_scalar_conditional",
     "q_scalar_array",
-    # (c) 25 of the 34 oracled queries whose newest row is r03:
+    # (c) The 7 round-5 additions — never driver-checked, so they
+    # outrank everything with an existing green row.
+    "q_text_lm_score",
+    "q_sample_source_cap",
+    "q_stream_dedup_within_watermark",
+    "q_embedding_kmeans",
+    "q_dedup_semantic",
+    "q_events_transitions",
+    "q_agg_hll_partitioned",
+    # (d) 18 of the 34 oracled queries whose newest row is r03:
     # harvest load path, dedup/similarity, relational read path,
-    # multimodal metadata, text representatives.  The 9 deferred to r6
-    # (5 text remainder, 2 file roundtrips, sparql_source_sim,
-    # scalar_map) plus the 8 rows-only entries keep their r03 rows.
+    # multimodal metadata, text representatives.  The 16 deferred to r6
+    # (simple relational + text remainder + file roundtrips +
+    # sparql_source_sim + scalar_map) and the 8 rows-only entries keep
+    # their r03 rows.
     "q_harvest_read_path",
     "q_harvest_terms",
     "q_harvest_term_fields",
@@ -127,15 +137,8 @@ _DRIVER_PRIORITY = (
     "q_similarity_pairs_threshold",
     "q_pricing_summary",
     "q_count_distinct_members",
-    "q_distinct_projection",
-    "q_filter_project",
-    "q_regex_filter",
-    "q_pagination_keyset",
-    "q_parameterized_sql",
     "q_multimodal_metadata",
     "q_multimodal_modality_mix",
-    "q_text_bm25",
-    "q_text_quality",
     "q_text_tfidf",
 )
 
