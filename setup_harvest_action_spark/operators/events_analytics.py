@@ -377,3 +377,71 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn(
         "share", F.round(F.col("n") / F.sum("n").over(share_w), 6)
     )
+
+
+ANOMALY_BUCKET_SEC = 600  # 10-minute buckets
+ANOMALY_TRAIL = 12  # trailing buckets in the rolling baseline
+
+
+@query(
+    "q_events_anomaly",
+    oracle=f"""
+WITH b AS (
+  SELECT time_bucket(INTERVAL '{ANOMALY_BUCKET_SEC} seconds', ts) AS bucket,
+         count(*) AS n
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT bucket, CAST(n AS BIGINT) AS n,
+         avg(n) OVER w AS mean_n,
+         stddev_samp(n) OVER w AS sd_n
+  FROM b
+  WINDOW w AS (ORDER BY bucket
+               ROWS BETWEEN {ANOMALY_TRAIL} PRECEDING AND 1 PRECEDING)
+)
+SELECT bucket, n,
+       CAST(round(mean_n, 6) AS DOUBLE) AS mean_n,
+       CAST(CASE WHEN sd_n > 0 THEN round((n - mean_n) / sd_n, 6) END
+            AS DOUBLE) AS z
+FROM r
+""",
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: 10-minute traffic buckets scored
+    by z-score against a rolling {ANOMALY_TRAIL}-bucket trailing
+    baseline (mean/stddev exclude the current bucket) — the standard
+    ops-analytics spike/drop detector, batch twin of a streaming
+    monitor.
+
+    The bucket aggregate is a corpus-wide partial/final count; the
+    rolling window then runs over BUCKET-cardinality rows (minutes of
+    history, not events), so the single-partition ordered window has
+    the same vocabulary-sized economics as q_text_topk_tokens.  z is
+    NULL until the baseline has variance (first buckets / constant
+    traffic) — identical CASE guard on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            F.timestamp_seconds(
+                (F.unix_timestamp("ts") / ANOMALY_BUCKET_SEC).cast("long")
+                * ANOMALY_BUCKET_SEC
+            ).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(-ANOMALY_TRAIL, -1)
+    r = b.select(
+        "bucket",
+        "n",
+        F.avg("n").over(w).alias("mean_n"),
+        F.stddev_samp("n").over(w).alias("sd_n"),
+    )
+    return r.select(
+        "bucket",
+        "n",
+        F.round("mean_n", 6).alias("mean_n"),
+        F.when(
+            F.col("sd_n") > 0,
+            F.round((F.col("n") - F.col("mean_n")) / F.col("sd_n"), 6),
+        ).alias("z"),
+    )

@@ -341,3 +341,68 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+WITH merged AS (
+  SELECT user_id, ts, 0 AS is_err, event_id, CAST(NULL AS TIMESTAMP) AS err_ts
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, 1, NULL, ts FROM events WHERE event_type = 'error'
+)
+SELECT event_id, user_id, ts, next_error_ts FROM (
+  SELECT *, first_value(err_ts IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, is_err ASC
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_error_ts
+  FROM merged
+) WHERE event_id IS NOT NULL
+""",
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each purchase, the first error at-or-
+    after it, per user — the mirror of q_join_asof's backward lookup
+    (did this purchase precede a failure?).  Same union + ONE
+    user-keyed window idiom, with the frame flipped to CURRENT ROW →
+    UNBOUNDED FOLLOWING and ``first(..., ignorenulls)``; at equal ts
+    the error sorts after the purchase so same-instant errors are
+    visible (>= semantics).  Still one Exchange, state bounded by one
+    row per side — the pairwise join + per-key min it replaces is two
+    shuffles and a per-user cross product."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts")
+    )
+    merged = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_err"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("err_ts"),
+    ).unionByName(
+        errors.select(
+            "user_id",
+            F.col("err_ts").alias("ts"),
+            F.lit(1).alias("is_err"),
+            F.lit(None).cast("long").alias("event_id"),
+            "err_ts",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("is_err"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        merged.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.first("err_ts", ignorenulls=True).over(w).alias("next_error_ts"),
+        )
+        .filter(F.col("event_id").isNotNull())
+    )
