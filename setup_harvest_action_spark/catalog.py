@@ -107,7 +107,7 @@ _DRIVER_PRIORITY = (
     "q_scalar_math",
     "q_scalar_conditional",
     "q_scalar_array",
-    # (c) The 7 round-5 additions — never driver-checked, so they
+    # (c) The 10 round-5 additions — never driver-checked, so they
     # outrank everything with an existing green row.
     "q_text_lm_score",
     "q_sample_source_cap",
@@ -116,11 +116,15 @@ _DRIVER_PRIORITY = (
     "q_dedup_semantic",
     "q_events_transitions",
     "q_agg_hll_partitioned",
-    # (d) 18 of the 34 oracled queries whose newest row is r03:
+    "q_join_asof_forward",
+    "q_events_anomaly",
+    "q_shipping_priority",
+    # (d) 15 of the 34 oracled queries whose newest row is r03:
     # harvest load path, dedup/similarity, relational read path,
-    # multimodal metadata, text representatives.  The 16 deferred to r6
+    # multimodal metadata, text representatives.  The 19 deferred to r6
     # (simple relational + text remainder + file roundtrips +
-    # sparql_source_sim + scalar_map) and the 8 rows-only entries keep
+    # sparql_source_sim + scalar_map + embedding_cosine + pairs
+    # threshold + count_distinct) and the 8 rows-only entries keep
     # their r03 rows.
     "q_harvest_read_path",
     "q_harvest_terms",
@@ -132,11 +136,8 @@ _DRIVER_PRIORITY = (
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_dedup_components",
-    "q_dedup_embedding_cosine",
     "q_similarity_exact_topk",
-    "q_similarity_pairs_threshold",
     "q_pricing_summary",
-    "q_count_distinct_members",
     "q_multimodal_metadata",
     "q_multimodal_modality_mix",
     "q_text_tfidf",

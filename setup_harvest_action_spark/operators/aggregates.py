@@ -340,3 +340,65 @@ def q_agg_hll_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("n_users"),
     )
     return by_type.unionByName(merged)
+
+
+SHIP_PRIORITY_TOP = 10
+
+
+@query(
+    "q_shipping_priority",
+    oracle=f"""
+SELECT l.l_orderkey AS orderkey,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
+           AS revenue,
+       o.o_orderdate AS orderdate,
+       o.o_orderpriority AS orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '2024-06-01'
+  AND l.l_shipdate > TIMESTAMP '2024-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, orderdate, orderkey
+LIMIT {SHIP_PRIORITY_TOP}
+""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — the canonical selective multi-join composite:
+    filtered customer segment ⋈ date-filtered orders ⋈ ship-date-
+    filtered lineitem, revenue per order, global top-{SHIP_PRIORITY_TOP}.
+
+    What the plan must do at 100 TB (and Catalyst does from this
+    declarative form): push all three filters into the parquet scans
+    (PushedFilters), prune to the 4 needed lineitem columns, pick
+    broadcast vs shuffle join per post-filter size via AQE, aggregate
+    partial/final on l_orderkey, and fold ORDER BY+LIMIT into
+    TakeOrderedAndProject — never a global sort of every order.  Ties
+    beyond revenue break on (orderdate, orderkey) so the LIMIT row set
+    is deterministic on both engines."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = "2024-06-01"
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            "revenue",
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .orderBy(F.desc("revenue"), "orderdate", "orderkey")
+        .limit(SHIP_PRIORITY_TOP)
+    )

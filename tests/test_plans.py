@@ -417,3 +417,16 @@ def test_kmeans_broadcasts_centroids_never_shuffles_corpus_for_assign(
     assert tree.count("BroadcastExchange") + tree.count(
         "ReusedExchange"
     ) >= 3  # one per assignment (2 iterations + final)
+
+
+def test_shipping_priority_pushes_all_three_filters(spark, queries):
+    """The Q3-shape composite must push each table's predicate into its
+    own parquet scan and fold ORDER BY+LIMIT into TakeOrderedAndProject
+    — the two properties that keep a selective 3-way join from reading
+    or sorting the world."""
+    plan = plan_of(queries["q_shipping_priority"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "c_comment" not in plan and "l_comment" not in plan
