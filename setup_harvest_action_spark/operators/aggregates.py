@@ -402,3 +402,60 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "orderdate", "orderkey")
         .limit(SHIP_PRIORITY_TOP)
     )
+
+
+LARGE_ORDER_QTY = 250.0  # HAVING threshold for the large-order probe
+
+
+@query(
+    "q_large_orders",
+    oracle=f"""
+SELECT c.c_name, o.o_orderkey AS orderkey, o.o_orderdate AS orderdate,
+       CAST(round(o.o_totalprice, 2) AS DOUBLE) AS totalprice,
+       CAST(round(sum(l.l_quantity), 2) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > {LARGE_ORDER_QTY})
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — aggregate-then-semi-join: find orders whose
+    total line quantity exceeds {LARGE_ORDER_QTY}, then rebuild the
+    customer-level report for just those orders.
+
+    The scale-critical ordering is AGGREGATE FIRST: the HAVING
+    aggregate reduces lineitem to one row per order BEFORE any join
+    touches it, and the surviving key set drives a semi-join — so the
+    expensive fact⋈fact work happens on the filtered keys, never the
+    full table.  Catalyst plans the IN-subquery as exactly that
+    left-semi; the final customer join is a dimension lookup on the
+    (tiny) surviving row set."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big_keys = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > LARGE_ORDER_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            big_keys, orders["o_orderkey"] == big_keys["l_orderkey"], "left_semi"
+        )
+        .join(lineitem, F.col("o_orderkey") == lineitem["l_orderkey"])
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+    )
