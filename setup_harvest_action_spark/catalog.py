@@ -107,7 +107,7 @@ _DRIVER_PRIORITY = (
     "q_scalar_math",
     "q_scalar_conditional",
     "q_scalar_array",
-    # (c) The 11 round-5 additions — never driver-checked, so they
+    # (c) The 12 round-5 additions — never driver-checked, so they
     # outrank everything with an existing green row.
     "q_text_lm_score",
     "q_sample_source_cap",
@@ -120,7 +120,8 @@ _DRIVER_PRIORITY = (
     "q_events_anomaly",
     "q_shipping_priority",
     "q_large_orders",
-    # (d) 14 of the 34 oracled queries whose newest row is r03:
+    "q_text_bytes_mapinarrow",
+    # (d) 13 of the 34 oracled queries whose newest row is r03:
     # harvest load path, dedup/similarity, relational read path,
     # multimodal metadata, text representatives.  The 19 deferred to r6
     # (simple relational + text remainder + file roundtrips +
@@ -140,7 +141,6 @@ _DRIVER_PRIORITY = (
     "q_similarity_exact_topk",
     "q_pricing_summary",
     "q_multimodal_metadata",
-    "q_multimodal_modality_mix",
 )
 
 _loaded = False

@@ -681,3 +681,52 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logp"),
         )
     )
+
+
+@query(
+    "q_text_bytes_mapinarrow",
+    oracle="""
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+           AS n_spaces
+FROM documents
+""",
+)
+def q_text_bytes_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level document stats via ``mapInArrow`` — the last cell of
+    the Python-UDF surface matrix (scalar pandas_udf / applyInPandas /
+    applyInPandasWithState / mapInPandas / UDTF / mapInArrow): the
+    function receives raw Arrow RecordBatches and answers with Arrow,
+    skipping the pandas conversion entirely — the lowest-overhead
+    Python hook, the right one for byte-oriented work (tokenizer byte
+    budgets, encoding audits) where pandas object-dtype strings would
+    dominate the cost.
+
+    All three stats recompute in SQL (bytes = strlen, chars = length,
+    spaces = length delta), so unlike the other UDF demos this Arrow
+    path is value-checked exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def byte_stats(batches):
+        for batch in batches:
+            txt = batch.column(1)
+            n_bytes = pc.binary_length(txt.cast(pa.binary()))
+            n_chars = pc.utf8_length(txt)
+            n_spaces = pc.count_substring(txt, " ")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    n_bytes.cast(pa.int64()),
+                    n_chars.cast(pa.int64()),
+                    n_spaces.cast(pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "n_chars", "n_spaces"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        byte_stats, "doc_id long, n_bytes long, n_chars long, n_spaces long"
+    )
