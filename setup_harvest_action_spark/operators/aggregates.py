@@ -357,8 +357,8 @@ FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < TIMESTAMP '2024-06-01'
-  AND l.l_shipdate > TIMESTAMP '2024-06-01'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
 GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
 ORDER BY revenue DESC, orderdate, orderkey
 LIMIT {SHIP_PRIORITY_TOP}
@@ -380,7 +380,8 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    cutoff = "2024-06-01"
+    # mid-corpus cutoff: orders span 1995-2001 in the fixture
+    cutoff = "1998-06-01"
     return (
         customer.filter(F.col("c_mktsegment") == "BUILDING")
         .join(orders, F.col("c_custkey") == F.col("o_custkey"))
