@@ -57,8 +57,10 @@ def get_spark(
         # the Python DataSource (sources/sparql_datasource.py) implements
         # pushFilters(), which Spark refuses to plan unless this is on
         .config("spark.sql.python.filterPushdown.enabled", "true")
-        # events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark
-        # rejects by default; read as long and convert in the loader.
+        # Kept for the NANOS branch of the unit-adaptive events reader
+        # (io/loaders.py:load_events): a TIMESTAMP(NANOS) fixture —
+        # round 1 shipped one — is illegal as Spark TimestampType and
+        # must be read as long.  Harmless when the fixture is µs.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
