@@ -74,73 +74,69 @@ _EXPECTED_MISSING: frozenset[str] = frozenset()
 DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = (
-    # ---- r05 rotation ----
-    # (a) The 12 queries invalidated by the driver's events-fixture
-    # regeneration (ts unit ns→µs): 4 carried FAIL rows in r04, the
-    # rest carry green r03 rows that predate the regeneration.  All are
-    # repaired by the footer-driven unit detection (io/loaders.py) and
-    # need fresh driver rows.
-    "q_events_sessionize",
-    "q_events_funnel",
-    "q_events_resample_ffill",
-    "q_events_cohort_retention",
-    "q_join_asof",
-    "q_stream_tumbling_counts",
-    "q_stream_session_windows",
-    "q_stream_sliding_avg",
-    "q_stream_stream_join",
-    "q_stream_tumbling_append_filesink",
-    "q_stream_dedup",
-    "q_stream_stateful_user_totals",
-    # (b) The 13 queries whose newest driver row is r02 — the stalest
-    # on the board (aggregates family + scalar remainder + pagination).
-    "q_pagination_page",
-    "q_revenue_by_nation",
-    "q_rollup_order_stats",
-    "q_cube_lineitem_flags",
-    "q_grouping_sets",
-    "q_approx_count_distinct",
-    "q_agg_minmax_stats",
-    "q_agg_pivot",
-    "q_agg_percentiles",
-    "q_agg_approx_quantiles",
-    "q_scalar_math",
-    "q_scalar_conditional",
-    "q_scalar_array",
-    # (c) The 12 round-5 additions — never driver-checked, so they
-    # outrank everything with an existing green row.
-    "q_text_lm_score",
-    "q_sample_source_cap",
-    "q_stream_dedup_within_watermark",
-    "q_embedding_kmeans",
-    "q_dedup_semantic",
-    "q_events_transitions",
-    "q_agg_hll_partitioned",
-    "q_join_asof_forward",
-    "q_events_anomaly",
-    "q_shipping_priority",
-    "q_large_orders",
-    "q_text_bytes_mapinarrow",
-    # (d) 13 of the 34 oracled queries whose newest row is r03:
-    # harvest load path, dedup/similarity, relational read path,
-    # multimodal metadata, text representatives.  The 19 deferred to r6
-    # (simple relational + text remainder + file roundtrips +
-    # sparql_source_sim + scalar_map + embedding_cosine + pairs
-    # threshold + count_distinct) and the 8 rows-only entries keep
-    # their r03 rows.
-    "q_harvest_read_path",
-    "q_harvest_terms",
-    "q_harvest_term_fields",
-    "q_harvest_unpivot",
-    "q_harvest_rerun_terms",
-    "q_harvest_rerun_stats",
-    "q_constraint_report",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_components",
-    "q_similarity_exact_topk",
-    "q_pricing_summary",
-    "q_multimodal_metadata",
+    # ---- r06 rotation ----
+    # (a) The 21 oracled queries whose newest driver row is r03 — the
+    # stalest on the board (the r5 group-(d) deferrals: relational
+    # remainder, scalar_map, text family, file roundtrips,
+    # sparql_source_sim, embedding_cosine, pairs_threshold,
+    # count_distinct, multimodal modality mix).
+    "q_count_distinct_members",
+    "q_dedup_embedding_cosine",
+    "q_distinct_projection",
+    "q_filter_project",
+    "q_multimodal_modality_mix",
+    "q_pagination_keyset",
+    "q_parameterized_sql",
+    "q_regex_filter",
+    "q_scalar_map",
+    "q_similarity_pairs_threshold",
+    "q_source_csv_roundtrip",
+    "q_source_json_roundtrip",
+    "q_sparql_source_sim",
+    "q_text_bm25",
+    "q_text_fingerprint",
+    "q_text_lang_profile",
+    "q_text_quality",
+    "q_text_tfidf",
+    "q_text_token_estimate",
+    "q_text_token_stats",
+    "q_text_zscore_by_lang",
+    # (b) The 8 rows-only entries whose newest driver row is r03 —
+    # rows-only rows go stale too; refresh them alongside.
+    "q_text_langid",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_similarity_ann_lsh",
+    "q_similarity_ann_ivf",
+    "q_multimodal_features",
+    "q_multimodal_frame_sample",
+    "q_multimodal_thumbnail",
+    # (c) Round-6 additions — never driver-checked.
+    "q_harvest_bucketed_rerun",
+    "q_stream_sliding_avg_append",
+    "q_stream_session_windows_append",
+    "q_multimodal_bmp_pipeline",
+    # (d) Fill to the window with r04-latest greens (windows / joins /
+    # setops / scalar / text-UDF / sampling / quality / graph / scd /
+    # sparql datasource representatives), so no family drifts past two
+    # rounds without a fresh row.  Remaining r04 rows rotate in r7.
+    "q_window_ranking",
+    "q_window_topk_per_group",
+    "q_join_semi",
+    "q_join_range",
+    "q_join_salted_skew",
+    "q_setop_except_all",
+    "q_setop_union_by_name",
+    "q_scalar_string",
+    "q_scalar_date",
+    "q_scalar_json",
+    "q_text_entropy_pandas_udf",
+    "q_sample_pack_sequences",
+    "q_pipeline_corpus_prep",
+    "q_quality_decontaminate",
+    "q_graph_pagerank",
+    "q_scd2_customer_segment",
+    "q_sparql_datasource",
 )
 
 _loaded = False

@@ -326,6 +326,149 @@ def synthesize_ppm(doc_id: int, width: int = IMG_W, height: int = IMG_H) -> byte
     return encode_ppm(width, height, vals.reshape(height, width, 3))
 
 
+# --- Second real decoder: uncompressed 24-bit BMP ---------------------------
+#
+# BMP (BITMAPINFOHEADER, biCompression=0) is the other fully-specified
+# library-free raster format: 14-byte file header + 40-byte info header
+# + bottom-up BGR rows padded to 4 bytes.  With two real formats the
+# decode path is format-dispatched (``decode_image_auto``), not a
+# single-format special case.
+
+
+def encode_bmp(width: int, height: int, rgb) -> bytes:
+    """Uncompressed 24-bit BMP from ndarray[h, w, 3] uint8 (RGB in,
+    stored bottom-up BGR with 4-byte row padding)."""
+    import struct
+
+    import numpy as np
+
+    row_stride = (width * 3 + 3) & ~3
+    img_size = row_stride * height
+    bgr = rgb[::-1, :, ::-1]  # bottom-up, RGB→BGR
+    rows = np.zeros((height, row_stride), dtype=np.uint8)
+    rows[:, : width * 3] = bgr.reshape(height, width * 3)
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return file_header + info_header + rows.tobytes()
+
+
+def decode_bmp(payload: bytes):
+    """Parse an uncompressed 24-bit BMP into ndarray[h, w, 3] uint8 RGB —
+    the second pure-numpy decoder (header struct, stride un-padding,
+    bottom-up flip, BGR→RGB)."""
+    import struct
+
+    import numpy as np
+
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    (_, _, _, _, data_offset) = struct.unpack_from("<2sIHHI", payload, 0)
+    (hdr_size, width, height, _planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_stride * height, offset=data_offset
+    ).reshape(height, row_stride)
+    bgr = rows[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()
+
+
+def decode_image_auto(payload: bytes):
+    """Format-dispatched decode: sniff the magic bytes and route to the
+    matching real decoder; compressed formats (PNG/JPEG/...) fall
+    through to the honest PIL stub (``decode_image``)."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    return decode_image(payload)
+
+
+def synthesize_bmp(doc_id: int, width: int = IMG_W, height: int = IMG_H) -> bytes:
+    """Deterministic BMP twin of ``synthesize_ppm`` — same pixel
+    arithmetic, different container format."""
+    import numpy as np
+
+    n = width * height * 3
+    idx = np.arange(n, dtype=np.uint64)
+    vals = ((np.uint64(doc_id * 31) + idx * np.uint64(2654435761)) % 256).astype(
+        np.uint8
+    )
+    return encode_bmp(width, height, vals.reshape(height, width, 3))
+
+
+@query("q_multimodal_bmp_pipeline")
+def q_multimodal_bmp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image pipeline #2 — same two-stage mapInPandas shape as the
+    PPM pipeline but through the uncompressed-BMP codec and the
+    format-dispatched ``decode_image_auto``: synthesize a deterministic
+    24-bit BMP per document, sniff + decode (struct header parse,
+    stride un-padding, bottom-up flip, BGR→RGB), nearest-neighbor
+    resize, per-channel means + thumbnail hash.  Because both
+    synthesizers share the pixel arithmetic, the emitted statistics are
+    byte-identical to the PPM pipeline's — pinned by the golden test as
+    a cross-format decode consistency check.  No oracle (binary ops are
+    outside DuckDB); golden values in tests/test_llm_functions.py."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def make_images(batches: Iterator):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synthesize_bmp(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def decode_resize(batches: Iterator):
+        for pdf in batches:
+            doc_ids, ws, hs, mr, mg, mb, tmd5 = [], [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image_auto(bytes(payload))
+                thumb = resize_nearest(img, THUMB_W, THUMB_H)
+                doc_ids.append(doc_id)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                means = img.reshape(-1, 3).mean(axis=0)
+                mr.append(round(float(means[0]), 4))
+                mg.append(round(float(means[1]), 4))
+                mb.append(round(float(means[2]), 4))
+                tmd5.append(hashlib.md5(thumb.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "width": ws,
+                    "height": hs,
+                    "mean_r": mr,
+                    "mean_g": mg,
+                    "mean_b": mb,
+                    "thumb_md5": tmd5,
+                }
+            )
+
+    images = docs.select("doc_id").mapInPandas(
+        make_images, "doc_id long, payload binary"
+    )
+    return images.mapInPandas(
+        decode_resize,
+        "doc_id long, width int, height int, mean_r double, mean_g double, "
+        "mean_b double, thumb_md5 string",
+    )
+
+
 @query("q_multimodal_ppm_pipeline")
 def q_multimodal_ppm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image pipeline over binary payloads: synthesize a

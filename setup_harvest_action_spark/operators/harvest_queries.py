@@ -207,6 +207,53 @@ def q_harvest_rerun_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_harvest_bucketed_rerun",
+    oracle=_ORACLE_CTES
+    + """
+SELECT c.uri,
+       TIMESTAMP '2026-01-01 00:00:00' AS created_at,
+       TIMESTAMP '2026-01-02 00:00:00' AS updated_at,
+       (SELECT CAST(count(*) AS BIGINT) FROM long_clean l
+        WHERE l.concept = c.uri) AS n_fields
+FROM concepts c
+""",
+)
+def q_harvest_bucketed_rerun(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucket-pruned merge (harvest/bucketed.py) under the same
+    idempotence contract as ``q_harvest_rerun_terms``: the T1 batch
+    loads into hash-partitioned parquet state, the T2 rerun touches
+    only its own buckets, inserts nothing, advances ``updated_at``,
+    and skips the ``term_fields`` commit outright.  Surrogate ids are
+    xxhash64 (not SQL-reproducible), so the oracle checks the visible
+    contract: per-uri timestamps and the FK-resolved field count —
+    which still exercises the hash-id join, since a broken id would
+    zero the counts."""
+    import tempfile
+
+    from setup_harvest_action_spark.harvest.bucketed import BucketedHarvestState
+
+    root = tempfile.mkdtemp(prefix="harvest_bucketed_")
+    state = BucketedHarvestState(spark, root, n_buckets=8)
+    state.load_batch(_bindings_df(spark), _T1)
+    state.load_batch(_bindings_df(spark), _T2)
+    counts = (
+        state.term_fields()
+        .groupBy("term_id")
+        .agg(F.count(F.lit(1)).alias("n_fields"))
+    )
+    return (
+        state.terms()
+        .join(counts, F.col("id") == F.col("term_id"), "left")
+        .select(
+            "uri",
+            "created_at",
+            "updated_at",
+            F.coalesce("n_fields", F.lit(0)).cast("long").alias("n_fields"),
+        )
+    )
+
+
+@query(
     "q_sparql_source_sim",
     oracle="""
 WITH idx AS (SELECT unnest(range(0, 2500)) AS i),

@@ -357,6 +357,99 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_sliding_avg_append",
+    oracle="""
+WITH starts AS (
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, value FROM events
+    UNION ALL
+    SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour', value FROM events
+)
+SELECT window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+FROM starts
+GROUP BY window_start
+""",
+)
+def q_stream_sliding_avg_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AT-SCALE twin of ``q_stream_sliding_avg``: **append** output
+    mode — each sliding window is emitted exactly once when the
+    watermark passes its end, then its state is EVICTED, so state holds
+    only the ~(size/slide)+1 windows inside the watermark horizon per
+    key instead of every window ever seen (complete mode re-emits and
+    retains all of them — fixture-only).  The sentinel source file
+    advances the watermark past the fixture tail so the finite replay
+    flushes every real window (see ``_append_stream_source_dir``); the
+    sentinel's own windows end after the final watermark and are never
+    emitted, so the batch oracle over the real events matches exactly."""
+    src = _append_stream_source_dir(sf_dir)
+    events = _events_stream(spark, sf_dir, src, maxFilesPerTrigger="1")
+    windowed = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = run_to_completion(windowed, "append")
+    return out.select(
+        F.col("window.start").alias("window_start"), "n_events", "total_value"
+    )
+
+
+@query(
+    "q_stream_session_windows_append",
+    oracle="""
+WITH gaps AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+islands AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM gaps
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM islands
+GROUP BY user_id, session_id
+""",
+)
+def q_stream_session_windows_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AT-SCALE twin of ``q_stream_session_windows``: **append**
+    mode session windows — a session is emitted exactly once, when the
+    watermark passes its close (last event + gap), and its merge state
+    is evicted; state is bounded by sessions still open within the
+    watermark horizon, not by every (user × session) ever seen.  The
+    sentinel file pushes the watermark past the fixture tail to flush
+    the final open sessions; the sentinel's own single-event session
+    (user_id = -1) closes after the final watermark and is filtered by
+    construction — it is never emitted."""
+    src = _append_stream_source_dir(sf_dir)
+    events = _events_stream(spark, sf_dir, src, maxFilesPerTrigger="1")
+    sessions = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_completion(sessions, "append")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@query(
     "q_stream_stateful_user_totals",
     oracle="""
 SELECT user_id,

@@ -41,32 +41,29 @@ def test_every_oracle_has_a_query():
 
 def test_driver_window_covers_every_component():
     """The first DRIVER_WINDOW catalog entries (all the driver's
-    correctness gate ever records) must front the r05 rotation: the 12
-    queries invalidated by the events-fixture regeneration, then the
-    stalest driver rows (r02-latest aggregates/scalars, r03-latest
-    harvest/dedup/similarity/relational representatives)."""
+    correctness gate ever records) must front the r06 rotation: the 21
+    oracled queries whose newest driver row is r03, the 8 stale
+    rows-only entries, the round-6 additions, and r04-latest fills."""
     queries, _ = cat.load_catalog()
     window = list(queries)[: cat.DRIVER_WINDOW]
     assert len(cat._DRIVER_PRIORITY) <= cat.DRIVER_WINDOW
     assert list(cat._DRIVER_PRIORITY) == window[: len(cat._DRIVER_PRIORITY)]
-    # spot-check the r4 verdict's named "done" criteria are inside:
-    # all 10 events-ts casualties plus representatives of each group
+    # spot-check the r5 verdict's named next-round criteria are inside:
+    # the group-(d) deferral list plus the r6 additions
     for name in (
-        "q_events_sessionize",
-        "q_events_funnel",
-        "q_events_resample_ffill",
-        "q_events_cohort_retention",
-        "q_join_asof",
-        "q_stream_tumbling_counts",
-        "q_stream_session_windows",
-        "q_stream_sliding_avg",
-        "q_stream_stream_join",
-        "q_stream_tumbling_append_filesink",
-        "q_revenue_by_nation",
-        "q_agg_pivot",
-        "q_harvest_read_path",
-        "q_dedup_exact",
-        "q_pricing_summary",
+        "q_count_distinct_members",
+        "q_dedup_embedding_cosine",
+        "q_scalar_map",
+        "q_similarity_pairs_threshold",
+        "q_source_csv_roundtrip",
+        "q_source_json_roundtrip",
+        "q_sparql_source_sim",
+        "q_text_tfidf",
+        "q_text_bm25",
+        "q_harvest_bucketed_rerun",
+        "q_stream_sliding_avg_append",
+        "q_stream_session_windows_append",
+        "q_multimodal_bmp_pipeline",
     ):
         assert name in window, name
 

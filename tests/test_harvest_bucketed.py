@@ -1,0 +1,171 @@
+"""Bucket-pruned merge (harvest/bucketed.py): the scale contract.
+
+Three pins:
+  * correctness — the bucketed path produces the same logical state as
+    the full-rewrite path (modulo the documented id strategy);
+  * pruning — a second batch whose keys land in OTHER buckets leaves
+    the first batch's bucket directories byte-identical (same files,
+    same bytes): the merge never rewrote them;
+  * idempotence — rerunning a batch inserts nothing and skips the
+    ``term_fields`` commit entirely (its files stay byte-identical).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from setup_harvest_action_spark.harvest.bucketed import BucketedHarvestState
+from setup_harvest_action_spark.harvest.load import HarvestState, harvest_batch
+from setup_harvest_action_spark.schemas import SPARQL_BINDINGS
+
+T1 = dt.datetime(2026, 1, 1)
+T2 = dt.datetime(2026, 1, 2)
+
+ROWS_A = [
+    ("http://v.example/a", "A", "A-alt", "def a"),
+    ("http://v.example/a", "A", "A-alt2", "def a"),
+    ("http://v.example/b", "B", None, None),
+    (None, "ghost", None, None),
+]
+
+# f/g hash to buckets {1, 2} at n_buckets=8 while a/b land in {4, 5} —
+# chosen disjoint so the pruning assertion below is meaningful.
+ROWS_B = [
+    ("http://v.example/f", "F", None, "def f"),
+    ("http://v.example/g", "G", "G-alt", None),
+]
+
+
+def _snapshot(root: str, table: str) -> dict[str, bytes]:
+    """path → bytes for every file under every bucket dir of ``table``."""
+    out: dict[str, bytes] = {}
+    base = os.path.join(root, table)
+    for dirpath, _dirs, files in os.walk(base):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, base)] = fh.read()
+    return out
+
+
+def _buckets_of(state: BucketedHarvestState, uris: list[str]) -> set[int]:
+    df = state.spark.createDataFrame([(u,) for u in uris], "uri string")
+    import pyspark.sql.functions as F
+
+    return {
+        r["b"]
+        for r in df.select(
+            F.pmod(F.xxhash64("uri"), F.lit(state.n_buckets)).cast("int").alias("b")
+        ).collect()
+    }
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "state")
+
+
+def test_bucketed_matches_full_rewrite_path(spark, root):
+    bindings = spark.createDataFrame(ROWS_A, SPARQL_BINDINGS)
+    bucketed = BucketedHarvestState(spark, root, n_buckets=8)
+    stats = bucketed.load_batch(bindings, T1)
+
+    ref_state, ref_stats = harvest_batch(HarvestState.empty(spark), bindings, T1)
+    assert (stats.terms_inserted, stats.terms_updated, stats.fields_inserted) == (
+        ref_stats.terms_inserted,
+        ref_stats.terms_updated,
+        ref_stats.fields_inserted,
+    )
+    # same logical content (ids differ by documented strategy: hash vs dense)
+    got_terms = {(r["uri"], r["created_at"], r["updated_at"])
+                 for r in bucketed.terms().collect()}
+    want_terms = {(r["uri"], r["created_at"], r["updated_at"])
+                  for r in ref_state.terms.collect()}
+    assert got_terms == want_terms
+
+    uri_by_id = {r["id"]: r["uri"] for r in bucketed.terms().collect()}
+    got_fields = {
+        (uri_by_id[r["term_id"]], r["field_uri"], r["original_value"])
+        for r in bucketed.term_fields().collect()
+    }
+    ref_uri_by_id = {r["id"]: r["uri"] for r in ref_state.terms.collect()}
+    want_fields = {
+        (ref_uri_by_id[r["term_id"]], r["field_uri"], r["original_value"])
+        for r in ref_state.term_fields.collect()
+    }
+    assert got_fields == want_fields
+    ref_state.release()
+
+
+def test_disjoint_batch_leaves_other_buckets_byte_identical(spark, root):
+    state = BucketedHarvestState(spark, root, n_buckets=8)
+    state.load_batch(spark.createDataFrame(ROWS_A, SPARQL_BINDINGS), T1)
+
+    buckets_a = _buckets_of(state, ["http://v.example/a", "http://v.example/b"])
+    buckets_b = _buckets_of(state, ["http://v.example/f", "http://v.example/g"])
+    # the fixture uris are chosen to hash apart at n_buckets=8; if a
+    # regeneration ever collides them, this assert names the problem
+    assert buckets_a.isdisjoint(buckets_b), (buckets_a, buckets_b)
+
+    before_terms = _snapshot(state.root, "terms")
+    before_fields = _snapshot(state.root, "term_fields")
+
+    state.load_batch(spark.createDataFrame(ROWS_B, SPARQL_BINDINGS), T2)
+
+    after_terms = _snapshot(state.root, "terms")
+    after_fields = _snapshot(state.root, "term_fields")
+
+    def in_buckets(snapshot, buckets):
+        return {
+            p: b
+            for p, b in snapshot.items()
+            if int(p.split(os.sep)[0].split("=")[1]) in buckets
+        }
+
+    # batch-A buckets: untouched, byte-for-byte
+    assert in_buckets(after_terms, buckets_a) == in_buckets(before_terms, buckets_a)
+    assert in_buckets(after_fields, buckets_a) == in_buckets(before_fields, buckets_a)
+    # batch-B buckets: new
+    assert in_buckets(after_terms, buckets_b)
+    # and the union state is complete
+    assert {r["uri"] for r in state.terms().collect()} == {
+        "http://v.example/a",
+        "http://v.example/b",
+        "http://v.example/f",
+        "http://v.example/g",
+    }
+
+
+def test_rerun_inserts_nothing_and_skips_fields_commit(spark, root):
+    bindings = spark.createDataFrame(ROWS_A, SPARQL_BINDINGS)
+    state = BucketedHarvestState(spark, root, n_buckets=8)
+    state.load_batch(bindings, T1)
+    fields_before = _snapshot(state.root, "terms"), _snapshot(state.root, "term_fields")
+
+    stats = state.load_batch(bindings, T2)
+    assert stats.terms_inserted == 0
+    assert stats.fields_inserted == 0
+    assert stats.terms_updated == 2
+    # term_fields commit skipped: files byte-identical
+    assert _snapshot(state.root, "term_fields") == fields_before[1]
+    # terms rewritten (updated_at advanced) in touched buckets only
+    rows = {r["uri"]: r for r in state.terms().collect()}
+    assert all(r["created_at"] == T1 and r["updated_at"] == T2 for r in rows.values())
+
+
+def test_partition_pruned_scan(spark, root):
+    """The read plan for one bucket lists only that bucket's partition."""
+    state = BucketedHarvestState(spark, root, n_buckets=8)
+    state.load_batch(spark.createDataFrame(ROWS_A, SPARQL_BINDINGS), T1)
+    some_bucket = sorted(_buckets_of(state, ["http://v.example/a"]))
+    plan = state.terms(some_bucket)._jdf.queryExecution().executedPlan().toString()
+    # the bucket predicate must land in PartitionFilters (directory
+    # pruning), not in the data filters
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert f"= {some_bucket[0]})" in m.group(1), plan

@@ -209,6 +209,61 @@ def test_regex_tokens_splits_words_numbers_punct(spark):
     assert rows[2].toks == []
 
 
+def test_bmp_pipeline_matches_ppm_and_pure_python(spark, queries):
+    """The BMP pipeline must produce byte-identical statistics to the
+    PPM pipeline (same pixel arithmetic, different container), and both
+    must match a pure-python recompute — a cross-format proof the
+    decoders do real pixel math, not byte heuristics."""
+    import hashlib
+
+    from setup_harvest_action_spark.functions.multimodal import (
+        IMG_H,
+        IMG_W,
+        THUMB_H,
+        THUMB_W,
+        decode_bmp,
+        decode_image_auto,
+        resize_nearest,
+        synthesize_bmp,
+        synthesize_ppm,
+    )
+
+    # codec round-trip + cross-format decode identity
+    bmp_img = decode_bmp(synthesize_bmp(7))
+    ppm_img = decode_image_auto(synthesize_ppm(7))
+    assert bmp_img.shape == (IMG_H, IMG_W, 3)
+    assert (bmp_img == ppm_img).all()
+
+    rows = {
+        r.doc_id: r
+        for r in queries["q_multimodal_bmp_pipeline"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(rows) >= 10
+    for doc_id in (0, 3, 11):
+        expected_img = decode_bmp(synthesize_bmp(doc_id))
+        means = expected_img.reshape(-1, 3).mean(axis=0)
+        expected_thumb = resize_nearest(expected_img, THUMB_W, THUMB_H)
+        r = rows[doc_id]
+        assert (r.width, r.height) == (IMG_W, IMG_H)
+        assert r.mean_r == round(float(means[0]), 4)
+        assert r.mean_g == round(float(means[1]), 4)
+        assert r.mean_b == round(float(means[2]), 4)
+        assert r.thumb_md5 == hashlib.md5(expected_thumb.tobytes()).hexdigest()
+    ppm_rows = {
+        r.doc_id: r
+        for r in queries["q_multimodal_ppm_pipeline"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for doc_id, r in rows.items():
+        p = ppm_rows[doc_id]
+        assert (r.mean_r, r.mean_g, r.mean_b, r.thumb_md5) == (
+            p.mean_r, p.mean_g, p.mean_b, p.thumb_md5
+        )
+
+
 def test_ppm_pipeline_matches_pure_python(spark, queries):
     """The PPM pipeline's decode/resize must be REAL image math: golden
     values recomputed here with the same pure-numpy codec, plus a

@@ -77,6 +77,33 @@ def test_ppm_codec_roundtrip(width, height, seed):
     assert set(thumb.reshape(-1)) <= set(rgb.reshape(-1))
 
 
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_bmp_codec_roundtrip(width, height, seed):
+    """decode(encode(img)) is the identity for any size — including
+    widths whose 3-byte rows need 4-byte padding — and the sniffing
+    dispatcher routes BMP bytes to the BMP decoder."""
+    import numpy as np
+
+    from setup_harvest_action_spark.functions.multimodal import (
+        decode_bmp,
+        decode_image_auto,
+        encode_bmp,
+    )
+
+    n = width * height * 3
+    idx = np.arange(n, dtype=np.uint64)
+    rgb = ((np.uint64(seed) + idx * np.uint64(2654435761)) % 256).astype(
+        np.uint8
+    ).reshape(height, width, 3)
+    payload = encode_bmp(width, height, rgb)
+    assert (decode_bmp(payload) == rgb).all()
+    assert (decode_image_auto(payload) == rgb).all()
+
+
 @given(st.binary(min_size=0, max_size=512))
 def test_fake_resize_bounds_and_determinism(payload):
     from setup_harvest_action_spark.functions.multimodal import (
