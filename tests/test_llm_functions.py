@@ -306,3 +306,41 @@ def test_ppm_pipeline_matches_pure_python(spark, queries):
         assert r.mean_g == round(float(means[1]), 4)
         assert r.mean_b == round(float(means[2]), 4)
         assert r.thumb_md5 == hashlib.md5(expected_thumb.tobytes()).hexdigest()
+
+
+def test_pairs_threshold_lsh_candidates_lose_nothing(spark, queries):
+    """q_similarity_pairs_threshold now routes through the LSH bucket
+    join; its oracle is the EXACT all-pairs SQL, so the gate only stays
+    green if the candidate set has 100% recall on qualifying pairs.
+    Re-derive the exact ground truth here (theta join over the bounded
+    slice) so a fixture or parameter change fails locally before it
+    fails at the driver."""
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.functions.similarity import (
+        PAIRS_SLICE,
+        PAIRS_THRESHOLD,
+        _as_double,
+        cosine,
+    )
+    from setup_harvest_action_spark.io.loaders import load_table
+
+    vecs = (
+        load_table(spark, SF, "embeddings")
+        .filter(F.col("vec_id") < PAIRS_SLICE)
+        .select("vec_id", _as_double().alias("v"))
+    )
+    a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= PAIRS_THRESHOLD)
+        .collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in queries["q_similarity_pairs_threshold"](spark, SF).collect()
+    }
+    assert exact, "threshold yields no pairs — the contract is vacuous"
+    assert got == exact

@@ -430,3 +430,19 @@ def test_shipping_priority_pushes_all_three_filters(spark, queries):
     assert "LessThan(o_orderdate" in plan
     assert "GreaterThan(l_shipdate" in plan
     assert "c_comment" not in plan and "l_comment" not in plan
+
+
+def test_pairs_threshold_joins_on_buckets_not_all_pairs(spark, queries):
+    """The threshold-pairs query must source candidates from the LSH
+    bucket equi-join — no CartesianProduct and no theta-only pair join;
+    the only nested-loop joins allowed are the two tiny hyperplane
+    broadcasts inside lsh_codes (one per side of the code self-join)."""
+    import re
+
+    df = queries["q_similarity_pairs_threshold"](spark, SF)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert tree.count("BroadcastNestedLoopJoin") <= 2
+    # candidate pairs come from an equi-join keyed on (table_id, code)
+    assert re.search(r"keys \[2\]: \[table_id#\d+, code#\d+", plan)
