@@ -22,10 +22,13 @@ one keyed merge on ``terms`` plus one anti-join append on
 
 Surrogate ids replicate AUTOINCREMENT (harvest.py:191): stable across
 reruns (ids are FK targets, :204), dense, assigned as
-``max(existing id) + row_number() over new rows``.  At 100 TB scale the
-global ``row_number`` over *new rows only* is the one serial point; it
-is bounded by batch novelty, not table size, and can be swapped for
-``xxhash64(uri)`` where density isn't required (SURVEY.md §1.3).
+``max(existing id) + global_rank(sort key)`` over new rows.  The rank
+is computed WITHOUT a global single-task window: rows rank within
+prefix-aligned partitions in parallel, and a tiny per-partition count
+aggregate supplies each partition's offset (``_dense_ids``), so a
+large novel batch spreads across executors.  ``xxhash64(uri)`` remains
+the fully parallel alternative where density isn't required
+(SURVEY.md §1.3).
 
 State is kept as plain DataFrames so the pipeline is storage-agnostic;
 ``HarvestState.write``/``read`` persist them as parquet.  On a Delta
@@ -114,6 +117,48 @@ def _next_id_base(df: DataFrame) -> int:
     return int(row["m"] or 0)
 
 
+# Fixed-length character prefix used to partition dense-id assignment.
+# A fixed-length prefix of the sort key is order-compatible: sorting by
+# (prefix, key) equals sorting by key, so per-partition ranks + per-
+# partition offsets reproduce the global rank exactly.
+DENSE_ID_PREFIX_LEN = 28
+
+
+def _dense_ids(df: DataFrame, part: F.Column, order: list[str], base: int) -> DataFrame:
+    """Assign ``id = base + global_rank(order)`` WITHOUT a global
+    window: rank within ``part`` partitions (parallel), then add each
+    partition's cumulative predecessor count, computed by one tiny
+    count aggregate whose single-task window runs over |distinct
+    partition keys| two-column rows — not the batch itself.  ``part``
+    must be a monotone function of the leading ``order`` column (a
+    fixed-length prefix / the column itself) so partition boundaries
+    align with the global order.  Ids are identical to the serial
+    ``row_number() OVER (ORDER BY order)`` form this replaces."""
+    with_p = df.withColumn("__p", part)
+    offsets = (
+        with_p.groupBy("__p")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__p").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__p", "__off")
+    )
+    within = F.row_number().over(Window.partitionBy("__p").orderBy(*order))
+    return (
+        with_p.join(F.broadcast(offsets), "__p")
+        .withColumn("id", (within + F.col("__off") + F.lit(base)).cast("long"))
+        .drop("__p", "__off")
+    )
+
+
 def upsert_terms(
     terms: DataFrame,
     batch_concepts: DataFrame,
@@ -142,12 +187,18 @@ def upsert_terms(
 
     new_uris = concepts.join(terms.select("uri"), "uri", "left_anti")
     if id_strategy == "hash":
-        new_id = F.xxhash64("uri")
+        with_id = new_uris.withColumn("id", F.xxhash64("uri"))
     else:
+        # Dense AUTOINCREMENT semantics (uri order) without a global
+        # single-task window: prefix-partitioned ranks + per-prefix
+        # offsets — see _dense_ids.  Worst case (all uris share the
+        # prefix) degrades to the old serial window, never worse.
         base = _next_id_base(terms)
-        new_id = F.row_number().over(Window.orderBy("uri")) + base
-    inserted = new_uris.select(
-        new_id.cast("long").alias("id"),
+        with_id = _dense_ids(
+            new_uris, F.substring("uri", 1, DENSE_ID_PREFIX_LEN), ["uri"], base
+        )
+    inserted = with_id.select(
+        F.col("id").cast("long").alias("id"),
         "uri",
         ts.alias("created_at"),
         ts.alias("updated_at"),
@@ -182,9 +233,17 @@ def append_term_fields(
     )
 
     base = _next_id_base(term_fields)
-    window = Window.orderBy("term_id", "field_uri", "original_value")
-    inserted = fresh.select(
-        (F.row_number().over(window) + base).cast("long").alias("id"),
+    # Dense ids without a global window: partition the rank by the
+    # leading sort column (term_id) — order-compatible by construction;
+    # the offset frame is one (term_id, count) row per distinct term in
+    # the fresh batch.  See _dense_ids.
+    inserted = _dense_ids(
+        fresh,
+        F.col("term_id"),
+        ["term_id", "field_uri", "original_value"],
+        base,
+    ).select(
+        "id",
         "term_id",
         "field_uri",
         "field_term",

@@ -171,3 +171,69 @@ def test_constraint_checks_catch_violations(spark):
     )
     bad = domain_violations(trans, "language", TRANSLATION_LANGUAGES).collect()
     assert {r["language"] for r in bad} == {"xx", None}
+
+
+def test_dense_ids_parallel_form_matches_global_rank(spark):
+    """The prefix-partitioned dense-id assignment (_dense_ids) must
+    reproduce the serial ``row_number() OVER (ORDER BY uri)`` ids
+    exactly on a batch whose uris span MANY distinct prefixes (multiple
+    rank partitions), and the ranking window in the physical plan must
+    be partitioned — not the old global single-task window."""
+    import contextlib
+    import io
+
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.harvest.load import (
+        DENSE_ID_PREFIX_LEN,
+        _dense_ids,
+    )
+
+    uris = [f"http://v{chr(97 + i % 7)}.example/domain{i % 11}/c{i:04d}" for i in range(200)]
+    assert (
+        len({u[:DENSE_ID_PREFIX_LEN] for u in uris}) > 10
+    ), "batch must span many prefixes or the test is vacuous"
+    df = spark.createDataFrame([(u,) for u in uris], "uri string").repartition(8)
+    got = {
+        r["uri"]: r["id"] for r in _dense_ids(
+            df, F.substring("uri", 1, DENSE_ID_PREFIX_LEN), ["uri"], 100
+        ).collect()
+    }
+    expect = {u: 100 + i + 1 for i, u in enumerate(sorted(uris))}
+    assert got == expect
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _dense_ids(
+            df, F.substring("uri", 1, DENSE_ID_PREFIX_LEN), ["uri"], 100
+        ).explain("formatted")
+    plan = buf.getvalue()
+    # every row_number window spec names __p as its partition column
+    windows = [
+        ln for ln in plan.splitlines() if "row_number() windowspecdefinition" in ln
+    ]
+    assert windows and all("__p#" in ln for ln in windows)
+
+
+def test_dense_ids_multi_partition_batch_through_upsert(spark):
+    """End-to-end through upsert_terms: a 150-uri novel batch spanning
+    many prefixes gets ids base+1..base+150 in uri order, on top of
+    existing state."""
+    uris = [f"http://site{i % 13}.example/v/c{i:03d}" for i in range(150)]
+    existing, _, _ = upsert_terms(
+        HarvestState.empty(spark).terms,
+        spark.createDataFrame(
+            [("http://a.example/seed",)], "concept string"
+        ),
+        T1,
+    )
+    merged, n_ins, n_upd = upsert_terms(
+        existing,
+        spark.createDataFrame([(u,) for u in uris], "concept string"),
+        T2,
+    )
+    assert (n_ins, n_upd) == (150, 0)
+    got = {r["uri"]: r["id"] for r in merged.collect()}
+    assert got["http://a.example/seed"] == 1
+    for rank, u in enumerate(sorted(uris), start=2):
+        assert got[u] == rank
