@@ -672,7 +672,12 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.join(y, "cluster")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos", cosine(F.col("ea"), F.col("eb")))
-        .filter(F.col("cos") >= SEMANTIC_THRESHOLD)
+        # Threshold on the ROUNDED cosine (both engines): Spark and
+        # DuckDB sum the dot product in different fold orders, so a
+        # pair sitting bitwise-on the cutoff could diverge between
+        # engines if compared unrounded.  round-to-6 defines the
+        # boundary rule once, shared with the oracle's WHERE.
+        .filter(F.round("cos", 6) >= SEMANTIC_THRESHOLD)
         .select(
             "vec_a",
             "vec_b",
@@ -694,7 +699,7 @@ def _register_semantic_oracle() -> None:
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster,
        CAST(round(list_cosine_similarity(a.e, b.e), 6) AS DOUBLE) AS cosine
 FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.e, b.e) >= {SEMANTIC_THRESHOLD}
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= {SEMANTIC_THRESHOLD}
 """
     ).strip()
 

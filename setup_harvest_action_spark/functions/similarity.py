@@ -496,14 +496,22 @@ def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: broadcast the K centroids against
     the corpus, keep the arg-min with a deterministic (dist, cluster)
     tie-break.  K·dim doubles ship to every executor — bytes, not a
-    shuffle of the corpus."""
+    shuffle of the corpus.
+
+    The arg-min orders on ``round(dist, 6)``: Spark and the DuckDB
+    oracle each sum the squared deltas in their own fold order, so two
+    near-tied centroids can differ bitwise in the last ulps between
+    engines — deciding on a shared precision (with the cluster-id
+    tie-break breaking exact rounded ties identically on both sides)
+    removes that cascade; the oracle CTEs order the same way."""
     return (
         emb.crossJoin(F.broadcast(cent))
         .withColumn("dist", _l2(F.col("e"), F.col("c")))
         .groupBy("vec_id")
         .agg(
             F.min_by(
-                F.struct("cluster", "e", "dist"), F.struct("dist", "cluster")
+                F.struct("cluster", "e", "dist"),
+                F.struct(F.round("dist", 6).alias("d"), "cluster"),
             ).alias("m")
         )
         .select(
@@ -552,7 +560,7 @@ a1 AS (
   SELECT vec_id, e, cluster FROM (
     SELECT v.vec_id, v.e, c0.cluster,
            row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY list_distance(v.e, c0.c), c0.cluster) AS rn
+                              ORDER BY round(list_distance(v.e, c0.c), 6), c0.cluster) AS rn
     FROM v CROSS JOIN c0
   ) WHERE rn = 1
 ),
@@ -563,7 +571,7 @@ a2 AS (
   SELECT vec_id, e, cluster FROM (
     SELECT v.vec_id, v.e, c1.cluster,
            row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY list_distance(v.e, c1.c), c1.cluster) AS rn
+                              ORDER BY round(list_distance(v.e, c1.c), 6), c1.cluster) AS rn
     FROM v CROSS JOIN c1
   ) WHERE rn = 1
 ),
@@ -574,7 +582,7 @@ af AS (
   SELECT vec_id, e, cluster, dist FROM (
     SELECT v.vec_id, v.e, c2.cluster, list_distance(v.e, c2.c) AS dist,
            row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY list_distance(v.e, c2.c), c2.cluster) AS rn
+                              ORDER BY round(list_distance(v.e, c2.c), 6), c2.cluster) AS rn
     FROM v CROSS JOIN c2
   ) WHERE rn = 1
 )"""

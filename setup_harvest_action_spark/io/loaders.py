@@ -37,6 +37,17 @@ def _events_ts_unit_cached(path: str, mtime_ns: int, size: int) -> str:
 
     t = pq.ParquetFile(path).schema_arrow.field("ts").type
     if pa.types.is_timestamp(t):
+        # The NTZ read path below assumes wall-clock (no zone) values;
+        # a tz-aware regeneration (isAdjustedToUTC=true) read through
+        # the NTZ schema would silently reinterpret instants whenever
+        # the session timezone moved off UTC — fail loudly instead
+        # (tests/test_fixture_contract.py pins this).
+        if t.tz is not None:
+            raise TypeError(
+                f"events.ts in {path} is tz-aware ({t}); the NTZ read "
+                "path would silently reinterpret it — teach loaders.py "
+                "the instant semantics before accepting this fixture"
+            )
         return t.unit  # 'ns' | 'us' | 'ms' | 's'
     if pa.types.is_int64(t):
         # Plain INT64 with no timestamp logical type: the only fixture

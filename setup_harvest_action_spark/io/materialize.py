@@ -19,9 +19,18 @@ Where that parquet lands is the scale-critical knob this module owns:
 * else (bare local mode) a per-application directory under the system
   temp root, removed at interpreter exit.
 
-Repeated calls with the same ``tag`` overwrite one directory instead of
-minting new ones, so a bench loop or a long session does not leak a
-directory per call.
+Each call writes a FRESH versioned directory (``<tag>/<app_id>/vNNNNNN``)
+rather than overwriting the tag's directory in place: a DataFrame
+returned by an earlier same-tag call keeps reading its own files — no
+silent aliasing onto newer data, no mid-overwrite read failure — and
+the ``app_id`` path segment keeps concurrent applications sharing one
+cluster checkpoint dir out of each other's way.  Retention is bounded:
+after a successful write, all but the newest two versions are removed
+(the one-back version survives so the caller's immediately preceding
+result stays readable through a back-to-back re-run; a bench loop
+therefore holds at most two directories per tag, not one per call).
+A result older than one call back is invalidated on the next call —
+persist it elsewhere if it must outlive that.
 """
 
 from __future__ import annotations
@@ -65,12 +74,38 @@ def materialization_dir(spark, tag: str, checkpoint_dir: str | None = None) -> s
     return os.path.join(base, tag)
 
 
+# Per-(application, tag-root) monotonic version counters.  Process-
+# local is sufficient: within one driver process calls are ordered,
+# and across applications the app_id path segment already separates
+# namespaces.
+_versions: dict[tuple[str, str], int] = {}
+_KEEP_VERSIONS = 2  # newest + one back (see module docstring)
+
+
 def materialize(
     df: DataFrame, tag: str, checkpoint_dir: str | None = None
 ) -> DataFrame:
-    """Write ``df`` to parquet under the resolved checkpoint location
-    and return a plain scan of it — the lineage cut."""
+    """Write ``df`` to a fresh versioned parquet directory under the
+    resolved checkpoint location and return a plain scan of it — the
+    lineage cut.  See the module docstring for the aliasing/retention
+    contract."""
     spark = df.sparkSession
-    out = materialization_dir(spark, tag, checkpoint_dir)
+    root = os.path.join(
+        materialization_dir(spark, tag, checkpoint_dir),
+        spark.sparkContext.applicationId,
+    )
+    key = (spark.sparkContext.applicationId, root)
+    n = _versions.get(key, -1) + 1
+    _versions[key] = n
+    out = os.path.join(root, f"v{n:06d}")
     df.write.mode("overwrite").parquet(out)
+    # bounded retention: drop everything older than one version back
+    try:
+        stale = sorted(
+            d for d in os.listdir(root) if d.startswith("v") and d < f"v{n:06d}"
+        )[: -(_KEEP_VERSIONS - 1) or None]
+        for d in stale:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    except OSError:  # non-local FS semantics; retention is best-effort
+        pass
     return spark.read.parquet(out)

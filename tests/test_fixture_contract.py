@@ -160,3 +160,55 @@ def test_unit_cache_invalidates_on_regeneration(tmp_path):
     pq.write_table(pa.table({"ts": ts_ns}), p)
     os.utime(p, ns=(os.stat(p).st_atime_ns, os.stat(p).st_mtime_ns + 1))
     assert events_ts_unit(p) == "ns"
+
+
+def test_events_ts_rejects_tz_aware_fixture(tmp_path):
+    """loaders reads MICROS/MILLIS events through a TIMESTAMP_NTZ
+    schema; that is only sound for wall-clock (tz-naive) on-disk
+    values.  A tz-aware regeneration (isAdjustedToUTC=true) must fail
+    loudly at unit detection, not silently reinterpret instants."""
+    import datetime as dt
+
+    p = str(tmp_path / "events.parquet")
+    tbl = pa.table(
+        {"ts": pa.array([dt.datetime(2024, 1, 1)], pa.timestamp("us", tz="UTC"))}
+    )
+    pq.write_table(tbl, p)
+    with pytest.raises(TypeError, match="tz-aware"):
+        events_ts_unit(p)
+    # and the real fixture is (still) tz-naive
+    t = pq.ParquetFile(EVENTS_PATH).schema_arrow.field("ts").type
+    assert not (pa.types.is_timestamp(t) and t.tz is not None)
+
+
+def test_hll_gate_fixture_stays_in_exact_regime(spark):
+    """q_agg_hll_partitioned's oracle is exact COUNT(DISTINCT) while
+    the query returns HLL estimates; the gate stays green only while
+    the gate fixture's user_id cardinality sits inside the sketch's
+    sparse-exact regime.  Pin that here (same guard pattern as the
+    ts-unit contract): at the gate SF every per-key and the global
+    estimate must EQUAL the exact count, so a driver fixture
+    regeneration with more users fails locally before it fails the
+    round verdict."""
+    from conftest import SF_CORRECT
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = ev.select(F.count_distinct("user_id")).collect()[0][0]
+
+    from setup_harvest_action_spark.catalog import load_catalog
+
+    q, _ = load_catalog()
+    got = {
+        r["event_type"]: r["n_users"]
+        for r in q["q_agg_hll_partitioned"](spark, SF_CORRECT).collect()
+    }
+    assert got == exact, (
+        "HLL left the sparse-exact regime on the gate fixture — "
+        "q_agg_hll_partitioned's exact-count oracle would now fail"
+    )

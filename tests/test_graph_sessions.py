@@ -97,9 +97,11 @@ def test_pagerank_never_rescans_events(spark):
 def test_iterative_checkpoint_dir_knob(spark, tmp_path):
     """connected_components and PageRank accept an explicit
     checkpoint_dir (a cluster job passes a shared-FS path; a
-    driver-local mkdtemp would be unreadable by executors there), and
-    repeated calls reuse ONE directory per tag instead of leaking a new
-    one per call."""
+    driver-local mkdtemp would be unreadable by executors there).
+    Each call writes a FRESH version under its tag — a previously
+    returned frame keeps reading its own files instead of silently
+    aliasing onto newer data — and retention keeps at most two
+    versions per tag, so repeated calls don't leak a directory each."""
     from setup_harvest_action_spark.functions.dedup import connected_components
     from setup_harvest_action_spark.functions.graph import pagerank_user_item
 
@@ -116,13 +118,19 @@ def test_iterative_checkpoint_dir_knob(spark, tmp_path):
     assert ranks.limit(1).count() == 1
     assert (tmp_path / "ck" / "pagerank_pairs").is_dir()
 
-    # repeated calls overwrite in place — no per-call directory growth
-    before = sorted(p.name for p in (tmp_path / "ck").iterdir())
-    connected_components(edges, checkpoint_dir=ck).collect()
-    after = sorted(p.name for p in (tmp_path / "ck").iterdir())
-    assert before == after
+    # a same-tag call on DIFFERENT edges must not corrupt the earlier
+    # result: each call gets its own version directory
+    edges2 = spark.createDataFrame([(7, 8)], "vec_a long, vec_b long")
+    labels2 = connected_components(edges2, checkpoint_dir=ck)
+    assert {r["id"] for r in labels2.collect()} == {7, 8}
+    assert {r["id"]: r["label"] for r in labels.collect()} == got
 
-
+    # bounded retention: at most two versions per tag, ever
+    app_root = next((tmp_path / "ck" / "cc_labels").iterdir())
+    for _ in range(2):
+        connected_components(edges, checkpoint_dir=ck).collect()
+    versions = sorted(p.name for p in app_root.iterdir())
+    assert len(versions) <= 2
 def test_cohort_retention_exact(spark, monkeypatch):
     """Hand-built two-cohort timeline: week-1 signup retained in week
     2; week-2 signup active only in its own week; pre-signup activity
