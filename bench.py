@@ -42,6 +42,17 @@ HEADLINE = [
     "q_events_sessionize",
     "q_events_cohort_retention",
     "q_scd2_customer_segment",
+    # round 6: the round-5 additions now carry driver rows — rotate the
+    # heaviest per-family representatives into the headline (BENCHNOTES
+    # r5 plan): iterative clustering, cluster-bounded semantic dedup,
+    # mergeable sketch rollup, the TPC-H Q3/Q18 composite shapes, and
+    # the WindowGroupLimit-pinned source cap.
+    "q_embedding_kmeans",
+    "q_dedup_semantic",
+    "q_agg_hll_partitioned",
+    "q_shipping_priority",
+    "q_large_orders",
+    "q_sample_source_cap",
 ]
 
 
