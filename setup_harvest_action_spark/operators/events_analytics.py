@@ -445,3 +445,65 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("n") - F.col("mean_n")) / F.col("sd_n"), 6),
         ).alias("z"),
     )
+
+
+TOP_PATHS_K = 20  # trigram paths kept
+
+
+@query(
+    "q_events_top_paths",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+  FROM seq WHERE e3 IS NOT NULL
+  GROUP BY 1
+)
+SELECT path, CAST(n AS BIGINT) AS n,
+       CAST(round(n * 1.0 / sum(n) OVER (), 6) AS DOUBLE) AS share
+FROM paths
+ORDER BY n DESC, path
+LIMIT {TOP_PATHS_K}
+""",
+)
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigram paths across user journeys — the
+    discovery counterpart of the fixed 3-step funnel: instead of
+    checking ONE hypothesised sequence, surface the most-travelled
+    3-step paths (the input to funnel design and Markov attribution,
+    one order up from q_events_transitions' pair matrix).
+
+    Same shuffle discipline as transitions: ONE Exchange on user_id
+    serves both lead() offsets, counts collapse to ≤|vocab|³ rows
+    (tiny), the share renormalizes over that vocabulary-sized frame,
+    and the final top-k folds into TakeOrderedAndProject — at 100 TB
+    nothing after the first shuffle scales with the event log.  Ties
+    beyond count break on the path string so both engines cut the
+    LIMIT identically."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total_w = Window.partitionBy()
+    return (
+        paths.withColumn(
+            "share", F.round(F.col("n") / F.sum("n").over(total_w), 6)
+        )
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(TOP_PATHS_K)
+    )

@@ -606,3 +606,54 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     return out.withColumn(
         "n_distinct", F.count(F.lit(1)).over(Window.partitionBy())
     )
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 day', e.ts) AS window_start,
+       c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(e.value), 2) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+""",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the production shape for
+    dimension lookup on a live stream: the event stream joins the
+    STATIC customer table (broadcast — the dimension ships to
+    executors once, the stream side never shuffles for the join), then
+    aggregates daily activity per market segment under a watermark.
+
+    The static side is re-planned per micro-batch by the engine, so a
+    slowly-refreshing dimension (reloaded parquet) is picked up batch
+    over batch without restarting the query; no join state accumulates
+    — stream-static inner joins are stateless, only the windowed agg
+    keeps (window × segment) state bounded by the watermark horizon.
+    Oracle = the batch join+time_bucket equivalent; stream and batch
+    must agree exactly."""
+    from setup_harvest_action_spark.io.loaders import load_table
+
+    events = read_event_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    windowed = (
+        events.withWatermark("ts", "30 minutes")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 day"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = run_to_completion(windowed, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "segment",
+        "n_events",
+        "total_value",
+    )
