@@ -655,23 +655,54 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic to cluster-size², and cluster count scales with the
     corpus so cluster sizes stay roughly constant.  The self-join
     shuffles both sides on cluster — the pair work is embarrassingly
-    parallel per cluster."""
+    parallel per cluster.
+
+    Vectors are L2-NORMALIZED per row BEFORE the pair join (the
+    cluster Exchange materializes the normalized arrays), so the
+    O(cluster-size²) pair stage computes ONE 64-element dot product
+    per pair instead of dot + two norms + sqrt — a measured ~2x on the
+    pair stage at sf0.1; mathematically cos(a,b) = dot(a/|a|, b/|b|),
+    and both engines still decide on round(cos, 6)."""
     from setup_harvest_action_spark.functions.similarity import (
-        cosine,
+        dot,
         kmeans_assignments,
+        l2_norm,
     )
 
     a = kmeans_assignments(spark, sf_dir)
-    x = a.select(
-        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), "cluster"
+    # Materialize the normalized assignment ONCE (parquet lineage cut,
+    # io/materialize.py — same pattern as PageRank's pair set): the
+    # self-join references it on both sides, and without the cut each
+    # side re-runs the whole Lloyd iteration chain — measured 2x the
+    # query cost at sf0.1 (the assignment is small: id, cluster, 64
+    # doubles per row; the pair quadratic is what must stay lazy).
+    normed = materialize(
+        a.withColumn("nrm", l2_norm(F.col("e"))).select(
+            "vec_id",
+            "cluster",
+            F.transform("e", lambda v: v / F.col("nrm")).alias("en"),
+        ),
+        "semantic_normed_assign",
     )
-    y = a.select(
-        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), "cluster"
+    # The materialized table is tiny, so the scan packs into ONE input
+    # split — re-spread it on the join key or the pair quadratic runs
+    # single-task.  The explicit width keeps AQE from re-coalescing the
+    # CPU-bound stage down to one partition on byte-size grounds (the
+    # classic small-input/heavy-compute mismatch), and both join sides
+    # inherit this partitioning so the join adds no further Exchange.
+    normed = normed.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "cluster"
+    )
+    x = normed.select(
+        F.col("vec_id").alias("vec_a"), F.col("en").alias("ena"), "cluster"
+    )
+    y = normed.select(
+        F.col("vec_id").alias("vec_b"), F.col("en").alias("enb"), "cluster"
     )
     return (
         x.join(y, "cluster")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", cosine(F.col("ea"), F.col("eb")))
+        .withColumn("cos", dot(F.col("ena"), F.col("enb")))
         # Threshold on the ROUNDED cosine (both engines): Spark and
         # DuckDB sum the dot product in different fold orders, so a
         # pair sitting bitwise-on the cutoff could diverge between

@@ -493,31 +493,47 @@ def _l2(a: Column, b: Column) -> Column:
 
 
 def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the K centroids against
-    the corpus, keep the arg-min with a deterministic (dist, cluster)
-    tie-break.  K·dim doubles ship to every executor — bytes, not a
-    shuffle of the corpus.
+    """Nearest-centroid assignment — MAP-ONLY: the K centroids collapse
+    into one broadcast ``collect_list`` row, each vector scores all K
+    inline (higher-order transform) and keeps the lexicographic
+    ``array_min`` winner.  No per-assignment shuffle at all: the old
+    explode + ``groupBy(vec_id)`` form re-shuffled the corpus once per
+    Lloyd iteration; this ships K·dim doubles to every executor and
+    touches nothing else — at 100 TB the corpus never moves for
+    assignment, only the (cluster, dim) mean update shuffles.
 
-    The arg-min orders on ``round(dist, 6)``: Spark and the DuckDB
-    oracle each sum the squared deltas in their own fold order, so two
-    near-tied centroids can differ bitwise in the last ulps between
-    engines — deciding on a shared precision (with the cluster-id
-    tie-break breaking exact rounded ties identically on both sides)
-    removes that cascade; the oracle CTEs order the same way."""
-    return (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("dist", _l2(F.col("e"), F.col("c")))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.struct("cluster", "e", "dist"),
-                F.struct(F.round("dist", 6).alias("d"), "cluster"),
-            ).alias("m")
+    The arg-min orders on ``(round(dist, 6), cluster)``: Spark and the
+    DuckDB oracle each sum the squared deltas in their own fold order,
+    so two near-tied centroids can differ bitwise in the last ulps
+    between engines — deciding on a shared precision (with the
+    cluster-id tie-break breaking exact rounded ties identically on
+    both sides) removes that cascade; the oracle CTEs order the same
+    way.  The raw distance rides along as a never-compared third field
+    so the output still carries full precision."""
+    cents = cent.agg(F.collect_list(F.struct("cluster", "c")).alias("cs"))
+    scored = F.transform(
+        F.col("cs"),
+        lambda s: F.struct(
+            _l2(F.col("e"), s["c"]).alias("dist"), s["cluster"].alias("cluster")
+        ),
+    )
+    best = F.array_min(
+        F.transform(
+            scored,
+            lambda t: F.struct(
+                F.round(t["dist"], 6).alias("dr"),
+                t["cluster"].alias("cluster"),
+                t["dist"].alias("dist"),
+            ),
         )
+    )
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("m", best)
         .select(
             "vec_id",
             F.col("m.cluster").alias("cluster"),
-            F.col("m.e").alias("e"),
+            "e",
             F.col("m.dist").alias("dist"),
         )
     )
