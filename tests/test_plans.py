@@ -446,3 +446,38 @@ def test_pairs_threshold_joins_on_buckets_not_all_pairs(spark, queries):
     assert tree.count("BroadcastNestedLoopJoin") <= 2
     # candidate pairs come from an equi-join keyed on (table_id, code)
     assert re.search(r"keys \[2\]: \[table_id#\d+, code#\d+", plan)
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, queries, tmp_path):
+    """Runtime half of the pruning story: when the fact table is
+    partitioned on the join key and the filter sits on the DIMENSION,
+    static pruning can't fire — Spark must inject a dynamic pruning
+    subquery so the fact scan opens only the partitions the filtered
+    dim actually joins to.  At 100 TB this is the difference between
+    scanning 5 event-type partitions and one."""
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.io.loaders import load_table
+
+    out = str(tmp_path / "events_by_type")
+    load_table(spark, SF, "events").write.partitionBy("event_type").mode(
+        "overwrite"
+    ).parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("view", "browse"), ("click", "browse"), ("purchase", "buy"),
+         ("signup", "acquire"), ("error", "ops")],
+        "event_type string, family string",
+    )
+    with conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        # even without broadcast, DPP must fire via the exchange-reuse
+        # path (spark.sql.optimizer.dynamicPartitionPruning defaults on)
+        df = (
+            fact.join(dim.filter(F.col("family") == "browse"), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = plan_of(df)
+    assert "dynamicpruningexpression" in plan.lower(), plan
+    got = {r["event_type"]: r["n"] for r in df.collect()}
+    assert set(got) == {"view", "click"}
