@@ -33,7 +33,11 @@ the fully parallel alternative where density isn't required
 State is kept as plain DataFrames so the pipeline is storage-agnostic;
 ``HarvestState.write``/``read`` persist them as parquet.  On a Delta
 deployment the same algebra is one ``MERGE INTO`` — the semantics here
-are deliberately identical.
+are deliberately identical.  ``harvest_run`` below rewrites the whole
+state per batch (fine for bounded vocabularies, the reference's
+regime); for large-state continuous ingest use the bucket-pruned form
+in ``harvest/bucketed.py``, which reads and rewrites only the buckets
+a batch touches.
 """
 
 from __future__ import annotations
