@@ -119,3 +119,61 @@ def _read_latest_slot(spark: SparkSession, state_path: str) -> HarvestState | No
         return None
     _, _, latest = max(candidates)
     return HarvestState.read(spark, latest)
+
+
+def harvest_stream_bucketed(
+    spark: SparkSession,
+    bindings_dir: str,
+    state_root: str,
+    checkpoint_dir: str,
+    batch_ts: _dt.datetime | None = None,
+    n_buckets: int = 64,
+    max_files_per_trigger: int = 1,
+):
+    """``harvest_stream`` over the bucket-pruned state
+    (harvest/bucketed.py) — the continuous-ingest form that scales:
+    each micro-batch merges into ONLY the hash buckets its uris touch
+    (partition-pruned read, per-bucket staged swap), so per-trigger
+    I/O is bounded by touched-bucket bytes, not table bytes.  The slot
+    ping-pong variant above rewrites the whole state per batch — fine
+    for the reference's bounded vocabularies, quadratic for a long
+    stream over a large corpus.
+
+    Exactly-once composition is unchanged: the source checkpoint skips
+    already-processed files across restarts, and a replayed in-flight
+    micro-batch re-inserts nothing because the merge is idempotent
+    (reference: harvest.py:163-168, 292-299) — the per-bucket
+    directory swap is the durable commit boundary (the reference's
+    per-page ``conn.commit()``, harvest.py:374).
+
+    Returns ``(BucketedHarvestState, LoadStats totals)``; totals count
+    only THIS drain's work (resume totals restart at zero, matching
+    ``harvest_stream``)."""
+    from setup_harvest_action_spark.harvest.bucketed import BucketedHarvestState
+
+    state = BucketedHarvestState(spark, state_root, n_buckets)
+    ts = batch_ts or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    holder = {"totals": LoadStats(0, 0, 0)}
+
+    def _merge(batch_df, batch_id: int) -> None:
+        stats = state.load_batch(batch_df, ts)
+        t = holder["totals"]
+        holder["totals"] = LoadStats(
+            t.terms_inserted + stats.terms_inserted,
+            t.terms_updated + stats.terms_updated,
+            t.fields_inserted + stats.fields_inserted,
+        )
+
+    stream = (
+        spark.readStream.schema(SPARQL_BINDINGS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(bindings_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return state, holder["totals"]

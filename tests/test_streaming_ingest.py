@@ -131,3 +131,75 @@ def test_read_latest_slot_prefers_slot0_on_tie(spark, tmp_path):
     state = _read_latest_slot(spark, str(tmp_path))
     assert state is not None
     assert [r.uri for r in state.terms.collect()] == ["http://vocab.example/a"]
+
+
+def test_bucketed_stream_two_tranches_with_restart(spark, tmp_path):
+    """harvest_stream_bucketed: drop files in two tranches with a full
+    restart between drains.  The checkpoint skips processed files, the
+    bucket-pruned merge upserts instead of re-inserting, and buckets
+    untouched by the second tranche keep byte-identical files."""
+    import glob
+    import os
+    import shutil
+
+    from setup_harvest_action_spark.streaming.ingest import (
+        harvest_stream_bucketed,
+    )
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    src = str(tmp_path / "a")
+    _write_batch(spark, BATCH_A, src)
+    shutil.copy(glob.glob(src + "/*.parquet")[0], flat + "/t0.parquet")
+
+    root, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    state, t1 = harvest_stream_bucketed(
+        spark, flat, root, ckpt, batch_ts=_T, n_buckets=8
+    )
+    assert t1.terms_inserted == 2 and t1.fields_inserted == 4
+
+    snapshot = {
+        p: (os.path.getsize(p), os.path.getmtime(p))
+        for p in glob.glob(root + "/terms/bucket=*/*.parquet")
+    }
+
+    # restart: fresh call, same checkpoint — nothing re-processed
+    state, t2 = harvest_stream_bucketed(
+        spark, flat, root, ckpt, batch_ts=_T, n_buckets=8
+    )
+    assert t2 == type(t2)(0, 0, 0)
+
+    # second tranche: only the new file processed; c1 updated not
+    # re-inserted, c3 inserted
+    src_b = str(tmp_path / "b")
+    _write_batch(spark, BATCH_B, src_b)
+    shutil.copy(glob.glob(src_b + "/*.parquet")[0], flat + "/t1.parquet")
+    state, t3 = harvest_stream_bucketed(
+        spark, flat, root, ckpt, batch_ts=_T, n_buckets=8
+    )
+    assert t3.terms_inserted == 1  # only c3
+    terms = {r["uri"] for r in state.terms().collect()}
+    assert terms == {
+        "http://v.example/c1",
+        "http://v.example/c2",
+        "http://v.example/c3",
+    }
+
+    # buckets the second tranche never touched are bit-for-bit intact
+    from setup_harvest_action_spark.harvest.bucketed import _bucket_of
+    import pyspark.sql.functions as F
+
+    touched = {
+        r["b"]
+        for r in spark.createDataFrame(
+            [(u,) for u, *_ in BATCH_B], "uri string"
+        ).select(_bucket_of("uri", 8).alias("b")).collect()
+    }
+    untouched_files = [
+        p for p in snapshot
+        if int(p.split("bucket=")[1].split("/")[0]) not in touched
+    ]
+    assert untouched_files, "fixture must leave at least one bucket untouched"
+    for p in untouched_files:
+        assert os.path.exists(p)
+        assert (os.path.getsize(p), os.path.getmtime(p)) == snapshot[p]
