@@ -481,3 +481,32 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, queries, tmp_path):
     assert "dynamicpruningexpression" in plan.lower(), plan
     got = {r["event_type"]: r["n"] for r in df.collect()}
     assert set(got) == {"view", "click"}
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, queries):
+    """Runtime row-group pruning for non-partitioned join keys: a
+    selective filter on the dimension side must inject a bloom-filter
+    semi-prune (`might_contain`) into the fact scan, so fact rows that
+    cannot join are dropped at the scan instead of surviving to the
+    shuffle.  The engine gates this on a 10GB application-side scan —
+    automatic at cluster scale; the threshold is lowered here only
+    because the fixture is small."""
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.io.loaders import load_table
+
+    with conf(
+        spark,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    ), conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        orders = load_table(spark, SF, "orders").filter(
+            F.col("o_totalprice") > 50000
+        )
+        li = load_table(spark, SF, "lineitem")
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert "might_contain" in plan_of(j)
