@@ -109,3 +109,53 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
     assert again == first  # cumulative sink unchanged: nothing re-emitted
     rows = spark.read.parquet(sink).collect()
     assert len(rows) == len(set(r["ws"] for r in rows))  # no dup windows
+
+
+def test_rocksdb_state_store_matches_default_provider(spark, tmp_path):
+    """The at-scale state backend: HDFS-backed in-memory state holds
+    every key on-heap — fine for fixture cardinalities, an OOM risk at
+    100 TB key spaces.  Spark ships a RocksDB provider (spilling,
+    incremental checkpointing) as a pure config swap; pin that the
+    swap works and emits byte-identical results, so the scale knob is
+    a one-line conf, not a code change."""
+    rows = [
+        (dt.datetime(2024, 3, 1, 10, m), m) for m in (2, 3, 17, 31, 44, 59)
+    ] + [(dt.datetime(2024, 3, 1, h, 5), h) for h in (11, 12, 13)]
+    flat = str(tmp_path / "src")
+    os.makedirs(flat)
+    _write_part(spark, flat, "all", rows, 0)
+
+    def run(provider_conf: str | None, tag: str) -> dict:
+        key = "spark.sql.streaming.stateStore.providerClass"
+        old = spark.conf.get(key, None)
+        if provider_conf:
+            spark.conf.set(key, provider_conf)
+        try:
+            return _run_once(
+                spark,
+                flat,
+                str(tmp_path / f"ckpt_{tag}"),
+                str(tmp_path / f"sink_{tag}"),
+            )
+        finally:
+            if provider_conf:
+                if old is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, old)
+
+    default = run(None, "default")
+    rocks = run(
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+        "rocks",
+    )
+    assert rocks == default and default  # same emissions, non-empty
+    # and the checkpoint really used RocksDB (its SST/changelog layout)
+    state_root = tmp_path / "ckpt_rocks" / "state"
+    names = {
+        f for _, _, fs in os.walk(state_root) for f in fs
+    }
+    assert any(
+        n.endswith((".sst", ".zip", ".changelog")) for n in names
+    ), sorted(names)[:20]
