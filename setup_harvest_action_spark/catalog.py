@@ -118,19 +118,20 @@ _DRIVER_PRIORITY = (
     "q_multimodal_bmp_pipeline",
     "q_stream_static_join",
     "q_events_top_paths",
+    "q_stream_session_dynamic_gap",
     # (d) Fill to the window with r04-latest greens (windows / joins /
     # setops / scalar / text-UDF / sampling / quality / graph / scd /
     # sparql datasource representatives), so no family drifts past two
     # rounds without a fresh row.  Remaining r04 rows rotate in r7
-    # (q_window_ranking and q_scalar_string yielded their slots to the
-    # never-checked (c) entries; their families stay represented by
-    # q_window_topk_per_group / q_scalar_date+json).
+    # (q_window_ranking, q_scalar_string and q_setop_union_by_name
+    # yielded their slots to the never-checked (c) entries; their
+    # families stay represented by q_window_topk_per_group /
+    # q_scalar_date+json / q_setop_except_all).
     "q_window_topk_per_group",
     "q_join_semi",
     "q_join_range",
     "q_join_salted_skew",
     "q_setop_except_all",
-    "q_setop_union_by_name",
     "q_scalar_date",
     "q_scalar_json",
     "q_text_entropy_pandas_udf",

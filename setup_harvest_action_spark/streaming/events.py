@@ -657,3 +657,75 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@query(
+    "q_stream_session_dynamic_gap",
+    oracle="""
+WITH g AS (
+    SELECT user_id, ts, event_id,
+           epoch_us(ts)
+           + CAST(CASE WHEN event_type = 'purchase'
+                       THEN 2700 ELSE 900 END AS BIGINT)
+             * 1000000 AS end_us
+    FROM events
+),
+m AS (
+    SELECT user_id, ts, end_us,
+           max(end_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev_end
+    FROM g
+),
+f AS (
+    SELECT user_id, ts, end_us,
+           CASE WHEN prev_end IS NULL OR epoch_us(ts) >= prev_end
+                THEN 1 ELSE 0 END AS brk
+    FROM m
+),
+i AS (
+    SELECT user_id, ts, end_us,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts, end_us
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM f
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       make_timestamp(max(end_us)) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM i
+GROUP BY user_id, sid
+""",
+)
+def q_stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap — purchases hold a session
+    open 45 minutes, everything else 15: the idiom for mixed-intent
+    traffic where conversion events deserve a longer engagement
+    timeout.  ``session_window`` accepts a gap COLUMN; each event
+    contributes the interval [ts, ts+gap(event)) and overlapping
+    intervals merge, so the window end is the max per-event end, not
+    last-event + constant.
+
+    The oracle derives identical sessions with the running-max-end
+    gaps-and-islands idiom (a new session starts when an event's start
+    reaches the max end of every earlier interval — the lag() form
+    used for the fixed gap is WRONG here because a long-gap event can
+    bridge over a short-gap successor).  Exact integer-µs time math on
+    both engines; interval union is order-independent, so the ts
+    tie-break never changes the islands."""
+    events = read_event_stream(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("45 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    sessions = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_completion(sessions, "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
