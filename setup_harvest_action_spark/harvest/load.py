@@ -44,7 +44,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import os
-from collections.abc import Iterable
+from collections.abc import Callable, Iterable
 from dataclasses import dataclass
 from dataclasses import field as _dc_field
 
@@ -182,6 +182,24 @@ def upsert_terms(
     ``xxhash64(uri)`` — fully parallel, stable across reruns, the
     default choice at 100 TB when density isn't required (SURVEY §1.3).
     """
+    untouched, updated, inserted = _terms_merge_branches(
+        terms, batch_concepts, batch_ts, id_strategy
+    )
+    n_updated = updated.count()
+    n_inserted = inserted.count()
+    merged = untouched.unionByName(updated).unionByName(inserted)
+    return merged, n_inserted, n_updated
+
+
+def _terms_merge_branches(
+    terms: DataFrame,
+    batch_concepts: DataFrame,
+    batch_ts: _dt.datetime,
+    id_strategy: str = "dense",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three branches of the terms merge — (untouched, updated,
+    inserted) — shared by the eager (`upsert_terms`) and observed
+    (`harvest_batch_observed`) forms."""
     concepts = batch_concepts.select(F.col("concept").alias("uri")).distinct()
     ts = F.lit(batch_ts).cast("timestamp")
 
@@ -207,11 +225,7 @@ def upsert_terms(
         ts.alias("created_at"),
         ts.alias("updated_at"),
     )
-
-    n_updated = matched.count()
-    n_inserted = inserted.count()
-    merged = untouched.unionByName(updated).unionByName(inserted)
-    return merged, n_inserted, n_updated
+    return untouched, updated, inserted
 
 
 def append_term_fields(
@@ -223,6 +237,19 @@ def append_term_fields(
     """INSERT OR IGNORE on composite key (term_id, field_uri,
     original_value): dedup + FK-resolve via ONE join + left_anti against
     existing.  Returns (new_term_fields, n_inserted)."""
+    inserted = _fields_fresh_rows(term_fields, terms, batch_long, batch_ts)
+    n_inserted = inserted.count()
+    return term_fields.unionByName(inserted), n_inserted
+
+
+def _fields_fresh_rows(
+    term_fields: DataFrame,
+    terms: DataFrame,
+    batch_long: DataFrame,
+    batch_ts: _dt.datetime,
+) -> DataFrame:
+    """The insert branch of the term_fields merge (FK-resolve +
+    left_anti + dense ids) — shared by the eager and observed forms."""
     ts = F.lit(batch_ts).cast("timestamp")
 
     resolved = batch_long.join(
@@ -241,7 +268,7 @@ def append_term_fields(
     # leading sort column (term_id) — order-compatible by construction;
     # the offset frame is one (term_id, count) row per distinct term in
     # the fresh batch.  See _dense_ids.
-    inserted = _dense_ids(
+    return _dense_ids(
         fresh,
         F.col("term_id"),
         ["term_id", "field_uri", "original_value"],
@@ -255,8 +282,6 @@ def append_term_fields(
         ts.alias("created_at"),
         ts.alias("updated_at"),
     )
-    n_inserted = inserted.count()
-    return term_fields.unionByName(inserted), n_inserted
 
 
 def harvest_batch(
@@ -293,6 +318,72 @@ def harvest_batch(
     return new_state, LoadStats(n_ins_t, n_upd_t, n_ins_f)
 
 
+def harvest_batch_observed(
+    state: HarvestState,
+    bindings: DataFrame,
+    batch_ts: _dt.datetime | None = None,
+) -> tuple[HarvestState, Callable[[], LoadStats]]:
+    """``harvest_batch`` with the load statistics PIGGYBACKED on the
+    commit write instead of counted up front: the eager form runs three
+    count jobs per batch (updated, inserted terms, inserted fields);
+    here each merge branch is tagged with a transient marker column,
+    an ``Observation`` sums the markers DURING the caller's write pass
+    (CollectMetrics — exact, accumulated task-side), and the marker is
+    dropped before anything lands on disk.  Over a 1000-page run that
+    removes 3000 scheduler round-trips; the only remaining per-batch
+    driver actions are the two max-id scalars the dense-id contract
+    requires.
+
+    Returns ``(state, resolve)``; call ``resolve()`` AFTER an action
+    has materialized both tables (``state.write`` does) — it blocks
+    until the metrics arrive, then returns the same LoadStats the
+    eager form would have computed.  The reference prints these stats
+    per page (harvest.py:312-315, 377-380); semantics are unchanged."""
+    from pyspark.sql import Observation
+
+    batch_ts = batch_ts or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+
+    cleaned = clean_bindings(bindings).cache()
+    long = unpivot_bindings(bindings).cache()
+
+    untouched, updated, inserted = _terms_merge_branches(
+        state.terms, cleaned, batch_ts
+    )
+    obs_terms = Observation()
+    terms = (
+        untouched.withColumn("__b", F.lit(0))
+        .unionByName(updated.withColumn("__b", F.lit(1)))
+        .unionByName(inserted.withColumn("__b", F.lit(2)))
+        .observe(
+            obs_terms,
+            F.sum((F.col("__b") == 2).cast("long")).alias("ins"),
+            F.sum((F.col("__b") == 1).cast("long")).alias("upd"),
+        )
+        .drop("__b")
+        .cache()
+    )
+    fresh = _fields_fresh_rows(state.term_fields, terms, long, batch_ts)
+    obs_fields = Observation()
+    term_fields = (
+        state.term_fields.withColumn("__new", F.lit(0))
+        .unionByName(fresh.withColumn("__new", F.lit(1)))
+        .observe(obs_fields, F.sum("__new").alias("ins"))
+        .drop("__new")
+    )
+
+    new_state = HarvestState(
+        terms=terms, term_fields=term_fields, retained=[cleaned, long, terms]
+    )
+
+    def resolve() -> LoadStats:
+        t, f = obs_terms.get, obs_fields.get
+        return LoadStats(
+            int(t["ins"] or 0), int(t["upd"] or 0), int(f["ins"] or 0)
+        )
+
+    return new_state, resolve
+
+
 def harvest_run(
     spark: SparkSession,
     batches: Iterable[DataFrame],
@@ -314,16 +405,19 @@ def harvest_run(
     doubles as lineage truncation: without it the state plan grows as an
     unbounded chain of unions/joins over every batch ever loaded.
     Cached batch inputs are released as soon as each commit lands, so
-    executor storage stays O(one batch) for the whole run.
+    executor storage stays O(one batch) for the whole run.  Load
+    statistics resolve from Observations AFTER each commit
+    (``harvest_batch_observed``) — no count jobs in the loop.
     """
     state = state or HarvestState.empty(spark)
     next_slot = 1 if state.source_path == os.path.join(state_path, "slot=0") else 0
     totals = LoadStats(0, 0, 0)
     for bindings in batches:
-        state, stats = harvest_batch(state, bindings, batch_ts)
+        state, resolve = harvest_batch_observed(state, bindings, batch_ts)
         slot = os.path.join(state_path, f"slot={next_slot}")
         next_slot = 1 - next_slot
         state.write(slot)
+        stats = resolve()
         state.release()
         state = HarvestState.read(spark, slot)
         totals = LoadStats(
