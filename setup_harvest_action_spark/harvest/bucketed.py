@@ -170,10 +170,27 @@ class BucketedHarvestState:
             ts.alias("updated_at"),
             "bucket",
         )
-        n_upd = matched.count()
-        n_ins = inserted.count()
-        merged_terms = untouched_rows.unionByName(updated).unionByName(inserted)
+        # Inserted/updated counters ride the staged write itself
+        # (transient marker + CollectMetrics, dropped before disk) —
+        # no count jobs in the merge, same pattern as
+        # load.harvest_batch_observed.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        merged_terms = (
+            untouched_rows.withColumn("__b", F.lit(0))
+            .unionByName(updated.withColumn("__b", F.lit(1)))
+            .unionByName(inserted.withColumn("__b", F.lit(2)))
+            .observe(
+                obs,
+                F.sum((F.col("__b") == 2).cast("long")).alias("ins"),
+                F.sum((F.col("__b") == 1).cast("long")).alias("upd"),
+            )
+            .drop("__b")
+        )
         self._commit("terms", merged_terms)
+        n_ins = int(obs.get["ins"] or 0)
+        n_upd = int(obs.get["upd"] or 0)
 
         # ---- term_fields: FK-resolve + insert-if-absent ----
         new_terms = self.terms(touched)
