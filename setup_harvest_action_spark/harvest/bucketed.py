@@ -133,6 +133,34 @@ class BucketedHarvestState:
             os.replace(os.path.join(staging, entry), dst)
         shutil.rmtree(staging, ignore_errors=True)
 
+    # -- maintenance ---------------------------------------------------------
+
+    def vacuum(self, min_age_sec: float = 600.0) -> list[str]:
+        """Remove crash-leftover staging directories.  ``_commit``
+        deletes its staging dir after a successful swap, but a crash
+        between stage and swap leaves an orphan ``.staging-*`` holding
+        disk forever.  Only dirs older than ``min_age_sec`` go (a
+        concurrent writer's live staging area is younger); the state
+        is single-writer by contract (the reference's page loop is
+        too), so this is a safety margin, not a locking scheme.
+        Returns the removed directory names."""
+        import time
+
+        removed = []
+        now = time.time()
+        for entry in os.listdir(self.root):
+            if not entry.startswith(".staging-"):
+                continue
+            path = os.path.join(self.root, entry)
+            try:
+                if now - os.path.getmtime(path) < min_age_sec:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(entry)
+        return removed
+
     # -- merge ---------------------------------------------------------------
 
     def load_batch(

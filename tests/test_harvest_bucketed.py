@@ -169,3 +169,27 @@ def test_partition_pruned_scan(spark, root):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m, plan
     assert f"= {some_bucket[0]})" in m.group(1), plan
+
+
+def test_vacuum_removes_only_stale_staging(spark, tmp_path):
+    """A crash between stage and swap leaves .staging-* orphans;
+    vacuum removes the old ones and leaves anything younger than the
+    safety margin (a concurrent writer's live staging area)."""
+    import os
+    import time
+
+    from setup_harvest_action_spark.harvest.bucketed import (
+        BucketedHarvestState,
+    )
+
+    state = BucketedHarvestState(spark, str(tmp_path / "st"), n_buckets=4)
+    old_dir = tmp_path / "st" / ".staging-terms-deadbeef"
+    new_dir = tmp_path / "st" / ".staging-terms-cafebabe"
+    old_dir.mkdir()
+    new_dir.mkdir()
+    past = time.time() - 3600
+    os.utime(old_dir, (past, past))
+
+    removed = state.vacuum(min_age_sec=600)
+    assert removed == [".staging-terms-deadbeef"]
+    assert not old_dir.exists() and new_dir.exists()

@@ -362,3 +362,35 @@ def test_sparql_datasource_pushed_concept_exceeds_pagesize(spark):
     rows = base.filter(F.col("concept") == target).collect()
     assert len(rows) == 2  # > pagesize=1; the old LIMIT truncated to 1
     assert {r.altLabel for r in rows} == {"Alt 10", "Alt 10 bis"}
+
+
+def test_schema_evolution_mergeschema_read(spark, tmp_path):
+    """Pipelines at scale accrete columns over time; reading a landing
+    directory whose older files lack a newer column must union the
+    schemas (mergeSchema) with nulls backfilled — not fail, not
+    silently drop the column.  Pin both the merged shape and the
+    explicit-schema fast path the loaders use (no footer merging when
+    the schema is declared)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(1, "a")], "id long, text string"
+    ).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(2, "b", "en")], "id long, text string, lang string"
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"id", "text", "lang"}
+    rows = {r["id"]: r["lang"] for r in merged.collect()}
+    assert rows == {1: None, 2: "en"}
+
+    # explicit schema: no footer merge pass, old files read with null
+    # backfill for the declared-but-absent column
+    declared = spark.read.schema("id long, text string, lang string").parquet(d)
+    assert {r["id"]: r["lang"] for r in declared.collect()} == rows
+    assert declared.filter(F.col("lang").isNull()).count() == 1
