@@ -730,3 +730,82 @@ def q_text_bytes_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         byte_stats, "doc_id long, n_bytes long, n_chars long, n_spaces long"
     )
+
+
+NGRAM_UDTF_N = 3  # trigram instantiation the catalog query pins
+
+
+@query(
+    "q_text_ngrams_udtf",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+)
+, pos AS (
+  SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM tok
+)
+SELECT doc_id,
+       CAST(i - 1 AS INTEGER) AS pos,
+       toks[i]     AS g1,
+       toks[i + 1] AS g2,
+       toks[i + 2] AS g3
+FROM pos
+WHERE i <= len(toks) - {NGRAM_UDTF_N - 1}
+""",
+)
+def q_text_ngrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding n-gram expansion via a POLYMORPHIC Python UDTF: the
+    output schema is not declared statically — ``analyze()`` receives
+    the constant ``n`` argument at plan time and synthesizes one
+    ``g1..gN`` column per gram position.  This completes the UDTF
+    surface beyond the static-schema kwic entry: schema-from-arguments
+    is the capability that makes a table function reusable across
+    n (the catalog instantiates n={NGRAM_UDTF_N} so the oracle can
+    state the trigram form relationally).
+
+    Same execution story as every UDTF here: per-partition lateral
+    join, Arrow-batched, runs where the data is."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class NGrams:
+        @staticmethod
+        def analyze(
+            doc_id: AnalyzeArgument, text: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            if not isinstance(n.value, int) or n.value < 1:
+                raise ValueError("ngrams: n must be a constant positive int")
+            fields = [
+                StructField("doc_id", LongType()),
+                StructField("pos", IntegerType()),
+            ] + [
+                StructField(f"g{i + 1}", StringType()) for i in range(n.value)
+            ]
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, doc_id, text, n):  # noqa: ANN001 - UDTF protocol
+            if text is None:
+                return
+            toks = [t for t in text.split(" ") if t]
+            for i in range(len(toks) - n + 1):
+                yield (doc_id, i, *toks[i : i + n])
+
+    spark.udtf.register("doc_ngrams", udtf(NGrams))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__ngram_docs"
+    )
+    cols = ", ".join(f"t.g{i + 1}" for i in range(NGRAM_UDTF_N))
+    return spark.sql(
+        f"SELECT t.doc_id, t.pos, {cols} "
+        f"FROM __ngram_docs, "
+        f"LATERAL doc_ngrams(doc_id, text, {NGRAM_UDTF_N}) t"
+    )

@@ -406,3 +406,40 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("event_id").isNotNull())
     )
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts,
+       CASE WHEN c.ts >= p.ts - INTERVAL '1 day' THEN c.ts END
+           AS last_click_ts,
+       CASE WHEN c.ts >= p.ts - INTERVAL '1 day' THEN c.value END
+           AS last_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a lookback TOLERANCE (pandas
+    ``merge_asof(tolerance=...)``): the most recent click at-or-before
+    each purchase counts only if it happened within the last day —
+    stale attributions become NULL instead of reaching back
+    arbitrarily far.
+
+    Same single-shuffle union+window plan as q_join_asof; the
+    tolerance is a pure post-projection on the matched row, sound
+    because the as-of match IS the most recent candidate — if it falls
+    outside the window, every other candidate does too.  The oracle
+    applies the identical cutoff to DuckDB's ASOF result."""
+    base = q_join_asof(spark, sf_dir)
+    cutoff = F.col("ts") - F.expr("INTERVAL 1 DAY")
+    in_tol = F.col("last_click_ts") >= cutoff
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(in_tol, F.col("last_click_ts")).alias("last_click_ts"),
+        F.when(in_tol, F.col("last_click_value")).alias("last_click_value"),
+    )
