@@ -729,3 +729,72 @@ def q_stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_window.end").alias("session_end"),
         "n_events",
     )
+
+
+@query(
+    "q_stream_stream_join_outer",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id,
+       p.ts AS purchase_ts, c.ts AS click_ts,
+       CAST(round(p.value, 2) AS DOUBLE) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL '1 hour'
+ AND c.ts <= p.ts
+""",
+)
+def q_stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the attribution shape where
+    purchases WITHOUT a preceding click must still come out (with NULL
+    click columns).  Harder than the inner form: the engine can only
+    emit an unmatched left row once the RIGHT watermark proves no
+    future click can satisfy the time-range condition, so null
+    emission is watermark-driven state eviction, not a per-batch
+    decision.
+
+    On the finite fixture the tail purchases would wait forever for
+    that proof, so the stream reads the sentinel-augmented source
+    (``_append_stream_source_dir``): the far-future sentinel flows
+    through BOTH side's filters to push their watermarks past every
+    real event, then drops out of the result on its id.  On an
+    unbounded production stream the watermark advances on its own and
+    no sentinel exists.  Oracle = the identical batch LEFT JOIN."""
+    src = _append_stream_source_dir(sf_dir)
+    events = _events_stream(spark, sf_dir, src, maxFilesPerTrigger="1")
+    purchases = (
+        events.filter(F.col("event_type").isin("purchase", "__sentinel__"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("pvalue"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    clicks = (
+        events.filter(F.col("event_type").isin("click", "__sentinel__"))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    )
+    out = run_to_completion(joined, "append")
+    return out.filter(F.col("purchase_id") != -1).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        "purchase_ts",
+        "click_ts",
+        F.round("pvalue", 2).alias("purchase_value"),
+    )
