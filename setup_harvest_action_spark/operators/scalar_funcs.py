@@ -256,3 +256,39 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
         F.round(comp_sum / F.size("embedding"), 6).alias("mean_component"),
     )
+
+
+@query(
+    "q_scalar_variant",
+    oracle="""
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+           AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS max_k
+FROM events
+GROUP BY 1
+""",
+)
+def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type:
+    ``parse_json`` shreds the JSON string into the binary variant
+    encoding ONCE, and ``variant_get`` extracts a typed path from it —
+    unlike ``get_json_object`` (q_scalar_json), repeated extractions
+    reuse the parsed representation instead of re-parsing text, which
+    is the difference at 100 TB between one JSON parse per row and one
+    per path reference.  Output: per k-bucket event counts and bounds,
+    oracled against DuckDB's JSON extraction."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        events.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

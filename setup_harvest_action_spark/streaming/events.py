@@ -798,3 +798,82 @@ def q_stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
         F.round("pvalue", 2).alias("purchase_value"),
     )
+
+
+def stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-user running totals as
+    ``q_stream_stateful_user_totals``, on Spark 4's
+    ``transformWithStateInPandas`` — the successor stateful API:
+    NAMED state variables on a handle (value/list/map state instead of
+    one opaque tuple), timer support, and a RocksDB-backed store
+    REQUIRED by the engine (state spills instead of living on-heap —
+    the 100 TB key-space answer; the provider swap is pinned
+    separately in tests/test_streaming.py).
+
+    NOT a catalog query: the API's worker protocol needs
+    ``google.protobuf``, which this container does not ship (same
+    honesty pattern as the PIL-gated image decode —
+    functions/multimodal.py).  The implementation is complete and
+    self-tests via tests/test_streaming.py, which SKIPS with the
+    missing-dependency reason here and runs wherever protobuf exists;
+    ``q_stream_stateful_user_totals`` (applyInPandasWithState) is the
+    driver-checked stateful entry.  Single-file fixture → one
+    micro-batch → update mode emits one row per user, equal to the
+    batch GROUP BY."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "totals", "count long, total double, vmax double"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+            if self._st.exists():
+                count, total, vmax = self._st.get()
+            else:
+                count, total, vmax = 0, 0.0, float("-inf")
+            for pdf in rows:
+                count += len(pdf)
+                total += float(pdf["value"].sum())
+                vmax = max(vmax, float(pdf["value"].max()))
+            self._st.update((count, total, vmax))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [count],
+                    "total_value": [round(total, 2)],
+                    "max_value": [round(vmax, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    events = read_event_stream(spark, sf_dir).select("user_id", "value")
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=Totals(),
+            outputStructType="user_id long, n_events long, "
+            "total_value double, max_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+        return run_to_completion(out, "update")
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
