@@ -1,0 +1,156 @@
+"""Manifest-committed parquet sink — a PySpark 4 Python DataSource
+WRITER (the write-side counterpart of sources/sparql_datasource.py's
+reader).
+
+Plain ``df.write.parquet`` commits by directory rename + _SUCCESS
+marker: readers that list the directory mid-job can see partial
+output, and there is no record of WHAT a committed version contains.
+Table formats fix this with a manifest commit — tasks write data
+files nobody reads yet, and one atomic driver-side manifest write
+flips the new version visible.  This sink implements that protocol on
+the DataSource writer API:
+
+* each TASK serializes its partition to a uniquely-named parquet part
+  under ``<path>/data/`` (pyarrow, Arrow-batched) and returns a
+  ``WriterCommitMessage`` carrying (file, row count, byte size) — no
+  task ever touches shared state;
+* ``commit()`` runs ONCE on the driver with every task's message and
+  atomically renames ``_manifest.json.tmp`` → ``_manifest.json``
+  listing the committed files + counts; a crashed job leaves data
+  files but NO manifest, so readers (``read_manifest`` /
+  ``scan_manifest``) see the previous state — exactly the bucketed
+  state's staged-swap discipline (harvest/bucketed.py), formalized as
+  a reusable sink;
+* ``abort()`` best-effort deletes the orphan parts named in the
+  received messages.
+
+Register per-session with ``register_manifest_sink(spark)``; then
+``df.write.format("manifest_parquet").mode("append"|"overwrite")
+.save(path)``.  Reference parity: the reference commits each page with
+``conn.commit()`` (harvest.py:374) — this is the same all-or-nothing
+visibility boundary for distributed writers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+MANIFEST = "_manifest.json"
+
+
+@dataclasses.dataclass
+class _PartMessage(WriterCommitMessage):
+    file: str
+    rows: int
+    bytes: int
+
+
+class _ManifestWriter(DataSourceWriter):
+    def __init__(self, path: str, schema, overwrite: bool):
+        self.path = path
+        self.schema = schema
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _PartMessage:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self.schema)
+        rows = [tuple(r) for r in iterator]
+        if not rows:
+            # empty partition: nothing to commit, no file on disk
+            return _PartMessage(file="", rows=0, bytes=0)
+        data_dir = os.path.join(self.path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        out = os.path.join(data_dir, name)
+        cols = list(zip(*rows)) if rows else [[] for _ in arrow_schema]
+        table = pa.table(
+            {
+                f.name: pa.array(list(col), type=f.type)
+                for f, col in zip(arrow_schema, cols)
+            },
+            schema=arrow_schema,
+        )
+        pq.write_table(table, out)
+        return _PartMessage(
+            file=f"data/{name}", rows=len(rows), bytes=os.path.getsize(out)
+        )
+
+    def commit(self, messages) -> None:
+        manifest = {
+            "files": sorted(
+                [
+                    {"file": m.file, "rows": m.rows, "bytes": m.bytes}
+                    for m in messages
+                    if m is not None and m.file
+                ],
+                key=lambda e: e["file"],
+            ),
+        }
+        manifest["total_rows"] = sum(e["rows"] for e in manifest["files"])
+        if not self.overwrite and os.path.exists(
+            os.path.join(self.path, MANIFEST)
+        ):
+            with open(os.path.join(self.path, MANIFEST), encoding="utf-8") as fh:
+                prev = json.load(fh)
+            manifest["files"] = sorted(
+                prev["files"] + manifest["files"], key=lambda e: e["file"]
+            )
+            manifest["total_rows"] = sum(e["rows"] for e in manifest["files"])
+        tmp = os.path.join(self.path, MANIFEST + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, MANIFEST))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.file:
+                try:
+                    os.remove(os.path.join(self.path, m.file))
+                except OSError:
+                    pass
+
+
+class ManifestParquetSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_parquet"
+
+    def writer(self, schema, overwrite: bool) -> _ManifestWriter:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("manifest_parquet needs a path")
+        return _ManifestWriter(path, schema, overwrite)
+
+
+def register_manifest_sink(spark) -> None:
+    spark.dataSource.register(ManifestParquetSink)
+
+
+def read_manifest(path: str) -> dict:
+    """The committed manifest (raises FileNotFoundError before the
+    first successful commit — a crashed job is invisible)."""
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def scan_manifest(spark, path: str):
+    """Read ONLY the files the manifest names — uncommitted/orphan
+    parts in data/ are never visible to readers."""
+    m = read_manifest(path)
+    files = [os.path.join(path, e["file"]) for e in m["files"]]
+    if not files:
+        raise ValueError(f"empty manifest at {path}")
+    return spark.read.parquet(*files)

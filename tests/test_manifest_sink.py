@@ -1,0 +1,71 @@
+"""Manifest-commit parquet sink (sources/manifest_sink.py): the
+Python DataSource WRITER surface, with table-format-style atomic
+visibility — tasks write parts, one driver-side manifest rename flips
+the version; readers see only manifest-listed files."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from setup_harvest_action_spark.sources.manifest_sink import (
+    read_manifest,
+    register_manifest_sink,
+    scan_manifest,
+)
+
+
+@pytest.fixture()
+def sink(spark):
+    register_manifest_sink(spark)
+    return spark
+
+
+def test_write_commit_scan_roundtrip(sink, tmp_path):
+    path = str(tmp_path / "t")
+    df = sink.range(0, 1000).selectExpr(
+        "id", "id * 2 AS dbl", "concat('r', id) AS tag"
+    ).repartition(4)
+    df.write.format("manifest_parquet").mode("overwrite").save(path)
+
+    m = read_manifest(path)
+    assert m["total_rows"] == 1000
+    assert len(m["files"]) == 4  # one part per non-empty partition
+    assert all(e["rows"] > 0 and e["bytes"] > 0 for e in m["files"])
+
+    back = scan_manifest(sink, path)
+    assert back.count() == 1000
+    assert back.selectExpr("sum(dbl)").collect()[0][0] == 999000
+
+
+def test_uncommitted_parts_are_invisible(sink, tmp_path):
+    """The table-format property: a file in data/ that no manifest
+    names (crashed job, concurrent writer mid-flight) never reaches a
+    reader."""
+    path = str(tmp_path / "t")
+    sink.range(0, 100).selectExpr("id").write.format(
+        "manifest_parquet"
+    ).mode("overwrite").save(path)
+    pq.write_table(
+        pa.table({"id": pa.array([10**9], pa.int64())}),
+        os.path.join(path, "data", "part-orphan.parquet"),
+    )
+    assert scan_manifest(sink, path).count() == 100
+
+
+def test_append_merges_manifest_and_skips_empty_partitions(sink, tmp_path):
+    path = str(tmp_path / "t")
+    sink.range(0, 100).selectExpr("id").repartition(2).write.format(
+        "manifest_parquet"
+    ).mode("overwrite").save(path)
+    # 32 partitions for 10 rows -> most partitions empty -> no files
+    sink.range(100, 110).selectExpr("id").repartition(32).write.format(
+        "manifest_parquet"
+    ).mode("append").save(path)
+    m = read_manifest(path)
+    assert m["total_rows"] == 110
+    assert len(m["files"]) <= 2 + 10  # empty partitions wrote nothing
+    assert scan_manifest(sink, path).count() == 110
