@@ -123,17 +123,17 @@ _DRIVER_PRIORITY = (
     "q_text_ngrams_udtf",
     "q_stream_stream_join_outer",
     "q_scalar_variant",
-    # (d) Fill to the window with r04-latest greens (windows / joins /
-    # setops / scalar / text-UDF / sampling / quality / graph / scd /
-    # sparql datasource representatives), so no family drifts past two
-    # rounds without a fresh row.  Remaining r04 rows rotate in r7
-    # (q_window_ranking, q_scalar_string, q_setop_union_by_name,
-    # q_join_semi, q_text_entropy_pandas_udf, q_scalar_json and
-    # q_sample_pack_sequences yielded
-    # the never-checked (c) entries; their families stay represented by
-    # q_window_topk_per_group / q_scalar_date+json / q_setop_except_all
-    # / q_join_range+salted_skew+asof_tolerance / q_text_ngrams_udtf).
-    "q_window_topk_per_group",
+    "q_source_manifest_roundtrip",
+    # (d) Fill to the window with r04-latest greens (joins / setops /
+    # scalar / pipeline / quality / graph / scd / sparql datasource
+    # representatives), so no family drifts past two rounds without a
+    # fresh row.  Remaining r04 rows rotate in r7: q_window_ranking,
+    # q_scalar_string, q_setop_union_by_name, q_join_semi,
+    # q_text_entropy_pandas_udf, q_scalar_json, q_sample_pack_sequences
+    # and q_window_topk_per_group yielded their slots to the
+    # never-checked (c) entries — their families stay represented by
+    # q_scalar_date / q_setop_except_all / q_pipeline_corpus_prep /
+    # q_join_range+salted_skew+asof_tolerance / q_text_ngrams_udtf.
     "q_join_range",
     "q_join_salted_skew",
     "q_setop_except_all",

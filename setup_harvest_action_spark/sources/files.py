@@ -91,3 +91,30 @@ def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s_acctbal", 2).alias("s_acctbal"),
         )
     )
+
+
+@query(
+    "q_source_manifest_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_source_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-committed sink + manifest-scanning source
+    (sources/manifest_sink.py — the Python DataSource WRITER surface):
+    write ``nation`` through the commit protocol, read back ONLY the
+    manifest-listed parts, and prove content fidelity against the
+    original table.  The driver's hash compare therefore gates the
+    whole write path — task part files, commit-message fan-in, atomic
+    manifest rename, manifest-pruned scan."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        register_manifest_sink,
+        scan_manifest,
+    )
+
+    register_manifest_sink(spark)
+    out = _roundtrip_dir(sf_dir, "manifest", "nation")
+    load_table(spark, sf_dir, "nation").write.format("manifest_parquet").mode(
+        "overwrite"
+    ).save(out)
+    return scan_manifest(spark, out).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
