@@ -124,6 +124,10 @@ _DRIVER_PRIORITY = (
     "q_stream_stream_join_outer",
     "q_scalar_variant",
     "q_source_manifest_roundtrip",
+    # Never-checked entries left for the r7 window (added after the 50
+    # slots filled): q_sample_exact_k, q_events_rfm,
+    # q_text_collocations — verified green by tools/verify_oracle.py
+    # at all three SFs meanwhile.
     # (d) Fill to the window with r04-latest greens (joins / setops /
     # scalar / pipeline / quality / graph / scd / sparql datasource
     # representatives), so no family drifts past two rounds without a

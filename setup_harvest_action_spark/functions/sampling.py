@@ -473,3 +473,41 @@ def q_sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("src_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("src_rank") <= SOURCE_CAP)
     )
+
+
+EXACT_K = 100  # exact-size deterministic sample
+
+
+@query(
+    "q_sample_exact_k",
+    oracle=f"""
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice, 2) AS DOUBLE) AS o_totalprice
+FROM orders
+ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+LIMIT {EXACT_K}
+""",
+)
+def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-size uniform sample: order by a cryptographic hash of the
+    key and keep the first K.  Bernoulli sampling (q_sample_bernoulli_
+    hash) gives a random-sized result; training-data recipes often
+    need exactly K rows, reproducibly, regardless of input growth —
+    the hash order is a uniform permutation, so the first K are a
+    uniform sample, stable across runs and engines (md5 is defined
+    identically everywhere, unlike engine-native hash()).
+
+    Plan: ORDER BY + LIMIT folds into TakeOrderedAndProject — each
+    partition keeps K candidates, the driver merges; no global sort of
+    the table ever materializes.  At 100 TB this is the only sane
+    exact-K shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .orderBy(F.md5(F.col("o_orderkey").cast("string")), "o_orderkey")
+        .limit(EXACT_K)
+    )

@@ -809,3 +809,102 @@ def q_text_ngrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"FROM __ngram_docs, "
         f"LATERAL doc_ngrams(doc_id, text, {NGRAM_UDTF_N}) t"
     )
+
+
+PMI_MIN_COUNT = 5  # bigram support floor
+PMI_TOP = 20
+
+
+@query(
+    "q_text_collocations",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM tok
+),
+bi AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2, count(*) AS n_pair
+  FROM pos WHERE i < len(toks)
+  GROUP BY 1, 2
+),
+uni AS (
+  SELECT unnest(toks) AS w FROM tok
+),
+uc AS (SELECT w, count(*) AS n FROM uni GROUP BY w),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n_tokens FROM uc)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+       CAST(round(
+           ln(n_pair * tot.n_tokens / (a.n * CAST(b.n AS DOUBLE))), 6)
+           AS DOUBLE) AS pmi
+FROM bi
+JOIN uc a ON a.w = bi.w1
+JOIN uc b ON b.w = bi.w2
+CROSS JOIN tot
+WHERE n_pair >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2
+LIMIT {PMI_TOP}
+""",
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining via pointwise mutual information: adjacent
+    token pairs scored by ln(P(ab) / (P(a)·P(b))) — the corpus-
+    linguistics detector for phrases that co-occur far above chance
+    (and a standard feature in tokenizer/vocab construction).
+
+    Shuffle discipline: bigram and unigram counts are two keyed
+    aggregates with map-side combine; everything after them is
+    vocabulary-sized — the unigram joins hit |vocab| rows and the
+    corpus total arrives as a broadcast one-row sum, so no stage after
+    the counts scales with the corpus.  PMI uses the simple n_pair /
+    n_tokens estimator on both sides; ties break on the pair so the
+    top-{PMI_TOP} is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    # project the token array FIRST (HOF CSE trap — see OPERATORS.md):
+    # index expressions below reference the column, never re-tokenize
+    toks = docs.select(tokens().alias("toks"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("toks"), i).alias("w1"),
+            F.element_at(F.col("toks"), i + F.lit(1)).alias("w2"),
+        ),
+    )
+    bi = (
+        toks.filter(F.size("toks") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    uc = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = uc.agg(F.sum("n").cast("double").alias("n_tokens"))
+    a = uc.select(F.col("w").alias("w1"), F.col("n").alias("na"))
+    b = uc.select(F.col("w").alias("w2"), F.col("n").alias("nb"))
+    return (
+        bi.filter(F.col("n_pair") >= PMI_MIN_COUNT)
+        .join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    F.col("n_pair")
+                    * F.col("n_tokens")
+                    / (F.col("na") * F.col("nb").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(PMI_TOP)
+    )

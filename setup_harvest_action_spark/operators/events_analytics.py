@@ -507,3 +507,65 @@ def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(TOP_PATHS_K)
     )
+
+
+@query(
+    "q_events_rfm",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS now FROM events),
+base AS (
+  SELECT user_id,
+         date_diff('day', max(ts), (SELECT now FROM mx)) AS recency_days,
+         count(*) AS frequency,
+         round(sum(CASE WHEN event_type = 'purchase' THEN value
+                        ELSE 0 END), 2) AS monetary
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency,
+       CAST(monetary AS DOUBLE) AS monetary,
+       CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT)
+           AS m_quintile
+FROM base
+""",
+)
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary) — the classic
+    customer-value matrix: days since each user's last event relative
+    to the corpus horizon, total activity, purchase revenue, and a
+    monetary quintile.
+
+    One keyed aggregate over the log; the horizon arrives as a
+    broadcast one-row max (never a driver-side collect), and the
+    quintile window runs over |users| rows — vocabulary-sized, not
+    log-sized.  Quintile ties break on user_id so both engines cut
+    ntile boundaries identically."""
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("now"))
+    base = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("now"), F.to_date("last_ts"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    w = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+    return base.withColumn("m_quintile", F.ntile(5).over(w).cast("long"))
