@@ -510,3 +510,14 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, queries):
             .agg(F.count(F.lit(1)).alias("n"))
         )
         assert "might_contain" in plan_of(j)
+
+
+def test_exact_k_sample_never_global_sorts(spark, queries):
+    """The md5-ordered exact-K sample must fold into
+    TakeOrderedAndProject (per-partition top-K + driver merge) — a
+    global Sort node before the limit would materialize a full-table
+    sort at 100 TB."""
+    plan = plan_of(queries["q_sample_exact_k"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    tree = plan.split("\n\n")[0]
+    assert "Sort" not in tree.replace("TakeOrderedAndProject", "")
