@@ -736,3 +736,105 @@ WHERE round(list_cosine_similarity(a.e, b.e), 6) >= {SEMANTIC_THRESHOLD}
 
 
 _register_semantic_oracle()
+
+
+CONTAINMENT_THRESHOLD = 0.6  # |A∩B| / |A| floor for directed near-supersets
+
+_CONTAINMENT_ORACLE = f"""
+WITH ds AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(toks) - {SHINGLE_K - 1}, 0) + 1),
+                   i -> array_to_string(toks[i : i + {SHINGLE_K - 1}], ' ')
+               )) AS shingle
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents)
+    )
+),
+capped AS (
+    SELECT doc_id, shingle FROM ds
+    WHERE shingle NOT IN (
+        SELECT shingle FROM ds GROUP BY shingle HAVING count(*) > {MAX_SHINGLE_DF})
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM capped a JOIN capped b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+directed AS (
+    SELECT p.doc_a AS contained_id, p.doc_b AS container_id,
+           p.inter * 1.0 / sa.n AS containment
+    FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a
+    UNION ALL
+    SELECT p.doc_b, p.doc_a, p.inter * 1.0 / sb.n
+    FROM pairs p JOIN sizes sb ON sb.doc_id = p.doc_b
+)
+SELECT contained_id, container_id,
+       CAST(round(containment, 6) AS DOUBLE) AS containment
+FROM directed
+WHERE containment >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@query("q_dedup_containment", oracle=_CONTAINMENT_ORACLE)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED n-gram containment: |A∩B| / |A| ≥ {CONTAINMENT_THRESHOLD}
+    flags documents mostly contained in another — the asymmetric
+    near-superset detector (quotes, boilerplate inclusion, doc-in-doc
+    duplication) that symmetric Jaccard misses: a short document fully
+    embedded in a long one has high containment but low Jaccard
+    because the union is dominated by the container.
+
+    Reuses the capped inverted-index pipeline of q_dedup_ngram_jaccard
+    verbatim (one shingle explode, posting-list pair expansion, hot-
+    shingle cap) and emits BOTH directions of each undirected pair, so
+    one pair scan serves the whole directed relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    ds = docs.select("doc_id", tokens_col().alias("toks")).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("toks")))).alias("shingle"),
+    )
+    surviving = (
+        ds.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= MAX_SHINGLE_DF)
+    )
+    sizes = (
+        surviving.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        _pairs_within(surviving.filter(F.size("docs") >= 2))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    directed = pairs.select(
+        F.col("doc_a").alias("contained_id"),
+        F.col("doc_b").alias("container_id"),
+        "inter",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("contained_id"),
+            F.col("doc_a").alias("container_id"),
+            "inter",
+        )
+    )
+    cont = F.col("inter") / F.col("n")
+    return (
+        directed.join(
+            sizes.select(F.col("doc_id").alias("contained_id"), "n"),
+            "contained_id",
+        )
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            "contained_id",
+            "container_id",
+            F.round(cont, 6).alias("containment"),
+        )
+    )
