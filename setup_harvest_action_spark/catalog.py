@@ -126,7 +126,8 @@ _DRIVER_PRIORITY = (
     "q_source_manifest_roundtrip",
     # Never-checked entries left for the r7 window (added after the 50
     # slots filled): q_sample_exact_k, q_events_rfm,
-    # q_text_collocations, q_dedup_containment — verified green by
+    # q_text_collocations, q_dedup_containment, q_table_diff —
+    # verified green by
     # tools/verify_oracle.py
     # at all three SFs meanwhile.
     # (d) Fill to the window with r04-latest greens (joins / setops /

@@ -155,3 +155,78 @@ def q_setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     open_ = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
     pend = orders.filter(F.col("o_orderstatus") == "P").select("o_orderpriority")
     return open_.exceptAll(pend)
+
+
+@query(
+    "q_table_diff",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey, round(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+new AS (
+  SELECT o_orderkey,
+         round(o_totalprice, 2)
+         + CASE WHEN o_orderkey % 3 = 0 THEN 1000.0 ELSE 0.0 END AS price
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'added'
+            WHEN new.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       CAST(old.price AS DOUBLE) AS old_price,
+       CAST(new.price AS DOUBLE) AS new_price
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+   OR old.price <> new.price
+""",
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the CDC/reconciliation primitive: classify every
+    key across two table versions as added / removed / changed
+    (unchanged rows are suppressed, so the result is delta-sized, not
+    table-sized).  The two versions here derive deterministically from
+    the orders fixture (disjoint key filters + a price bump) so both
+    engines diff identical inputs.
+
+    One full-outer shuffle join on the key is the whole cost; on
+    bucketed/co-partitioned snapshots (io/layout, harvest/bucketed) it
+    runs exchange-free.  The value comparison happens on rounded
+    prices on BOTH sides — the shared-precision boundary rule used
+    throughout (semantic dedup, kmeans)."""
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("old_price")
+    )
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("new_key"),
+        (
+            F.round("o_totalprice", 2)
+            # additive bump, not multiplicative: a *1.1 product lands on
+            # half-cent rounding boundaries that Spark and DuckDB break
+            # in different directions; adding an integer constant to the
+            # already-rounded value is exact in both engines
+            + F.when(F.col("o_orderkey") % 3 == 0, 1000.0).otherwise(0.0)
+        ).alias("new_price"),
+    )
+    joined = old.join(
+        new, old["o_orderkey"] == new["new_key"], "full_outer"
+    )
+    change = (
+        F.when(old["o_orderkey"].isNull(), "added")
+        .when(new["new_key"].isNull(), "removed")
+        .otherwise("changed")
+    )
+    return (
+        joined.filter(
+            old["o_orderkey"].isNull()
+            | new["new_key"].isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+        .select(
+            F.coalesce(old["o_orderkey"], new["new_key"]).alias("o_orderkey"),
+            change.alias("change"),
+            "old_price",
+            "new_price",
+        )
+    )
