@@ -521,3 +521,26 @@ def test_exact_k_sample_never_global_sorts(spark, queries):
     assert "TakeOrderedAndProject" in plan
     tree = plan.split("\n\n")[0]
     assert "Sort" not in tree.replace("TakeOrderedAndProject", "")
+
+
+def test_containment_explodes_documents_once(spark, queries):
+    """The directed containment query reuses the jaccard pipeline and
+    must inherit its single-scan property: one documents scan+explode,
+    sizes and both pair directions re-deriving from the same exchange."""
+    with conf(spark, "spark.sql.adaptive.enabled", "false"):
+        tree = tree_of(queries["q_dedup_containment"](spark, SF))
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("ReusedExchange") >= 2
+
+
+def test_collocations_stages_after_counts_are_vocab_sized(spark, queries):
+    """PMI collocations: the corpus total must enter as a broadcast
+    one-row aggregate (BroadcastNestedLoopJoin over a 1-row sum), and
+    the documents table must be scanned at most twice (bigram pass +
+    unigram pass) — never once per downstream join."""
+    with conf(spark, "spark.sql.adaptive.enabled", "false"):
+        plan = plan_of(queries["q_text_collocations"](spark, SF))
+        tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") <= 2
+    assert "BroadcastNestedLoopJoin" in tree  # the 1-row total
+    assert "TakeOrderedAndProject" in tree  # deterministic top-k
