@@ -48,6 +48,13 @@ def _build_parser() -> argparse.ArgumentParser:
     h.add_argument("--state-dir", default=None,
                    help="parquet state directory (default: temp)")
     h.add_argument("--batch-size", type=int, default=1000)
+    h.add_argument("--bucketed", action="store_true",
+                   help="merge through the bucket-pruned state layout "
+                        "(harvest/bucketed.py): per-batch I/O bounded by "
+                        "touched buckets — the large-state form")
+    h.add_argument("--state-buckets", type=int, default=64,
+                   help="hash bucket count for --bucketed (fixed at state "
+                        "creation; default 64)")
     return p
 
 
@@ -97,8 +104,26 @@ def _run_harvest(args) -> int:
         bindings = spark.read.schema(SPARQL_BINDINGS).parquet(args.bindings)
 
     state_dir = args.state_dir or tempfile.mkdtemp(prefix="harvest_state_")
-    state, stats = harvest_run(spark, [bindings], state_dir)
-    counts = export_sqlite(state.terms, state.term_fields, args.db)
+    if args.bucketed:
+        import datetime as _dt
+
+        from setup_harvest_action_spark.harvest.bucketed import (
+            BucketedHarvestState,
+        )
+
+        bstate = BucketedHarvestState(
+            spark, state_dir, n_buckets=args.state_buckets
+        )
+        ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        stats = bstate.load_batch(bindings, ts)
+        terms, term_fields = (
+            bstate.terms().drop("bucket"),
+            bstate.term_fields().drop("bucket"),
+        )
+    else:
+        state, stats = harvest_run(spark, [bindings], state_dir)
+        terms, term_fields = state.terms, state.term_fields
+    counts = export_sqlite(terms, term_fields, args.db)
 
     # the reference's printed summary (harvest.py:377-380)
     print("Harvest summary:")

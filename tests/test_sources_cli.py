@@ -163,6 +163,30 @@ def test_cli_end_to_end_fake_endpoint(tmp_path):
     conn.close()
 
 
+def test_cli_bucketed_end_to_end(tmp_path):
+    """--bucketed drives the partition-pruned merge from the CLI:
+    bucketed parquet state on disk, same summary numbers, same sqlite
+    export — the large-state form is one flag, not another tool."""
+    db = str(tmp_path / "translations.db")
+    state = str(tmp_path / "state")
+    proc = subprocess.run(
+        [sys.executable, "-m", "setup_harvest_action_spark", "harvest",
+         "--fake-endpoint", "120", "--db", db, "--bucketed",
+         "--state-buckets", "8", "--state-dir", state],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "New terms inserted: 120" in proc.stdout
+    conn = sqlite3.connect(db)
+    assert conn.execute("SELECT count(*) FROM terms").fetchone()[0] == 120
+    conn.close()
+    import os
+
+    buckets = [d for d in os.listdir(os.path.join(state, "terms"))
+               if d.startswith("bucket=")]
+    assert 1 <= len(buckets) <= 8
+
+
 def test_sqlite_export_rewires_ids_through_uri(spark, tmp_path):
     """A rebuilt state (fresh --state-dir, persistent --db) carries
     Spark ids that diverge from the existing db's: the export must
