@@ -69,3 +69,23 @@ def test_append_merges_manifest_and_skips_empty_partitions(sink, tmp_path):
     assert m["total_rows"] == 110
     assert len(m["files"]) <= 2 + 10  # empty partitions wrote nothing
     assert scan_manifest(sink, path).count() == 110
+
+
+def test_roundtrip_preserves_timestamps_doubles_and_nulls(sink, tmp_path):
+    """Arrow conversion in the writer must survive the full fixture
+    type surface: timestamps, doubles, strings, and NULLs."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    rows = [
+        (1, dt.datetime(2024, 3, 1, 10, 30, 0, 123456), 1.5, "a"),
+        (2, None, None, None),
+        (3, dt.datetime(2024, 12, 31, 23, 59, 59), -0.25, "z"),
+    ]
+    df = sink.createDataFrame(
+        rows, "id long, ts timestamp, val double, tag string"
+    )
+    df.write.format("manifest_parquet").mode("overwrite").save(path)
+    back = scan_manifest(sink, path)
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == sorted(rows)
