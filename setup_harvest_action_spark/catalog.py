@@ -126,10 +126,13 @@ _DRIVER_PRIORITY = (
     "q_source_manifest_roundtrip",
     # Never-checked entries left for the r7 window (added after the 50
     # slots filled): q_sample_exact_k, q_events_rfm,
-    # q_text_collocations, q_dedup_containment, q_table_diff —
-    # verified green by
+    # q_text_collocations, q_dedup_containment, q_table_diff, and the
+    # r6 additions q_agg_incremental_rollup, q_agg_heavy_hitters,
+    # q_join_runtime_filter, q_events_cdc_apply,
+    # q_graph_triangle_count, q_sample_weighted, q_dedup_fuzzy_edit,
+    # q_multimodal_audio_pipeline — verified green by
     # tools/verify_oracle.py
-    # at all three SFs meanwhile.
+    # at sf0.01 meanwhile (plus plan contracts in tests/test_plans.py).
     # (d) Fill to the window with r04-latest greens (joins / setops /
     # scalar / pipeline / quality / graph / scd / sparql datasource
     # representatives), so no family drifts past two rounds without a

@@ -838,3 +838,71 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cont, 6).alias("containment"),
         )
     )
+
+
+FUZZY_PREFIX_LEN = 64  # chars of document head compared by edit distance
+FUZZY_EDIT_MAX = 32  # maximum edit distance to call two heads near-dups
+
+
+@query(
+    "q_dedup_fuzzy_edit",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         split_part(text, ' ', 1)               AS tok,
+         substring(text, 1, {FUZZY_PREFIX_LEN}) AS head
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.head, b.head) AS edit_dist
+FROM t a
+JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+WHERE abs(length(a.head) - length(b.head)) <= {FUZZY_EDIT_MAX}
+  AND levenshtein(a.head, b.head) <= {FUZZY_EDIT_MAX}
+""",
+)
+def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs by EDIT DISTANCE with blocking — the
+    string-similarity-join shape (Jaccard family: q_dedup_ngram_
+    jaccard; this is its order-sensitive sibling, catching
+    transposition/typo-level mutations token overlap misses).
+
+    Edit distance is O(n·m) per pair and defines no algebraic
+    structure to shuffle on, so the only scalable form is
+    candidates-then-verify: (1) BLOCK on an equality key (first token
+    here; at production scale a positional q-gram prefix filter per
+    Gravano et al., which guarantees recall for a distance bound) so
+    candidates come from a hash join, never a cross product; (2)
+    LENGTH-FILTER (|len(a)-len(b)| <= d is a necessary condition for
+    dist <= d) before any quadratic work; (3) verify only survivors
+    with the real Levenshtein, JVM-side (`F.levenshtein`, no Python).
+    Comparison is over the {FUZZY_PREFIX_LEN}-char head, bounding
+    per-pair cost regardless of document length.  Candidate count is
+    Σ block² — hot blocks (stopword first tokens) are the skew risk,
+    same mitigation as the shingle DF cap in ngram_jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("tok"),
+        F.substring("text", 1, FUZZY_PREFIX_LEN).alias("head"),
+    )
+    a = t.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("tok"),
+        F.col("head").alias("head_a"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tok"),
+        F.col("head").alias("head_b"),
+    )
+    dist = F.levenshtein("head_a", "head_b")
+    return (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.abs(F.length("head_a") - F.length("head_b")) <= FUZZY_EDIT_MAX
+        )
+        .filter(dist <= FUZZY_EDIT_MAX)
+        .select("doc_a", "doc_b", dist.alias("edit_dist"))
+    )

@@ -161,3 +161,120 @@ def pagerank_user_item(
         pairs.select(F.col("i").alias("src"), F.col("u").alias("dst"))
     )
     return pagerank(edges).select("node", F.round("rank", 8).alias("rank"))
+
+
+@query(
+    "q_graph_triangle_count",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey)    AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+  GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS src,
+         CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS dst
+  FROM pairs p
+  JOIN deg du ON du.node = p.u
+  JOIN deg dv ON dv.node = p.v
+),
+wedges AS (
+  SELECT e1.dst AS a, e2.dst AS b
+  FROM oriented e1
+  JOIN oriented e2 ON e1.src = e2.src AND e1.dst < e2.dst
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM wedges w JOIN pairs p ON p.u = w.a AND p.v = w.b
+)
+SELECT (SELECT count(*) FROM pairs)                          AS n_edges,
+       (SELECT count(*) FROM deg)                            AS n_nodes,
+       (SELECT sum(d * (d - 1) / 2) FROM deg)                AS n_wedges,
+       (SELECT n_triangles FROM tri)                         AS n_triangles,
+       CAST(round(3.0 * (SELECT n_triangles FROM tri)
+                  / (SELECT sum(d * (d - 1) / 2) FROM deg), 6) AS DOUBLE)
+           AS global_clustering
+""",
+)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient on the
+    part co-purchase graph (parts are adjacent when some order
+    contains both), via DEGREE-ORIENTED wedge closure — the
+    MapReduce-era Cohen / Suri-Vassilvitskii algorithm, which is the
+    only triangle join that survives skew at 100 TB.
+
+    Each undirected edge is oriented from its lower-(degree, id)
+    endpoint to the higher; wedges are then enumerated only at each
+    triangle's MINIMUM-degree vertex (every triangle counted exactly
+    once, no /3 correction, no double join).  A raw wedge join
+    explodes as Σ deg² — a single celebrity node with degree 10⁶
+    yields 10¹² wedges; orientation caps effective out-degree at
+    O(√|E|), bounding the join to O(|E|^{3/2}) — the theoretical
+    optimum.  The edge list is materialized ONCE (lineage cut, same
+    pattern as PageRank's pair set) because degrees, orientation, and
+    closure all re-reference it; the closure itself is a two-key
+    equi-join against the canonical (u < v) edge set — hashable, never
+    a theta join.  Output is a one-row graph summary; the oracle
+    unrolls the identical CTE chain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = materialize(
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct(),
+        "triangle_pairs",
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1 = oriented.select("src", F.col("dst").alias("a"))
+    e2 = oriented.select("src", F.col("dst").alias("b"))
+    wedges = e1.join(e2, "src").filter(F.col("a") < F.col("b"))
+    closed = wedges.join(
+        pairs, (F.col("u") == F.col("a")) & (F.col("v") == F.col("b"))
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("double").alias("n_wedges")
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        n_edges.crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(n_wedges))
+        .crossJoin(F.broadcast(n_tri))
+        .select(
+            "n_edges",
+            "n_nodes",
+            "n_wedges",
+            "n_triangles",
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+                "global_clustering"
+            ),
+        )
+    )

@@ -533,3 +533,147 @@ def q_multimodal_ppm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int, mean_r double, mean_g double, "
         "mean_b double, thumb_md5 string",
     )
+
+
+# --- Third real decoder: PCM WAV audio --------------------------------------
+#
+# RIFF/WAVE with 16-bit PCM is fully specified and library-free, which
+# makes the audio modality's decode path REAL end-to-end too: synthesize
+# a deterministic tone per document, parse the RIFF container, and
+# extract actual signal features (RMS, peak, zero-crossing rate, and the
+# dominant frequency via numpy's FFT) — the shape a speech/audio corpus
+# pipeline runs, with soundfile/ffmpeg slotting into the same iterator
+# for compressed codecs.
+
+AUDIO_RATE = 8000  # Hz
+AUDIO_N = 2000  # samples per synthesized clip (250 ms)
+
+
+def encode_wav(samples, rate: int = AUDIO_RATE) -> bytes:
+    """RIFF/WAVE container around mono 16-bit PCM (samples: ndarray
+    int16)."""
+    import struct
+
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes):
+    """Parse a RIFF/WAVE payload into (rate, ndarray[int16]) — real
+    chunk-walking container parse in pure numpy/struct: validates the
+    PCM/mono/16-bit format chunk, then locates the data chunk wherever
+    it sits in the chunk list."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            codec, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if codec != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV variant (codec={codec}, ch={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return rate, data
+
+
+def synthesize_wav(doc_id: int, n: int = AUDIO_N, rate: int = AUDIO_RATE) -> bytes:
+    """Deterministic test clip: a single sine tone whose frequency is a
+    pure function of doc_id (200..3300 Hz, under Nyquist), amplitude
+    0.5 full-scale — pure arithmetic, identical on any platform."""
+    import numpy as np
+
+    hz = 200 + (doc_id % 32) * 100
+    t = np.arange(n, dtype=np.float64) / rate
+    samples = (np.sin(2 * np.pi * hz * t) * 16384.0).astype(np.int16)
+    return encode_wav(samples, rate)
+
+
+def audio_features(rate: int, samples) -> dict:
+    """Real signal features from decoded PCM: duration, RMS, peak,
+    zero-crossing count, and the dominant frequency from an actual
+    numpy rFFT — rounded to fixed scales so results are
+    platform-stable."""
+    import numpy as np
+
+    x = samples.astype(np.float64) / 32768.0
+    spectrum = np.abs(np.fft.rfft(x))
+    dom_bin = int(np.argmax(spectrum))
+    return {
+        "n_samples": int(samples.size),
+        "duration_ms": round(samples.size * 1000.0 / rate, 3),
+        "rms": round(float(np.sqrt(np.mean(x * x))), 6),
+        "peak": int(np.max(np.abs(samples))),
+        "zero_crossings": int(np.count_nonzero(np.diff(np.signbit(x)))),
+        "dominant_hz": round(dom_bin * rate / samples.size, 3),
+    }
+
+
+@query("q_multimodal_audio_pipeline")
+def q_multimodal_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio pipeline — the third library-free decoder beside
+    PPM/BMP, covering the audio modality end-to-end: synthesize a
+    deterministic mono PCM WAV per document (stage 1, mapInPandas),
+    then chunk-parse the RIFF container and extract actual signal
+    features — RMS, peak, zero-crossing count, and the DOMINANT
+    FREQUENCY via numpy's real FFT (stage 2, mapInPandas).  The golden
+    test pins dominant_hz to the synthesized tone frequency — the
+    decode+analyze path provably recovers the signal, not just byte
+    statistics.  Payloads stay on executors in Arrow batches; at 100 TB
+    the same iterator hosts soundfile/ffmpeg for compressed codecs
+    (honest-stub pattern, see ``decode_image``).  No oracle (binary
+    signal math is outside DuckDB); golden values in
+    tests/test_llm_functions.py."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def make_clips(batches: Iterator):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synthesize_wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def decode_analyze(batches: Iterator):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = decode_wav(bytes(payload))
+                feats = audio_features(rate, samples)
+                feats["doc_id"] = doc_id
+                feats["sample_rate"] = rate
+                rows.append(feats)
+            yield pd.DataFrame(rows)
+
+    clips = docs.select("doc_id").mapInPandas(
+        make_clips, "doc_id long, payload binary"
+    )
+    return clips.mapInPandas(
+        decode_analyze,
+        "n_samples int, duration_ms double, rms double, peak int, "
+        "zero_crossings int, dominant_hz double, doc_id long, sample_rate int",
+    )

@@ -511,3 +511,57 @@ def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.md5(F.col("o_orderkey").cast("string")), "o_orderkey")
         .limit(EXACT_K)
     )
+
+
+WEIGHTED_K = 50  # weighted-sample size
+# 16^8 = 2^32: first 8 md5 hex chars as a uniform integer in [0, 2^32)
+_U_DENOM = float(1 << 32)
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+SELECT doc_id, n_chars,
+       CAST(round(
+           pow((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                + 1) / {_U_DENOM:.1f},
+               1.0 / n_chars), 6) AS DOUBLE) AS aes_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY aes_key DESC, doc_id
+LIMIT {WEIGHTED_K}
+""",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement ({WEIGHTED_K} docs, weight
+    = n_chars) via the Efraimidis–Spirakis A-ES scheme: each row draws
+    u ~ Uniform(0,1] and scores u^(1/w); the top-K scores ARE a
+    weighted sample without replacement.  The classic use: sample
+    training documents proportionally to length so token mass, not
+    document count, drives selection.
+
+    u is derived from md5 of the key (first 8 hex chars → uniform
+    32-bit integer, +1 to exclude zero), so the draw is a pure
+    function of the row — reproducible across runs, engines, and
+    cluster layouts, with no RNG state to coordinate (the same
+    portability trick as hash_bucket, extended from bucket membership
+    to a full uniform float).  The score is rounded to 6 digits on
+    both engines before ranking (libm pow may differ in the last ulp
+    between the JVM and DuckDB) with doc_id as the tiebreak, so the
+    cut at K is deterministic.  Plan: ORDER BY+LIMIT folds into
+    TakeOrderedAndProject — per-partition top-K then a driver merge of
+    K-row heaps; map-only otherwise, no shuffle of the corpus at any
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1
+    ) / F.lit(_U_DENOM)
+    score = F.round(F.pow(u, 1.0 / F.col("n_chars")), 6)
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "n_chars", score.alias("aes_key"))
+        .orderBy(F.desc("aes_key"), "doc_id")
+        .limit(WEIGHTED_K)
+    )

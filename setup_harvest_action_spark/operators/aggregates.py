@@ -460,3 +460,120 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+# Incremental-rollup batch boundary: rows shipped before the cutoff are
+# the "already materialized" state; rows at/after it are the new batch.
+ROLLUP_CUTOFF = "1998-01-01"
+
+
+def partial_rollup_state(li: DataFrame) -> DataFrame:
+    """Mergeable per-key aggregate state: (count, sums, min/max).
+
+    Every column here is a COMMUTATIVE MONOID — merging two state rows
+    with sum/sum/min/max is exact, so a stored rollup can absorb any
+    number of delta batches without rescanning history.  avg is NOT in
+    the state (it does not merge); it is derived at finalize time as
+    sum/count."""
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("s_qty"),
+        F.sum("l_extendedprice").alias("s_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@query(
+    "q_agg_incremental_rollup",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(l_extendedprice) / count(*), 4) AS DOUBLE) AS avg_price,
+       min(l_shipdate) AS min_ship,
+       max(l_shipdate) AS max_ship
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: merge a stored
+    partial-aggregate state with a new delta batch and get EXACTLY the
+    full recompute — the oracle is the plain one-shot GROUP BY over
+    everything, so the driver hash proves state-merge == recompute.
+
+    Here both halves are derived from the fixture by a shipdate split
+    (< {ROLLUP_CUTOFF} = stored state, >= = delta batch); in production
+    the base state is a persisted table and ONLY the delta is scanned —
+    O(batch) I/O per refresh instead of O(history), which is the whole
+    point at 100 TB (a day's delta vs years of history).  Both split
+    filters push down to the parquet scan; each side partial-aggregates
+    map-side, and the merge groups |keys|-many state rows — shuffle
+    volume is bounded by group cardinality, not row count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit(ROLLUP_CUTOFF).cast("timestamp")
+    base_state = partial_rollup_state(li.filter(F.col("l_shipdate") < cutoff))
+    delta_state = partial_rollup_state(li.filter(F.col("l_shipdate") >= cutoff))
+    merged = (
+        base_state.unionByName(delta_state)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s_qty").alias("s_qty"),
+            F.sum("s_price").alias("s_price"),
+            F.min("min_ship").alias("min_ship"),
+            F.max("max_ship").alias("max_ship"),
+        )
+    )
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        F.round("s_qty", 2).alias("sum_qty"),
+        F.round(F.col("s_price") / F.col("n"), 4).alias("avg_price"),
+        "min_ship",
+        "max_ship",
+    )
+
+
+HEAVY_HITTER_FRACTION = 0.008  # report users with >= 0.8% of all events
+
+
+@query(
+    "q_agg_heavy_hitters",
+    oracle=f"""
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(round(count(*) * 1.0 / (SELECT count(*) FROM events), 6) AS DOUBLE)
+           AS share
+FROM events
+GROUP BY user_id
+HAVING count(*) >= {HEAVY_HITTER_FRACTION} * (SELECT count(*) FROM events)
+""",
+)
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: keys holding >= {HEAVY_HITTER_FRACTION:.1%}
+    of all rows, with their share of the total.
+
+    Two aggregates over one scan: the grand total collapses to ONE row
+    broadcast-cross-joined onto the per-key counts (never an action,
+    never a second pass through the driver), and the per-key count
+    partial-aggregates map-side so the shuffle carries |distinct keys|
+    rows.  At 100 TB the candidate set above an s-fraction threshold is
+    at most 1/s keys by pigeonhole — the output is tiny by
+    construction, which is what makes the threshold form (rather than
+    a global top-N sort) the scalable way to ask "who dominates the
+    traffic"."""
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") >= HEAVY_HITTER_FRACTION * F.col("total"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") / F.col("total"), 6).alias("share"),
+        )
+    )

@@ -569,3 +569,49 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
     return base.withColumn("m_quintile", F.ntile(5).over(w).cast("long"))
+
+
+@query(
+    "q_events_cdc_apply",
+    oracle="""
+SELECT user_id, event_type AS last_op,
+       CAST(round(value, 4) AS DOUBLE) AS value, ts
+FROM (
+  SELECT user_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1 AND event_type <> 'error'
+""",
+)
+def q_events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application: collapse a change stream to its final
+    snapshot with latest-wins-per-entity semantics and delete handling
+    — the batch form of applying a Debezium/binlog feed to a table.
+    The event stream is read as a changelog keyed by user_id ('error'
+    = tombstone/delete, anything else = upsert); the snapshot keeps
+    each entity's most recent change (ordered by ts, tie-broken on
+    event_id so replays are deterministic) unless that change is a
+    delete, in which case the entity vanishes.
+
+    One shuffle on the entity key; the rn=1 top-1-per-key compiles to
+    WindowGroupLimit (partial per-key top-1 BEFORE the exchange —
+    pinned in tests/test_plans.py), so the shuffle carries one
+    candidate row per (input partition × entity), not the full
+    changelog.  At 100 TB this is the compaction pass that turns a
+    day's change feed into a queryable snapshot; the streaming twin is
+    q_stream_stateful_user_totals's applyInPandasWithState keyed
+    state."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.round("value", 4).alias("value"),
+            "ts",
+        )
+    )

@@ -443,3 +443,75 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, F.col("last_click_ts")).alias("last_click_ts"),
         F.when(in_tol, F.col("last_click_value")).alias("last_click_value"),
     )
+
+
+# Coarse key-space for the hand-rolled runtime join filter: small enough
+# to broadcast as a bare key list, large enough that a selective dim
+# side leaves most fact buckets prunable.
+RUNTIME_FILTER_BUCKETS = 4096
+
+
+@query(
+    "q_join_runtime_filter",
+    oracle="""
+SELECT o.o_orderkey AS orderkey,
+       o.o_orderdate AS orderdate,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
+           AS revenue
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+  AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+GROUP BY o.o_orderkey, o.o_orderdate
+""",
+)
+def q_join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime join-key pre-filter: before the fact⋈dim shuffle join,
+    the fact side is semi-joined against the BROADCAST set of distinct
+    coarse key buckets (xxhash64 % {RUNTIME_FILTER_BUCKETS}) present on
+    the filtered dim side — a hand-rolled, plan-visible equivalent of
+    Spark's injected runtime bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter.enabled), built from
+    DataFrame ops so the pruning is explicit and testable.
+
+    Why it matters at 100 TB: a selective dim predicate (urgent
+    + recent orders here) means most fact rows will never find a match
+    — but a plain shuffle join still pays to shuffle ALL of them.  The
+    bucket set is at most {RUNTIME_FILTER_BUCKETS} longs (a few KB
+    broadcast regardless of data size), the membership probe is a
+    map-side BroadcastHashJoin LeftSemi evaluated BEFORE the fact
+    Exchange, and only surviving rows are shuffled.  The filter is
+    conservative (hash collisions pass extra rows, never drop real
+    ones), so the final joined result — and the oracle, written as the
+    plain join — is exactly unchanged.  Plan contract:
+    tests/test_plans.py pins the semi-join below the fact-side
+    Exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    dim = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+    )
+    bucket_of = lambda c: F.pmod(F.xxhash64(c), F.lit(RUNTIME_FILTER_BUCKETS))
+    dim_buckets = dim.select(
+        bucket_of(F.col("o_orderkey")).alias("rf_bucket")
+    ).distinct()
+    fact_pruned = lineitem.join(
+        F.broadcast(dim_buckets),
+        bucket_of(F.col("l_orderkey")) == F.col("rf_bucket"),
+        "left_semi",
+    )
+    return (
+        dim.join(fact_pruned, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            "revenue",
+        )
+    )

@@ -344,3 +344,65 @@ def test_pairs_threshold_lsh_candidates_lose_nothing(spark, queries):
     }
     assert exact, "threshold yields no pairs — the contract is vacuous"
     assert got == exact
+
+
+def test_wav_codec_roundtrip_and_features():
+    """The WAV path must be REAL signal code: container roundtrip is
+    exact, and the FFT-based feature extractor recovers the synthesized
+    tone frequency."""
+    import numpy as np
+
+    from setup_harvest_action_spark.functions.multimodal import (
+        AUDIO_N,
+        AUDIO_RATE,
+        audio_features,
+        decode_wav,
+        encode_wav,
+        synthesize_wav,
+    )
+
+    samples = (np.sin(np.arange(400) / 5.0) * 1000).astype(np.int16)
+    rate, back = decode_wav(encode_wav(samples, 4000))
+    assert rate == 4000
+    assert (back == samples).all()
+
+    for doc_id in (0, 7, 31, 131):
+        rate, s = decode_wav(synthesize_wav(doc_id))
+        feats = audio_features(rate, s)
+        expected_hz = 200 + (doc_id % 32) * 100
+        assert feats["dominant_hz"] == pytest.approx(expected_hz, abs=AUDIO_RATE / AUDIO_N)
+        assert feats["n_samples"] == AUDIO_N
+        assert feats["peak"] == 16384
+        # full-scale-0.5 sine RMS = 0.5/sqrt(2)
+        assert feats["rms"] == pytest.approx(0.3536, abs=0.001)
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVE")  # missing chunks
+    with pytest.raises(ValueError):
+        decode_wav(b"not audio at all")
+
+
+def test_audio_pipeline_matches_pure_python(spark, queries):
+    """Golden check for q_multimodal_audio_pipeline: the distributed
+    two-stage decode must emit exactly what the pure-Python codec
+    computes, per document."""
+    from setup_harvest_action_spark.functions.multimodal import (
+        audio_features,
+        decode_wav,
+        synthesize_wav,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in queries["q_multimodal_audio_pipeline"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(rows) > 0
+    for doc_id in list(rows)[:5]:
+        rate, s = decode_wav(synthesize_wav(doc_id))
+        expected = audio_features(rate, s)
+        got = rows[doc_id]
+        for k, v in expected.items():
+            assert got[k] == pytest.approx(v, rel=1e-9), (doc_id, k)
+        assert got["sample_rate"] == rate

@@ -544,3 +544,81 @@ def test_collocations_stages_after_counts_are_vocab_sized(spark, queries):
     assert tree.count("Scan parquet") <= 2
     assert "BroadcastNestedLoopJoin" in tree  # the 1-row total
     assert "TakeOrderedAndProject" in tree  # deterministic top-k
+
+
+def test_runtime_filter_semi_prunes_before_fact_exchange(spark, queries):
+    """q_join_runtime_filter's hand-rolled runtime filter: the coarse
+    bucket set must be probed via a hinted BroadcastHashJoin LeftSemi
+    that sits BELOW the fact side's Exchange — rows are dropped
+    map-side, before they are shuffled for the main join.  Broadcast
+    threshold is disabled so the main join is a real shuffle join and
+    only the explicit broadcast hint survives (the 100 TB shape)."""
+    with conf(spark, "spark.sql.adaptive.enabled", "false"), conf(
+        spark, "spark.sql.autoBroadcastJoinThreshold", "-1"
+    ):
+        tree = tree_of(queries["q_join_runtime_filter"](spark, SF))
+    lines = tree.split("\n")
+    i_main = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
+    i_semi = next(i for i, l in enumerate(lines) if "LeftSemi" in l)
+    assert i_main < i_semi, tree  # semi is inside the join's subtree
+    # the semi's parent chain crosses an Exchange: prune-then-shuffle
+    assert any(
+        "Exchange" in l for l in lines[i_main:i_semi]
+    ), tree
+    assert "CartesianProduct" not in tree
+
+
+def test_cdc_apply_compiles_to_window_group_limit(spark, queries):
+    """Latest-wins CDC compaction must push the rn=1 cut into
+    WindowGroupLimit: each input partition forwards one candidate per
+    entity to the shuffle instead of the full changelog."""
+    plan = plan_of(queries["q_events_cdc_apply"](spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_incremental_rollup_is_joinless_two_scan_merge(spark, queries):
+    """State-merge rollup: two pushed-filter scans (state | delta),
+    partial aggregates per side, one union, one final merge aggregate —
+    no join anywhere, and both split predicates reach the parquet
+    scans so each side reads only its half."""
+    with conf(spark, "spark.sql.adaptive.enabled", "false"):
+        plan = plan_of(queries["q_agg_incremental_rollup"](spark, SF))
+        tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2
+    assert "Union" in tree
+    assert "Join" not in tree
+    assert plan.count("GreaterThanOrEqual(l_shipdate") == 1
+    assert plan.count("LessThan(l_shipdate") == 1
+
+
+def test_heavy_hitters_total_is_broadcast_one_row(spark, queries):
+    """The grand total must enter as a broadcast 1-row aggregate
+    (BroadcastNestedLoopJoin), never a collected scalar, and the
+    events table is scanned exactly twice (total + per-key counts)."""
+    with conf(spark, "spark.sql.adaptive.enabled", "false"):
+        tree = tree_of(queries["q_agg_heavy_hitters"](spark, SF))
+    assert tree.count("Scan parquet") == 2
+    assert "BroadcastNestedLoopJoin" in tree
+
+
+def test_triangle_closure_is_equi_join(spark, queries):
+    """Degree-oriented triangle counting: the wedge and closure joins
+    must be hash/sort-merge EQUI joins (wedges explicitly bounded by
+    orientation) — a CartesianProduct anywhere means the theta form
+    snuck in.  The one-row summary combines via broadcast loops, which
+    is fine (1×1 rows)."""
+    with conf(spark, "spark.sql.adaptive.enabled", "false"):
+        tree = tree_of(queries["q_graph_triangle_count"](spark, SF))
+    assert "CartesianProduct" not in tree
+    assert ("SortMergeJoin" in tree) or ("ShuffledHashJoin" in tree) or (
+        "BroadcastHashJoin" in tree
+    )
+
+
+def test_weighted_sample_folds_topk(spark, queries):
+    """A-ES weighted sampling must plan as TakeOrderedAndProject —
+    per-partition K-heaps, no global sort of the corpus."""
+    plan = plan_of(queries["q_sample_weighted"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    tree = plan.split("\n\n")[0]
+    assert "Sort" not in tree.replace("TakeOrderedAndProject", "")
