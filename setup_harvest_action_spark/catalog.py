@@ -130,7 +130,8 @@ _DRIVER_PRIORITY = (
     # r6 additions q_agg_incremental_rollup, q_agg_heavy_hitters,
     # q_join_runtime_filter, q_events_cdc_apply,
     # q_graph_triangle_count, q_sample_weighted, q_dedup_fuzzy_edit,
-    # q_multimodal_audio_pipeline — verified green by
+    # q_multimodal_audio_pipeline, q_join_interval_banded,
+    # q_events_resample_interp — verified green by
     # tools/verify_oracle.py
     # at sf0.01 meanwhile (plus plan contracts in tests/test_plans.py).
     # (d) Fill to the window with r04-latest greens (joins / setops /

@@ -615,3 +615,218 @@ def q_events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts",
         )
     )
+
+
+INTERVAL_BAND_US = 600_000_000  # 10-minute coarse bands for the interval join
+
+
+@query(
+    "q_join_interval_banded",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us FROM events
+),
+m AS (
+  SELECT *,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+),
+sess AS (
+  SELECT user_id, sid, min(us) AS us0, max(us) AS us1
+  FROM s GROUP BY user_id, sid
+),
+err AS (SELECT event_id, ts, us FROM e WHERE event_type = 'error')
+SELECT err.event_id, err.ts,
+       CAST(count(sess.sid) AS BIGINT) AS n_concurrent
+FROM err
+LEFT JOIN sess ON err.us BETWEEN sess.us0 AND sess.us1
+GROUP BY err.event_id, err.ts
+""",
+)
+def q_join_interval_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join WITHOUT an equi key, made scalable by
+    COARSE BANDING: for each error event, count the user sessions
+    (gap-sessionized, any user) whose [start, end] interval contains
+    its timestamp — "how much concurrent activity surrounded this
+    failure".
+
+    A containment predicate alone gives Catalyst no hash key, so the
+    naive form is a BroadcastNestedLoopJoin — points × intervals, dead
+    at 100 TB.  The banded form manufactures the equi key: intervals
+    EXPLODE to the 10-min bands they overlap (`sequence()` — cost
+    Σ duration/band, bounded because gap-sessionization bounds session
+    span), each point maps to exactly ONE band, and the join becomes a
+    plain hash equi-join on band with containment as a cheap
+    post-filter.  No dedup is needed: a session covers a band at most
+    once and a point has one band, so pairs are unique by
+    construction.  Band width trades explode factor against per-band
+    fan-in exactly like the as-of bucketing in streaming joins; the
+    plan contract pins the equi-join (no nested-loop node).  The
+    oracle runs the honest theta join — affordable at sf0.01,
+    impossible at scale, which is the point."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("us").over(w)
+    is_new = (prev.isNull() | (F.col("us") - prev > SESSION_GAP_US)).cast("long")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        e.withColumn("sid", F.sum(is_new).over(run))
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("us0"), F.max("us").alias("us1"))
+    )
+    band = lambda c: (c / F.lit(INTERVAL_BAND_US)).cast("long")
+    banded = sess.select(
+        "sid",
+        "us0",
+        "us1",
+        F.explode(F.sequence(band(F.col("us0")), band(F.col("us1")))).alias(
+            "band"
+        ),
+    )
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id", "ts", "us", band(F.col("us")).alias("band")
+    )
+    return (
+        err.join(
+            banded,
+            (err["band"] == banded["band"])
+            & (F.col("us") >= F.col("us0"))
+            & (F.col("us") <= F.col("us1")),
+            "left",
+        )
+        .groupBy("event_id", "ts")
+        .agg(F.count("sid").alias("n_concurrent"))
+    )
+
+
+@query(
+    "q_events_resample_interp",
+    oracle=f"""
+WITH e AS (
+    SELECT user_id, event_id, value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec
+    FROM events
+    WHERE user_id < {RESAMPLE_USERS}
+),
+b AS (
+    SELECT user_id,
+           (sec // {RESAMPLE_BUCKET_SEC}) * {RESAMPLE_BUCKET_SEC} AS bucket,
+           arg_max(value, sec * 10000000 + event_id) AS v_obs
+    FROM e
+    GROUP BY 1, 2
+),
+bounds AS (
+    SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY 1
+),
+grid AS (
+    SELECT user_id, g AS bucket
+    FROM bounds, unnest(generate_series(b0, b1, {RESAMPLE_BUCKET_SEC})) AS u(g)
+),
+j AS (
+    SELECT grid.user_id, grid.bucket, b.v_obs,
+           CASE WHEN b.v_obs IS NOT NULL THEN grid.bucket END AS obs_bucket
+    FROM grid LEFT JOIN b USING (user_id, bucket)
+),
+f AS (
+    SELECT *,
+           last_value(v_obs IGNORE NULLS) OVER wp AS pv,
+           last_value(obs_bucket IGNORE NULLS) OVER wp AS pb,
+           first_value(v_obs IGNORE NULLS) OVER wn AS nv,
+           first_value(obs_bucket IGNORE NULLS) OVER wn AS nb
+    FROM j
+    WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                  ROWS UNBOUNDED PRECEDING),
+           wn AS (PARTITION BY user_id ORDER BY bucket
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id,
+       to_timestamp(bucket)::TIMESTAMP AS bucket_ts,
+       CAST(floor(CASE
+           WHEN pv IS NULL THEN nv
+           WHEN nv IS NULL THEN pv
+           WHEN nb = pb THEN pv
+           ELSE pv + (nv - pv) * (bucket - pb) / (nb - pb)
+       END * 10000 + 0.5) / 10000 AS DOUBLE) AS v_interp,
+       CAST(v_obs IS NULL AS BOOLEAN) AS is_gap
+FROM f
+""",
+)
+def q_events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling — the second gap-fill policy
+    beside ffill (q_events_resample_ffill): empty grid buckets take the
+    value linearly interpolated between the nearest observations on
+    either side (pandas ``interpolate(method='linear')``), with
+    one-sided extrapolation pinned to the nearest edge observation.
+
+    Same grid machinery as ffill; the new piece is the BIDIRECTIONAL
+    ignore-nulls window pass — last-observation (value, bucket) over
+    the preceding frame and first-observation over the following frame
+    in ONE window shuffle (both frames share the user_id+bucket sort,
+    so Catalyst evaluates them in a single Window node pair over one
+    Exchange), then the lerp is pure per-row arithmetic.  Division is
+    bucket-index math (exact integers) and the result rounds to a
+    shared scale, so both engines agree bitwise."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < RESAMPLE_USERS
+    ).select(
+        "user_id", "event_id", "value", F.unix_timestamp("ts").alias("sec")
+    )
+    bucket = (F.floor(F.col("sec") / RESAMPLE_BUCKET_SEC) * RESAMPLE_BUCKET_SEC)
+    b = e.groupBy("user_id", bucket.alias("bucket")).agg(
+        F.max_by(
+            "value", F.col("sec") * 10000000 + F.col("event_id")
+        ).alias("v_obs"),
+    )
+    grid = (
+        b.groupBy("user_id")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("b0", "b1", F.lit(RESAMPLE_BUCKET_SEC))
+            ).alias("bucket"),
+        )
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    j = grid.join(b, ["user_id", "bucket"], "left").withColumn(
+        "obs_bucket", F.when(F.col("v_obs").isNotNull(), F.col("bucket"))
+    )
+    pv = F.last("v_obs", ignorenulls=True).over(wp)
+    pb = F.last("obs_bucket", ignorenulls=True).over(wp)
+    nv = F.first("v_obs", ignorenulls=True).over(wn)
+    nb = F.first("obs_bucket", ignorenulls=True).over(wn)
+    lerp = (
+        F.when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .when(nb == pb, pv)
+        .otherwise(pv + (nv - pv) * (F.col("bucket") - pb) / (nb - pb))
+    )
+    # deterministic decimal cut: floor(x*1e4 + 0.5)/1e4 is pure IEEE
+    # arithmetic, identical on both engines; plain round() differs on
+    # the .XXXX5 ties the lerp of low-decimal inputs constantly creates
+    # (decimal-wise vs binary-wise tie-breaking)
+    return j.select(
+        "user_id",
+        F.timestamp_seconds("bucket").alias("bucket_ts"),
+        (F.floor(lerp * 10000 + 0.5) / 10000).alias("v_interp"),
+        F.col("v_obs").isNull().alias("is_gap"),
+    )

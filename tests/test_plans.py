@@ -622,3 +622,34 @@ def test_weighted_sample_folds_topk(spark, queries):
     assert "TakeOrderedAndProject" in plan
     tree = plan.split("\n\n")[0]
     assert "Sort" not in tree.replace("TakeOrderedAndProject", "")
+
+
+def test_interval_banded_join_is_equi_not_nested_loop(spark, queries):
+    """The point-in-interval join must go through the manufactured band
+    equi-key (hash/sort-merge join with containment as post-filter) —
+    a BroadcastNestedLoopJoin or CartesianProduct means the theta form
+    snuck back in, which is points × intervals at 100 TB."""
+    with conf(spark, "spark.sql.adaptive.enabled", "false"):
+        tree = tree_of(queries["q_join_interval_banded"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert ("SortMergeJoin" in tree) or ("ShuffledHashJoin" in tree) or (
+        "BroadcastHashJoin" in tree
+    )
+
+
+def test_resample_interp_shares_one_window_exchange(spark, queries):
+    """The bidirectional (preceding + following) ignore-nulls passes
+    must share the user_id window partitioning: exactly one Exchange
+    feeds the Window nodes after the grid join — a second shuffle of
+    the grid would double the job's largest stage for no reason."""
+    with conf(spark, "spark.sql.adaptive.enabled", "false"):
+        tree = tree_of(queries["q_events_resample_interp"](spark, SF))
+    lines = tree.split("\n")
+    i_first_window = next(i for i, l in enumerate(lines) if "Window" in l)
+    # no Exchange between the two Window passes (they appear as
+    # consecutive Window nodes over one sort order)
+    i_join = next(i for i, l in enumerate(lines) if "Join" in l)
+    assert not any(
+        "Exchange" in l for l in lines[i_first_window:i_join]
+    ), tree
