@@ -131,7 +131,8 @@ _DRIVER_PRIORITY = (
     # q_join_runtime_filter, q_events_cdc_apply,
     # q_graph_triangle_count, q_sample_weighted, q_dedup_fuzzy_edit,
     # q_multimodal_audio_pipeline, q_join_interval_banded,
-    # q_events_resample_interp — verified green by
+    # q_events_resample_interp, q_local_supplier_volume,
+    # q_join_null_safe, q_stream_cdc_apply — verified green by
     # tools/verify_oracle.py
     # at sf0.01 meanwhile (plus plan contracts in tests/test_plans.py).
     # (d) Fill to the window with r04-latest greens (joins / setops /

@@ -515,3 +515,60 @@ def q_join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS channel
+  FROM events WHERE event_id < 2000
+),
+d AS (
+  SELECT * FROM (VALUES ('view', 'browse'), ('click', 'browse'),
+                        ('purchase', 'buy'), ('signup', 'acquire'),
+                        (NULL, 'unattributed')) AS t(channel, family)
+)
+SELECT e.event_id, e.user_id, d.family
+FROM e JOIN d ON e.channel IS NOT DISTINCT FROM d.channel
+""",
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics
+    attribution tables need when "unknown" is itself a category (here:
+    error events carry a NULL channel and must land in the
+    'unattributed' family, not vanish as a plain equi-join would make
+    them).
+
+    `<=>` stays a hash-joinable equality (EqualNullSafe key, broadcast
+    here since the dim is 5 rows) — NOT a theta join; the only scale
+    caveat is that all NULL keys hash to one partition, so a
+    NULL-heavy fact side behaves like any other hot key (same salting
+    remedy as q_join_salted_skew).  The event_id slice keeps the
+    oracle comparison bounded; semantics are slice-independent."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(F.col("event_type") == "error", F.lit(None))
+            .otherwise(F.col("event_type"))
+            .alias("channel"),
+        )
+    )
+    dim = ev.sparkSession.createDataFrame(
+        [
+            ("view", "browse"),
+            ("click", "browse"),
+            ("purchase", "buy"),
+            ("signup", "acquire"),
+            (None, "unattributed"),
+        ],
+        "channel string, family string",
+    )
+    return ev.join(
+        F.broadcast(dim), ev["channel"].eqNullSafe(dim["channel"])
+    ).select("event_id", "user_id", "family")

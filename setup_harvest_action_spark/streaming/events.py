@@ -877,3 +877,53 @@ def stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, old)
+
+
+@query(
+    "q_stream_cdc_apply",
+    oracle="""
+SELECT user_id, event_type AS last_op,
+       CAST(round(value, 4) AS DOUBLE) AS value, ts
+FROM (
+  SELECT user_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1 AND event_type <> 'error'
+""",
+)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_events_cdc_apply: maintain the latest-wins
+    snapshot of a changelog CONTINUOUSLY — per entity, `max_by` over
+    the (ts, event_id) ordering keeps the newest change as rows
+    arrive, and tombstones ('error' ops) suppress the entity from the
+    emitted snapshot.
+
+    State is one row per live entity (the snapshot itself), which is
+    the floor for this semantics — no windowed retention can shrink
+    it, because any entity may be updated forever.  Complete mode
+    re-emits the snapshot per trigger, right for a finite replay and
+    for dashboard-style sinks; the unbounded-sink form is update mode
+    + foreachBatch upserting changed entities into a keyed store —
+    exactly the `streaming/ingest.py` merge loop.  Batch and stream
+    must agree: the oracle is the same SQL as the batch operator."""
+    events = read_event_stream(spark, sf_dir)
+    latest = (
+        events.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_type", "value", "ts"),
+                F.struct("ts", "event_id"),
+            ).alias("last")
+        )
+        .filter(F.col("last.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("last.event_type").alias("last_op"),
+            F.round("last.value", 4).alias("value"),
+            F.col("last.ts").alias("ts"),
+        )
+    )
+    out = run_to_completion(latest, "complete")
+    return out
