@@ -278,3 +278,89 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+BFS_MAX_HOPS = 2  # bounded-hop neighborhood expansion
+
+
+@query(
+    "q_graph_bfs_distance",
+    oracle=f"""
+WITH pairs AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey)    AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+  SELECT u AS node, v AS other FROM pairs
+  UNION ALL
+  SELECT v AS node, u AS other FROM pairs
+),
+src AS (SELECT min(u) AS s FROM pairs),
+walk AS (
+  WITH RECURSIVE w(node, dist) AS (
+    SELECT s, 0 FROM src
+    UNION ALL
+    SELECT e.other, w.dist + 1
+    FROM w JOIN edges e ON e.node = w.node
+    WHERE w.dist < {BFS_MAX_HOPS}
+  )
+  SELECT node, min(dist) AS dist FROM w GROUP BY node
+)
+SELECT node, CAST(dist AS INTEGER) AS dist FROM walk
+""",
+)
+def q_graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS shortest distances from a deterministic source
+    (the minimum part key) over the part co-purchase graph — the
+    neighborhood-expansion primitive under "related items within k
+    hops", contamination blast-radius checks, and graph feature
+    generation.
+
+    Iterative frontier expansion, the third member of the repo's
+    iterative-graph family (PageRank, connected components): each hop
+    is ONE equi-join frontier⋈edges + one min-aggregate against the
+    accumulated distance map, materialized per hop (same lineage-cut
+    discipline as the others — an unrolled BFS plan re-derives every
+    prior frontier exponentially otherwise).  At 100 TB each hop
+    shuffles on the vertex key with the same partitioning every
+    iteration; the frontier join is dominated by Σ deg(frontier), so
+    bounded hops bound the work regardless of graph size.  The source
+    enters as a broadcast one-row aggregate — never a collected
+    scalar.  The oracle walks the identical expansion as a recursive
+    CTE with the same hop bound."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = materialize(
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct(),
+        "bfs_pairs",
+    )
+    edges = pairs.select(F.col("u").alias("node"), F.col("v").alias("other")).unionAll(
+        pairs.select(F.col("v").alias("node"), F.col("u").alias("other"))
+    )
+    src = pairs.agg(F.min("u").alias("node")).select(
+        "node", F.lit(0).alias("dist")
+    )
+    dist = materialize(src, "bfs_dist")
+    frontier = dist
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        expanded = (
+            frontier.join(edges, "node")
+            .select(F.col("other").alias("node"), F.lit(hop).alias("dist"))
+            .distinct()
+        )
+        merged = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        dist = materialize(merged, "bfs_dist")
+        # next frontier: nodes first reached this hop
+        frontier = dist.filter(F.col("dist") == hop)
+    return dist.select("node", F.col("dist").cast("int").alias("dist"))

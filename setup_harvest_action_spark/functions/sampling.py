@@ -565,3 +565,56 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aes_key"), "doc_id")
         .limit(WEIGHTED_K)
     )
+
+
+WEIGHTED_GROUP_K = 20  # weighted sample size per language
+
+
+@query(
+    "q_sample_weighted_stratified",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(round(
+             pow((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  + 1) / {_U_DENOM:.1f},
+                 1.0 / n_chars), 6) AS DOUBLE) AS aes_key
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, lang, n_chars, aes_key
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY aes_key DESC, doc_id) AS rn
+  FROM k
+)
+WHERE rn <= {WEIGHTED_GROUP_K}
+""",
+)
+def q_sample_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted sampling: the A-ES draw of
+    q_sample_weighted run independently inside each language — up to
+    {WEIGHTED_GROUP_K} docs per lang, selected proportionally to
+    length within their stratum.  This is the corpus-mixing primitive:
+    per-language token-mass-weighted quotas in one pass, no RNG state.
+
+    The per-group top-K compiles to WindowGroupLimit (partial top-K
+    before the stratum shuffle), so skewed strata cost O(K) memory per
+    partition — the same property pinned for q_sample_source_cap.
+    Same portable md5-uniform + rounded-score + doc_id tiebreak as the
+    global sampler, so both engines cut each stratum identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1
+    ) / F.lit(_U_DENOM)
+    score = F.round(F.pow(u, 1.0 / F.col("n_chars")), 6)
+    w = Window.partitionBy("lang").orderBy(F.desc("aes_key"), "doc_id")
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", "n_chars", score.alias("aes_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= WEIGHTED_GROUP_K)
+        .drop("rn")
+    )

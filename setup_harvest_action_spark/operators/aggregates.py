@@ -639,3 +639,62 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("n_name").alias("nation"), "revenue")
     )
+
+
+@query(
+    "q_agg_statistics",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         count(*)                    AS n,
+         avg(l_quantity)             AS mu,
+         avg(l_quantity * l_quantity)                           AS m2r,
+         avg(l_quantity * l_quantity * l_quantity)              AS m3r,
+         avg(l_quantity * l_quantity * l_quantity * l_quantity) AS m4r,
+         CAST(round(corr(l_quantity, l_extendedprice), 6) AS DOUBLE)
+             AS corr_qty_price,
+         CAST(round(covar_samp(l_quantity, l_extendedprice), 4) AS DOUBLE)
+             AS covar_qty_price,
+         CAST(round(var_samp(l_quantity), 6) AS DOUBLE) AS var_qty
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, corr_qty_price, covar_qty_price, var_qty,
+       CAST(round((m3r - 3 * mu * m2r + 2 * mu * mu * mu)
+                  / pow(m2r - mu * mu, 1.5), 6) AS DOUBLE) AS skew_qty,
+       CAST(round((m4r - 4 * mu * m3r + 6 * mu * mu * m2r
+                       - 3 * mu * mu * mu * mu)
+                  / pow(m2r - mu * mu, 2) - 3, 6) AS DOUBLE) AS kurt_qty
+FROM m
+""",
+)
+def q_agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family in one partial/final hash agg:
+    correlation, sample covariance/variance, and the population
+    skewness / excess kurtosis of quantity per return flag — the
+    profile pass a feature-engineering pipeline runs before
+    normalization decisions.
+
+    All of these are single-pass MERGEABLE aggregates (co-moment
+    sketches: Spark maintains central moments incrementally per
+    partition and merges them pairwise), so the shuffle carries one
+    small state row per (partition × group) — the same scale property
+    as count/sum, just with a wider state.  Engine caveat pinned here:
+    DuckDB's skewness/kurtosis apply SAMPLE bias correction while
+    Spark's are POPULATION moments, so the oracle derives the
+    population forms from raw moments (numerically safe for a bounded
+    column like quantity; for wide-magnitude columns prefer the
+    engines' stable central-moment paths)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+    )

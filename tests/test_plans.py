@@ -653,3 +653,21 @@ def test_resample_interp_shares_one_window_exchange(spark, queries):
     assert not any(
         "Exchange" in l for l in lines[i_first_window:i_join]
     ), tree
+
+
+def test_weighted_stratified_uses_window_group_limit(spark, queries):
+    """Per-stratum A-ES sampling must push the rn<=K cut into
+    WindowGroupLimit so hot strata cost O(K) per partition."""
+    plan = plan_of(queries["q_sample_weighted_stratified"](spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_bfs_source_is_broadcast_not_collected(spark, queries):
+    """BFS seeds from min(u) as a broadcast one-row aggregate inside
+    the plan — constructing the query must not launch driver jobs
+    beyond the per-hop materializations, and the final distance map is
+    a plain scan (lineage already cut)."""
+    df = queries["q_graph_bfs_distance"](spark, SF)
+    tree = tree_of(df)
+    # after per-hop materialization the result is a single parquet scan
+    assert tree.count("Scan parquet") == 1
