@@ -908,3 +908,63 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(PMI_TOP)
     )
+
+
+@query(
+    "q_text_minmax_scale_arrow",
+    oracle="""
+SELECT doc_id, lang,
+       CAST(round(CASE WHEN max(n_chars) OVER w = min(n_chars) OVER w THEN 0.0
+                       ELSE (n_chars - min(n_chars) OVER w) * 1.0
+                            / (max(n_chars) OVER w - min(n_chars) OVER w)
+                  END, 6) AS DOUBLE) AS scaled
+FROM documents
+WINDOW w AS (PARTITION BY lang)
+""",
+)
+def q_text_minmax_scale_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map over RAW ARROW: per-language min-max scaling of
+    document length through ``applyInArrow`` — the zero-copy sibling
+    of ``q_text_zscore_by_lang``'s applyInPandas, completing the Arrow
+    UDF surface (pandas_udf / applyInPandas(±State) / mapInPandas /
+    mapInArrow / udtf / applyInArrow).  The whole group arrives as one
+    ``pyarrow.Table`` and the math runs in pyarrow.compute kernels —
+    no pandas materialization, no Python-object row round-trip, which
+    for wide binary/text groups removes the last copy mapInPandas
+    still pays.
+
+    Same scale contract as every grouped-map: one shuffle on the group
+    key, per-group memory bounded by the largest group (a language IS
+    a large group at 100 TB — the production variant pre-aggregates
+    min/max per key and broadcasts them, trading the grouped map for
+    two scans; kept grouped here because exercising the Arrow grouped
+    surface is the point)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def scale(table: pa.Table) -> pa.Table:
+        n = table.column("n_chars")
+        lo = pc.min(n).as_py()
+        hi = pc.max(n).as_py()
+        if hi == lo:
+            scaled = pa.array([0.0] * table.num_rows, type=pa.float64())
+        else:
+            scaled = pc.round(
+                pc.divide(
+                    pc.cast(pc.subtract(n, lo), pa.float64()),
+                    float(hi - lo),
+                ),
+                ndigits=6,
+            )
+        return pa.table(
+            {
+                "doc_id": table.column("doc_id"),
+                "lang": table.column("lang"),
+                "scaled": scaled,
+            }
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return docs.groupBy("lang").applyInArrow(
+        scale, "doc_id long, lang string, scaled double"
+    )

@@ -418,3 +418,51 @@ def test_schema_evolution_mergeschema_read(spark, tmp_path):
     declared = spark.read.schema("id long, text string, lang string").parquet(d)
     assert {r["id"]: r["lang"] for r in declared.collect()} == rows
     assert declared.filter(F.col("lang").isNull()).count() == 1
+
+
+def test_sparql_stream_checkpoint_resumes_on_growth(spark, tmp_path):
+    """The streaming SPARQL source must checkpoint its page offset: a
+    second availableNow run against a GROWN collection (larger fake
+    endpoint, same checkpoint) harvests only the new pages — no page
+    re-fetched, no page skipped, final rows == one batch read of the
+    full collection."""
+    from setup_harvest_action_spark.sources.sparql_datasource import register
+
+    register(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(n_concepts: int) -> None:
+        stream = (
+            spark.readStream.format("sparql")
+            .option("endpoint", f"fake:{n_concepts}")
+            .option("collection", "http://vocab.example/collection")
+            .option("pagesize", "200")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(400)
+    first = spark.read.parquet(out).count()
+    drain(800)  # collection grew; same checkpoint
+    got = spark.read.parquet(out)
+    batch = (
+        spark.read.format("sparql")
+        .option("endpoint", "fake:800")
+        .option("collection", "http://vocab.example/collection")
+        .option("pagesize", "200")
+        .load()
+    )
+    assert first == batch.count() // 2  # 400-concept prefix: half the rows
+    assert got.count() == batch.count()
+    # no duplicates: every concept row set matches the batch read exactly
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
