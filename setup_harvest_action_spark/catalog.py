@@ -134,7 +134,8 @@ _DRIVER_PRIORITY = (
     # q_events_resample_interp, q_local_supplier_volume,
     # q_join_null_safe, q_stream_cdc_apply, q_agg_statistics,
     # q_graph_bfs_distance, q_sample_weighted_stratified,
-    # q_sparql_stream, q_text_minmax_scale_arrow — all verified by
+    # q_sparql_stream, q_text_minmax_scale_arrow,
+    # q_pipeline_entity_resolution — all verified by
     # tools/verify_oracle.py
     # at sf0.01 meanwhile (plus plan contracts in tests/test_plans.py).
     # (d) Fill to the window with r04-latest greens (joins / setops /

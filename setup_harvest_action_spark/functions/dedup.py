@@ -21,7 +21,7 @@ from __future__ import annotations
 
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from setup_harvest_action_spark.catalog import query
 from setup_harvest_action_spark.io.loaders import load_table
@@ -905,4 +905,93 @@ def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(dist <= FUZZY_EDIT_MAX)
         .select("doc_a", "doc_b", dist.alias("edit_dist"))
+    )
+
+
+@query(
+    "q_pipeline_entity_resolution",
+    oracle=f"""
+WITH RECURSIVE
+t AS (
+  SELECT doc_id,
+         split_part(text, ' ', 1)               AS tok,
+         substring(text, 1, {FUZZY_PREFIX_LEN}) AS head
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a
+  JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  WHERE abs(length(a.head) - length(b.head)) <= {FUZZY_EDIT_MAX}
+    AND levenshtein(a.head, b.head) <= {FUZZY_EDIT_MAX}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM p
+  UNION ALL
+  SELECT doc_b, doc_a FROM p
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM t
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+lab AS (
+  SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS entity_id
+  FROM reach GROUP BY src
+)
+SELECT doc_id, entity_id,
+       CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_members
+FROM lab
+""",
+)
+def q_pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ENTITY RESOLUTION: blocking → pairwise match →
+    transitive clustering, composed entirely from catalog primitives —
+    the canonical record-linkage pipeline (same shape as Splink/
+    Dedupe.io): (1) BLOCK on (first token, length band) so candidate
+    pairs come from a hash join; (2) MATCH survivors by bounded-head
+    edit distance (the q_dedup_fuzzy_edit stages); (3) CLUSTER matched
+    pairs to a fixpoint with iterative min-label propagation
+    (``connected_components``) so A~B~C land in one entity even when
+    A–C never matched directly; every document gets an entity id
+    (singletons = themselves) plus its entity's member count.
+
+    Scale composition: stage 1–2 costs are the fuzzy join's (blocked,
+    never all-pairs), stage 3 is diameter-bounded label propagation
+    with per-round lineage cuts.  The driver hash proves the WHOLE
+    composition — including that the iterative closure converged to
+    the true transitive closure — against a recursive-CTE oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("tok"),
+        F.substring("text", 1, FUZZY_PREFIX_LEN).alias("head"),
+    )
+    a = t.select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("head").alias("head_a")
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"), "tok", F.col("head").alias("head_b")
+    )
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.abs(F.length("head_a") - F.length("head_b")) <= FUZZY_EDIT_MAX
+        )
+        .filter(F.levenshtein("head_a", "head_b") <= FUZZY_EDIT_MAX)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    labeled = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("entity_id"),
+        )
+    )
+    return labeled.withColumn(
+        "n_members",
+        F.count(F.lit(1)).over(Window.partitionBy("entity_id")),
     )
