@@ -135,7 +135,8 @@ _DRIVER_PRIORITY = (
     # q_join_null_safe, q_stream_cdc_apply, q_agg_statistics,
     # q_graph_bfs_distance, q_sample_weighted_stratified,
     # q_sparql_stream, q_text_minmax_scale_arrow,
-    # q_pipeline_entity_resolution — all verified by
+    # q_pipeline_entity_resolution, q_source_partitioned_roundtrip —
+    # all verified by
     # tools/verify_oracle.py
     # at sf0.01 meanwhile (plus plan contracts in tests/test_plans.py).
     # (d) Fill to the window with r04-latest greens (joins / setops /

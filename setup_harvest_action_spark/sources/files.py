@@ -118,3 +118,39 @@ def q_source_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_manifest(spark, out).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+@query(
+    "q_source_partitioned_roundtrip",
+    oracle="""
+SELECT event_id, user_id, event_type, CAST(round(value, 4) AS DOUBLE) AS value
+FROM events
+WHERE event_type IN ('view', 'click')
+""",
+)
+def q_source_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + source: write ``events`` partitioned by
+    event_type, read it back with a partition-column filter.  The read
+    must (a) recover the partition column from directory names with its
+    value semantics intact — it travels as a PATH STRING, the classic
+    silent-corruption spot for typed partition keys — and (b) prune at
+    the DIRECTORY level: the filter lands in PartitionFilters, so the
+    scan never opens the other event types' files (pinned in
+    tests/test_plans.py).  At 100 TB partition-wise layout by a
+    low-cardinality routing column is the first storage decision a
+    pipeline makes; this query keeps the full write→discover→prune→
+    read loop under the driver's hash gate."""
+    out = _roundtrip_dir(sf_dir, "parquet_parts", "events")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+        )
+    )

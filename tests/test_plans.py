@@ -671,3 +671,14 @@ def test_bfs_source_is_broadcast_not_collected(spark, queries):
     tree = tree_of(df)
     # after per-hop materialization the result is a single parquet scan
     assert tree.count("Scan parquet") == 1
+
+
+def test_partitioned_roundtrip_prunes_partitions(spark, queries):
+    """The partitioned roundtrip's event_type filter must prune at the
+    directory level (PartitionFilters), not row-filter a full scan."""
+    plan = plan_of(queries["q_source_partitioned_roundtrip"](spark, SF))
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan

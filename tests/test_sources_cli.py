@@ -466,3 +466,31 @@ def test_sparql_stream_checkpoint_resumes_on_growth(spark, tmp_path):
     # no duplicates: every concept row set matches the batch read exactly
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_json_corrupt_records_quarantined(spark, tmp_path):
+    """PERMISSIVE JSON parsing must load every well-formed row and
+    quarantine malformed lines into the corrupt-record column instead
+    of failing the job or silently dropping them — the production
+    posture for 100 TB of third-party JSON (DROPMALFORMED loses data
+    invisibly; FAILFAST turns one bad line into a dead pipeline)."""
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": 1, "v": 10.5}\n'
+        "{broken json!!\n"
+        '{"id": 2, "v": null}\n'
+        '{"id": 3, "v": "not-a-number"}\n'
+    )
+    df = (
+        spark.read.schema("id long, v double, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["v"] == 10.5 and rows[1]["_corrupt_record"] is None
+    assert rows[2]["v"] is None and rows[2]["_corrupt_record"] is None
+    bad = [r for r in df.collect() if r["_corrupt_record"] is not None]
+    # the broken line AND the type-mismatched line are both quarantined
+    assert len(bad) == 2
+    assert any("broken" in r["_corrupt_record"] for r in bad)
