@@ -125,39 +125,41 @@ _DRIVER_PRIORITY = (
     "q_scalar_variant",
     "q_source_manifest_roundtrip",
     # Never-checked entries left for the r7 window (added after the 50
-    # slots filled): q_sample_exact_k, q_events_rfm,
-    # q_text_collocations, q_dedup_containment, q_table_diff, and the
-    # r6 additions q_agg_incremental_rollup, q_agg_heavy_hitters,
-    # q_join_runtime_filter, q_events_cdc_apply,
-    # q_graph_triangle_count, q_sample_weighted, q_dedup_fuzzy_edit,
-    # q_multimodal_audio_pipeline, q_join_interval_banded,
-    # q_events_resample_interp, q_local_supplier_volume,
-    # q_join_null_safe, q_stream_cdc_apply, q_agg_statistics,
-    # q_graph_bfs_distance, q_sample_weighted_stratified,
-    # q_sparql_stream, q_text_minmax_scale_arrow,
-    # q_pipeline_entity_resolution, q_source_partitioned_roundtrip —
-    # all verified by
+    # slots filled; six others got (d) slots below): q_sample_exact_k,
+    # q_events_rfm, q_text_collocations, q_dedup_containment,
+    # q_agg_heavy_hitters, q_events_cdc_apply, q_sample_weighted,
+    # q_dedup_fuzzy_edit, q_multimodal_audio_pipeline,
+    # q_join_interval_banded, q_events_resample_interp,
+    # q_local_supplier_volume, q_join_null_safe, q_stream_cdc_apply,
+    # q_agg_statistics, q_graph_bfs_distance,
+    # q_sample_weighted_stratified, q_text_minmax_scale_arrow,
+    # q_source_partitioned_roundtrip — all verified by
     # tools/verify_oracle.py
     # at sf0.01 meanwhile (plus plan contracts in tests/test_plans.py).
-    # (d) Fill to the window with r04-latest greens (joins / setops /
-    # scalar / pipeline / quality / graph / scd / sparql datasource
-    # representatives), so no family drifts past two rounds without a
-    # fresh row.  Remaining r04 rows rotate in r7: q_window_ranking,
-    # q_scalar_string, q_setop_union_by_name, q_join_semi,
-    # q_text_entropy_pandas_udf, q_scalar_json, q_sample_pack_sequences
-    # and q_window_topk_per_group yielded their slots to the
-    # never-checked (c) entries — their families stay represented by
-    # q_scalar_date / q_setop_except_all / q_pipeline_corpus_prep /
-    # q_join_range+salted_skew+asof_tolerance / q_text_ngrams_udtf.
+    # (d) Fill to the window keeping every family represented while
+    # giving this session's never-checked additions driver rows where a
+    # same-family swap allows it: pagerank→triangle_count (graph),
+    # sparql_datasource→sparql_stream (sparql source), salted_skew→
+    # runtime_filter (joins; range + asof_tolerance still cover the
+    # family), except_all→table_diff (setops), corpus_prep→
+    # entity_resolution (composed pipeline), scalar_date→
+    # incremental_rollup (scalar stays covered by q_scalar_map in (a);
+    # aggregates gain their new merge op).  The swapped-out r04/judge-ok
+    # greens (q_join_salted_skew, q_setop_except_all, q_scalar_date,
+    # q_pipeline_corpus_prep, q_graph_pagerank, q_sparql_datasource)
+    # plus q_window_ranking, q_scalar_string, q_setop_union_by_name,
+    # q_join_semi, q_text_entropy_pandas_udf, q_scalar_json,
+    # q_sample_pack_sequences rotate in r7; all stay green under
+    # tools/verify_oracle.py meanwhile.
     "q_join_range",
-    "q_join_salted_skew",
-    "q_setop_except_all",
-    "q_scalar_date",
-    "q_pipeline_corpus_prep",
+    "q_join_runtime_filter",
+    "q_table_diff",
+    "q_agg_incremental_rollup",
+    "q_pipeline_entity_resolution",
     "q_quality_decontaminate",
-    "q_graph_pagerank",
+    "q_graph_triangle_count",
     "q_scd2_customer_segment",
-    "q_sparql_datasource",
+    "q_sparql_stream",
 )
 
 _loaded = False
