@@ -422,25 +422,47 @@ def connected_components(
     partitioning is stable across rounds, so AQE reuses the exchange
     layout; for week-long graphs swap cache() for checkpoint() to
     survive executor loss."""
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # Symmetrized edges are referenced by EVERY round's join — cut their
+    # lineage once so round N's plan starts from a scan, not from the
+    # caller's full candidate-generation DAG.
+    sym = materialize(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        ),
+        "cc_edges",
+        checkpoint_dir,
     )
-    labels = (
+    # Intra-loop rounds version under their OWN tag: each round only
+    # needs the previous round's files, which is exactly the
+    # two-version retention materialize() keeps.  The caller-visible
+    # result is published under "cc_labels" ONCE per call (below), so
+    # a frame returned by an earlier call keeps reading its own
+    # version regardless of how many rounds this call runs.
+    labels = materialize(
         sym.select(F.col("u").alias("id"))
         .distinct()
-        .withColumn("label", F.col("id"))
-        .cache()
+        .withColumn("label", F.col("id")),
+        "cc_labels_iter",
+        checkpoint_dir,
     )
-    labels.count()
     for _ in range(max_iter):
         neigh = sym.join(
             labels.withColumnRenamed("id", "v"), "v"
         ).select(F.col("u").alias("id"), "label")
-        new_labels = (
+        # Materialize EVERY round (parquet ping-pong, io/materialize.py)
+        # rather than cache(): cache truncates re-execution but NOT the
+        # logical plan, so after k rounds the plan tree is O(2^k) nodes
+        # — measured as a driver OOM (plan stringification alone
+        # exhausts the heap) on the sf0.1 entity-resolution graph at
+        # k≈25.  A per-round parquet write of the label table is cheap
+        # (|V| rows, 2 columns) and keeps every round's plan constant-
+        # size; same discipline as PageRank and BFS.
+        new_labels = materialize(
             labels.unionByName(neigh)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .cache()
+            .agg(F.min("label").alias("label")),
+            "cc_labels_iter",
+            checkpoint_dir,
         )
         changed = (
             new_labels.alias("n")
@@ -449,20 +471,10 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    # Truncate lineage before handing the result to the caller: the
-    # iterative DAG references each round's labels twice (neighbor join
-    # + union), so an un-truncated plan re-derives every prior round
-    # multiplicatively on each caller action once the cache is gone.
-    # The materialization location resolves explicit arg > session
-    # checkpoint conf (shared FS on a cluster) > per-app local temp —
-    # see io/materialize.py.
-    out = materialize(labels, "cc_labels", checkpoint_dir)
-    labels.unpersist()
-    return out
+    return materialize(labels, "cc_labels", checkpoint_dir)
 
 
 @query(
@@ -844,6 +856,49 @@ FUZZY_PREFIX_LEN = 64  # chars of document head compared by edit distance
 FUZZY_EDIT_MAX = 32  # maximum edit distance to call two heads near-dups
 
 
+def fuzzy_match_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Shared block→length-filter→banded-verify stage for the fuzzy
+    family: candidate pairs from the (first-token) hash-join blocking,
+    verified with 3-arg BANDED levenshtein (O(d·n) with early exit,
+    returns -1 beyond the bound — exact for every kept pair, so plain-
+    levenshtein oracles agree).  Returns (doc_a, doc_b, edit_dist).
+
+    The probe side is explicitly RE-SPREAD on doc_id at shuffle width
+    before the join: the blocked input is byte-tiny, so AQE otherwise
+    packs the whole CPU-bound verify stage into ONE task (the same
+    small-input/heavy-compute mismatch measured on semantic dedup —
+    27s single-task vs ~4s spread at sf0.1)."""
+    t = docs.select(
+        "doc_id",
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("tok"),
+        F.substring("text", 1, FUZZY_PREFIX_LEN).alias("head"),
+    )
+    a = t.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("tok"),
+        F.col("head").alias("head_a"),
+    ).repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_a"
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tok"),
+        F.col("head").alias("head_b"),
+    )
+    dist = F.levenshtein("head_a", "head_b", FUZZY_EDIT_MAX)
+    return (
+        a.join(F.broadcast(b), "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.abs(F.length("head_a") - F.length("head_b")) <= FUZZY_EDIT_MAX
+        )
+        .withColumn("edit_dist", dist)
+        .filter(F.col("edit_dist") >= 0)
+        .select("doc_a", "doc_b", "edit_dist")
+    )
+
+
+
 @query(
     "q_dedup_fuzzy_edit",
     oracle=f"""
@@ -881,31 +936,7 @@ def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ block² — hot blocks (stopword first tokens) are the skew risk,
     same mitigation as the shingle DF cap in ngram_jaccard."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id",
-        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("tok"),
-        F.substring("text", 1, FUZZY_PREFIX_LEN).alias("head"),
-    )
-    a = t.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("tok"),
-        F.col("head").alias("head_a"),
-    )
-    b = t.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("tok"),
-        F.col("head").alias("head_b"),
-    )
-    dist = F.levenshtein("head_a", "head_b")
-    return (
-        a.join(b, "tok")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(
-            F.abs(F.length("head_a") - F.length("head_b")) <= FUZZY_EDIT_MAX
-        )
-        .filter(dist <= FUZZY_EDIT_MAX)
-        .select("doc_a", "doc_b", dist.alias("edit_dist"))
-    )
+    return fuzzy_match_pairs(spark, docs)
 
 
 @query(
@@ -962,26 +993,7 @@ def q_pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition — including that the iterative closure converged to
     the true transitive closure — against a recursive-CTE oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id",
-        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("tok"),
-        F.substring("text", 1, FUZZY_PREFIX_LEN).alias("head"),
-    )
-    a = t.select(
-        F.col("doc_id").alias("doc_a"), "tok", F.col("head").alias("head_a")
-    )
-    b = t.select(
-        F.col("doc_id").alias("doc_b"), "tok", F.col("head").alias("head_b")
-    )
-    pairs = (
-        a.join(b, "tok")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(
-            F.abs(F.length("head_a") - F.length("head_b")) <= FUZZY_EDIT_MAX
-        )
-        .filter(F.levenshtein("head_a", "head_b") <= FUZZY_EDIT_MAX)
-        .select("doc_a", "doc_b")
-    )
+    pairs = fuzzy_match_pairs(spark, docs).select("doc_a", "doc_b")
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
     labeled = (
         docs.select("doc_id")
