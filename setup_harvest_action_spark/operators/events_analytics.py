@@ -157,9 +157,18 @@ def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value", F.col("sec") * 10000000 + F.col("event_id")
         ).alias("v_last"),
     )
+    # The bounds aggregate is one tiny row per user and lands in ONE
+    # partition; exploding the full time grid from it would then run
+    # single-task (measured 15.9s at sf0.1).  Re-spread the per-user
+    # bounds at shuffle width BEFORE the explode so grid generation
+    # parallelizes; the window/join shuffle downstream is on the same
+    # key, so no extra Exchange survives.
     grid = (
         b.groupBy("user_id")
         .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "user_id"
+        )
         .select(
             "user_id",
             F.explode(
@@ -787,9 +796,18 @@ def q_events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value", F.col("sec") * 10000000 + F.col("event_id")
         ).alias("v_obs"),
     )
+    # The bounds aggregate is one tiny row per user and lands in ONE
+    # partition; exploding the full time grid from it would then run
+    # single-task (measured 15.9s at sf0.1).  Re-spread the per-user
+    # bounds at shuffle width BEFORE the explode so grid generation
+    # parallelizes; the window/join shuffle downstream is on the same
+    # key, so no extra Exchange survives.
     grid = (
         b.groupBy("user_id")
         .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "user_id"
+        )
         .select(
             "user_id",
             F.explode(
@@ -802,18 +820,26 @@ def q_events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # "Next observation" is NOT written as a currentRow..unboundedFollowing
+    # frame: Spark evaluates that frame type by re-aggregating from each
+    # row to the partition end — O(n²) per partition, measured 22s at
+    # sf0.1 on 40k-bucket users.  A RUNNING frame over the DESCENDING
+    # sort computes the same value incrementally in O(n): scanning from
+    # the highest bucket down, the last non-null seen at the current row
+    # is exactly the nearest observation at-or-after it.  (The oracle
+    # keeps the following-frame spelling — DuckDB streams it fine.)
     wn = (
         Window.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     j = grid.join(b, ["user_id", "bucket"], "left").withColumn(
         "obs_bucket", F.when(F.col("v_obs").isNotNull(), F.col("bucket"))
     )
     pv = F.last("v_obs", ignorenulls=True).over(wp)
     pb = F.last("obs_bucket", ignorenulls=True).over(wp)
-    nv = F.first("v_obs", ignorenulls=True).over(wn)
-    nb = F.first("obs_bucket", ignorenulls=True).over(wn)
+    nv = F.last("v_obs", ignorenulls=True).over(wn)
+    nb = F.last("obs_bucket", ignorenulls=True).over(wn)
     lerp = (
         F.when(pv.isNull(), nv)
         .when(nv.isNull(), pv)
