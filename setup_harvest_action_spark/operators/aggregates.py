@@ -698,3 +698,53 @@ def q_agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
         F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
     )
+
+
+@query(
+    "q_agg_hll_set_algebra",
+    oracle="""
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
+       CAST((SELECT count(*) FROM (SELECT * FROM c UNION SELECT * FROM p))
+            AS BIGINT) AS n_union,
+       CAST((SELECT count(*) FROM c WHERE user_id IN (SELECT user_id FROM p))
+            AS BIGINT) AS n_intersection
+""",
+)
+def q_agg_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA: audience overlap between two behaviors
+    (clickers vs purchasers) from mergeable HLL sketches — |A|, |B|,
+    |A∪B| by sketch union, and |A∩B| by inclusion-exclusion
+    (|A|+|B|-|A∪B|), never touching raw user ids after the first pass.
+
+    This is how overlap questions are answered at 100 TB: per-segment
+    sketches are built once (one scan, map-side partial sketches),
+    stored as blobs, and ANY pairwise overlap query afterwards is
+    arithmetic over a handful of bytes — an exact-distinct answer
+    would re-shuffle both audiences per question.  Inclusion-exclusion
+    inherits the union estimate's error (relative to the UNION size,
+    so small intersections of large sets get noisy — the documented
+    caveat that pushes exact-needed cases to the semi-join instead).
+    Oracle is exact set arithmetic: gate-scale cardinalities sit in
+    the sketch's sparse-exact regime (guarded by the fixture-contract
+    test), same honest contract as q_agg_hll_partitioned."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("sk_c"),
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("sk_p"),
+    )
+    n_c = F.hll_sketch_estimate("sk_c")
+    n_p = F.hll_sketch_estimate("sk_p")
+    n_u = F.hll_sketch_estimate(F.hll_union("sk_c", "sk_p"))
+    return sk.select(
+        n_c.alias("n_click"),
+        n_p.alias("n_purchase"),
+        n_u.alias("n_union"),
+        (n_c + n_p - n_u).alias("n_intersection"),
+    )

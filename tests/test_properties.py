@@ -178,3 +178,124 @@ def test_harvest_invariants_hold_for_random_batches(spark, rows):
     state.release()
     state2.release()
     assert int(jsc.getPersistentRDDs().size()) == preexisting
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=400
+    ),
+    st.sampled_from([4000, 8000, 16000, 44100]),
+)
+def test_wav_codec_roundtrip_random(samples, rate):
+    """RIFF/WAVE encode→decode is the identity for any mono int16
+    signal at any standard rate — chunk walking, sizes, and alignment
+    hold for odd lengths too."""
+    import numpy as np
+
+    from setup_harvest_action_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    arr = np.array(samples, dtype=np.int16)
+    got_rate, back = decode_wav(encode_wav(arr, rate))
+    assert got_rate == rate
+    assert back.dtype == np.int16
+    assert (back == arr).all()
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _py_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # min reachable id per node = root under min-union
+    return {i: find(i) for i in range(n_nodes)}
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark, raw_edges):
+    """Iterative min-label propagation must equal a pure-Python
+    union-find on arbitrary random graphs (self-loops and duplicate
+    edges included) — every vertex labeled with the minimum id
+    reachable from it."""
+    from setup_harvest_action_spark.functions.dedup import connected_components
+
+    edges = [(u, v) for u, v in raw_edges]
+    df = spark.createDataFrame(edges, "vec_a long, vec_b long")
+    got = {
+        r["id"]: r["label"] for r in connected_components(df).collect()
+    }
+    expected_all = _py_components(15, edges)
+    seen = {u for e in edges for u in e}
+    expected = {u: expected_all[u] for u in seen}
+    # connected_components labels exactly the vertices that appear
+    assert got == expected
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abc ", max_size=20),
+            st.text(alphabet="abc ", max_size=20),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_banded_levenshtein_matches_reference_dp(spark, string_pairs):
+    """The 3-arg banded levenshtein the fuzzy family relies on must
+    agree with a reference DP: exact distance whenever it is within
+    the bound, -1 whenever it exceeds it."""
+    import pyspark.sql.functions as F
+
+    bound = 6
+    df = spark.createDataFrame(string_pairs, "a string, b string")
+    got = df.select(
+        "a", "b", F.levenshtein("a", "b", bound).alias("d")
+    ).collect()
+    for r in got:
+        expected = _py_levenshtein(r["a"], r["b"])
+        if expected <= bound:
+            assert r["d"] == expected, (r["a"], r["b"])
+        else:
+            assert r["d"] == -1, (r["a"], r["b"])
