@@ -55,7 +55,41 @@ def _build_parser() -> argparse.ArgumentParser:
     h.add_argument("--state-buckets", type=int, default=64,
                    help="hash bucket count for --bucketed (fixed at state "
                         "creation; default 64)")
+    c = sub.add_parser("catalog", help="list, explain, or run catalog queries")
+    c.add_argument("--list", action="store_true",
+                   help="print every query name (+ whether it is oracled)")
+    c.add_argument("--explain", metavar="NAME",
+                   help="print the formatted physical plan for a query")
+    c.add_argument("--run", metavar="NAME", help="run a query and show rows")
+    c.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                   help="fixture directory (default sf0.001)")
+    c.add_argument("--rows", type=int, default=20,
+                   help="rows to show with --run (default 20)")
     return p
+
+
+def _run_catalog(args) -> int:
+    from setup_harvest_action_spark.catalog import load_catalog
+
+    queries, oracles = load_catalog()
+    if args.list:
+        for name in queries:
+            print(f"{name}  [{'oracled' if name in oracles else 'rows-only'}]")
+        return 0
+    name = args.explain or args.run
+    if not name:
+        raise ValueError("catalog requires --list, --explain NAME, or --run NAME")
+    if name not in queries:
+        raise ValueError(f"unknown catalog query: {name}")
+    from setup_harvest_action_spark.session import get_spark
+
+    spark = get_spark("catalog-cli")
+    df = queries[name](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    else:
+        df.show(args.rows, truncate=False)
+    return 0
 
 
 def _run_harvest(args) -> int:
@@ -141,6 +175,8 @@ def main(argv: list[str] | None = None) -> int:
     the message; all exit 1."""
     try:
         args = _build_parser().parse_args(argv)
+        if args.command == "catalog":
+            return _run_catalog(args)
         return _run_harvest(args)
     except ValueError as e:
         print(f"Invalid input: {e}")

@@ -494,3 +494,23 @@ def test_json_corrupt_records_quarantined(spark, tmp_path):
     # the broken line AND the type-mismatched line are both quarantined
     assert len(bad) == 2
     assert any("broken" in r["_corrupt_record"] for r in bad)
+
+
+def test_cli_catalog_list_and_errors(capsys):
+    """The catalog subcommand lists every registered query with its
+    verification mode, and bad invocations exit through the reference
+    error taxonomy."""
+    from setup_harvest_action_spark.catalog import load_catalog
+    from setup_harvest_action_spark.cli import main
+
+    assert main(["catalog", "--list"]) == 0
+    out = capsys.readouterr().out
+    queries, oracles = load_catalog()
+    assert out.count("\n") == len(queries)
+    assert f"q_pricing_summary  [oracled]" in out
+    assert "q_dedup_minhash  [rows-only]" in out
+
+    assert main(["catalog"]) == 1
+    assert "Invalid input" in capsys.readouterr().out
+    assert main(["catalog", "--run", "q_no_such_query"]) == 1
+    assert "unknown catalog query" in capsys.readouterr().out
