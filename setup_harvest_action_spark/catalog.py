@@ -133,7 +133,9 @@ _DRIVER_PRIORITY = (
     # q_local_supplier_volume, q_join_null_safe, q_stream_cdc_apply,
     # q_agg_statistics, q_graph_bfs_distance,
     # q_sample_weighted_stratified, q_text_minmax_scale_arrow,
-    # q_source_partitioned_roundtrip, q_agg_hll_set_algebra — all verified by
+    # q_source_partitioned_roundtrip, q_agg_hll_set_algebra,
+    # q_events_rolling_active_users, q_sample_balanced_classes — all
+    # verified by
     # tools/verify_oracle.py
     # at sf0.01 meanwhile (plus plan contracts in tests/test_plans.py).
     # (d) Fill to the window keeping every family represented while

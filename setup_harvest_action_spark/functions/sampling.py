@@ -618,3 +618,54 @@ def q_sample_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= WEIGHTED_GROUP_K)
         .drop("rn")
     )
+
+
+@query(
+    "q_sample_balanced_classes",
+    oracle="""
+WITH m AS (
+  SELECT min(n) AS k
+  FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM r, m WHERE rn <= m.k
+""",
+)
+def q_sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class balancing by downsampling every language to the MINORITY
+    class size — the cap is DYNAMIC (min per-class count, discovered
+    from the data), unlike the fixed-K stratified sampler.  Output is
+    perfectly balanced: k docs per lang, selected by the deterministic
+    md5 permutation so membership is reproducible across runs and
+    engines.
+
+    The cap enters as a broadcast one-row aggregate joined onto the
+    per-class ranks — never a collected scalar — and the rank filter
+    keeps the per-class window cheap.  Because the cap is not a plan-
+    time constant, Spark cannot compile the cut to WindowGroupLimit
+    (that optimization needs a literal bound); the full rank is
+    computed and filtered, which is the honest cost of a data-driven
+    cap — if the minority size is known ahead, prefer the literal-K
+    stratified form and its O(K) memory bound."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("k"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+        .select("doc_id", "lang")
+    )

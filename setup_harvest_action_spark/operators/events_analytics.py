@@ -856,3 +856,70 @@ def q_events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(lerp * 10000 + 0.5) / 10000).alias("v_interp"),
         F.col("v_obs").isNull().alias("is_gap"),
     )
+
+
+ROLLING_ACTIVE_DAYS = 7  # WAU window
+
+
+@query(
+    "q_events_rolling_active_users",
+    oracle=f"""
+WITH daily AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM daily),
+rolled AS (
+  SELECT d.day,
+         count(DISTINCT a.user_id) AS wau
+  FROM days d
+  JOIN daily a
+    ON a.day BETWEEN d.day - INTERVAL '{ROLLING_ACTIVE_DAYS - 1} days' AND d.day
+  GROUP BY d.day
+),
+dau AS (SELECT day, count(*) AS dau FROM daily GROUP BY day)
+SELECT r.day, CAST(dau.dau AS BIGINT) AS dau, CAST(r.wau AS BIGINT) AS wau,
+       CAST(round(dau.dau * 1.0 / r.wau, 6) AS DOUBLE) AS stickiness
+FROM rolled r JOIN dau USING (day)
+""",
+)
+def q_events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / rolling {ROLLING_ACTIVE_DAYS}-day WAU / stickiness — the
+    canonical engagement dashboard, computed EXACTLY.  Rolling distinct
+    does not decompose as a window aggregate (distinct is not
+    subtractable), so the scalable exact form is: collapse to the
+    (day, user) grid first — the only corpus-sized shuffle — then
+    fan each active day out to the {ROLLING_ACTIVE_DAYS} window ends it
+    contributes to (`sequence` explode: bounded, ×{ROLLING_ACTIVE_DAYS})
+    and count distinct per window end.  Work after the collapse is
+    O(active-pairs × window), independent of raw event volume; the
+    approximate-at-scale alternative is per-day HLL sketches unioned
+    over the window (q_agg_hll_set_algebra's machinery)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    contrib = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), ROLLING_ACTIVE_DAYS - 1),
+            )
+        ).alias("wday"),
+        "user_id",
+    )
+    ends = daily.select("day").distinct()
+    wau = (
+        contrib.join(ends, contrib["wday"] == ends["day"], "left_semi")
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    dau = daily.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
