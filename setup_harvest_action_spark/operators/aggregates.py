@@ -13,7 +13,7 @@ oracle side so accumulation order cannot flip the value hash.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from setup_harvest_action_spark.catalog import query
 from setup_harvest_action_spark.io.loaders import load_table
@@ -747,4 +747,53 @@ def q_agg_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_p.alias("n_purchase"),
         n_u.alias("n_union"),
         (n_c + n_p - n_u).alias("n_intersection"),
+    )
+
+
+HISTOGRAM_BUCKETS = 10  # equi-depth histogram resolution
+
+
+@query(
+    "q_agg_equidepth_histogram",
+    oracle=f"""
+SELECT nt AS bucket,
+       CAST(round(min(o_totalprice), 2) AS DOUBLE) AS lo,
+       CAST(round(max(o_totalprice), 2) AS DOUBLE) AS hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT o_totalprice,
+         ntile({HISTOGRAM_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey)
+             AS nt
+  FROM orders
+)
+GROUP BY nt
+""",
+)
+def q_agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order totals: {HISTOGRAM_BUCKETS}
+    buckets of equal row count with their value boundaries — the
+    statistic cost-based optimizers and data-profiling passes build
+    (equal-WIDTH bins mislead on skewed money-like distributions;
+    equal-depth boundaries are the honest shape summary).  Tie rows
+    order by (value, key) so bucket assignment is deterministic on
+    both engines.
+
+    Scale caveat stated plainly: `ntile` over an unpartitioned window
+    is a single-task global sort — correct and fine up to ~10⁸ rows,
+    but at 100 TB the same boundaries come from
+    `approx_percentile`'s mergeable quantile sketch (q_agg_approx_
+    quantiles) with rank counts joined per bin; this exact form is
+    the oracle ground truth for that sketch."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(HISTOGRAM_BUCKETS).over(w).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )

@@ -682,3 +682,35 @@ def test_partitioned_roundtrip_prunes_partitions(spark, queries):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_type" in m.group(1), plan
+
+
+def test_no_unbounded_driver_collect_in_package(spark):
+    """Repo-wide scale contract: no operator materializes data on the
+    driver.  `.collect()` / `.toPandas()` may appear ONLY in
+    harvest/bucketed.py, whose two calls gather the DISTINCT BUCKET ID
+    list (bounded by n_buckets, a config constant — the moral
+    equivalent of a partition listing), and nowhere else."""
+    import pathlib
+
+    pkg = pathlib.Path("setup_harvest_action_spark")
+    offenders = []
+    for f in pkg.rglob("*.py"):
+        text = f.read_text()
+        for i, line in enumerate(text.splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if ".collect()" in code or ".toPandas()" in code:
+                offenders.append(f"{f}:{i}")
+    allowed = {o for o in offenders if "harvest/bucketed.py" in o}
+    assert set(offenders) == allowed and len(allowed) == 2, offenders
+
+
+def test_q5_shape_broadcasts_dim_chain(spark, queries):
+    """q_local_supplier_volume: with auto-broadcast off, only the true
+    dimensions (region, nation) may be broadcast via AQE/hints — the
+    fact⋈fact joins must stay shuffle joins, and both orders-date
+    filters must reach the orders scan."""
+    plan = plan_of(queries["q_local_supplier_volume"](spark, SF))
+    assert plan.count("GreaterThanOrEqual(o_orderdate") == 1
+    assert plan.count("LessThan(o_orderdate") == 1
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
