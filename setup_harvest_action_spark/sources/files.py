@@ -154,3 +154,49 @@ def q_source_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
             F.round("value", 4).alias("value"),
         )
     )
+
+
+@query(
+    "q_source_manifest_stream_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_source_manifest_stream_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING write through the manifest sink (the DataSource
+    streamWriter surface — completing the Python DataSource API
+    matrix: batch read, stream read, batch write, stream write):
+    replay ``nation`` as a file stream, drain it through the
+    per-micro-batch manifest commit (batchId recorded for replay
+    idempotence — exactly-once is pinned in
+    tests/test_manifest_sink.py), and scan back only manifest-listed
+    parts.  The hash gate proves stream-written content equals the
+    batch table exactly."""
+    import shutil
+
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        register_manifest_sink,
+        scan_manifest,
+    )
+
+    register_manifest_sink(spark)
+    base = _roundtrip_dir(sf_dir, "manifest_stream", "nation")
+    # fresh dirs per call: the append-manifest + checkpoint pair is
+    # stateful by design; the roundtrip must re-prove from empty
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/src"
+    out = f"{base}/out"
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.parquet(src)
+    stream = spark.readStream.schema(nation.schema).parquet(src)
+    q = (
+        stream.writeStream.format("manifest_parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return scan_manifest(spark, out).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

@@ -40,6 +40,7 @@ import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -123,6 +124,56 @@ class _ManifestWriter(DataSourceWriter):
                     pass
 
 
+class _ManifestStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of the manifest writer: every micro-batch
+    commits atomically into the SAME manifest, with the committed
+    batchId recorded — a replayed batch (restart after a commit the
+    engine didn't record) is detected and SKIPPED, which upgrades the
+    sink to exactly-once under Structured Streaming's replay contract
+    (the engine guarantees identical batch content for a given
+    batchId; the sink only needs commit idempotence).  Task part
+    files land under data/ exactly as in batch mode; readers go
+    through scan_manifest and never see uncommitted parts."""
+
+    def __init__(self, path: str, schema):
+        self._delegate = _ManifestWriter(path, schema, overwrite=False)
+        self.path = path
+
+    def write(self, iterator) -> _PartMessage:
+        return self._delegate.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        mpath = os.path.join(self.path, MANIFEST)
+        manifest = {"files": [], "batches": []}
+        if os.path.exists(mpath):
+            with open(mpath, encoding="utf-8") as fh:
+                manifest = json.load(fh)
+            manifest.setdefault("batches", [])
+        if batchId in manifest["batches"]:
+            # replayed batch: identical content already committed —
+            # drop the duplicate part files and keep the manifest as-is
+            self.abort(messages, batchId)
+            return
+        manifest["files"] = sorted(
+            manifest["files"]
+            + [
+                {"file": m.file, "rows": m.rows, "bytes": m.bytes}
+                for m in messages
+                if m is not None and m.file
+            ],
+            key=lambda e: e["file"],
+        )
+        manifest["batches"] = sorted(manifest["batches"] + [batchId])
+        manifest["total_rows"] = sum(e["rows"] for e in manifest["files"])
+        tmp = mpath + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, mpath)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._delegate.abort(messages)
+
+
 class ManifestParquetSink(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -133,6 +184,12 @@ class ManifestParquetSink(DataSource):
         if not path:
             raise ValueError("manifest_parquet needs a path")
         return _ManifestWriter(path, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> _ManifestStreamWriter:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("manifest_parquet needs a path")
+        return _ManifestStreamWriter(path, schema)
 
 
 def register_manifest_sink(spark) -> None:

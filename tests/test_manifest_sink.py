@@ -89,3 +89,68 @@ def test_roundtrip_preserves_timestamps_doubles_and_nulls(sink, tmp_path):
     back = scan_manifest(sink, path)
     got = sorted(tuple(r) for r in back.collect())
     assert got == sorted(rows)
+
+
+def test_stream_manifest_sink_exactly_once(spark, tmp_path):
+    """Streaming write through the manifest sink: micro-batches append
+    atomically with their batchId recorded; a second availableNow run
+    over the same checkpoint adds nothing, and a REPLAYED commit (same
+    batchId) is detected and skipped — exactly-once end to end."""
+    import json
+    import os
+
+    from setup_harvest_action_spark.io.loaders import load_table
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        MANIFEST,
+        read_manifest,
+        register_manifest_sink,
+        scan_manifest,
+    )
+
+    register_manifest_sink(spark)
+    src_dir = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(200)
+    events.write.parquet(src_dir)
+    n_expected = spark.read.parquet(src_dir).count()
+
+    def drain():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema
+        ).parquet(src_dir)
+        q = (
+            stream.writeStream.format("manifest_parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    m1 = read_manifest(out)
+    assert m1["total_rows"] == n_expected
+    assert m1["batches"], m1
+    assert scan_manifest(spark, out).count() == n_expected
+
+    drain()  # checkpoint says nothing new: no rows added
+    m2 = read_manifest(out)
+    assert m2["total_rows"] == n_expected
+
+    # simulate an engine replay: re-commit an already-committed batch
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        _ManifestStreamWriter,
+        _PartMessage,
+    )
+
+    w = _ManifestStreamWriter(out, events.schema)
+    fake = _PartMessage(file="data/ghost.parquet", rows=999, bytes=1)
+    w.commit([fake], batchId=m1["batches"][0])
+    m3 = read_manifest(out)
+    assert m3["total_rows"] == n_expected  # replay changed nothing
+    assert not os.path.exists(os.path.join(out, "data", "ghost.parquet"))
+    # a NEW batch id still commits
+    w2 = _ManifestStreamWriter(out, events.schema)
+    w2.commit([], batchId=max(m3["batches"]) + 1)
+    assert read_manifest(out)["total_rows"] == n_expected
