@@ -923,3 +923,116 @@ def q_events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+OVERLAP_USERS = 30  # bounded user slice for the overlap join
+
+
+@query(
+    "q_join_overlap_intervals",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+  WHERE user_id < {OVERLAP_USERS}
+),
+m AS (
+  SELECT *,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+),
+sess AS (
+  SELECT user_id, sid, min(us) AS us0, max(us) AS us1
+  FROM s GROUP BY user_id, sid
+)
+SELECT a.user_id AS user_a, CAST(a.sid AS BIGINT) AS sid_a,
+       b.user_id AS user_b, CAST(b.sid AS BIGINT) AS sid_b,
+       CAST((least(a.us1, b.us1) - greatest(a.us0, b.us0)) // 1000000
+            AS BIGINT) AS overlap_sec
+FROM sess a
+JOIN sess b
+  ON (a.user_id, a.sid) < (b.user_id, b.sid)
+ AND a.us0 <= b.us1 AND b.us0 <= a.us1
+""",
+)
+def q_join_overlap_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join — concurrent session pairs
+    across users, with their overlap duration.  The second member of
+    the banded-join family: where q_join_interval_banded matched
+    points into intervals (a point owns ONE band, so pairs were unique
+    for free), two intervals can share MANY bands, and a naive banded
+    join emits the pair once per shared band.
+
+    The fix is BAND OWNERSHIP, not a distinct pass: every overlapping
+    pair is counted exactly once at the band where the overlap STARTS
+    — band(max(a.start, b.start)) — which both sides can compute
+    locally, so the equi-key is band and the ownership test
+    `band == band(greatest(us0_a, us0_b))` is a cheap post-filter.  A
+    DISTINCT over the multi-band join would shuffle the inflated pair
+    stream; ownership never materializes the duplicates at all.  The
+    oracle runs the honest theta join on the bounded slice."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < OVERLAP_USERS
+    ).select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("us").over(w)
+    is_new = (prev.isNull() | (F.col("us") - prev > SESSION_GAP_US)).cast("long")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        e.withColumn("sid", F.sum(is_new).over(run))
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("us0"), F.max("us").alias("us1"))
+    )
+    band = lambda c: (c / F.lit(INTERVAL_BAND_US)).cast("long")
+    expand = sess.select(
+        "user_id",
+        "sid",
+        "us0",
+        "us1",
+        F.explode(F.sequence(band(F.col("us0")), band(F.col("us1")))).alias(
+            "band"
+        ),
+    )
+    a = expand.select(
+        F.col("user_id").alias("user_a"),
+        F.col("sid").alias("sid_a"),
+        F.col("us0").alias("a0"),
+        F.col("us1").alias("a1"),
+        "band",
+    )
+    b = expand.select(
+        F.col("user_id").alias("user_b"),
+        F.col("sid").alias("sid_b"),
+        F.col("us0").alias("b0"),
+        F.col("us1").alias("b1"),
+        "band",
+    )
+    pair_lt = (F.col("user_a") < F.col("user_b")) | (
+        (F.col("user_a") == F.col("user_b")) & (F.col("sid_a") < F.col("sid_b"))
+    )
+    owns = F.col("band") == band(F.greatest("a0", "b0"))
+    return (
+        a.join(b, "band")
+        .filter(pair_lt)
+        .filter((F.col("a0") <= F.col("b1")) & (F.col("b0") <= F.col("a1")))
+        .filter(owns)
+        .select(
+            "user_a",
+            "sid_a",
+            "user_b",
+            "sid_b",
+            (
+                (F.least("a1", "b1") - F.greatest("a0", "b0"))
+                / F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("overlap_sec"),
+        )
+    )

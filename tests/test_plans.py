@@ -714,3 +714,17 @@ def test_q5_shape_broadcasts_dim_chain(spark, queries):
     assert plan.count("LessThan(o_orderdate") == 1
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree
+
+
+def test_overlap_join_is_equi_with_ownership(spark, queries):
+    """Interval×interval overlap must join on the manufactured band
+    key (hash/sort-merge equi-join) with band-ownership as a filter —
+    no nested-loop node, and no Deduplicate/Distinct operator (the
+    ownership test replaces it)."""
+    with conf(spark, "spark.sql.adaptive.enabled", "false"):
+        tree = tree_of(queries["q_join_overlap_intervals"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+    # no dedup aggregate downstream of the join — ownership dedupes
+    after_join = tree.split("Join", 1)[0]
+    assert "HashAggregate" not in after_join, tree
