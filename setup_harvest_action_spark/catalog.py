@@ -136,7 +136,7 @@ _DRIVER_PRIORITY = (
     # q_source_partitioned_roundtrip, q_agg_hll_set_algebra,
     # q_events_rolling_active_users, q_sample_balanced_classes,
     # q_agg_equidepth_histogram, q_source_manifest_stream_roundtrip,
-    # q_join_overlap_intervals — all
+    # q_join_overlap_intervals, q_window_pareto_concentration — all
     # verified by
     # tools/verify_oracle.py
     # at sf0.01 meanwhile (plus plan contracts in tests/test_plans.py).

@@ -281,3 +281,66 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+PARETO_DECILES = 10  # customer-concentration resolution
+
+
+@query(
+    "q_window_pareto_concentration",
+    oracle=f"""
+WITH per_cust AS (
+  SELECT o_custkey, sum(o_totalprice) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, revenue,
+         ntile({PARETO_DECILES}) OVER (ORDER BY revenue DESC, o_custkey)
+             AS decile
+  FROM per_cust
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(round(sum(revenue), 2) AS DOUBLE) AS revenue,
+       CAST(round(sum(revenue) / (SELECT sum(revenue) FROM per_cust), 6)
+            AS DOUBLE) AS revenue_share
+FROM ranked
+GROUP BY decile
+""",
+)
+def q_window_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration analysis: rank customers by revenue, cut
+    into {PARETO_DECILES} equal-count deciles, and report each
+    decile's share of total revenue — the "top 10% drive X% of
+    revenue" curve behind pricing, capacity, and skew decisions (and
+    the business-side face of the same hot-key skew the engine salts
+    joins for).
+
+    The per-customer aggregate partial-combines map-side (shuffle =
+    |customers|); the grand total enters as a broadcast one-row
+    aggregate.  The ntile ranks customer-cardinality rows — already
+    aggregate-sized, with the same single-sort caveat and
+    approx-percentile escape hatch documented on the equi-depth
+    histogram.  Tie ranks break on o_custkey so decile membership is
+    deterministic on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("revenue")
+    )
+    total = per_cust.agg(F.sum("revenue").alias("total"))
+    w = Window.orderBy(F.desc("revenue"), "o_custkey")
+    return (
+        per_cust.withColumn("decile", F.ntile(PARETO_DECILES).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("revenue").alias("rev"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            F.round("rev", 2).alias("revenue"),
+            F.round(F.col("rev") / F.col("total"), 6).alias("revenue_share"),
+        )
+    )
