@@ -863,11 +863,19 @@ def fuzzy_match_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
     returns -1 beyond the bound — exact for every kept pair, so plain-
     levenshtein oracles agree).  Returns (doc_a, doc_b, edit_dist).
 
-    The probe side is explicitly RE-SPREAD on doc_id at shuffle width
-    before the join: the blocked input is byte-tiny, so AQE otherwise
-    packs the whole CPU-bound verify stage into ONE task (the same
-    small-input/heavy-compute mismatch measured on semantic dedup —
-    27s single-task vs ~4s spread at sf0.1)."""
+    BOTH join sides are corpus-derived (one row per document), so
+    NEITHER may be broadcast — the block join shuffles both sides
+    keyed on `tok`, the block key, honoring the package rule that
+    nothing corpus-scale ever enters a BroadcastExchange
+    (tests/test_plans.py pins this under autoBroadcastJoinThreshold=-1).
+    The CANDIDATE rows are then explicitly RE-SPREAD at shuffle width
+    before the banded-levenshtein verify: post-filter candidates are
+    byte-tiny, so AQE otherwise coalesces the CPU-bound verify stage
+    into ONE task (the same small-input/heavy-compute mismatch
+    measured on semantic dedup — 27s single-task vs ~7s spread at
+    sf0.1).  Hot blocks (stopword first tokens) are skew on the `tok`
+    shuffle — AQE skew-join splits them, same posture as the shingle
+    DF cap in ngram_jaccard."""
     t = docs.select(
         "doc_id",
         F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("tok"),
@@ -877,22 +885,40 @@ def fuzzy_match_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("doc_a"),
         F.col("tok"),
         F.col("head").alias("head_a"),
-    ).repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_a"
     )
     b = t.select(
         F.col("doc_id").alias("doc_b"),
         F.col("tok"),
         F.col("head").alias("head_b"),
     )
-    dist = F.levenshtein("head_a", "head_b", FUZZY_EDIT_MAX)
-    return (
-        a.join(F.broadcast(b), "tok")
+    cand = (
+        a.join(b, "tok")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(
             F.abs(F.length("head_a") - F.length("head_b")) <= FUZZY_EDIT_MAX
         )
-        .withColumn("edit_dist", dist)
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    # Pushdown BARRIER on the verify expression: without it Catalyst
+    # folds the banded levenshtein into the JOIN CONDITION
+    # (PushPredicateThroughNonJoin substitutes filters through
+    # deterministic projects and repartitions), putting the O(d·n)
+    # verify back in the join-input stage — the exact single-task
+    # collapse the re-spread exists to fix (measured 28.7s vs ~8s at
+    # sf0.1).  `spark_partition_id() * 0` is always 0 but is flagged
+    # NONDETERMINISTIC, which pins the edit_dist project (and the
+    # filter on it) ABOVE the Exchange: the verify runs at shuffle
+    # width, keyed by pair.  (A plain unused nondeterministic column
+    # doesn't work — ColumnPruning drops it, re-enabling pushdown.)
+    dist = F.levenshtein("head_a", "head_b", FUZZY_EDIT_MAX) + (
+        F.spark_partition_id() * F.lit(0)
+    )
+    return (
+        cand.withColumn("edit_dist", dist)
         .filter(F.col("edit_dist") >= 0)
         .select("doc_a", "doc_b", "edit_dist")
     )

@@ -155,7 +155,10 @@ def q_similarity_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the slice filter drops away and this exact plan — codes,
     bucket self-join, candidate-only scoring — is the scale path; the
     plan contract (tests/test_plans.py) asserts no cartesian or
-    theta-only pair join survives."""
+    theta-only pair join survives.  The scoring joins carry NO
+    broadcast hints: the vector table is corpus-derived, so AQE picks
+    broadcast while it measures small and shuffles at scale — forcing
+    the hint would broadcast the corpus once the slice drops away."""
     vecs = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < PAIRS_SLICE)
@@ -189,8 +192,8 @@ def q_similarity_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value would admit pairs just below the threshold that the oracle
     # excludes.
     return (
-        cand.join(F.broadcast(a), "vec_a")
-        .join(F.broadcast(b), "vec_b")
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .filter(cos >= PAIRS_THRESHOLD)
         .select(
             "vec_a",

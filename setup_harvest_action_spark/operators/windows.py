@@ -295,8 +295,8 @@ WITH per_cust AS (
 ),
 ranked AS (
   SELECT o_custkey, revenue,
-         ntile({PARETO_DECILES}) OVER (ORDER BY revenue DESC, o_custkey)
-             AS decile
+         CAST(ntile({PARETO_DECILES}) OVER (ORDER BY revenue DESC, o_custkey)
+              AS BIGINT) AS decile
   FROM per_cust
 )
 SELECT decile,
@@ -330,7 +330,9 @@ def q_window_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
     total = per_cust.agg(F.sum("revenue").alias("total"))
     w = Window.orderBy(F.desc("revenue"), "o_custkey")
     return (
-        per_cust.withColumn("decile", F.ntile(PARETO_DECILES).over(w))
+        per_cust.withColumn(
+            "decile", F.ntile(PARETO_DECILES).over(w).cast("long")
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

@@ -212,3 +212,33 @@ def test_hll_gate_fixture_stays_in_exact_regime(spark):
         "HLL left the sparse-exact regime on the gate fixture — "
         "q_agg_hll_partitioned's exact-count oracle would now fail"
     )
+
+
+def test_hll_set_algebra_gate_fixture_stays_exact(spark):
+    """Same guard for q_agg_hll_set_algebra: its oracle is exact set
+    arithmetic over clickers/purchasers, which only matches the HLL
+    estimates while |click|, |purchase|, AND |union| all sit in the
+    sketch's sparse-exact regime at the gate SF.  Measured: sf0.01
+    has 150/150/150 (exact), sf0.1 has 1500 distinct where the union
+    estimate is ~1488 — the oracle holds ONLY at gate scale, which is
+    the documented contract."""
+    from conftest import SF_CORRECT
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    exact = (
+        clicks.distinct().count(),
+        buys.distinct().count(),
+        clicks.union(buys).distinct().count(),
+    )
+
+    from setup_harvest_action_spark.catalog import load_catalog
+
+    q, _ = load_catalog()
+    row = q["q_agg_hll_set_algebra"](spark, SF_CORRECT).collect()[0]
+    got = (row["n_click"], row["n_purchase"], row["n_union"])
+    assert got == exact, (
+        "HLL set-algebra left the sparse-exact regime on the gate "
+        "fixture — q_agg_hll_set_algebra's exact-set oracle would fail"
+    )

@@ -716,6 +716,43 @@ def test_q5_shape_broadcasts_dim_chain(spark, queries):
     assert "CartesianProduct" not in tree
 
 
+def test_fuzzy_match_never_broadcasts_corpus(spark, queries):
+    """fuzzy_match_pairs joins two DOCUMENTS-derived sides on the block
+    key: with auto-broadcast off, NOTHING may broadcast — every input
+    to this plan is corpus-scale, so any BroadcastExchange here is the
+    r6 force-broadcast regression (functions/dedup.py fuzzy block join)
+    that would OOM at 100 TB.  The block join must be a shuffle
+    equi-join on `tok`."""
+    with conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        df = queries["q_dedup_fuzzy_edit"](spark, SF)
+        tree = tree_of(df)
+    assert "BroadcastExchange" not in tree, tree
+    assert "BroadcastHashJoin" not in tree, tree
+    assert "CartesianProduct" not in tree
+    assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree, tree
+    # and the banded-levenshtein VERIFY must run above the candidate
+    # re-spread, not inside the join condition (the single-task
+    # collapse): the nondeterministic barrier keeps it out of the join.
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [ln for ln in opt.splitlines() if "Join Inner" in ln]
+    assert join_lines and all(
+        "levenshtein" not in ln for ln in join_lines
+    ), opt
+
+
+def test_pairs_threshold_scoring_never_forces_corpus_broadcast(
+    spark, queries
+):
+    """The pairs-threshold SCORING joins (candidates ⋈ vectors ×2) ride
+    the vector table — corpus-derived, so they carry no broadcast hint;
+    with auto-broadcast off they must compile to shuffle equi-joins.
+    The only broadcasts left are the tiny hyperplane cross-joins inside
+    lsh_codes (BroadcastNestedLoopJoin, pinned ≤2 by the bucket test)."""
+    with conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        tree = tree_of(queries["q_similarity_pairs_threshold"](spark, SF))
+    assert "BroadcastHashJoin" not in tree, tree
+
+
 def test_overlap_join_is_equi_with_ownership(spark, queries):
     """Interval×interval overlap must join on the manufactured band
     key (hash/sort-merge equi-join) with band-ownership as a filter —
