@@ -413,15 +413,19 @@ def connected_components(
 
     The Spark idiom for iterative graph algorithms (GraphFrames does
     the same under the hood): each round is one join + one min-agg,
-    materialized via cache()+count() so the next round's lineage starts
-    from the materialized result instead of re-deriving every prior
-    round (lineage otherwise grows exponentially).  Rounds needed =
-    graph diameter ≤ max_iter; convergence is detected with an explicit
-    changed-labels count, so bounded components cost bounded rounds.
-    At 100 TB each round is a shuffle keyed by vertex id — the
-    partitioning is stable across rounds, so AQE reuses the exchange
-    layout; for week-long graphs swap cache() for checkpoint() to
-    survive executor loss."""
+    materialized to versioned PARQUET via the io/materialize.py
+    ping-pong — round N+1's plan starts from a scan of round N's
+    files, so every round's plan is constant-size (cache() truncates
+    re-execution but not the logical plan, which otherwise grows
+    O(2^k); see the in-loop comment for the measured driver OOM).
+    ``materialize()`` retains exactly TWO versions per tag — the round
+    being written plus the round being read — and vacuums older ones,
+    so disk stays bounded at 2·|V| rows regardless of rounds run.
+    Rounds needed = graph diameter ≤ max_iter; convergence is detected
+    with an explicit changed-labels count, so bounded components cost
+    bounded rounds.  At 100 TB each round is a shuffle keyed by vertex
+    id, and the parquet hop doubles as lineage truncation that
+    survives executor loss — no checkpoint() needed."""
     # Symmetrized edges are referenced by EVERY round's join — cut their
     # lineage once so round N's plan starts from a scan, not from the
     # caller's full candidate-generation DAG.

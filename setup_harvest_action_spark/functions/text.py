@@ -223,7 +223,42 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_text_langid")
+@query(
+    "q_text_langid",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id, lang, substring(text, CAST(i AS INTEGER), 3) AS trigram
+  FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS t(i)
+),
+lang_tot AS (SELECT lang, count(*) AS lang_n FROM grams GROUP BY lang),
+profile AS (
+  SELECT g.lang AS profile_lang, trigram,
+         CAST(count(*) AS DOUBLE) / any_value(lt.lang_n) AS p
+  FROM grams g JOIN lang_tot lt ON g.lang = lt.lang
+  GROUP BY g.lang, trigram
+),
+doc_grams AS (
+  SELECT doc_id, lang, trigram, count(*) AS tf
+  FROM grams GROUP BY doc_id, lang, trigram
+),
+scores AS (
+  SELECT doc_id, dg.lang, profile_lang, sum(tf * p) AS score
+  FROM doc_grams dg JOIN profile USING (trigram)
+  GROUP BY doc_id, dg.lang, profile_lang
+),
+pred AS (
+  SELECT doc_id, lang, profile_lang AS predicted_lang,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY round(score, 6) DESC, profile_lang
+         ) AS rn
+  FROM scores
+)
+SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY lang, predicted_lang
+""",
+)
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID by learned char-trigram profiles: fit a per-language
     trigram frequency profile from the labeled corpus, classify every
@@ -231,11 +266,13 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix (true lang × predicted lang).
 
     Two hash-aggregate passes + a broadcast of the profile table
-    (vocab-bounded).  No oracle: the profile fit + argmax isn't
-    reasonably SQL-expressible; self-verified by
-    tests/test_llm_functions.py (deterministic, rows = |lang|² max,
-    and on this fixture — same vocabulary for every lang — the
-    confusion matrix must be near-uniform, which the test asserts).
+    (vocab-bounded).  The argmax decides on ``(round(score, 6),
+    profile_lang)`` — the q_embedding_kmeans shared-precision pattern:
+    each engine folds the dot product in its own order, so near-tied
+    profiles can differ in the last ulps; rounding to a shared
+    precision with an id tie-break makes the winner identical on both
+    sides (this fixture's same-vocabulary languages produce exactly
+    such near-ties, which kept this query rows-only until r7).
     """
     docs = load_table(spark, sf_dir, "documents")
     # substring with a dynamic start needs expr(): build (doc_id, trigram)
@@ -268,7 +305,9 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "profile_lang")
         .agg(F.sum(F.col("tf") * F.col("p")).alias("score"))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("profile_lang"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("profile_lang")
+    )
     predicted = (
         scores.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -54,11 +54,19 @@ BINDINGS_DDL = "concept string, prefLabel string, altLabel string, definition st
 
 
 def make_transport(spec: str) -> Transport:
-    """``fake:N`` → in-process endpoint; anything else → urllib POST.
-    Resolved independently on driver (count) and executors (pages), so
-    only the STRING spec ships in the plan."""
+    """``fake:N`` → in-process endpoint; ``fakefile:PATH`` → in-process
+    endpoint whose concept count is (re)read from PATH at construction
+    — the mutable-collection fake that lets tests grow the endpoint
+    BETWEEN stream triggers (latestOffset builds a fresh transport per
+    poll, so a rewritten file is a grown collection); anything else →
+    urllib POST.  Resolved independently on driver (count) and
+    executors (pages), so only the STRING spec ships in the plan."""
     if spec.startswith("fake:"):
         return FakeSparqlEndpoint(n_concepts=int(spec.split(":", 1)[1]))
+    if spec.startswith("fakefile:"):
+        path = spec.split(":", 1)[1]
+        with open(path, encoding="utf-8") as fh:
+            return FakeSparqlEndpoint(n_concepts=int(fh.read().strip()))
     return UrllibTransport(spec)
 
 
@@ -240,15 +248,25 @@ class SparqlStreamReader(DataSourceStreamReader):
         return {"page": 0}
 
     def latestOffset(self) -> dict:
-        # The full current backlog.  Deliberately NOT throttled: the
-        # Python DataSource API has no SupportsAdmissionControl /
-        # ReadLimit hook, and availableNow snapshots latestOffset ONCE
-        # — an incrementally-advancing offset makes it stop early and
-        # silently drop the tail (measured: 880/1320 rows with a
-        # 2-page throttle).  Memory is bounded the right way instead:
-        # every page is its own InputPartition, so executor residency
-        # is page_size rows per task no matter how many pages one
-        # micro-batch admits.
+        # The full current backlog, refreshed by RE-RUNNING the COUNT
+        # pre-query on every poll — this is what makes a GROWING
+        # collection visible trigger over trigger in a continuously
+        # running stream (a count cached at __init__ only observes
+        # growth across query restarts).  The offset never moves
+        # backwards: if the endpoint reports a shrunken collection,
+        # already-admitted pages stay admitted (offsets are monotonic;
+        # deletes are not a streaming-source concern).
+        #
+        # Deliberately NOT throttled: the Python DataSource API has no
+        # SupportsAdmissionControl / ReadLimit hook, and availableNow
+        # snapshots latestOffset ONCE — an incrementally-advancing
+        # offset makes it stop early and silently drop the tail
+        # (measured: 880/1320 rows with a 2-page throttle).  Memory is
+        # bounded the right way instead: every page is its own
+        # InputPartition, so executor residency is page_size rows per
+        # task no matter how many pages one micro-batch admits.
+        n = get_member_count(make_transport(self.endpoint), self.collection)
+        self._total_pages = max(self._total_pages, -(-n // self.page_size))
         return {"page": self._total_pages}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:

@@ -513,6 +513,99 @@ def q_stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "q_stream_stateful_totals_append",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value), 2) AS DOUBLE) AS total_value,
+       CAST(round(max(value), 2) AS DOUBLE) AS max_value
+FROM events
+GROUP BY user_id
+""",
+)
+def q_stream_stateful_totals_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The AT-SCALE twin of ``q_stream_stateful_user_totals``: the same
+    ``applyInPandasWithState`` fold, but each user's totals are emitted
+    EXACTLY ONCE — on **EventTimeTimeout**, when the watermark passes
+    the user's last event — and the state is removed, instead of
+    re-emitting running totals every batch (the update-changelog shape,
+    whose output and state both grow with batches seen).  This is the
+    production contract for finalized per-key aggregates: state is
+    bounded by keys still live inside the watermark horizon, output by
+    distinct keys.
+
+    Mechanics: every batch folds into GroupState and re-arms a timeout
+    at (batch max event ts + 1 min); nothing is emitted on data.  The
+    sentinel file (``_append_stream_source_dir``) arrives as its own
+    micro-batch and advances the watermark past every real user's
+    timeout; Spark's no-data micro-batch then invokes the function
+    with ``hasTimedOut`` per expired key, which emits the final row
+    and removes the state.  The sentinel row must flow THROUGH the
+    stateful operator (not be filtered before it): a batch whose rows
+    are all filtered pre-group counts as the engine's single no-data
+    batch, and availableNow then terminates before the advanced
+    watermark ever fires the tail users' timeouts (measured: 7 users
+    with last events inside the 30-min delay of the fixture tail never
+    emitted).  The sentinel's own timeout (sentinel ts + 1 min) stays
+    forever beyond the final watermark, so it never emits; its output
+    is filtered post-operator for belt and braces."""
+    import pandas as pd
+
+    src = _append_stream_source_dir(sf_dir)
+    events = _events_stream(spark, sf_dir, src, maxFilesPerTrigger="1")
+    ev = events.withWatermark("ts", "30 minutes").select(
+        "user_id", "ts", "value"
+    )
+
+    def fold_user(key, pdfs, state):
+        if state.hasTimedOut:
+            count, total, vmax = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [count],
+                    "total_value": [round(total, 2)],
+                    "max_value": [round(vmax, 2)],
+                }
+            )
+            return
+        count, total, vmax = (
+            state.get if state.exists else (0, 0.0, float("-inf"))
+        )
+        last_ts = None
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+            vmax = max(vmax, float(pdf["value"].max()))
+            batch_max = pdf["ts"].max()
+            last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+        state.update((count, total, vmax))
+        # Re-armed per batch; must sit above the current watermark, which
+        # trails this batch's max event time by the 30-minute delay.
+        state.setTimeoutTimestamp(
+            int(last_ts.timestamp() * 1000) + 60_000
+        )
+        yield from ()
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    folded = ev.groupBy("user_id").applyInPandasWithState(
+        fold_user,
+        outputStructType="user_id long, n_events long, total_value double, "
+        "max_value double",
+        stateStructType="count long, total double, vmax double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_completion(
+        folded.filter(F.col("user_id") >= 0), "append"
+    )
+
+
+@query(
     "q_stream_stream_join",
     oracle="""
 SELECT p.event_id AS purchase_id, c.event_id AS click_id,

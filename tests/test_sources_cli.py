@@ -420,6 +420,35 @@ def test_schema_evolution_mergeschema_read(spark, tmp_path):
     assert declared.filter(F.col("lang").isNull()).count() == 1
 
 
+def test_sparql_stream_latest_offset_sees_growth_per_poll(tmp_path):
+    """latestOffset re-runs the COUNT pre-query on EVERY poll, so a
+    continuously-running stream (processingTime trigger, reader
+    instance never rebuilt) picks up a growing collection trigger over
+    trigger — not just across query restarts.  Offsets stay monotonic
+    when the endpoint reports a shrunken collection."""
+    from setup_harvest_action_spark.sources.sparql_datasource import (
+        SparqlStreamReader,
+    )
+
+    count_file = tmp_path / "n.txt"
+    count_file.write_text("400")
+    reader = SparqlStreamReader(
+        {
+            "endpoint": f"fakefile:{count_file}",
+            "collection": "http://vocab.example/collection",
+            "pagesize": "200",
+        }
+    )
+    assert reader.latestOffset() == {"page": 2}
+    count_file.write_text("800")  # collection grows mid-run
+    assert reader.latestOffset() == {"page": 4}, (
+        "latestOffset cached the __init__ count — growth invisible "
+        "until restart"
+    )
+    count_file.write_text("200")  # shrink: offsets must not rewind
+    assert reader.latestOffset() == {"page": 4}
+
+
 def test_sparql_stream_checkpoint_resumes_on_growth(spark, tmp_path):
     """The streaming SPARQL source must checkpoint its page offset: a
     second availableNow run against a GROWN collection (larger fake

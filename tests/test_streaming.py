@@ -88,6 +88,29 @@ def test_watermark_drops_late_rows_and_append_emits_closed_windows(
     assert out3 == {10: (1, 1), 12: (3, 10)}, out3
 
 
+def test_stateful_totals_append_emits_each_user_once(spark):
+    """q_stream_stateful_totals_append's contract beyond the oracle:
+    EventTimeTimeout emits each user's finalized totals EXACTLY once
+    (no per-batch changelog rows), including the tail users whose last
+    events sit inside the watermark delay of the fixture end — the
+    group that silently vanishes if the sentinel is filtered before
+    the stateful operator (the no-data-batch termination trap)."""
+    from setup_harvest_action_spark.catalog import load_catalog
+
+    sf = "/root/testdata/sf0.001"
+    q, _ = load_catalog()
+    out = q["q_stream_stateful_totals_append"](spark, sf)
+    per_user = out.groupBy("user_id").count().filter(F.col("count") > 1)
+    assert per_user.count() == 0, "duplicate emissions — changelog leak"
+    n_users = (
+        spark.read.parquet(os.path.join(sf, "events.parquet"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert out.count() == n_users  # nobody withheld, sentinel excluded
+
+
 def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
     """Re-running an availableNow file-sink query against the SAME
     checkpoint with no new input must emit nothing: the checkpoint's
