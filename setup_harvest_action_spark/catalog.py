@@ -74,96 +74,79 @@ _EXPECTED_MISSING: frozenset[str] = frozenset()
 DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = (
-    # ---- r06 rotation ----
-    # (a) The 21 oracled queries whose newest driver row is r03 — the
-    # stalest on the board (the r5 group-(d) deferrals: relational
-    # remainder, scalar_map, text family, file roundtrips,
-    # sparql_source_sim, embedding_cosine, pairs_threshold,
-    # count_distinct, multimodal modality mix).
-    "q_count_distinct_members",
-    "q_dedup_embedding_cosine",
-    "q_distinct_projection",
-    "q_filter_project",
-    "q_multimodal_modality_mix",
-    "q_pagination_keyset",
-    "q_parameterized_sql",
-    "q_regex_filter",
-    "q_scalar_map",
-    "q_similarity_pairs_threshold",
-    "q_source_csv_roundtrip",
-    "q_source_json_roundtrip",
-    "q_sparql_source_sim",
-    "q_text_bm25",
-    "q_text_fingerprint",
-    "q_text_lang_profile",
-    "q_text_quality",
-    "q_text_tfidf",
-    "q_text_token_estimate",
-    "q_text_token_stats",
-    "q_text_zscore_by_lang",
-    # (b) The 8 rows-only entries whose newest driver row is r03 —
-    # rows-only rows go stale too; refresh them alongside.
+    # ---- r07 rotation ----
+    # (a) The 26 catalog entries that have NEVER carried a driver row
+    # (enumerated in the r6 comment; judge replayed 14 of them green
+    # via tools/verify_oracle.py).  After this round every one of the
+    # catalog's entries has a CORRECTNESS_r{N} row.
+    "q_sample_exact_k",
+    "q_events_rfm",
+    "q_text_collocations",
+    "q_dedup_containment",
+    "q_agg_heavy_hitters",
+    "q_events_cdc_apply",
+    "q_sample_weighted",
+    "q_dedup_fuzzy_edit",
+    "q_multimodal_audio_pipeline",
+    "q_join_interval_banded",
+    "q_events_resample_interp",
+    "q_local_supplier_volume",
+    "q_join_null_safe",
+    "q_stream_cdc_apply",
+    "q_agg_statistics",
+    "q_graph_bfs_distance",
+    "q_sample_weighted_stratified",
+    "q_text_minmax_scale_arrow",
+    "q_source_partitioned_roundtrip",
+    "q_agg_hll_set_algebra",
+    "q_events_rolling_active_users",
+    "q_sample_balanced_classes",
+    "q_agg_equidepth_histogram",
+    "q_source_manifest_stream_roundtrip",
+    "q_join_overlap_intervals",
+    "q_window_pareto_concentration",
+    # (b) Round-7 additions and round-7 CODE CHANGES — new queries need
+    # their first row; changed plans need re-gating even though their
+    # r06 rows were green (fuzzy broadcast removal also reshapes
+    # entity_resolution; pairs_threshold lost its scoring hints;
+    # bucketed_rerun commits through a manifest now; langid was
+    # promoted rows-only → hash oracle).
+    "q_stream_stateful_totals_append",
     "q_text_langid",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_similarity_ann_lsh",
-    "q_similarity_ann_ivf",
-    "q_multimodal_features",
-    "q_multimodal_frame_sample",
-    "q_multimodal_thumbnail",
-    # (c) Round-6 additions — never driver-checked.
-    "q_harvest_bucketed_rerun",
-    "q_stream_sliding_avg_append",
-    "q_stream_session_windows_append",
-    "q_multimodal_bmp_pipeline",
-    "q_stream_static_join",
-    "q_events_top_paths",
-    "q_stream_session_dynamic_gap",
-    "q_join_asof_tolerance",
-    "q_text_ngrams_udtf",
-    "q_stream_stream_join_outer",
-    "q_scalar_variant",
-    "q_source_manifest_roundtrip",
-    # Never-checked entries left for the r7 window (added after the 50
-    # slots filled; six others got (d) slots below): q_sample_exact_k,
-    # q_events_rfm, q_text_collocations, q_dedup_containment,
-    # q_agg_heavy_hitters, q_events_cdc_apply, q_sample_weighted,
-    # q_dedup_fuzzy_edit, q_multimodal_audio_pipeline,
-    # q_join_interval_banded, q_events_resample_interp,
-    # q_local_supplier_volume, q_join_null_safe, q_stream_cdc_apply,
-    # q_agg_statistics, q_graph_bfs_distance,
-    # q_sample_weighted_stratified, q_text_minmax_scale_arrow,
-    # q_source_partitioned_roundtrip, q_agg_hll_set_algebra,
-    # q_events_rolling_active_users, q_sample_balanced_classes,
-    # q_agg_equidepth_histogram, q_source_manifest_stream_roundtrip,
-    # q_join_overlap_intervals, q_window_pareto_concentration — all
-    # verified by
-    # tools/verify_oracle.py
-    # at sf0.01 meanwhile (plus plan contracts in tests/test_plans.py).
-    # (d) Fill to the window keeping every family represented while
-    # giving this session's never-checked additions driver rows where a
-    # same-family swap allows it: pagerank→triangle_count (graph),
-    # sparql_datasource→sparql_stream (sparql source), salted_skew→
-    # runtime_filter (joins; range + asof_tolerance still cover the
-    # family), except_all→table_diff (setops), corpus_prep→
-    # entity_resolution (composed pipeline), scalar_date→
-    # incremental_rollup (scalar stays covered by q_scalar_map in (a);
-    # aggregates gain their new merge op).  The swapped-out r04/judge-ok
-    # greens (q_join_salted_skew, q_setop_except_all, q_scalar_date,
-    # q_pipeline_corpus_prep, q_graph_pagerank, q_sparql_datasource)
-    # plus q_window_ranking, q_scalar_string, q_setop_union_by_name,
-    # q_join_semi, q_text_entropy_pandas_udf, q_scalar_json,
-    # q_sample_pack_sequences rotate in r7; all stay green under
-    # tools/verify_oracle.py meanwhile.
-    "q_join_range",
-    "q_join_runtime_filter",
-    "q_table_diff",
-    "q_agg_incremental_rollup",
     "q_pipeline_entity_resolution",
-    "q_quality_decontaminate",
-    "q_graph_triangle_count",
-    "q_scd2_customer_segment",
-    "q_sparql_stream",
+    "q_similarity_pairs_threshold",
+    "q_harvest_bucketed_rerun",
+    # (c) The r6-promised swap-backs: greens whose newest row is r04 /
+    # judge-ok that ceded their r6 slots to never-checked entries.
+    "q_join_salted_skew",
+    "q_setop_except_all",
+    "q_scalar_date",
+    "q_pipeline_corpus_prep",
+    "q_graph_pagerank",
+    "q_sparql_datasource",
+    "q_window_ranking",
+    "q_scalar_string",
+    "q_setop_union_by_name",
+    "q_join_semi",
+    "q_text_entropy_pandas_udf",
+    "q_scalar_json",
+    "q_sample_pack_sequences",
+    # (d) Fill to the window with the stalest remaining r04 greens,
+    # keeping family spread (windows, joins, setops, text, dedup,
+    # similarity).  Remaining r04 rows (lag_lead already here; plus
+    # running_sum, sliding_frame, range_frame, first_last,
+    # distribution, right/full outer, cross, multikey, union_all,
+    # union_distinct, intersect_all, except, kwic, topk_tokens,
+    # ppm_pipeline, bernoulli/train-valid-test/stratified/mixture/
+    # chunk samplers, quality repetition/pii, embedding_outliers)
+    # rotate in r8; all stay green under tools/verify_oracle.py
+    # meanwhile.
+    "q_window_lag_lead",
+    "q_window_topk_per_group",
+    "q_join_anti",
+    "q_setop_intersect",
+    "q_dedup_incremental",
+    "q_similarity_hybrid_rerank",
 )
 
 _loaded = False
