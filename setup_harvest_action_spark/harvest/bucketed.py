@@ -19,12 +19,23 @@ Spark form is a *partition-pruned merge*:
   present*, independent of table size ... with a realistic page the
   expected fraction is ``1 - exp(-pagesize/N)`` of N, and the read is
   bounded by touched-bucket bytes, not table bytes);
-* merged buckets are staged to a fresh directory and committed by
-  atomic per-bucket directory swap — untouched buckets' files are
-  never rewritten (byte-identical, pinned by
-  tests/test_harvest_bucketed.py).  On Delta/Iceberg the same algebra
-  is ``MERGE INTO`` with partition predicates; this is the plain-
-  filesystem analogue with the identical I/O profile.
+* merged buckets are written to a fresh per-commit directory
+  (``data/<commit>/bucket_p=K/``, files never renamed or rewritten in
+  place) and made visible by ONE atomic manifest flip
+  (``_manifest.json`` maps bucket → current directory) — the
+  manifest-commit protocol of ``sources/manifest_sink.py``.  Readers
+  resolve the manifest first, so they can never observe a
+  half-committed multi-bucket merge (the r6 per-bucket ``os.replace``
+  swap had a window where some buckets were new and some old, and
+  directory renames don't exist on S3-class stores; the single
+  manifest flip is the object-store-safe boundary — on S3 it is a
+  conditional PUT of one key).  Untouched buckets' files are never
+  rewritten (byte-identical, pinned by tests/test_harvest_bucketed.py);
+  a crash after data write but before the flip leaves orphan data
+  directories that ``vacuum()`` reclaims and readers never see.  On
+  Delta/Iceberg the same algebra is ``MERGE INTO`` with partition
+  predicates; this is the plain-filesystem analogue with the identical
+  I/O profile.
 
 Surrogate ids use the hash strategy (``xxhash64``) throughout: fully
 parallel, stable across reruns, no global max-id scan — density is a
@@ -38,6 +49,7 @@ entirely when the anti-join yields zero fresh rows.
 from __future__ import annotations
 
 import datetime as _dt
+import json
 import os
 import shutil
 import uuid
@@ -63,15 +75,26 @@ def _bucket_of(uri_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(uri_col), F.lit(n_buckets)).cast("int")
 
 
+MANIFEST = "_manifest.json"
+
+
 class BucketedHarvestState:
-    """Parquet state hash-partitioned by uri bucket.
+    """Parquet state hash-partitioned by uri bucket, committed through
+    a per-table manifest.
 
     Layout::
 
         root/
-          _N_BUCKETS            # bucket count, fixed at creation
-          terms/bucket=K/...
-          term_fields/bucket=K/...
+          _N_BUCKETS                  # bucket count, fixed at creation
+          terms/
+            _manifest.json            # {"buckets": {"4": "data/<c>/bucket_p=4", ...}}
+            data/<commit>/bucket_p=K/part-*.parquet
+          term_fields/  (same shape)
+
+    ``bucket`` is carried BOTH as a data column (so reads of manifest-
+    named leaf directories need no partition-column reconstruction)
+    and as the ``bucket_p`` write partition (so each commit yields one
+    directory per touched bucket for the manifest to point at).
     """
 
     def __init__(self, spark: SparkSession, root: str, n_buckets: int = 64):
@@ -91,19 +114,34 @@ class BucketedHarvestState:
                 fh.write(str(n_buckets))
         self.n_buckets = n_buckets
 
+    # -- manifest ------------------------------------------------------------
+
+    def _manifest(self, table: str) -> dict:
+        """The committed bucket → directory map (empty before the first
+        commit; a crashed commit's data dirs are invisible here)."""
+        mpath = os.path.join(self.root, table, MANIFEST)
+        if not os.path.exists(mpath):
+            return {"buckets": {}}
+        with open(mpath, encoding="utf-8") as fh:
+            return json.load(fh)
+
     # -- reads ---------------------------------------------------------------
 
     def _read(self, table: str, schema: StructType, buckets: list[int]) -> DataFrame:
-        """Partition-pruned scan of ``buckets`` only (empty state → empty
-        DataFrame).  The isin filter is on the partition column, so the
-        scan lists only the named bucket directories."""
-        path = os.path.join(self.root, table)
-        if not os.path.isdir(path):
+        """Manifest-resolved, bucket-pruned scan: ONLY the directories
+        the manifest names for the requested buckets enter the scan —
+        unrequested and uncommitted buckets are never listed at all
+        (stronger than partition-filter pruning: the paths don't reach
+        the file index).  Empty state → empty DataFrame."""
+        current = self._manifest(table)["buckets"]
+        if buckets is None:
+            wanted = sorted(current, key=int)
+        else:
+            wanted = [str(b) for b in buckets if str(b) in current]
+        paths = [os.path.join(self.root, table, current[b]) for b in wanted]
+        if not paths:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).option("basePath", path).parquet(path)
-        if buckets is not None:
-            df = df.filter(F.col("bucket").isin(buckets))
-        return df
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def terms(self, buckets: list[int] | None = None) -> DataFrame:
         return self._read("terms", TERMS_BUCKETED, buckets)
@@ -114,51 +152,84 @@ class BucketedHarvestState:
     # -- commit --------------------------------------------------------------
 
     def _commit(self, table: str, staged: DataFrame) -> None:
-        """Stage ``staged`` (touched buckets only) to a fresh directory,
-        then swap each staged ``bucket=K`` dir into place.  One data
-        pass over touched buckets; untouched bucket directories are
-        never listed, read, or rewritten.  On an object store this
-        driver-side swap is the table format's job (Delta/Iceberg
-        MERGE commit); on a filesystem it is a per-bucket rename."""
-        final = os.path.join(self.root, table)
-        staging = os.path.join(self.root, f".staging-{table}-{uuid.uuid4().hex[:8]}")
-        staged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
-        os.makedirs(final, exist_ok=True)
-        for entry in os.listdir(staging):
-            if not entry.startswith("bucket="):
-                continue
-            dst = os.path.join(final, entry)
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            os.replace(os.path.join(staging, entry), dst)
-        shutil.rmtree(staging, ignore_errors=True)
+        """Write ``staged`` (touched buckets only) to a fresh
+        ``data/<commit>/`` directory, then flip the table manifest ONCE
+        to point the touched buckets at their new directories.  One
+        data pass over touched buckets; untouched buckets keep their
+        existing pointers and their files are never listed, read, or
+        rewritten.  No file or directory is ever renamed or deleted on
+        the commit path, so the protocol holds on rename-less object
+        stores: the manifest replace is the single atomic visibility
+        boundary (filesystem ``os.replace`` here; a conditional PUT of
+        the manifest key on S3).  A crash before the flip leaves
+        orphan, unreferenced data dirs — readers stay on the previous
+        manifest and ``vacuum()`` reclaims the orphans."""
+        table_dir = os.path.join(self.root, table)
+        commit_id = uuid.uuid4().hex[:12]
+        dest = os.path.join(table_dir, "data", commit_id)
+        (
+            staged.withColumn("bucket_p", F.col("bucket"))
+            .write.partitionBy("bucket_p")
+            .parquet(dest)
+        )
+        written = {
+            entry.split("=", 1)[1]: f"data/{commit_id}/{entry}"
+            for entry in os.listdir(dest)
+            if entry.startswith("bucket_p=")
+        }
+        manifest = self._manifest(table)
+        manifest["buckets"].update(written)
+        tmp = os.path.join(table_dir, MANIFEST + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(table_dir, MANIFEST))
 
     # -- maintenance ---------------------------------------------------------
 
     def vacuum(self, min_age_sec: float = 600.0) -> list[str]:
-        """Remove crash-leftover staging directories.  ``_commit``
-        deletes its staging dir after a successful swap, but a crash
-        between stage and swap leaves an orphan ``.staging-*`` holding
-        disk forever.  Only dirs older than ``min_age_sec`` go (a
-        concurrent writer's live staging area is younger); the state
-        is single-writer by contract (the reference's page loop is
-        too), so this is a safety margin, not a locking scheme.
-        Returns the removed directory names."""
+        """Reclaim UNREFERENCED data: bucket directories under
+        ``<table>/data/`` that the current manifest no longer points at
+        — superseded versions of merged buckets, and the orphans of a
+        commit that crashed between data write and manifest flip.
+        Only dirs older than ``min_age_sec`` go (a concurrent writer's
+        just-written commit is younger; the state is single-writer by
+        contract — the reference's page loop is too — so the age gate
+        is a safety margin, not a locking scheme).  Also sweeps any
+        pre-manifest ``.staging-*`` leftovers.  Returns removed paths
+        relative to the state root."""
         import time
 
         removed = []
         now = time.time()
-        for entry in os.listdir(self.root):
-            if not entry.startswith(".staging-"):
-                continue
-            path = os.path.join(self.root, entry)
+
+        def _old_enough(path: str) -> bool:
             try:
-                if now - os.path.getmtime(path) < min_age_sec:
-                    continue
+                return now - os.path.getmtime(path) >= min_age_sec
             except OSError:
+                return False
+
+        for table in ("terms", "term_fields"):
+            data_dir = os.path.join(self.root, table, "data")
+            if not os.path.isdir(data_dir):
                 continue
-            shutil.rmtree(path, ignore_errors=True)
-            removed.append(entry)
+            referenced = set(self._manifest(table)["buckets"].values())
+            for commit_id in os.listdir(data_dir):
+                cdir = os.path.join(data_dir, commit_id)
+                for entry in os.listdir(cdir):
+                    rel = f"data/{commit_id}/{entry}"
+                    path = os.path.join(cdir, entry)
+                    if rel in referenced or not _old_enough(path):
+                        continue
+                    shutil.rmtree(path, ignore_errors=True)
+                    removed.append(f"{table}/{rel}")
+                if not os.listdir(cdir):  # commit fully reclaimed
+                    os.rmdir(cdir)
+        for entry in os.listdir(self.root):
+            if entry.startswith(".staging-") and _old_enough(
+                os.path.join(self.root, entry)
+            ):
+                shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
+                removed.append(entry)
         return removed
 
     # -- merge ---------------------------------------------------------------

@@ -182,9 +182,14 @@ def test_cli_bucketed_end_to_end(tmp_path):
     conn.close()
     import os
 
-    buckets = [d for d in os.listdir(os.path.join(state, "terms"))
-               if d.startswith("bucket=")]
-    assert 1 <= len(buckets) <= 8
+    import json
+
+    with open(os.path.join(state, "terms", "_manifest.json"),
+              encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    assert 1 <= len(manifest["buckets"]) <= 8
+    for rel in manifest["buckets"].values():
+        assert os.path.isdir(os.path.join(state, "terms", rel))
 
 
 def test_sqlite_export_rewires_ids_through_uri(spark, tmp_path):
