@@ -53,6 +53,16 @@ HEADLINE = [
     "q_shipping_priority",
     "q_large_orders",
     "q_sample_source_cap",
+    # round 7: the r6 heavy additions now carry driver rows — rotate in
+    # the per-family heavyweights (BENCHNOTES r6 plan): degree-oriented
+    # triangle counting, the fuzzy edit-distance pipeline and its
+    # entity-resolution composition (both de-broadcast this round — the
+    # numbers pin the shuffle-keyed block join), and the O(n)
+    # descending-frame linear interpolation.
+    "q_graph_triangle_count",
+    "q_dedup_fuzzy_edit",
+    "q_pipeline_entity_resolution",
+    "q_events_resample_interp",
 ]
 
 
