@@ -858,6 +858,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FUZZY_PREFIX_LEN = 64  # chars of document head compared by edit distance
 FUZZY_EDIT_MAX = 32  # maximum edit distance to call two heads near-dups
+FUZZY_MAX_BLOCK = 1000  # drop blocks hotter than this (anti-blowup cap)
 
 
 def fuzzy_match_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
@@ -877,14 +878,28 @@ def fuzzy_match_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
     byte-tiny, so AQE otherwise coalesces the CPU-bound verify stage
     into ONE task (the same small-input/heavy-compute mismatch
     measured on semantic dedup — 27s single-task vs ~7s spread at
-    sf0.1).  Hot blocks (stopword first tokens) are skew on the `tok`
-    shuffle — AQE skew-join splits them, same posture as the shingle
-    DF cap in ngram_jaccard."""
+    sf0.1).  Hot blocks (stopword first tokens) are the skew risk —
+    candidate count is Σ block², so ONE celebrity block of 10⁴ docs
+    costs 5·10⁷ levenshtein calls; blocks hotter than
+    ``FUZZY_MAX_BLOCK`` are DROPPED before the join (the ngram
+    MAX_SHINGLE_DF trade, measured in the r7 skew probe — a blocking
+    key that hot has lost its discriminative value; production
+    systems re-block such keys on a finer key).  The size filter is a
+    count on the same key the join shuffles on plus a vocab-bounded
+    semi-join; both fixture SFs sit far under the cap (max block 197
+    at sf0.1), so the oracle carries the identical HAVING clause."""
     t = docs.select(
         "doc_id",
         F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("tok"),
         F.substring("text", 1, FUZZY_PREFIX_LEN).alias("head"),
     )
+    keep = (
+        t.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") <= FUZZY_MAX_BLOCK)
+        .select("tok")
+    )
+    t = t.join(keep, "tok")
     a = t.select(
         F.col("doc_id").alias("doc_a"),
         F.col("tok"),
@@ -932,11 +947,15 @@ def fuzzy_match_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
 @query(
     "q_dedup_fuzzy_edit",
     oracle=f"""
-WITH t AS (
+WITH t0 AS (
   SELECT doc_id,
          split_part(text, ' ', 1)               AS tok,
          substring(text, 1, {FUZZY_PREFIX_LEN}) AS head
   FROM documents
+),
+t AS (
+  SELECT * FROM t0 WHERE tok IN (
+    SELECT tok FROM t0 GROUP BY tok HAVING count(*) <= {FUZZY_MAX_BLOCK})
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        levenshtein(a.head, b.head) AS edit_dist
@@ -973,11 +992,15 @@ def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pipeline_entity_resolution",
     oracle=f"""
 WITH RECURSIVE
-t AS (
+t0 AS (
   SELECT doc_id,
          split_part(text, ' ', 1)               AS tok,
          substring(text, 1, {FUZZY_PREFIX_LEN}) AS head
   FROM documents
+),
+t AS (
+  SELECT * FROM t0 WHERE tok IN (
+    SELECT tok FROM t0 GROUP BY tok HAVING count(*) <= {FUZZY_MAX_BLOCK})
 ),
 p AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -992,7 +1015,7 @@ edges AS (
   SELECT doc_b, doc_a FROM p
 ),
 reach(src, dst) AS (
-  SELECT doc_id, doc_id FROM t
+  SELECT doc_id, doc_id FROM t0
   UNION
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
 ),

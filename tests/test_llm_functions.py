@@ -406,3 +406,29 @@ def test_audio_pipeline_matches_pure_python(spark, queries):
         for k, v in expected.items():
             assert got[k] == pytest.approx(v, rel=1e-9), (doc_id, k)
         assert got["sample_rate"] == rate
+
+
+def test_fuzzy_hot_block_cap_drops_celebrity_blocks(spark, monkeypatch):
+    """FUZZY_MAX_BLOCK: a blocking key hotter than the cap contributes
+    NO candidate pairs (its Σblock² blowup never reaches the join),
+    while blocks at or under the cap keep full recall.  Patched to a
+    tiny cap so the contract is testable at unit scale; the fixture
+    SFs sit far below the production cap (max block 197 at sf0.1)."""
+    import pyspark.sql.functions as F
+
+    import setup_harvest_action_spark.functions.dedup as dedup
+
+    rows = [(i, f"hot common head text number {i}") for i in range(5)] + [
+        (10, "cool shared head text one"),
+        (11, "cool shared head text two"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(dedup, "FUZZY_MAX_BLOCK", 4)
+    pairs = dedup.fuzzy_match_pairs(spark, docs).collect()
+    # the 5-doc 'hot' block (> cap) is dropped entirely; the 2-doc
+    # 'cool' block (≤ cap) still verifies and matches
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(10, 11)}
+    # and with the cap above the hot block size, its pairs come back
+    monkeypatch.setattr(dedup, "FUZZY_MAX_BLOCK", 5)
+    n = dedup.fuzzy_match_pairs(spark, docs).count()
+    assert n == 10 + 1  # C(5,2) hot pairs + the cool pair

@@ -1,0 +1,140 @@
+"""Skew probe: a 10× blow-up of sf0.1 with celebrity hot keys, run
+against the heaviest catalog queries — the cheapest available evidence
+for the "survives 100×" scale claims the sf-fixture gates can't test.
+
+Blow-up shape (written once to /tmp/spark_graft_skew10x):
+
+* ``documents`` ×10: replica i of each doc gets a fresh first token
+  (``b{i}x``), so block/shingle structure replicates at 10× volume —
+  EXCEPT 20% of replica docs, which all get the SAME first token
+  (``hothotskew``), forming one ~9 000-doc celebrity block (and a set
+  of corpus-hot shingles).
+* ``events`` ×10: replica events keep their user EXCEPT 30%, which
+  all collapse onto user_id=7 — one celebrity user holding ~27% of
+  the 1.1M-row log.
+* every other table is the sf0.1 original (symlink).
+
+Each probed query's own plan contract is what should absorb the skew:
+
+| query | contract under test |
+|---|---|
+| q_dedup_ngram_jaccard | MAX_SHINGLE_DF posting-list cap |
+| q_dedup_fuzzy_edit | FUZZY_MAX_BLOCK hot-block drop + pair re-spread |
+| q_pipeline_entity_resolution | same + per-round CC materialization |
+| q_dedup_minhash | banded bucket join (bucket-bounded pairs) |
+| q_graph_pagerank | one-pass pair set + AQE on the hot vertex |
+| q_join_salted_skew | explicit fact-side salting |
+| q_events_sessionize | per-user windows under one hot user |
+
+Usage:  python tools/skew_probe.py [--regen] [query ...]
+Results land in stdout; record them in BENCHNOTES.md.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/spark_graft_skew10x"
+REPLICAS = 9  # plus the original = 10x
+HOT_USER = 7
+PROBES = [
+    "q_dedup_ngram_jaccard",
+    "q_dedup_fuzzy_edit",
+    "q_pipeline_entity_resolution",
+    "q_dedup_minhash",
+    "q_graph_pagerank",
+    "q_join_salted_skew",
+    "q_events_sessionize",
+]
+
+
+def generate() -> None:
+    import duckdb
+
+    if os.path.isdir(DST):
+        shutil.rmtree(DST)
+    os.makedirs(DST)
+    for table in (
+        "region nation customer supplier part orders lineitem embeddings"
+    ).split():
+        os.symlink(
+            os.path.join(SRC, f"{table}.parquet"),
+            os.path.join(DST, f"{table}.parquet"),
+        )
+    con = duckdb.connect()
+    con.execute(
+        f"""
+COPY (
+  SELECT doc_id, text, lang, source, n_chars
+  FROM '{SRC}/documents.parquet'
+  UNION ALL
+  SELECT doc_id + i * 1000000000,
+         CASE WHEN doc_id % 5 = 0 THEN 'hothotskew ' || text
+              ELSE 'b' || i || 'x ' || text END,
+         lang, source, n_chars
+  FROM '{SRC}/documents.parquet', UNNEST(generate_series(1, {REPLICAS})) t(i)
+) TO '{DST}/documents.parquet' (FORMAT parquet)
+"""
+    )
+    con.execute(
+        f"""
+COPY (
+  SELECT event_id, ts, user_id, event_type, value, props
+  FROM '{SRC}/events.parquet'
+  UNION ALL
+  SELECT event_id + i * 1000000000,
+         ts + to_microseconds(i),
+         CASE WHEN event_id % 10 < 3 THEN {HOT_USER} ELSE user_id END,
+         event_type, value, props
+  FROM '{SRC}/events.parquet', UNNEST(generate_series(1, {REPLICAS})) t(i)
+) TO '{DST}/events.parquet' (FORMAT parquet)
+"""
+    )
+    docs = con.execute(
+        f"SELECT count(*) FROM '{DST}/documents.parquet'"
+    ).fetchone()[0]
+    hot = con.execute(
+        f"""SELECT count(*) FROM '{DST}/documents.parquet'
+            WHERE split_part(text, ' ', 1) = 'hothotskew'"""
+    ).fetchone()[0]
+    ev = con.execute(f"SELECT count(*) FROM '{DST}/events.parquet'").fetchone()[0]
+    ev_hot = con.execute(
+        f"SELECT count(*) FROM '{DST}/events.parquet' WHERE user_id = {HOT_USER}"
+    ).fetchone()[0]
+    print(
+        f"# generated: {docs} docs (hot block {hot}), "
+        f"{ev} events (hot user {ev_hot})"
+    )
+
+
+def main() -> None:
+    argv = [a for a in sys.argv[1:] if a != "--regen"]
+    if "--regen" in sys.argv or not os.path.isdir(DST):
+        generate()
+    from setup_harvest_action_spark.catalog import load_catalog
+    from setup_harvest_action_spark.session import get_spark
+
+    spark = get_spark("skew_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries, _ = load_catalog()
+    names = argv or PROBES
+    for name in names:
+        t0 = time.time()
+        try:
+            queries[name](spark, DST).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            status = "ok"
+        except Exception as exc:  # record the failure, keep probing
+            status = f"FAIL {type(exc).__name__}: {exc}"[:120]
+        print(f"{name}: {time.time() - t0:.1f}s {status}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
