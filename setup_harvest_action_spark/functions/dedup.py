@@ -856,6 +856,92 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_LEN = 40  # chars per rolling window (the W-gram length)
+SPAN_MIN_SHARED = 5  # pairs reported at >= this many shared windows
+MAX_SPAN_DF = 100  # hot-span cap (boilerplate headers, whitespace runs)
+
+
+@query(
+    "q_dedup_substring_spans",
+    oracle=f"""
+WITH spans AS (
+  SELECT DISTINCT doc_id,
+         substring(text, CAST(i AS INTEGER), {SPAN_LEN}) AS span
+  FROM documents, UNNEST(generate_series(1, length(text) - {SPAN_LEN} + 1)) t(i)
+  WHERE length(text) >= {SPAN_LEN}
+),
+capped AS (
+  SELECT doc_id, span FROM spans WHERE span IN (
+    SELECT span FROM spans
+    GROUP BY span HAVING count(*) BETWEEN 2 AND {MAX_SPAN_DF})
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM capped a JOIN capped b ON a.span = b.span AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared_spans
+FROM pairs WHERE shared >= {SPAN_MIN_SHARED}
+""",
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level dedup: document pairs sharing verbatim character
+    runs, via the sliding-window form of suffix-array substring
+    deduplication (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" — the ExactSubstr technique; a distributed
+    suffix array is not Spark-expressible, the stride-1 W-gram inverted
+    index is, with an exact recall contract).  Doc-level dedup (exact /
+    Jaccard / MinHash) misses a copied paragraph inside two otherwise
+    different documents; this operator is what catches boilerplate,
+    quoted passages, and template reuse inside a training corpus.
+
+    Every {SPAN_LEN}-char window of every document enters an inverted
+    index (DISTINCT per doc), hot windows above ``MAX_SPAN_DF`` are
+    dropped (corpus-wide boilerplate is its own signal, not a pair
+    candidate — the shingle-DF trade), and pairs sharing ≥
+    {SPAN_MIN_SHARED} windows are reported with their shared-window
+    count.  RECALL GUARANTEE of stride 1: any verbatim common
+    substring of length L ≥ {SPAN_LEN + SPAN_MIN_SHARED - 1} chars
+    yields ≥ L−{SPAN_LEN}+1 ≥ {SPAN_MIN_SHARED} shared windows
+    regardless of its offsets in either document (larger strides break
+    cross-document window alignment and lose this guarantee — that is
+    why stride 1 despite the bigger explode).
+
+    Plan shape = the ngram_jaccard inverted index: one explode, one
+    posting-list aggregate with map-side partial collect_set, pair
+    expansion inside posting lists — never a doc×doc join.  At 100 TB
+    the windows would be hashed in place (``xxhash64(span)``, the
+    minhash_signatures trick) so the shuffle carries 8-byte longs, not
+    40-char strings; the string form here is what keeps the DuckDB
+    oracle exact (engine hash functions differ)."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = (
+        docs.filter(F.length("text") >= SPAN_LEN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length(text) - {SPAN_LEN} + 1),"
+                        f" i -> substring(text, i, {SPAN_LEN}))"
+                    )
+                )
+            ).alias("span"),
+        )
+    )
+    postings = (
+        spans.groupBy("span")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_SPAN_DF))
+    )
+    return (
+        _pairs_within(postings)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_spans"))
+        .filter(F.col("shared_spans") >= SPAN_MIN_SHARED)
+    )
+
+
 FUZZY_PREFIX_LEN = 64  # chars of document head compared by edit distance
 FUZZY_EDIT_MAX = 32  # maximum edit distance to call two heads near-dups
 FUZZY_MAX_BLOCK = 1000  # drop blocks hotter than this (anti-blowup cap)

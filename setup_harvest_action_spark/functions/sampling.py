@@ -669,3 +669,45 @@ def q_sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("k"))
         .select("doc_id", "lang")
     )
+
+
+SHUFFLE_SEED = "epoch-0"  # permutation seed: change per training epoch
+
+
+@query(
+    "q_sample_global_shuffle",
+    oracle=f"""
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS shuffle_pos
+FROM documents
+""",
+)
+def q_sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE of the corpus — the epoch
+    randomization every training-data pipeline ends with: each doc's
+    position is a pure function of (seed, doc_id), so the permutation
+    is reproducible across runs, engines, and partial re-materializa-
+    tions, and a new epoch is just a new seed — no stored permutation
+    table, no RNG state.  The key is md5 over the seeded id (the same
+    engine-shared trick as the hash samplers: both Spark and DuckDB
+    produce identical digests, so the oracle checks the exact
+    permutation, not just its size); ties are impossible but doc_id
+    rides the sort for determinism anyway.
+
+    Scale note (the equi-depth histogram caveat, stated plainly): the
+    explicit rank needs one global window — fine to ~10⁸ rows, and
+    exactly what the oracle can verify.  At 100 TB you drop the rank
+    column entirely: ``df.orderBy(hash)`` alone is a RANGE-PARTITIONED
+    distributed sort (no single-task stage), and the written file
+    order IS the shuffle — the rank exists here because a verifiable
+    position column is the point of the catalog entry."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat(F.lit(f"{SHUFFLE_SEED}:"), F.col("doc_id").cast("string"))
+    )
+    w = Window.orderBy(key, "doc_id")
+    return docs.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("shuffle_pos")
+    )

@@ -1036,3 +1036,60 @@ def q_join_overlap_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap_sec"),
         )
     )
+
+
+EWMA_DECAY = 0.9  # per-event decay factor
+EWMA_LAST_N = 20  # decay horizon: only the N most recent events score
+
+
+@query(
+    "q_events_time_decay_score",
+    oracle=f"""
+WITH ranked AS (
+  SELECT user_id, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       CAST(round(sum(value * power({EWMA_DECAY}, rn - 1)), 4) AS DOUBLE)
+           AS decay_score,
+       CAST(count(*) AS BIGINT) AS n_scored
+FROM ranked WHERE rn <= {EWMA_LAST_N}
+GROUP BY user_id
+""",
+)
+def q_events_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially TIME-DECAYED engagement score per user — the
+    recency-weighted feature every ranking / recommendation /
+    churn-model feature store computes: the i-th most recent event
+    contributes value·λ^i, so yesterday's signal outweighs last
+    month's with one tunable knob.  The horizon is bounded at the
+    {EWMA_LAST_N} most recent events — which is what makes the
+    operator well-posed at 100 TB: an unbounded λ^i recurrence needs
+    either a sequential scan per user or λ^(-rank) terms that overflow
+    IEEE doubles a few thousand events deep; a bounded horizon is one
+    per-user WindowGroupLimit cut (literal bound → partial per-
+    partition top-N before the shuffle) and a {EWMA_LAST_N}-term sum.
+
+    Decay weights are exact powers computed identically on both
+    engines (λ and rank are exact; pow is correctly-rounded libm on
+    both); only the final sum is rounded to a shared scale for
+    accumulation-order parity.  Ranks tie-break on event_id so the
+    horizon cut is deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.select("user_id", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= EWMA_LAST_N)
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.pow(F.lit(EWMA_DECAY), F.col("rn") - 1)),
+                4,
+            ).alias("decay_score"),
+            F.count(F.lit(1)).alias("n_scored"),
+        )
+    )

@@ -41,29 +41,30 @@ def test_every_oracle_has_a_query():
 
 def test_driver_window_covers_every_component():
     """The first DRIVER_WINDOW catalog entries (all the driver's
-    correctness gate ever records) must front the r06 rotation: the 21
-    oracled queries whose newest driver row is r03, the 8 stale
-    rows-only entries, the round-6 additions, and r04-latest fills."""
+    correctness gate ever records) must front the r07 rotation: the 26
+    never-driver-checked entries, this round's new/replanned queries,
+    and the r6-promised swap-backs."""
     queries, _ = cat.load_catalog()
     window = list(queries)[: cat.DRIVER_WINDOW]
     assert len(cat._DRIVER_PRIORITY) <= cat.DRIVER_WINDOW
     assert list(cat._DRIVER_PRIORITY) == window[: len(cat._DRIVER_PRIORITY)]
-    # spot-check the r5 verdict's named next-round criteria are inside:
-    # the group-(d) deferral list plus the r6 additions
+    # spot-check the r6 verdict's named next-round criteria are inside:
+    # never-checked entries, round-7 additions/replans, and swap-backs
     for name in (
-        "q_count_distinct_members",
-        "q_dedup_embedding_cosine",
-        "q_scalar_map",
+        "q_sample_exact_k",
+        "q_dedup_fuzzy_edit",
+        "q_agg_hll_set_algebra",
+        "q_agg_equidepth_histogram",
+        "q_window_pareto_concentration",
+        "q_join_overlap_intervals",
+        "q_source_manifest_stream_roundtrip",
+        "q_stream_stateful_totals_append",
+        "q_text_langid",
+        "q_pipeline_entity_resolution",
         "q_similarity_pairs_threshold",
-        "q_source_csv_roundtrip",
-        "q_source_json_roundtrip",
-        "q_sparql_source_sim",
-        "q_text_tfidf",
-        "q_text_bm25",
         "q_harvest_bucketed_rerun",
-        "q_stream_sliding_avg_append",
-        "q_stream_session_windows_append",
-        "q_multimodal_bmp_pipeline",
+        "q_graph_pagerank",
+        "q_sparql_datasource",
     ):
         assert name in window, name
 

@@ -753,6 +753,15 @@ def test_pairs_threshold_scoring_never_forces_corpus_broadcast(
     assert "BroadcastHashJoin" not in tree, tree
 
 
+def test_time_decay_horizon_compiles_to_window_group_limit(spark, queries):
+    """The EWMA_LAST_N horizon cut is a literal rank bound, so Spark
+    must compile it to WindowGroupLimit (partial per-partition top-N
+    before the shuffle) — the property that bounds per-user cost on a
+    hot user at 100 TB."""
+    plan = plan_of(queries["q_events_time_decay_score"](spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
 def test_overlap_join_is_equi_with_ownership(spark, queries):
     """Interval×interval overlap must join on the manufactured band
     key (hash/sort-merge equi-join) with band-ownership as a filter —

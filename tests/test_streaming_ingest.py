@@ -160,7 +160,7 @@ def test_bucketed_stream_two_tranches_with_restart(spark, tmp_path):
 
     snapshot = {
         p: (os.path.getsize(p), os.path.getmtime(p))
-        for p in glob.glob(root + "/terms/bucket=*/*.parquet")
+        for p in glob.glob(root + "/terms/data/*/bucket_p=*/*.parquet")
     }
 
     # restart: fresh call, same checkpoint — nothing re-processed
@@ -197,7 +197,7 @@ def test_bucketed_stream_two_tranches_with_restart(spark, tmp_path):
     }
     untouched_files = [
         p for p in snapshot
-        if int(p.split("bucket=")[1].split("/")[0]) not in touched
+        if int(p.split("bucket_p=")[1].split("/")[0]) not in touched
     ]
     assert untouched_files, "fixture must leave at least one bucket untouched"
     for p in untouched_files:
