@@ -449,6 +449,8 @@ def connected_components(
         "cc_labels_iter",
         checkpoint_dir,
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         neigh = sym.join(
             labels.withColumnRenamed("id", "v"), "v"
@@ -461,22 +463,36 @@ def connected_components(
         # k≈25.  A per-round parquet write of the label table is cheap
         # (|V| rows, 2 columns) and keeps every round's plan constant-
         # size; same discipline as PageRank and BFS.
-        new_labels = materialize(
+        #
+        # Convergence detection RIDES the write: the previous round's
+        # label joins back on (a parquet scan of the ping-pong file)
+        # and a CollectMetrics Observation counts changed labels during
+        # the same job — ONE action per round instead of write +
+        # separate changed-check join (the load-stats pattern of
+        # harvest/load.py: strictly one fewer action and one fewer
+        # parquet scan of the fresh labels per round; at sf0.1 the
+        # saving sits inside the run-to-run band, at cluster scale
+        # it is one fewer full |V|-row job per round).
+        obs = Observation()
+        candidate = (
             labels.unionByName(neigh)
             .groupBy("id")
-            .agg(F.min("label").alias("label")),
-            "cc_labels_iter",
-            checkpoint_dir,
+            .agg(F.min("label").alias("label"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        audited = (
+            candidate.join(
+                labels.select("id", F.col("label").alias("_old")), "id"
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("label") != F.col("_old")).cast("long")
+                ).alias("changed"),
+            )
+            .drop("_old")
         )
-        labels = new_labels
-        if changed == 0:
+        labels = materialize(audited, "cc_labels_iter", checkpoint_dir)
+        if int(obs.get["changed"] or 0) == 0:
             break
     return materialize(labels, "cc_labels", checkpoint_dir)
 
