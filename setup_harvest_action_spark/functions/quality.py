@@ -349,3 +349,76 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= OUTLIER_TOP_K)
     )
+
+
+WINSOR_LO = 0.05  # lower clip percentile
+WINSOR_HI = 0.95  # upper clip percentile
+
+
+@query(
+    "q_quality_winsorize",
+    oracle=f"""
+WITH bounds AS (
+  SELECT lang,
+         quantile_cont(n_chars, {WINSOR_LO}) AS lo,
+         quantile_cont(n_chars, {WINSOR_HI}) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT d.lang,
+       CAST(round(b.lo, 4) AS DOUBLE) AS p_lo,
+       CAST(round(b.hi, 4) AS DOUBLE) AS p_hi,
+       CAST(count(*) FILTER (WHERE d.n_chars < b.lo) AS BIGINT)
+           AS n_clipped_low,
+       CAST(count(*) FILTER (WHERE d.n_chars > b.hi) AS BIGINT)
+           AS n_clipped_high,
+       CAST(round(avg(greatest(least(d.n_chars, b.hi), b.lo)), 4) AS DOUBLE)
+           AS winsorized_mean
+FROM documents d JOIN bounds b USING (lang)
+GROUP BY d.lang, b.lo, b.hi
+""",
+)
+def q_quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZATION: clip a numeric feature to its per-group
+    [p{int(WINSOR_LO * 100)}, p{int(WINSOR_HI * 100)}] percentile band —
+    the outlier treatment statistics pipelines apply before any
+    mean/variance-based downstream step (a single 10⁹-char document
+    otherwise owns the corpus mean).  Reports each language's clip
+    bounds, how many documents each tail clipped, and the winsorized
+    mean.
+
+    EXACT percentiles (``F.percentile``), not approx_percentile: the
+    bounds table is one row per group — vocabulary-sized — so
+    exactness costs one per-group sort of the values, and the oracle's
+    ``quantile_cont`` interpolates bitwise-identically (verified on
+    the fixtures before this query landed).  The bounds re-enter the
+    scan-side aggregate by a group-keyed join that AQE broadcasts
+    while small; at 100 TB swap in ``approx_percentile``'s mergeable
+    sketch and this query becomes its ground-truth oracle — the same
+    sketch-vs-exact contract as q_agg_approx_quantiles."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.groupBy("lang").agg(
+        F.expr(f"percentile(n_chars, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(n_chars, {WINSOR_HI})").alias("hi"),
+    )
+    clipped = F.greatest(F.least(F.col("n_chars"), F.col("hi")), F.col("lo"))
+    return (
+        docs.join(bounds, "lang")
+        .groupBy("lang", "lo", "hi")
+        .agg(
+            F.sum((F.col("n_chars") < F.col("lo")).cast("long")).alias(
+                "n_clipped_low"
+            ),
+            F.sum((F.col("n_chars") > F.col("hi")).cast("long")).alias(
+                "n_clipped_high"
+            ),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+        )
+        .select(
+            "lang",
+            F.round("lo", 4).alias("p_lo"),
+            F.round("hi", 4).alias("p_hi"),
+            "n_clipped_low",
+            "n_clipped_high",
+            "winsorized_mean",
+        )
+    )
