@@ -801,3 +801,62 @@ def q_agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "q_agg_chi_square",
+    oracle="""
+WITH obs AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+),
+margins AS (
+  SELECT o.lang, o.source, o.o,
+         sum(o.o) OVER (PARTITION BY o.lang)   AS row_tot,
+         sum(o.o) OVER (PARTITION BY o.source) AS col_tot,
+         sum(o.o) OVER ()                      AS n
+  FROM obs o
+)
+SELECT CAST(round(sum(
+         (o - row_tot * col_tot / CAST(n AS DOUBLE))
+         * (o - row_tot * col_tot / CAST(n AS DOUBLE))
+         / (row_tot * col_tot / CAST(n AS DOUBLE))), 6) AS DOUBLE)
+           AS chi_square,
+       CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+            AS BIGINT) AS dof,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM margins
+""",
+)
+def q_agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between two categorical columns
+    (lang × source) — the data-profiling primitive behind "is feature
+    A informative about feature B" checks and drift monitors: observed
+    cell counts vs the independence expectation row·col/N, summed into
+    the χ² statistic with its degrees of freedom.
+
+    One corpus-scale aggregate (the contingency counts, map-side
+    partial combine, shuffle = |lang|·|source| cells) and everything
+    after runs on the CELL table — marginals as windows over the
+    vocabulary-sized cells, never a second corpus pass.  Both engines
+    sum (o−e)²/e over identical exact-integer marginals; only the
+    final statistic is rounded for accumulation-order parity."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n").cast("double")
+    margins = obs.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("source")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    return margins.agg(
+        F.round(
+            F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6
+        ).alias("chi_square"),
+        (
+            (F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1)
+        ).alias("dof"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
