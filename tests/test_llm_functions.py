@@ -432,3 +432,70 @@ def test_fuzzy_hot_block_cap_drops_celebrity_blocks(spark, monkeypatch):
     monkeypatch.setattr(dedup, "FUZZY_MAX_BLOCK", 5)
     n = dedup.fuzzy_match_pairs(spark, docs).count()
     assert n == 10 + 1  # C(5,2) hot pairs + the cool pair
+
+
+def test_substring_span_recall_guarantee(spark):
+    """The stride-1 contract from the q_dedup_substring_spans
+    docstring: ANY verbatim common substring of length >= SPAN_LEN +
+    SPAN_MIN_SHARED - 1 chars is detected regardless of where it sits
+    in either document — and sub-threshold overlap is not."""
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.functions.dedup import (
+        SPAN_LEN,
+        SPAN_MIN_SHARED,
+    )
+    from setup_harvest_action_spark.catalog import load_catalog
+
+    import hashlib
+
+    # aperiodic shared run (seeded digest chars): internal repetition
+    # would let windows match at unintended offsets and overcount
+    shared = "".join(
+        hashlib.sha256(f"span{i}".encode()).hexdigest()[:4]
+        for i in range(SPAN_LEN)
+    )[: SPAN_LEN + SPAN_MIN_SHARED - 1]
+    assert len(shared) == SPAN_LEN + SPAN_MIN_SHARED - 1
+    rows = [
+        # the shared run sits at different offsets in each doc
+        (1, "A" * 17 + shared + "Qtail one here"),
+        (2, "BB " + shared + "Zcompletely different ending"),
+        # control pair: common run one char short of the guarantee,
+        # continued DIFFERENTLY on each side so it cannot extend
+        (3, "C" * 23 + shared[:-1] + "Qother"),
+        (4, "DD " + shared[:-1] + "Zsomething else"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import setup_harvest_action_spark.functions.dedup as dedup
+
+    spans = (
+        docs.filter(F.length("text") >= SPAN_LEN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length(text) - {SPAN_LEN} + 1),"
+                        f" i -> substring(text, i, {SPAN_LEN}))"
+                    )
+                )
+            ).alias("span"),
+        )
+    )
+    postings = (
+        spans.groupBy("span")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= dedup.MAX_SPAN_DF))
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared_spans"]
+        for r in dedup._pairs_within(postings)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_spans"))
+        .filter(F.col("shared_spans") >= SPAN_MIN_SHARED)
+        .collect()
+    }
+    assert (1, 2) in pairs, pairs
+    assert pairs[(1, 2)] >= SPAN_MIN_SHARED
+    assert (3, 4) not in pairs, pairs

@@ -12,6 +12,17 @@ Blow-up shape (written once to /tmp/spark_graft_skew10x):
 * ``events`` ×10: replica events keep their user EXCEPT 30%, which
   all collapse onto user_id=7 — one celebrity user holding ~27% of
   the 1.1M-row log.
+* ``lineitem`` ×10 (fresh order keys): replica rows keep their part
+  EXCEPT 10%, which all collapse onto l_partkey=1 — a celebrity
+  vertex in the co-purchase graph whose degree is the distinct
+  co-part set of ~10% of the log (the node degree-oriented triangle
+  counting exists to survive; replica orders otherwise repeat their
+  original part combinations, so the DISTINCT edge set stays near 1×
+  and the probe isolates the hot vertex, not graph growth).
+* ``embeddings`` ×3 with per-replica jitter (+0.003·i on every
+  component): replicas stay inside their original's k-means cluster,
+  so SemDeDup's within-cluster quadratic sees ~3× members ⇒ ~9× pair
+  work — the bounded-blowup contract under duplication-heavy input.
 * every other table is the sf0.1 original (symlink).
 
 Each probed query's own plan contract is what should absorb the skew:
@@ -25,6 +36,9 @@ Each probed query's own plan contract is what should absorb the skew:
 | q_graph_pagerank | one-pass pair set + AQE on the hot vertex |
 | q_join_salted_skew | explicit fact-side salting |
 | q_events_sessionize | per-user windows under one hot user |
+| q_graph_triangle_count | degree-oriented wedge closure at a celebrity vertex |
+| q_dedup_semantic | cluster-size² bound under 3× duplication |
+| q_embedding_kmeans | map-only assignment stays linear in corpus |
 
 Usage:  python tools/skew_probe.py [--regen] [query ...]
 Results land in stdout; record them in BENCHNOTES.md.
@@ -42,7 +56,9 @@ sys.path.insert(0, "/root/repo")
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/spark_graft_skew10x"
 REPLICAS = 9  # plus the original = 10x
+EMB_REPLICAS = 2  # plus the original = 3x (pair work grows ~9x)
 HOT_USER = 7
+HOT_PART = 1
 PROBES = [
     "q_dedup_ngram_jaccard",
     "q_dedup_fuzzy_edit",
@@ -51,6 +67,9 @@ PROBES = [
     "q_graph_pagerank",
     "q_join_salted_skew",
     "q_events_sessionize",
+    "q_graph_triangle_count",
+    "q_dedup_semantic",
+    "q_embedding_kmeans",
 ]
 
 
@@ -61,7 +80,7 @@ def generate() -> None:
         shutil.rmtree(DST)
     os.makedirs(DST)
     for table in (
-        "region nation customer supplier part orders lineitem embeddings"
+        "region nation customer supplier part orders"
     ).split():
         os.symlink(
             os.path.join(SRC, f"{table}.parquet"),
@@ -96,6 +115,33 @@ COPY (
 ) TO '{DST}/events.parquet' (FORMAT parquet)
 """
     )
+    con.execute(
+        f"""
+COPY (
+  SELECT * FROM '{SRC}/lineitem.parquet'
+  UNION ALL
+  SELECT l_orderkey + i * 1000000000,
+         CASE WHEN (l_orderkey + l_linenumber) % 10 = 0 THEN {HOT_PART}
+              ELSE l_partkey END,
+         l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+  FROM '{SRC}/lineitem.parquet', UNNEST(generate_series(1, {REPLICAS})) t(i)
+) TO '{DST}/lineitem.parquet' (FORMAT parquet)
+"""
+    )
+    con.execute(
+        f"""
+COPY (
+  SELECT vec_id, embedding, label FROM '{SRC}/embeddings.parquet'
+  UNION ALL
+  SELECT vec_id + i * 1000000000,
+         list_transform(embedding, x -> CAST(x + 0.003 * i AS FLOAT)),
+         label
+  FROM '{SRC}/embeddings.parquet',
+       UNNEST(generate_series(1, {EMB_REPLICAS})) t(i)
+) TO '{DST}/embeddings.parquet' (FORMAT parquet)
+"""
+    )
     docs = con.execute(
         f"SELECT count(*) FROM '{DST}/documents.parquet'"
     ).fetchone()[0]
@@ -107,9 +153,16 @@ COPY (
     ev_hot = con.execute(
         f"SELECT count(*) FROM '{DST}/events.parquet' WHERE user_id = {HOT_USER}"
     ).fetchone()[0]
+    li_hot = con.execute(
+        f"SELECT count(*) FROM '{DST}/lineitem.parquet' WHERE l_partkey = {HOT_PART}"
+    ).fetchone()[0]
+    n_emb = con.execute(
+        f"SELECT count(*) FROM '{DST}/embeddings.parquet'"
+    ).fetchone()[0]
     print(
         f"# generated: {docs} docs (hot block {hot}), "
-        f"{ev} events (hot user {ev_hot})"
+        f"{ev} events (hot user {ev_hot}), "
+        f"lineitem hot part {li_hot} rows, {n_emb} embeddings"
     )
 
 
