@@ -1020,3 +1020,83 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_completion(latest, "complete")
     return out
+
+
+TRENDING_TOP_K = 3  # items reported per window
+
+
+@query(
+    "q_stream_trending_topk",
+    oracle=f"""
+WITH c AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         json_extract_string(props, '$.k') AS item,
+         count(*) AS n
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT window_start, item, n,
+         row_number() OVER (
+           PARTITION BY window_start ORDER BY n DESC, item) AS rk
+  FROM c
+)
+SELECT window_start, item, CAST(n AS BIGINT) AS n_events,
+       CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {TRENDING_TOP_K}
+""",
+)
+def q_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TRENDING top-k: the {TRENDING_TOP_K} hottest items per
+    1-hour window, continuously maintained — the leaderboard /
+    trending-hashtags query.  Structured Streaming rejects window
+    (ranking) functions on streams, so the standard production shape
+    is a two-stage pipeline: a streaming windowed COUNT (incremental,
+    watermark-bounded state) feeding ``foreachBatch``, where each
+    micro-batch ranks the updated aggregate BATCH-side and rewrites
+    the serving table — ranking is re-derived per trigger from counts,
+    never maintained as stream state (a rank is not incrementally
+    maintainable; counts are).
+
+    Here the aggregate runs complete-mode and every trigger overwrites
+    the output atomically (idempotent last-write-wins — a crashed
+    trigger leaves the previous complete snapshot), so the drained
+    result equals the batch ranking exactly.  At scale the same
+    foreachBatch body runs in update mode over a watermark-expired
+    window key-space and MERGEs changed windows into the serving
+    store — the ranking stage is identical."""
+    events = read_event_stream(spark, sf_dir)
+    counts = (
+        events.withColumn("item", F.get_json_object("props", "$.k"))
+        .filter(F.col("item").isNotNull())
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"), "item")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_trending_out_")
+
+    def rank_and_serve(batch_df: DataFrame, _batch_id: int) -> None:
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc("item")
+        )
+        (
+            batch_df.select(
+                F.col("window.start").alias("window_start"),
+                "item",
+                "n_events",
+            )
+            .withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= TRENDING_TOP_K)
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    q = (
+        counts.writeStream.foreachBatch(rank_and_serve)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
