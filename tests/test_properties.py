@@ -299,3 +299,154 @@ def test_banded_levenshtein_matches_reference_dp(spark, string_pairs):
             assert r["d"] == expected, (r["a"], r["b"])
         else:
             assert r["d"] == -1, (r["a"], r["b"])
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # user_id
+            st.integers(min_value=0, max_value=10_000),  # ts offset sec
+            st.integers(min_value=-50, max_value=50),    # value
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_time_decay_score_matches_python_fold(spark, raw_events):
+    """q_events_time_decay_score's windowed form must equal the
+    straightforward per-user Python fold: sort events newest-first
+    (ties on event_id), weight the i-th by λ^i, keep only the first
+    EWMA_LAST_N."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from setup_harvest_action_spark.operators.events_analytics import (
+        EWMA_DECAY,
+        EWMA_LAST_N,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=sec), uid, float(val))
+        for i, (uid, sec, val) in enumerate(raw_events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    got = {
+        r["user_id"]: (r["decay_score"], r["n_scored"])
+        for r in df.select(
+            "user_id", "value", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= EWMA_LAST_N)
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("value") * F.pow(F.lit(EWMA_DECAY), F.col("rn") - 1)
+                ),
+                4,
+            ).alias("decay_score"),
+            F.count(F.lit(1)).alias("n_scored"),
+        )
+        .collect()
+    }
+
+    by_user: dict = {}
+    for eid, ts, uid, val in rows:
+        by_user.setdefault(uid, []).append((ts, eid, val))
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda t: (t[0], t[1]), reverse=True)
+        kept = evs[:EWMA_LAST_N]
+        score = round(
+            sum(v * EWMA_DECAY**i for i, (_, _, v) in enumerate(kept)), 4
+        )
+        assert got[uid] == (score, len(kept)), uid
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=60),
+        min_size=2,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_substring_spans_match_bruteforce(spark, texts):
+    """The inverted-index span pairing must equal the brute-force
+    definition: |{distinct SPAN_LEN-windows of A} ∩ {of B}| ≥
+    SPAN_MIN_SHARED, with hot spans (doc-frequency > MAX_SPAN_DF)
+    excluded — checked on adversarially repetitive binary-alphabet
+    strings where window collisions are maximal."""
+    import pyspark.sql.functions as F
+
+    import setup_harvest_action_spark.functions.dedup as dedup
+    from setup_harvest_action_spark.functions.dedup import (
+        SPAN_MIN_SHARED,
+    )
+
+    span_len = 8  # shrink the window so tiny strings can collide
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = (
+        df.filter(F.length("text") >= span_len)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length(text) - {span_len} + 1),"
+                        f" i -> substring(text, i, {span_len}))"
+                    )
+                )
+            ).alias("span"),
+        )
+    )
+    postings = (
+        spans.groupBy("span")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= dedup.MAX_SPAN_DF))
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n"]
+        for r in dedup._pairs_within(postings)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= SPAN_MIN_SHARED)
+        .collect()
+    }
+
+    def windows(t: str) -> set:
+        return {
+            t[i : i + span_len] for i in range(len(t) - span_len + 1)
+        }
+
+    df_count: dict = {}
+    for _, t in docs:
+        for s in windows(t):
+            df_count[s] = df_count.get(s, 0) + 1
+    expected = {}
+    for i, (ia, ta) in enumerate(docs):
+        for ib, tb in docs[i + 1 :]:
+            shared = {
+                s
+                for s in windows(ta) & windows(tb)
+                if df_count[s] <= dedup.MAX_SPAN_DF
+            }
+            if len(shared) >= SPAN_MIN_SHARED:
+                a, b = min(ia, ib), max(ia, ib)
+                expected[(a, b)] = len(shared)
+    assert got == expected
