@@ -422,3 +422,56 @@ def q_quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsorized_mean",
         )
     )
+
+
+@query("q_quality_compression_ratio")
+def q_quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: zlib_bytes / raw_bytes per
+    document, aggregated per (lang, verdict) — the entropy proxy
+    production corpus filters use alongside the repetition heuristics
+    (highly compressible text is boilerplate/repetition; nearly
+    incompressible "text" is usually binary junk or ciphertext; both
+    tails get dropped).  Thresholds here bracket the
+    natural-language band.
+
+    This is also the catalog's SCALAR PYTHON UDF surface entry
+    (SURVEY §2.2 UDF row), in its only acceptable form: Spark 4's
+    ARROW-OPTIMIZED ``@F.udf(..., useArrow=True)`` — batches cross
+    the Python boundary as Arrow vectors (not pickled rows), and the
+    per-row body is one C call into zlib, so the Python round trip
+    costs serialization it would pay under pandas_udf anyway.  A
+    classic pickled row-at-a-time UDF remains banned from this repo's
+    hot paths.
+
+    No DuckDB oracle BY DESIGN: the signal is DEFLATE output length,
+    which no SQL engine exposes; the driver records the rows-only
+    check and tests/test_quality.py pins the UDF against direct
+    zlib on golden rows."""
+    import zlib
+
+    @F.udf("double", useArrow=True)
+    def compression_ratio(text: str) -> float | None:
+        if text is None:
+            return None
+        raw = text.encode("utf-8")
+        if not raw:
+            return None
+        return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = compression_ratio(F.col("text"))
+    verdict = (
+        F.when(ratio < 0.25, F.lit("too_compressible"))
+        .when(ratio > 1.05, F.lit("incompressible"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        docs.select("lang", ratio.alias("ratio"), verdict.alias("verdict"))
+        .groupBy("lang", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ratio"), 6).alias("avg_ratio"),
+            F.round(F.min("ratio"), 6).alias("min_ratio"),
+            F.round(F.max("ratio"), 6).alias("max_ratio"),
+        )
+    )

@@ -158,3 +158,49 @@ def test_repetition_is_map_only(spark, queries):
     df = queries["q_quality_repetition"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_compression_ratio_matches_direct_zlib(spark, queries):
+    """The Arrow-optimized scalar UDF must produce exactly
+    round(len(zlib.compress(utf8, 6)) / len(utf8), 6) — pinned by
+    recomputing the per-(lang, verdict) aggregate from the raw fixture
+    rows with direct zlib calls."""
+    import zlib
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["lang"], r["verdict"]): (
+            r["n_docs"],
+            r["avg_ratio"],
+            r["min_ratio"],
+            r["max_ratio"],
+        )
+        for r in queries["q_quality_compression_ratio"](spark, sf).collect()
+    }
+
+    groups: dict = {}
+    for row in spark.read.parquet(f"{sf}/documents.parquet").collect():
+        raw = (row["text"] or "").encode("utf-8")
+        if not raw:
+            continue
+        ratio = round(len(zlib.compress(raw, 6)) / len(raw), 6)
+        verdict = (
+            "too_compressible"
+            if ratio < 0.25
+            else "incompressible" if ratio > 1.05 else "keep"
+        )
+        groups.setdefault((row["lang"], verdict), []).append(ratio)
+    expected = {
+        k: (
+            len(v),
+            round(sum(v) / len(v), 6),
+            round(min(v), 6),
+            round(max(v), 6),
+        )
+        for k, v in groups.items()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k][0] == expected[k][0], k
+        for gi, ei in zip(got[k][1:], expected[k][1:]):
+            assert gi == pytest.approx(ei, abs=2e-6), (k, got[k], expected[k])
