@@ -139,11 +139,11 @@ _DRIVER_PRIORITY = (
     # union_distinct, intersect_all, except, kwic, topk_tokens,
     # ppm_pipeline, bernoulli/train-valid-test/stratified/mixture/
     # chunk samplers, quality repetition/pii, embedding_outliers)
-    # rotate in r8, as do the seven r7-late additions
+    # rotate in r8, as do the eight r7-late additions
     # (q_dedup_substring_spans, q_sample_global_shuffle,
     # q_events_time_decay_score, q_quality_winsorize,
     # q_agg_chi_square, q_stream_trending_topk,
-    # q_quality_compression_ratio — added after this
+    # q_quality_compression_ratio, q_join_existence — added after this
     # window was sized); all stay
     # green under tools/verify_oracle.py meanwhile.
     "q_window_lag_lead",

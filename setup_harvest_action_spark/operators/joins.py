@@ -572,3 +572,47 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.join(
         F.broadcast(dim), ev["channel"].eqNullSafe(dim["channel"])
     ).select("event_id", "user_id", "family")
+
+
+@query(
+    "q_join_existence",
+    oracle="""
+SELECT c.c_custkey,
+       c.c_mktsegment,
+       c.c_custkey IN (
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+       ) AS has_urgent_order
+FROM customer c
+""",
+)
+def q_join_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTENCE (mark) join: every customer row survives, annotated
+    with a boolean "has at least one urgent order" — the EXISTS-as-a-
+    column shape (DuckDB plans it as a MARK JOIN).  Distinct from
+    semi/anti joins, which FILTER rows; a mark join keeps both
+    populations in one pass, which is what feature engineering wants
+    (the flag IS the feature) and what a semi+anti union would need
+    two joins to reproduce.
+
+    Spark has no native existence join in the DataFrame API for this
+    projection, so the algebra is: distinct urgent custkeys (aggregate
+    BEFORE the join, so the probe side never sees duplicate matches —
+    a plain left join against raw orders would duplicate customers),
+    then LEFT join + null test.  The distinct side is key-only and
+    group-cardinality-bounded; AQE broadcasts it while small, shuffles
+    at 100 TB.  Spark's own EXISTS-subquery planning compiles to
+    ExistenceJoin internally — this query pins the explicit algebra so
+    the shape works on any engine without subquery support."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return customer.join(urgent, "c_custkey", "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce(F.col("_hit"), F.lit(False)).alias("has_urgent_order"),
+    )
