@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from setup_harvest_action_spark.catalog import query
 from setup_harvest_action_spark.io.loaders import load_table
+from setup_harvest_action_spark.operators.ranked import ranked_ntile
 
 
 @query(
@@ -781,18 +782,22 @@ def q_agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     order by (value, key) so bucket assignment is deterministic on
     both engines.
 
-    Scale caveat stated plainly: `ntile` over an unpartitioned window
-    is a single-task global sort — correct and fine up to ~10⁸ rows,
-    but at 100 TB the same boundaries come from
-    `approx_percentile`'s mergeable quantile sketch (q_agg_approx_
-    quantiles) with rank counts joined per bin; this exact form is
-    the oracle ground truth for that sketch."""
+    The bucket cut is EXACT yet distributed: ranked_ntile
+    (operators/ranked.py) range-partitions on the value, ranks within
+    partitions, and recovers the global rank from broadcast offsets —
+    bit-identical to the oracle's ntile window with no single-task
+    global sort (plan pinned in tests/test_plans.py).  The mergeable
+    `approx_percentile` sketch (q_agg_approx_quantiles) remains the
+    cheaper approximate alternative; this exact form is its ground
+    truth."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        orders.select(
+        ranked_ntile(
+            orders.select("o_totalprice", "o_orderkey"),
+            HISTOGRAM_BUCKETS,
             "o_totalprice",
-            F.ntile(HISTOGRAM_BUCKETS).over(w).cast("long").alias("bucket"),
+            ["o_orderkey"],
+            out="bucket",
         )
         .groupBy("bucket")
         .agg(

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from setup_harvest_action_spark.catalog import query
 from setup_harvest_action_spark.io.loaders import load_table
+from setup_harvest_action_spark.operators.ranked import ranked_ntile
 
 FUNNEL_WINDOW_SEC = 3600  # max gap between funnel steps
 RESAMPLE_BUCKET_SEC = 600  # 10-minute resampling grid
@@ -546,10 +547,14 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     monetary quintile.
 
     One keyed aggregate over the log; the horizon arrives as a
-    broadcast one-row max (never a driver-side collect), and the
-    quintile window runs over |users| rows — vocabulary-sized, not
-    log-sized.  Quintile ties break on user_id so both engines cut
-    ntile boundaries identically."""
+    broadcast one-row max (never a driver-side collect).  The quintile
+    runs over |users| rows — an unbounded ENTITY population (billions
+    at 100 TB, not a vocabulary), so it uses ranked_ntile's
+    range-partitioned rank instead of an unpartitioned ntile window:
+    bit-identical assignment, no single-task global sort
+    (operators/ranked.py; plan pinned in tests/test_plans.py).
+    Quintile ties break on user_id so both engines cut boundaries
+    identically."""
     ev = load_table(spark, sf_dir, "events")
     horizon = ev.agg(F.max("ts").alias("now"))
     base = (
@@ -576,8 +581,9 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    w = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
-    return base.withColumn("m_quintile", F.ntile(5).over(w).cast("long"))
+    return ranked_ntile(
+        base, 5, "monetary", ["user_id"], descending=True, out="m_quintile"
+    )
 
 
 @query(

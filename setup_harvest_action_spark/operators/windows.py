@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from setup_harvest_action_spark.catalog import query
 from setup_harvest_action_spark.io.loaders import load_table
+from setup_harvest_action_spark.operators.ranked import ranked_ntile
 
 
 @query(
@@ -318,20 +319,26 @@ def q_window_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
 
     The per-customer aggregate partial-combines map-side (shuffle =
     |customers|); the grand total enters as a broadcast one-row
-    aggregate.  The ntile ranks customer-cardinality rows — already
-    aggregate-sized, with the same single-sort caveat and
-    approx-percentile escape hatch documented on the equi-depth
-    histogram.  Tie ranks break on o_custkey so decile membership is
-    deterministic on both engines."""
+    aggregate.  The decile cut ranks customer-cardinality rows — an
+    entity population, so it uses ranked_ntile's range-partitioned
+    rank (operators/ranked.py) rather than an unpartitioned ntile
+    window: bit-identical assignment with the sort spread across
+    executors, plan pinned in tests/test_plans.py.  Tie ranks break
+    on o_custkey so decile membership is deterministic on both
+    engines."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum("o_totalprice").alias("revenue")
     )
     total = per_cust.agg(F.sum("revenue").alias("total"))
-    w = Window.orderBy(F.desc("revenue"), "o_custkey")
     return (
-        per_cust.withColumn(
-            "decile", F.ntile(PARETO_DECILES).over(w).cast("long")
+        ranked_ntile(
+            per_cust,
+            PARETO_DECILES,
+            "revenue",
+            ["o_custkey"],
+            descending=True,
+            out="decile",
         )
         .groupBy("decile")
         .agg(

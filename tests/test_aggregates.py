@@ -66,3 +66,38 @@ def test_hll_sketch_tolerance_beyond_sparse_regime(spark):
         ).collect()[0]
     )
     assert abs(r["est"] - r["exact"]) / r["exact"] < 0.02, r
+
+
+def test_ranked_ntile_matches_window_ntile_bit_for_bit(spark):
+    """ranked_ntile must reproduce `ntile(n) OVER (ORDER BY v [DESC],
+    k)` exactly — including the SQL sizing rule (first c%n tiles get
+    the extra row), tie values, all-equal degenerate input, and
+    fewer-rows-than-tiles — across bucket counts that force multi- and
+    single-bucket layouts."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from setup_harvest_action_spark.operators.ranked import ranked_ntile
+
+    cases = [
+        # (values, n_tiles, descending, buckets)
+        ([float(x % 17) for x in range(100)], 4, False, 8),
+        ([float(x % 17) for x in range(100)], 5, True, 8),
+        ([1.0] * 25, 4, False, 8),          # all-equal: one bucket
+        ([float(x) for x in range(3)], 7, False, 4),  # c < n
+        ([float(x * x % 101) for x in range(250)], 10, True, 3),
+    ]
+    for values, n, desc, buckets in cases:
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)], ["k", "v"]
+        )
+        got = ranked_ntile(
+            df, n, "v", ["k"], descending=desc, buckets=buckets, out="t"
+        )
+        order = [F.desc("v") if desc else F.asc("v"), F.asc("k")]
+        want = df.withColumn(
+            "t", F.ntile(n).over(Window.orderBy(*order)).cast("long")
+        )
+        g = {r["k"]: r["t"] for r in got.collect()}
+        w = {r["k"]: r["t"] for r in want.collect()}
+        assert g == w, (n, desc, buckets)

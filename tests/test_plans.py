@@ -774,3 +774,27 @@ def test_overlap_join_is_equi_with_ownership(spark, queries):
     # no dedup aggregate downstream of the join — ownership dedupes
     after_join = tree.split("Join", 1)[0]
     assert "HashAggregate" not in after_join, tree
+
+
+def test_ranked_ntile_family_never_sorts_the_relation_globally(
+    spark, queries
+):
+    """The exact-quantile family (RFM quintiles, Pareto deciles,
+    equi-depth histogram) must assign tiles via ranked_ntile's
+    range-partitioned rank — no `ntile` window at all, and the only
+    single-partition exchanges feed from HashAggregate outputs (the
+    ≤RANGE_BUCKETS-row extent/offset tables), never from the base
+    relation."""
+    for name in (
+        "q_events_rfm",
+        "q_window_pareto_concentration",
+        "q_agg_equidepth_histogram",
+    ):
+        tree = tree_of(queries[name](spark, SF))
+        assert "ntile(" not in tree, (name, tree)
+        lines = tree.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            below = "\n".join(lines[i + 1 : i + 4])
+            assert "HashAggregate" in below, (name, tree)
