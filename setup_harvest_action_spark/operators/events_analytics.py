@@ -274,6 +274,119 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_CHUNK_US = 21_600_000_000  # 6-hour salt chunks (>> the gap)
+
+
+@query(
+    "q_events_sessionize_salted",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us FROM events
+),
+m AS (
+  SELECT *,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       CAST(sid AS INTEGER) AS session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value), 4) AS DOUBLE) AS total_value,
+       CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec
+FROM s
+GROUP BY user_id, sid
+""",
+)
+def q_events_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization with a TIME-CHUNK SALT — the hot-user escape
+    hatch for q_events_sessionize, same oracle, same output.  An exact
+    ``PARTITION BY user_id`` window puts each user's entire history in
+    one task; a celebrity user (the skew probe's user 7 holds ~27% of
+    the 10× log) becomes a single-task ceiling.  Here the window key is
+    (user, 6-hour chunk), so no task ever sorts more than one user's
+    one-chunk slice, and sessions are reassembled EXACTLY in a second,
+    log-compressed pass:
+
+      1. sessionize within (user, chunk) — lag → flag → running sum,
+         then collapse to SEGMENTS (bounds, count, value sum).  Within
+         a chunk, adjacent segments are > gap apart by construction.
+      2. merge segments per user — the same lag → flag → running sum
+         shape, but over SEGMENT rows (≈ session-cardinality, orders
+         of magnitude below event-cardinality), joining chains whose
+         boundary gap ≤ the session gap across chunk edges.  Segment
+         intervals are disjoint and ordered, so prev max_us vs cur
+         min_us is the exact inter-event gap at the seam.
+
+    The per-user phase-2 window is bounded by segments-per-user ≈
+    active-chunks + sessions, not events — the 270k-row hot user
+    becomes ~a few hundred segment rows (skew probe row in
+    BENCHNOTES.md r8).  Chunking changes NOTHING semantically: a
+    session split by a chunk edge has seam gap ≤ gap and re-merges;
+    one never merges spuriously because within-chunk seams are > gap."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value", F.unix_micros("ts").alias("us")
+    )
+    e = e.withColumn(
+        "chunk", F.floor(F.col("us") / F.lit(SESSION_CHUNK_US))
+    )
+    w1 = Window.partitionBy("user_id", "chunk").orderBy("us", "event_id")
+    prev = F.lag("us").over(w1)
+    is_new = (prev.isNull() | (F.col("us") - prev > SESSION_GAP_US)).cast(
+        "long"
+    )
+    run1 = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    segments = (
+        e.withColumn("lsid", F.sum(is_new).over(run1))
+        .groupBy("user_id", "chunk", "lsid")
+        .agg(
+            F.min("us").alias("min_us"),
+            F.max("us").alias("max_us"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sv"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("min_us")
+    prev_max = F.lag("max_us").over(w2)
+    is_new2 = (
+        prev_max.isNull() | (F.col("min_us") - prev_max > SESSION_GAP_US)
+    ).cast("long")
+    run2 = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged = segments.withColumn("sid", F.sum(is_new2).over(run2))
+    return (
+        merged.groupBy("user_id", "sid")
+        .agg(
+            F.min("start_ts").alias("session_start"),
+            F.max("end_ts").alias("session_end"),
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("sv"), 4).alias("total_value"),
+            ((F.max("max_us") - F.min("min_us")) / F.lit(1000000))
+            .cast("long")
+            .alias("duration_sec"),
+        )
+        .select(
+            "user_id",
+            F.col("sid").cast("int").alias("session_id"),
+            "session_start",
+            "session_end",
+            "n_events",
+            "total_value",
+            "duration_sec",
+        )
+    )
+
+
 @query(
     "q_events_cohort_retention",
     oracle="""

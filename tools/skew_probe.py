@@ -36,6 +36,7 @@ Each probed query's own plan contract is what should absorb the skew:
 | q_graph_pagerank | one-pass pair set + AQE on the hot vertex |
 | q_join_salted_skew | explicit fact-side salting |
 | q_events_sessionize | per-user windows under one hot user |
+| q_events_sessionize_salted | time-chunk salt spreads the hot user |
 | q_graph_triangle_count | degree-oriented wedge closure at a celebrity vertex |
 | q_dedup_semantic | cluster-size² bound under 3× duplication |
 | q_embedding_kmeans | map-only assignment stays linear in corpus |
@@ -67,6 +68,7 @@ PROBES = [
     "q_graph_pagerank",
     "q_join_salted_skew",
     "q_events_sessionize",
+    "q_events_sessionize_salted",
     "q_graph_triangle_count",
     "q_dedup_semantic",
     "q_embedding_kmeans",
