@@ -40,6 +40,28 @@ def tokens_col(col: str = "text") -> Column:
     return F.filter(F.split(F.col(col), " "), lambda t: t != "")
 
 
+def pushdown_barrier(expr: Column) -> Column:
+    """Pin ``expr`` (and any filter over it) ABOVE the nearest
+    Exchange by adding an always-zero NONDETERMINISTIC term.
+
+    Catalyst's PushPredicateThroughNonJoin substitutes deterministic
+    filters through projects and repartitions, which would fold an
+    expensive verify expression back into the join-input stage — the
+    single-task collapse the post-join re-spread exists to avoid.
+    Nondeterministic expressions are barred from pushdown, so
+    ``spark_partition_id() * 0`` (value always 0) blocks the rewrite
+    while leaving the result untouched.  A plain unused
+    nondeterministic COLUMN does not work — ColumnPruning drops it and
+    re-enables the pushdown.
+
+    VERSION-FRAGILE BY DESIGN: this relies on the optimizer never
+    constant-folding nondeterministic expressions (true through Spark
+    4.x).  If a future Spark folds it, the regression is loud, not
+    silent — tests/test_plans.py pins the verify filter above the
+    Exchange for every consumer."""
+    return expr + (F.spark_partition_id() * F.lit(0))
+
+
 def shingles(toks: Column, k: int = SHINGLE_K) -> Column:
     """Word k-shingles as strings ('tok1 tok2 tok3') over a PRE-BOUND
     token array column.
@@ -1024,19 +1046,13 @@ def fuzzy_match_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
             "doc_b",
         )
     )
-    # Pushdown BARRIER on the verify expression: without it Catalyst
-    # folds the banded levenshtein into the JOIN CONDITION
-    # (PushPredicateThroughNonJoin substitutes filters through
-    # deterministic projects and repartitions), putting the O(d·n)
-    # verify back in the join-input stage — the exact single-task
-    # collapse the re-spread exists to fix (measured 28.7s vs ~8s at
-    # sf0.1).  `spark_partition_id() * 0` is always 0 but is flagged
-    # NONDETERMINISTIC, which pins the edit_dist project (and the
-    # filter on it) ABOVE the Exchange: the verify runs at shuffle
-    # width, keyed by pair.  (A plain unused nondeterministic column
-    # doesn't work — ColumnPruning drops it, re-enabling pushdown.)
-    dist = F.levenshtein("head_a", "head_b", FUZZY_EDIT_MAX) + (
-        F.spark_partition_id() * F.lit(0)
+    # Without the barrier, Catalyst folds the banded levenshtein into
+    # the JOIN CONDITION, putting the O(d·n) verify back in the
+    # join-input stage — the exact single-task collapse the re-spread
+    # exists to fix (measured 28.7s vs ~8s at sf0.1).  See
+    # pushdown_barrier for the mechanism and its version-fragility.
+    dist = pushdown_barrier(
+        F.levenshtein("head_a", "head_b", FUZZY_EDIT_MAX)
     )
     return (
         cand.withColumn("edit_dist", dist)

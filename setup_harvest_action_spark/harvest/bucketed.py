@@ -121,6 +121,19 @@ class BucketedHarvestState:
         commit; a crashed commit's data dirs are invisible here)."""
         mpath = os.path.join(self.root, table, MANIFEST)
         if not os.path.exists(mpath):
+            # A table dir holding the pre-manifest bucket=K layout but
+            # no manifest must fail LOUDLY: reading it as empty state
+            # would silently resurrect nothing and re-insert everything
+            # on the next merge.
+            tdir = os.path.join(self.root, table)
+            if os.path.isdir(tdir) and any(
+                e.startswith("bucket=") for e in os.listdir(tdir)
+            ):
+                raise ValueError(
+                    f"{tdir} holds a legacy bucket=K layout with no "
+                    f"{MANIFEST}; refusing to read it as empty state — "
+                    "rebuild or migrate the directory"
+                )
             return {"buckets": {}}
         with open(mpath, encoding="utf-8") as fh:
             return json.load(fh)
@@ -151,7 +164,12 @@ class BucketedHarvestState:
 
     # -- commit --------------------------------------------------------------
 
-    def _commit(self, table: str, staged: DataFrame) -> None:
+    def _commit(
+        self,
+        table: str,
+        staged: DataFrame,
+        touched: list[int] | None = None,
+    ) -> None:
         """Write ``staged`` (touched buckets only) to a fresh
         ``data/<commit>/`` directory, then flip the table manifest ONCE
         to point the touched buckets at their new directories.  One
@@ -179,6 +197,15 @@ class BucketedHarvestState:
         }
         manifest = self._manifest(table)
         manifest["buckets"].update(written)
+        # A touched bucket whose staged output came out EMPTY must drop
+        # its pointer, not keep the stale one — harmless under today's
+        # upsert-only merge (buckets never shrink to zero) but load-
+        # bearing the day deletes are merged: a kept pointer would
+        # resurrect the deleted rows.
+        if touched is not None:
+            for b in touched:
+                if str(b) not in written:
+                    manifest["buckets"].pop(str(b), None)
         tmp = os.path.join(table_dir, MANIFEST + ".tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
@@ -215,12 +242,28 @@ class BucketedHarvestState:
             referenced = set(self._manifest(table)["buckets"].values())
             for commit_id in os.listdir(data_dir):
                 cdir = os.path.join(data_dir, commit_id)
+                commit_live = any(
+                    r.startswith(f"data/{commit_id}/") for r in referenced
+                )
                 for entry in os.listdir(cdir):
                     rel = f"data/{commit_id}/{entry}"
                     path = os.path.join(cdir, entry)
                     if rel in referenced or not _old_enough(path):
                         continue
-                    shutil.rmtree(path, ignore_errors=True)
+                    if not entry.startswith("bucket_p="):
+                        # plain files (Spark's _SUCCESS marker): only
+                        # reclaimable once NO bucket of this commit is
+                        # referenced anymore
+                        if commit_live:
+                            continue
+                        try:
+                            os.remove(path)
+                        except OSError:
+                            continue
+                    else:
+                        shutil.rmtree(path, ignore_errors=True)
+                        if os.path.exists(path):  # partial removal
+                            continue
                     removed.append(f"{table}/{rel}")
                 if not os.listdir(cdir):  # commit fully reclaimed
                     os.rmdir(cdir)
@@ -287,7 +330,7 @@ class BucketedHarvestState:
             )
             .drop("__b")
         )
-        self._commit("terms", merged_terms)
+        self._commit("terms", merged_terms, touched)
         n_ins = int(obs.get["ins"] or 0)
         n_upd = int(obs.get["upd"] or 0)
 
@@ -329,7 +372,7 @@ class BucketedHarvestState:
                 r["bucket"] for r in fresh_rows.select("bucket").distinct().collect()
             )
             merged_fields = self.term_fields(gained).unionByName(fresh_rows)
-            self._commit("term_fields", merged_fields)
+            self._commit("term_fields", merged_fields, gained)
         fresh_rows.unpersist()
         existing.unpersist()
         concepts.unpersist()

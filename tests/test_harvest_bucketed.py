@@ -281,3 +281,51 @@ def test_vacuum_removes_only_stale_staging(spark, tmp_path):
     removed = state.vacuum(min_age_sec=600)
     assert removed == [".staging-terms-deadbeef"]
     assert not old_dir.exists() and new_dir.exists()
+
+
+def test_vacuum_reports_only_real_deletions_and_reclaims_commit_dirs(
+    spark, root
+):
+    """rmtree on a plain file (Spark's _SUCCESS marker) is a silent
+    no-op, so vacuum must (a) never report a path it did not delete
+    and (b) actually empty and remove a fully-superseded commit
+    directory, marker included."""
+    state = BucketedHarvestState(spark, root, n_buckets=8)
+    bindings = spark.createDataFrame(ROWS_A, SPARQL_BINDINGS)
+    state.load_batch(bindings, T1)
+    first_commits = set(os.listdir(os.path.join(root, "terms", "data")))
+    state.load_batch(bindings, T2)  # supersedes every term bucket of c1
+    removed = state.vacuum(min_age_sec=0.0)
+    for rel in removed:
+        assert not os.path.exists(os.path.join(root, rel)), rel
+    data_dir = os.path.join(root, "terms", "data")
+    live = set(os.listdir(data_dir))
+    # the fully superseded first commit is gone entirely (its
+    # _SUCCESS marker no longer pins the directory open)
+    assert first_commits.isdisjoint(live), (first_commits, live)
+
+
+def test_legacy_bucket_layout_without_manifest_raises(spark, root):
+    """A state directory in the pre-manifest bucket=K layout must fail
+    loudly instead of reading back as silently-empty state."""
+    state = BucketedHarvestState(spark, root, n_buckets=8)
+    legacy = os.path.join(root, "terms", "bucket=3")
+    os.makedirs(legacy)
+    with pytest.raises(ValueError, match="legacy bucket=K layout"):
+        state.terms()
+
+
+def test_commit_drops_pointer_for_touched_but_empty_bucket(spark, root):
+    """A touched bucket whose staged output is empty must lose its
+    manifest pointer — under a future delete-merge, keeping it would
+    resurrect the deleted rows."""
+    state = BucketedHarvestState(spark, root, n_buckets=8)
+    bindings = spark.createDataFrame(ROWS_A, SPARQL_BINDINGS)
+    state.load_batch(bindings, T1)
+    buckets = sorted(state._manifest("terms")["buckets"], key=int)
+    assert buckets
+    victim = int(buckets[0])
+    survivors = state.terms().filter(f"bucket <> {victim}")
+    state._commit("terms", survivors, touched=[victim])
+    assert str(victim) not in state._manifest("terms")["buckets"]
+    assert state.terms().filter(f"bucket = {victim}").count() == 0
