@@ -74,84 +74,74 @@ _EXPECTED_MISSING: frozenset[str] = frozenset()
 DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = (
-    # ---- r07 rotation ----
-    # (a) The 26 catalog entries that have NEVER carried a driver row
-    # (enumerated in the r6 comment; judge replayed 14 of them green
-    # via tools/verify_oracle.py).  After this round every one of the
-    # catalog's entries has a CORRECTNESS_r{N} row.
-    "q_sample_exact_k",
-    "q_events_rfm",
-    "q_text_collocations",
-    "q_dedup_containment",
-    "q_agg_heavy_hitters",
-    "q_events_cdc_apply",
-    "q_sample_weighted",
-    "q_dedup_fuzzy_edit",
-    "q_multimodal_audio_pipeline",
-    "q_join_interval_banded",
-    "q_events_resample_interp",
-    "q_local_supplier_volume",
-    "q_join_null_safe",
-    "q_stream_cdc_apply",
-    "q_agg_statistics",
-    "q_graph_bfs_distance",
-    "q_sample_weighted_stratified",
-    "q_text_minmax_scale_arrow",
-    "q_source_partitioned_roundtrip",
-    "q_agg_hll_set_algebra",
-    "q_events_rolling_active_users",
-    "q_sample_balanced_classes",
-    "q_agg_equidepth_histogram",
-    "q_source_manifest_stream_roundtrip",
-    "q_join_overlap_intervals",
-    "q_window_pareto_concentration",
-    # (b) Round-7 additions and round-7 CODE CHANGES — new queries need
-    # their first row; changed plans need re-gating even though their
-    # r06 rows were green (fuzzy broadcast removal also reshapes
-    # entity_resolution; pairs_threshold lost its scoring hints;
-    # bucketed_rerun commits through a manifest now; langid was
-    # promoted rows-only → hash oracle).
-    "q_stream_stateful_totals_append",
-    "q_text_langid",
-    "q_pipeline_entity_resolution",
-    "q_similarity_pairs_threshold",
-    "q_harvest_bucketed_rerun",
-    # (c) The r6-promised swap-backs: greens whose newest row is r04 /
-    # judge-ok that ceded their r6 slots to never-checked entries.
-    "q_join_salted_skew",
-    "q_setop_except_all",
-    "q_scalar_date",
-    "q_pipeline_corpus_prep",
-    "q_graph_pagerank",
-    "q_sparql_datasource",
-    "q_window_ranking",
-    "q_scalar_string",
-    "q_setop_union_by_name",
-    "q_join_semi",
-    "q_text_entropy_pandas_udf",
-    "q_scalar_json",
-    "q_sample_pack_sequences",
-    # (d) Fill to the window with the stalest remaining r04 greens,
-    # keeping family spread (windows, joins, setops, text, dedup,
-    # similarity).  Remaining r04 rows (lag_lead already here; plus
-    # running_sum, sliding_frame, range_frame, first_last,
-    # distribution, right/full outer, cross, multikey, union_all,
-    # union_distinct, intersect_all, except, kwic, topk_tokens,
-    # ppm_pipeline, bernoulli/train-valid-test/stratified/mixture/
-    # chunk samplers, quality repetition/pii, embedding_outliers)
-    # rotate in r8, as do the eight r7-late additions
-    # (q_dedup_substring_spans, q_sample_global_shuffle,
-    # q_events_time_decay_score, q_quality_winsorize,
-    # q_agg_chi_square, q_stream_trending_topk,
-    # q_quality_compression_ratio, q_join_existence — added after this
-    # window was sized); all stay
-    # green under tools/verify_oracle.py meanwhile.
-    "q_window_lag_lead",
-    "q_window_topk_per_group",
-    "q_join_anti",
-    "q_setop_intersect",
-    "q_dedup_incremental",
-    "q_similarity_hybrid_rerank",
+    # ---- r09 rotation ----
+    # (r8 was a short round that never rotated this list, so the r8
+    # driver re-ran the r7 window; composition below clears the
+    # resulting backlog.)
+    # (a) The 9 entries that have NEVER carried a driver row: the
+    # eight r7-late additions (judge-replayed green in the r7 session)
+    # plus r8's salted sessionization.
+    "q_dedup_substring_spans",
+    "q_sample_global_shuffle",
+    "q_events_time_decay_score",
+    "q_quality_winsorize",
+    "q_agg_chi_square",
+    "q_stream_trending_topk",
+    "q_quality_compression_ratio",
+    "q_join_existence",
+    "q_events_sessionize_salted",
+    # (b) Oracle/code changes needing re-gating: the two sketch
+    # queries were promoted rows-only → hash-oracle in r8 and
+    # approx_quantiles gained exact-percentile value columns in r9;
+    # never driver-checked in their new form.
+    "q_agg_approx_quantiles",
+    "q_approx_count_distinct",
+    # (c) The 24 entries whose newest driver row is still r04 — the
+    # stalest backlog, promised for r8 (all stayed green under
+    # tools/verify_oracle.py + judge replay meanwhile).
+    "q_window_running_sum",
+    "q_window_sliding_frame",
+    "q_window_range_frame",
+    "q_window_first_last",
+    "q_window_distribution",
+    "q_join_right_outer",
+    "q_join_full_outer",
+    "q_join_cross",
+    "q_join_multikey",
+    "q_setop_union_all",
+    "q_setop_union_distinct",
+    "q_setop_intersect_all",
+    "q_setop_except",
+    "q_text_kwic_udtf",
+    "q_text_topk_tokens",
+    "q_multimodal_ppm_pipeline",
+    "q_sample_bernoulli_hash",
+    "q_sample_train_valid_test",
+    "q_sample_stratified",
+    "q_sample_mixture_weights",
+    "q_sample_chunk_windows",
+    "q_quality_repetition",
+    "q_quality_pii_redact",
+    "q_embedding_outliers",
+    # (d) New r9 catalog entries take their first row here (inserted
+    # as they land, before the r05 fills below).
+    # (e) Fill the remaining slots with the stalest r05 greens,
+    # family-spread; the rest of the r05 cohort rotates in r10.
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_components",
+    "q_dedup_semantic",
+    "q_embedding_kmeans",
+    "q_events_funnel",
+    "q_events_sessionize",
+    "q_events_transitions",
+    "q_agg_percentiles",
+    "q_agg_pivot",
+    "q_grouping_sets",
+    "q_cube_lineitem_flags",
+    "q_join_asof",
+    "q_join_asof_forward",
+    "q_scalar_array",
 )
 
 _loaded = False

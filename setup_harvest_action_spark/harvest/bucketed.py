@@ -251,15 +251,24 @@ class BucketedHarvestState:
                     if rel in referenced or not _old_enough(path):
                         continue
                     if not entry.startswith("bucket_p="):
-                        # plain files (Spark's _SUCCESS marker): only
-                        # reclaimable once NO bucket of this commit is
-                        # referenced anymore
+                        # Non-bucket entries: plain files (Spark's
+                        # _SUCCESS marker) are only reclaimable once NO
+                        # bucket of this commit is referenced anymore;
+                        # DIRECTORIES here are crash leftovers (e.g. a
+                        # `_temporary` dir from a killed write) and
+                        # must go through rmtree — os.remove on a dir
+                        # raises and would leak the commit dir forever.
                         if commit_live:
                             continue
-                        try:
-                            os.remove(path)
-                        except OSError:
-                            continue
+                        if os.path.isdir(path):
+                            shutil.rmtree(path, ignore_errors=True)
+                            if os.path.exists(path):  # partial removal
+                                continue
+                        else:
+                            try:
+                                os.remove(path)
+                            except OSError:
+                                continue
                     else:
                         shutil.rmtree(path, ignore_errors=True)
                         if os.path.exists(path):  # partial removal

@@ -320,7 +320,13 @@ SELECT l_returnflag,
        quantile_cont(l_extendedprice, 0.95)
          BETWEEN quantile_cont(l_extendedprice, {0.95 - APPROX_Q_WINDOW})
              AND quantile_cont(l_extendedprice, {0.95 + APPROX_Q_WINDOW})
-         AS p95_ok
+         AS p95_ok,
+       CAST(round(quantile_cont(l_extendedprice, 0.25), 2) AS DOUBLE)
+         AS p25_exact,
+       CAST(round(quantile_cont(l_extendedprice, 0.50), 2) AS DOUBLE)
+         AS p50_exact,
+       CAST(round(quantile_cont(l_extendedprice, 0.95), 2) AS DOUBLE)
+         AS p95_exact
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -337,10 +343,14 @@ def q_agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine emits per-group booleans that its own pNN estimate lies
     inside its own exact [p−0.002, p+0.002] rank window (20× the
     bound).  Spark checks the GK sketch against F.percentile's exact
-    interpolated values; DuckDB checks quantile_cont against itself
-    (trivially inside) — both hash ``true`` unless the sketch drifts.
-    The exact window bounds ride the gate-scale query only for the
-    contract; the sketch columns remain the operator under test
+    interpolated values; DuckDB checks quantile_cont against itself.
+
+    The DuckDB booleans alone would be vacuously true (quantile_cont
+    is monotone in p), so the query ALSO emits the exact interpolated
+    percentile VALUES (rounded to cents) from both engines — Spark's
+    F.percentile vs DuckDB's quantile_cont share the rank = p·(n−1)
+    linear-interpolation definition, so the hash pins the exact
+    ground truth while the booleans pin the sketch contract
     (tests/test_aggregates.py keeps the per-rank assertion)."""
     li = load_table(spark, sf_dir, "lineitem")
 
@@ -353,10 +363,18 @@ def q_agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile("l_extendedprice", F.lit(p + APPROX_Q_WINDOW)),
         )
 
+    def exact(p: float) -> Column:
+        return F.round(
+            F.percentile("l_extendedprice", F.lit(p)), 2
+        ).cast("double")
+
     return li.groupBy("l_returnflag").agg(
         ok(0.25).alias("p25_ok"),
         ok(0.50).alias("p50_ok"),
         ok(0.95).alias("p95_ok"),
+        exact(0.25).alias("p25_exact"),
+        exact(0.50).alias("p50_exact"),
+        exact(0.95).alias("p95_exact"),
     )
 
 

@@ -52,6 +52,12 @@ from pyspark.sql import Column, DataFrame, Window
 
 RANGE_BUCKETS = 32  # matches spark.sql.shuffle.partitions on the test box
 
+# Internal working columns injected into (and dropped from) the
+# caller's DataFrame; a caller already using one of these would hit
+# ambiguous-column resolution or silently wrong bucketing, so
+# ranked_ntile refuses such inputs up front.
+_TEMP_COLS = frozenset({"__rk", "__p", "__lo", "__hi", "__off", "__n", "__c"})
+
 
 def ranked_ntile(
     df: DataFrame,
@@ -71,9 +77,34 @@ def ranked_ntile(
     the trailing ORDER BY columns of the window form, and must make
     the total order unique for deterministic assignment.  Returns
     ``df`` plus a bigint ``out`` column.
+
+    The non-null precondition is ENFORCED, not just documented: a null
+    rank key would get a null ``__p``, fail the inner ``__p``
+    equi-join, and silently drop the row — where ``ntile() OVER``
+    keeps nulls first.  ``assert_true`` in the ``__rk`` projection
+    turns that silent loss into a loud job failure (no extra scan —
+    it rides the same stage).
     """
+    taken = set(df.columns) & _TEMP_COLS
+    if taken:
+        raise ValueError(
+            f"ranked_ntile: input columns {sorted(taken)} collide with "
+            f"internal temp names {sorted(_TEMP_COLS)}; rename them first"
+        )
     rkey = (-F.col(value)) if descending else F.col(value)
-    keyed = df.withColumn("__rk", rkey.cast("double"))
+    null_guard = F.assert_true(
+        F.col(value).isNotNull(),
+        F.lit(
+            f"ranked_ntile: null in rank column {value!r} — ntile-over-"
+            "nulls has no distributed equivalent here; filter or "
+            "coalesce nulls before calling"
+        ),
+    )
+    # assert_true returns NULL when it passes, so the `when` arm is
+    # always taken — it exists only to keep the guard in the projection.
+    keyed = df.withColumn(
+        "__rk", F.when(null_guard.isNull(), rkey.cast("double"))
+    )
 
     extent = keyed.agg(F.min("__rk").alias("__lo"), F.max("__rk").alias("__hi"))
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(buckets))

@@ -305,6 +305,23 @@ def test_vacuum_reports_only_real_deletions_and_reclaims_commit_dirs(
     assert first_commits.isdisjoint(live), (first_commits, live)
 
 
+def test_vacuum_reclaims_crashed_temporary_dirs(spark, root):
+    """A `_temporary` directory left by a killed Spark write inside a
+    fully-superseded commit must be rmtree'd, not hit os.remove and be
+    skipped forever (which would pin the commit dir open and leak the
+    orphan indefinitely)."""
+    state = BucketedHarvestState(spark, root, n_buckets=8)
+    bindings = spark.createDataFrame(ROWS_A, SPARQL_BINDINGS)
+    state.load_batch(bindings, T1)
+    data_dir = os.path.join(root, "terms", "data")
+    first = os.listdir(data_dir)[0]
+    crash_dir = os.path.join(data_dir, first, "_temporary", "0")
+    os.makedirs(crash_dir)
+    state.load_batch(bindings, T2)  # supersedes every bucket of c1
+    state.vacuum(min_age_sec=0.0)
+    assert first not in os.listdir(data_dir)
+
+
 def test_legacy_bucket_layout_without_manifest_raises(spark, root):
     """A state directory in the pre-manifest bucket=K layout must fail
     loudly instead of reading back as silently-empty state."""
