@@ -180,7 +180,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition sort — measured 1.35× slower at sf0.1) and a naive
     a⋈b self-join (recomputes the explode on both sides and re-shuffles
     it; measured 2.4× slower).  The exact ground truth MinHash
-    approximates."""
+    approximates.
+
+    MEASURED cap recall (tests/test_dedup_cap_recall.py): the
+    MAX_SHINGLE_DF=100 cap loses ZERO pairs on the clean sf0.01
+    corpus (capped ≡ uncapped, 25 pairs) and keeps 25/25 genuine
+    pairs under a 124-doc boilerplate injection where the uncapped
+    run inflates to 41 — the cap drops only boilerplate-mediated
+    pairs (recall floor 1.0, pinned)."""
     docs = load_table(spark, sf_dir, "documents")
     ds = docs.select("doc_id", tokens_col().alias("toks")).select(
         "doc_id",
@@ -847,7 +854,15 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reuses the capped inverted-index pipeline of q_dedup_ngram_jaccard
     verbatim (one shingle explode, posting-list pair expansion, hot-
     shingle cap) and emits BOTH directions of each undirected pair, so
-    one pair scan serves the whole directed relation."""
+    one pair scan serves the whole directed relation.
+
+    MEASURED cap recall (tests/test_dedup_cap_recall.py): zero pairs
+    lost at the cap on the clean sf0.01 corpus (50 ≡ 50), 50/50
+    genuine pairs kept under a 124-doc boilerplate injection where
+    the uncapped run inflates 20× to 1042 — containment is the most
+    boilerplate-sensitive family (a shared header alone can push a
+    short doc over the |A∩B|/|A| threshold), so the cap matters most
+    here (recall floor 1.0, pinned)."""
     docs = load_table(spark, sf_dir, "documents")
     ds = docs.select("doc_id", tokens_col().alias("toks")).select(
         "doc_id",
@@ -951,7 +966,15 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the windows would be hashed in place (``xxhash64(span)``, the
     minhash_signatures trick) so the shuffle carries 8-byte longs, not
     40-char strings; the string form here is what keeps the DuckDB
-    oracle exact (engine hash functions differ)."""
+    oracle exact (engine hash functions differ).
+
+    MEASURED cap recall (tests/test_dedup_cap_recall.py): the
+    MAX_SPAN_DF cap loses zero pairs on the clean sf0.01 corpus
+    (25 ≡ 25) and keeps 25/25 genuine pairs under a 124-doc
+    boilerplate injection, where the uncapped run explodes 31× to
+    7649 pairs (≈124·123/2 pure-header pairs) — exactly the
+    quadratic blow-up the cap exists to prevent (recall floor 1.0,
+    pinned)."""
     docs = load_table(spark, sf_dir, "documents")
     spans = (
         docs.filter(F.length("text") >= SPAN_LEN)

@@ -1,0 +1,125 @@
+"""Measured recall contract for the hot-key DF caps of the three
+inverted-index dedups (ngram Jaccard, directed containment,
+substring spans).
+
+The caps (``MAX_SHINGLE_DF`` / ``MAX_SPAN_DF``) bound posting-list
+pair expansion — the anti-blowup guarantee at 100 TB — but they are
+recall-affecting by construction: a pair whose ONLY overlap is a
+corpus-wide-hot key is never generated.  This file turns the design
+claim ("the cap drops exactly the boilerplate-mediated pairs, never
+the genuine ones") into pinned numbers, measured two ways:
+
+1. **Gate scale, clean corpus** (sf0.01, 500 docs): the production
+   caps do not bite at all — capped and uncapped runs produce the
+   IDENTICAL pair set for all three families (recall = 1.0 exactly).
+
+2. **Boilerplate injection**: the same 30-token / ~560-char header is
+   prepended to the 124 docs with ``xxhash64(doc_id) % 4 == 0``,
+   pushing every header-interior shingle/span to DF = 124 > cap.
+   Measured at the time of writing (deterministic fixtures):
+
+   =============  ========  ===========  =============  ======
+   family         genuine   capped(mod)  uncapped(mod)  recall
+   =============  ========  ===========  =============  ======
+   ngram             25          25           41         1.00
+   containment       50          50         1042         1.00
+   substring         25         217         7649         1.00
+   =============  ========  ===========  =============  ======
+
+   Every genuine pair (the uncapped clean-corpus ground truth)
+   survives the cap under injection — asserted below as a recall
+   floor of 1.0 — while the uncapped runs inflate 1.6× / 20× / 31×
+   with pairs mediated purely by the shared header (for substring,
+   124·123/2 ≈ 7.6k boilerplate pairs).  The capped substring run
+   legitimately grows to 217: the header extends real shared document
+   openings past the 44-char run threshold, which IS a verbatim
+   shared substring of the modified corpus, not a cap leak.
+
+The floors here are quoted in the three operator docstrings
+(functions/dedup.py); if an implementation change lowers recall, this
+file is the tripwire.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+import setup_harvest_action_spark.functions.dedup as dd
+
+SF = "/root/testdata/sf0.01"
+BOILER = " ".join(f"boilerplate-term-{i}" for i in range(30))
+
+FAMILIES = [
+    ("ngram", "q_dedup_ngram_jaccard", "MAX_SHINGLE_DF", ("doc_a", "doc_b")),
+    (
+        "containment",
+        "q_dedup_containment",
+        "MAX_SHINGLE_DF",
+        ("contained_id", "container_id"),
+    ),
+    ("substring", "q_dedup_substring_spans", "MAX_SPAN_DF", ("doc_a", "doc_b")),
+]
+
+
+def _pairs(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.select(*cols).collect()}
+
+
+@pytest.fixture(scope="module")
+def injected_dir(spark):
+    """sf0.01 documents with the hot header prepended to ~25% of docs."""
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    mod = docs.withColumn(
+        "text",
+        F.when(
+            F.abs(F.xxhash64("doc_id")) % 4 == 0,
+            F.concat(F.lit(BOILER + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    tmp = tempfile.mkdtemp(prefix="capreel-")
+    mod.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name,qname,cap_attr,cols", FAMILIES)
+def test_df_cap_recall_floor(spark, injected_dir, name, qname, cap_attr, cols):
+    fn = getattr(dd, qname)
+    orig = getattr(dd, cap_attr)
+
+    # (1) clean corpus: the production cap must not bite at gate scale
+    capped_clean = _pairs(fn(spark, SF), cols)
+    setattr(dd, cap_attr, 10**9)
+    try:
+        uncapped_clean = _pairs(fn(spark, SF), cols)
+    finally:
+        setattr(dd, cap_attr, orig)
+    assert capped_clean == uncapped_clean, (
+        f"{name}: production cap {orig} drops pairs on the clean "
+        f"sf0.01 corpus — recall floor broken"
+    )
+    genuine = uncapped_clean
+    assert genuine, f"{name}: fixture produced no ground-truth pairs"
+
+    # (2) injected corpus: every genuine pair must survive the cap
+    # (recall floor 1.0 — measured, not aspirational: the header only
+    # ADDS shared content, so genuine overlap can only grow)
+    capped_mod = _pairs(fn(spark, injected_dir), cols)
+    missed = genuine - capped_mod
+    assert not missed, f"{name}: cap lost genuine pairs {sorted(missed)[:5]}"
+
+    # (3) and the cap must actually be doing its job: the uncapped run
+    # on the injected corpus blows up with boilerplate-mediated pairs
+    setattr(dd, cap_attr, 10**9)
+    try:
+        uncapped_mod = _pairs(fn(spark, injected_dir), cols)
+    finally:
+        setattr(dd, cap_attr, orig)
+    assert len(uncapped_mod) > 1.5 * len(capped_mod), (
+        f"{name}: injection did not exercise the cap "
+        f"({len(capped_mod)} capped vs {len(uncapped_mod)} uncapped)"
+    )

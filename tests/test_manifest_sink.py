@@ -154,3 +154,71 @@ def test_stream_manifest_sink_exactly_once(spark, tmp_path):
     w2 = _ManifestStreamWriter(out, events.schema)
     w2.commit([], batchId=max(m3["batches"]) + 1)
     assert read_manifest(out)["total_rows"] == n_expected
+
+
+def test_stream_manifest_mid_commit_crash_never_exposes_partial_batch(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-consistency of the streamWriter commit path: a driver
+    killed (a) after tasks wrote their part files but before commit()
+    ran, or (b) INSIDE commit() after the .tmp manifest was written
+    but before the atomic os.replace flip, must leave readers on the
+    previous committed state — and the engine's replay of the crashed
+    batch must then commit it exactly once, orphan parts staying
+    invisible forever."""
+    import setup_harvest_action_spark.sources.manifest_sink as ms
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        _ManifestStreamWriter,
+        read_manifest,
+        scan_manifest,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    schema = StructType(
+        [StructField("id", LongType()), StructField("tag", StringType())]
+    )
+    rows0 = [(i, f"b0-{i}") for i in range(10)]
+    rows1 = [(i, f"b1-{i}") for i in range(100, 107)]
+
+    w = _ManifestStreamWriter(out, schema)
+    w.commit([w.write(iter(rows0))], batchId=0)
+    assert scan_manifest(spark, out).count() == len(rows0)
+
+    # (a) crash BEFORE commit: parts on disk, no manifest change
+    orphan_msg = w.write(iter(rows1))
+    assert os.path.exists(os.path.join(out, orphan_msg.file))
+    assert read_manifest(out)["total_rows"] == len(rows0)
+    assert scan_manifest(spark, out).count() == len(rows0)
+
+    # (b) crash INSIDE commit, after .tmp write, before the flip
+    real_replace = os.replace
+
+    def boom(src, dst):
+        if dst.endswith(ms.MANIFEST):
+            raise RuntimeError("killed before flip")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(ms.os, "replace", boom)
+    with pytest.raises(RuntimeError, match="killed before flip"):
+        w.commit([orphan_msg], batchId=1)
+    monkeypatch.undo()
+    m = read_manifest(out)
+    assert m["total_rows"] == len(rows0)  # flip never happened
+    assert m["batches"] == [0]
+    assert scan_manifest(spark, out).count() == len(rows0)
+
+    # restart: the engine replays batch 1 (identical content, fresh
+    # task attempt -> fresh part file); exactly-once, orphans invisible
+    w2 = _ManifestStreamWriter(out, schema)
+    w2.commit([w2.write(iter(rows1))], batchId=1)
+    m2 = read_manifest(out)
+    assert m2["total_rows"] == len(rows0) + len(rows1)
+    assert m2["batches"] == [0, 1]
+    got = scan_manifest(spark, out)
+    assert got.count() == len(rows0) + len(rows1)  # no dup despite orphan
+    # the crashed attempt's part is still on disk but unreferenced
+    manifest_files = {e["file"] for e in m2["files"]}
+    assert orphan_msg.file not in manifest_files
+    assert os.path.exists(os.path.join(out, orphan_msg.file))
