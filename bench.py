@@ -63,6 +63,15 @@ HEADLINE = [
     "q_dedup_fuzzy_edit",
     "q_pipeline_entity_resolution",
     "q_events_resample_interp",
+    # round 9: next heavy tier (BENCHNOTES r7 plan #5) — the r7-late
+    # additions now carry r9 driver rows: directed containment and the
+    # stride-1 substring-span index (the two biggest inverted-index
+    # explodes after ngram), the chi-square contingency aggregate, and
+    # the streaming trending top-k (agg-then-foreachBatch).
+    "q_dedup_containment",
+    "q_dedup_substring_spans",
+    "q_agg_chi_square",
+    "q_stream_trending_topk",
 ]
 
 

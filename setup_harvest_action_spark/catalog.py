@@ -125,8 +125,11 @@ _DRIVER_PRIORITY = (
     "q_embedding_outliers",
     # (d) New r9 catalog entries take their first row here (inserted
     # as they land, before the r05 fills below).
+    "q_late_supplier_blame",
+    "q_dedup_winnowing",
     # (e) Fill the remaining slots with the stalest r05 greens,
-    # family-spread; the rest of the r05 cohort rotates in r10.
+    # family-spread; the rest of the r05 cohort (incl. the two fills
+    # ceded to the r9 additions) rotates in r10.
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_dedup_components",
@@ -140,8 +143,6 @@ _DRIVER_PRIORITY = (
     "q_grouping_sets",
     "q_cube_lineitem_flags",
     "q_join_asof",
-    "q_join_asof_forward",
-    "q_scalar_array",
 )
 
 _loaded = False

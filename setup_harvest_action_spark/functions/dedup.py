@@ -187,7 +187,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (capped ≡ uncapped, 25 pairs) and keeps 25/25 genuine
     pairs under a 124-doc boilerplate injection where the uncapped
     run inflates to 41 — the cap drops only boilerplate-mediated
-    pairs (recall floor 1.0, pinned)."""
+    pairs (recall floor 1.0, pinned).
+
+    Shuffle-volume model at 100 TB: SCALE.md §1."""
     docs = load_table(spark, sf_dir, "documents")
     ds = docs.select("doc_id", tokens_col().alias("toks")).select(
         "doc_id",
@@ -274,6 +276,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≈78% at J=0.7, ≈99.6% at J=0.9 — the band/row choice tunes the
     knee to the 0.5 threshold.  No oracle (xxhash64); recall vs the
     exact q_dedup_ngram_jaccard pairs is asserted in tests.
+
+    Shuffle-volume model at 100 TB: SCALE.md §2.
     """
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
@@ -723,7 +727,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(cluster-size²) pair stage computes ONE 64-element dot product
     per pair instead of dot + two norms + sqrt — a measured ~2x on the
     pair stage at sf0.1; mathematically cos(a,b) = dot(a/|a|, b/|b|),
-    and both engines still decide on round(cos, 6)."""
+    and both engines still decide on round(cos, 6).
+
+    Shuffle-volume model at 100 TB: SCALE.md §3.
+    """
     from setup_harvest_action_spark.functions.similarity import (
         dot,
         kmeans_assignments,
@@ -1003,6 +1010,100 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FP_WIN = 40  # chars per fingerprint window (same W as the span index)
+FP_KEEP = ("0", "1")  # md5-hex first chars kept -> 1/8 mod-p selection
+FP_MIN_SHARED = 2  # pairs reported at >= this many shared fingerprints
+MAX_FP_DF = 100  # hot-fingerprint cap (same trade as MAX_SPAN_DF)
+
+_WINNOW_ORACLE = f"""
+WITH spans AS (
+  SELECT DISTINCT doc_id,
+         substring(text, CAST(i AS INTEGER), {FP_WIN}) AS span
+  FROM documents,
+       UNNEST(generate_series(1, length(text) - {FP_WIN} + 1)) t(i)
+  WHERE length(text) >= {FP_WIN}
+),
+fps AS (
+  SELECT doc_id, md5(span) AS fp FROM spans
+  WHERE substring(md5(span), 1, 1) IN {FP_KEEP!r}
+),
+keyed AS (
+  SELECT doc_id, fp FROM fps WHERE fp IN (
+    SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND {MAX_FP_DF})
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared_fps
+  FROM keyed a JOIN keyed b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, shared_fps FROM pairs
+WHERE shared_fps >= {FP_MIN_SHARED}
+"""
+
+
+@query("q_dedup_winnowing", oracle=_WINNOW_ORACLE)
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by mod-p window selection (the
+    MOSS-winnowing family, Schleimer/Wilkerson/Aiken): every
+    {FP_WIN}-char window is hashed, and only windows whose md5 lands
+    in a fixed 1/8 slice of hash space ({FP_KEEP} hex prefixes)
+    become fingerprints — a content-deterministic sample, so two
+    documents sharing a verbatim run select the SAME windows
+    regardless of offsets.  This is the SCALE PATH of
+    q_dedup_substring_spans: the inverted index shuffles 1/8 of the
+    windows for the same pair-detection job, the standard trade when
+    the full stride-1 index is too large.
+
+    Selection is md5-based in BOTH engines (Spark and DuckDB md5
+    agree on UTF-8 strings), so unlike the xxhash64 operators this
+    sampled index carries a full cross-engine hash oracle.
+
+    PROBABILISTIC recall contract (vs substring_spans' exact one): a
+    shared verbatim run of length L contributes m = L−{FP_WIN}+1
+    windows, each kept independently-uniformly w.p. 1/8, so
+    P(pair reported) = 1 − (7/8)^m − (m/8)·(7/8)^(m−1): ≈90% at
+    m = 30 (L ≈ 69 chars), ≈97% at m = 40 (L ≈ 79).  On the sf0.01
+    fixture the sampled index recovers the IDENTICAL 25-pair set the
+    full index reports (tests/test_llm_functions.py pins it).
+
+    Plan shape: selection happens INSIDE the per-document array
+    transform (filter before explode), so the explode, the shuffle
+    into posting lists, and the pair expansion are all 1/8-scale;
+    hot-fingerprint cap and in-list pair expansion as in every
+    inverted-index family.  Shuffle-volume model: SCALE.md §1 at
+    sampling factor 1/8."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep_sql = ", ".join(f"'{c}'" for c in FP_KEEP)
+    fps = (
+        docs.filter(F.length("text") >= FP_WIN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"filter(transform("
+                        f"  sequence(1, length(text) - {FP_WIN} + 1),"
+                        f"  i -> md5(substring(text, i, {FP_WIN}))),"
+                        f" h -> substring(h, 1, 1) IN ({keep_sql}))"
+                    )
+                )
+            ).alias("fp"),
+        )
+    )
+    postings = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_FP_DF))
+    )
+    return (
+        _pairs_within(postings)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= FP_MIN_SHARED)
+    )
+
+
 FUZZY_PREFIX_LEN = 64  # chars of document head compared by edit distance
 FUZZY_EDIT_MAX = 32  # maximum edit distance to call two heads near-dups
 FUZZY_MAX_BLOCK = 1000  # drop blocks hotter than this (anti-blowup cap)
@@ -1185,7 +1286,10 @@ def q_pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     never all-pairs), stage 3 is diameter-bounded label propagation
     with per-round lineage cuts.  The driver hash proves the WHOLE
     composition — including that the iterative closure converged to
-    the true transitive closure — against a recursive-CTE oracle."""
+    the true transitive closure — against a recursive-CTE oracle.
+
+    Shuffle-volume model at 100 TB: SCALE.md §5.
+    """
     docs = load_table(spark, sf_dir, "documents")
     pairs = fuzzy_match_pairs(spark, docs).select("doc_a", "doc_b")
     comp = connected_components(pairs, src="doc_a", dst="doc_b")

@@ -222,7 +222,10 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure all re-reference it; the closure itself is a two-key
     equi-join against the canonical (u < v) edge set — hashable, never
     a theta join.  Output is a one-row graph summary; the oracle
-    unrolls the identical CTE chain."""
+    unrolls the identical CTE chain.
+
+    Shuffle-volume model at 100 TB: SCALE.md §4.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))

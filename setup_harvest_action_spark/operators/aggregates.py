@@ -536,6 +536,93 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+LATE_DAYS = 1500  # "late" lag; the fixture's synthetic ship lag spans
+# ±~2400 days (p90 ≈ 1404), so 1500 keeps ~8% of lines and the
+# exists/not-exists branches both selective
+BLAME_TOP = 20
+
+
+@query(
+    "q_late_supplier_blame",
+    oracle=f"""
+SELECT s.s_name AS supplier,
+       CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS n_blamed_orders
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate
+                                        + INTERVAL {LATE_DAYS} DAY)
+GROUP BY s.s_name
+ORDER BY n_blamed_orders DESC, supplier
+LIMIT {BLAME_TOP}
+""",
+)
+def q_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the canonical EXISTS + NOT-EXISTS correlated
+    composition: suppliers who were the SOLE late shipper in a
+    multi-supplier order (lag > {LATE_DAYS}d against the fixture's
+    synthetic ship-lag spread), counted by distinct blamed order.
+
+    The decorrelation the engine must find (and Catalyst does from
+    this explicit spelling): both subqueries correlate on
+    ``l_orderkey`` with a ``suppkey <>`` residual, so EXISTS becomes a
+    LEFT SEMI and NOT EXISTS a LEFT ANTI hash join (both confirmed in
+    the executed plan), and every join keys on ``l_orderkey`` — the
+    probe side shuffles onto that key once and keeps its partitioning
+    through semi → anti, so no stage ever re-partitions the corpus by
+    a second key.  The NOT-EXISTS side pre-filters to late
+    lines before joining (the anti build side is ~8% of lineitem),
+    and ORDER BY + LIMIT folds into TakeOrderedAndProject.  Supplier
+    is dimension-sized at any SF where suppliers are a catalog, but
+    no broadcast is forced — AQE decides from post-filter sizes."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    late_cut = F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+    l1 = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > late_cut)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = lineitem.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    blamed = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("ok3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("s_name").alias("supplier"))
+        .agg(F.count_distinct("l_orderkey").alias("n_blamed_orders"))
+        .orderBy(F.desc("n_blamed_orders"), "supplier")
+        .limit(BLAME_TOP)
+    )
+
+
 # Incremental-rollup batch boundary: rows shipped before the cutoff are
 # the "already materialized" state; rows at/after it are the new batch.
 ROLLUP_CUTOFF = "1998-01-01"

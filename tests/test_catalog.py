@@ -41,30 +41,34 @@ def test_every_oracle_has_a_query():
 
 def test_driver_window_covers_every_component():
     """The first DRIVER_WINDOW catalog entries (all the driver's
-    correctness gate ever records) must front the r07 rotation: the 26
-    never-driver-checked entries, this round's new/replanned queries,
-    and the r6-promised swap-backs."""
+    correctness gate ever records) must front the r09 rotation: the 9
+    never-driver-checked entries, the re-gated sketch oracles, the 24
+    stalest (r04) greens, and the r05 fills."""
     queries, _ = cat.load_catalog()
     window = list(queries)[: cat.DRIVER_WINDOW]
     assert len(cat._DRIVER_PRIORITY) <= cat.DRIVER_WINDOW
     assert list(cat._DRIVER_PRIORITY) == window[: len(cat._DRIVER_PRIORITY)]
-    # spot-check the r6 verdict's named next-round criteria are inside:
-    # never-checked entries, round-7 additions/replans, and swap-backs
+    # spot-check the r7 verdict's named next-round criteria are inside:
+    # the eight r7-late additions, r8's salted sessionization, the two
+    # sketch-contract promotions, and representatives of the r04 backlog
     for name in (
-        "q_sample_exact_k",
-        "q_dedup_fuzzy_edit",
-        "q_agg_hll_set_algebra",
-        "q_agg_equidepth_histogram",
-        "q_window_pareto_concentration",
-        "q_join_overlap_intervals",
-        "q_source_manifest_stream_roundtrip",
-        "q_stream_stateful_totals_append",
-        "q_text_langid",
-        "q_pipeline_entity_resolution",
-        "q_similarity_pairs_threshold",
-        "q_harvest_bucketed_rerun",
-        "q_graph_pagerank",
-        "q_sparql_datasource",
+        "q_dedup_substring_spans",
+        "q_sample_global_shuffle",
+        "q_events_time_decay_score",
+        "q_quality_winsorize",
+        "q_agg_chi_square",
+        "q_stream_trending_topk",
+        "q_quality_compression_ratio",
+        "q_join_existence",
+        "q_events_sessionize_salted",
+        "q_agg_approx_quantiles",
+        "q_approx_count_distinct",
+        "q_window_running_sum",
+        "q_join_right_outer",
+        "q_setop_union_all",
+        "q_text_kwic_udtf",
+        "q_sample_bernoulli_hash",
+        "q_quality_pii_redact",
     ):
         assert name in window, name
 

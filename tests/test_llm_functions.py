@@ -499,3 +499,22 @@ def test_substring_span_recall_guarantee(spark):
     assert (1, 2) in pairs, pairs
     assert pairs[(1, 2)] >= SPAN_MIN_SHARED
     assert (3, 4) not in pairs, pairs
+
+
+def test_winnowing_recovers_full_span_index_pairs(spark, queries):
+    """The 1/8-sampled winnowing fingerprint index must recover the
+    identical pair set the full stride-1 span index reports on the
+    fixture (whose near-dup runs are long enough that the
+    probabilistic contract predicts ~100% recall) — pinning both the
+    sampling determinism and the FP_MIN_SHARED threshold."""
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in queries["q_dedup_substring_spans"](spark, SF).collect()
+    }
+    sampled = {
+        (r["doc_a"], r["doc_b"])
+        for r in queries["q_dedup_winnowing"](spark, SF).collect()
+    }
+    assert full, "fixture produced no span pairs"
+    assert sampled == full, (
+        sorted(full - sampled)[:5], sorted(sampled - full)[:5])

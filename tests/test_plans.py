@@ -798,3 +798,34 @@ def test_ranked_ntile_family_never_sorts_the_relation_globally(
                 continue
             below = "\n".join(lines[i + 1 : i + 4])
             assert "HashAggregate" in below, (name, tree)
+
+
+def test_winnowing_selects_before_explode_and_scans_once(spark, queries):
+    """The winnowing fingerprint index must apply the 1/8 md5
+    selection INSIDE the per-document array transform (filter before
+    explode — the whole point of the sampled index) and scan
+    documents exactly once; pair expansion stays in-list (no doc x doc
+    join of any kind)."""
+    with conf(spark, "spark.sql.adaptive.enabled", "false"):
+        plan = plan_of(queries["q_dedup_winnowing"](spark, SF))
+        tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    # the lambda filter on the md5 prefix sits in the project that
+    # FEEDS Generate (explode), not in a Filter above it
+    gen_zone = plan.split("Generate")[0]
+    assert "filter(transform" in plan.replace("\n", "")
+    assert "SortMergeJoin" not in tree and "BroadcastHashJoin" not in tree
+
+
+def test_late_supplier_blame_decorrelates_to_semi_and_anti(spark, queries):
+    """The Q21 shape must decorrelate: EXISTS -> LeftSemi, NOT EXISTS
+    -> LeftAnti (hash joins, never a nested-loop correlated re-scan),
+    with ORDER BY+LIMIT folded into TakeOrderedAndProject."""
+    df = queries["q_late_supplier_blame"](spark, SF)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
