@@ -127,6 +127,7 @@ _DRIVER_PRIORITY = (
     # as they land, before the r05 fills below).
     "q_late_supplier_blame",
     "q_dedup_winnowing",
+    "q_events_interval_coverage",
     # (e) Fill the remaining slots with the stalest r05 greens,
     # family-spread; the rest of the r05 cohort (incl. the two fills
     # ceded to the r9 additions) rotates in r10.
@@ -142,7 +143,6 @@ _DRIVER_PRIORITY = (
     "q_agg_pivot",
     "q_grouping_sets",
     "q_cube_lineitem_flags",
-    "q_join_asof",
 )
 
 _loaded = False

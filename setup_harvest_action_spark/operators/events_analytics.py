@@ -1212,3 +1212,94 @@ def q_events_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_scored"),
         )
     )
+
+
+@query(
+    "q_events_interval_coverage",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e
+  FROM events
+),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER prev IS NULL
+                OR s > max(e) OVER prev THEN 1 ELSE 0 END AS brk
+  FROM iv
+  WINDOW prev AS (PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+islands AS (
+  SELECT user_id, s, e,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM marked
+),
+per AS (
+  SELECT user_id, island, min(s) AS ms, max(e) AS me
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(me - ms) AS BIGINT) AS covered_us
+FROM per GROUP BY user_id
+""",
+)
+def q_events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-UNION coverage per user (gaps-and-islands merge): each
+    event claims [ts, ts + value minutes]; overlapping claims must
+    count once, so the answer is the summed length of MERGED islands —
+    the SLA/billing/utilization aggregate a plain SUM(duration)
+    over-counts and sessionization (which groups by gap between
+    POINTS) cannot express.
+
+    Island detection is the running-max idiom: an interval starts a
+    new island iff its start exceeds the max end among all EARLIER
+    intervals of the same user (sorted by start — lag(end) alone is
+    wrong when a long interval swallows later ones); the island id is
+    the running sum of those breaks, then two keyed aggregates fold
+    islands to (min start, max end) and users to (count, covered).
+
+    Scale shape: ONE shuffle on user_id; both windows and both
+    aggregates share that partitioning (the plan shows a single
+    Exchange), and every window is per-user — bounded by an entity's
+    own event count, with the same celebrity-user caveat (and salted
+    escape hatch) as q_events_sessionize.  All arithmetic runs in
+    BIGINT epoch-microseconds with an explicit floor() on the one
+    double product, because Spark CASTs double→bigint by truncation
+    while DuckDB rounds — floor() first makes both engines exact."""
+    events = load_table(spark, sf_dir, "events")
+    iv = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * F.lit(60000000.0)).cast("bigint")
+        ).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_max_e = F.max("e").over(w_prev)
+    brk = F.when(
+        prev_max_e.isNull() | (F.col("s") > prev_max_e), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        iv.withColumn("island", F.sum(brk).over(w_run))
+        .groupBy("user_id", "island")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("me") - F.col("ms")).alias("covered_us"),
+        )
+    )

@@ -829,3 +829,15 @@ def test_late_supplier_blame_decorrelates_to_semi_and_anti(spark, queries):
     assert "TakeOrderedAndProject" in tree
     assert "BroadcastNestedLoopJoin" not in tree
     assert "CartesianProduct" not in tree
+
+
+def test_interval_coverage_shares_one_user_exchange(spark, queries):
+    """The interval-union coverage query must do its windows, island
+    aggregate, and user aggregate all on ONE user_id exchange — a
+    second shuffle would mean the island/user aggregates lost the
+    window's partitioning."""
+    with conf(spark, "spark.sql.adaptive.enabled", "false"):
+        tree = tree_of(queries["q_events_interval_coverage"](spark, SF))
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("Window") == 2
+    assert tree.count("Scan parquet") == 1
