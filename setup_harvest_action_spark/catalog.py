@@ -128,6 +128,7 @@ _DRIVER_PRIORITY = (
     "q_late_supplier_blame",
     "q_dedup_winnowing",
     "q_events_interval_coverage",
+    "q_window_running_distinct",
     # (e) Fill the remaining slots with the stalest r05 greens,
     # family-spread; the rest of the r05 cohort (incl. the two fills
     # ceded to the r9 additions) rotates in r10.
@@ -142,7 +143,6 @@ _DRIVER_PRIORITY = (
     "q_agg_percentiles",
     "q_agg_pivot",
     "q_grouping_sets",
-    "q_cube_lineitem_flags",
 )
 
 _loaded = False

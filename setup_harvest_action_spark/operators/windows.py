@@ -353,3 +353,60 @@ def q_window_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.col("rev") / F.col("total"), 6).alias("revenue_share"),
         )
     )
+
+
+@query(
+    "q_window_running_distinct",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN row_number() OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id
+              ) = 1 THEN 1 ELSE 0 END AS is_first
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(sum(is_first) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS distinct_types_so_far
+FROM firsts
+WHERE user_id < 20
+""",
+)
+def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING DISTINCT COUNT per entity — how many distinct event
+    types each user has touched as of each event.  SQL has no
+    ``count(DISTINCT x) OVER (... ROWS UNBOUNDED PRECEDING)`` (and the
+    naive ``collect_set`` over a running frame materializes a growing
+    set PER ROW — O(n²) state); the scalable spelling is
+    first-occurrence marking: rank each (user, type) by time, flag
+    rank 1, then a plain running SUM of flags over the user timeline.
+
+    Two windows with DIFFERENT partition keys, so two shuffles — the
+    honest minimum, since distinctness is per (user, type) while the
+    running frame is per user.  Both windows are entity-bounded (no
+    global sort); the second shuffle carries one row per event with a
+    1-byte flag, not a set.  The user_id < 20 slice bounds the gate
+    fixture; the plan is identical unbounded."""
+    events = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_first = F.when(
+        F.row_number().over(w_first) == 1, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        events.filter(F.col("user_id") < 20)
+        .select("user_id", "ts", "event_id", is_first.alias("is_first"))
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("is_first").over(w_run).alias("distinct_types_so_far"),
+        )
+    )

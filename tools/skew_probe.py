@@ -40,6 +40,10 @@ Each probed query's own plan contract is what should absorb the skew:
 | q_graph_triangle_count | degree-oriented wedge closure at a celebrity vertex |
 | q_dedup_semantic | cluster-size² bound under 3× duplication |
 | q_embedding_kmeans | map-only assignment stays linear in corpus |
+| q_dedup_substring_spans | MAX_SPAN_DF hot-window cap (r9) |
+| q_dedup_winnowing | 1/8 mod-p selection + MAX_FP_DF cap (r9) |
+| q_events_interval_coverage | per-user windows under one hot user (r9) |
+| q_late_supplier_blame | all joins keyed on the (non-hot) orderkey — growth must stay ~linear in volume (r9) |
 
 Usage:  python tools/skew_probe.py [--regen] [query ...]
 Results land in stdout; record them in BENCHNOTES.md.
@@ -72,6 +76,10 @@ PROBES = [
     "q_graph_triangle_count",
     "q_dedup_semantic",
     "q_embedding_kmeans",
+    "q_dedup_substring_spans",
+    "q_dedup_winnowing",
+    "q_events_interval_coverage",
+    "q_late_supplier_blame",
 ]
 
 
