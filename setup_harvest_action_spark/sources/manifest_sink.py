@@ -24,6 +24,24 @@ the DataSource writer API:
 * ``abort()`` best-effort deletes the orphan parts named in the
   received messages.
 
+VERSIONED COMMITS (r9): every commit — batch or micro-batch — bumps a
+monotonically increasing ``version`` and persists an IMMUTABLE
+snapshot ``_manifest-v{N}.json`` beside the latest pointer, giving the
+sink table-format time travel:
+
+* ``read_manifest(path, version=N)`` / ``scan_manifest(spark, path,
+  version=N)`` read any retained historical version;
+* snapshots are written BEFORE the latest flip, so a crash between the
+  two leaves an orphan snapshot with ``version > latest.version`` —
+  readers refuse such versions (they were never committed) and the
+  next commit's ``os.replace`` supersedes the orphan file;
+* ``compact(spark, path, n_parts)`` rewrites the current content into
+  ``n_parts`` fresh files through the SAME atomic commit path (new
+  version, streaming batch ids carried over), leaving the old parts
+  to ``vacuum_manifest(path, keep_last=K)``, which drops snapshots
+  older than the last K and every data file no retained version
+  references.
+
 Register per-session with ``register_manifest_sink(spark)``; then
 ``df.write.format("manifest_parquet").mode("append"|"overwrite")
 .save(path)``.  Reference parity: the reference commits each page with
@@ -46,6 +64,29 @@ from pyspark.sql.datasource import (
 )
 
 MANIFEST = "_manifest.json"
+SNAPSHOT_FMT = "_manifest-v{}.json"
+
+
+def _write_versioned(path: str, manifest: dict) -> None:
+    """Stamp the next version, persist the immutable snapshot, then
+    atomically flip the latest pointer — in that order, so the flip is
+    the single commit point (see module docstring for the
+    crash-between analysis)."""
+    mpath = os.path.join(path, MANIFEST)
+    prev_version = 0
+    if os.path.exists(mpath):
+        with open(mpath, encoding="utf-8") as fh:
+            prev_version = json.load(fh).get("version", 0)
+    manifest["version"] = prev_version + 1
+    snap = os.path.join(path, SNAPSHOT_FMT.format(manifest["version"]))
+    tmp = snap + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, snap)  # supersedes any crash-orphaned snapshot
+    tmp = mpath + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, mpath)
 
 
 @dataclasses.dataclass
@@ -110,10 +151,7 @@ class _ManifestWriter(DataSourceWriter):
                 prev["files"] + manifest["files"], key=lambda e: e["file"]
             )
             manifest["total_rows"] = sum(e["rows"] for e in manifest["files"])
-        tmp = os.path.join(self.path, MANIFEST + ".tmp")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(manifest, fh, indent=1, sort_keys=True)
-        os.replace(tmp, os.path.join(self.path, MANIFEST))
+        _write_versioned(self.path, manifest)
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -165,10 +203,7 @@ class _ManifestStreamWriter(DataSourceStreamWriter):
         )
         manifest["batches"] = sorted(manifest["batches"] + [batchId])
         manifest["total_rows"] = sum(e["rows"] for e in manifest["files"])
-        tmp = mpath + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(manifest, fh, indent=1, sort_keys=True)
-        os.replace(tmp, mpath)
+        _write_versioned(self.path, manifest)
 
     def abort(self, messages, batchId: int) -> None:
         self._delegate.abort(messages)
@@ -196,18 +231,100 @@ def register_manifest_sink(spark) -> None:
     spark.dataSource.register(ManifestParquetSink)
 
 
-def read_manifest(path: str) -> dict:
+def read_manifest(path: str, version: int | None = None) -> dict:
     """The committed manifest (raises FileNotFoundError before the
-    first successful commit — a crashed job is invisible)."""
+    first successful commit — a crashed job is invisible).  With
+    ``version``, the immutable snapshot of that commit — refused when
+    it exceeds the latest committed version (such a snapshot can only
+    be a crash orphan whose flip never happened) and FileNotFoundError
+    once vacuumed."""
     with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+        latest = json.load(fh)
+    if version is None:
+        return latest
+    if version > latest.get("version", 0):
+        raise ValueError(
+            f"version {version} was never committed at {path} "
+            f"(latest = {latest.get('version', 0)})"
+        )
+    with open(
+        os.path.join(path, SNAPSHOT_FMT.format(version)), encoding="utf-8"
+    ) as fh:
         return json.load(fh)
 
 
-def scan_manifest(spark, path: str):
+def scan_manifest(spark, path: str, version: int | None = None):
     """Read ONLY the files the manifest names — uncommitted/orphan
-    parts in data/ are never visible to readers."""
-    m = read_manifest(path)
+    parts in data/ are never visible to readers.  ``version`` time-
+    travels to a retained historical commit."""
+    m = read_manifest(path, version)
     files = [os.path.join(path, e["file"]) for e in m["files"]]
     if not files:
         raise ValueError(f"empty manifest at {path}")
     return spark.read.parquet(*files)
+
+
+def compact(spark, path: str, n_parts: int) -> dict:
+    """Rewrite the CURRENT content into ``n_parts`` fresh files through
+    the same atomic commit path (overwrite-mode manifest write), so
+    readers switch from many small parts to few large ones in one
+    flip.  Streaming batch ids are carried over — a stream restart
+    against its checkpoint still recognizes its committed batches.
+    Old parts become unreferenced; ``vacuum_manifest`` reclaims them.
+    Single-writer discipline is assumed (as for every commit here).
+    Returns the post-compaction manifest."""
+    before = read_manifest(path)
+    register_manifest_sink(spark)
+    (
+        scan_manifest(spark, path)
+        .repartition(n_parts)
+        .write.format("manifest_parquet")
+        .mode("overwrite")
+        .save(path)
+    )
+    after = read_manifest(path)
+    if "batches" in before:
+        after["batches"] = before["batches"]
+        # read-modify-replace under the single-writer assumption; the
+        # version does NOT bump (same logical content, same commit)
+        tmp = os.path.join(path, MANIFEST + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(after, fh, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(path, MANIFEST))
+        snap = os.path.join(path, SNAPSHOT_FMT.format(after["version"]))
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(after, fh, indent=1, sort_keys=True)
+        os.replace(tmp, snap)
+    return after
+
+
+def vacuum_manifest(path: str, keep_last: int = 1) -> list[str]:
+    """Drop snapshots older than the last ``keep_last`` committed
+    versions and delete every data file that no RETAINED version (nor
+    the latest pointer) references.  Returns repo-relative paths
+    actually removed.  Crash-orphan snapshots (version > latest) are
+    removed too — their flip never happened, so nothing can read
+    them."""
+    latest = read_manifest(path)
+    latest_v = latest.get("version", 0)
+    cutoff = latest_v - keep_last + 1
+    removed: list[str] = []
+    referenced = {e["file"] for e in latest["files"]}
+    for entry in sorted(os.listdir(path)):
+        if not (entry.startswith("_manifest-v") and entry.endswith(".json")):
+            continue
+        v = int(entry[len("_manifest-v"):-len(".json")])
+        if cutoff <= v <= latest_v:
+            with open(os.path.join(path, entry), encoding="utf-8") as fh:
+                referenced |= {e["file"] for e in json.load(fh)["files"]}
+        else:
+            os.remove(os.path.join(path, entry))
+            removed.append(entry)
+    data_dir = os.path.join(path, "data")
+    if os.path.isdir(data_dir):
+        for name in sorted(os.listdir(data_dir)):
+            rel = f"data/{name}"
+            if rel not in referenced:
+                os.remove(os.path.join(data_dir, name))
+                removed.append(rel)
+    return removed

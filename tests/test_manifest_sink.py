@@ -222,3 +222,102 @@ def test_stream_manifest_mid_commit_crash_never_exposes_partial_batch(
     manifest_files = {e["file"] for e in m2["files"]}
     assert orphan_msg.file not in manifest_files
     assert os.path.exists(os.path.join(out, orphan_msg.file))
+
+
+def test_versioned_commits_enable_time_travel(sink, tmp_path):
+    """Every commit bumps `version` and leaves an immutable snapshot;
+    scan_manifest(version=N) reproduces exactly what a reader saw
+    after commit N, and never-committed versions are refused."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        read_manifest,
+        scan_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    sink.range(0, 100).write.format("manifest_parquet").mode(
+        "overwrite"
+    ).save(path)
+    sink.range(100, 150).write.format("manifest_parquet").mode(
+        "append"
+    ).save(path)
+    m = read_manifest(path)
+    assert m["version"] == 2 and m["total_rows"] == 150
+    assert read_manifest(path, version=1)["total_rows"] == 100
+    assert scan_manifest(sink, path, version=1).count() == 100
+    assert scan_manifest(sink, path, version=2).count() == 150
+    with pytest.raises(ValueError, match="never committed"):
+        read_manifest(path, version=9)
+
+
+def test_compaction_rewrites_parts_atomically_and_vacuum_reclaims(
+    sink, tmp_path
+):
+    """compact() folds many small parts into few through the same
+    atomic commit (rows identical, version bumped, streaming batch ids
+    carried over); vacuum_manifest() then drops old snapshots and
+    every part no retained version references, while the latest
+    version keeps scanning."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        compact,
+        read_manifest,
+        scan_manifest,
+        vacuum_manifest,
+    )
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        _ManifestStreamWriter,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    schema = StructType([StructField("id", LongType())])
+    w = _ManifestStreamWriter(path, schema)
+    for b in range(4):  # 4 micro-batches -> 4 parts, versions 1..4
+        w.commit([w.write(iter([(b * 10 + i,) for i in range(10)]))], batchId=b)
+    before = read_manifest(path)
+    assert before["version"] == 4 and len(before["files"]) == 4
+    assert before["batches"] == [0, 1, 2, 3]
+
+    after = compact(sink, path, n_parts=1)
+    assert after["version"] == 5
+    assert len(after["files"]) == 1
+    assert after["batches"] == [0, 1, 2, 3]  # stream restart safe
+    assert scan_manifest(sink, path).count() == 40
+    # pre-compaction content still time-travelable before vacuum
+    assert scan_manifest(sink, path, version=4).count() == 40
+
+    removed = vacuum_manifest(path, keep_last=1)
+    assert any(r.startswith("_manifest-v") for r in removed)
+    assert any(r.startswith("data/") for r in removed)
+    assert scan_manifest(sink, path).count() == 40  # latest unharmed
+    with pytest.raises(FileNotFoundError):
+        read_manifest(path, version=2)
+    data = os.listdir(os.path.join(path, "data"))
+    assert len(data) == 1  # only the compacted part survives
+
+
+def test_crash_orphan_snapshot_is_refused_and_vacuumed(sink, tmp_path):
+    """A snapshot whose latest-flip never happened (version > latest)
+    must be unreadable — it was never committed — and vacuum must
+    delete it."""
+    import json
+
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        SNAPSHOT_FMT,
+        read_manifest,
+        vacuum_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    sink.range(0, 10).write.format("manifest_parquet").mode(
+        "overwrite"
+    ).save(path)
+    orphan = os.path.join(path, SNAPSHOT_FMT.format(7))
+    with open(orphan, "w", encoding="utf-8") as fh:
+        json.dump({"files": [{"file": "data/ghost.parquet", "rows": 1,
+                              "bytes": 1}], "total_rows": 1, "version": 7}, fh)
+    with pytest.raises(ValueError, match="never committed"):
+        read_manifest(path, version=7)
+    removed = vacuum_manifest(path, keep_last=5)
+    assert SNAPSHOT_FMT.format(7) in removed
+    assert not os.path.exists(orphan)
