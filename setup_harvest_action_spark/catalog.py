@@ -129,6 +129,8 @@ _DRIVER_PRIORITY = (
     "q_dedup_winnowing",
     "q_events_interval_coverage",
     "q_window_running_distinct",
+    "q_sample_bootstrap",
+    "q_text_zipf_fit",
     # (e) Fill the remaining slots with the stalest r05 greens,
     # family-spread; the rest of the r05 cohort (incl. the two fills
     # ceded to the r9 additions) rotates in r10.
@@ -140,9 +142,7 @@ _DRIVER_PRIORITY = (
     "q_events_funnel",
     "q_events_sessionize",
     "q_events_transitions",
-    "q_agg_percentiles",
     "q_agg_pivot",
-    "q_grouping_sets",
 )
 
 _loaded = False

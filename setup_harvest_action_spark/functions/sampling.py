@@ -711,3 +711,92 @@ def q_sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.row_number().over(w).cast("long").alias("shuffle_pos")
     )
+
+
+BOOTSTRAP_REPLICATES = 5
+# Poisson(1) CDF cut points P(X <= k), k = 0..6, encoded as 12-hex-char
+# string thresholds: u = substring(md5(key), 1, 12) is uniform over
+# fixed-width lowercase hex, so LEXICOGRAPHIC comparison against these
+# constants IS the numeric comparison u < CDF(k) — pure string ops both
+# engines evaluate identically, no hex->int conversion needed anywhere.
+_POISSON1_CDF_HEX = (
+    "5e2d58d8b3bc",  # P(X<=0) = 0.36788
+    "bc5ab1b16779",  # P(X<=1) = 0.73576
+    "eb715e1dc158",  # P(X<=2) = 0.91970
+    "fb23979734a2",  # P(X<=3) = 0.98101
+    "ff1025f59174",  # P(X<=4) = 0.99634
+    "ffd90f3ba405",  # P(X<=5) = 0.99941
+    "fffa8b71fc72",  # P(X<=6) = 0.99992
+)
+
+
+def _poisson1_case(h_sql: str) -> str:
+    """SQL CASE mapping a 12-hex-char uniform to its Poisson(1) draw —
+    identical text works in Spark SQL and DuckDB."""
+    arms = " ".join(
+        f"WHEN {h_sql} < '{t}' THEN {k}"
+        for k, t in enumerate(_POISSON1_CDF_HEX)
+    )
+    return f"CASE {arms} ELSE 7 END"
+
+
+_BOOTSTRAP_ORACLE = f"""
+WITH draws AS (
+  SELECT b.b AS replicate, e.value,
+         {_poisson1_case(
+             "substring(md5(CAST(e.event_id AS VARCHAR) "
+             "|| ':' || CAST(b.b AS VARCHAR)), 1, 12)")} AS mult
+  FROM events e,
+       (SELECT unnest(generate_series(1, {BOOTSTRAP_REPLICATES})) AS b) b
+)
+SELECT replicate,
+       CAST(sum(mult) AS BIGINT) AS n_sampled,
+       CAST(round(sum(mult * value) / sum(mult), 4) AS DOUBLE) AS mean_value
+FROM draws GROUP BY replicate
+"""
+
+
+@query("q_sample_bootstrap", oracle=_BOOTSTRAP_ORACLE)
+def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Poisson bootstrap — {BOOTSTRAP_REPLICATES} resampled
+    replicates of the corpus in ONE pass, the standard trick for
+    confidence intervals at 100 TB where "sample n rows with
+    replacement, B times" is unrunnable: each row's multiplicity in
+    replicate b is an independent Poisson(1) draw (the B→∞ limit of
+    multinomial resampling), so every replicate is a weighted scan,
+    never a shuffle of resampled rows.
+
+    Determinism ACROSS ENGINES without sharing an RNG: the uniform is
+    the first 12 hex chars of md5(event_id ':' b) — fixed-width hex
+    compares lexicographically exactly as it compares numerically, so
+    the Poisson inverse-CDF is a CASE over string constants
+    (module-level precomputed cut points) and both engines draw the
+    SAME multiplicity for every (row, replicate).  The full hash
+    oracle pins means per replicate; a broken draw shifts every
+    statistic.
+
+    Plan: one events scan, a {BOOTSTRAP_REPLICATES}-element explode
+    (B× map-side fan-out, zero extra scans), one partial/final
+    aggregate keyed by replicate — B bounded-size result rows."""
+    events = load_table(spark, sf_dir, "events")
+    h = (
+        "substring(md5(CAST(event_id AS STRING) "
+        "|| ':' || CAST(b AS STRING)), 1, 12)"
+    )
+    return (
+        events.select(
+            "event_id",
+            "value",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(BOOTSTRAP_REPLICATES))
+            ).alias("b"),
+        )
+        .withColumn("mult", F.expr(_poisson1_case(h)))
+        .groupBy(F.col("b").alias("replicate"))
+        .agg(
+            F.sum("mult").cast("bigint").alias("n_sampled"),
+            F.round(
+                F.sum(F.col("mult") * F.col("value")) / F.sum("mult"), 4
+            ).alias("mean_value"),
+        )
+    )

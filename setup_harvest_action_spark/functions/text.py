@@ -1007,3 +1007,62 @@ def q_text_minmax_scale_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").applyInArrow(
         scale, "doc_id long, lang string, scaled double"
     )
+
+
+ZIPF_TOP_RANKS = 500  # fit over the head of the rank-frequency curve
+
+
+@query(
+    "q_text_zipf_fit",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+ranked AS (
+  SELECT freq,
+         row_number() OVER (ORDER BY freq DESC, token) AS rk
+  FROM counts
+)
+SELECT CAST(round(regr_slope(ln(freq), ln(rk)), 4) AS DOUBLE) AS zipf_slope,
+       CAST(round(regr_intercept(ln(freq), ln(rk)), 4) AS DOUBLE)
+         AS zipf_intercept,
+       CAST(round(regr_r2(ln(freq), ln(rk)), 4) AS DOUBLE) AS fit_r2,
+       CAST(count(*) AS BIGINT) AS n_ranks
+FROM ranked WHERE rk <= {ZIPF_TOP_RANKS}
+""",
+)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus rank-frequency curve: regress
+    ln(freq) on ln(rank) over the top {ZIPF_TOP_RANKS} ranks — the
+    one-row corpus-health statistic (natural language sits near slope
+    −1; a corpus of boilerplate or randomly generated text departs
+    sharply, so the slope + R² pair is a cheap corpus-level quality
+    gate beside the per-document scores in functions/quality.py).
+
+    Shape: one explode into a token-keyed partial/final aggregate
+    (vocabulary-sized output), a rank window over that VOCABULARY —
+    single-partition but bounded by |vocab|, never corpus-sized (the
+    q_text_topk_tokens economics) — then regr_slope/intercept/r2,
+    which both engines define identically as the least-squares co-
+    moment forms, rounded to a shared scale.  One corpus pass total."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = counts.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), "token"))
+        .alias("rk"),
+    ).filter(F.col("rk") <= ZIPF_TOP_RANKS)
+    lf, lr = F.ln("freq"), F.ln("rk")
+    return ranked.agg(
+        F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(lf, lr), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(lf, lr), 4).alias("fit_r2"),
+        F.count("*").cast("bigint").alias("n_ranks"),
+    )
