@@ -162,3 +162,74 @@ def test_cohort_retention_exact(spark, monkeypatch):
         ("2026-06-01", 1): 1,
         ("2026-06-08", 0): 1,
     }
+
+
+def test_interval_coverage_matches_bruteforce_merge(spark):
+    """Randomized cross-check of the gaps-and-islands running-max
+    merge against a brute-force interval union, covering the edge
+    cases the idiom is known to get wrong when misspelled with
+    lag(end) instead of max(end): long intervals swallowing later
+    ones, exact-touch boundaries (s == prev max e -> SAME island under
+    the strict > break rule), duplicates, and zero-length claims."""
+    import random
+
+    from setup_harvest_action_spark.catalog import load_catalog
+
+    rng = random.Random(20260814)
+    rows = []
+    eid = 0
+    for user in range(8):
+        for _ in range(rng.randint(1, 40)):
+            s = rng.randint(0, 1000)
+            dur = rng.choice([0, 1, rng.randint(1, 50), rng.randint(1, 300)])
+            rows.append((eid, user, s, dur))
+            eid += 1
+    # brute force: per user, merge [s, e] with touching intervals joined
+    expected = {}
+    by_user: dict = {}
+    for _, u, s, d in rows:
+        by_user.setdefault(u, []).append((s, s + d))
+    for u, iv in by_user.items():
+        iv.sort()
+        islands = []
+        for s, e in iv:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        expected[u] = (len(islands), sum(e - s for s, e in islands))
+
+    # write the fixture with pyarrow (timestamp[us], like the real
+    # testdata) — the session's own parquet writer emits a timestamp
+    # physical type the canonical events schema refuses
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    epoch = dt.datetime(2024, 1, 1)
+    table = pa.table({
+        "event_id": pa.array([e for e, _, _, _ in rows], pa.int64()),
+        "ts": pa.array(
+            [epoch + dt.timedelta(minutes=s) for _, _, s, _ in rows],
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array([u for _, u, _, _ in rows], pa.int64()),
+        "event_type": pa.array(["x"] * len(rows)),
+        "value": pa.array([float(d) for _, _, _, d in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    tmp = tempfile.mkdtemp(prefix="ivcov-")
+    try:
+        pq.write_table(table, os.path.join(tmp, "events.parquet"))
+        q, _ = load_catalog()
+        got = {
+            r["user_id"]: (r["n_islands"], r["covered_us"] // 60000000)
+            for r in q["q_events_interval_coverage"](spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got == expected
