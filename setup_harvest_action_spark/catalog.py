@@ -131,6 +131,7 @@ _DRIVER_PRIORITY = (
     "q_window_running_distinct",
     "q_sample_bootstrap",
     "q_text_zipf_fit",
+    "q_source_manifest_changes_stream",
     # (e) Fill the remaining slots with the stalest r05 greens,
     # family-spread; the rest of the r05 cohort (incl. the two fills
     # ceded to the r9 additions) rotates in r10.
@@ -141,7 +142,6 @@ _DRIVER_PRIORITY = (
     "q_embedding_kmeans",
     "q_events_funnel",
     "q_events_sessionize",
-    "q_events_transitions",
     "q_agg_pivot",
 )
 

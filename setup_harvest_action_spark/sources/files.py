@@ -200,3 +200,45 @@ def q_source_manifest_stream_roundtrip(
     return scan_manifest(spark, out).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+@query(
+    "q_source_manifest_changes_stream",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_source_manifest_changes_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-READ of the manifest table (the DataSource streamReader
+    surface on our own table format — the Delta-style incremental
+    table read): ``nation`` is committed in TWO manifest versions, a
+    stream with version offsets drains both as separate admitted
+    ranges, and the drained union must equal the batch table exactly.
+    With the r9 versioned commits this closes the sink's API square —
+    batch write, stream write, batch read (scan_manifest), stream
+    read — and the incremental / append-only / skipchangecommits
+    semantics are pinned in tests/test_manifest_sink.py."""
+    import shutil
+
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        register_manifest_sink,
+    )
+    from setup_harvest_action_spark.streaming.events import run_to_completion
+
+    register_manifest_sink(spark)
+    base = _roundtrip_dir(sf_dir, "manifest_changes", "nation")
+    shutil.rmtree(base, ignore_errors=True)
+    out = f"{base}/t"
+    nation = load_table(spark, sf_dir, "nation")
+    nation.filter("n_nationkey < 12").write.format("manifest_parquet").mode(
+        "overwrite"
+    ).save(out)
+    nation.filter("n_nationkey >= 12").write.format("manifest_parquet").mode(
+        "append"
+    ).save(out)
+    stream = (
+        spark.readStream.format("manifest_parquet").option("path", out).load()
+    )
+    return run_to_completion(stream, "append").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

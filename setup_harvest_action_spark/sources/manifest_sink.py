@@ -58,8 +58,10 @@ import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
+    InputPartition,
     WriterCommitMessage,
 )
 
@@ -209,10 +211,111 @@ class _ManifestStreamWriter(DataSourceStreamWriter):
         self._delegate.abort(messages)
 
 
+@dataclasses.dataclass
+class _ManifestFilePartition(InputPartition):
+    file: str  # absolute parquet part path, "" for the empty sentinel
+
+
+class _ManifestChangesStreamReader(DataSourceStreamReader):
+    """The manifest table as an INCREMENTAL STREAMING SOURCE — the
+    Delta-style "stream from a table" read, with manifest VERSIONS as
+    offsets: each micro-batch admits exactly the part files committed
+    in versions (start, end], so the checkpoint remembers which
+    commits are consumed and a restart resumes at the next commit —
+    never re-reading or skipping one.  Completes the sink's API
+    square: batch write, stream write, batch read (scan_manifest),
+    stream read.
+
+    Append-only contract: a commit that REMOVES files (compaction /
+    overwrite) rewrites rows the stream already emitted, so
+    ``partitions`` fails loudly on it unless
+    ``skipchangecommits=true`` (the Delta option of the same name),
+    which skips that commit's files entirely.  Vacuumed-away snapshots
+    inside the requested range also fail loudly — retention must
+    outlive the slowest consumer, exactly the table-format rule."""
+
+    def __init__(self, path: str, options: dict):
+        self.path = path
+        self.skip_rewrites = (
+            str(options.get("skipchangecommits", "false")).lower() == "true"
+        )
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        try:
+            return {"version": read_manifest(self.path).get("version", 0)}
+        except FileNotFoundError:
+            return {"version": 0}
+
+    def _files(self, version: int) -> set[str]:
+        if version == 0:
+            return set()
+        try:
+            return {e["file"] for e in read_manifest(self.path, version)["files"]}
+        except FileNotFoundError as exc:
+            raise ValueError(
+                f"snapshot v{version} at {self.path} was vacuumed away "
+                "while this stream still needed it — raise keep_last "
+                "past the slowest consumer's lag"
+            ) from exc
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> list[_ManifestFilePartition]:
+        added: list[str] = []
+        prev = self._files(start["version"])
+        for v in range(start["version"] + 1, end["version"] + 1):
+            cur = self._files(v)
+            if prev - cur:  # files removed: a rewrite commit
+                if not self.skip_rewrites:
+                    raise ValueError(
+                        f"commit v{v} at {self.path} rewrote files "
+                        "(compaction/overwrite) — streams over this "
+                        "table are append-only; pass "
+                        "skipchangecommits=true to skip such commits"
+                    )
+            else:
+                added.extend(sorted(cur - prev))
+            prev = cur
+        return [
+            _ManifestFilePartition(os.path.join(self.path, f)) for f in added
+        ] or [_ManifestFilePartition("")]
+
+    def read(self, partition: _ManifestFilePartition):
+        if not partition.file:
+            return
+        import pyarrow.parquet as pq
+
+        for batch in pq.ParquetFile(partition.file).iter_batches():
+            yield from zip(*(c.to_pylist() for c in batch.columns))
+
+    def commit(self, end: dict) -> None:
+        pass  # parts are immutable; nothing to release
+
+
 class ManifestParquetSink(DataSource):
     @classmethod
     def name(cls) -> str:
         return "manifest_parquet"
+
+    def schema(self):
+        """Read-path schema: inferred from the first committed part
+        (the writer never calls this — Spark hands it the frame's own
+        schema)."""
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("manifest_parquet needs a path")
+        m = read_manifest(path)
+        if not m["files"]:
+            raise ValueError(f"empty manifest at {path} — no schema to infer")
+        import pyarrow.parquet as pq
+
+        first = os.path.join(path, m["files"][0]["file"])
+        return from_arrow_schema(pq.read_schema(first))
 
     def writer(self, schema, overwrite: bool) -> _ManifestWriter:
         path = self.options.get("path")
@@ -225,6 +328,12 @@ class ManifestParquetSink(DataSource):
         if not path:
             raise ValueError("manifest_parquet needs a path")
         return _ManifestStreamWriter(path, schema)
+
+    def streamReader(self, schema) -> _ManifestChangesStreamReader:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("manifest_parquet needs a path")
+        return _ManifestChangesStreamReader(path, self.options)
 
 
 def register_manifest_sink(spark) -> None:

@@ -321,3 +321,58 @@ def test_crash_orphan_snapshot_is_refused_and_vacuumed(sink, tmp_path):
     removed = vacuum_manifest(path, keep_last=5)
     assert SNAPSHOT_FMT.format(7) in removed
     assert not os.path.exists(orphan)
+
+
+def test_manifest_stream_reader_incremental_and_append_only(sink, tmp_path):
+    """The manifest table as a streaming SOURCE: version offsets make
+    each drain emit exactly the newly committed files; a rewrite
+    commit (compaction) fails loudly unless skipchangecommits=true,
+    which skips the rewrite but keeps consuming later appends."""
+    from setup_harvest_action_spark.io.loaders import load_table
+    from setup_harvest_action_spark.sources.manifest_sink import compact
+
+    out = str(tmp_path / "t")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    n = load_table(sink, "/root/testdata/sf0.01", "nation")
+    n.filter("n_nationkey < 12").write.format("manifest_parquet").mode(
+        "overwrite"
+    ).save(out)
+    n.filter("n_nationkey >= 12").write.format("manifest_parquet").mode(
+        "append"
+    ).save(out)
+
+    def drain(**opts):
+        s = sink.readStream.format("manifest_parquet").option("path", out)
+        for k, v in opts.items():
+            s = s.option(k, v)
+        q = (
+            s.load()
+            .writeStream.format("parquet")
+            .option("path", dst)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert sink.read.parquet(dst).count() == 25  # both commits
+    n.filter("n_nationkey < 3").write.format("manifest_parquet").mode(
+        "append"
+    ).save(out)
+    drain()
+    assert sink.read.parquet(dst).count() == 28  # exactly the delta
+
+    compact(sink, out, 1)
+    with pytest.raises(Exception, match="rewrote files"):
+        drain()
+    # skipchangecommits consumes past the rewrite without re-emitting
+    drain(skipchangecommits="true")
+    assert sink.read.parquet(dst).count() == 28
+    # and a post-compaction append still flows
+    n.filter("n_nationkey = 5").write.format("manifest_parquet").mode(
+        "append"
+    ).save(out)
+    drain(skipchangecommits="true")
+    assert sink.read.parquet(dst).count() == 29
