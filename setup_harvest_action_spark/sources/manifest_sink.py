@@ -96,6 +96,52 @@ class _PartMessage(WriterCommitMessage):
     file: str
     rows: int
     bytes: int
+    stats: dict | None = None
+
+
+def _json_stat(v):
+    """JSON-encodable, ORDER-PRESERVING image of a parquet stat value:
+    numbers/strings pass through, date-likes to ISO strings (ISO-8601
+    compares lexicographically in time order), bytes dropped."""
+    import datetime as dt
+
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
+    return None
+
+
+def part_stats(path: str) -> dict:
+    """Per-column [min, max] from the parquet FOOTER (no data read),
+    merged across row groups; columns with missing/unencodable stats
+    are omitted — readers treat absence as 'file may contain
+    anything'."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    agg: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                agg[col.path_in_schema] = None  # poisoned: unknown rg
+                continue
+            lo, hi = _json_stat(st.min), _json_stat(st.max)
+            if lo is None or hi is None:
+                agg[col.path_in_schema] = None
+                continue
+            cur = agg.get(col.path_in_schema)
+            if cur is None and col.path_in_schema in agg:
+                continue  # stays poisoned
+            agg[col.path_in_schema] = (
+                [lo, hi]
+                if cur is None
+                else [min(cur[0], lo), max(cur[1], hi)]
+            )
+    return {k: v for k, v in agg.items() if v is not None}
 
 
 class _ManifestWriter(DataSourceWriter):
@@ -129,14 +175,22 @@ class _ManifestWriter(DataSourceWriter):
         )
         pq.write_table(table, out)
         return _PartMessage(
-            file=f"data/{name}", rows=len(rows), bytes=os.path.getsize(out)
+            file=f"data/{name}",
+            rows=len(rows),
+            bytes=os.path.getsize(out),
+            stats=part_stats(out),
         )
 
     def commit(self, messages) -> None:
         manifest = {
             "files": sorted(
                 [
-                    {"file": m.file, "rows": m.rows, "bytes": m.bytes}
+                    {
+                        "file": m.file,
+                        "rows": m.rows,
+                        "bytes": m.bytes,
+                        "stats": getattr(m, "stats", None) or {},
+                    }
                     for m in messages
                     if m is not None and m.file
                 ],
@@ -197,7 +251,12 @@ class _ManifestStreamWriter(DataSourceStreamWriter):
         manifest["files"] = sorted(
             manifest["files"]
             + [
-                {"file": m.file, "rows": m.rows, "bytes": m.bytes}
+                {
+                    "file": m.file,
+                    "rows": m.rows,
+                    "bytes": m.bytes,
+                    "stats": getattr(m, "stats", None) or {},
+                }
                 for m in messages
                 if m is not None and m.file
             ],
@@ -362,15 +421,135 @@ def read_manifest(path: str, version: int | None = None) -> dict:
         return json.load(fh)
 
 
-def scan_manifest(spark, path: str, version: int | None = None):
+_SKIP_OPS = ("<", "<=", ">", ">=", "=")
+
+
+def _file_may_match(entry: dict, triples) -> bool:
+    """Conservative stats check: False ONLY when the file's [min, max]
+    for the column PROVES no row satisfies every ANDed triple.  A
+    missing column stat keeps the file (unknown contents)."""
+    for col, op, val in triples:
+        rng = (entry.get("stats") or {}).get(col)
+        if rng is None:
+            continue
+        lo, hi = rng
+        if (
+            (op == "<" and not lo < val)
+            or (op == "<=" and not lo <= val)
+            or (op == ">" and not hi > val)
+            or (op == ">=" and not hi >= val)
+            or (op == "=" and not lo <= val <= hi)
+        ):
+            return False
+    return True
+
+
+def select_files(m: dict, triples) -> list[dict]:
+    """Manifest entries surviving stats-based skipping for the ANDed
+    ``(column, op, value)`` triples — exposed separately so tests can
+    pin WHICH files a predicate prunes."""
+    for col, op, val in triples:
+        if op not in _SKIP_OPS:
+            raise ValueError(f"unsupported skip op {op!r} (use {_SKIP_OPS})")
+    return [e for e in m["files"] if _file_may_match(e, triples)]
+
+
+def scan_manifest(
+    spark, path: str, version: int | None = None, where=()
+):
     """Read ONLY the files the manifest names — uncommitted/orphan
     parts in data/ are never visible to readers.  ``version`` time-
-    travels to a retained historical commit."""
+    travels to a retained historical commit.
+
+    ``where`` is an optional tuple of ANDed ``(column, op, value)``
+    triples (op in <, <=, >, >=, =): files whose footer min/max PROVE no
+    row can match are never opened — Delta-style data skipping from
+    the manifest's per-file column stats, the mechanism that turns a
+    selective point query on a 100 TB table into a handful of file
+    reads.  The same triples are re-applied as a row filter, so
+    skipping is purely an optimization, never a semantics change."""
     m = read_manifest(path, version)
-    files = [os.path.join(path, e["file"]) for e in m["files"]]
-    if not files:
+    entries = select_files(m, where) if where else m["files"]
+    if not m["files"]:
         raise ValueError(f"empty manifest at {path}")
-    return spark.read.parquet(*files)
+    if not entries:
+        # every file pruned: an empty frame with the table's schema
+        df = spark.read.parquet(
+            *[os.path.join(path, e["file"]) for e in m["files"]]
+        )
+        return df.filter("false")
+    df = spark.read.parquet(*[os.path.join(path, e["file"]) for e in entries])
+    from pyspark.sql import functions as _F
+
+    for col, op, val in where:
+        c = _F.col(col)
+        df = df.filter(
+            {"<": c < val, "<=": c <= val, ">": c > val,
+             ">=": c >= val, "=": c == val}[op]
+        )
+    return df
+
+
+def delete_where(spark, path: str, where) -> dict:
+    """ROW-LEVEL DELETE: remove every row matching the ANDed
+    ``(column, op, value)`` triples, rewriting ONLY the files whose
+    stats admit a match — untouched files keep their bytes and their
+    manifest entries verbatim.  The rewrite lands as one versioned
+    commit (old candidates out, filtered parts in), so readers flip
+    atomically, time travel still shows the pre-delete versions, and
+    vacuum reclaims the superseded parts.  This is a CHANGE commit:
+    streams over the table refuse it unless skipchangecommits=true —
+    the same contract as compaction.  Returns the new manifest."""
+    import pyarrow.parquet as pq
+
+    m = read_manifest(path)
+    candidates = select_files(m, where)
+    keep_entries = [e for e in m["files"] if e not in candidates]
+    new_entries = list(keep_entries)
+    if candidates:
+        cand_paths = [os.path.join(path, e["file"]) for e in candidates]
+        df = spark.read.parquet(*cand_paths)
+        from pyspark.sql import functions as _F
+
+        pred = _F.lit(True)
+        for col, op, val in where:
+            c = _F.col(col)
+            pred = pred & {
+                "<": c < val, "<=": c <= val, ">": c > val,
+                ">=": c >= val, "=": c == val,
+            }[op]
+        staging = os.path.join(path, f".delete-{uuid.uuid4().hex}")
+        df.filter(~pred).write.parquet(staging)
+        data_dir = os.path.join(path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(staging, name)
+            if pq.ParquetFile(src).metadata.num_rows == 0:
+                continue
+            dst_name = f"part-{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(data_dir, dst_name)
+            os.rename(src, dst)
+            new_entries.append(
+                {
+                    "file": f"data/{dst_name}",
+                    "rows": pq.ParquetFile(dst).metadata.num_rows,
+                    "bytes": os.path.getsize(dst),
+                    "stats": part_stats(dst),
+                }
+            )
+        import shutil as _shutil
+
+        _shutil.rmtree(staging, ignore_errors=True)
+    manifest = {
+        "files": sorted(new_entries, key=lambda e: e["file"]),
+        "total_rows": sum(e["rows"] for e in new_entries),
+    }
+    if "batches" in m:
+        manifest["batches"] = m["batches"]
+    _write_versioned(path, manifest)
+    return read_manifest(path)
 
 
 def compact(spark, path: str, n_parts: int) -> dict:

@@ -376,3 +376,76 @@ def test_manifest_stream_reader_incremental_and_append_only(sink, tmp_path):
     ).save(out)
     drain(skipchangecommits="true")
     assert sink.read.parquet(dst).count() == 29
+
+
+def test_stats_skipping_prunes_files_and_preserves_semantics(sink, tmp_path):
+    """Per-file column stats land in the manifest at write time;
+    select_files proves pruning (a selective predicate opens ONE of
+    four range-disjoint parts) and scan_manifest(where=...) returns
+    exactly the rows a full scan + filter would."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        read_manifest,
+        scan_manifest,
+        select_files,
+    )
+
+    path = str(tmp_path / "t")
+    # 4 parts with disjoint id ranges: repartitionByRange keeps ranges
+    sink.range(0, 400).selectExpr(
+        "id", "id % 7 AS grp"
+    ).repartitionByRange(4, "id").write.format("manifest_parquet").mode(
+        "overwrite"
+    ).save(path)
+    m = read_manifest(path)
+    assert len(m["files"]) == 4
+    assert all("id" in e["stats"] for e in m["files"])
+
+    hit = select_files(m, [("id", "=", 250)])
+    assert len(hit) == 1, [e["stats"]["id"] for e in m["files"]]
+    lo, hi = hit[0]["stats"]["id"]
+    assert lo <= 250 <= hi
+
+    got = sorted(
+        r["id"] for r in scan_manifest(
+            sink, path, where=[("id", ">=", 100), ("id", "<", 110)]
+        ).collect()
+    )
+    assert got == list(range(100, 110))
+    # fully-pruned predicate: empty result, schema intact
+    none = scan_manifest(sink, path, where=[("id", ">", 10**9)])
+    assert none.count() == 0 and none.columns == ["id", "grp"]
+
+
+def test_delete_where_rewrites_only_candidate_files(sink, tmp_path):
+    """Row-level delete: only files whose stats admit a match are
+    rewritten (untouched parts keep their manifest entries verbatim),
+    the delete is one versioned commit, and time travel still shows
+    the pre-delete rows."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        delete_where,
+        read_manifest,
+        scan_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    sink.range(0, 400).selectExpr(
+        "id", "id % 7 AS grp"
+    ).repartitionByRange(4, "id").write.format("manifest_parquet").mode(
+        "overwrite"
+    ).save(path)
+    before = read_manifest(path)
+    untouched_before = {
+        e["file"] for e in before["files"]
+        if not (e["stats"]["id"][0] <= 42 <= e["stats"]["id"][1])
+    }
+    assert len(untouched_before) == 3
+
+    after = delete_where(sink, path, [("id", ">=", 40), ("id", "<", 45)])
+    assert after["version"] == before["version"] + 1
+    assert after["total_rows"] == 395
+    kept = {e["file"] for e in after["files"]}
+    assert untouched_before <= kept  # 3 parts untouched, byte-identical
+    got = sorted(r["id"] for r in scan_manifest(sink, path).collect())
+    assert got == [i for i in range(400) if not (40 <= i < 45)]
+    # pre-delete version still reads complete via time travel
+    assert scan_manifest(sink, path, version=before["version"]).count() == 400
