@@ -242,3 +242,45 @@ def q_source_manifest_changes_stream(
     return run_to_completion(stream, "append").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+@query(
+    "q_source_manifest_skipping",
+    oracle="""
+SELECT event_id, user_id, event_type, CAST(round(value, 4) AS DOUBLE) AS value
+FROM events WHERE user_id = 7
+""",
+)
+def q_source_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA SKIPPING through the manifest's per-file column stats:
+    ``events`` is committed range-partitioned on user_id (so part
+    footers carry disjoint user_id ranges), and the point read goes
+    through ``scan_manifest(where=[("user_id","=",7)])`` — files whose
+    [min, max] disprove the predicate are never opened, the manifest-
+    level analogue of parquet row-group pruning and the mechanism that
+    makes a selective read on a 100 TB table open a handful of files.
+    The hash gate proves skipping never changes semantics (the triples
+    re-apply as row filters); WHICH files get pruned is pinned in
+    tests/test_manifest_sink.py."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        register_manifest_sink,
+        scan_manifest,
+    )
+
+    register_manifest_sink(spark)
+    out = _roundtrip_dir(sf_dir, "manifest_skip", "events")
+    (
+        load_table(spark, sf_dir, "events")
+        .repartitionByRange(8, "user_id")
+        .write.format("manifest_parquet")
+        .mode("overwrite")
+        .save(out)
+    )
+    return scan_manifest(
+        spark, out, where=[("user_id", "=", 7)]
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
