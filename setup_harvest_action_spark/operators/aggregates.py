@@ -1026,3 +1026,69 @@ def q_agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dof"),
         F.count(F.lit(1)).alias("n_cells"),
     )
+
+
+MIN_COST_PARTS = 100  # bounded part slice for the gate fixture
+
+
+@query(
+    "q_min_cost_supplier",
+    oracle=f"""
+WITH best AS (
+  SELECT l_partkey,
+         CAST(round(min(l_extendedprice), 2) AS DOUBLE) AS best_price,
+         min_by(l_suppkey,
+                CAST(round(l_extendedprice * 100) AS BIGINT) * 100000
+                  + l_suppkey) AS best_suppkey
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_partkey AS partkey, p.p_name AS part_name,
+       s.s_name AS supplier, b.best_price
+FROM best b
+JOIN part p ON p.p_partkey = b.l_partkey
+JOIN supplier s ON s.s_suppkey = b.best_suppkey
+WHERE p.p_partkey <= {MIN_COST_PARTS}
+ORDER BY partkey
+""",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — min-cost supplier per part — spelled as the
+    ONE-PASS decorrelation: where the textbook form runs a correlated
+    scalar subquery (min price per part) and joins the fact table
+    AGAINST ITSELF to recover the row achieving it, ``min_by`` carries
+    the argmin through the same partial/final aggregate that computes
+    the min — one fact scan, one shuffle, no join-back, no window.
+
+    Tie-breaking must be deterministic for the hash gate, and DuckDB's
+    min_by cannot order by a struct — so both engines order by the
+    exact BIGINT composite round(price·100)·100000 + suppkey (prices
+    are cent-precision and suppkeys < 100000, so the packing is
+    collision-free and overflow-safe), which means "lowest price, then
+    lowest supplier key" as ONE comparable value.  The dimension joins
+    (part slice, supplier names) run on the vocabulary-sized argmin
+    output, never on the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    ordkey = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint") * 100000
+        + F.col("l_suppkey")
+    )
+    best = li.groupBy("l_partkey").agg(
+        F.round(F.min("l_extendedprice"), 2).alias("best_price"),
+        F.min_by("l_suppkey", ordkey).alias("best_suppkey"),
+    )
+    return (
+        best.join(
+            part.filter(F.col("p_partkey") <= MIN_COST_PARTS),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(supplier, F.col("s_suppkey") == F.col("best_suppkey"))
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("s_name").alias("supplier"),
+            "best_price",
+        )
+        .orderBy("partkey")
+    )

@@ -841,3 +841,43 @@ def test_interval_coverage_shares_one_user_exchange(spark, queries):
     assert tree.count("Exchange") == 1, tree
     assert tree.count("Window") == 2
     assert tree.count("Scan parquet") == 1
+
+
+def test_bootstrap_is_one_scan_with_partial_aggregation(spark, queries):
+    """The Poisson bootstrap must be ONE events scan with the
+    B-replicate fan-out map-side and partial aggregation before the
+    shuffle — the exchange carries at most B rows per task, never the
+    exploded corpus."""
+    with conf(spark, "spark.sql.adaptive.enabled", "false"):
+        tree = tree_of(queries["q_sample_bootstrap"](spark, SF))
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") == 1
+    # partial + final hash aggregates around that one exchange
+    assert tree.count("HashAggregate") == 2
+    assert "SortMergeJoin" not in tree and "BroadcastHashJoin" not in tree
+
+
+def test_zipf_fit_windows_only_the_vocabulary(spark, queries):
+    """The Zipf regression's rank window must sit ABOVE the token
+    aggregate (vocabulary-sized input, the q_text_topk_tokens
+    economics) — one corpus scan, token aggregate, then the window and
+    the final one-row regression."""
+    with conf(spark, "spark.sql.adaptive.enabled", "false"):
+        tree = tree_of(queries["q_text_zipf_fit"](spark, SF))
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Window") == 1
+    # the Window consumes the aggregated vocabulary, not raw tokens:
+    # operator order in the tree is regression-agg < window < token-agg
+    w = tree.index("Window")
+    assert tree.index("Generate") > w  # explode below the window
+
+
+def test_min_cost_supplier_is_one_pass_argmin_no_self_join(spark, queries):
+    """The Q2 shape must decorrelate to min_by in ONE fact aggregate —
+    exactly one lineitem scan, and never the textbook fact-self-join
+    that recovers the argmin row by price equality."""
+    with conf(spark, "spark.sql.adaptive.enabled", "false"):
+        plan = plan_of(queries["q_min_cost_supplier"](spark, SF))
+        tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 3  # lineitem + part + supplier
+    assert "min_by" in plan
