@@ -63,6 +63,27 @@ def write_zordered(
     Morton key and sorted within partitions, so each output file — and
     each row group inside it — covers a tight hyper-rectangle of the
     clustered dimensions."""
+    (
+        zorder_partitioned(df, cols, n_files, bits)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_partitioned(
+    df: DataFrame,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = ZORDER_BITS,
+) -> DataFrame:
+    """The clustering pipeline behind ``write_zordered``, exposed so
+    any sink can consume it — in particular the manifest table format:
+    ``zorder_partitioned(df, cols).write.format("manifest_parquet")``
+    yields manifest entries whose per-file column stats cover tight
+    hyper-rectangles, so ``scan_manifest(where=...)`` prunes files for
+    predicates on ANY clustered dimension (Delta `OPTIMIZE ZORDER BY`
+    + data skipping, end to end; pinned in
+    tests/test_manifest_sink.py)."""
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"__min_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"__max_{c}") for c in cols],
@@ -75,12 +96,14 @@ def write_zordered(
         for c in cols
     ]
     keyed = with_stats.withColumn("__zkey", zorder_key(scaled, bits))
-    (
+    return (
         keyed.repartitionByRange(n_files, "__zkey")
         .sortWithinPartitions("__zkey")
-        .drop("__zkey", *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
-        .write.mode("overwrite")
-        .parquet(path)
+        .drop(
+            "__zkey",
+            *[f"__min_{c}" for c in cols],
+            *[f"__max_{c}" for c in cols],
+        )
     )
 
 

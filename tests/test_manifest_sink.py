@@ -449,3 +449,44 @@ def test_delete_where_rewrites_only_candidate_files(sink, tmp_path):
     assert got == [i for i in range(400) if not (40 <= i < 45)]
     # pre-delete version still reads complete via time travel
     assert scan_manifest(sink, path, version=before["version"]).count() == 400
+
+
+def test_zorder_clustering_makes_manifest_stats_prune_both_dims(
+    sink, tmp_path
+):
+    """Z-order clustering written THROUGH the manifest sink: per-file
+    stats then cover tight hyper-rectangles, so a selective predicate
+    on EITHER clustered dimension prunes most files — the Delta
+    `OPTIMIZE ZORDER BY` + data-skipping loop, end to end.  A
+    single-column sort would give tight stats on that column only."""
+    from setup_harvest_action_spark.io.layout import zorder_partitioned
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        read_manifest,
+        scan_manifest,
+        select_files,
+    )
+
+    path = str(tmp_path / "t")
+    # two independent uniform dims — worst case for single-key sorting
+    df = sink.range(0, 4096).selectExpr(
+        "id", "CAST(xxhash64(id) % 4096 AS BIGINT) AS x",
+        "CAST(xxhash64(id, 7) % 4096 AS BIGINT) AS y",
+    ).selectExpr("id", "abs(x) AS x", "abs(y) AS y")
+    zorder_partitioned(df, ["x", "y"], n_files=16).write.format(
+        "manifest_parquet"
+    ).mode("overwrite").save(path)
+    m = read_manifest(path)
+    assert len(m["files"]) == 16
+
+    for col in ("x", "y"):
+        hit = select_files(m, [(col, "<", 256)])  # 1/16 of the range
+        assert len(hit) <= len(m["files"]) // 2, (
+            col, [e["stats"][col] for e in m["files"]])
+    # and correctness is unchanged by the pruning
+    got = sorted(
+        r["id"] for r in scan_manifest(
+            sink, path, where=[("x", "<", 256)]
+        ).collect()
+    )
+    want = sorted(r["id"] for r in df.filter("x < 256").collect())
+    assert got == want
