@@ -65,7 +65,67 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="fixture directory (default sf0.001)")
     c.add_argument("--rows", type=int, default=20,
                    help="rows to show with --run (default 20)")
+    m = sub.add_parser(
+        "manifest",
+        help="inspect/maintain a manifest-committed parquet table "
+             "(sources/manifest_sink.py)",
+    )
+    m.add_argument("path", help="manifest table directory")
+    m.add_argument("--show", action="store_true",
+                   help="print the latest manifest summary (default)")
+    m.add_argument("--history", action="store_true",
+                   help="list every retained version with rows/files")
+    m.add_argument("--compact", type=int, metavar="N",
+                   help="rewrite current content into N files "
+                        "(one atomic versioned commit)")
+    m.add_argument("--vacuum", type=int, metavar="KEEP", default=None,
+                   help="drop snapshots older than the last KEEP versions "
+                        "and unreferenced data files")
     return p
+
+
+def _run_manifest(args) -> int:
+    import json
+    import os
+
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        SNAPSHOT_FMT,
+        compact,
+        read_manifest,
+        vacuum_manifest,
+    )
+
+    if args.compact is not None:
+        from setup_harvest_action_spark.session import get_spark
+
+        after = compact(get_spark("cli-manifest"), args.path, args.compact)
+        print(f"compacted to {len(after['files'])} files "
+              f"(version {after['version']}, {after['total_rows']} rows)")
+        return 0
+    if args.vacuum is not None:
+        removed = vacuum_manifest(args.path, keep_last=args.vacuum)
+        for r in removed:
+            print(f"removed {r}")
+        print(f"{len(removed)} paths reclaimed")
+        return 0
+    if args.history:
+        latest = read_manifest(args.path)
+        for entry in sorted(os.listdir(args.path)):
+            if entry.startswith("_manifest-v") and entry.endswith(".json"):
+                v = int(entry[len("_manifest-v"):-len(".json")])
+                with open(os.path.join(args.path, entry)) as fh:
+                    snap = json.load(fh)
+                mark = " (latest)" if v == latest.get("version") else ""
+                print(f"v{v}: {snap['total_rows']} rows, "
+                      f"{len(snap['files'])} files{mark}")
+        return 0
+    m = read_manifest(args.path)
+    print(f"version {m.get('version', 0)}: {m['total_rows']} rows in "
+          f"{len(m['files'])} files, "
+          f"{sum(e['bytes'] for e in m['files'])} bytes")
+    if m.get("batches"):
+        print(f"streaming batches committed: {m['batches']}")
+    return 0
 
 
 def _run_catalog(args) -> int:
@@ -177,6 +237,8 @@ def main(argv: list[str] | None = None) -> int:
         args = _build_parser().parse_args(argv)
         if args.command == "catalog":
             return _run_catalog(args)
+        if args.command == "manifest":
+            return _run_manifest(args)
         return _run_harvest(args)
     except ValueError as e:
         print(f"Invalid input: {e}")

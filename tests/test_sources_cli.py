@@ -548,3 +548,41 @@ def test_cli_catalog_list_and_errors(capsys):
     assert "Invalid input" in capsys.readouterr().out
     assert main(["catalog", "--run", "q_no_such_query"]) == 1
     assert "unknown catalog query" in capsys.readouterr().out
+
+
+def test_cli_manifest_show_history_compact_vacuum(spark, tmp_path, capsys):
+    """The manifest subcommand drives the table-format maintenance
+    loop end to end: show -> history -> compact -> vacuum."""
+    from setup_harvest_action_spark.cli import main
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        read_manifest,
+        register_manifest_sink,
+        scan_manifest,
+    )
+
+    register_manifest_sink(spark)
+    path = str(tmp_path / "t")
+    spark.range(0, 100).repartition(4).write.format(
+        "manifest_parquet"
+    ).mode("overwrite").save(path)
+    spark.range(100, 150).repartition(2).write.format(
+        "manifest_parquet"
+    ).mode("append").save(path)
+
+    assert main(["manifest", path]) == 0
+    out = capsys.readouterr().out
+    assert "version 2: 150 rows in 6 files" in out
+
+    assert main(["manifest", path, "--history"]) == 0
+    out = capsys.readouterr().out
+    assert "v1: 100 rows" in out and "v2: 150 rows, 6 files (latest)" in out
+
+    assert main(["manifest", path, "--compact", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "compacted to 1 files (version 3, 150 rows)" in out
+
+    assert main(["manifest", path, "--vacuum", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "reclaimed" in out
+    assert read_manifest(path)["total_rows"] == 150
+    assert scan_manifest(spark, path).count() == 150
