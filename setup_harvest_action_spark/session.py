@@ -58,6 +58,14 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Spark still defaults parquet timestamps to INT96 (a
+        # deprecated Impala legacy): footers carry NO min/max for
+        # INT96, so stats-based skipping goes blind on time columns,
+        # and re-reading through an explicit schema can hit
+        # INT96-vs-expected mismatches.  TIMESTAMP_MICROS matches the
+        # pyarrow-written fixtures and gives every written file usable
+        # timestamp stats.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
         # the Python DataSource (sources/sparql_datasource.py) implements

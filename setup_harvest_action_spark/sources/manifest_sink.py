@@ -595,10 +595,18 @@ def vacuum_manifest(path: str, keep_last: int = 1) -> list[str]:
     them."""
     latest = read_manifest(path)
     latest_v = latest.get("version", 0)
-    cutoff = latest_v - keep_last + 1
+    # keep_last < 1 would drop the LATEST version's own snapshot while
+    # the latest pointer still references its files — never allowed
+    cutoff = latest_v - max(keep_last, 1) + 1
     removed: list[str] = []
     referenced = {e["file"] for e in latest["files"]}
     for entry in sorted(os.listdir(path)):
+        if entry.endswith(".json.tmp"):
+            # a crash between tmp-write and os.replace leaves these;
+            # nothing ever reads them back
+            os.remove(os.path.join(path, entry))
+            removed.append(entry)
+            continue
         if not (entry.startswith("_manifest-v") and entry.endswith(".json")):
             continue
         v = int(entry[len("_manifest-v"):-len(".json")])

@@ -490,3 +490,29 @@ def test_zorder_clustering_makes_manifest_stats_prune_both_dims(
     )
     want = sorted(r["id"] for r in df.filter("x < 256").collect())
     assert got == want
+
+
+def test_vacuum_never_drops_the_latest_snapshot_and_cleans_tmp(
+    sink, tmp_path
+):
+    """keep_last=0 must be clamped (the latest version's snapshot is
+    always retained), and crash-orphaned .json.tmp files are swept."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        read_manifest,
+        scan_manifest,
+        vacuum_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    sink.range(0, 10).write.format("manifest_parquet").mode(
+        "overwrite"
+    ).save(path)
+    tmp_orphan = os.path.join(path, "_manifest.json.tmp")
+    with open(tmp_orphan, "w") as fh:
+        fh.write("{}")
+    removed = vacuum_manifest(path, keep_last=0)
+    assert "_manifest.json.tmp" in removed
+    assert not os.path.exists(tmp_orphan)
+    v = read_manifest(path)["version"]
+    assert read_manifest(path, version=v)["total_rows"] == 10
+    assert scan_manifest(sink, path, version=v).count() == 10
