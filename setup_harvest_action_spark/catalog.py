@@ -134,6 +134,7 @@ _DRIVER_PRIORITY = (
     "q_source_manifest_changes_stream",
     "q_source_manifest_skipping",
     "q_min_cost_supplier",
+    "q_text_lm_bigram_score",
     # (e) Fill the remaining slots with the stalest r05 greens,
     # family-spread; the rest of the r05 cohort (incl. the two fills
     # ceded to the r9 additions) rotates in r10.
@@ -142,7 +143,6 @@ _DRIVER_PRIORITY = (
     "q_dedup_components",
     "q_dedup_semantic",
     "q_embedding_kmeans",
-    "q_events_sessionize",
 )
 
 _loaded = False

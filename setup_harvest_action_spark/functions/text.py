@@ -1066,3 +1066,93 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(lf, lr), 4).alias("fit_r2"),
         F.count("*").cast("bigint").alias("n_ranks"),
     )
+
+
+LM_LAMBDA = 0.8  # Jelinek-Mercer interpolation weight on the bigram term
+
+
+@query(
+    "q_text_lm_bigram_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+big AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, greatest(len(tk) - 1, 0))) t(i)
+),
+db AS (SELECT doc_id, w1, w2, count(*) AS c FROM big GROUP BY 1, 2, 3),
+bt AS (SELECT w1, w2, sum(c) AS cb FROM db GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c) AS cw FROM db GROUP BY 1),
+uni AS (SELECT w2, sum(c) AS cu FROM db GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM db)
+SELECT d.doc_id,
+       CAST(sum(d.c) AS BIGINT) AS n_bigrams,
+       CAST(round(sum(d.c * log10(
+           {LM_LAMBDA} * bt.cb / ctx.cw
+           + {1 - LM_LAMBDA} * uni.cu / tot.n)) / sum(d.c), 6) AS DOUBLE)
+         AS avg_logp_bi
+FROM db d
+JOIN bt ON bt.w1 = d.w1 AND bt.w2 = d.w2
+JOIN ctx ON ctx.w1 = d.w1
+JOIN uni ON uni.w2 = d.w2
+CROSS JOIN tot
+GROUP BY d.doc_id
+""",
+)
+def q_text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated BIGRAM language-model score per document
+    (Jelinek-Mercer: λ·P(w₂|w₁) + (1−λ)·P(w₂), λ={LM_LAMBDA}) — one
+    step up the n-gram ladder from q_text_lm_score toward the KenLM
+    perplexity filter of CCNet-style curation: repetitive or
+    template-generated text scores HIGH (its bigrams are corpus-
+    frequent), disfluent text scores low, and the unigram backoff
+    keeps unseen-context probabilities finite without smoothing
+    hyperparameters.
+
+    All four model tables — per-doc bigram counts, corpus bigram
+    counts, context marginals, unigram marginals — derive from ONE
+    exploded-bigram aggregate over the same event space (positions
+    1..n−1), so the corpus is scanned and shuffled once and every
+    marginal is an exchange-reused re-aggregation; the model joins
+    run at bigram-vocabulary size, never corpus size, and the corpus
+    total enters as a broadcast one-row aggregate.  At 100 TB the
+    bigram table IS the model — the swap-in for a real KenLM binary
+    is a Pandas-UDF scorer against a broadcast model file."""
+    docs = load_table(spark, sf_dir, "documents")
+    # bind the token array to a real column BEFORE the bigram lambda —
+    # an inline filter(split(...)) would re-tokenize per position (the
+    # O(len²) CSE trap documented on dedup.shingles)
+    toked = docs.select("doc_id", tokens().alias("tk"))
+    big = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(tk) - 1, 0)),"
+                " i -> struct(tk[i - 1] AS w1, tk[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    db = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    bt = db.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
+    ctx = db.groupBy("w1").agg(F.sum("c").alias("cw"))
+    uni = db.groupBy("w2").agg(F.sum("c").alias("cu"))
+    tot = db.agg(F.sum("c").cast("double").alias("n"))
+    p = (
+        F.lit(LM_LAMBDA) * F.col("cb") / F.col("cw")
+        + F.lit(1 - LM_LAMBDA) * F.col("cu") / F.col("n")
+    )
+    return (
+        db.join(bt, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("c") * F.log10(p)) / F.sum("c"), 6
+            ).alias("avg_logp_bi"),
+        )
+    )
