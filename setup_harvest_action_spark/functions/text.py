@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from setup_harvest_action_spark.catalog import query
 from setup_harvest_action_spark.io.loaders import load_table
+from setup_harvest_action_spark.io.materialize import materialize
 
 # Tiny English stopword set shared by quality scoring; the fixture
 # vocabulary is lowercase tech word-soup, so 'the'/'a' are the only
@@ -1114,10 +1115,14 @@ def q_text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     All four model tables — per-doc bigram counts, corpus bigram
     counts, context marginals, unigram marginals — derive from ONE
     exploded-bigram aggregate over the same event space (positions
-    1..n−1), so the corpus is scanned and shuffled once and every
-    marginal is an exchange-reused re-aggregation; the model joins
-    run at bigram-vocabulary size, never corpus size, and the corpus
-    total enters as a broadcast one-row aggregate.  At 100 TB the
+    1..n−1), MATERIALIZED once (the repo's parquet lineage cut): five
+    consumers re-read the bounded aggregate, and the corpus is
+    scanned and exploded exactly once — measured before the cut,
+    Catalyst's ReuseExchange only deduplicated one of the four
+    marginal branches (4 corpus scans); after it, one (plan-pinned).
+    The model joins run at bigram-vocabulary size, never corpus
+    size, and the corpus total enters as a broadcast one-row
+    aggregate.  At 100 TB the
     bigram table IS the model — the swap-in for a real KenLM binary
     is a Pandas-UDF scorer against a broadcast model file."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1134,7 +1139,10 @@ def q_text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    db = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    db = materialize(
+        big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c")),
+        "lm_bigram_counts",
+    )
     bt = db.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
     ctx = db.groupBy("w1").agg(F.sum("c").alias("cw"))
     uni = db.groupBy("w2").agg(F.sum("c").alias("cu"))

@@ -881,3 +881,15 @@ def test_min_cost_supplier_is_one_pass_argmin_no_self_join(spark, queries):
         tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 3  # lineitem + part + supplier
     assert "min_by" in plan
+
+
+def test_lm_bigram_reads_corpus_once_via_lineage_cut(spark, queries):
+    """The bigram LM materializes the exploded-bigram aggregate once;
+    every model marginal must re-read that bounded parquet — the final
+    plan may not reference the documents table at all (measured: the
+    un-cut form re-scanned the corpus 4x because ReuseExchange only
+    deduplicated one marginal branch)."""
+    with conf(spark, "spark.sql.adaptive.enabled", "false"):
+        plan = plan_of(queries["q_text_lm_bigram_score"](spark, SF))
+    assert "documents.parquet" not in plan
+    assert "lm_bigram_counts" in plan
