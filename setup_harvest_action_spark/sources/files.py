@@ -267,8 +267,13 @@ def q_source_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan_manifest,
     )
 
+    import shutil
+
     register_manifest_sink(spark)
     out = _roundtrip_dir(sf_dir, "manifest_skip", "events")
+    # fresh table per call: repeated gate/bench runs would otherwise
+    # accumulate one snapshot per run in the persistent tmp dir
+    shutil.rmtree(out, ignore_errors=True)
     (
         load_table(spark, sf_dir, "events")
         .repartitionByRange(8, "user_id")
