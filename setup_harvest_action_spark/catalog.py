@@ -123,8 +123,10 @@ _DRIVER_PRIORITY = (
     "q_quality_repetition",
     "q_quality_pii_redact",
     "q_embedding_outliers",
-    # (d) New r9 catalog entries take their first row here (inserted
-    # as they land, before the r05 fills below).
+    # (d) ALL TEN r9 catalog additions take their first driver row
+    # this same round — the r7 late-addition gap (queries landing
+    # after the window was sized) does not recur; each addition ceded
+    # one optional r05-fill slot below.
     "q_late_supplier_blame",
     "q_dedup_winnowing",
     "q_events_interval_coverage",
@@ -136,8 +138,11 @@ _DRIVER_PRIORITY = (
     "q_min_cost_supplier",
     "q_text_lm_bigram_score",
     # (e) Fill the remaining slots with the stalest r05 greens,
-    # family-spread; the rest of the r05 cohort (incl. the two fills
-    # ceded to the r9 additions) rotates in r10.
+    # family-spread; the rest of the r05 cohort (incl. the ten fills
+    # ceded to the r9 additions: funnel, sessionize, transitions,
+    # percentiles, pivot, grouping_sets, cube, asof, asof_forward,
+    # scalar_array) rotates in r10 — all stay green under
+    # tools/verify_oracle.py meanwhile.
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_dedup_components",
