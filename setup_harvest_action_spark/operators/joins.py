@@ -616,3 +616,144 @@ def q_join_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.coalesce(F.col("_hit"), F.lit(False)).alias("has_urgent_order"),
     )
+
+
+ASOF_TOPK = 3  # most recent clicks reported per purchase
+
+
+@query(
+    "q_join_asof_topk",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, ts, value, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT user_id, ts, 0 AS is_click, event_id,
+         CAST(NULL AS BIGINT) AS crn
+  FROM p
+  UNION ALL
+  SELECT user_id, ts, 1, event_id, rn FROM c
+),
+lastrn AS (
+  SELECT user_id, ts, is_click, event_id,
+         max(crn) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, is_click DESC, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_rn
+  FROM m
+),
+pp AS (
+  SELECT user_id, event_id, ts, last_rn
+  FROM lastrn WHERE is_click = 0 AND last_rn IS NOT NULL
+)
+SELECT pp.event_id, pp.user_id, pp.ts,
+       CAST(k.back + 1 AS INTEGER) AS k_back,
+       c.ts AS click_ts,
+       CAST(round(c.value, 4) AS DOUBLE) AS click_value
+FROM pp
+CROSS JOIN (SELECT unnest(generate_series(0, {ASOF_TOPK - 1})) AS back) k
+JOIN c ON c.user_id = pp.user_id AND c.rn = pp.last_rn - k.back
+WHERE pp.last_rn - k.back >= 1
+""",
+)
+def q_join_asof_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-NEAREST as-of join: for each purchase, the {ASOF_TOPK} most
+    recent clicks at-or-before it, per user — the "last K context
+    events" feature join (recent-history features, attribution beyond
+    last-touch) that single-row as-of joins cannot express.
+
+    The scalable spelling generalizes q_join_asof's union+window
+    idiom WITHOUT unbounded window state: clicks are ranked once per
+    user, the merged timeline carries each purchase the RANK of its
+    most recent click (`max(rank)` over the preceding frame — O(1)
+    window state, where a collect_list of the history would hold
+    O(user history) per row), and the K nearest then come from a
+    plain EQUI-join on (user, rank − k) after a K-element explode.
+    Two keyed shuffles + a K× fan-out on the purchase side only.
+    Ties at equal ts order clicks before purchases (ASOF >=
+    semantics), event_id as the final deterministic tie-break."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+            "event_id",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("click_ts", "event_id")
+            ),
+        )
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    merged = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_click"),
+        "event_id",
+        F.lit(None).cast("long").alias("crn"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            F.col("click_ts").alias("ts"),
+            F.lit(1).alias("is_click"),
+            "event_id",
+            F.col("rn").cast("long").alias("crn"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.desc("is_click"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pp = (
+        merged.select(
+            "user_id",
+            "ts",
+            "is_click",
+            "event_id",
+            F.max("crn").over(w).alias("last_rn"),
+        )
+        .filter((F.col("is_click") == 0) & F.col("last_rn").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(ASOF_TOPK - 1))
+            ).alias("back"),
+            "last_rn",
+        )
+        .filter(F.col("last_rn") - F.col("back") >= 1)
+    )
+    return (
+        pp.join(
+            clicks.select(
+                F.col("user_id").alias("c_user"),
+                "rn",
+                "click_ts",
+                "click_value",
+            ),
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("rn") == F.col("last_rn") - F.col("back")),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            (F.col("back") + 1).cast("int").alias("k_back"),
+            "click_ts",
+            F.round("click_value", 4).alias("click_value"),
+        )
+    )

@@ -410,3 +410,58 @@ def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_first").over(w_run).alias("distinct_types_so_far"),
         )
     )
+
+
+@query(
+    "q_window_sequence_gaps",
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey, o_orderkey,
+         lag(o_orderkey) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_key
+  FROM orders
+)
+SELECT o_custkey AS custkey,
+       CAST(prev_key + 1 AS BIGINT) AS gap_start,
+       CAST(o_orderkey - 1 AS BIGINT) AS gap_end,
+       CAST(o_orderkey - prev_key - 1 AS BIGINT) AS n_missing
+FROM seq
+WHERE prev_key IS NOT NULL AND o_orderkey - prev_key > 1
+  AND o_custkey < 50
+""",
+)
+def q_window_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-GAP detection per entity — the data-quality dual of
+    gaps-and-islands: report every missing run [prev+1, cur−1] in each
+    customer's order-key sequence (lost batches, sequence-generator
+    holes, partial loads).  One lag window per entity and a row per
+    GAP, not per missing value — a gap of a million keys is one output
+    row, so the result is bounded by observed rows regardless of how
+    much is missing (the naive anti-join against a generated full
+    range materializes the missing keys themselves and dies on wide
+    gaps at scale).
+
+    One shuffle on the entity key; the window is entity-bounded with
+    the usual celebrity-key caveat.  The custkey slice bounds gate
+    output; the plan is identical unbounded."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    prev = F.lag("o_orderkey").over(w)
+    return (
+        orders.filter(F.col("o_custkey") < 50)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "o_orderkey",
+            prev.alias("prev_key"),
+        )
+        .filter(
+            F.col("prev_key").isNotNull()
+            & (F.col("o_orderkey") - F.col("prev_key") > 1)
+        )
+        .select(
+            "custkey",
+            (F.col("prev_key") + 1).alias("gap_start"),
+            (F.col("o_orderkey") - 1).alias("gap_end"),
+            (F.col("o_orderkey") - F.col("prev_key") - 1).alias("n_missing"),
+        )
+    )
