@@ -893,3 +893,34 @@ def test_lm_bigram_reads_corpus_once_via_lineage_cut(spark, queries):
         plan = plan_of(queries["q_text_lm_bigram_score"](spark, SF))
     assert "documents.parquet" not in plan
     assert "lm_bigram_counts" in plan
+
+
+def test_asof_topk_has_no_cartesian_and_bounded_window_state(spark, queries):
+    """The K-nearest as-of must stay a pair of keyed shuffles + an
+    equi-join: no cartesian/broadcast-nested-loop, no collect_list
+    history window (the max(rank) carry is the O(1)-state spelling),
+    and the K fan-out happens on the purchase side only."""
+    with conf(spark, "spark.sql.adaptive.enabled", "false"):
+        plan = plan_of(queries["q_join_asof_topk"](spark, SF))
+        tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "collect_list" not in plan
+    assert "HashJoin" in tree or "SortMergeJoin" in tree  # equi, any impl
+    # and in the shuffle regime (no broadcast possible) it must stay a
+    # keyed equi-join, never degrade to a nested loop
+    with conf(spark, "spark.sql.adaptive.enabled", "false"):
+        with conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+            tree2 = tree_of(queries["q_join_asof_topk"](spark, SF))
+    assert "SortMergeJoin" in tree2 or "ShuffledHashJoin" in tree2
+    assert "NestedLoop" not in tree2 and "CartesianProduct" not in tree2
+
+
+def test_sequence_gaps_is_one_window_one_scan(spark, queries):
+    """Gap detection must be a single lag window over one orders scan —
+    and in particular NOT the generate-missing-keys anti-join."""
+    with conf(spark, "spark.sql.adaptive.enabled", "false"):
+        tree = tree_of(queries["q_window_sequence_gaps"](spark, SF))
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Window") == 1
+    assert "Join" not in tree
