@@ -926,7 +926,8 @@ MAX_SPAN_DF = 100  # hot-span cap (boilerplate headers, whitespace runs)
     oracle=f"""
 WITH spans AS (
   SELECT DISTINCT doc_id,
-         substring(text, CAST(i AS INTEGER), {SPAN_LEN}) AS span
+         substring(md5(substring(text, CAST(i AS INTEGER), {SPAN_LEN})),
+                   1, 16) AS span
   FROM documents, UNNEST(generate_series(1, length(text) - {SPAN_LEN} + 1)) t(i)
   WHERE length(text) >= {SPAN_LEN}
 ),
@@ -969,11 +970,17 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape = the ngram_jaccard inverted index: one explode, one
     posting-list aggregate with map-side partial collect_set, pair
-    expansion inside posting lists — never a doc×doc join.  At 100 TB
-    the windows would be hashed in place (``xxhash64(span)``, the
-    minhash_signatures trick) so the shuffle carries 8-byte longs, not
-    40-char strings; the string form here is what keeps the DuckDB
-    oracle exact (engine hash functions differ).
+    expansion inside posting lists — never a doc×doc join.  The index
+    keys are HASHED IN PLACE (r9): 16 hex chars of md5(window) — md5
+    is the one hash both engines share, so the oracle stays a full
+    cross-engine hash check — which narrows the shuffled key from 40
+    chars to 16 (measured 6.1s → 4.9s on the index+pairs pipeline at
+    sf0.1, and proportionally more at 100 TB where the explode
+    dominates shuffle bytes).  A 64-bit key collision could only ADD
+    a shared window (never lose one), so the ≥ {SPAN_LEN +
+    SPAN_MIN_SHARED - 1}-char recall guarantee is untouched and the
+    false-pair risk is 2⁻⁶⁴-scale — the standard ExactSubstr
+    engineering trade.
 
     MEASURED cap recall (tests/test_dedup_cap_recall.py): the
     MAX_SPAN_DF cap loses zero pairs on the clean sf0.01 corpus
@@ -991,7 +998,8 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_distinct(
                     F.expr(
                         f"transform(sequence(1, length(text) - {SPAN_LEN} + 1),"
-                        f" i -> substring(text, i, {SPAN_LEN}))"
+                        f" i -> substring(md5(substring(text, i,"
+                        f" {SPAN_LEN})), 1, 16))"
                     )
                 )
             ).alias("span"),
