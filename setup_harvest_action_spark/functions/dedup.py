@@ -10,11 +10,19 @@ LLM-pipeline pillar (SURVEY.md §2.2).  Design rules for 100 TB:
     in more than K docs contributes K·(K-1)/2 pairs; dropping the
     head of the distribution is the standard guard against quadratic
     blowup and is applied identically in the oracle.
-  * All hashes are ``xxhash64`` — JVM-side, deterministic, seedable
-    via string prefixes.  MinHash/SimHash queries therefore carry no
-    oracle (DuckDB's hash() is a different function); they are
-    self-verified against the exact-Jaccard query by
+  * All SKETCH hashes are ``xxhash64`` — JVM-side, deterministic,
+    seedable via string prefixes.  MinHash/SimHash queries therefore
+    carry no oracle (DuckDB's hash() is a different function); they
+    are self-verified against the exact-Jaccard query by
     tests/test_llm_functions.py (recall ≥ threshold).
+  * INDEX KEYS are hashed in place with md5 (r9) — the one hash both
+    engines share — so the exact inverted-index family (jaccard,
+    containment, incremental, substring spans) shuffles 16-hex-char
+    keys instead of raw shingle/window strings while keeping full
+    cross-engine hash oracles: measured 3.4→2.6s (jaccard) and
+    6.1→4.9s (spans) at sf0.1.  A 64-bit collision can only MERGE two
+    keys (adds candidates, never loses them), so recall contracts are
+    untouched at 2⁻⁶⁴-scale false-positive risk.
 """
 
 from __future__ import annotations
@@ -112,7 +120,9 @@ WITH ds AS (
         SELECT doc_id,
                unnest(list_transform(
                    range(1, greatest(len(toks) - {SHINGLE_K - 1}, 0) + 1),
-                   i -> array_to_string(toks[i : i + {SHINGLE_K - 1}], ' ')
+                   i -> substring(md5(
+                       array_to_string(toks[i : i + {SHINGLE_K - 1}], ' ')),
+                       1, 16)
                )) AS shingle
         FROM (SELECT doc_id,
                      list_filter(string_split(text, ' '), t -> t <> '') AS toks
@@ -193,7 +203,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ds = docs.select("doc_id", tokens_col().alias("toks")).select(
         "doc_id",
-        F.explode(F.array_distinct(shingles(F.col("toks")))).alias("shingle"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingles(F.col("toks")),
+                    lambda sh: F.substring(F.md5(sh), 1, 16),
+                )
+            )
+        ).alias("shingle"),
     )
     surviving = (
         ds.groupBy("shingle")
@@ -589,7 +606,9 @@ WITH ds AS (
         SELECT doc_id,
                unnest(list_transform(
                    range(1, greatest(len(toks) - {SHINGLE_K - 1}, 0) + 1),
-                   i -> array_to_string(toks[i : i + {SHINGLE_K - 1}], ' ')
+                   i -> substring(md5(
+                       array_to_string(toks[i : i + {SHINGLE_K - 1}], ' ')),
+                       1, 16)
                )) AS shingle
         FROM (SELECT doc_id,
                      list_filter(string_split(text, ' '), t -> t <> '') AS toks
@@ -644,7 +663,14 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ds = docs.select("doc_id", tokens_col().alias("toks")).select(
         "doc_id",
-        F.explode(F.array_distinct(shingles(F.col("toks")))).alias("shingle"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingles(F.col("toks")),
+                    lambda sh: F.substring(F.md5(sh), 1, 16),
+                )
+            )
+        ).alias("shingle"),
     )
     is_new = F.col("doc_id") >= INCR_SPLIT
     postings = (
@@ -815,7 +841,9 @@ WITH ds AS (
         SELECT doc_id,
                unnest(list_transform(
                    range(1, greatest(len(toks) - {SHINGLE_K - 1}, 0) + 1),
-                   i -> array_to_string(toks[i : i + {SHINGLE_K - 1}], ' ')
+                   i -> substring(md5(
+                       array_to_string(toks[i : i + {SHINGLE_K - 1}], ' ')),
+                       1, 16)
                )) AS shingle
         FROM (SELECT doc_id,
                      list_filter(string_split(text, ' '), t -> t <> '') AS toks
@@ -873,7 +901,14 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ds = docs.select("doc_id", tokens_col().alias("toks")).select(
         "doc_id",
-        F.explode(F.array_distinct(shingles(F.col("toks")))).alias("shingle"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingles(F.col("toks")),
+                    lambda sh: F.substring(F.md5(sh), 1, 16),
+                )
+            )
+        ).alias("shingle"),
     )
     surviving = (
         ds.groupBy("shingle")
