@@ -51,7 +51,10 @@ def audit_plan(df) -> dict:
             if tree.count(k)
         },
         "windows": tree.count("Window"),
-        "wholestage_spans": tree.count("WholeStageCodegen"),
+        # formatted explain marks codegen'd operators with a leading
+        # '*' and per-span "codegen id : N" in the detail section
+        "wholestage_spans": len(set(re.findall(r"codegen id : (\d+)", plan))),
+        "codegen_operators": len(re.findall(r"^\s*[:+]?-? ?\* ", tree, re.M)),
         "take_ordered": "TakeOrderedAndProject" in tree,
         "window_group_limit": "WindowGroupLimit" in tree,
     }
