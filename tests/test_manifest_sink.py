@@ -516,3 +516,101 @@ def test_vacuum_never_drops_the_latest_snapshot_and_cleans_tmp(
     v = read_manifest(path)["version"]
     assert read_manifest(path, version=v)["total_rows"] == 10
     assert scan_manifest(sink, path, version=v).count() == 10
+
+
+def test_manifest_protocol_randomized_model_check(sink, tmp_path, monkeypatch):
+    """Model-checking the whole table-format protocol under a seeded
+    random interleaving of appends, mid-commit crashes (with and
+    without replay), row-level deletes, compactions, and vacuums: after
+    EVERY operation the committed table must equal the in-memory model
+    exactly (row multiset via count + id-sum), and a randomly chosen
+    retained version must still time-travel.  One sequence of ~35 ops
+    exercises interleavings the single-scenario tests cannot."""
+    import random
+
+    import setup_harvest_action_spark.sources.manifest_sink as ms
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        _ManifestStreamWriter,
+        compact,
+        delete_where,
+        read_manifest,
+        scan_manifest,
+        vacuum_manifest,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rng = random.Random(20260814)
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    schema = StructType([StructField("id", LongType())])
+    w = _ManifestStreamWriter(path, schema)
+    model: list[int] = []  # committed ids (multiset as sorted list)
+    next_id = 0
+    next_batch = 0
+    vacuumed_below = 0  # versions < this may be gone
+
+    def check():
+        if not model:
+            return
+        df = scan_manifest(sink, path)
+        got = sorted(r["id"] for r in df.collect())
+        assert got == sorted(model), (len(got), len(model))
+
+    real_replace = os.replace
+    for step in range(35):
+        op = rng.choice(
+            ["append", "append", "append", "crash", "delete", "compact",
+             "vacuum", "travel"]
+        )
+        if op == "append":
+            n = rng.randint(1, 20)
+            rows = [(next_id + i,) for i in range(n)]
+            next_id += n
+            w.commit([w.write(iter(rows))], batchId=next_batch)
+            next_batch += 1
+            model.extend(r[0] for r in rows)
+        elif op == "crash":
+            n = rng.randint(1, 10)
+            rows = [(next_id + i,) for i in range(n)]
+            next_id += n
+            msg = w.write(iter(rows))
+
+            def boom(src, dst):
+                if dst.endswith(ms.MANIFEST):
+                    raise RuntimeError("crash")
+                return real_replace(src, dst)
+
+            monkeypatch.setattr(ms.os, "replace", boom)
+            with pytest.raises(RuntimeError):
+                w.commit([msg], batchId=next_batch)
+            monkeypatch.undo()
+            if rng.random() < 0.5:  # engine replays the batch
+                w2 = _ManifestStreamWriter(path, schema)
+                w2.commit([w2.write(iter(rows))], batchId=next_batch)
+                next_batch += 1
+                model.extend(r[0] for r in rows)
+            # else: abandoned — rows never become visible
+        elif op == "delete" and model:
+            victim = rng.choice(model)
+            delete_where(sink, path, [("id", "=", victim)])
+            model = [x for x in model if x != victim]
+        elif op == "compact" and model:
+            compact(sink, path, rng.randint(1, 3))
+        elif op == "vacuum" and model:
+            keep = rng.randint(1, 4)
+            vacuum_manifest(path, keep_last=keep)
+            vacuumed_below = max(
+                vacuumed_below,
+                read_manifest(path)["version"] - keep + 1,
+            )
+        elif op == "travel" and model:
+            latest_v = read_manifest(path)["version"]
+            v = rng.randint(max(1, vacuumed_below), latest_v)
+            m = read_manifest(path, version=v)
+            assert m["version"] == v
+            assert scan_manifest(sink, path, version=v).count() == m[
+                "total_rows"
+            ]
+        check()
+    assert model, "seed produced an empty table; pick another seed"
+    check()
