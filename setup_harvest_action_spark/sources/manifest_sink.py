@@ -69,26 +69,69 @@ MANIFEST = "_manifest.json"
 SNAPSHOT_FMT = "_manifest-v{}.json"
 
 
-def _write_versioned(path: str, manifest: dict) -> None:
+class CommitConflict(RuntimeError):
+    """Another writer committed between this writer's read of the
+    table state and its commit attempt — the optimistic-concurrency
+    failure.  Retry by re-reading, re-deriving the commit against the
+    new state, and committing again (the Delta/Iceberg loop)."""
+
+
+def _write_versioned(
+    path: str, manifest: dict, expected_version: int | None = None
+) -> None:
     """Stamp the next version, persist the immutable snapshot, then
     atomically flip the latest pointer — in that order, so the flip is
     the single commit point (see module docstring for the
-    crash-between analysis)."""
+    crash-between analysis).
+
+    ``expected_version`` enables OPTIMISTIC CONCURRENCY: the caller
+    names the version its commit was derived FROM, and the write
+    raises :class:`CommitConflict` if the table has moved on.  The
+    check-then-flip window is closed with an ``O_EXCL`` lock file —
+    valid on POSIX filesystems; an object-store deployment swaps this
+    one primitive for its CAS/conditional-put (the same slot Delta
+    fills with a LogStore and Iceberg with a catalog swap)."""
     mpath = os.path.join(path, MANIFEST)
-    prev_version = 0
-    if os.path.exists(mpath):
-        with open(mpath, encoding="utf-8") as fh:
-            prev_version = json.load(fh).get("version", 0)
-    manifest["version"] = prev_version + 1
-    snap = os.path.join(path, SNAPSHOT_FMT.format(manifest["version"]))
-    tmp = snap + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
-    os.replace(tmp, snap)  # supersedes any crash-orphaned snapshot
-    tmp = mpath + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
-    os.replace(tmp, mpath)
+    lock = os.path.join(path, "_commit.lock")
+    fd = None
+    if expected_version is not None:
+        import time as _time
+
+        for _ in range(200):  # ~2 s of 10 ms retries, then fail loudly
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                _time.sleep(0.01)
+        else:
+            raise TimeoutError(f"commit lock at {lock} never released")
+    try:
+        prev_version = 0
+        if os.path.exists(mpath):
+            with open(mpath, encoding="utf-8") as fh:
+                prev_version = json.load(fh).get("version", 0)
+        if expected_version is not None and prev_version != expected_version:
+            raise CommitConflict(
+                f"table at {path} is at v{prev_version}, commit was "
+                f"derived from v{expected_version} — re-derive and retry"
+            )
+        manifest["version"] = prev_version + 1
+        snap = os.path.join(path, SNAPSHOT_FMT.format(manifest["version"]))
+        tmp = snap + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, snap)  # supersedes any crash-orphaned snapshot
+        tmp = mpath + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, mpath)
+    finally:
+        if fd is not None:
+            os.close(fd)
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
 
 
 @dataclasses.dataclass
@@ -548,7 +591,10 @@ def delete_where(spark, path: str, where) -> dict:
     }
     if "batches" in m:
         manifest["batches"] = m["batches"]
-    _write_versioned(path, manifest)
+    # optimistic concurrency: this commit rewrote files it READ from
+    # version m — if another writer landed meanwhile, committing would
+    # silently drop that writer's files from the manifest
+    _write_versioned(path, manifest, expected_version=m.get("version", 0))
     return read_manifest(path)
 
 

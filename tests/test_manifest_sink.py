@@ -614,3 +614,48 @@ def test_manifest_protocol_randomized_model_check(sink, tmp_path, monkeypatch):
         check()
     assert model, "seed produced an empty table; pick another seed"
     check()
+
+
+def test_delete_where_detects_concurrent_commit_conflict(sink, tmp_path):
+    """A delete derived from version V must refuse to commit over a
+    table that moved past V — otherwise the interleaved writer's files
+    silently vanish from the manifest (lost update)."""
+    import json
+
+    import setup_harvest_action_spark.sources.manifest_sink as ms
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        CommitConflict,
+        delete_where,
+        read_manifest,
+        scan_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    sink.range(0, 100).repartitionByRange(2, "id").write.format(
+        "manifest_parquet"
+    ).mode("overwrite").save(path)
+
+    # interleave: bump the table version between delete's read and its
+    # commit by wrapping _write_versioned's first invocation
+    real = ms._write_versioned
+    state = {"bumped": False}
+
+    def interleave(p, manifest, expected_version=None):
+        if not state["bumped"]:
+            state["bumped"] = True
+            m = read_manifest(p)
+            real(p, {"files": m["files"], "total_rows": m["total_rows"]})
+        return real(p, manifest, expected_version=expected_version)
+
+    ms._write_versioned, orig = interleave, ms._write_versioned
+    try:
+        with pytest.raises(CommitConflict, match="re-derive and retry"):
+            delete_where(sink, path, [("id", "=", 5)])
+    finally:
+        ms._write_versioned = orig
+    # lost-update prevented: the table still holds every row, and the
+    # retry (now derived from the current version) succeeds
+    assert scan_manifest(sink, path).count() == 100
+    delete_where(sink, path, [("id", "=", 5)])
+    assert scan_manifest(sink, path).count() == 99
+    assert not os.path.exists(os.path.join(path, "_commit.lock"))
