@@ -123,7 +123,7 @@ _DRIVER_PRIORITY = (
     "q_quality_repetition",
     "q_quality_pii_redact",
     "q_embedding_outliers",
-    # (d) ALL TWELVE r9 catalog additions take their first driver row
+    # (d) ALL THIRTEEN r9 catalog additions take their first driver row
     # this same round — the r7 late-addition gap (queries landing
     # after the window was sized) does not recur; each addition ceded
     # one optional r05-fill slot below.
@@ -139,14 +139,14 @@ _DRIVER_PRIORITY = (
     "q_text_lm_bigram_score",
     "q_window_sequence_gaps",
     "q_join_asof_topk",
+    "q_events_interval_coverage_salted",
     # (e) Fill the remaining slots with the stalest r05 greens,
-    # family-spread; the rest of the r05 cohort (incl. the twelve
-    # fills ceded to the r9 additions: dedup_exact, kmeans, funnel,
-    # sessionize, transitions, percentiles, pivot, grouping_sets,
-    # cube, asof, asof_forward, scalar_array) rotates in r10 — all
-    # stay green under tools/verify_oracle.py meanwhile.
+    # family-spread; the rest of the r05 cohort (incl. the thirteen
+    # fills ceded to the r9 additions: dedup_exact, components,
+    # kmeans, funnel, sessionize, transitions, percentiles, pivot,
+    # grouping_sets, cube, asof, asof_forward, scalar_array) rotates
+    # in r10 — all stay green under tools/verify_oracle.py meanwhile.
     "q_dedup_ngram_jaccard",
-    "q_dedup_components",
     "q_dedup_semantic",
 )
 

@@ -1303,3 +1303,111 @@ def q_events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("me") - F.col("ms")).alias("covered_us"),
         )
     )
+
+
+@query(
+    "q_events_interval_coverage_salted",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e
+  FROM events
+),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER prev IS NULL
+                OR s > max(e) OVER prev THEN 1 ELSE 0 END AS brk
+  FROM iv
+  WINDOW prev AS (PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+islands AS (
+  SELECT user_id, s, e,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM marked
+),
+per AS (
+  SELECT user_id, island, min(s) AS ms, max(e) AS me
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(me - ms) AS BIGINT) AS covered_us
+FROM per GROUP BY user_id
+""",
+)
+def q_events_interval_coverage_salted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval-union coverage with a TIME-CHUNK SALT — the hot-user
+    escape hatch for q_events_interval_coverage, same oracle, same
+    output, the pattern proven on q_events_sessionize_salted.  The
+    exact per-user window puts a celebrity user's whole history in one
+    task; here phase 1 merges islands within (user, 6-hour chunk of
+    the interval START) and phase 2 re-merges the ISLAND SUMMARIES per
+    user with the identical running-max rule.
+
+    Exactness needs no seam argument at all (unlike sessionization):
+    interval UNION is grouping-invariant — merging any subset into
+    islands and then merging the island summaries yields the same
+    connected components and the same total measure, because an island
+    summary [min s, max e] covers exactly its members' union.  An
+    interval reaching past its chunk's edge simply makes its island's
+    max_e cross the boundary, and phase 2's running max picks it up.
+    The phase-2 window is bounded by islands-per-user (≈ active chunks
+    + true islands), orders of magnitude below event cardinality —
+    the skew probe's 300k-row hot user collapses to its chunk count."""
+    events = load_table(spark, sf_dir, "events")
+    iv = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * F.lit(60000000.0)).cast("bigint")
+        ).alias("e"),
+    ).withColumn("chunk", F.floor(F.col("s") / F.lit(SESSION_CHUNK_US)))
+    w1_prev = (
+        Window.partitionBy("user_id", "chunk")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w1_run = (
+        Window.partitionBy("user_id", "chunk")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p1 = F.max("e").over(w1_prev)
+    brk1 = F.when(p1.isNull() | (F.col("s") > p1), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    islands = (
+        iv.withColumn("island", F.sum(brk1).over(w1_run))
+        .groupBy("user_id", "chunk", "island")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+    )
+    w2_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "me")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w2_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "me")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p2 = F.max("me").over(w2_prev)
+    brk2 = F.when(p2.isNull() | (F.col("ms") > p2), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    return (
+        islands.withColumn("gid", F.sum(brk2).over(w2_run))
+        .groupBy("user_id", "gid")
+        .agg(F.min("ms").alias("gms"), F.max("me").alias("gme"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("gme") - F.col("gms")).alias("covered_us"),
+        )
+    )

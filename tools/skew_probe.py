@@ -43,6 +43,7 @@ Each probed query's own plan contract is what should absorb the skew:
 | q_dedup_substring_spans | MAX_SPAN_DF hot-window cap (r9) |
 | q_dedup_winnowing | 1/8 mod-p selection + MAX_FP_DF cap (r9) |
 | q_events_interval_coverage | per-user windows under one hot user (r9) |
+| q_events_interval_coverage_salted | time-chunk salt spreads the hot user; grouping-invariant two-phase merge (r9) |
 | q_late_supplier_blame | all joins keyed on the (non-hot) orderkey — growth must stay ~linear in volume (r9) |
 
 Usage:  python tools/skew_probe.py [--regen] [query ...]
@@ -79,6 +80,7 @@ PROBES = [
     "q_dedup_substring_spans",
     "q_dedup_winnowing",
     "q_events_interval_coverage",
+    "q_events_interval_coverage_salted",
     "q_late_supplier_blame",
 ]
 
