@@ -123,10 +123,12 @@ _DRIVER_PRIORITY = (
     "q_quality_repetition",
     "q_quality_pii_redact",
     "q_embedding_outliers",
-    # (d) ALL THIRTEEN r9 catalog additions take their first driver row
-    # this same round — the r7 late-addition gap (queries landing
-    # after the window was sized) does not recur; each addition ceded
-    # one optional r05-fill slot below.
+    # (d) ALL THIRTEEN r9 catalog additions take their first driver
+    # row this same round — the r7 late-addition gap (queries landing
+    # after the window was sized) does not recur — and the two HLL
+    # queries promoted to sketch-contract oracles late in r9 re-gate
+    # here too; every addition/re-gate ceded one optional r05-fill
+    # slot.
     "q_late_supplier_blame",
     "q_dedup_winnowing",
     "q_events_interval_coverage",
@@ -140,14 +142,14 @@ _DRIVER_PRIORITY = (
     "q_window_sequence_gaps",
     "q_join_asof_topk",
     "q_events_interval_coverage_salted",
-    # (e) Fill the remaining slots with the stalest r05 greens,
-    # family-spread; the rest of the r05 cohort (incl. the thirteen
-    # fills ceded to the r9 additions: dedup_exact, components,
-    # kmeans, funnel, sessionize, transitions, percentiles, pivot,
-    # grouping_sets, cube, asof, asof_forward, scalar_array) rotates
-    # in r10 — all stay green under tools/verify_oracle.py meanwhile.
-    "q_dedup_ngram_jaccard",
-    "q_dedup_semantic",
+    "q_agg_hll_partitioned",
+    "q_agg_hll_set_algebra",
+    # (e) The r05-fill slots all ceded to r9 additions/re-gates; the
+    # whole r05 cohort (dedup_exact, ngram_jaccard, components,
+    # semantic, kmeans, funnel, sessionize, transitions, percentiles,
+    # pivot, grouping_sets, cube, asof, asof_forward, scalar_array,
+    # ...) rotates in r10 — all stay green under
+    # tools/verify_oracle.py meanwhile.
 )
 
 _loaded = False

@@ -989,12 +989,19 @@ def q_text_minmax_scale_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         if hi == lo:
             scaled = pa.array([0.0] * table.num_rows, type=pa.float64())
         else:
+            # round_mode matters cross-engine: pyarrow defaults to
+            # bankers' half-to-even, DuckDB/Spark round half away from
+            # zero (pyarrow spells it half_towards_infinity; scaled values
+            # here are non-negative, so the two agree) — an exactly-
+            # representable tie like 0.4453125 then
+            # hashes differently (surfaced by the sf0.1 full-gate run)
             scaled = pc.round(
                 pc.divide(
                     pc.cast(pc.subtract(n, lo), pa.float64()),
                     float(hi - lo),
                 ),
                 ndigits=6,
+                round_mode="half_towards_infinity",
             )
         return pa.table(
             {

@@ -381,11 +381,16 @@ def q_agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_hll_partitioned",
     oracle="""
-SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+         <= 0.06 * count(DISTINCT user_id) AS approx_ok
 FROM events GROUP BY event_type
 UNION ALL
 SELECT '__all__' AS event_type,
-       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+         <= 0.06 * count(DISTINCT user_id) AS approx_ok
 FROM events
 """,
 )
@@ -398,21 +403,42 @@ def q_agg_hll_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline the per-day/per-shard sketches land in a stats table and
     any rollup (weekly, global, per-segment) is a union of blobs.
 
-    The oracle uses exact COUNT(DISTINCT): at the driver's gate scale
-    the per-key cardinality (~150) sits inside the HLL sparse regime
-    where the sketch is EXACT (datasketches keeps a raw hash set until
-    it exceeds the register budget).  Beyond that regime the estimate
-    drifts ≤ a few percent (measured 0.4% at sf0.1) — pinned by a
-    tolerance pytest, which is the honest contract for the operator at
-    scale."""
+    SKETCH-CONTRACT oracle (promoted r9 from the gate-scale-only
+    exact oracle): each engine emits exact COUNT(DISTINCT) per key —
+    hash-compared as real values — plus a boolean that its OWN sketch
+    estimate (including the '__all__' row derived by MERGING the
+    per-key sketches, the operation under test) lands within 6% of
+    that exact count.  Green at sf0.01 AND sf0.1 (where the old
+    oracle broke: 1500 distinct estimated ~1488, outside the sparse-
+    exact regime); the 2%-at-sf0.1 tolerance pytest stays as the
+    tighter self-check."""
     ev = load_table(spark, sf_dir, "events")
-    per = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
-    by_type = per.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("n_users")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("n_exact"),
     )
-    merged = per.agg(F.hll_union_agg("sk").alias("sk")).select(
-        F.lit("__all__").alias("event_type"),
-        F.hll_sketch_estimate("sk").alias("n_users"),
+    ok = lambda est: (
+        F.abs(est - F.col("n_exact")) <= 0.06 * F.col("n_exact")
+    )
+    by_type = per.select(
+        "event_type",
+        "n_exact",
+        ok(F.hll_sketch_estimate("sk")).alias("approx_ok"),
+    )
+    merged = (
+        per.agg(
+            F.hll_union_agg("sk").alias("sk"),
+        )
+        .crossJoin(
+            F.broadcast(
+                ev.agg(F.count_distinct("user_id").alias("n_exact"))
+            )
+        )
+        .select(
+            F.lit("__all__").alias("event_type"),
+            "n_exact",
+            ok(F.hll_sketch_estimate("sk")).alias("approx_ok"),
+        )
     )
     return by_type.unionByName(merged)
 
@@ -866,13 +892,33 @@ def q_agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_hll_set_algebra",
     oracle="""
 WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
-p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
-SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
-       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
-       CAST((SELECT count(*) FROM (SELECT * FROM c UNION SELECT * FROM p))
-            AS BIGINT) AS n_union,
-       CAST((SELECT count(*) FROM c WHERE user_id IN (SELECT user_id FROM p))
-            AS BIGINT) AS n_intersection
+p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+ex AS (
+  SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+         CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
+         CAST((SELECT count(*) FROM (SELECT * FROM c UNION SELECT * FROM p))
+              AS BIGINT) AS n_union,
+         CAST((SELECT count(*) FROM c
+               WHERE user_id IN (SELECT user_id FROM p))
+              AS BIGINT) AS n_intersection
+),
+sk AS (
+  SELECT approx_count_distinct(CASE WHEN event_type = 'click'
+                                    THEN user_id END) AS a_click,
+         approx_count_distinct(CASE WHEN event_type = 'purchase'
+                                    THEN user_id END) AS a_purchase,
+         approx_count_distinct(CASE WHEN event_type IN ('click', 'purchase')
+                                    THEN user_id END) AS a_union
+  FROM events
+)
+SELECT ex.n_click, ex.n_purchase, ex.n_union, ex.n_intersection,
+       abs(sk.a_click - ex.n_click) <= 0.06 * ex.n_click AS click_ok,
+       abs(sk.a_purchase - ex.n_purchase)
+         <= 0.06 * ex.n_purchase AS purchase_ok,
+       abs(sk.a_union - ex.n_union) <= 0.06 * ex.n_union AS union_ok,
+       abs((sk.a_click + sk.a_purchase - sk.a_union) - ex.n_intersection)
+         <= 0.2 * ex.n_union AS intersection_ok
+FROM ex CROSS JOIN sk
 """,
 )
 def q_agg_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -889,29 +935,47 @@ def q_agg_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherits the union estimate's error (relative to the UNION size,
     so small intersections of large sets get noisy — the documented
     caveat that pushes exact-needed cases to the semi-join instead).
-    Oracle is exact set arithmetic: gate-scale (sf0.01) cardinalities
-    sit in the sketch's sparse-exact regime (guarded by
-    test_hll_set_algebra_gate_fixture_stays_exact), same honest
-    contract as q_agg_hll_partitioned.  NOT exact at sf0.1 — 1500
-    distinct there estimates ~1488; the oracle is a gate-scale
-    contract only."""
+
+    SKETCH-CONTRACT oracle (promoted r9, the q_agg_approx_quantiles
+    pattern): exact cardinalities ride the same scan as hash-compared
+    VALUES, and each engine emits booleans that its OWN sketch lands
+    within 6% of its own exact counts (20% of union for the
+    inclusion-exclusion intersection, whose error is union-relative
+    by construction) — green at sf0.01 AND sf0.1, where the previous
+    exact-only oracle held only in the sparse-exact regime."""
     ev = load_table(spark, sf_dir, "events")
+    is_c = F.col("event_type") == "click"
+    is_p = F.col("event_type") == "purchase"
     sk = ev.agg(
-        F.hll_sketch_agg(
-            F.when(F.col("event_type") == "click", F.col("user_id"))
-        ).alias("sk_c"),
-        F.hll_sketch_agg(
-            F.when(F.col("event_type") == "purchase", F.col("user_id"))
-        ).alias("sk_p"),
+        F.hll_sketch_agg(F.when(is_c, F.col("user_id"))).alias("sk_c"),
+        F.hll_sketch_agg(F.when(is_p, F.col("user_id"))).alias("sk_p"),
+        F.count_distinct(F.when(is_c, F.col("user_id"))).alias("n_click"),
+        F.count_distinct(F.when(is_p, F.col("user_id"))).alias("n_purchase"),
+        F.count_distinct(
+            F.when(is_c | is_p, F.col("user_id"))
+        ).alias("n_union"),
     )
     n_c = F.hll_sketch_estimate("sk_c")
     n_p = F.hll_sketch_estimate("sk_p")
     n_u = F.hll_sketch_estimate(F.hll_union("sk_c", "sk_p"))
+    inter_exact = F.col("n_click") + F.col("n_purchase") - F.col("n_union")
     return sk.select(
-        n_c.alias("n_click"),
-        n_p.alias("n_purchase"),
-        n_u.alias("n_union"),
-        (n_c + n_p - n_u).alias("n_intersection"),
+        "n_click",
+        "n_purchase",
+        "n_union",
+        inter_exact.alias("n_intersection"),
+        (F.abs(n_c - F.col("n_click")) <= 0.06 * F.col("n_click")).alias(
+            "click_ok"
+        ),
+        (
+            F.abs(n_p - F.col("n_purchase")) <= 0.06 * F.col("n_purchase")
+        ).alias("purchase_ok"),
+        (F.abs(n_u - F.col("n_union")) <= 0.06 * F.col("n_union")).alias(
+            "union_ok"
+        ),
+        (
+            F.abs((n_c + n_p - n_u) - inter_exact) <= 0.2 * F.col("n_union")
+        ).alias("intersection_ok"),
     )
 
 

@@ -456,8 +456,9 @@ RUNTIME_FILTER_BUCKETS = 4096
     oracle="""
 SELECT o.o_orderkey AS orderkey,
        o.o_orderdate AS orderdate,
-       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
-           AS revenue
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,6)))), 2)
+            AS DOUBLE) AS revenue
 FROM orders o
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '1-URGENT'
@@ -501,13 +502,20 @@ def q_join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_of(F.col("l_orderkey")) == F.col("rf_bucket"),
         "left_semi",
     )
+    # DECIMAL accumulation (r9): per-order double sums hit
+    # accumulation-order rounding ties at sf0.1 (9/11k orders differed
+    # in the last cent between engines); prices/discounts are exact at
+    # <= 4 decimals, so decimal(18,6) arithmetic is exact and
+    # order-independent on both engines at any scale
+    dec = lambda c: F.col(c).cast("decimal(18,6)")
     return (
         dim.join(fact_pruned, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))),
+                2,
+            ).cast("double").alias("revenue")
         )
         .select(
             F.col("o_orderkey").alias("orderkey"),

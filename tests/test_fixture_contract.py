@@ -181,15 +181,11 @@ def test_events_ts_rejects_tz_aware_fixture(tmp_path):
     assert not (pa.types.is_timestamp(t) and t.tz is not None)
 
 
-def test_hll_gate_fixture_stays_in_exact_regime(spark):
-    """q_agg_hll_partitioned's oracle is exact COUNT(DISTINCT) while
-    the query returns HLL estimates; the gate stays green only while
-    the gate fixture's user_id cardinality sits inside the sketch's
-    sparse-exact regime.  Pin that here (same guard pattern as the
-    ts-unit contract): at the gate SF every per-key and the global
-    estimate must EQUAL the exact count, so a driver fixture
-    regeneration with more users fails locally before it fails the
-    round verdict."""
+def test_hll_partitioned_sketch_contract(spark):
+    """q_agg_hll_partitioned (sketch-contract oracle since r9): the
+    exact per-key counts must match an independent COUNT(DISTINCT),
+    and every approx_ok boolean — including the '__all__' row derived
+    by MERGING the per-key sketches — must hold on the gate fixture."""
     from conftest import SF_CORRECT
 
     ev = load_table(spark, SF_CORRECT, "events")
@@ -204,41 +200,30 @@ def test_hll_gate_fixture_stays_in_exact_regime(spark):
     from setup_harvest_action_spark.catalog import load_catalog
 
     q, _ = load_catalog()
-    got = {
-        r["event_type"]: r["n_users"]
-        for r in q["q_agg_hll_partitioned"](spark, SF_CORRECT).collect()
-    }
-    assert got == exact, (
-        "HLL left the sparse-exact regime on the gate fixture — "
-        "q_agg_hll_partitioned's exact-count oracle would now fail"
-    )
+    rows = q["q_agg_hll_partitioned"](spark, SF_CORRECT).collect()
+    assert {r["event_type"]: r["n_exact"] for r in rows} == exact
+    assert all(r["approx_ok"] for r in rows), rows
 
 
-def test_hll_set_algebra_gate_fixture_stays_exact(spark):
-    """Same guard for q_agg_hll_set_algebra: its oracle is exact set
-    arithmetic over clickers/purchasers, which only matches the HLL
-    estimates while |click|, |purchase|, AND |union| all sit in the
-    sketch's sparse-exact regime at the gate SF.  Measured: sf0.01
-    has 150/150/150 (exact), sf0.1 has 1500 distinct where the union
-    estimate is ~1488 — the oracle holds ONLY at gate scale, which is
-    the documented contract."""
+def test_hll_set_algebra_sketch_contract(spark):
+    """q_agg_hll_set_algebra (sketch-contract oracle since r9): exact
+    set arithmetic must match an independent computation and all four
+    sketch booleans must hold on the gate fixture."""
     from conftest import SF_CORRECT
 
     ev = load_table(spark, SF_CORRECT, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id")
     buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    exact = (
-        clicks.distinct().count(),
-        buys.distinct().count(),
-        clicks.union(buys).distinct().count(),
-    )
+    n_c = clicks.distinct().count()
+    n_b = buys.distinct().count()
+    n_u = clicks.union(buys).distinct().count()
 
     from setup_harvest_action_spark.catalog import load_catalog
 
     q, _ = load_catalog()
     row = q["q_agg_hll_set_algebra"](spark, SF_CORRECT).collect()[0]
-    got = (row["n_click"], row["n_purchase"], row["n_union"])
-    assert got == exact, (
-        "HLL set-algebra left the sparse-exact regime on the gate "
-        "fixture — q_agg_hll_set_algebra's exact-set oracle would fail"
-    )
+    assert (row["n_click"], row["n_purchase"], row["n_union"]) == (
+        n_c, n_b, n_u)
+    assert row["n_intersection"] == n_c + n_b - n_u
+    for b in ("click_ok", "purchase_ok", "union_ok", "intersection_ok"):
+        assert row[b] is True, (b, row)
