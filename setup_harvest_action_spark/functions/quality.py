@@ -475,3 +475,115 @@ def q_quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("ratio"), 6).alias("max_ratio"),
         )
     )
+
+
+SEG_WORDS = 8  # fixed-width segment size (the fixture has no newlines)
+BOILERPLATE_MIN_DF = 3  # segment appears in >= this many docs -> boilerplate
+
+
+def _segments(toks: Column) -> Column:
+    """Consecutive ``SEG_WORDS``-word segments of a token array (the
+    tail segment may be shorter).  Guarded like :func:`ngrams`: zero
+    tokens yields an empty array (``sequence(1, 0)`` would DESCEND)."""
+    n_segs = F.ceil(F.size(toks) / F.lit(SEG_WORDS)).cast("int")
+    seg = lambda i: F.concat_ws(
+        " ", F.slice(toks, (i - 1) * SEG_WORDS + 1, SEG_WORDS)
+    )
+    return F.when(
+        F.size(toks) >= 1,
+        F.transform(F.sequence(F.lit(1), n_segs), seg),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@query(
+    "q_quality_boilerplate_segments",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(tk[(i-1)*{SEG_WORDS}+1 : i*{SEG_WORDS}], ' ') AS seg
+  FROM toks,
+       UNNEST(generate_series(1,
+              CAST(ceil(len(tk) * 1.0 / {SEG_WORDS}) AS BIGINT))) t(i)
+),
+boiler AS (
+  SELECT md5(seg) AS seg_key FROM segs
+  GROUP BY md5(seg)
+  HAVING count(DISTINCT doc_id) >= {BOILERPLATE_MIN_DF}
+)
+SELECT s.doc_id,
+       CAST(count(*) AS INTEGER) AS n_segments,
+       CAST(count(b.seg_key) AS INTEGER) AS n_boilerplate,
+       md5(coalesce(
+           string_agg(s.seg, ' ' ORDER BY s.seg_idx)
+               FILTER (WHERE b.seg_key IS NULL),
+           '')) AS cleaned_md5
+FROM segs s
+LEFT JOIN boiler b ON b.seg_key = md5(s.seg)
+GROUP BY s.doc_id
+""",
+)
+def q_quality_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal — the C4 "discard any
+    line that repeats across documents" / CCNet paragraph-hash rule,
+    re-expressed over fixed {SEG_WORDS}-word segments (the fixture
+    text has no newlines; the algebra is segmentation-agnostic).  A
+    segment is boilerplate when it appears in >= {BOILERPLATE_MIN_DF}
+    DISTINCT documents; the op strips those segments and emits the
+    cleaned document (as an md5 the oracle can hash-compare), plus
+    kept/removed counts.  This is a document TRANSFORMATION, distinct
+    from the pair-detection dedups in ``functions/dedup.py``.
+
+    100 TB shape: three corpus-scale exchanges, the same economics as
+    the inverted-index dedup family — (1) explode to segments and
+    partial/final count DISTINCT docs per md5 segment key (the md5
+    narrows the shuffle like the r9 shingle-index keys), (2) join the
+    exploded segments back to the boilerplate key set on seg_key —
+    NO broadcast hint: the boilerplate set is tiny on healthy corpora
+    (high-DF survivors only) and AQE promotes the join to broadcast at
+    runtime, but on a pathological fully-duplicated corpus it stays a
+    safe shuffle join, (3) re-assemble per doc_id.  Per-doc
+    ``collect_list`` is bounded by document size, never corpus size.
+    Segment order restores via ``array_sort`` on (seg_idx, seg)
+    structs, so reassembly is exact; a no-removal document round-trips
+    to its original (trimmed) text."""
+    toks = _with_tokens(load_table(spark, sf_dir, "documents"))
+    segs = (
+        toks.filter(F.size("toks") >= 1)
+        .select("doc_id", F.posexplode(_segments(F.col("toks"))))
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).alias("seg_idx"),
+            "col",
+            F.md5("col").alias("seg_key"),
+        )
+        .withColumnRenamed("col", "seg")
+    )
+    boiler = (
+        segs.groupBy("seg_key")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILERPLATE_MIN_DF)
+        .select("seg_key", F.lit(True).alias("is_boiler"))
+    )
+    flagged = segs.join(boiler, "seg_key", "left")
+    kept_pair = F.when(
+        F.col("is_boiler").isNull(), F.struct("seg_idx", "seg")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_segments"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+        .cast("int")
+        .alias("n_boilerplate"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_pair)),
+                    lambda p: p["seg"],
+                ),
+            )
+        ).alias("cleaned_md5"),
+    )

@@ -1156,3 +1156,70 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partkey")
     )
+
+
+SMALL_QTY_BRAND_PREFIX = "Brand#1"  # Brand#1 and Brand#10..#19
+SMALL_QTY_FRACTION = 0.5  # l_quantity below this fraction of the part avg
+
+
+@query(
+    "q_small_quantity_revenue",
+    oracle=f"""
+WITH perpart AS (
+  SELECT l_partkey, avg(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand AS brand,
+       CAST(count(*) AS BIGINT) AS n_small,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) / 7.0, 2)
+            AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN perpart a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand LIKE '{SMALL_QTY_BRAND_PREFIX}%'
+  AND l.l_quantity < {SMALL_QTY_FRACTION} * a.avg_qty
+GROUP BY p.p_brand
+ORDER BY brand
+""",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the canonical CORRELATED-SCALAR-SUBQUERY
+    decorrelation: revenue from line items whose quantity falls below
+    {SMALL_QTY_FRACTION}x the average quantity of their own part,
+    grouped per brand (reference runs no such query; north-star
+    extension per SURVEY.md S2.2 aggregation/join families).
+
+    100 TB shape: the correlated subquery ``l_quantity < f * (SELECT
+    avg(l_quantity) WHERE l_partkey = outer.l_partkey)`` is written
+    decorrelated — ONE partial/final average per part key, then an
+    equi-join back to the fact table on the SAME key, so the agg
+    output arrives already hash-partitioned on l_partkey and the join
+    reuses that exchange on the build side (no second corpus shuffle
+    of the aggregate).  The brand slice joins via broadcast (part is
+    dimension-sized) and prunes fact rows BEFORE the per-part join.
+    Revenue accumulates in DECIMAL(18,6) — prices are exact at <= 4
+    decimals, so the sum is order-independent and the oracle hash is
+    scale-independent (the r9 q_join_runtime_filter lesson)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").startswith(SMALL_QTY_BRAND_PREFIX)
+    )
+    per_part = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    branded = li.join(
+        F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+    )
+    return (
+        branded.join(per_part.withColumnRenamed("l_partkey", "a_partkey"),
+                     F.col("a_partkey") == branded["l_partkey"])
+        .filter(F.col("l_quantity") < SMALL_QTY_FRACTION * F.col("avg_qty"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n_small"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) / 7.0, 2
+            )
+            .cast("double")
+            .alias("avg_yearly"),
+        )
+        .orderBy("brand")
+    )

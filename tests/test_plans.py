@@ -924,3 +924,39 @@ def test_sequence_gaps_is_one_window_one_scan(spark, queries):
     assert tree.count("Scan parquet") == 1
     assert tree.count("Window") == 1
     assert "Join" not in tree
+
+
+def test_small_quantity_revenue_decorrelates_and_pushes_brand(spark, queries):
+    """The Q17 shape must run DECORRELATED — the per-part average is a
+    partial/final aggregate equi-joined back on l_partkey, never a
+    correlated per-row re-scan — with the brand prefix pushed into the
+    part scan and the fact scans column-pruned."""
+    plan = plan_of(queries["q_small_quantity_revenue"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "StringStartsWith(p_brand,Brand#1)" in plan
+    assert "partial_avg(l_quantity" in plan
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    # fact scans read only the join/filter/measure columns
+    assert "l_shipdate" not in plan
+    assert "l_returnflag" not in plan
+    # revenue accumulates in decimal (order-independent at any scale)
+    assert "decimal(18,6)" in plan
+
+
+def test_boilerplate_builds_hashed_df_index_and_reassembles_once(spark, queries):
+    """Boilerplate removal must (1) key its corpus-frequency index on
+    the md5 SEGMENT HASH — distinct-doc counts, not occurrence counts —
+    (2) probe it with an equi-join on that key (no nested loop at any
+    scale), and (3) reassemble documents in ONE doc_id aggregate pair
+    using the skip-null collect, never a second corpus join."""
+    with conf(spark, "spark.sql.adaptive.enabled", "false"):
+        plan = plan_of(queries["q_quality_boilerplate_segments"](spark, SF))
+        tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2  # index pass + probe pass
+    assert tree.count("Generate") == 2  # one explode per pass
+    assert "count(distinct doc_id" in plan
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    # single partial/final reassembly aggregate keyed on doc_id
+    assert tree.count("ObjectHashAggregate") == 2

@@ -204,3 +204,59 @@ def test_compression_ratio_matches_direct_zlib(spark, queries):
         assert got[k][0] == expected[k][0], k
         for gi, ei in zip(got[k][1:], expected[k][1:]):
             assert gi == pytest.approx(ei, abs=2e-6), (k, got[k], expected[k])
+
+
+def test_boilerplate_segments_roundtrip_and_invariants(spark, queries):
+    """Untouched documents must round-trip exactly: a doc with zero
+    boilerplate segments reassembles to the md5 of its own trimmed
+    token-joined text (order restored by seg_idx).  At least one doc
+    must actually lose segments on the fixture, and removed counts
+    stay within [0, n_segments]."""
+    import hashlib
+
+    sf = "/root/testdata/sf0.001"
+    rows = queries["q_quality_boilerplate_segments"](spark, sf).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert any(r["n_boilerplate"] > 0 for r in rows)
+    clean = [r for r in rows if r["n_boilerplate"] == 0]
+    assert clean
+    for r in clean:
+        toks = [t for t in docs[r["doc_id"]].split(" ") if t]
+        expect = hashlib.md5(" ".join(toks).encode()).hexdigest()
+        assert r["cleaned_md5"] == expect, r["doc_id"]
+    for r in rows:
+        assert 0 <= r["n_boilerplate"] <= r["n_segments"]
+
+
+def test_boilerplate_segments_exact_on_handbuilt_corpus(spark, queries, tmp_path, monkeypatch):
+    """Hand-built corpus with a known repeated segment: the 8-word
+    banner appears in 3 docs (>= BOILERPLATE_MIN_DF) and must be
+    stripped from all three; the unique tails survive."""
+    import hashlib
+
+    banner = "one two three four five six seven eight"
+    rows = [
+        (1, banner + " alpha beta"),
+        (2, banner + " gamma delta"),
+        (3, banner + " epsilon zeta"),
+        (4, "totally unique words here nothing repeats at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in queries["q_quality_boilerplate_segments"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    for d, tail in ((1, "alpha beta"), (2, "gamma delta"), (3, "epsilon zeta")):
+        assert out[d]["n_segments"] == 2
+        assert out[d]["n_boilerplate"] == 1
+        assert out[d]["cleaned_md5"] == hashlib.md5(tail.encode()).hexdigest()
+    assert out[4]["n_boilerplate"] == 0
+    assert out[4]["cleaned_md5"] == hashlib.md5(rows[3][1].encode()).hexdigest()
