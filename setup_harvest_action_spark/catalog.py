@@ -74,82 +74,71 @@ _EXPECTED_MISSING: frozenset[str] = frozenset()
 DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = (
-    # ---- r09 rotation ----
-    # (r8 was a short round that never rotated this list, so the r8
-    # driver re-ran the r7 window; composition below clears the
-    # resulting backlog.)
-    # (a) The 9 entries that have NEVER carried a driver row: the
-    # eight r7-late additions (judge-replayed green in the r7 session)
-    # plus r8's salted sessionization.
-    "q_dedup_substring_spans",
-    "q_sample_global_shuffle",
-    "q_events_time_decay_score",
-    "q_quality_winsorize",
-    "q_agg_chi_square",
-    "q_stream_trending_topk",
-    "q_quality_compression_ratio",
-    "q_join_existence",
-    "q_events_sessionize_salted",
-    # (b) Oracle/code changes needing re-gating: the two sketch
-    # queries were promoted rows-only → hash-oracle in r8 and
-    # approx_quantiles gained exact-percentile value columns in r9;
-    # never driver-checked in their new form.
-    "q_agg_approx_quantiles",
-    "q_approx_count_distinct",
-    # (c) The 24 entries whose newest driver row is still r04 — the
-    # stalest backlog, promised for r8 (all stayed green under
-    # tools/verify_oracle.py + judge replay meanwhile).
-    "q_window_running_sum",
-    "q_window_sliding_frame",
-    "q_window_range_frame",
-    "q_window_first_last",
-    "q_window_distribution",
-    "q_join_right_outer",
-    "q_join_full_outer",
-    "q_join_cross",
-    "q_join_multikey",
-    "q_setop_union_all",
-    "q_setop_union_distinct",
-    "q_setop_intersect_all",
-    "q_setop_except",
-    "q_text_kwic_udtf",
-    "q_text_topk_tokens",
-    "q_multimodal_ppm_pipeline",
-    "q_sample_bernoulli_hash",
-    "q_sample_train_valid_test",
-    "q_sample_stratified",
-    "q_sample_mixture_weights",
-    "q_sample_chunk_windows",
-    "q_quality_repetition",
-    "q_quality_pii_redact",
-    "q_embedding_outliers",
-    # (d) ALL THIRTEEN r9 catalog additions take their first driver
-    # row this same round — the r7 late-addition gap (queries landing
-    # after the window was sized) does not recur — and the two HLL
-    # queries promoted to sketch-contract oracles late in r9 re-gate
-    # here too; every addition/re-gate ceded one optional r05-fill
-    # slot.
-    "q_late_supplier_blame",
-    "q_dedup_winnowing",
-    "q_events_interval_coverage",
-    "q_window_running_distinct",
-    "q_sample_bootstrap",
-    "q_text_zipf_fit",
-    "q_source_manifest_changes_stream",
-    "q_source_manifest_skipping",
-    "q_min_cost_supplier",
-    "q_text_lm_bigram_score",
-    "q_window_sequence_gaps",
-    "q_join_asof_topk",
-    "q_events_interval_coverage_salted",
-    "q_agg_hll_partitioned",
-    "q_agg_hll_set_algebra",
-    # (e) The r05-fill slots all ceded to r9 additions/re-gates; the
-    # whole r05 cohort (dedup_exact, ngram_jaccard, components,
-    # semantic, kmeans, funnel, sessionize, transitions, percentiles,
-    # pivot, grouping_sets, cube, asof, asof_forward, scalar_array,
-    # ...) rotates in r10 — all stay green under
-    # tools/verify_oracle.py meanwhile.
+    # ---- r10 rotation ----
+    # 50 slots = 2 + 47 + 1.  The VERDICT r9 done-criterion pins the
+    # whole composition: both never-driver-checked entries plus every
+    # entry whose newest driver row is still r05 (47 of them).  That
+    # leaves exactly ONE slot, which goes to the round's headline
+    # addition (manifest MERGE INTO).  All other r10 additions
+    # (q_multimodal_png_pipeline, q_harvest_downstream_preserved,
+    # q_source_manifest_evolution) and the md5 re-gated
+    # q_dedup_minhash/q_dedup_simhash front the r11 window; until then
+    # they are hash-verified by tools/verify_oracle.py + pytest.
+    # (a) Never carried a driver row (judge-replayed green in r9):
+    "q_small_quantity_revenue",
+    "q_quality_boilerplate_segments",
+    # (b) The r10 headline addition — manifest table-format MERGE INTO:
+    "q_source_manifest_merge",
+    # (c) The full r05 cohort — stalest driver rows in the catalog
+    # (all stayed green under tools/verify_oracle.py + judge replay
+    # every round since):
+    "q_agg_minmax_stats",
+    "q_agg_percentiles",
+    "q_agg_pivot",
+    "q_constraint_report",
+    "q_cube_lineitem_flags",
+    "q_dedup_components",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_semantic",
+    "q_embedding_kmeans",
+    "q_events_anomaly",
+    "q_events_cohort_retention",
+    "q_events_funnel",
+    "q_events_resample_ffill",
+    "q_events_sessionize",
+    "q_events_transitions",
+    "q_grouping_sets",
+    "q_harvest_read_path",
+    "q_harvest_rerun_stats",
+    "q_harvest_rerun_terms",
+    "q_harvest_term_fields",
+    "q_harvest_terms",
+    "q_harvest_unpivot",
+    "q_join_asof",
+    "q_join_asof_forward",
+    "q_large_orders",
+    "q_multimodal_metadata",
+    "q_pagination_page",
+    "q_pricing_summary",
+    "q_revenue_by_nation",
+    "q_rollup_order_stats",
+    "q_sample_source_cap",
+    "q_scalar_array",
+    "q_scalar_conditional",
+    "q_scalar_math",
+    "q_shipping_priority",
+    "q_similarity_exact_topk",
+    "q_stream_dedup",
+    "q_stream_dedup_within_watermark",
+    "q_stream_session_windows",
+    "q_stream_sliding_avg",
+    "q_stream_stateful_user_totals",
+    "q_stream_stream_join",
+    "q_stream_tumbling_append_filesink",
+    "q_stream_tumbling_counts",
+    "q_text_bytes_mapinarrow",
+    "q_text_lm_score",
 )
 
 _loaded = False

@@ -289,3 +289,81 @@ def q_source_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round("value", 4).alias("value"),
     )
+
+
+@query(
+    "q_source_manifest_merge",
+    oracle="""
+WITH tgt AS (
+  SELECT o_orderkey AS okey, o_orderstatus AS status,
+         CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+  FROM orders
+), src AS (
+  SELECT o_orderkey AS okey, 'U' AS status,
+         CAST(round(o_totalprice, 2) * 2 AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT -o_orderkey AS okey, 'N' AS status,
+         CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 5 = 3
+)
+SELECT okey, status, price FROM src
+UNION ALL
+SELECT okey, status, price FROM tgt WHERE okey % 5 <> 0
+""",
+)
+def q_source_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the manifest table format — the table-format
+    promotion of the reference's O13 upsert (harvest.py:326-349):
+    ``orders`` is committed as the target (range-partitioned on key so
+    part footers carry disjoint key ranges), then one merge applies a
+    source of UPDATES (every key % 5 == 0, price doubled, status
+    'U') and INSERTS (fresh negative keys, status 'N') in a single
+    versioned commit.  The oracle replays the same upsert as pure SQL
+    (source UNION ALL target-minus-matched), so the hash gate proves
+    merge semantics end-to-end: matched rows replaced, unmatched kept
+    byte-identical, inserts appended, nothing else disturbed.  WHICH
+    files the stats-admitted rewrite touches (and the CommitConflict
+    CAS) are pinned in tests/test_manifest_sink.py."""
+    import shutil
+
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        merge_into,
+        register_manifest_sink,
+        scan_manifest,
+    )
+
+    register_manifest_sink(spark)
+    out = _roundtrip_dir(sf_dir, "manifest_merge", "orders")
+    # fresh table per call: the merge is stateful; repeated gate/bench
+    # runs must re-prove from the same initial commit
+    shutil.rmtree(out, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    tgt = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    (
+        tgt.repartitionByRange(8, "okey")
+        .write.format("manifest_parquet")
+        .mode("overwrite")
+        .save(out)
+    )
+    updates = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("okey"),
+        F.lit("U").alias("status"),
+        # exact IEEE doubling (exponent bump): no cross-engine
+        # rounding-tie ambiguity, unlike a *1.1 bump
+        (F.round("o_totalprice", 2) * 2).alias("price"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 5 == 3).select(
+        (-F.col("o_orderkey")).alias("okey"),
+        F.lit("N").alias("status"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    merge_into(
+        spark, out, updates.unionByName(inserts), on=["okey"],
+        when_matched="update", when_not_matched="insert",
+    )
+    return scan_manifest(spark, out).select("okey", "status", "price")

@@ -142,6 +142,58 @@ class _PartMessage(WriterCommitMessage):
     stats: dict | None = None
 
 
+def _merge_schemas(prev_json: dict | None, new_schema) -> dict:
+    """SCHEMA EVOLUTION merge: union of the table's committed schema
+    and an incoming write's schema, as a Spark StructType jsonValue.
+
+    * a column only in the NEW schema is ADDED (forced nullable —
+      every pre-evolution file null-fills it at read);
+    * a column only in the TABLE schema stays (the incoming write's
+      parts simply lack it; readers null-fill those rows);
+    * a column in both with a DIFFERENT type is REFUSED — type changes
+      rewrite data and must go through an explicit migration, exactly
+      Delta's mergeSchema contract.
+
+    The merged schema is versioned WITH the manifest: each snapshot
+    carries the schema as of its commit, so time travel reads an old
+    version with the old column set."""
+    new_json = (
+        new_schema.jsonValue()
+        if hasattr(new_schema, "jsonValue")
+        else new_schema
+    )
+    if prev_json is None:
+        return new_json
+    prev_by_name = {f["name"]: f for f in prev_json["fields"]}
+    merged = list(prev_json["fields"])
+    for f in new_json["fields"]:
+        p = prev_by_name.get(f["name"])
+        if p is None:
+            merged.append({**f, "nullable": True})
+        elif p["type"] != f["type"]:
+            raise ValueError(
+                f"incompatible schema change for column {f['name']!r}: "
+                f"table has {p['type']}, write has {f['type']} — type "
+                "changes need an explicit rewrite migration"
+            )
+    return {"type": "struct", "fields": merged}
+
+
+def _read_entries(spark, path: str, m: dict, entries: list[dict]):
+    """Read the named manifest entries WITH the manifest's committed
+    schema when one is recorded: parquet reads with an explicit schema
+    null-fill columns a (pre-evolution) file lacks, which is the whole
+    read-side of add-column evolution.  Legacy manifests without a
+    schema fall back to footer-merged inference."""
+    paths = [os.path.join(path, e["file"]) for e in entries]
+    sj = m.get("schema")
+    if sj:
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(StructType.fromJson(sj)).parquet(*paths)
+    return spark.read.parquet(*paths)
+
+
 def _json_stat(v):
     """JSON-encodable, ORDER-PRESERVING image of a parquet stat value:
     numbers/strings pass through, date-likes to ISO strings (ISO-8601
@@ -241,6 +293,7 @@ class _ManifestWriter(DataSourceWriter):
             ),
         }
         manifest["total_rows"] = sum(e["rows"] for e in manifest["files"])
+        manifest["schema"] = _merge_schemas(None, self.schema)
         if not self.overwrite and os.path.exists(
             os.path.join(self.path, MANIFEST)
         ):
@@ -250,6 +303,9 @@ class _ManifestWriter(DataSourceWriter):
                 prev["files"] + manifest["files"], key=lambda e: e["file"]
             )
             manifest["total_rows"] = sum(e["rows"] for e in manifest["files"])
+            # append-time schema evolution: add-columns merge in,
+            # incompatible type changes refuse the whole commit
+            manifest["schema"] = _merge_schemas(prev.get("schema"), self.schema)
         _write_versioned(self.path, manifest)
 
     def abort(self, messages) -> None:
@@ -307,6 +363,9 @@ class _ManifestStreamWriter(DataSourceStreamWriter):
         )
         manifest["batches"] = sorted(manifest["batches"] + [batchId])
         manifest["total_rows"] = sum(e["rows"] for e in manifest["files"])
+        manifest["schema"] = _merge_schemas(
+            manifest.get("schema"), self._delegate.schema
+        )
         _write_versioned(self.path, manifest)
 
     def abort(self, messages, batchId: int) -> None:
@@ -336,8 +395,11 @@ class _ManifestChangesStreamReader(DataSourceStreamReader):
     inside the requested range also fail loudly — retention must
     outlive the slowest consumer, exactly the table-format rule."""
 
-    def __init__(self, path: str, options: dict):
+    def __init__(self, path: str, options: dict, col_names=None):
         self.path = path
+        # the stream's declared column set: files committed BEFORE an
+        # add-column evolution null-fill the newer columns
+        self.col_names = list(col_names) if col_names else None
         self.skip_rewrites = (
             str(options.get("skipchangecommits", "false")).lower() == "true"
         )
@@ -390,8 +452,18 @@ class _ManifestChangesStreamReader(DataSourceStreamReader):
             return
         import pyarrow.parquet as pq
 
-        for batch in pq.ParquetFile(partition.file).iter_batches():
-            yield from zip(*(c.to_pylist() for c in batch.columns))
+        pf = pq.ParquetFile(partition.file)
+        if self.col_names is None:
+            for batch in pf.iter_batches():
+                yield from zip(*(c.to_pylist() for c in batch.columns))
+            return
+        present = set(pf.schema_arrow.names)
+        take = [c for c in self.col_names if c in present]
+        for batch in pf.iter_batches(columns=take):
+            by_name = dict(zip(take, (c.to_pylist() for c in batch.columns)))
+            n = batch.num_rows
+            cols = [by_name.get(c, [None] * n) for c in self.col_names]
+            yield from zip(*cols)
 
     def commit(self, end: dict) -> None:
         pass  # parts are immutable; nothing to release
@@ -403,15 +475,20 @@ class ManifestParquetSink(DataSource):
         return "manifest_parquet"
 
     def schema(self):
-        """Read-path schema: inferred from the first committed part
-        (the writer never calls this — Spark hands it the frame's own
-        schema)."""
+        """Read-path schema: the manifest's committed (possibly
+        evolved) schema when recorded, else inferred from the first
+        committed part (legacy manifests).  The writer never calls
+        this — Spark hands it the frame's own schema."""
         from pyspark.sql.pandas.types import from_arrow_schema
 
         path = self.options.get("path")
         if not path:
             raise ValueError("manifest_parquet needs a path")
         m = read_manifest(path)
+        if m.get("schema"):
+            from pyspark.sql.types import StructType
+
+            return StructType.fromJson(m["schema"])
         if not m["files"]:
             raise ValueError(f"empty manifest at {path} — no schema to infer")
         import pyarrow.parquet as pq
@@ -435,7 +512,9 @@ class ManifestParquetSink(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("manifest_parquet needs a path")
-        return _ManifestChangesStreamReader(path, self.options)
+        return _ManifestChangesStreamReader(
+            path, self.options, col_names=schema.fieldNames()
+        )
 
 
 def register_manifest_sink(spark) -> None:
@@ -510,18 +589,20 @@ def scan_manifest(
     the manifest's per-file column stats, the mechanism that turns a
     selective point query on a 100 TB table into a handful of file
     reads.  The same triples are re-applied as a row filter, so
-    skipping is purely an optimization, never a semantics change."""
+    skipping is purely an optimization, never a semantics change.
+
+    Reads go through the manifest's COMMITTED schema (when recorded):
+    files older than an add-column evolution null-fill the new
+    columns, and a time-travel read uses the schema as of THAT
+    version."""
     m = read_manifest(path, version)
     entries = select_files(m, where) if where else m["files"]
     if not m["files"]:
         raise ValueError(f"empty manifest at {path}")
     if not entries:
         # every file pruned: an empty frame with the table's schema
-        df = spark.read.parquet(
-            *[os.path.join(path, e["file"]) for e in m["files"]]
-        )
-        return df.filter("false")
-    df = spark.read.parquet(*[os.path.join(path, e["file"]) for e in entries])
+        return _read_entries(spark, path, m, m["files"]).filter("false")
+    df = _read_entries(spark, path, m, entries)
     from pyspark.sql import functions as _F
 
     for col, op, val in where:
@@ -531,6 +612,44 @@ def scan_manifest(
              ">=": c >= val, "=": c == val}[op]
         )
     return df
+
+
+def _stage_parts(df, path: str) -> list[dict]:
+    """Write ``df`` into fresh uniquely-named parts under
+    ``<path>/data/`` via a staging directory and return their manifest
+    entries (rows / bytes / footer stats).  Empty parts are dropped.
+    Shared by every rewrite commit (delete_where / merge_into): the
+    staged parts are invisible until the caller's manifest flip names
+    them, so a crash mid-stage leaves only unreferenced orphans for
+    vacuum."""
+    import shutil as _shutil
+
+    import pyarrow.parquet as pq
+
+    staging = os.path.join(path, f".stage-{uuid.uuid4().hex}")
+    df.write.parquet(staging)
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    entries: list[dict] = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        src = os.path.join(staging, name)
+        if pq.ParquetFile(src).metadata.num_rows == 0:
+            continue
+        dst_name = f"part-{uuid.uuid4().hex}.parquet"
+        dst = os.path.join(data_dir, dst_name)
+        os.rename(src, dst)
+        entries.append(
+            {
+                "file": f"data/{dst_name}",
+                "rows": pq.ParquetFile(dst).metadata.num_rows,
+                "bytes": os.path.getsize(dst),
+                "stats": part_stats(dst),
+            }
+        )
+    _shutil.rmtree(staging, ignore_errors=True)
+    return entries
 
 
 def delete_where(spark, path: str, where) -> dict:
@@ -543,15 +662,12 @@ def delete_where(spark, path: str, where) -> dict:
     vacuum reclaims the superseded parts.  This is a CHANGE commit:
     streams over the table refuse it unless skipchangecommits=true —
     the same contract as compaction.  Returns the new manifest."""
-    import pyarrow.parquet as pq
-
     m = read_manifest(path)
     candidates = select_files(m, where)
     keep_entries = [e for e in m["files"] if e not in candidates]
     new_entries = list(keep_entries)
     if candidates:
-        cand_paths = [os.path.join(path, e["file"]) for e in candidates]
-        df = spark.read.parquet(*cand_paths)
+        df = _read_entries(spark, path, m, candidates)
         from pyspark.sql import functions as _F
 
         pred = _F.lit(True)
@@ -561,40 +677,185 @@ def delete_where(spark, path: str, where) -> dict:
                 "<": c < val, "<=": c <= val, ">": c > val,
                 ">=": c >= val, "=": c == val,
             }[op]
-        staging = os.path.join(path, f".delete-{uuid.uuid4().hex}")
-        df.filter(~pred).write.parquet(staging)
-        data_dir = os.path.join(path, "data")
-        os.makedirs(data_dir, exist_ok=True)
-        for name in sorted(os.listdir(staging)):
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(staging, name)
-            if pq.ParquetFile(src).metadata.num_rows == 0:
-                continue
-            dst_name = f"part-{uuid.uuid4().hex}.parquet"
-            dst = os.path.join(data_dir, dst_name)
-            os.rename(src, dst)
-            new_entries.append(
-                {
-                    "file": f"data/{dst_name}",
-                    "rows": pq.ParquetFile(dst).metadata.num_rows,
-                    "bytes": os.path.getsize(dst),
-                    "stats": part_stats(dst),
-                }
-            )
-        import shutil as _shutil
-
-        _shutil.rmtree(staging, ignore_errors=True)
+        new_entries.extend(_stage_parts(df.filter(~pred), path))
     manifest = {
         "files": sorted(new_entries, key=lambda e: e["file"]),
         "total_rows": sum(e["rows"] for e in new_entries),
     }
     if "batches" in m:
         manifest["batches"] = m["batches"]
+    if "schema" in m:
+        manifest["schema"] = m["schema"]
     # optimistic concurrency: this commit rewrote files it READ from
     # version m — if another writer landed meanwhile, committing would
     # silently drop that writer's files from the manifest
     _write_versioned(path, manifest, expected_version=m.get("version", 0))
+    return read_manifest(path)
+
+
+def merge_into(
+    spark,
+    path: str,
+    source,
+    on: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+) -> dict:
+    """MERGE INTO (Delta-parity upsert) on the manifest table format —
+    the table-format promotion of the reference's O13 keyed-merge
+    semantics (harvest.py:326-349: INSERT OR REPLACE keyed on term):
+
+    * ``when_matched="update"``: a target row whose ``on`` key appears
+      in ``source`` is REPLACED by the source row (full-row update;
+      source must carry the table's exact column set);
+      ``"delete"`` drops matched target rows instead.
+    * ``when_not_matched="insert"`` appends source rows whose key has
+      no target match; ``"ignore"`` drops them.
+
+    100 TB design: only STATS-ADMITTED candidate files are rewritten —
+    a file is a candidate iff, for EVERY key column, its footer
+    [min, max] overlaps the source's key range (one tiny agg job on
+    the source computes the ranges; ``select_files`` does the
+    pruning).  Rows in non-candidate files provably cannot match, so
+    their bytes and manifest entries survive verbatim — a merge of a
+    day's delta into a year-partitioned 100 TB table rewrites the
+    overlapping tail, not the table.  The rewrite + inserts land as
+    ONE versioned commit under the ``CommitConflict`` CAS
+    (``expected_version``), so a concurrent writer forces a re-derive
+    instead of being silently dropped.  Multiple source rows per key
+    are refused (the Delta ambiguity error) — resolution order would
+    otherwise be nondeterministic under shuffle.
+
+    This is a CHANGE commit when any file is rewritten: streams over
+    the table refuse it unless skipchangecommits=true.  Returns the
+    new manifest."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql import functions as _F
+
+    import pyarrow.parquet as pq
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(
+            f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
+        )
+    keys = list(on)
+    m = read_manifest(path)
+    if m["files"]:
+        table_cols = (
+            [f["name"] for f in m["schema"]["fields"]]
+            if m.get("schema")
+            else pq.read_schema(
+                os.path.join(path, m["files"][0]["file"])
+            ).names
+        )
+        if set(source.columns) != set(table_cols):
+            raise ValueError(
+                "full-row merge needs the table's exact column set: "
+                f"table={sorted(table_cols)} source={sorted(source.columns)}"
+            )
+        source = source.select(*table_cols)
+    # Delta parity: >1 source row per key makes the surviving value
+    # shuffle-order nondeterministic — refuse loudly
+    if (
+        source.groupBy(*keys)
+        .count()
+        .filter(_F.col("count") > 1)
+        .limit(1)
+        .count()
+    ):
+        raise ValueError(
+            f"source has multiple rows per merge key {keys} — "
+            "deduplicate the source first (Delta raises the same error)"
+        )
+    # stats-admitted candidates: per-key source [min,max] vs file stats
+    bounds = source.agg(
+        *[_F.min(k).alias(f"__lo_{k}") for k in keys],
+        *[_F.max(k).alias(f"__hi_{k}") for k in keys],
+    ).first()
+    if bounds[f"__lo_{keys[0]}"] is None:  # empty source: nothing moves
+        return m
+    triples = []
+    for k in keys:
+        triples.append((k, ">=", bounds[f"__lo_{k}"]))
+        triples.append((k, "<=", bounds[f"__hi_{k}"]))
+    candidates = select_files(m, triples)
+    keep_entries = [e for e in m["files"] if e not in candidates]
+    tgt = (
+        _read_entries(spark, path, m, candidates).select(*source.columns)
+        if candidates
+        else None
+    )
+    pieces: list = []
+    if tgt is not None:
+        if when_matched == "update" and when_not_matched == "insert":
+            # the upsert fast path: ONE anti-join (target minus source
+            # keys) + the whole source — no semi/anti pair
+            pieces = [
+                tgt.join(source.select(*keys), keys, "left_anti"),
+                source,
+            ]
+        else:
+            pieces.append(tgt.join(source.select(*keys), keys, "left_anti"))
+            if when_matched == "update":
+                pieces.append(
+                    source.join(tgt.select(*keys), keys, "left_semi")
+                )
+            if when_not_matched == "insert":
+                pieces.append(
+                    source.join(tgt.select(*keys), keys, "left_anti")
+                )
+    elif when_not_matched == "insert":
+        pieces.append(source)
+    new_entries = list(keep_entries)
+    if pieces:
+        new_entries.extend(
+            _stage_parts(reduce(_DF.unionByName, pieces), path)
+        )
+    manifest = {
+        "files": sorted(new_entries, key=lambda e: e["file"]),
+        "total_rows": sum(e["rows"] for e in new_entries),
+    }
+    if "batches" in m:
+        manifest["batches"] = m["batches"]
+    if "schema" in m:
+        manifest["schema"] = m["schema"]
+    _write_versioned(path, manifest, expected_version=m.get("version", 0))
+    return read_manifest(path)
+
+
+def evolve_schema(path: str, add_fields) -> dict:
+    """ALTER TABLE ... ADD COLUMNS as one versioned metadata-only
+    commit: no data file moves, the manifest's schema gains the new
+    (forced-nullable) columns, and every existing file null-fills them
+    at read.  ``add_fields`` is a StructType or list of StructFields.
+    Re-adding an existing column with the same type is a no-op;
+    with a different type it is refused (``_merge_schemas``).  Runs
+    under the CommitConflict CAS like every commit."""
+    from pyspark.sql.types import StructType
+
+    m = read_manifest(path)
+    if not m.get("schema"):
+        raise ValueError(
+            f"manifest at {path} predates schema versioning — rewrite it "
+            "(compact) with a current writer first"
+        )
+    fields = list(add_fields)
+    add_json = {
+        "type": "struct",
+        "fields": [f.jsonValue() for f in fields],
+    }
+    merged = _merge_schemas(m["schema"], add_json)
+    if merged == m["schema"]:
+        return m  # pure no-op: don't burn a version
+    manifest = {k: v for k, v in m.items() if k != "version"}
+    manifest["schema"] = merged
+    _write_versioned(path, manifest, expected_version=m.get("version", 0))
+    # sanity: the merged schema must round-trip through Spark's types
+    StructType.fromJson(merged)
     return read_manifest(path)
 
 

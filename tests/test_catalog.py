@@ -41,34 +41,37 @@ def test_every_oracle_has_a_query():
 
 def test_driver_window_covers_every_component():
     """The first DRIVER_WINDOW catalog entries (all the driver's
-    correctness gate ever records) must front the r09 rotation: the 9
-    never-driver-checked entries, the re-gated sketch oracles, the 24
-    stalest (r04) greens, and the r05 fills."""
+    correctness gate ever records) must front the r10 rotation: the 2
+    never-driver-checked entries, the round's headline addition
+    (manifest MERGE INTO), and the full 47-query r05 cohort — the
+    composition the r9 verdict's done-criterion pins."""
     queries, _ = cat.load_catalog()
     window = list(queries)[: cat.DRIVER_WINDOW]
     assert len(cat._DRIVER_PRIORITY) <= cat.DRIVER_WINDOW
     assert list(cat._DRIVER_PRIORITY) == window[: len(cat._DRIVER_PRIORITY)]
-    # spot-check the r7 verdict's named next-round criteria are inside:
-    # the eight r7-late additions, r8's salted sessionization, the two
-    # sketch-contract promotions, and representatives of the r04 backlog
     for name in (
-        "q_dedup_substring_spans",
-        "q_sample_global_shuffle",
-        "q_events_time_decay_score",
-        "q_quality_winsorize",
-        "q_agg_chi_square",
-        "q_stream_trending_topk",
-        "q_quality_compression_ratio",
-        "q_join_existence",
-        "q_events_sessionize_salted",
-        "q_agg_approx_quantiles",
-        "q_approx_count_distinct",
-        "q_window_running_sum",
-        "q_join_right_outer",
-        "q_setop_union_all",
-        "q_text_kwic_udtf",
-        "q_sample_bernoulli_hash",
-        "q_quality_pii_redact",
+        "q_small_quantity_revenue",
+        "q_quality_boilerplate_segments",
+        "q_source_manifest_merge",
+        # representatives of the 47-query r05 cohort
+        "q_pricing_summary",
+        "q_dedup_exact",
+        "q_dedup_ngram_jaccard",
+        "q_dedup_components",
+        "q_dedup_semantic",
+        "q_embedding_kmeans",
+        "q_events_funnel",
+        "q_events_sessionize",
+        "q_events_transitions",
+        "q_agg_percentiles",
+        "q_agg_pivot",
+        "q_grouping_sets",
+        "q_cube_lineitem_flags",
+        "q_join_asof",
+        "q_join_asof_forward",
+        "q_scalar_array",
+        "q_stream_tumbling_counts",
+        "q_harvest_terms",
     ):
         assert name in window, name
 

@@ -451,6 +451,234 @@ def test_delete_where_rewrites_only_candidate_files(sink, tmp_path):
     assert scan_manifest(sink, path, version=before["version"]).count() == 400
 
 
+def test_schema_evolution_roundtrip_and_time_travel(sink, tmp_path):
+    """The verdict's evolution round-trip: write v1 (narrow) → append
+    v2 with an extra column (auto-evolve) → scan reads BOTH cohorts,
+    old files null-filling the added column; time travel at v1 still
+    reads the narrow schema; a subset-column append null-fills too;
+    incompatible type changes are refused; the explicit evolve_schema
+    DDL adds a column with no data movement."""
+    from pyspark.sql.types import LongType, StructField
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        evolve_schema,
+        merge_into,
+        read_manifest,
+        scan_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    sink.range(0, 10).selectExpr("id", "id * 2 AS a").write.format(
+        "manifest_parquet"
+    ).mode("overwrite").save(path)
+    v1 = read_manifest(path)["version"]
+    assert [f["name"] for f in read_manifest(path)["schema"]["fields"]] == [
+        "id", "a",
+    ]
+
+    # append with an ADDED column: the table schema widens
+    sink.range(10, 20).selectExpr(
+        "id", "id * 2 AS a", "concat('x', id) AS b"
+    ).write.format("manifest_parquet").mode("append").save(path)
+    df = scan_manifest(sink, path)
+    assert df.columns == ["id", "a", "b"]
+    rows = {r["id"]: (r["a"], r["b"]) for r in df.collect()}
+    assert rows[3] == (6, None)  # pre-evolution file null-fills b
+    assert rows[15] == (30, "x15")
+
+    # time travel to v1: the narrow schema as of that commit
+    old = scan_manifest(sink, path, version=v1)
+    assert old.columns == ["id", "a"]
+    assert old.count() == 10
+
+    # append a SUBSET of columns: missing column null-fills at read
+    sink.range(20, 25).selectExpr("id", "id * 2 AS a").write.format(
+        "manifest_parquet"
+    ).mode("append").save(path)
+    rows = {r["id"]: r["b"] for r in scan_manifest(sink, path).collect()}
+    assert rows[22] is None and rows[15] == "x15"
+
+    # incompatible type change refused
+    with pytest.raises(Exception, match="incompatible schema change"):
+        sink.range(0, 3).selectExpr(
+            "id", "concat('s', id) AS a"
+        ).write.format("manifest_parquet").mode("append").save(path)
+
+    # explicit ADD COLUMNS DDL: metadata-only versioned commit
+    before_files = {e["file"] for e in read_manifest(path)["files"]}
+    v_before = read_manifest(path)["version"]
+    evolve_schema(path, [StructField("c", LongType())])
+    m = read_manifest(path)
+    assert m["version"] == v_before + 1
+    assert {e["file"] for e in m["files"]} == before_files  # no data moved
+    df = scan_manifest(sink, path)
+    assert df.columns == ["id", "a", "b", "c"]
+    assert df.filter("c IS NOT NULL").count() == 0
+    # no-op re-add doesn't burn a version
+    evolve_schema(path, [StructField("c", LongType())])
+    assert read_manifest(path)["version"] == m["version"]
+
+    # merge over the evolved table works with the full column set
+    src = sink.createDataFrame(
+        [(0, -1, "m", 7)], "id LONG, a LONG, b STRING, c LONG"
+    )
+    merge_into(sink, path, src, on=["id"])
+    got = {r["id"]: (r["a"], r["b"], r["c"])
+           for r in scan_manifest(sink, path).collect()}
+    assert got[0] == (-1, "m", 7)
+    assert got[3] == (6, None, None)
+    assert len(got) == 25
+
+
+def test_schema_evolution_stream_reader_null_fills_old_files(
+    sink, tmp_path
+):
+    """The changes-stream over an evolved table: files committed
+    before the add-column evolution stream out with the new column
+    null-filled (the reader aligns every part to the declared column
+    set by NAME, not position)."""
+    from setup_harvest_action_spark.streaming.events import run_to_completion
+
+    path = str(tmp_path / "t")
+    sink.range(0, 5).selectExpr("id", "id * 2 AS a").write.format(
+        "manifest_parquet"
+    ).mode("overwrite").save(path)
+    sink.range(5, 8).selectExpr(
+        "id", "id * 2 AS a", "concat('x', id) AS b"
+    ).write.format("manifest_parquet").mode("append").save(path)
+
+    stream = (
+        sink.readStream.format("manifest_parquet").option("path", path).load()
+    )
+    out = run_to_completion(stream, "append")
+    assert out.columns == ["id", "a", "b"]
+    rows = {r["id"]: r["b"] for r in out.collect()}
+    assert len(rows) == 8
+    assert rows[2] is None and rows[6] == "x6"
+
+
+def test_merge_into_upsert_rewrites_only_candidate_files(sink, tmp_path):
+    """MERGE INTO (update + insert): matched rows are replaced, new
+    keys appended, and ONLY files whose footer key range overlaps the
+    source's are rewritten — the day's-delta-into-a-big-table shape.
+    One versioned commit; time travel still shows the pre-merge
+    rows."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        merge_into,
+        read_manifest,
+        scan_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    sink.range(0, 400).selectExpr(
+        "id", "id * 10 AS val"
+    ).repartitionByRange(4, "id").write.format("manifest_parquet").mode(
+        "overwrite"
+    ).save(path)
+    before = read_manifest(path)
+    # source keys live in [390, 409]: updates 390-399, inserts 400-409
+    src = sink.range(390, 410).selectExpr("id", "id * -1 AS val")
+    untouched_before = {
+        e["file"] for e in before["files"] if e["stats"]["id"][1] < 390
+    }
+    assert len(untouched_before) == 3
+
+    after = merge_into(sink, path, src, on=["id"])
+    assert after["version"] == before["version"] + 1
+    assert after["total_rows"] == 410
+    assert untouched_before <= {e["file"] for e in after["files"]}
+    got = {r["id"]: r["val"] for r in scan_manifest(sink, path).collect()}
+    assert len(got) == 410
+    assert all(got[i] == i * 10 for i in range(0, 390))
+    assert all(got[i] == -i for i in range(390, 410))
+    # pre-merge version intact via time travel
+    old = scan_manifest(sink, path, version=before["version"])
+    assert old.count() == 400
+    assert old.selectExpr("max(val)").collect()[0][0] == 3990
+
+
+def test_merge_into_matched_delete_and_ignore_unmatched(sink, tmp_path):
+    """when_matched='delete' removes matched target rows;
+    when_not_matched='ignore' drops unmatched source rows — together
+    the anti-upsert (retract a changeset)."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        merge_into,
+        scan_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    sink.range(0, 100).selectExpr("id", "id AS val").write.format(
+        "manifest_parquet"
+    ).mode("overwrite").save(path)
+    # 90-99 matched (deleted); 100-109 unmatched (ignored)
+    src = sink.range(90, 110).selectExpr("id", "id AS val")
+    after = merge_into(
+        sink, path, src, on=["id"],
+        when_matched="delete", when_not_matched="ignore",
+    )
+    assert after["total_rows"] == 90
+    got = sorted(r["id"] for r in scan_manifest(sink, path).collect())
+    assert got == list(range(90))
+
+
+def test_merge_into_refuses_ambiguous_source_and_detects_conflict(
+    sink, tmp_path
+):
+    """Delta-parity guards: multiple source rows per key raise (the
+    surviving row would be shuffle-order nondeterministic), and a
+    merge derived from version V refuses to commit over a table that
+    moved past V (lost-update prevention via the CommitConflict
+    CAS)."""
+    import setup_harvest_action_spark.sources.manifest_sink as ms
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        CommitConflict,
+        merge_into,
+        read_manifest,
+        scan_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    sink.range(0, 50).selectExpr("id", "id AS val").write.format(
+        "manifest_parquet"
+    ).mode("overwrite").save(path)
+
+    dup = sink.createDataFrame([(1, 10), (1, 20)], "id LONG, val LONG")
+    with pytest.raises(ValueError, match="multiple rows per merge key"):
+        merge_into(sink, path, dup, on=["id"])
+
+    # schema mismatch refused (full-row update semantics)
+    bad = sink.range(0, 5).selectExpr("id", "id AS other")
+    with pytest.raises(ValueError, match="exact column set"):
+        merge_into(sink, path, bad, on=["id"])
+
+    # empty source: no-op, version does not bump
+    v = read_manifest(path)["version"]
+    merge_into(sink, path, dup.filter("false"), on=["id"])
+    assert read_manifest(path)["version"] == v
+
+    # concurrent commit between merge's read and its flip → conflict
+    real = ms._write_versioned
+    state = {"bumped": False}
+
+    def interleave(p, manifest, expected_version=None):
+        if not state["bumped"]:
+            state["bumped"] = True
+            m = read_manifest(p)
+            real(p, {"files": m["files"], "total_rows": m["total_rows"]})
+        return real(p, manifest, expected_version=expected_version)
+
+    ms._write_versioned = interleave
+    try:
+        src = sink.range(0, 5).selectExpr("id", "id * -1 AS val")
+        with pytest.raises(CommitConflict, match="re-derive and retry"):
+            merge_into(sink, path, src, on=["id"])
+    finally:
+        ms._write_versioned = real
+    assert scan_manifest(sink, path).count() == 50  # lost update prevented
+    merge_into(sink, path, src, on=["id"])  # retry from fresh version works
+    got = {r["id"]: r["val"] for r in scan_manifest(sink, path).collect()}
+    assert all(got[i] == -i for i in range(5))
+
+
 def test_zorder_clustering_makes_manifest_stats_prune_both_dims(
     sink, tmp_path
 ):
@@ -560,7 +788,7 @@ def test_manifest_protocol_randomized_model_check(sink, tmp_path, monkeypatch):
     for step in range(35):
         op = rng.choice(
             ["append", "append", "append", "crash", "delete", "compact",
-             "vacuum", "travel"]
+             "vacuum", "travel", "merge", "merge_delete"]
         )
         if op == "append":
             n = rng.randint(1, 20)
@@ -594,6 +822,24 @@ def test_manifest_protocol_randomized_model_check(sink, tmp_path, monkeypatch):
             victim = rng.choice(model)
             delete_where(sink, path, [("id", "=", victim)])
             model = [x for x in model if x != victim]
+        elif op == "merge" and model:
+            # upsert: some existing ids re-written (identical rows, so
+            # the multiset is unchanged) + some brand-new ids inserted
+            ups = rng.sample(model, k=min(len(model), rng.randint(1, 5)))
+            n_new = rng.randint(1, 5)
+            news = list(range(next_id, next_id + n_new))
+            next_id += n_new
+            src = sink.createDataFrame([(i,) for i in ups + news], schema)
+            ms.merge_into(sink, path, src, on=["id"])
+            model.extend(news)
+        elif op == "merge_delete" and model:
+            victims = rng.sample(model, k=min(len(model), rng.randint(1, 3)))
+            src = sink.createDataFrame([(v,) for v in victims], schema)
+            ms.merge_into(
+                sink, path, src, on=["id"],
+                when_matched="delete", when_not_matched="ignore",
+            )
+            model = [x for x in model if x not in set(victims)]
         elif op == "compact" and model:
             compact(sink, path, rng.randint(1, 3))
         elif op == "vacuum" and model:
