@@ -10,11 +10,15 @@ LLM-pipeline pillar (SURVEY.md §2.2).  Design rules for 100 TB:
     in more than K docs contributes K·(K-1)/2 pairs; dropping the
     head of the distribution is the standard guard against quadratic
     blowup and is applied identically in the oracle.
-  * All SKETCH hashes are ``xxhash64`` — JVM-side, deterministic,
-    seedable via string prefixes.  MinHash/SimHash queries therefore
-    carry no oracle (DuckDB's hash() is a different function); they
-    are self-verified against the exact-Jaccard query by
-    tests/test_llm_functions.py (recall ≥ threshold).
+  * All SKETCH hashes derive from ``md5`` (r10) — the one hash both
+    engines share — so MinHash and SimHash carry FULL cross-engine
+    hash oracles (``_minhash_oracle`` / ``_simhash_oracle``,
+    generated from the same constants as the Spark plans).  MinHash
+    is additionally self-verified against the exact-Jaccard query by
+    tests/test_llm_functions.py (recall ≥ threshold).  Once the
+    contract is pinned, the 100 TB fast path is a one-line swap back
+    to ``xxhash64`` (8-byte longs instead of hex strings in the
+    shuffle); the sketch semantics are hash-agnostic.
   * INDEX KEYS are hashed in place with md5 (r9) — the one hash both
     engines share — so the exact inverted-index family (jaccard,
     containment, incremental, substring spans) shuffles 16-hex-char
@@ -248,27 +252,42 @@ def minhash_signatures(docs: DataFrame, n_perms: int = MINHASH_PERMS) -> DataFra
     Built for throughput — this is the signature pass that runs over
     the whole corpus at 100 TB:
 
-      * shingles are HASHED IN PLACE from token triples
-        (``xxhash64(tok_i, tok_i+1, tok_i+2)``) — no shingle strings
-        are ever materialized or shuffled, so the explode carries one
-        long per shingle instead of a ~25-byte string (measured ~2x on
-        the end-to-end minhash query vs the string-shingle form);
+      * shingles are HASHED IN PLACE from token triples — the shingle
+        key is 16 hex chars of ``md5(tok_i ‖ ' ' ‖ tok_i+1 ‖ ' ' ‖
+        tok_i+2)``, so no ~25-byte shingle string is ever materialized
+        or shuffled, only the fixed-width key;
       * the hot-shingle cap (``MAX_SHINGLE_DF``, same anti-blowup
         rationale as the Jaccard query) is applied on the AGGREGATED
         posting side and the survivors re-exploded, so the corpus is
         scanned once — not twice as with a count-then-anti-join;
-      * the n_perms permutations are ``xxhash64(shingle_hash, i)`` —
-        16 cheap long hashes replacing 16 string concat+hashes.
+      * the n_perms permutations are ``md5(i ‖ ':' ‖ shingle_key)``
+        and the per-permutation minimum is the LEXICOGRAPHIC min of
+        the hex strings — an order both engines share, which is what
+        makes the whole sketch DuckDB-expressible (r10 promotion:
+        rows-only → full cross-engine hash oracle, the winnowing
+        trick applied to the signature itself).
+
+    md5-vs-xxhash64 trade: xxhash64 permutations carry 8-byte longs
+    where these carry 32-char hex strings — at 100 TB, once the oracle
+    contract is pinned, swapping ``md5(...)`` → ``xxhash64(...)``
+    (same plan shape, one-line change here) narrows the shuffle ~4×;
+    the sketch semantics and recall behavior are hash-agnostic.
     """
     tk = F.col("toks")
-    shingle_hashes = F.transform(
+    shingle_keys = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(tk) - (SHINGLE_K - 1), F.lit(0))),
-        lambda i: F.xxhash64(
-            *[F.element_at(tk, i + j) for j in range(SHINGLE_K)]
+        lambda i: F.substring(
+            F.md5(
+                F.concat_ws(
+                    " ", *[F.element_at(tk, i + j) for j in range(SHINGLE_K)]
+                )
+            ),
+            1,
+            16,
         ),
     )
     ds = docs.select("doc_id", tokens_col().alias("toks")).select(
-        "doc_id", F.explode(F.array_distinct(shingle_hashes)).alias("sh")
+        "doc_id", F.explode(F.array_distinct(shingle_keys)).alias("sh")
     )
     surviving = (
         ds.groupBy("sh")
@@ -277,13 +296,58 @@ def minhash_signatures(docs: DataFrame, n_perms: int = MINHASH_PERMS) -> DataFra
         .select("sh", F.explode("docs").alias("doc_id"))
     )
     aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}")
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
         for i in range(n_perms)
     ]
     return surviving.groupBy("doc_id").agg(*aggs)
 
 
-@query("q_dedup_minhash")
+def _minhash_oracle() -> str:
+    """DuckDB replay of the full MinHash+LSH pipeline — generated from
+    the same constants the Spark side uses, so the two can't drift."""
+    rpb = MINHASH_PERMS // MINHASH_BANDS
+    sig_cols = ",\n         ".join(
+        f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(MINHASH_PERMS)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sigs".format(
+            b=b,
+            cat=" || ".join(f"mh{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         substring(md5(tk[CAST(i AS INTEGER)] || ' ' ||
+                       tk[CAST(i AS INTEGER) + 1] || ' ' ||
+                       tk[CAST(i AS INTEGER) + 2]), 1, 16) AS sh
+  FROM toks, UNNEST(generate_series(1, len(tk) - {SHINGLE_K - 1})) t(i)
+  WHERE len(tk) >= {SHINGLE_K}
+),
+surviving AS (
+  SELECT doc_id, sh FROM shingles WHERE sh IN (
+    SELECT sh FROM shingles GROUP BY sh HAVING count(*) <= {MAX_SHINGLE_DF})
+),
+sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM surviving GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+@query("q_dedup_minhash", oracle=_minhash_oracle())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH candidate pairs (the scale path for near-dup
     dedup): 16-perm signatures, 4 bands × 4 rows; docs colliding on any
@@ -291,8 +355,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     With J the true Jaccard, P(candidate) = 1-(1-J^4)^4: ≈4% at J=0.3,
     ≈78% at J=0.7, ≈99.6% at J=0.9 — the band/row choice tunes the
-    knee to the 0.5 threshold.  No oracle (xxhash64); recall vs the
-    exact q_dedup_ngram_jaccard pairs is asserted in tests.
+    knee to the 0.5 threshold.  FULL cross-engine hash oracle since
+    r10: every hash in the sketch (shingle keys, the 16 permutations,
+    the band buckets) derives from md5 — the one hash both engines
+    share — and the per-permutation min is a lexicographic string min,
+    so DuckDB replays the exact pipeline (``_minhash_oracle``,
+    generated from the same constants).  Recall vs the exact
+    q_dedup_ngram_jaccard pairs additionally asserted in tests.
 
     Shuffle-volume model at 100 TB: SCALE.md §2.
     """
@@ -307,11 +376,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(band).alias("band"),
-                F.xxhash64(
-                    *[
-                        F.col(f"mh{band * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ]
+                F.md5(
+                    F.concat(
+                        *[
+                            F.col(f"mh{band * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
+                    )
                 ).alias("bucket"),
             )
             for band in range(MINHASH_BANDS)
@@ -331,15 +402,61 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs_within(postings).distinct()
 
 
-@query("q_dedup_simhash")
+def _simhash_oracle() -> str:
+    """DuckDB replay of the 64-bit SimHash — the token hash is the
+    first 16 hex chars of md5(token) split into two 32-bit halves
+    (DuckDB casts '0x…' hex literals to BIGINT), bit votes and the
+    final packing mirror the Spark expressions term-for-term."""
+    bit_sums = ",\n    ".join(
+        "sum(CASE WHEN ({src} >> {sh}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}".format(
+            src="lo" if i < 32 else "hi", sh=i % 32, i=i
+        )
+        for i in range(64)
+    )
+    packed = " +\n       ".join(
+        f"CASE WHEN b{i} > 0 THEN {2**i if i < 63 else -(2**63)} ELSE 0 END"
+        for i in range(64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.token
+  FROM documents,
+       UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) t(token)
+),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) AS hi,
+         CAST('0x' || substring(md5(token), 9, 8) AS BIGINT) AS lo
+  FROM toks
+),
+bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({packed} AS BIGINT) AS simhash
+FROM bits
+"""
+
+
+@query("q_dedup_simhash", oracle=_simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document: each token's xxhash64 votes ±1 on
+    """64-bit SimHash per document: each token's hash votes ±1 on
     every bit position weighted by term frequency; the sign vector
     packs into one BIGINT.  Near-dups differ in few bits (Hamming), so
     downstream blocking joins on 16-bit sub-bands.  Built as 64
     conditional-sum aggregate expressions — one explode + one keyed
-    shuffle, fully codegen'd, no UDF.  No oracle (xxhash64);
-    determinism + bit-width asserted in tests."""
+    shuffle, fully codegen'd, no UDF.
+
+    FULL cross-engine hash oracle since r10: the token hash is the
+    first 64 bits of md5(token), carried as two conv()'d 32-bit
+    halves so both engines extract identical bits with plain integer
+    shifts (``_simhash_oracle`` mirrors the expressions term-for-
+    term).  The md5-vs-xxhash64 trade is the same as
+    ``minhash_signatures``: one-line swap back to xxhash64 once the
+    contract is pinned, if the md5 ever shows up in a profile —
+    the vote/pack plan shape is hash-agnostic."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -347,14 +464,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token"
         ),
     )
-    h = F.xxhash64("token")
+    m = F.md5(F.col("token"))
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("lo" if i < 32 else "hi"), i % 32)
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(64)
     ]
-    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    sums = hashed.groupBy("doc_id").agg(*bit_sums)
     packed = F.lit(0).cast("long")
     for i in range(64):
         packed = packed + F.when(

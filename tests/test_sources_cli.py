@@ -542,7 +542,8 @@ def test_cli_catalog_list_and_errors(capsys):
     queries, oracles = load_catalog()
     assert out.count("\n") == len(queries)
     assert f"q_pricing_summary  [oracled]" in out
-    assert "q_dedup_minhash  [rows-only]" in out
+    assert "q_dedup_minhash  [oracled]" in out  # md5-promoted in r10
+    assert "q_multimodal_ppm_pipeline  [rows-only]" in out
 
     assert main(["catalog"]) == 1
     assert "Invalid input" in capsys.readouterr().out
