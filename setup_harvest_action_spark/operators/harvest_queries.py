@@ -353,3 +353,109 @@ def q_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         report = report.unionByName(c)
     return report
+
+
+@query(
+    "q_harvest_downstream_preserved",
+    oracle=_ORACLE_CTES
+    + """
+SELECT c.uri, l.field_term, l.original_value,
+       'es' AS language,
+       'tr-' || l.original_value AS translation_value,
+       'approved' AS status,
+       'maria' AS created_by,
+       CAST(l.original_value = 'Algae' AS BOOLEAN) AS has_appeal,
+       TIMESTAMP '2026-01-02 00:00:00' AS term_updated_at
+FROM long_clean l JOIN concepts c ON l.concept = c.uri
+""",
+)
+def q_harvest_downstream_preserved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The idempotence heart surfaced as an oracled contract
+    (harvest.py:292-299 + :163-168): downstream tables the harvest
+    never writes (translations/appeals/appeal_messages/users) must
+    survive a REHARVEST byte-identical.  Sequence: T1 harvest →
+    export to a live ``translations.db`` → a consumer seeds a user,
+    one approved translation per term_field, and an appeal thread on
+    one of them → T2 reharvest of the SAME bindings re-exported into
+    the SAME database.  The query returns every translation joined
+    back through term_fields → terms: the oracle failing would mean
+    the re-export clobbered or orphaned consumer data (the exact
+    regression the reference's INSERT-OR-IGNORE + uri-keyed upsert
+    discipline exists to prevent), while ``term_updated_at = T2``
+    proves the reharvest really ran.  Scale note: the read-back is
+    vocabulary-bounded (the compat sink's own contract — the
+    reference IS a sqlite client); corpus-scale state lives in the
+    parquet/bucketed paths."""
+    import os
+    import sqlite3
+    import tempfile
+
+    from setup_harvest_action_spark.io.sqlite_export import export_sqlite
+
+    state, _ = harvest_batch(HarvestState.empty(spark), _bindings_df(spark), _T1)
+    state.release()
+    db = os.path.join(
+        tempfile.mkdtemp(prefix="harvest_downstream_"), "translations.db"
+    )
+    export_sqlite(state.terms, state.term_fields, db)
+
+    conn = sqlite3.connect(db)
+    try:
+        conn.execute("PRAGMA foreign_keys = ON")
+        conn.execute(
+            "INSERT INTO users (username, reputation) VALUES ('maria', 42)"
+        )
+        conn.execute(
+            "INSERT INTO translations "
+            "(term_field_id, language, value, status, created_by) "
+            "SELECT id, 'es', 'tr-' || original_value, 'approved', 'maria' "
+            "FROM term_fields"
+        )
+        conn.execute(
+            "INSERT INTO appeals (translation_id, opened_by) "
+            "SELECT id, 'maria' FROM translations WHERE value = 'tr-Algae'"
+        )
+        conn.execute(
+            "INSERT INTO appeal_messages (appeal_id, author, message) "
+            "SELECT id, 'maria', 'please review' FROM appeals"
+        )
+        conn.commit()
+    finally:
+        conn.close()
+
+    # REHARVEST: the T2 rerun over the T1 state, re-exported into the
+    # LIVE database a consumer has been writing to
+    state2, _ = harvest_batch(state, _bindings_df(spark), _T2)
+    state2.release()
+    export_sqlite(state2.terms, state2.term_fields, db)
+
+    conn = sqlite3.connect(db)
+    try:
+        rows = conn.execute(
+            """
+            SELECT tm.uri, tf.field_term, tf.original_value,
+                   tr.language, tr.value, tr.status, tr.created_by,
+                   EXISTS(SELECT 1 FROM appeals a
+                          JOIN appeal_messages m ON m.appeal_id = a.id
+                          WHERE a.translation_id = tr.id) AS has_appeal,
+                   tm.updated_at
+            FROM translations tr
+            JOIN term_fields tf ON tf.id = tr.term_field_id
+            JOIN terms tm ON tm.id = tf.term_id
+            """
+        ).fetchall()
+    finally:
+        conn.close()
+    import datetime as _dtmod
+
+    data = [
+        (u, ft, ov, lang, val, st, cb, bool(ha),
+         _dtmod.datetime.fromisoformat(ua))
+        for (u, ft, ov, lang, val, st, cb, ha, ua) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "uri string, field_term string, original_value string, "
+        "language string, translation_value string, status string, "
+        "created_by string, has_appeal boolean, term_updated_at timestamp",
+    )
