@@ -1150,7 +1150,11 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate injection, where the uncapped run explodes 31× to
     7649 pairs (≈124·123/2 pure-header pairs) — exactly the
     quadratic blow-up the cap exists to prevent (recall floor 1.0,
-    pinned)."""
+    pinned).
+
+    Shuffle-volume model at 100 TB: SCALE.md §7 — the stride-1 window
+    explode is ~24× C bytes, the documented exactness premium; the
+    corpus-wide default is the §8 winnowing twin at p·24× C."""
     docs = load_table(spark, sf_dir, "documents")
     spans = (
         docs.filter(F.length("text") >= SPAN_LEN)
@@ -1241,8 +1245,9 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform (filter before explode), so the explode, the shuffle
     into posting lists, and the pair expansion are all 1/8-scale;
     hot-fingerprint cap and in-list pair expansion as in every
-    inverted-index family.  Shuffle-volume model: SCALE.md §1 at
-    sampling factor 1/8."""
+    inverted-index family.  Shuffle-volume model: SCALE.md §8
+    (the sampled twin of §7's full stride-1 index; p = 1/8 scales
+    every S1 term, measured 24.6 s vs 73.6 s at the 10× probe)."""
     docs = load_table(spark, sf_dir, "documents")
     keep_sql = ", ".join(f"'{c}'" for c in FP_KEEP)
     fps = (

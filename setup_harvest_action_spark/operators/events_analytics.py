@@ -242,7 +242,13 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's ns→µs parquet conversion also truncates — verified on the
     fixture), so no float time math anywhere.  Order is
     (us, event_id), making session assignment deterministic under
-    same-microsecond events."""
+    same-microsecond events.
+
+    Scale ceiling: the per-user window serializes each user into one
+    task — measured 8.7 s at a 1.0M-row hot user vs 3.3 s for the
+    salted form (SCALE.md §6 pins the crossover: tie at ~330 k rows,
+    salted 2.6× faster at ~1 M); q_events_sessionize_salted is the
+    documented escape hatch."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value", F.unix_micros("ts").alias("us")
     )
@@ -329,8 +335,12 @@ def q_events_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The per-user phase-2 window is bounded by segments-per-user ≈
     active-chunks + sessions, not events — the 270k-row hot user
-    becomes ~a few hundred segment rows (skew probe row in
-    BENCHNOTES.md r8).  Chunking changes NOTHING semantically: a
+    becomes ~a few hundred segment rows.  MEASURED crossover
+    (SCALE.md §6, tools/skew_probe.py --hot): at a 330 k-row hot user
+    the salt ties the plain form (per-task overhead hides the win);
+    at a 1.0M-row hot user it wins 3.3 s vs 8.7 s — 2.6× — and the
+    gap widens with the hot user, since phase 2 stays
+    segment-cardinality.  Chunking changes NOTHING semantically: a
     session split by a chunk edge has seam gap ≤ gap and re-merges;
     one never merges spuriously because within-chunk seams are > gap."""
     e = load_table(spark, sf_dir, "events").select(

@@ -48,6 +48,15 @@ Each probed query's own plan contract is what should absorb the skew:
 
 Usage:  python tools/skew_probe.py [--regen] [query ...]
 Results land in stdout; record them in BENCHNOTES.md.
+
+HOT-USER MODE (``--hot``, r10): the r9 probe showed salted
+sessionization TYING the plain form at a 330k-row hot user — per-task
+overhead hides the phase-split win at that size.  ``--hot`` builds a
+30× events-only fixture where ~35% of replica events collapse onto
+user 7 (≈1.2M rows in ONE user's partition) and probes the
+sessionize pair head-to-head: the scale where the plain form's
+single hot task dominates the stage and salting must win.  Crossover
+numbers land in SCALE.md §6.
 """
 
 from __future__ import annotations
@@ -178,21 +187,75 @@ COPY (
     )
 
 
+HOT_DST = "/tmp/spark_graft_skew_hotuser"
+HOT_REPLICAS = 29  # plus the original = 30x events
+HOT_FRACTION = 35  # % of replica events collapsing onto HOT_USER
+HOT_PROBES = ["q_events_sessionize", "q_events_sessionize_salted"]
+
+
+def generate_hot() -> None:
+    """Events-only 30× blow-up with a ≥1M-row celebrity user — the
+    sessionization crossover fixture (other tables symlink sf0.1)."""
+    import duckdb
+
+    if os.path.isdir(HOT_DST):
+        shutil.rmtree(HOT_DST)
+    os.makedirs(HOT_DST)
+    for table in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        os.symlink(
+            os.path.join(SRC, f"{table}.parquet"),
+            os.path.join(HOT_DST, f"{table}.parquet"),
+        )
+    con = duckdb.connect()
+    con.execute(
+        f"""
+COPY (
+  SELECT event_id, ts, user_id, event_type, value, props
+  FROM '{SRC}/events.parquet'
+  UNION ALL
+  SELECT event_id + i * 1000000000,
+         ts + to_microseconds(i),
+         CASE WHEN event_id % 100 < {HOT_FRACTION} THEN {HOT_USER}
+              ELSE user_id END,
+         event_type, value, props
+  FROM '{SRC}/events.parquet', UNNEST(generate_series(1, {HOT_REPLICAS})) t(i)
+) TO '{HOT_DST}/events.parquet' (FORMAT parquet)
+"""
+    )
+    total, hot = con.execute(
+        f"""SELECT count(*),
+                   count(*) FILTER (user_id = {HOT_USER})
+            FROM '{HOT_DST}/events.parquet'"""
+    ).fetchone()
+    print(f"# generated hot-user fixture: {total} events, {hot} on user {HOT_USER}")
+
+
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a != "--regen"]
+    argv = [a for a in sys.argv[1:] if a not in ("--regen", "--hot")]
+    if "--hot" in sys.argv:
+        if "--regen" in sys.argv or not os.path.isdir(HOT_DST):
+            generate_hot()
+        run_probes(argv or HOT_PROBES, HOT_DST)
+        return
     if "--regen" in sys.argv or not os.path.isdir(DST):
         generate()
+    run_probes(argv or PROBES, DST)
+
+
+def run_probes(names: list[str], sf_dir: str) -> None:
     from setup_harvest_action_spark.catalog import load_catalog
     from setup_harvest_action_spark.session import get_spark
 
     spark = get_spark("skew_probe")
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = load_catalog()
-    names = argv or PROBES
     for name in names:
         t0 = time.time()
         try:
-            queries[name](spark, DST).write.format("noop").mode(
+            queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             status = "ok"
