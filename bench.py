@@ -72,6 +72,12 @@ HEADLINE = [
     "q_dedup_substring_spans",
     "q_agg_chi_square",
     "q_stream_trending_topk",
+    # round 10: the r9 additions carried driver rows in r9 — rotate in
+    # per the BENCHNOTES r10 plan: the winnowing sampled index (benched
+    # BESIDE substring_spans to pin the 1/8-shuffle trade round over
+    # round) and the bigram LM, the heaviest text query.
+    "q_dedup_winnowing",
+    "q_text_lm_bigram_score",
 ]
 
 

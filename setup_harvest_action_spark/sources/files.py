@@ -367,3 +367,54 @@ def q_source_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         when_matched="update", when_not_matched="insert",
     )
     return scan_manifest(spark, out).select("okey", "status", "price")
+
+
+@query(
+    "q_source_manifest_evolution",
+    oracle="""
+SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey
+FROM nation WHERE n_nationkey < 12
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation WHERE n_nationkey >= 12
+""",
+)
+def q_source_manifest_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on the manifest table format (r10): the first
+    half of ``nation`` is committed with a NARROW schema (key + name),
+    then the second half appends WITH ``n_regionkey`` — the manifest's
+    committed schema widens in that commit, and the scan reads both
+    cohorts through it, null-filling the added column on pre-evolution
+    files (parquet explicit-schema null-fill; no data rewritten).  The
+    oracle restates exactly that: old rows carry NULL, new rows their
+    real region.  Type-change refusal, time travel on the pre-evolution
+    version, the explicit evolve_schema() DDL, and the evolved
+    changes-stream are pinned in tests/test_manifest_sink.py."""
+    import shutil
+
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        register_manifest_sink,
+        scan_manifest,
+    )
+
+    register_manifest_sink(spark)
+    out = _roundtrip_dir(sf_dir, "manifest_evolve", "nation")
+    shutil.rmtree(out, ignore_errors=True)
+    nation = load_table(spark, sf_dir, "nation")
+    (
+        nation.filter("n_nationkey < 12")
+        .select("n_nationkey", "n_name")
+        .write.format("manifest_parquet")
+        .mode("overwrite")
+        .save(out)
+    )
+    (
+        nation.filter("n_nationkey >= 12")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.format("manifest_parquet")
+        .mode("append")
+        .save(out)
+    )
+    return scan_manifest(spark, out).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
