@@ -55,6 +55,7 @@ _OPERATOR_MODULES = (
     "setup_harvest_action_spark.functions.quality",
     "setup_harvest_action_spark.functions.graph",
     "setup_harvest_action_spark.operators.scd",
+    "setup_harvest_action_spark.operators.tpch_shapes",
     "setup_harvest_action_spark.sources.sparql_datasource",
     "setup_harvest_action_spark.streaming.events",
 )
@@ -81,7 +82,8 @@ _DRIVER_PRIORITY = (
     # leaves exactly ONE slot, which goes to the round's headline
     # addition (manifest MERGE INTO).  All other r10 additions
     # (q_multimodal_png_pipeline, q_harvest_downstream_preserved,
-    # q_source_manifest_evolution) and the md5 re-gated
+    # q_source_manifest_evolution, the seven TPC-H shapes in
+    # operators/tpch_shapes.py) and the md5 re-gated
     # q_dedup_minhash/q_dedup_simhash front the r11 window; until then
     # they are hash-verified by tools/verify_oracle.py + pytest.
     # (a) Never carried a driver row (judge-replayed green in r9):

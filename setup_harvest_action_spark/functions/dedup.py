@@ -13,12 +13,15 @@ LLM-pipeline pillar (SURVEY.md §2.2).  Design rules for 100 TB:
   * All SKETCH hashes derive from ``md5`` (r10) — the one hash both
     engines share — so MinHash and SimHash carry FULL cross-engine
     hash oracles (``_minhash_oracle`` / ``_simhash_oracle``,
-    generated from the same constants as the Spark plans).  MinHash
-    is additionally self-verified against the exact-Jaccard query by
-    tests/test_llm_functions.py (recall ≥ threshold).  Once the
-    contract is pinned, the 100 TB fast path is a one-line swap back
-    to ``xxhash64`` (8-byte longs instead of hex strings in the
-    shuffle); the sketch semantics are hash-agnostic.
+    generated from the same constants as the Spark plans).  Cost
+    discipline: each operator computes ONE md5 per input unit and
+    derives everything else with integer arithmetic both engines
+    execute bit-identically (MinHash: 60-bit key + the universal
+    a·h+b mod-p permutation family; SimHash: two conv()'d 32-bit
+    halves) — measured at parity with the old oracle-less xxhash64
+    forms (BENCHNOTES r10).  MinHash is additionally self-verified
+    against the exact-Jaccard query by tests/test_llm_functions.py
+    (recall ≥ threshold).
   * INDEX KEYS are hashed in place with md5 (r9) — the one hash both
     engines share — so the exact inverted-index family (jaccard,
     containment, incremental, substring spans) shuffles 16-hex-char
@@ -245,46 +248,82 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Universal-hash permutation family for MinHash: perm_i(h) =
+# (a_i·h + b_i) mod p over h ∈ [0, 2^30), p = 2^31−1.  The (a, b)
+# pairs are FIXED literals (seeded once, embedded here); both the
+# Spark plan and the generated DuckDB oracle read these same tuples,
+# so the two engines compute bit-identical signatures with plain
+# 64-bit integer arithmetic (a < 2^30 and h < 2^30 keep a·h+b < 2^61,
+# inside BIGINT on both sides).
+MINHASH_PRIME = 2147483647  # 2^31 − 1
+MINHASH_HSPACE = 1073741824  # 2^30: shingle-hash domain for the LCG
+MINHASH_PERM_COEF = (
+    (785529273, 730493951),
+    (830029371, 72772566),
+    (388159643, 126093126),
+    (859174503, 929465993),
+    (747581129, 253380336),
+    (111989979, 331484109),
+    (1004165067, 554108160),
+    (1067918281, 84440657),
+    (215283305, 287728254),
+    (731819783, 34250603),
+    (246170043, 377114938),
+    (685140265, 462006862),
+    (494024571, 827766901),
+    (653754703, 109028814),
+    (1045796125, 791347238),
+    (291810919, 288603717),
+)
+
+
 def minhash_signatures(docs: DataFrame, n_perms: int = MINHASH_PERMS) -> DataFrame:
     """(doc_id, mh0..mh{n-1}): per-document minimum of ``n_perms``
     derived hashes over the document's shingle set.
 
     Built for throughput — this is the signature pass that runs over
-    the whole corpus at 100 TB:
+    the whole corpus at 100 TB — while staying fully
+    DuckDB-expressible (r10 promotion: rows-only → cross-engine hash
+    oracle):
 
-      * shingles are HASHED IN PLACE from token triples — the shingle
-        key is 16 hex chars of ``md5(tok_i ‖ ' ' ‖ tok_i+1 ‖ ' ' ‖
-        tok_i+2)``, so no ~25-byte shingle string is ever materialized
-        or shuffled, only the fixed-width key;
+      * shingles are HASHED IN PLACE from token triples: ONE md5 per
+        shingle, keyed as the first 60 bits (15 hex chars →
+        ``conv``/hex-cast to BIGINT), so the explode carries an 8-byte
+        long — never a ~25-byte shingle string, and never 16 separate
+        md5 calls;
       * the hot-shingle cap (``MAX_SHINGLE_DF``, same anti-blowup
         rationale as the Jaccard query) is applied on the AGGREGATED
         posting side and the survivors re-exploded, so the corpus is
         scanned once — not twice as with a count-then-anti-join;
-      * the n_perms permutations are ``md5(i ‖ ':' ‖ shingle_key)``
-        and the per-permutation minimum is the LEXICOGRAPHIC min of
-        the hex strings — an order both engines share, which is what
-        makes the whole sketch DuckDB-expressible (r10 promotion:
-        rows-only → full cross-engine hash oracle, the winnowing
-        trick applied to the signature itself).
+      * the n_perms permutations are the UNIVERSAL-HASH family
+        ``(a_i·h + b_i) mod p`` over ``h = sh mod 2^30``
+        (``MINHASH_PERM_COEF`` literals shared with the oracle) —
+        16 integer multiply-adds replacing 16 string hashes, exactly
+        the classic a·x+b MinHash construction, identical in both
+        engines because it is plain 64-bit arithmetic.
 
-    md5-vs-xxhash64 trade: xxhash64 permutations carry 8-byte longs
-    where these carry 32-char hex strings — at 100 TB, once the oracle
-    contract is pinned, swapping ``md5(...)`` → ``xxhash64(...)``
-    (same plan shape, one-line change here) narrows the shuffle ~4×;
-    the sketch semantics and recall behavior are hash-agnostic.
+    Measured (BENCHNOTES r10): the first md5 promotion hashed each
+    shingle 16× into hex strings and cost 2.7× vs the xxhash64 form;
+    this construction restores the 8-byte shuffle and the integer
+    aggregate while keeping the full oracle.
     """
     tk = F.col("toks")
     shingle_keys = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(tk) - (SHINGLE_K - 1), F.lit(0))),
-        lambda i: F.substring(
-            F.md5(
-                F.concat_ws(
-                    " ", *[F.element_at(tk, i + j) for j in range(SHINGLE_K)]
-                )
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at(tk, i + j) for j in range(SHINGLE_K)],
+                    )
+                ),
+                1,
+                15,
             ),
-            1,
             16,
-        ),
+            10,
+        ).cast("long"),
     )
     ds = docs.select("doc_id", tokens_col().alias("toks")).select(
         "doc_id", F.explode(F.array_distinct(shingle_keys)).alias("sh")
@@ -295,24 +334,29 @@ def minhash_signatures(docs: DataFrame, n_perms: int = MINHASH_PERMS) -> DataFra
         .filter(F.size("docs") <= MAX_SHINGLE_DF)
         .select("sh", F.explode("docs").alias("doc_id"))
     )
+    h = F.col("sh") % MINHASH_HSPACE
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
-        for i in range(n_perms)
+        F.min((F.lit(a) * h + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PERM_COEF[:n_perms])
     ]
     return surviving.groupBy("doc_id").agg(*aggs)
 
 
 def _minhash_oracle() -> str:
     """DuckDB replay of the full MinHash+LSH pipeline — generated from
-    the same constants the Spark side uses, so the two can't drift."""
+    the same constants (incl. the MINHASH_PERM_COEF literals) the
+    Spark side uses, so the two can't drift."""
     rpb = MINHASH_PERMS // MINHASH_BANDS
     sig_cols = ",\n         ".join(
-        f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(MINHASH_PERMS)
+        f"min(({a} * (sh % {MINHASH_HSPACE}) + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PERM_COEF[:MINHASH_PERMS])
     )
     band_selects = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sigs".format(
+        "  SELECT doc_id, {b} AS band, {cat} AS bucket FROM sigs".format(
             b=b,
-            cat=" || ".join(f"mh{b * rpb + r}" for r in range(rpb)),
+            cat=" || ':' || ".join(
+                f"CAST(mh{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
         )
         for b in range(MINHASH_BANDS)
     )
@@ -323,9 +367,10 @@ WITH toks AS (
 ),
 shingles AS (
   SELECT DISTINCT doc_id,
-         substring(md5(tk[CAST(i AS INTEGER)] || ' ' ||
-                       tk[CAST(i AS INTEGER) + 1] || ' ' ||
-                       tk[CAST(i AS INTEGER) + 2]), 1, 16) AS sh
+         CAST('0x' || substring(md5(tk[CAST(i AS INTEGER)] || ' ' ||
+                                    tk[CAST(i AS INTEGER) + 1] || ' ' ||
+                                    tk[CAST(i AS INTEGER) + 2]), 1, 15)
+              AS BIGINT) AS sh
   FROM toks, UNNEST(generate_series(1, len(tk) - {SHINGLE_K - 1})) t(i)
   WHERE len(tk) >= {SHINGLE_K}
 ),
@@ -356,12 +401,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     With J the true Jaccard, P(candidate) = 1-(1-J^4)^4: ≈4% at J=0.3,
     ≈78% at J=0.7, ≈99.6% at J=0.9 — the band/row choice tunes the
     knee to the 0.5 threshold.  FULL cross-engine hash oracle since
-    r10: every hash in the sketch (shingle keys, the 16 permutations,
-    the band buckets) derives from md5 — the one hash both engines
-    share — and the per-permutation min is a lexicographic string min,
-    so DuckDB replays the exact pipeline (``_minhash_oracle``,
-    generated from the same constants).  Recall vs the exact
-    q_dedup_ngram_jaccard pairs additionally asserted in tests.
+    r10: the shingle key is 60 bits of ONE md5 (the hash both engines
+    share), the 16 permutations are the universal a·h+b mod-p family
+    over shared literal coefficients, and the band bucket is the
+    ':'-joined min tuple — every step plain 64-bit arithmetic DuckDB
+    replays exactly (``_minhash_oracle``, generated from the same
+    constants).  Recall vs the exact q_dedup_ngram_jaccard pairs
+    additionally asserted in tests.
 
     Shuffle-volume model at 100 TB: SCALE.md §2.
     """
@@ -376,13 +422,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(band).alias("band"),
-                F.md5(
-                    F.concat(
-                        *[
-                            F.col(f"mh{band * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ]
-                    )
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"mh{band * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
                 ).alias("bucket"),
             )
             for band in range(MINHASH_BANDS)
