@@ -305,6 +305,8 @@ class BucketedHarvestState:
             .withColumn("bucket", _bucket_of("uri", n))
             .cache()
         )
+        # bounded driver collect: distinct bucket ids only — at most
+        # n_buckets ints (config, not data), the price of pruning the merge
         touched = sorted(
             r["bucket"] for r in concepts.select("bucket").distinct().collect()
         )
@@ -378,6 +380,7 @@ class BucketedHarvestState:
             # Only buckets that actually gained rows are re-staged; a
             # rerun with nothing fresh skips the commit entirely.
             gained = sorted(
+                # bounded driver collect: <= n_buckets ints (config, not data)
                 r["bucket"] for r in fresh_rows.select("bucket").distinct().collect()
             )
             merged_fields = self.term_fields(gained).unionByName(fresh_rows)

@@ -418,3 +418,82 @@ def q_source_manifest_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_manifest(spark, out).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+@query(
+    "q_source_manifest_table_changes",
+    oracle="""
+WITH tgt AS (
+  SELECT o_orderkey AS okey, o_orderstatus AS status,
+         CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+  FROM orders
+), src AS (
+  SELECT o_orderkey AS okey, 'U' AS status,
+         CAST(round(o_totalprice, 2) * 2 AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT -o_orderkey AS okey, 'N' AS status,
+         CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 5 = 3
+)
+SELECT okey, status, price,
+       'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+FROM src
+UNION ALL
+SELECT okey, status, price,
+       'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+FROM tgt WHERE okey % 5 = 0
+""",
+)
+def q_source_manifest_table_changes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch CDC read over the manifest format (Delta's table_changes /
+    Change Data Feed): after the same v1-commit + v2-merge sequence as
+    ``q_source_manifest_merge``, ``table_changes(1, 2)`` must emit the
+    merge's row-level effect — each updated row as a (delete of the
+    old value, insert of the new), each fresh key as an insert, and
+    NOTHING for rows the merge carried over (file-level delta first,
+    ``EXCEPT ALL`` row diff second, so carried-over and byte-identical
+    rewritten rows cancel).  The oracle restates the expected change
+    set from the raw table.  Completes the format's CDC square: the
+    incremental changes STREAM (version offsets) for continuous
+    consumers, this batch CDF for ad-hoc diff/backfill."""
+    import shutil
+
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        merge_into,
+        register_manifest_sink,
+        table_changes,
+    )
+
+    register_manifest_sink(spark)
+    out = _roundtrip_dir(sf_dir, "manifest_cdf", "orders")
+    shutil.rmtree(out, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    tgt = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    (
+        tgt.repartitionByRange(8, "okey")
+        .write.format("manifest_parquet")
+        .mode("overwrite")
+        .save(out)
+    )
+    updates = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("okey"),
+        F.lit("U").alias("status"),
+        (F.round("o_totalprice", 2) * 2).alias("price"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 5 == 3).select(
+        (-F.col("o_orderkey")).alias("okey"),
+        F.lit("N").alias("status"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    merge_into(
+        spark, out, updates.unionByName(inserts), on=["okey"],
+        when_matched="update", when_not_matched="insert",
+    )
+    return table_changes(spark, out, 1, 2)

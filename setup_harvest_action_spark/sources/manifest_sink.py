@@ -700,6 +700,7 @@ def merge_into(
     on: list[str],
     when_matched: str = "update",
     when_not_matched: str = "insert",
+    update_cols: list[str] | None = None,
 ) -> dict:
     """MERGE INTO (Delta-parity upsert) on the manifest table format —
     the table-format promotion of the reference's O13 keyed-merge
@@ -709,6 +710,12 @@ def merge_into(
       in ``source`` is REPLACED by the source row (full-row update;
       source must carry the table's exact column set);
       ``"delete"`` drops matched target rows instead.
+    * ``update_cols=[...]`` narrows the update to the named columns —
+      Delta's ``UPDATE SET col = s.col`` clause: matched target rows
+      keep every other column's value.  Semantics differ from the
+      full-row form when several TARGET rows share one key: each is
+      updated in place (Delta semantics), where the full-row upsert
+      collapses them into the one source row.
     * ``when_not_matched="insert"`` appends source rows whose key has
       no target match; ``"ignore"`` drops them.
 
@@ -789,9 +796,37 @@ def merge_into(
         if candidates
         else None
     )
+    if update_cols is not None:
+        if when_matched != "update":
+            raise ValueError("update_cols requires when_matched='update'")
+        bad = set(update_cols) - (set(source.columns) - set(keys))
+        if bad:
+            raise ValueError(f"update_cols not updatable columns: {sorted(bad)}")
     pieces: list = []
     if tgt is not None:
-        if when_matched == "update" and when_not_matched == "insert":
+        if when_matched == "update" and update_cols is not None:
+            # column-subset update (Delta's UPDATE SET col = s.col):
+            # matched target rows keep non-listed columns in place
+            cols = tgt.columns
+            upd = (
+                tgt.alias("t")
+                .join(source.alias("s"), keys, "inner")
+                .select(
+                    *[
+                        _F.col(
+                            f"s.{c}" if c in update_cols else f"t.{c}"
+                        ).alias(c)
+                        for c in cols
+                    ]
+                )
+            )
+            pieces.append(tgt.join(source.select(*keys), keys, "left_anti"))
+            pieces.append(upd)
+            if when_not_matched == "insert":
+                pieces.append(
+                    source.join(tgt.select(*keys), keys, "left_anti")
+                )
+        elif when_matched == "update" and when_not_matched == "insert":
             # the upsert fast path: ONE anti-join (target minus source
             # keys) + the whole source — no semi/anti pair
             pieces = [
@@ -825,6 +860,92 @@ def merge_into(
         manifest["schema"] = m["schema"]
     _write_versioned(path, manifest, expected_version=m.get("version", 0))
     return read_manifest(path)
+
+
+def table_changes(
+    spark, path: str, from_version: int, to_version: int | None = None
+):
+    """Batch CDC read (Delta's ``table_changes`` / Change Data Feed):
+    row-level inserts and deletes between two committed versions, as a
+    DataFrame of the table's columns plus ``_change_type``
+    ('insert' | 'delete') and ``_commit_version`` (the version that
+    introduced the change).  An UPDATE (merge_into) appears as the
+    delete of the old row + the insert of the new one — the standard
+    CDF decomposition when the format does not store row ids.
+
+    100 TB design — file-level delta first, row diff second: for each
+    version step only the files ADDED and REMOVED by that commit are
+    read; files carried over contribute nothing, so a merge that
+    rewrote one candidate file scans one old + one new file, not the
+    table.  Within a step the row-level change is
+    ``added EXCEPT ALL removed`` (inserts) and ``removed EXCEPT ALL
+    added`` (deletes) — a rewrite that re-writes a row byte-identical
+    (compaction) thus cancels out to no change, which is exactly the
+    semantics a consumer wants.  Every referenced snapshot must still
+    be retained (same vacuum contract as the changes stream).
+    """
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql import functions as _F
+
+    latest = read_manifest(path)
+    if to_version is None:
+        to_version = latest.get("version", 0)
+    if from_version < 0 or to_version > latest.get("version", 0):
+        raise ValueError(
+            f"version range [{from_version}, {to_version}] outside the "
+            f"committed range [0, {latest.get('version', 0)}] at {path}"
+        )
+
+    def _entries(v: int) -> dict[str, dict]:
+        if v == 0:
+            return {}
+        return {e["file"]: e for e in read_manifest(path, v)["files"]}
+
+    pieces: list = []
+    prev = _entries(from_version)
+    prev_m = (
+        read_manifest(path, from_version) if from_version else {"files": []}
+    )
+    for v in range(from_version + 1, to_version + 1):
+        m = read_manifest(path, v)
+        cur = {e["file"]: e for e in m["files"]}
+        added = [cur[f] for f in cur.keys() - prev.keys()]
+        removed = [prev[f] for f in prev.keys() - cur.keys()]
+        add_df = _read_entries(spark, path, m, added) if added else None
+        rem_df = (
+            _read_entries(spark, path, prev_m, removed) if removed else None
+        )
+        if add_df is not None and rem_df is not None:
+            # align columns across a schema evolution within the step
+            for c in add_df.columns:
+                if c not in rem_df.columns:
+                    rem_df = rem_df.withColumn(c, _F.lit(None))
+            rem_df = rem_df.select(*add_df.columns)
+            ins = add_df.exceptAll(rem_df)
+            del_ = rem_df.exceptAll(add_df)
+        else:
+            ins, del_ = add_df, rem_df
+        for df, kind in ((ins, "insert"), (del_, "delete")):
+            if df is not None:
+                pieces.append(
+                    df.withColumn("_change_type", _F.lit(kind)).withColumn(
+                        "_commit_version", _F.lit(v).cast("long")
+                    )
+                )
+        prev, prev_m = cur, m
+    if not pieces:
+        base = scan_manifest(spark, path, version=to_version or None)
+        return (
+            base.withColumn("_change_type", _F.lit("insert"))
+            .withColumn("_commit_version", _F.lit(0).cast("long"))
+            .filter("false")
+        )
+    # unionByName with null-fill: later commits may carry evolved columns
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), pieces
+    )
 
 
 def evolve_schema(path: str, add_fields) -> dict:

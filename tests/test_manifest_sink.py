@@ -451,6 +451,50 @@ def test_delete_where_rewrites_only_candidate_files(sink, tmp_path):
     assert scan_manifest(sink, path, version=before["version"]).count() == 400
 
 
+def test_table_changes_batch_cdc(sink, tmp_path):
+    """Batch CDC (table_changes): appends emit inserts, merges emit
+    delete+insert pairs for updated rows, compaction cancels to ZERO
+    changes (byte-identical rewrite), and out-of-range versions are
+    refused."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        compact,
+        merge_into,
+        read_manifest,
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    sink.range(0, 10).selectExpr("id", "id * 10 AS val").write.format(
+        "manifest_parquet"
+    ).mode("overwrite").save(path)  # v1
+    sink.range(10, 15).selectExpr("id", "id * 10 AS val").write.format(
+        "manifest_parquet"
+    ).mode("append").save(path)  # v2
+
+    ch = table_changes(sink, path, 0, 2).collect()
+    assert all(r["_change_type"] == "insert" for r in ch)
+    assert {r["id"] for r in ch} == set(range(15))
+    assert {r["_commit_version"] for r in ch} == {1, 2}
+    assert len(table_changes(sink, path, 2, 2).collect()) == 0
+
+    # merge: update id=3, insert id=100  -> v3
+    src = sink.createDataFrame([(3, -3), (100, 1000)], "id LONG, val LONG")
+    merge_into(sink, path, src, on=["id"])
+    ch = {
+        (r["id"], r["_change_type"]): r["val"]
+        for r in table_changes(sink, path, 2, 3).collect()
+    }
+    assert ch == {(3, "delete"): 30, (3, "insert"): -3, (100, "insert"): 1000}
+
+    # compaction: rows byte-identical -> CDC cancels to nothing
+    compact(sink, path, 1)
+    v = read_manifest(path)["version"]
+    assert table_changes(sink, path, v - 1, v).count() == 0
+
+    with pytest.raises(ValueError, match="outside the committed range"):
+        table_changes(sink, path, 0, v + 5)
+
+
 def test_schema_evolution_roundtrip_and_time_travel(sink, tmp_path):
     """The verdict's evolution round-trip: write v1 (narrow) → append
     v2 with an extra column (auto-evolve) → scan reads BOTH cohorts,
@@ -618,6 +662,39 @@ def test_merge_into_matched_delete_and_ignore_unmatched(sink, tmp_path):
     assert after["total_rows"] == 90
     got = sorted(r["id"] for r in scan_manifest(sink, path).collect())
     assert got == list(range(90))
+
+
+def test_merge_into_column_subset_update(sink, tmp_path):
+    """update_cols (Delta's UPDATE SET col = s.col): matched rows take
+    the named columns from the source and keep every other column's
+    target value; unmatched source rows still insert full rows."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        merge_into,
+        scan_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    sink.range(0, 10).selectExpr(
+        "id", "id * 10 AS a", "concat('k', id) AS b"
+    ).write.format("manifest_parquet").mode("overwrite").save(path)
+    src = sink.createDataFrame(
+        [(3, -1, "ignored"), (99, 990, "new")], "id LONG, a LONG, b STRING"
+    )
+    merge_into(sink, path, src, on=["id"], update_cols=["a"])
+    got = {r["id"]: (r["a"], r["b"])
+           for r in scan_manifest(sink, path).collect()}
+    assert got[3] == (-1, "k3")      # a updated, b preserved
+    assert got[99] == (990, "new")   # insert takes the full source row
+    assert got[5] == (50, "k5")
+    assert len(got) == 11
+
+    with pytest.raises(ValueError, match="update_cols requires"):
+        merge_into(
+            sink, path, src, on=["id"],
+            when_matched="delete", update_cols=["a"],
+        )
+    with pytest.raises(ValueError, match="not updatable"):
+        merge_into(sink, path, src, on=["id"], update_cols=["id"])
 
 
 def test_merge_into_refuses_ambiguous_source_and_detects_conflict(
