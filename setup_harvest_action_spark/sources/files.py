@@ -497,3 +497,83 @@ def q_source_manifest_table_changes(
         when_matched="update", when_not_matched="insert",
     )
     return table_changes(spark, out, 1, 2)
+
+
+@query(
+    "q_source_manifest_stream_merge",
+    oracle="""
+WITH tgt AS (
+  SELECT o_orderkey AS okey, o_orderstatus AS status,
+         CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+  FROM orders
+), src AS (
+  SELECT o_orderkey AS okey, 'U' AS status,
+         CAST(round(o_totalprice, 2) * 2 AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT -o_orderkey AS okey, 'N' AS status,
+         CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 5 = 3
+)
+SELECT okey, status, price FROM src
+UNION ALL
+SELECT okey, status, price FROM tgt WHERE okey % 5 <> 0
+""",
+)
+def q_source_manifest_stream_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING upsert into the manifest table format
+    (``stream_merge_into``: foreachBatch → merge_into per micro-batch,
+    the CDC-apply shape on our own format): the same change set as
+    ``q_source_manifest_merge`` arrives as a file-source STREAM and
+    must leave the table in the identical end state — matched rows
+    replaced, inserts appended, untouched rows byte-identical — under
+    the same full-upsert SQL oracle.  Checkpointed resume, drained-
+    checkpoint no-op, and the content-idempotence contract are pinned
+    in tests/test_manifest_sink.py."""
+    import shutil
+
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        register_manifest_sink,
+        scan_manifest,
+        stream_merge_into,
+    )
+
+    register_manifest_sink(spark)
+    base = _roundtrip_dir(sf_dir, "manifest_stream_merge", "orders")
+    shutil.rmtree(base, ignore_errors=True)
+    out = f"{base}/t"
+    orders = load_table(spark, sf_dir, "orders")
+    tgt = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    (
+        tgt.repartitionByRange(8, "okey")
+        .write.format("manifest_parquet")
+        .mode("overwrite")
+        .save(out)
+    )
+    changes = (
+        orders.filter(F.col("o_orderkey") % 5 == 0).select(
+            F.col("o_orderkey").alias("okey"),
+            F.lit("U").alias("status"),
+            (F.round("o_totalprice", 2) * 2).alias("price"),
+        )
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 5 == 3).select(
+            (-F.col("o_orderkey")).alias("okey"),
+            F.lit("N").alias("status"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+    changes.write.parquet(f"{base}/changes")
+    stream = spark.readStream.schema(changes.schema).parquet(
+        f"{base}/changes"
+    )
+    stream_merge_into(
+        spark, out, stream, on=["okey"], checkpoint=f"{base}/ckpt"
+    )
+    return scan_manifest(spark, out).select("okey", "status", "price")

@@ -862,6 +862,58 @@ def merge_into(
     return read_manifest(path)
 
 
+def stream_merge_into(
+    spark,
+    path: str,
+    stream_df,
+    on: list[str],
+    checkpoint: str,
+    update_cols: list[str] | None = None,
+    max_conflict_retries: int = 5,
+) -> dict:
+    """Streaming UPSERT into the manifest table format: drains
+    ``stream_df`` (availableNow) applying ONE ``merge_into`` per
+    micro-batch via foreachBatch — the CDC-apply shape (consume a
+    change stream, maintain a keyed table) on our own format, closing
+    the streaming-CRUD square beside the append stream-writer.
+
+    Delivery contract: CONTENT-idempotent, not commit-idempotent — a
+    micro-batch replayed after an unrecorded commit re-merges the same
+    rows (updates re-apply to equal values, its inserts now match as
+    updates), so the table converges to the same content while the
+    version history may carry an extra no-op-shaped commit; the
+    batchId-tracking append writer (``_ManifestStreamWriter``) is the
+    exactly-once-commits alternative when append semantics suffice.
+    Each batch must be key-unique (``merge_into`` refuses ambiguous
+    sources — pre-aggregate with max_by/last-by-timestamp upstream,
+    as q_stream_cdc_apply does).  ``CommitConflict`` from an
+    interleaved external writer is retried with a fresh re-derive (the
+    standard optimistic loop) up to ``max_conflict_retries``.
+    Returns the final manifest."""
+
+    def _apply(batch_df, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        for attempt in range(max_conflict_retries):
+            try:
+                merge_into(
+                    spark, path, batch_df, on=on, update_cols=update_cols
+                )
+                return
+            except CommitConflict:
+                if attempt == max_conflict_retries - 1:
+                    raise
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_manifest(path)
+
+
 def table_changes(
     spark, path: str, from_version: int, to_version: int | None = None
 ):

@@ -451,6 +451,52 @@ def test_delete_where_rewrites_only_candidate_files(sink, tmp_path):
     assert scan_manifest(sink, path, version=before["version"]).count() == 400
 
 
+def test_stream_merge_into_upserts_and_resumes(sink, tmp_path):
+    """Streaming upsert (foreachBatch merge_into): a file-source stream
+    of keyed changes maintains the table; a SECOND drain against the
+    same checkpoint re-reads nothing, and new files continue the
+    upsert from where the checkpoint left off."""
+    from pyspark.sql.types import LongType, StructField, StructType
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        read_manifest,
+        scan_manifest,
+        stream_merge_into,
+    )
+
+    path = str(tmp_path / "t")
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink.range(0, 10).selectExpr("id", "id * 10 AS val").write.format(
+        "manifest_parquet"
+    ).mode("overwrite").save(path)
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("val", LongType())]
+    )
+    sink.createDataFrame([(3, -3), (20, 200)], schema).write.parquet(
+        src_dir + "/b1"
+    )
+    stream = sink.readStream.schema(schema).parquet(src_dir + "/*")
+    stream_merge_into(sink, path, stream, on=["id"], checkpoint=ckpt)
+    got = {r["id"]: r["val"] for r in scan_manifest(sink, path).collect()}
+    assert got[3] == -3 and got[20] == 200 and len(got) == 11
+
+    # drained checkpoint: re-running against the same source moves nothing
+    v = read_manifest(path)["version"]
+    stream = sink.readStream.schema(schema).parquet(src_dir + "/*")
+    stream_merge_into(sink, path, stream, on=["id"], checkpoint=ckpt)
+    assert read_manifest(path)["version"] == v
+
+    # a new file resumes the upsert incrementally
+    sink.createDataFrame([(3, 33), (21, 210)], schema).write.parquet(
+        src_dir + "/b2"
+    )
+    stream = sink.readStream.schema(schema).parquet(src_dir + "/*")
+    stream_merge_into(sink, path, stream, on=["id"], checkpoint=ckpt)
+    got = {r["id"]: r["val"] for r in scan_manifest(sink, path).collect()}
+    assert got[3] == 33 and got[21] == 210 and len(got) == 12
+
+
 def test_table_changes_batch_cdc(sink, tmp_path):
     """Batch CDC (table_changes): appends emit inserts, merges emit
     delete+insert pairs for updated rows, compaction cancels to ZERO
