@@ -800,3 +800,76 @@ def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_value"),
         )
     )
+
+
+TEMP_SAMPLE_FRACTION = 0.5  # corpus fraction the tempered sample targets
+
+
+@query(
+    "q_sample_temperature",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+),
+rates AS (
+  SELECT lang,
+         least(1.0,
+               (sqrt(n) / (SELECT sum(sqrt(n)) FROM counts))
+               * (SELECT sum(n) FROM counts) * {TEMP_SAMPLE_FRACTION} / n)
+             AS keep_rate
+  FROM counts
+)
+SELECT d.doc_id, d.lang,
+       CAST(round(r.keep_rate, 6) AS DOUBLE) AS keep_rate
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+      / 16777216.0 < r.keep_rate
+""",
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE SAMPLING (alpha = 0.5) across languages — the
+    standard multilingual-LLM corpus rebalance (mT5/XLM-R style):
+    target shares q_l ∝ p_l^alpha flatten the language distribution,
+    so high-resource languages downsample hard and low-resource ones
+    keep (almost) everything; per-row keep probability =
+    q_l · (N·{TEMP_SAMPLE_FRACTION}) / n_l, capped at 1.
+
+    Cross-engine exactness: alpha = 0.5 makes the tempering a
+    ``sqrt`` — IEEE correctly-rounded in BOTH engines (unlike a
+    general ``pow``, whose last-ulp can differ across libms and flip
+    threshold rows) — and the per-row uniform is 24 bits of
+    md5(doc_id), so the accept/reject decision is bit-reproducible
+    and fully SQL-oracled.  Plan: one tiny per-lang count aggregate,
+    rates broadcast back onto the corpus, one map-side filter — no
+    second corpus shuffle; at 100 TB the only full-scan cost is the
+    count pass, which any sampler pays."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tot = counts.agg(
+        F.sum(F.sqrt("n")).alias("sum_sqrt"), F.sum("n").alias("total")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            (F.sqrt("n") / F.col("sum_sqrt"))
+            * F.col("total")
+            * F.lit(TEMP_SAMPLE_FRACTION)
+            / F.col("n"),
+        ).alias("keep_rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+        ).cast("long")
+        / F.lit(16777216.0)
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(u < F.col("keep_rate"))
+        .select(
+            "doc_id", "lang", F.round("keep_rate", 6).alias("keep_rate")
+        )
+    )

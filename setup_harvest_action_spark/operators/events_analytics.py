@@ -1421,3 +1421,4 @@ def q_events_interval_coverage_salted(
             F.sum(F.col("gme") - F.col("gms")).alias("covered_us"),
         )
     )
+
