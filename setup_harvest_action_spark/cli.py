@@ -81,6 +81,17 @@ def _build_parser() -> argparse.ArgumentParser:
     m.add_argument("--vacuum", type=int, metavar="KEEP", default=None,
                    help="drop snapshots older than the last KEEP versions "
                         "and unreferenced data files")
+    m.add_argument("--delete-where", nargs=3, metavar=("COL", "OP", "VALUE"),
+                   help="row-level delete (op in < <= > >= =); VALUE parses "
+                        "as number when possible — one atomic versioned "
+                        "commit rewriting only stats-admitted files")
+    m.add_argument("--merge-from", metavar="PARQUET",
+                   help="MERGE INTO from a parquet path of source rows")
+    m.add_argument("--merge-on", metavar="COLS",
+                   help="comma-separated merge key columns (with --merge-from)")
+    m.add_argument("--changes", nargs=2, type=int,
+                   metavar=("FROM_V", "TO_V"),
+                   help="print row-level CDC change counts between versions")
     return p
 
 
@@ -91,10 +102,60 @@ def _run_manifest(args) -> int:
     from setup_harvest_action_spark.sources.manifest_sink import (
         SNAPSHOT_FMT,
         compact,
+        delete_where,
+        merge_into,
         read_manifest,
+        table_changes,
         vacuum_manifest,
     )
 
+    if args.delete_where is not None:
+        from setup_harvest_action_spark.session import get_spark
+
+        col, op, raw = args.delete_where
+        try:
+            val = int(raw)
+        except ValueError:
+            try:
+                val = float(raw)
+            except ValueError:
+                val = raw
+        after = delete_where(
+            get_spark("cli-manifest"), args.path, [(col, op, val)]
+        )
+        print(f"deleted where {col} {op} {val!r} "
+              f"(version {after['version']}, {after['total_rows']} rows kept)")
+        return 0
+    if args.merge_from is not None:
+        if not args.merge_on:
+            print("--merge-from needs --merge-on COL[,COL...]")
+            return 1
+        from setup_harvest_action_spark.session import get_spark
+
+        spark = get_spark("cli-manifest")
+        src = spark.read.parquet(args.merge_from)
+        after = merge_into(
+            spark, args.path, src, on=args.merge_on.split(",")
+        )
+        print(f"merged {args.merge_from} on {args.merge_on} "
+              f"(version {after['version']}, {after['total_rows']} rows)")
+        return 0
+    if args.changes is not None:
+        from setup_harvest_action_spark.session import get_spark
+
+        lo, hi = args.changes
+        ch = table_changes(get_spark("cli-manifest"), args.path, lo, hi)
+        counts = {
+            (r["_commit_version"], r["_change_type"]): r["n"]
+            for r in ch.groupBy("_commit_version", "_change_type")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        for (v, kind), n in sorted(counts.items()):
+            print(f"v{v}: {n} {kind}s")
+        print(f"{sum(counts.values())} total changes in ({lo}, {hi}]")
+        return 0
     if args.compact is not None:
         from setup_harvest_action_spark.session import get_spark
 

@@ -587,3 +587,44 @@ def test_cli_manifest_show_history_compact_vacuum(spark, tmp_path, capsys):
     assert "reclaimed" in out
     assert read_manifest(path)["total_rows"] == 150
     assert scan_manifest(spark, path).count() == 150
+
+
+def test_cli_manifest_delete_merge_changes(spark, tmp_path, capsys):
+    """The r10 CLI surface for the CRUD square: --delete-where,
+    --merge-from/--merge-on, and --changes (batch CDC counts)."""
+    from setup_harvest_action_spark.cli import main
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        register_manifest_sink,
+        scan_manifest,
+    )
+
+    register_manifest_sink(spark)
+    path = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    spark.range(0, 100).selectExpr("id", "id * 2 AS val").write.format(
+        "manifest_parquet"
+    ).mode("overwrite").save(path)
+
+    assert main(["manifest", path, "--delete-where", "id", ">=", "90"]) == 0
+    out = capsys.readouterr().out
+    assert "90 rows kept" in out
+    assert scan_manifest(spark, path).count() == 90
+
+    spark.createDataFrame(
+        [(5, -5), (200, 400)], "id LONG, val LONG"
+    ).write.parquet(src)
+    assert main(
+        ["manifest", path, "--merge-from", src, "--merge-on", "id"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "91 rows" in out
+    got = {r["id"]: r["val"] for r in scan_manifest(spark, path).collect()}
+    assert got[5] == -5 and got[200] == 400
+
+    assert main(["manifest", path, "--changes", "2", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "v3: 2 inserts" in out and "v3: 1 deletes" in out
+
+    assert main(
+        ["manifest", path, "--merge-from", src]
+    ) == 1  # --merge-on required
