@@ -960,3 +960,39 @@ def test_boilerplate_builds_hashed_df_index_and_reassembles_once(spark, queries)
     assert "BroadcastNestedLoopJoin" not in tree
     # single partial/final reassembly aggregate keyed on doc_id
     assert tree.count("ObjectHashAggregate") == 2
+
+
+def test_manifest_merge_upsert_plan_is_one_anti_join(
+    spark, tmp_path, monkeypatch
+):
+    """merge_into's upsert fast path must plan as ONE left-anti hash
+    join (target minus source keys) unioned with the source — never a
+    broadcast-nested-loop or cartesian, and never a semi/anti pair
+    that scans the candidates twice.  Captured at the staging boundary
+    so the pinned plan is exactly what the rewrite executes."""
+    import setup_harvest_action_spark.sources.manifest_sink as ms
+
+    ms.register_manifest_sink(spark)
+    path = str(tmp_path / "t")
+    spark.range(0, 1000).selectExpr("id", "id * 2 AS val").repartitionByRange(
+        4, "id"
+    ).write.format("manifest_parquet").mode("overwrite").save(path)
+    src = spark.range(500, 1200).selectExpr("id", "id * -1 AS val")
+
+    captured = {}
+    orig = ms._stage_parts
+
+    def capture(df, p):
+        captured["plan"] = plan_of(df)
+        captured["tree"] = tree_of(df)
+        return orig(df, p)
+
+    monkeypatch.setattr(ms, "_stage_parts", capture)
+    with conf(spark, "spark.sql.adaptive.enabled", "false"):
+        ms.merge_into(spark, path, src, on=["id"])
+    plan = captured["plan"]
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the fast path: exactly one join in the rewrite plan
+    assert captured["tree"].count("Join") == 1
