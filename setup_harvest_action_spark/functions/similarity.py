@@ -663,3 +663,78 @@ def kmeans_assignments(
     for _ in range(iters):
         cent = _update(_assign(emb, cent))
     return _assign(emb, cent)
+
+
+QUANT_BITS_MAX = 127.0  # int8 symmetric quantization range
+
+
+@query(
+    "q_embedding_quantize_int8",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / {QUANT_BITS_MAX} AS scale
+  FROM vecs
+),
+q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> floor(x / scale + 0.5)) AS qv
+  FROM scaled WHERE scale > 0
+)
+SELECT vec_id,
+       CAST(round(scale, 8) AS DOUBLE) AS scale,
+       CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_max,
+       CAST(round(list_max(
+           list_transform(list_zip(v, qv),
+                          p -> abs(p[1] - p[2] * scale))), 8)
+            AS DOUBLE) AS max_abs_err
+FROM q
+""",
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYMMETRIC INT8 QUANTIZATION of the embedding column — the
+    storage/bandwidth step every large ANN index applies before
+    sharding (4× smaller vectors, SIMD int8 dot products): per-vector
+    scale = max|x|/127, quantized q = floor(x/scale + 0.5), and the
+    per-vector reconstruction-error bound max|x − q·scale| ≤ scale/2
+    reported as data.
+
+    Cross-engine exactness: rounding is floor(x + 0.5) — floor is
+    exact in IEEE and identical in both engines, unlike round()'s
+    half-way tie-breaking on doubles — so every quantized value and
+    error hash-matches.  Map-only over the vectors (no shuffle at
+    all beyond the scan); emits the quantization CONTRACT (scale,
+    max quantized magnitude ≤ 127, error bound) rather than the int8
+    payload, which is what a downstream index build verifies."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+    scale = F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(QUANT_BITS_MAX)
+    scaled = vecs.withColumn("scale", scale).filter(F.col("scale") > 0)
+    qv = F.transform(
+        F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5))
+    )
+    q = scaled.withColumn("qv", qv)
+    err = F.array_max(
+        F.zip_with(
+            F.col("v"), F.col("qv"),
+            lambda x, qx: F.abs(x - qx * F.col("scale")),
+        )
+    )
+    # err is materialized BEFORE the select that aliases the rounded
+    # scale: Spark's lateral column alias resolution would otherwise
+    # bind err's `scale` reference to the ROUNDED alias earlier in the
+    # same select list, shifting the error by up to 127·5e-9
+    q = q.withColumn("raw_err", err)
+    return q.select(
+        "vec_id",
+        F.round("scale", 8).alias("scale"),
+        F.array_max(F.transform(F.col("qv"), F.abs))
+        .cast("long")
+        .alias("q_max"),
+        F.round("raw_err", 8).alias("max_abs_err"),
+    )

@@ -577,3 +577,107 @@ def q_source_manifest_stream_merge(
         spark, out, stream, on=["okey"], checkpoint=f"{base}/ckpt"
     )
     return scan_manifest(spark, out).select("okey", "status", "price")
+
+
+@query(
+    "q_source_manifest_cdc_rollup",
+    oracle="""
+WITH tgt AS (
+  SELECT o_orderkey AS okey, o_orderstatus AS status,
+         CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+  FROM orders
+), src AS (
+  SELECT o_orderkey AS okey, 'U' AS status,
+         CAST(round(o_totalprice, 2) * 2 AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT -o_orderkey AS okey, 'N' AS status,
+         CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 5 = 3
+), final AS (
+  SELECT okey, status, price FROM src
+  UNION ALL
+  SELECT okey, status, price FROM tgt WHERE okey % 5 <> 0
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(price AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+FROM final GROUP BY status
+""",
+)
+def q_source_manifest_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE from the batch CDC feed: a grouped
+    rollup (count + revenue per status) is maintained by combining the
+    v1 aggregate with the SIGNED contribution of ``table_changes(1, 2)``
+    (insert → +1/+price, delete → −1/−price) — never re-reading the
+    post-merge table.  The oracle computes the same rollup from the
+    final state directly, so the hash gate proves base ⊎ delta ≡
+    recompute: the consumer pattern that keeps a 100 TB table's
+    downstream aggregates fresh for the cost of the day's changes
+    (count and sum are self-maintainable aggregates; min/max are not —
+    they need the recompute path on deletes).  Sums accumulate in
+    DECIMAL so the combine order cannot flip the rounded hash."""
+    import shutil
+
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        merge_into,
+        register_manifest_sink,
+        scan_manifest,
+        table_changes,
+    )
+
+    register_manifest_sink(spark)
+    out = _roundtrip_dir(sf_dir, "manifest_cdc_rollup", "orders")
+    shutil.rmtree(out, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    tgt = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    (
+        tgt.repartitionByRange(8, "okey")
+        .write.format("manifest_parquet")
+        .mode("overwrite")
+        .save(out)
+    )
+    updates = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("okey"),
+        F.lit("U").alias("status"),
+        (F.round("o_totalprice", 2) * 2).alias("price"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 5 == 3).select(
+        (-F.col("o_orderkey")).alias("okey"),
+        F.lit("N").alias("status"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    merge_into(
+        spark, out, updates.unionByName(inserts), on=["okey"],
+        when_matched="update", when_not_matched="insert",
+    )
+    dec = F.col("price").cast("decimal(18,6)")
+    base = (
+        scan_manifest(spark, out, version=1)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).alias("total"),
+        )
+    )
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    delta = (
+        table_changes(spark, out, 1, 2)
+        .groupBy("status")
+        .agg(
+            F.sum(sign).alias("n"),
+            F.sum(sign.cast("decimal(18,6)") * dec).alias("total"),
+        )
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy("status")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.round(F.sum("total"), 2).cast("double").alias("total"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
