@@ -1422,3 +1422,102 @@ def q_events_interval_coverage_salted(
         )
     )
 
+
+
+ATTRIB_WINDOW_DAYS = 7  # lookback for touch attribution
+
+
+@query(
+    "q_events_attribution",
+    oracle=f"""
+WITH purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+         round(value, 4) AS amount
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+touched AS (
+  SELECT p.purchase_id, p.user_id, p.amount,
+         max_by(c.click_id,
+                lpad(CAST(epoch_us(c.click_ts) AS VARCHAR), 20, '0') ||
+                lpad(CAST(c.click_id AS VARCHAR), 12, '0')) AS last_click_id,
+         min_by(c.click_id,
+                lpad(CAST(epoch_us(c.click_ts) AS VARCHAR), 20, '0') ||
+                lpad(CAST(c.click_id AS VARCHAR), 12, '0')) AS first_click_id,
+         CAST(count(c.click_id) AS BIGINT) AS n_touches
+  FROM purchases p LEFT JOIN clicks c
+    ON c.user_id = p.user_id
+   AND c.click_ts <= p.purchase_ts
+   AND c.click_ts > p.purchase_ts - INTERVAL {ATTRIB_WINDOW_DAYS} DAY
+  GROUP BY p.purchase_id, p.user_id, p.amount
+)
+SELECT purchase_id, user_id,
+       CAST(amount AS DOUBLE) AS amount,
+       first_click_id, last_click_id, n_touches
+FROM touched
+""",
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOUCH ATTRIBUTION — first- and last-click within a
+    {ATTRIB_WINDOW_DAYS}-day lookback for every purchase: the
+    marketing-analytics join that decides which interaction gets
+    credit.  Purchases with no clicks in the window keep NULL touch
+    ids (the 'direct' bucket) and n_touches = 0.
+
+    Plan shape: a user-keyed equi-join with a RANGE predicate riding
+    it (never a cartesian — the hash join is on user_id, the time
+    window filters within the matched user's clicks), then min_by /
+    max_by argmin aggregates pick the first/last touch in ONE pass —
+    no per-purchase window sort, no self-join to recover the winning
+    row.  Ties on click_ts break by click_id via a fixed-width
+    digit-string ordering key (lexicographic ≡ numeric), so attribution is deterministic on both engines.
+    At 100 TB both sides shuffle once on user_id; a hot user is
+    bounded by the lookback window (and the salted-sessionization
+    trick applies the same way if one user dominates)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 4).alias("amount"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            > F.col("purchase_ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW_DAYS} DAYS")
+        ),
+        "left",
+    )
+    # fixed-width digit string: lexicographic == (ts, id) numeric order,
+    # and — unlike a struct key — identical max_by semantics in DuckDB
+    order_key = F.concat(
+        F.lpad(F.unix_micros("click_ts").cast("string"), 20, "0"),
+        F.lpad(F.col("click_id").cast("string"), 12, "0"),
+    )
+    return (
+        joined.groupBy("purchase_id", "user_id", "amount")
+        .agg(
+            F.max_by("click_id", order_key).alias("last_click_id"),
+            F.min_by("click_id", order_key).alias("first_click_id"),
+            F.count("click_id").cast("long").alias("n_touches"),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("amount").cast("double").alias("amount"),
+            "first_click_id",
+            "last_click_id",
+            "n_touches",
+        )
+    )

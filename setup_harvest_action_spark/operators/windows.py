@@ -465,3 +465,71 @@ def q_window_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderkey") - F.col("prev_key") - 1).alias("n_missing"),
         )
     )
+
+
+@query(
+    "q_window_period_over_period",
+    oracle="""
+WITH monthly AS (
+  SELECT c.c_nationkey AS nationkey,
+         CAST(year(o.o_orderdate) AS INTEGER) AS y,
+         CAST(month(o.o_orderdate) AS INTEGER) AS m,
+         round(sum(CAST(round(o.o_totalprice, 2) AS DECIMAL(18,6))), 2)
+             AS revenue
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey, year(o.o_orderdate), month(o.o_orderdate)
+)
+SELECT nationkey, y, m,
+       CAST(revenue AS DOUBLE) AS revenue,
+       CAST(lag(revenue) OVER w AS DOUBLE) AS prev_revenue,
+       CAST(round(100.0 * (revenue - lag(revenue) OVER w)
+                  / lag(revenue) OVER w, 4) AS DOUBLE) AS pct_change
+FROM monthly
+WINDOW w AS (PARTITION BY nationkey ORDER BY y, m)
+""",
+)
+def q_window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIOD-OVER-PERIOD comparison — the reporting staple: monthly
+    revenue per customer nation with the previous month's figure and
+    percent change via ``lag`` over (nation, month-order).
+
+    Scale shape: the window partitions by NATION over MONTH-cardinality
+    rows — the input is the monthly aggregate (map-side partial
+    combine collapses the order scan to |nations|×|months| rows), so
+    the window stage is dimension-sized no matter how large orders
+    grows; revenue accumulates in DECIMAL so month totals hash
+    identically and the division sees exact operands.  Months with no
+    orders are absent (gap-filling is q_events_resample_ffill's job)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.round("o_totalprice", 2).cast("decimal(18,6)")), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("nationkey").orderBy("y", "m")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "nationkey",
+        "y",
+        "m",
+        F.col("revenue").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        F.round(
+            F.lit(100.0)
+            * (F.col("revenue") - prev).cast("double")
+            / prev.cast("double"),
+            4,
+        ).alias("pct_change"),
+    )
