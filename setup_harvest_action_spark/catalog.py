@@ -80,10 +80,13 @@ _DRIVER_PRIORITY = (
     # whole composition: both never-driver-checked entries plus every
     # entry whose newest driver row is still r05 (47 of them).  That
     # leaves exactly ONE slot, which goes to the round's headline
-    # addition (manifest MERGE INTO).  All other r10 additions
-    # (q_multimodal_png_pipeline, q_harvest_downstream_preserved,
-    # q_source_manifest_evolution, the seven TPC-H shapes in
-    # operators/tpch_shapes.py) and the md5 re-gated
+    # addition (manifest MERGE INTO).  All other r10 additions —
+    # q_multimodal_png_pipeline, q_harvest_downstream_preserved, the
+    # manifest-format family (evolution, stream_merge, table_changes,
+    # cdc_rollup), the seven TPC-H shapes in operators/tpch_shapes.py,
+    # q_sample_temperature, q_embedding_quantize_int8,
+    # q_window_period_over_period, q_events_attribution,
+    # q_graph_kcore — and the md5 re-gated
     # q_dedup_minhash/q_dedup_simhash front the r11 window; until then
     # they are hash-verified by tools/verify_oracle.py + pytest.
     # (a) Never carried a driver row (judge-replayed green in r9):
