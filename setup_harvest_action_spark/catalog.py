@@ -56,6 +56,7 @@ _OPERATOR_MODULES = (
     "setup_harvest_action_spark.functions.graph",
     "setup_harvest_action_spark.operators.scd",
     "setup_harvest_action_spark.operators.tpch_shapes",
+    "setup_harvest_action_spark.operators.tpch_shapes2",
     "setup_harvest_action_spark.sources.sparql_datasource",
     "setup_harvest_action_spark.streaming.events",
 )
@@ -83,7 +84,8 @@ _DRIVER_PRIORITY = (
     # addition (manifest MERGE INTO).  All other r10 additions —
     # q_multimodal_png_pipeline, q_harvest_downstream_preserved, the
     # manifest-format family (evolution, stream_merge, table_changes,
-    # cdc_rollup), the seven TPC-H shapes in operators/tpch_shapes.py,
+    # cdc_rollup), the fifteen TPC-H shapes in operators/tpch_shapes.py
+    # + tpch_shapes2.py (the latter completing all 22 spec queries),
     # q_sample_temperature, q_embedding_quantize_int8,
     # q_window_period_over_period, q_events_attribution,
     # q_graph_kcore — and the md5 re-gated

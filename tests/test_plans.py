@@ -996,3 +996,54 @@ def test_manifest_merge_upsert_plan_is_one_anti_join(
     assert "CartesianProduct" not in plan
     # the fast path: exactly one join in the rewrite plan
     assert captured["tree"].count("Join") == 1
+
+
+def test_q6_shape_pushes_all_predicates_and_prunes_columns(spark, queries):
+    # TPC-H Q6 is the canonical "is pushdown working" probe: all three
+    # predicates must reach the parquet scan and only the four
+    # referenced columns may survive pruning.
+    plan = plan_of(queries["q_discount_revenue_delta"](spark, SF))
+    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert "l_orderkey" not in plan  # pruned
+    assert "l_returnflag" not in plan  # pruned
+
+
+def test_returned_items_topk_is_take_ordered_not_global_sort(
+    spark, queries
+):
+    # TPC-H Q10's top-20 must compile to TakeOrderedAndProject
+    # (per-partition heaps, O(k) driver merge) — a global Sort+Limit
+    # materializes the whole customer aggregate at one task.
+    plan = plan_of(queries["q_returned_items_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_promotable_suppliers_is_semi_join_chain(spark, queries):
+    # TPC-H Q20's supplier qualification must stay a LEFT-SEMI join —
+    # an inner join multiplies supplier rows by qualifying parts and
+    # needs a distinct; a nested-loop means the equi-key was lost.
+    plan = plan_of(queries["q_promotable_suppliers"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_customer_distribution_filter_lives_in_join_not_where(
+    spark, queries
+):
+    # TPC-H Q13: the priority exclusion must act as the outer join's
+    # condition (zero-order customers survive with count 0), and the
+    # join must remain LeftOuter — a WHERE after the join would
+    # silently turn it inner and drop the zero bucket.
+    df = queries["q_customer_order_distribution"](spark, SF)
+    plan = plan_of(df)
+    assert "LeftOuter" in plan
+    # outer-join semantics: every customer lands in exactly one bucket
+    # (an accidental inner join would drop customers whose orders were
+    # all excluded — at this fixture none are, so pin the invariant
+    # that generalizes: bucket counts sum to |customer|).
+    total = sum(r["custdist"] for r in df.collect())
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert total == n_cust
