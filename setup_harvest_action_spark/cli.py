@@ -145,6 +145,8 @@ def _run_manifest(args) -> int:
 
         lo, hi = args.changes
         ch = table_changes(get_spark("cli-manifest"), args.path, lo, hi)
+        # bounded collect: one row per (commit version in range, change
+        # type) — versions × 3, a report-sized aggregate, never row data
         counts = {
             (r["_commit_version"], r["_change_type"]): r["n"]
             for r in ch.groupBy("_commit_version", "_change_type")

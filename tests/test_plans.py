@@ -686,10 +686,12 @@ def test_partitioned_roundtrip_prunes_partitions(spark, queries):
 
 def test_no_unbounded_driver_collect_in_package(spark):
     """Repo-wide scale contract: no operator materializes data on the
-    driver.  `.collect()` / `.toPandas()` may appear ONLY in
-    harvest/bucketed.py, whose two calls gather the DISTINCT BUCKET ID
-    list (bounded by n_buckets, a config constant — the moral
-    equivalent of a partition listing), and nowhere else."""
+    driver.  `.collect()` / `.toPandas()` may appear ONLY at three
+    audited sites: harvest/bucketed.py's two calls gather the DISTINCT
+    BUCKET ID list (bounded by n_buckets, a config constant — the
+    moral equivalent of a partition listing), and cli.py's changes
+    report collects one count per (commit version, change type) —
+    versions × 3 rows, never row data.  Nowhere else."""
     import pathlib
 
     pkg = pathlib.Path("setup_harvest_action_spark")
@@ -700,8 +702,12 @@ def test_no_unbounded_driver_collect_in_package(spark):
             code = line.split("#", 1)[0]
             if ".collect()" in code or ".toPandas()" in code:
                 offenders.append(f"{f}:{i}")
-    allowed = {o for o in offenders if "harvest/bucketed.py" in o}
-    assert set(offenders) == allowed and len(allowed) == 2, offenders
+    allowed = {
+        o
+        for o in offenders
+        if "harvest/bucketed.py" in o or "cli.py" in o
+    }
+    assert set(offenders) == allowed and len(allowed) == 3, offenders
 
 
 def test_q5_shape_broadcasts_dim_chain(spark, queries):
