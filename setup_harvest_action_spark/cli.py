@@ -92,6 +92,10 @@ def _build_parser() -> argparse.ArgumentParser:
     m.add_argument("--changes", nargs=2, type=int,
                    metavar=("FROM_V", "TO_V"),
                    help="print row-level CDC change counts between versions")
+    m.add_argument("--add-bloom", metavar="COLS",
+                   help="backfill per-file Bloom filters for COL[,COL...] "
+                        "and index all future writes (point-lookup "
+                        "data skipping)")
     return p
 
 
@@ -101,6 +105,7 @@ def _run_manifest(args) -> int:
 
     from setup_harvest_action_spark.sources.manifest_sink import (
         SNAPSHOT_FMT,
+        add_bloom_filters,
         compact,
         delete_where,
         merge_into,
@@ -109,6 +114,16 @@ def _run_manifest(args) -> int:
         vacuum_manifest,
     )
 
+    if args.add_bloom is not None:
+        cols = [c.strip() for c in args.add_bloom.split(",") if c.strip()]
+        after = add_bloom_filters(args.path, cols)
+        n = sum(
+            1 for e in after["files"]
+            if set(cols) & set(e.get("blooms") or {})
+        )
+        print(f"bloom-indexed {after['bloom_columns']} "
+              f"({n}/{len(after['files'])} files, version {after['version']})")
+        return 0
     if args.delete_where is not None:
         from setup_harvest_action_spark.session import get_spark
 

@@ -134,12 +134,130 @@ def _write_versioned(
                 pass
 
 
+# --- Per-file Bloom filters (point-lookup data skipping) --------------------
+#
+# Min/max stats skip RANGE predicates but are useless for equality on
+# high-entropy keys (every file's [min, max] spans the whole key space
+# after a few appends).  A small per-file Bloom filter — built from the
+# column's values at WRITE TIME on the executor that wrote the part,
+# riding the same _PartMessage → manifest plumbing as the footer stats
+# — turns a point lookup on a 100 TB table into opening only the files
+# whose filter admits the key.  No false negatives by construction
+# (skipping stays a pure optimization); false positives only cost an
+# extra file read.  This is the slot Delta fills with bloom-filter
+# index files and Iceberg with puffin sidecars; at manifest-JSON scale
+# the filters are capped (max_bits) and a production deployment would
+# spill them to sidecar files keyed by the same manifest entries.
+
+_BLOOM_MAX_BITS = 1 << 16  # 64 Kbit = 8 KiB per (file, column) cap
+
+
+def _bloom_key(v):
+    """Canonical byte serialization of a value for bloom hashing —
+    must be identical at build (pyarrow value) and probe (predicate
+    literal) time.  Returns None for unsupported types (floats: both
+    equality-on-float and cross-representation canonicalization are
+    traps; a None poisons the column's filter so skipping never
+    guesses)."""
+    import datetime as dt
+
+    if v is None or isinstance(v, float):
+        return None
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return b"b:1" if v else b"b:0"
+    if isinstance(v, int):
+        return b"i:" + str(v).encode()
+    if isinstance(v, str):
+        return b"s:" + v.encode("utf-8")
+    if isinstance(v, (dt.datetime, dt.date)):
+        return b"t:" + v.isoformat().encode()
+    return None
+
+
+def _bloom_indexes(key: bytes, m: int, k: int):
+    """k bit positions via Kirsch–Mitzenmacher double hashing over the
+    two md5 halves — one digest per value, any k."""
+    import hashlib
+
+    d = hashlib.md5(key).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def build_bloom(values, fpp: float = 0.01, max_bits: int = _BLOOM_MAX_BITS):
+    """Bloom filter over ``values`` → JSON-encodable dict
+    ``{"m": bits, "k": hashes, "b64": bitarray}`` or None when any
+    value is unsupported (poisoned column) or the set is empty.
+    Sized for ``fpp`` at the observed distinct count, capped at
+    ``max_bits`` (the cap degrades fpp, never correctness)."""
+    import base64
+    import math
+
+    keys = set()
+    for v in values:
+        kb = _bloom_key(v)
+        if kb is None:
+            return None
+        keys.add(kb)
+    if not keys:
+        return None
+    n = len(keys)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, min(m, max_bits))
+    k = max(1, min(16, round(m / n * math.log(2))))
+    bits = bytearray((m + 7) // 8)
+    for kb in keys:
+        for idx in _bloom_indexes(kb, m, k):
+            bits[idx >> 3] |= 1 << (idx & 7)
+    return {"m": m, "k": k, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def bloom_may_contain(bloom: dict, value) -> bool:
+    """False ONLY when the filter PROVES the value absent; unsupported
+    probe values conservatively keep the file."""
+    import base64
+
+    kb = _bloom_key(value)
+    if kb is None:
+        return True
+    bits = base64.b64decode(bloom["b64"])
+    for idx in _bloom_indexes(kb, bloom["m"], bloom["k"]):
+        if not bits[idx >> 3] & (1 << (idx & 7)):
+            return False
+    return True
+
+
+def part_blooms(path: str, columns, fpp: float = 0.01) -> dict:
+    """Per-column Bloom filters for one parquet part — reads ONLY the
+    named columns of the single file (at write time this runs on the
+    executor that just wrote the part, exactly like ``part_stats``;
+    the bytes are still in page cache).  Unsupported columns are
+    omitted — absence means 'file may contain anything'."""
+    import pyarrow.parquet as pq
+
+    cols = [c for c in columns if c]
+    if not cols:
+        return {}
+    schema_names = set(pq.read_schema(path).names)
+    out = {}
+    for c in cols:
+        if c not in schema_names:
+            continue
+        tbl = pq.read_table(path, columns=[c])
+        b = build_bloom(tbl.column(0).to_pylist(), fpp=fpp)
+        if b is not None:
+            out[c] = b
+    return out
+
+
 @dataclasses.dataclass
 class _PartMessage(WriterCommitMessage):
     file: str
     rows: int
     bytes: int
     stats: dict | None = None
+    blooms: dict | None = None
 
 
 def _merge_schemas(prev_json: dict | None, new_schema) -> dict:
@@ -240,10 +358,13 @@ def part_stats(path: str) -> dict:
 
 
 class _ManifestWriter(DataSourceWriter):
-    def __init__(self, path: str, schema, overwrite: bool):
+    def __init__(
+        self, path: str, schema, overwrite: bool, bloom_columns=()
+    ):
         self.path = path
         self.schema = schema
         self.overwrite = overwrite
+        self.bloom_columns = tuple(bloom_columns)
 
     def write(self, iterator) -> _PartMessage:
         import pyarrow as pa
@@ -274,6 +395,11 @@ class _ManifestWriter(DataSourceWriter):
             rows=len(rows),
             bytes=os.path.getsize(out),
             stats=part_stats(out),
+            # built HERE, on the executor that wrote the part — the
+            # distributed half of the bloom-skipping story
+            blooms=part_blooms(out, self.bloom_columns)
+            if self.bloom_columns
+            else None,
         )
 
     def commit(self, messages) -> None:
@@ -285,6 +411,11 @@ class _ManifestWriter(DataSourceWriter):
                         "rows": m.rows,
                         "bytes": m.bytes,
                         "stats": getattr(m, "stats", None) or {},
+                        **(
+                            {"blooms": m.blooms}
+                            if getattr(m, "blooms", None)
+                            else {}
+                        ),
                     }
                     for m in messages
                     if m is not None and m.file
@@ -294,6 +425,8 @@ class _ManifestWriter(DataSourceWriter):
         }
         manifest["total_rows"] = sum(e["rows"] for e in manifest["files"])
         manifest["schema"] = _merge_schemas(None, self.schema)
+        if self.bloom_columns:
+            manifest["bloom_columns"] = sorted(self.bloom_columns)
         if not self.overwrite and os.path.exists(
             os.path.join(self.path, MANIFEST)
         ):
@@ -306,6 +439,10 @@ class _ManifestWriter(DataSourceWriter):
             # append-time schema evolution: add-columns merge in,
             # incompatible type changes refuse the whole commit
             manifest["schema"] = _merge_schemas(prev.get("schema"), self.schema)
+            prev_bloom = set(prev.get("bloom_columns") or ())
+            both = prev_bloom | set(self.bloom_columns)
+            if both:
+                manifest["bloom_columns"] = sorted(both)
         _write_versioned(self.path, manifest)
 
     def abort(self, messages) -> None:
@@ -500,7 +637,13 @@ class ManifestParquetSink(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("manifest_parquet needs a path")
-        return _ManifestWriter(path, schema, overwrite)
+        raw = (
+            self.options.get("bloomColumns")
+            or self.options.get("bloomcolumns")
+            or ""
+        )
+        cols = tuple(c.strip() for c in raw.split(",") if c.strip())
+        return _ManifestWriter(path, schema, overwrite, bloom_columns=cols)
 
     def streamWriter(self, schema, overwrite: bool) -> _ManifestStreamWriter:
         path = self.options.get("path")
@@ -563,6 +706,12 @@ def _file_may_match(entry: dict, triples) -> bool:
             or (op == "=" and not lo <= val <= hi)
         ):
             return False
+    for col, op, val in triples:
+        if op != "=":
+            continue
+        bloom = (entry.get("blooms") or {}).get(col)
+        if bloom is not None and not bloom_may_contain(bloom, val):
+            return False
     return True
 
 
@@ -614,14 +763,15 @@ def scan_manifest(
     return df
 
 
-def _stage_parts(df, path: str) -> list[dict]:
+def _stage_parts(df, path: str, bloom_columns=()) -> list[dict]:
     """Write ``df`` into fresh uniquely-named parts under
     ``<path>/data/`` via a staging directory and return their manifest
-    entries (rows / bytes / footer stats).  Empty parts are dropped.
-    Shared by every rewrite commit (delete_where / merge_into): the
-    staged parts are invisible until the caller's manifest flip names
-    them, so a crash mid-stage leaves only unreferenced orphans for
-    vacuum."""
+    entries (rows / bytes / footer stats, plus per-file Bloom filters
+    for ``bloom_columns`` so rewrites preserve the table's skipping
+    index).  Empty parts are dropped.  Shared by every rewrite commit
+    (delete_where / merge_into / compact): the staged parts are
+    invisible until the caller's manifest flip names them, so a crash
+    mid-stage leaves only unreferenced orphans for vacuum."""
     import shutil as _shutil
 
     import pyarrow.parquet as pq
@@ -640,14 +790,17 @@ def _stage_parts(df, path: str) -> list[dict]:
         dst_name = f"part-{uuid.uuid4().hex}.parquet"
         dst = os.path.join(data_dir, dst_name)
         os.rename(src, dst)
-        entries.append(
-            {
-                "file": f"data/{dst_name}",
-                "rows": pq.ParquetFile(dst).metadata.num_rows,
-                "bytes": os.path.getsize(dst),
-                "stats": part_stats(dst),
-            }
-        )
+        entry = {
+            "file": f"data/{dst_name}",
+            "rows": pq.ParquetFile(dst).metadata.num_rows,
+            "bytes": os.path.getsize(dst),
+            "stats": part_stats(dst),
+        }
+        if bloom_columns:
+            blooms = part_blooms(dst, bloom_columns)
+            if blooms:
+                entry["blooms"] = blooms
+        entries.append(entry)
     _shutil.rmtree(staging, ignore_errors=True)
     return entries
 
@@ -677,7 +830,13 @@ def delete_where(spark, path: str, where) -> dict:
                 "<": c < val, "<=": c <= val, ">": c > val,
                 ">=": c >= val, "=": c == val,
             }[op]
-        new_entries.extend(_stage_parts(df.filter(~pred), path))
+        new_entries.extend(
+            _stage_parts(
+                df.filter(~pred),
+                path,
+                bloom_columns=m.get("bloom_columns") or (),
+            )
+        )
     manifest = {
         "files": sorted(new_entries, key=lambda e: e["file"]),
         "total_rows": sum(e["rows"] for e in new_entries),
@@ -686,6 +845,8 @@ def delete_where(spark, path: str, where) -> dict:
         manifest["batches"] = m["batches"]
     if "schema" in m:
         manifest["schema"] = m["schema"]
+    if "bloom_columns" in m:
+        manifest["bloom_columns"] = m["bloom_columns"]
     # optimistic concurrency: this commit rewrote files it READ from
     # version m — if another writer landed meanwhile, committing would
     # silently drop that writer's files from the manifest
@@ -848,7 +1009,11 @@ def merge_into(
     new_entries = list(keep_entries)
     if pieces:
         new_entries.extend(
-            _stage_parts(reduce(_DF.unionByName, pieces), path)
+            _stage_parts(
+                reduce(_DF.unionByName, pieces),
+                path,
+                bloom_columns=m.get("bloom_columns") or (),
+            )
         )
     manifest = {
         "files": sorted(new_entries, key=lambda e: e["file"]),
@@ -858,6 +1023,8 @@ def merge_into(
         manifest["batches"] = m["batches"]
     if "schema" in m:
         manifest["schema"] = m["schema"]
+    if "bloom_columns" in m:
+        manifest["bloom_columns"] = m["bloom_columns"]
     _write_versioned(path, manifest, expected_version=m.get("version", 0))
     return read_manifest(path)
 
@@ -1032,6 +1199,44 @@ def evolve_schema(path: str, add_fields) -> dict:
     return read_manifest(path)
 
 
+def add_bloom_filters(path: str, columns, fpp: float = 0.01) -> dict:
+    """Backfill per-file Bloom filters for ``columns`` over every
+    committed file that lacks them, and record ``bloom_columns`` so
+    every future write (append via the ``bloomColumns`` writer option
+    default, rewrite via ``_stage_parts``, compaction) maintains the
+    index — Delta's ``delta.bloomFilter`` enablement as one versioned
+    METADATA commit (the data files themselves are untouched; time
+    travel to pre-index versions still works).
+
+    Runs under the CommitConflict CAS like every commit.  The backfill
+    here reads each file's indexed columns in a local loop (one column
+    read per file — this is the LOCAL form; on a cluster the same
+    backfill is ``compact()``, whose rewriting executors build the
+    filters distributed, or any append, which indexes its own parts
+    executor-side at write time)."""
+    m = read_manifest(path)
+    cols = sorted({c for c in columns if c})
+    if not cols:
+        raise ValueError("add_bloom_filters needs at least one column")
+    files = []
+    for e in m["files"]:
+        have = set((e.get("blooms") or {}))
+        missing = [c for c in cols if c not in have]
+        entry = dict(e)
+        if missing:
+            built = part_blooms(os.path.join(path, e["file"]), missing, fpp=fpp)
+            if built:
+                entry["blooms"] = {**(e.get("blooms") or {}), **built}
+        files.append(entry)
+    manifest = {k: v for k, v in m.items() if k != "version"}
+    manifest["files"] = files
+    manifest["bloom_columns"] = sorted(
+        set(m.get("bloom_columns") or ()) | set(cols)
+    )
+    _write_versioned(path, manifest, expected_version=m.get("version", 0))
+    return read_manifest(path)
+
+
 def compact(spark, path: str, n_parts: int) -> dict:
     """Rewrite the CURRENT content into ``n_parts`` fresh files through
     the same atomic commit path (overwrite-mode manifest write), so
@@ -1043,13 +1248,19 @@ def compact(spark, path: str, n_parts: int) -> dict:
     Returns the post-compaction manifest."""
     before = read_manifest(path)
     register_manifest_sink(spark)
-    (
+    writer = (
         scan_manifest(spark, path)
         .repartition(n_parts)
         .write.format("manifest_parquet")
         .mode("overwrite")
-        .save(path)
     )
+    if before.get("bloom_columns"):
+        # compaction preserves the table's bloom index: the rewriting
+        # executors rebuild each new part's filters as they write it
+        writer = writer.option(
+            "bloomColumns", ",".join(before["bloom_columns"])
+        )
+    writer.save(path)
     after = read_manifest(path)
     if "batches" in before:
         after["batches"] = before["batches"]

@@ -988,10 +988,10 @@ def test_manifest_merge_upsert_plan_is_one_anti_join(
     captured = {}
     orig = ms._stage_parts
 
-    def capture(df, p):
+    def capture(df, p, **kw):
         captured["plan"] = plan_of(df)
         captured["tree"] = tree_of(df)
-        return orig(df, p)
+        return orig(df, p, **kw)
 
     monkeypatch.setattr(ms, "_stage_parts", capture)
     with conf(spark, "spark.sql.adaptive.enabled", "false"):
