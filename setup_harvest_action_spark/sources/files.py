@@ -292,6 +292,50 @@ def q_source_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_source_manifest_bloom_skipping",
+    oracle="""
+SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 123
+""",
+)
+def q_source_manifest_bloom_skipping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BLOOM-FILTER data skipping through the manifest (r10 late) —
+    the point-lookup case min/max stats cannot serve: ``documents`` is
+    committed HASH-partitioned on doc_id (every part's [min, max]
+    spans nearly the whole key space, so stats admit every file) with
+    ``bloomColumns=doc_id``, and the point read goes through
+    ``scan_manifest(where=[("doc_id","=",123)])`` — files whose Bloom
+    filter disproves membership are never opened, pruning to ~1 of 8
+    parts where stats prune none.  The hash gate proves skipping never
+    changes semantics (no false negatives by construction, triples
+    re-applied as row filters); filter construction, fp-rate, and CRUD
+    maintenance are pinned in tests/test_manifest_bloom.py.  At 100 TB
+    the filters are built by the writing executors (one per part,
+    riding the commit messages), so indexing costs no extra job."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        register_manifest_sink,
+        scan_manifest,
+    )
+
+    import shutil
+
+    register_manifest_sink(spark)
+    out = _roundtrip_dir(sf_dir, "manifest_bloom", "documents")
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .repartition(8, "doc_id")
+        .write.format("manifest_parquet")
+        .option("bloomColumns", "doc_id")
+        .mode("overwrite")
+        .save(out)
+    )
+    return scan_manifest(spark, out, where=[("doc_id", "=", 123)])
+
+
+@query(
     "q_source_manifest_merge",
     oracle="""
 WITH tgt AS (

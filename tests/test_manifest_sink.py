@@ -872,7 +872,8 @@ def test_vacuum_never_drops_the_latest_snapshot_and_cleans_tmp(
 def test_manifest_protocol_randomized_model_check(sink, tmp_path, monkeypatch):
     """Model-checking the whole table-format protocol under a seeded
     random interleaving of appends, mid-commit crashes (with and
-    without replay), row-level deletes, compactions, and vacuums: after
+    without replay), row-level deletes, merges, bloom-index backfills,
+    compactions, and vacuums: after
     EVERY operation the committed table must equal the in-memory model
     exactly (row multiset via count + id-sum), and a randomly chosen
     retained version must still time-travel.  One sequence of ~35 ops
@@ -911,7 +912,7 @@ def test_manifest_protocol_randomized_model_check(sink, tmp_path, monkeypatch):
     for step in range(35):
         op = rng.choice(
             ["append", "append", "append", "crash", "delete", "compact",
-             "vacuum", "travel", "merge", "merge_delete"]
+             "vacuum", "travel", "merge", "merge_delete", "bloom"]
         )
         if op == "append":
             n = rng.randint(1, 20)
@@ -963,6 +964,17 @@ def test_manifest_protocol_randomized_model_check(sink, tmp_path, monkeypatch):
                 when_matched="delete", when_not_matched="ignore",
             )
             model = [x for x in model if x not in set(victims)]
+        elif op == "bloom" and model:
+            # index backfill is a metadata-only commit: the row
+            # multiset is untouched, and every later rewrite keeps the
+            # index live; point lookups must stay exact afterwards
+            ms.add_bloom_filters(path, ["id"])
+            probe = rng.choice(model)
+            got = (
+                scan_manifest(sink, path, where=[("id", "=", probe)])
+                .count()
+            )
+            assert got == model.count(probe), (probe, got)
         elif op == "compact" and model:
             compact(sink, path, rng.randint(1, 3))
         elif op == "vacuum" and model:
