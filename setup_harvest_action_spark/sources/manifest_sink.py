@@ -148,6 +148,8 @@ def _write_versioned(
 # index files and Iceberg with puffin sidecars; at manifest-JSON scale
 # the filters are capped (max_bits) and a production deployment would
 # spill them to sidecar files keyed by the same manifest entries.
+# Cost model: SCALE.md §10 (bits/key, expected files opened, the
+# sidecar spill point).
 
 _BLOOM_MAX_BITS = 1 << 16  # 64 Kbit = 8 KiB per (file, column) cap
 
@@ -896,7 +898,11 @@ def merge_into(
 
     This is a CHANGE commit when any file is rewritten: streams over
     the table refuse it unless skipchangecommits=true.  Returns the
-    new manifest."""
+    new manifest.
+
+    Cost model: SCALE.md §9 — rewrite bytes = admitted-file bytes,
+    one key Exchange; clustering bounds admission.
+    """
     from functools import reduce
 
     from pyspark.sql import DataFrame as _DF
