@@ -495,3 +495,109 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+LPA_ROUNDS = 4  # fixed synchronous rounds; the oracle unrolls the same 4
+
+_LPA_ORACLE = """
+WITH pairs AS MATERIALIZED (
+  SELECT least(a.l_partkey, b.l_partkey) AS u,
+         greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+und AS MATERIALIZED (SELECT u AS a, v AS b FROM pairs UNION ALL SELECT v, u FROM pairs),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM und),
+lp1 AS MATERIALIZED (
+  SELECT a AS node, max_by(label, cnt * 1000000000 - label) AS label
+  FROM (SELECT e.a, l.label, count(*) AS cnt
+        FROM und e JOIN l0 l ON e.b = l.node GROUP BY e.a, l.label)
+  GROUP BY a),
+lp2 AS MATERIALIZED (
+  SELECT a AS node, max_by(label, cnt * 1000000000 - label) AS label
+  FROM (SELECT e.a, l.label, count(*) AS cnt
+        FROM und e JOIN lp1 l ON e.b = l.node GROUP BY e.a, l.label)
+  GROUP BY a),
+lp3 AS MATERIALIZED (
+  SELECT a AS node, max_by(label, cnt * 1000000000 - label) AS label
+  FROM (SELECT e.a, l.label, count(*) AS cnt
+        FROM und e JOIN lp2 l ON e.b = l.node GROUP BY e.a, l.label)
+  GROUP BY a),
+lp4 AS MATERIALIZED (
+  SELECT a AS node, max_by(label, cnt * 1000000000 - label) AS label
+  FROM (SELECT e.a, l.label, count(*) AS cnt
+        FROM und e JOIN lp3 l ON e.b = l.node GROUP BY e.a, l.label)
+  GROUP BY a)
+SELECT label AS community,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(node) AS BIGINT) AS min_node
+FROM lp4 GROUP BY label
+"""
+
+
+@query("q_graph_label_propagation", oracle=_LPA_ORACLE)
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-PROPAGATION community detection (Raghavan et al. 2007)
+    over the co-purchase graph — the near-linear-time community
+    primitive beside PageRank/CC/triangles/k-core: every node starts
+    as its own label, then each synchronous round adopts the label
+    most frequent among neighbors, ties broken DETERMINISTICALLY
+    toward the smallest label (the argmax packs ``(count, -label)``
+    into one BIGINT score, so both engines pick the identical label —
+    plain LPA's random tie-break would be irreproducible and
+    un-oracle-able).  Fixed LPA_ROUNDS synchronous rounds (the
+    asynchronous variant converges faster but is order-dependent);
+    output is the community summary (label, size, smallest member).
+
+    Spark shape: edge list materialized ONCE (lineage cut); each
+    round is one edges⋈labels hash join keyed on the neighbor + one
+    (node, label) count with map-side combine + one per-node argmax —
+    all partitioned by node id, nothing corpus-scale broadcast, no
+    driver-side graph.  At 100 TB each round shuffles |E| rows keyed
+    by node (SCALE.md §5's round-bound argument); community count
+    falls geometrically so later rounds' count tables shrink."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = materialize(
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)  # repeated co-purchase: the sparse,
+        # community-bearing backbone (the dense 1-hit graph collapses
+        # LPA to two giant labels — measured on the fixture)
+        .select("u", "v"),
+        "lpa_pairs",
+    )
+    und = materialize(
+        pairs.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+            pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        ),
+        "lpa_und",
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for i in range(LPA_ROUNDS):
+        counts = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label")
+                ),
+                "b",
+            )
+            .groupBy("a", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = counts.groupBy(F.col("a").alias("node")).agg(
+            F.expr(
+                "max_by(label, cnt * 1000000000 - label)"
+            ).alias("label")
+        )
+        labels = materialize(labels, f"lpa_labels_{i}")
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("node").cast("long").alias("min_node"),
+    )
