@@ -1100,3 +1100,79 @@ def q_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+@query(
+    "q_stream_stream_join_full_outer",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       coalesce(p.user_id, c.user_id) AS user_id,
+       p.ts AS purchase_ts, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL '1 hour'
+ AND c.ts <= p.ts
+""",
+)
+def q_stream_stream_join_full_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER join — the reconciliation shape: every
+    purchase comes out (with NULL click columns when nothing preceded
+    it) AND every click comes out (with NULL purchase columns when it
+    converted nothing).  The engine must hold BOTH sides' state and
+    evict each side's unmatched rows only when the OTHER side's
+    watermark proves no future match can arrive — the strictest
+    watermark-correctness case of the join family (inner:
+    q_stream_stream_join, left: q_stream_stream_join_outer).
+
+    Same finite-fixture machinery as the left form: the far-future
+    sentinel flows through both filters to push both watermarks past
+    every real event so tail rows on EITHER side get their no-match
+    proof, then drops out on its id.  Oracle = the identical batch
+    FULL JOIN.  At 100 TB: state per side is bounded by (watermark
+    horizon + join window) × arrival rate, identical to the
+    single-sided forms — the outer-ness changes eviction OUTPUT, not
+    state size."""
+    src = _append_stream_source_dir(sf_dir)
+    events = _events_stream(spark, sf_dir, src, maxFilesPerTrigger="1")
+    purchases = (
+        events.filter(F.col("event_type").isin("purchase", "__sentinel__"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    clicks = (
+        events.filter(F.col("event_type").isin("click", "__sentinel__"))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "full_outer",
+    )
+    out = run_to_completion(joined, "append")
+    return (
+        out.filter(
+            (F.col("purchase_id").isNull() | (F.col("purchase_id") != -1))
+            & (F.col("click_id").isNull() | (F.col("click_id") != -1))
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            F.coalesce(F.col("user_id"), F.col("c_user_id")).alias("user_id"),
+            "purchase_ts",
+            "click_ts",
+        )
+    )
