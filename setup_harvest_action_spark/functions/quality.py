@@ -587,3 +587,93 @@ def q_quality_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFram
             )
         ).alias("cleaned_md5"),
     )
+
+
+@query(
+    "q_quality_auc",
+    oracle="""
+WITH scored AS (
+  SELECT n_chars AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+grouped AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(pos) AS BIGINT) AS n_pos
+  FROM scored GROUP BY score
+),
+ranked AS (
+  SELECT n_pos, cnt,
+         2 * (sum(cnt) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+           + cnt + 1 AS rank2
+  FROM grouped
+),
+tot AS (
+  SELECT CAST(sum(n_pos * rank2) AS BIGINT) AS pos_rank2,
+         CAST(sum(n_pos) AS BIGINT) AS p,
+         CAST(sum(cnt) - sum(n_pos) AS BIGINT) AS n
+  FROM ranked
+)
+SELECT p AS n_pos, n AS n_neg,
+       CAST(round((pos_rank2 - p * (p + 1)) / (2.0 * p * n), 6) AS DOUBLE)
+         AS auc
+FROM tot
+""",
+)
+def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of a score against a binary label (here: does
+    document length predict lang = 'en') — the evaluation-metric
+    primitive for classifier-driven curation (quality filters, langid
+    confidence, toxicity scores): AUC = P(score_pos > score_neg) with
+    ties counted half, computed distributed via the Mann–Whitney rank
+    statistic with AVERAGE ranks on ties.
+
+    Scale shape: ONE pass collapses the corpus to its distinct-score
+    table (vocabulary-sized), the rank window runs over THOSE rows
+    (never the raw corpus — the q_events_rolling_active_users
+    collapse-then-window discipline), and the statistic is one
+    broadcast-free single-row aggregate.  Arithmetic is INTEGER-exact
+    end to end: doubled average ranks (2·below + cnt + 1) keep the
+    half-ranks integral, so both engines divide the same exact BIGINT
+    numerator — no float summation-order drift, hash-stable at any
+    scale.  Reference parity: north-star §2.2 quality/aggregation."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    grouped = (
+        docs.select(
+            F.col("n_chars").alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = grouped.select(
+        "n_pos",
+        "cnt",
+        (
+            F.lit(2) * (F.sum("cnt").over(w) - F.col("cnt"))
+            + F.col("cnt")
+            + F.lit(1)
+        ).alias("rank2"),
+    )
+    return ranked.agg(
+        F.sum(F.col("n_pos") * F.col("rank2")).cast("long").alias("pos_rank2"),
+        F.sum("n_pos").cast("long").alias("p"),
+        (F.sum("cnt") - F.sum("n_pos")).cast("long").alias("n"),
+    ).select(
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        F.round(
+            (F.col("pos_rank2") - F.col("p") * (F.col("p") + 1))
+            / (F.lit(2.0) * F.col("p") * F.col("n")),
+            6,
+        )
+        .cast("double")
+        .alias("auc"),
+    )
