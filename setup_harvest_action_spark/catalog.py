@@ -88,7 +88,10 @@ _DRIVER_PRIORITY = (
     # + tpch_shapes2.py (the latter completing all 22 spec queries),
     # q_sample_temperature, q_embedding_quantize_int8,
     # q_window_period_over_period, q_events_attribution,
-    # q_graph_kcore — and the md5 re-gated
+    # q_graph_kcore, and the r10-late additions
+    # (q_multimodal_jpeg_pipeline, q_source_manifest_bloom_skipping,
+    # q_graph_label_propagation, q_stream_stream_join_full_outer,
+    # q_quality_auc, q_quality_k_anonymity) — and the md5 re-gated
     # q_dedup_minhash/q_dedup_simhash front the r11 window; until then
     # they are hash-verified by tools/verify_oracle.py + pytest.
     # (a) Never carried a driver row (judge-replayed green in r9):

@@ -556,7 +556,8 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     all partitioned by node id, nothing corpus-scale broadcast, no
     driver-side graph.  At 100 TB each round shuffles |E| rows keyed
     by node (SCALE.md §5's round-bound argument); community count
-    falls geometrically so later rounds' count tables shrink."""
+    falls geometrically so later rounds' count tables shrink.
+    Hash-verified against the unrolled oracle at sf0.01 AND sf0.1."""
     li = load_table(spark, sf_dir, "lineitem")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))

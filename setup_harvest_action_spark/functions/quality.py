@@ -677,3 +677,57 @@ def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("auc"),
     )
+
+
+@query(
+    "q_quality_k_anonymity",
+    oracle="""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         CAST(count(*) AS BIGINT) AS k
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT CASE WHEN k = 1 THEN '1-unique'
+            WHEN k < 5 THEN '2-small'
+            WHEN k < 10 THEN '3-medium'
+            ELSE '4-anonymous' END AS risk_band,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(k) AS BIGINT) AS n_individuals
+FROM cells GROUP BY 1
+""",
+)
+def q_quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY risk report over a quasi-identifier tuple
+    (nation, market segment, account-balance band) — the privacy gate
+    a training-data pipeline runs beside PII redaction
+    (`q_quality_pii_redact`): an individual whose quasi-identifier
+    cell has k = 1 is re-identifiable by joining ANY external dataset
+    sharing those attributes; the report buckets every cell by its k
+    and counts individuals at each risk level (the Sweeney/Samarati
+    k-anonymity model).
+
+    Scale shape: one corpus scan → one (quasi-tuple)-keyed partial/
+    final count → banding + re-aggregation over CELL-cardinality rows
+    (bounded by the attribute-domain product, not the population).
+    The balance band floors in exact arithmetic (acctbal has ≤ 2
+    decimals; /1000 then floor is engine-identical on the same
+    doubles).  Suppression/generalization would act on the k < 5
+    cells this report names."""
+    customer = load_table(spark, sf_dir, "customer")
+    cells = customer.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("k"))
+    band = (
+        F.when(F.col("k") == 1, "1-unique")
+        .when(F.col("k") < 5, "2-small")
+        .when(F.col("k") < 10, "3-medium")
+        .otherwise("4-anonymous")
+    )
+    return cells.groupBy(band.alias("risk_band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("k").cast("long").alias("n_individuals"),
+    )
