@@ -91,7 +91,8 @@ _DRIVER_PRIORITY = (
     # q_graph_kcore, and the r10-late additions
     # (q_multimodal_jpeg_pipeline, q_source_manifest_bloom_skipping,
     # q_graph_label_propagation, q_stream_stream_join_full_outer,
-    # q_quality_auc, q_quality_k_anonymity) — and the md5 re-gated
+    # q_quality_auc, q_quality_k_anonymity,
+    # q_stream_approx_distinct_users) — and the md5 re-gated
     # q_dedup_minhash/q_dedup_simhash front the r11 window; until then
     # they are hash-verified by tools/verify_oracle.py + pytest.
     # (a) Never carried a driver row (judge-replayed green in r9):

@@ -1176,3 +1176,66 @@ def q_stream_stream_join_full_outer(
             "click_ts",
         )
     )
+
+
+@query(
+    "q_stream_approx_distinct_users",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       abs(approx_count_distinct(user_id)
+           - count(DISTINCT user_id))
+         <= greatest(0.15 * count(DISTINCT user_id), 5) AS approx_ok
+FROM events
+GROUP BY 1
+""",
+)
+def q_stream_approx_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-window APPROXIMATE distinct users on a stream — the sketch
+    that makes unique-visitor counting possible under streaming's
+    constraints: exact COUNT(DISTINCT) is unsupported in streaming
+    aggregation (it would need the full value set as state), while
+    HLL++ state is a fixed few KB per window regardless of
+    cardinality — the only per-window distinct that survives 100 TB
+    days.
+
+    Oracle = the sketch-contract pattern (`q_approx_count_distinct`):
+    each engine emits its exact per-window count (hash-compared) plus
+    a boolean that its OWN sketch lands within the tolerance band
+    (3×rsd with a small-window absolute floor — hourly windows can
+    hold a handful of users, where relative bounds are meaningless).
+    The STREAMED sketch is the production path; the exact side rides
+    a batch pass over the same fixture purely to verify it — at scale
+    the exact twin doesn't exist, which is the point."""
+    events = read_event_stream(spark, sf_dir)
+    windowed = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.05).alias("n_approx")
+        )
+    )
+    out = run_to_completion(windowed, "complete").select(
+        F.col("window.start").alias("window_start"), "n_approx"
+    )
+    from setup_harvest_action_spark.io.loaders import load_table
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "1 hour")["start"].alias("window_start")
+        )
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    return out.join(exact, "window_start").select(
+        "window_start",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= F.greatest(
+                F.lit(0.15) * F.col("n_exact"), F.lit(5.0)
+            )
+        ).alias("approx_ok"),
+    )
