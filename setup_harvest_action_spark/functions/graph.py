@@ -602,3 +602,98 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.min("node").cast("long").alias("min_node"),
     )
+
+
+_HITS_ORACLE = """
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u,
+                  'i' || json_extract_string(props, '$.k') AS i
+  FROM events
+),
+h0 AS (SELECT DISTINCT u AS node, 1.0 AS h FROM pairs),
+a1r AS (
+  SELECT p.i AS node, sum(h0.h) AS s
+  FROM pairs p JOIN h0 ON p.u = h0.node GROUP BY p.i),
+a1 AS (SELECT node, s / (SELECT sum(s) FROM a1r) AS a FROM a1r),
+h1r AS (
+  SELECT p.u AS node, sum(a1.a) AS s
+  FROM pairs p JOIN a1 ON p.i = a1.node GROUP BY p.u),
+h1 AS (SELECT node, s / (SELECT sum(s) FROM h1r) AS h FROM h1r),
+a2r AS (
+  SELECT p.i AS node, sum(h1.h) AS s
+  FROM pairs p JOIN h1 ON p.u = h1.node GROUP BY p.i),
+a2 AS (SELECT node, s / (SELECT sum(s) FROM a2r) AS a FROM a2r),
+h2r AS (
+  SELECT p.u AS node, sum(a2.a) AS s
+  FROM pairs p JOIN a2 ON p.i = a2.node GROUP BY p.u),
+h2 AS (SELECT node, s / (SELECT sum(s) FROM h2r) AS h FROM h2r)
+SELECT node, 'hub' AS kind, CAST(round(h, 8) AS DOUBLE) AS score FROM h2
+UNION ALL
+SELECT node, 'authority' AS kind, CAST(round(a, 8) AS DOUBLE) AS score FROM a2
+"""
+
+
+@query("q_graph_hits", oracle=_HITS_ORACLE)
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg) over the DIRECTED
+    user→item co-visitation graph — PageRank's bipartite sibling:
+    users score as HUBS (they touch important items), items as
+    AUTHORITIES (they are touched by important users); the curation
+    reading is crawl-seed quality vs document authority.  Two
+    synchronous rounds, L1-normalized each half-step (the classical
+    L2 norm needs sqrt; L1 keeps the algebra plain sums and the
+    eigenvector direction identical), unrolled in the oracle as the
+    same CTE chain.
+
+    Spark shape: the distinct pair set materializes ONCE (the
+    pagerank lineage-cut argument — every unrolled reference re-scans
+    events otherwise); each half-step is one pairs⋈scores hash join +
+    keyed sum with map-side combine; each normalizer is a broadcast
+    one-row aggregate attach, never a driver collect.  At 100 TB the
+    per-round shuffle is |pairs| rows keyed by node — identical cost
+    envelope to PageRank (SCALE.md §5's round argument)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("u"),
+        F.concat(F.lit("i"), F.get_json_object("props", "$.k")).alias("i"),
+    )
+    pairs = materialize(ev.distinct(), "hits_pairs")
+    hubs = pairs.select(F.col("u").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("score")
+    )
+    auth = None
+    for _ in range(2):
+        raw_a = (
+            pairs.join(
+                hubs.select(F.col("node").alias("u"), "score"), "u"
+            )
+            .groupBy(F.col("i").alias("node"))
+            .agg(F.sum("score").alias("s"))
+        )
+        auth = (
+            raw_a.crossJoin(
+                F.broadcast(raw_a.agg(F.sum("s").alias("tot")))
+            )
+            .select("node", (F.col("s") / F.col("tot")).alias("score"))
+        )
+        raw_h = (
+            pairs.join(
+                auth.select(F.col("node").alias("i"), "score"), "i"
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("score").alias("s"))
+        )
+        hubs = (
+            raw_h.crossJoin(
+                F.broadcast(raw_h.agg(F.sum("s").alias("tot")))
+            )
+            .select("node", (F.col("s") / F.col("tot")).alias("score"))
+        )
+    return hubs.select(
+        "node", F.lit("hub").alias("kind"), F.round("score", 8).alias("score")
+    ).unionAll(
+        auth.select(
+            "node",
+            F.lit("authority").alias("kind"),
+            F.round("score", 8).alias("score"),
+        )
+    )

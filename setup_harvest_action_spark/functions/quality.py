@@ -731,3 +731,67 @@ def q_quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.sum("k").cast("long").alias("n_individuals"),
     )
+
+
+@query(
+    "q_quality_calibration",
+    oracle="""
+WITH bounds AS (
+  SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents
+),
+banded AS (
+  SELECT CAST(floor((n_chars - lo) * 10.0 / (hi - lo + 1)) AS BIGINT)
+           AS band,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         n_chars
+  FROM documents CROSS JOIN bounds
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(round(sum(pos) * 1.0 / count(*), 6) AS DOUBLE) AS pos_rate,
+       CAST(round(sum(n_chars) * 1.0 / count(*), 4) AS DOUBLE)
+         AS mean_score
+FROM banded GROUP BY band
+""",
+)
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION / reliability curve for a score against a binary
+    label — AUC's companion (`q_quality_auc`): AUC says whether the
+    score RANKS positives above negatives; this says whether its
+    LEVELS mean what they claim, by banding the score range into 10
+    equal-width bins and reporting each bin's observed positive rate
+    beside its mean score (a calibrated score tracks the diagonal).
+
+    Scale shape: the score range enters as a broadcast one-row
+    min/max aggregate (never a driver collect), banding is per-row
+    integer arithmetic — exact: integer score, integer bounds, one
+    float multiply both engines round identically — and the report is
+    one partial/final count over ≤ 10 groups.  Two corpus scans total
+    (bounds + banding); a single-scan variant would sketch the bounds
+    beforehand."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    )
+    banded = docs.crossJoin(F.broadcast(bounds)).select(
+        F.floor(
+            (F.col("n_chars") - F.col("lo"))
+            * 10.0
+            / (F.col("hi") - F.col("lo") + 1)
+        )
+        .cast("long")
+        .alias("band"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        "n_chars",
+    )
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.round(F.sum("pos") / F.count(F.lit(1)), 6)
+        .cast("double")
+        .alias("pos_rate"),
+        F.round(F.sum("n_chars") / F.count(F.lit(1)), 4)
+        .cast("double")
+        .alias("mean_score"),
+    )

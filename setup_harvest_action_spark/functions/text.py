@@ -1171,3 +1171,76 @@ def q_text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logp_bi"),
         )
     )
+
+
+FEATURE_DIM = 256  # hashed feature space (2^8)
+
+
+@query(
+    "q_text_feature_hashing",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, t.token
+  FROM documents,
+       UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) t(token)
+  WHERE doc_id < 100
+),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(token), 1, 8) AS BIGINT)
+           % {FEATURE_DIM} AS feature_idx,
+         CASE WHEN CAST('0x' || substring(md5(token), 9, 1) AS BIGINT) % 2
+                   = 0
+              THEN 1 ELSE -1 END AS sign
+  FROM toks
+)
+SELECT doc_id, feature_idx,
+       CAST(sum(sign) AS BIGINT) AS weight
+FROM h GROUP BY doc_id, feature_idx
+HAVING sum(sign) <> 0
+""",
+)
+def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE HASHING (the hashing trick, Weinberger et al. 2009) —
+    vocabulary-free text vectorization: token → md5-derived index in a
+    fixed {FEATURE_DIM}-dim space, with a second hash bit supplying a
+    ±1 sign so colliding tokens cancel in expectation instead of
+    accumulating bias.  The output is the sparse (doc, feature,
+    weight) triple set — the featurizer for linear
+    classifiers/regressors over corpora where a vocabulary pass is a
+    whole extra corpus scan (TF-IDF's corpus-DF join is exactly what
+    this trades away).
+
+    Scale shape: ONE scan, one explode, one (doc, feature) keyed
+    partial/final sum — no vocabulary table, no join, no second pass;
+    the sparse output is at most min(|tokens|, D) rows per document.
+    Index and sign both derive from md5, which both engines share, so
+    the whole featurization carries an exact cross-engine hash oracle
+    (the winnowing/MinHash precedent); zero-sum features drop on both
+    sides (HAVING ≠ 0) since a canceled feature is absent from a
+    sparse vector."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    m = F.md5(F.col("token"))
+    h = toks.select(
+        "doc_id",
+        (
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+            % FEATURE_DIM
+        ).alias("feature_idx"),
+        F.when(
+            F.conv(F.substring(m, 9, 1), 16, 10).cast("long") % 2 == 0, 1
+        )
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    return (
+        h.groupBy("doc_id", "feature_idx")
+        .agg(F.sum("sign").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
