@@ -93,7 +93,8 @@ _DRIVER_PRIORITY = (
     # q_graph_label_propagation, q_stream_stream_join_full_outer,
     # q_quality_auc, q_quality_k_anonymity,
     # q_stream_approx_distinct_users, q_graph_hits,
-    # q_quality_calibration, q_text_feature_hashing) — and the md5 re-gated
+    # q_quality_calibration, q_text_feature_hashing,
+    # q_multimodal_gif_pipeline) — and the md5 re-gated
     # q_dedup_minhash/q_dedup_simhash front the r11 window; until then
     # they are hash-verified by tools/verify_oracle.py + pytest.
     # (a) Never carried a driver row (judge-replayed green in r9):

@@ -585,6 +585,8 @@ def decode_image_auto(payload: bytes):
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF89a", b"GIF87a"):
+        return decode_gif(payload)
     return decode_image(payload)
 
 
@@ -1529,6 +1531,287 @@ def q_multimodal_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": [synthesize_jpeg(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def decode_resize(batches: Iterator):
+        for pdf in batches:
+            doc_ids, ws, hs, mr, mg, mb, tmd5 = [], [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image_auto(bytes(payload))
+                thumb = resize_nearest(img, THUMB_W, THUMB_H)
+                doc_ids.append(doc_id)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                means = img.reshape(-1, 3).mean(axis=0)
+                mr.append(round(float(means[0]), 4))
+                mg.append(round(float(means[1]), 4))
+                mb.append(round(float(means[2]), 4))
+                tmd5.append(hashlib.md5(thumb.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "width": ws,
+                    "height": hs,
+                    "mean_r": mr,
+                    "mean_g": mg,
+                    "mean_b": mb,
+                    "thumb_md5": tmd5,
+                }
+            )
+
+    images = docs.select("doc_id").mapInPandas(
+        make_images, "doc_id long, payload binary"
+    )
+    return images.mapInPandas(
+        decode_resize,
+        "doc_id long, width int, height int, mean_r double, mean_g double, "
+        "mean_b double, thumb_md5 string",
+    )
+
+
+# --- Fifth real decoder: GIF (LZW) ------------------------------------------
+#
+# The third compression family in the decode matrix: PNG exercises
+# DEFLATE (LZ77 + Huffman), JPEG exercises lossy DCT + Huffman, GIF
+# exercises LZW — the dictionary codec (variable-width codes, table
+# growth, clear/EOI control codes, the KwKwK corner case).  GIF is
+# lossless, so unlike JPEG the pipeline round-trips EXACTLY and joins
+# the PPM/BMP/PNG byte-identical-statistics family.  Scope: GIF89a,
+# single image, global color table, non-interlaced — animation,
+# interlacing and local palettes are refused by name (the honest
+# boundary, as with 16-bit PNG and progressive JPEG).
+
+
+def _lzw_compress(indices, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: LSB-first variable-width codes, clear emitted
+    first and on table overflow (4096), EOI last."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    put(clear, width)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        put(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code > 4095:
+            put(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([k])
+    if w:
+        put(table[w], width)
+    put(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of _lzw_compress, including the KwKwK case (a code equal
+    to the next unassigned entry means w + w[0])."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def get(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        code = get(width)
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table) and code not in (clear, eoi):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"invalid GIF LZW code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_gif(width: int, height: int, gray) -> bytes:
+    """GIF89a from ndarray[h, w] uint8 gray levels: 256-entry
+    grayscale global color table, one non-interlaced image,
+    LZW-compressed with 8-bit minimum code size, data in ≤255-byte
+    sub-blocks."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256
+    for g in range(256):
+        out += bytes([g, g, g])
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(8)  # LZW minimum code size
+    lzw = _lzw_compress(bytes(gray.reshape(-1).astype("uint8")), 8)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """Parse a GIF89a/87a into ndarray[h, w, 3] uint8 — the real LZW
+    decode: header + global color table, image descriptor,
+    sub-block-chained LZW stream, palette lookup.  Animation
+    (multiple images), interlacing and local color tables are refused
+    by name; extension blocks are skipped per spec."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("GIF color table truncated")
+        palette = np.frombuffer(
+            payload[pos : pos + 3 * n], np.uint8
+        ).reshape(n, 3)
+        pos += 3 * n
+    seen_image = False
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        if seen_image:
+            raise ValueError("unsupported GIF: multiple images (animation)")
+        seen_image = True
+        _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        if iflags & 0x40:
+            raise ValueError("unsupported GIF: interlaced image")
+        if iflags & 0x80:
+            raise ValueError("unsupported GIF: local color table")
+        if palette is None:
+            raise ValueError("GIF missing a color table")
+        min_code = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            lzw += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        indices = np.frombuffer(
+            _lzw_decompress(bytes(lzw), min_code), np.uint8
+        )
+        if indices.size != w * h:
+            raise ValueError(
+                f"GIF pixel count mismatch: {indices.size} != {w * h}"
+            )
+        img = palette[indices.reshape(h, w)]
+        return img.astype(np.uint8)
+    raise ValueError("GIF contained no image")
+
+
+def synthesize_gif(doc_id: int, width: int = IMG_W, height: int = IMG_H) -> bytes:
+    """Deterministic grayscale pattern — the SAME pixel arithmetic as
+    synthesize_ppm's red channel, so cross-format checks can compare
+    against the palette-expanded gray values; GIF is lossless so the
+    round-trip is exact."""
+    import numpy as np
+
+    n = width * height
+    idx = np.arange(n, dtype=np.uint64) * 3  # red-channel positions
+    vals = ((np.uint64(doc_id * 31) + idx * np.uint64(2654435761)) % 256).astype(
+        np.uint8
+    )
+    return encode_gif(width, height, vals.reshape(height, width))
+
+
+@query("q_multimodal_gif_pipeline")
+def q_multimodal_gif_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image pipeline #5 — the LZW (dictionary-codec) path:
+    synthesize a deterministic grayscale GIF per document, decode
+    through the format-dispatched ``decode_image_auto`` (LZW
+    variable-width code stream, table growth + clear handling,
+    palette expansion), nearest-neighbor resize, per-channel means +
+    thumbnail hash.  GIF is lossless, so the gray-channel statistics
+    equal the PPM pipeline's RED channel exactly (shared pixel
+    arithmetic) — pinned in the golden test.  No oracle (binary ops
+    are outside DuckDB)."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def make_images(batches: Iterator):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synthesize_gif(int(d)) for d in pdf["doc_id"]],
                 }
             )
 

@@ -773,3 +773,100 @@ def test_jpeg_pipeline_golden_and_error_bound(spark, queries):
         ).astype(np.uint8)
         err = np.abs(expected_img.astype(int) - src.astype(int))
         assert err.max() <= 8 and err.mean() < 2.0
+
+
+def test_gif_codec_lossless_roundtrip_and_refusals():
+    """The GIF pair must be a real LZW codec: exact round trip
+    (lossless, including table-overflow clears and the KwKwK case),
+    cross-format gray == PPM red channel (shared pixel arithmetic),
+    and honest refusal of animation/interlace/local-palette
+    variants."""
+    import numpy as np
+    import pytest as _pytest
+    import struct
+
+    from setup_harvest_action_spark.functions.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+        decode_gif,
+        decode_image_auto,
+        decode_ppm,
+        encode_gif,
+        synthesize_gif,
+        synthesize_ppm,
+    )
+
+    # exact round trip on random data (forces code-width growth and
+    # a mid-stream clear once the table hits 4096)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(64, 97), dtype=np.uint8)
+    out = decode_gif(encode_gif(97, 64, img))
+    assert out.shape == (64, 97, 3)
+    assert (out[:, :, 0] == img).all()
+    assert (out[:, :, 1] == img).all() and (out[:, :, 2] == img).all()
+
+    # KwKwK: highly repetitive stream hits the code==next_free case
+    rep = bytes(np.tile(np.array([5, 5, 5, 7, 5, 5, 7], np.uint8), 500))
+    assert _lzw_decompress(_lzw_compress(rep, 8), 8) == rep
+
+    # cross-format: GIF gray levels == PPM red channel, via dispatch
+    g = decode_image_auto(synthesize_gif(7))
+    p = decode_ppm(synthesize_ppm(7))
+    assert (g[:, :, 0] == p[:, :, 0]).all()
+
+    # refusals by name
+    with _pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOTGIF" + b"\x00" * 20)
+    blob = bytearray(synthesize_gif(1))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_gif(bytes(blob[:60]))
+    # interlace flag set on the image descriptor (fixed offset:
+    # 13-byte header + 768-byte global color table)
+    idesc = 13 + 768
+    assert blob[idesc] == 0x2C
+    hacked = bytearray(blob)
+    hacked[idesc + 9] |= 0x40
+    with _pytest.raises(ValueError, match="interlaced"):
+        decode_gif(bytes(hacked))
+
+
+def test_gif_pipeline_matches_ppm_red_channel(spark, queries):
+    """The GIF pipeline's gray statistics must equal the PPM
+    pipeline's RED channel exactly (lossless codec + shared pixel
+    arithmetic) and match a pure-python recompute."""
+    import hashlib
+
+    from setup_harvest_action_spark.functions.multimodal import (
+        IMG_H,
+        IMG_W,
+        THUMB_H,
+        THUMB_W,
+        decode_gif,
+        resize_nearest,
+        synthesize_gif,
+    )
+
+    rows = {
+        r.doc_id: r
+        for r in queries["q_multimodal_gif_pipeline"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(rows) >= 10
+    for doc_id in (0, 3, 11):
+        expected_img = decode_gif(synthesize_gif(doc_id))
+        means = expected_img.reshape(-1, 3).mean(axis=0)
+        expected_thumb = resize_nearest(expected_img, THUMB_W, THUMB_H)
+        r = rows[doc_id]
+        assert (r.width, r.height) == (IMG_W, IMG_H)
+        assert r.mean_r == round(float(means[0]), 4)
+        assert r.mean_r == r.mean_g == r.mean_b  # grayscale
+        assert r.thumb_md5 == hashlib.md5(expected_thumb.tobytes()).hexdigest()
+    ppm_rows = {
+        r.doc_id: r
+        for r in queries["q_multimodal_ppm_pipeline"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for doc_id, r in rows.items():
+        assert r.mean_r == ppm_rows[doc_id].mean_r  # red channel shared
