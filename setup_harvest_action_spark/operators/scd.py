@@ -127,3 +127,111 @@ def q_scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", F.lit(NEW_SEGMENT).alias("c_mktsegment"))
     )
     return scd2_merge(cust, updates, "c_custkey", "c_mktsegment", V1)
+
+
+PIT_V0 = "1990-01-01"  # history epoch for the point-in-time query
+PIT_V1 = "1998-01-01"  # segment relocation date (mid orders range)
+
+
+@query(
+    "q_scd2_point_in_time",
+    oracle=f"""
+WITH current AS (
+  SELECT c_custkey, c_mktsegment,
+         DATE '{PIT_V0}' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM customer
+),
+updates AS (
+  SELECT c_custkey, '{NEW_SEGMENT}' AS c_mktsegment
+  FROM customer
+  WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 2) < '{UPDATE_BUCKET}'
+    AND c_mktsegment <> '{NEW_SEGMENT}'
+),
+joined AS (
+  SELECT c.*, u.c_mktsegment AS new_attr
+  FROM current c LEFT JOIN updates u USING (c_custkey)
+),
+history AS (
+  SELECT c_custkey, c_mktsegment, valid_from, valid_to
+  FROM joined WHERE new_attr IS NULL
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, valid_from, DATE '{PIT_V1}' AS valid_to
+  FROM joined WHERE new_attr IS NOT NULL
+  UNION ALL
+  SELECT c_custkey, new_attr, DATE '{PIT_V1}', CAST(NULL AS DATE)
+  FROM joined WHERE new_attr IS NOT NULL
+)
+SELECT h.c_mktsegment AS segment_at_order,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS total_price
+FROM orders o
+JOIN history h
+  ON h.c_custkey = o.o_custkey
+ AND o.o_orderdate >= h.valid_from
+ AND (h.valid_to IS NULL OR o.o_orderdate < CAST(h.valid_to AS TIMESTAMP))
+GROUP BY h.c_mktsegment
+""",
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join over the SCD2 history — the feature-store
+    temporal-correctness primitive: each order resolves the customer
+    segment that was valid AT its order date, not the current one
+    (training a model on current attributes is label leakage; this
+    join is the fix).  The history places the relocation at
+    {PIT_V1}, mid order-date range, so orders genuinely split across
+    versions.
+
+    Plan shape: an EQUI-join on the business key with the validity
+    interval as a residual filter — each key carries at most
+    (1 + changes) version rows, so key multiplicity is bounded by
+    update frequency and the join never degenerates to an interval
+    cartesian; the history side (dimension-sized) broadcasts or
+    shuffles by key like any dimension.  Totals accumulate in
+    DECIMAL(18,6).  Contrast with `q_join_asof`: as-of picks the
+    nearest past event via union+window (one Exchange, no join);
+    point-in-time picks the COVERING interval via join — the right
+    tool when versions are materialized as rows."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(PIT_V0).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = (
+        load_table(spark, sf_dir, "customer")
+        .filter(
+            (
+                F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2)
+                < UPDATE_BUCKET
+            )
+            & (F.col("c_mktsegment") != NEW_SEGMENT)
+        )
+        .select("c_custkey", F.lit(NEW_SEGMENT).alias("c_mktsegment"))
+    )
+    history = scd2_merge(cust, updates, "c_custkey", "c_mktsegment", PIT_V1)
+    orders = load_table(spark, sf_dir, "orders")
+    h = history.select(
+        F.col("c_custkey").alias("h_custkey"),
+        F.col("c_mktsegment").alias("segment_at_order"),
+        "valid_from",
+        "valid_to",
+    )
+    return (
+        orders.join(
+            h,
+            (F.col("h_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderdate") >= F.col("valid_from").cast("timestamp"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("o_orderdate") < F.col("valid_to").cast("timestamp"))
+            ),
+        )
+        .groupBy("segment_at_order")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -1053,3 +1053,14 @@ def test_customer_distribution_filter_lives_in_join_not_where(
     total = sum(r["custdist"] for r in df.collect())
     n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
     assert total == n_cust
+
+
+def test_point_in_time_join_is_equi_with_interval_residual(
+    spark, queries
+):
+    # The SCD2 point-in-time join must key on the business key with
+    # the validity interval as a residual — an interval-only join
+    # plan (BNLJ/cartesian) blows up as |orders| × |history|.
+    plan = plan_of(queries["q_scd2_point_in_time"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
