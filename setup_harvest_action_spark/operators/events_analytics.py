@@ -1521,3 +1521,110 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_touches",
         )
     )
+
+
+MB_MIN_PAIR_SUPPORT = 3  # orders containing the pair (absolute floor)
+
+
+@query(
+    "q_market_basket_rules",
+    oracle=f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM baskets),
+item AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS item_n
+  FROM baskets GROUP BY l_partkey
+),
+pair AS (
+  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+         CAST(count(*) AS BIGINT) AS pair_n
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {MB_MIN_PAIR_SUPPORT}
+)
+SELECT p.item_a, p.item_b, p.pair_n,
+       CAST(round(p.pair_n * 1.0 / n.n_orders, 6) AS DOUBLE) AS support,
+       CAST(round(p.pair_n * 1.0 / ia.item_n, 6) AS DOUBLE)
+         AS confidence_a_to_b,
+       CAST(round(p.pair_n * 1.0 * n.n_orders / (ia.item_n * ib.item_n), 4)
+            AS DOUBLE) AS lift
+FROM pair p
+JOIN item ia ON ia.l_partkey = p.item_a
+JOIN item ib ON ib.l_partkey = p.item_b
+CROSS JOIN n
+""",
+)
+def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET association rules (support / confidence / lift)
+    over order baskets — the co-occurrence-mining family's
+    probabilistic reading (the raw pair counts already feed the graph
+    operators): for every part pair co-purchased in ≥
+    {MB_MIN_PAIR_SUPPORT} orders, emit pair support, the A→B
+    confidence, and lift (how much more often the pair occurs than
+    independence predicts — the recommender/merchandising signal).
+
+    Scale shape: the self-join runs on the DEDUPLICATED basket table
+    keyed by order — per-order pair fan-out is basket_size², the
+    classic A-priori candidate step, with the absolute support floor
+    applied at the first aggregate so downstream joins carry only
+    surviving pairs; item totals and the basket count join back at
+    VOCABULARY size (item count), and the basket count rides as a
+    broadcast one-row aggregate.  All ratios divide exact BIGINTs —
+    engine-identical doubles.  A hot item (in every basket) costs
+    O(baskets × its basket sizes) pair rows — the documented cap
+    lever is a per-item basket-count ceiling, the MAX_SHINGLE_DF
+    analogue (SCALE.md §1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    item = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("item_n")
+    )
+    a = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item_b")
+    )
+    pair = (
+        a.join(b, "ok")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
+        .filter(F.col("pair_n") >= MB_MIN_PAIR_SUPPORT)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("item_a"), F.col("item_n").alias("a_n")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("item_b"), F.col("item_n").alias("b_n")
+    )
+    return (
+        pair.join(ia, "item_a")
+        .join(ib, "item_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_n",
+            F.round(F.col("pair_n") / F.col("n_orders"), 6)
+            .cast("double")
+            .alias("support"),
+            F.round(F.col("pair_n") / F.col("a_n"), 6)
+            .cast("double")
+            .alias("confidence_a_to_b"),
+            F.round(
+                F.col("pair_n")
+                * F.col("n_orders")
+                / (F.col("a_n") * F.col("b_n")),
+                4,
+            )
+            .cast("double")
+            .alias("lift"),
+        )
+    )
