@@ -94,6 +94,36 @@ def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_source_orc_roundtrip",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey,
+       CAST(round(s_acctbal, 2) AS DOUBLE) AS s_acctbal
+FROM supplier
+""",
+)
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source (r10 late) — the second columnar format
+    beside parquet, completing the format matrix (parquet / CSV /
+    JSON-lines / ORC / manifest): write ``supplier`` as ORC, read it
+    back, prove value fidelity against the fixture oracle.  ORC
+    carries the same scale affordances as parquet — stripe-level
+    min/max statistics for predicate pushdown, column projection,
+    optional bloom filters — and Spark's native reader uses them; the
+    pushdown contract is the same PushedFilters surface the parquet
+    plan tests pin.  (Avro would need the external spark-avro
+    package — documented unavailable, like Delta in this module's
+    header.)"""
+    out = _roundtrip_dir(sf_dir, "orc", "supplier")
+    load_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+    )
+
+
+@query(
     "q_source_manifest_roundtrip",
     oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
 )
