@@ -95,7 +95,8 @@ _DRIVER_PRIORITY = (
     # q_stream_approx_distinct_users, q_graph_hits,
     # q_quality_calibration, q_text_feature_hashing,
     # q_multimodal_gif_pipeline, q_scd2_point_in_time,
-    # q_market_basket_rules, q_source_orc_roundtrip) — and the md5 re-gated
+    # q_market_basket_rules, q_source_orc_roundtrip,
+    # q_text_textrank) — and the md5 re-gated
     # q_dedup_minhash/q_dedup_simhash front the r11 window; until then
     # they are hash-verified by tools/verify_oracle.py + pytest.
     # (a) Never carried a driver row (judge-replayed green in r9):

@@ -1244,3 +1244,117 @@ def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sign").cast("long").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+_TEXTRANK_D = 0.85
+
+
+def _textrank_oracle() -> str:
+    it = """
+s{n} AS (
+  SELECT nodes.word,
+         {omd} + {d} * coalesce(c{n}.s, 0) AS score
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS word, sum(e.w * s{p}.score / wd.wdeg) AS s
+    FROM edges e
+    JOIN s{p} ON e.src = s{p}.word
+    JOIN wdeg wd ON e.src = wd.src
+    GROUP BY e.dst
+  ) c{n} ON nodes.word = c{n}.word)"""
+    its = ",".join(
+        it.format(n=i, p=i - 1, d=_TEXTRANK_D, omd=1.0 - _TEXTRANK_D)
+        for i in (1, 2)
+    )
+    return f"""
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+),
+toks AS (
+  -- parallel unnests zip in DuckDB: (token, ordinal) pairs
+  SELECT doc_id, unnest(l) AS token,
+         unnest(range(1, len(l) + 1)) AS ord
+  FROM tl
+),
+adj AS (
+  SELECT a.token AS u, b.token AS v, count(*) AS w
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+  WHERE a.token <> b.token
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT u AS src, v AS dst, w FROM adj
+  UNION ALL
+  SELECT v AS src, u AS dst, w FROM adj
+),
+wdeg AS (SELECT src, CAST(sum(w) AS DOUBLE) AS wdeg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS word FROM edges),
+s0 AS (SELECT word, 1.0 AS score FROM nodes),{its}
+SELECT word, CAST(round(score, 8) AS DOUBLE) AS score FROM s2
+"""
+
+
+@query("q_text_textrank", oracle=_textrank_oracle())
+def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXTRANK keyword scoring (Mihalcea & Tarau 2004) — weighted
+    PageRank over the corpus word-adjacency graph: words that co-occur
+    next to many well-connected words score high; the unsupervised
+    keyword/keyphrase extractor a curation pipeline runs where TF-IDF
+    is too local (TF-IDF scores a word per document; TextRank scores
+    its centrality in the corpus's co-occurrence structure).  Two
+    unrolled weighted-PageRank iterations, damping 0.85, scores
+    emitted for the WHOLE vocabulary (no top-k cut, so float drift at
+    the boundary cannot flip the result set — the pagerank precedent).
+
+    Spark shape: adjacency from ONE posexplode + a (doc, position)
+    self-join; the corpus graph collapses to vocabulary² size at the
+    first aggregate, and every downstream join (weighted degree,
+    per-iteration contributions) runs at vocabulary scale — the raw
+    corpus is scanned once.  Same unrolled-CTE oracle pattern as
+    q_graph_pagerank; weighted row-normalization (w/wdeg) replaces
+    1/outdeg."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("pos", "token"),
+    )
+    a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("token").alias("u"))
+    b = toks.select("doc_id", F.col("pos").alias("pb"), F.col("token").alias("v"))
+    adj = (
+        a.join(b, (a["doc_id"] == b["doc_id"]) & (F.col("pb") == F.col("pa") + 1))
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = adj.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionAll(adj.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w"))
+    from setup_harvest_action_spark.io.materialize import materialize
+
+    edges = materialize(edges, "textrank_edges")
+    wdeg = edges.groupBy("src").agg(F.sum("w").cast("double").alias("wdeg"))
+    nodes = edges.select(F.col("src").alias("word")).distinct()
+    scores = nodes.select("word", F.lit(1.0).alias("score"))
+    for _ in range(2):
+        contrib = (
+            edges.join(
+                scores.select(F.col("word").alias("src"), "score"), "src"
+            )
+            .join(wdeg, "src")
+            .groupBy(F.col("dst").alias("word"))
+            .agg(
+                F.sum(F.col("w") * F.col("score") / F.col("wdeg")).alias("s")
+            )
+        )
+        scores = nodes.join(contrib, "word", "left").select(
+            "word",
+            (
+                F.lit(1.0 - _TEXTRANK_D)
+                + F.lit(_TEXTRANK_D) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("score"),
+        )
+    return scores.select("word", F.round("score", 8).alias("score"))
