@@ -1628,3 +1628,99 @@ def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift"),
         )
     )
+
+
+CUSUM_BUCKET_SEC = 600  # 10-minute traffic buckets (the anomaly grid)
+
+
+@query(
+    "q_events_cusum",
+    oracle=f"""
+WITH b AS (
+  SELECT time_bucket(INTERVAL '{CUSUM_BUCKET_SEC} seconds', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mu,
+         sqrt((sum(n * n) - CAST(sum(n) AS DOUBLE) * sum(n) / count(*))
+              / (count(*) - 1)) AS sigma
+  FROM b
+),
+d AS (
+  SELECT bucket, n, mu, sigma,
+         n - mu - 0.5 * sigma AS dev
+  FROM b CROSS JOIN stats
+),
+p AS (
+  SELECT bucket, n, sigma,
+         sum(dev) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+  FROM d
+),
+c AS (
+  SELECT bucket, n, sigma, pre,
+         pre - least(0, min(pre) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+  FROM p
+)
+SELECT bucket, n, CAST(round(cusum, 4) AS DOUBLE) AS cusum_pos
+FROM c WHERE cusum > 4 * sigma
+""",
+)
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over 10-minute traffic buckets —
+    the drift detector beside the z-score spike detector
+    (`q_events_anomaly`): a z-score sees one loud bucket, CUSUM
+    accumulates many quiet upward deviations and alarms on sustained
+    level shifts (the Page 1954 control chart; slack k = σ/2,
+    threshold h = 4σ, textbook settings).
+
+    The clamped recurrence S_i = max(0, S_{{i-1}} + d_i) is not a
+    window aggregate — but it has a closed form window functions CAN
+    express: S_i = P_i − min(0, min_{{j≤i}} P_j) where P is the plain
+    prefix sum of deviations.  Both windows run ordered over the
+    BUCKET grid (time-bucketed cardinality, not raw events — the
+    collapse-then-window discipline), and the ordered prefix sums add
+    doubles in the same deterministic order on both engines, so the
+    hash oracle holds despite float accumulation.  Corpus-level mean
+    and σ derive from exact integer sums (counts and squared counts)
+    and ride in as a broadcast one-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.window("ts", f"{CUSUM_BUCKET_SEC} seconds")["start"].alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    stats = b.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.sqrt(
+            (
+                F.sum(F.col("n") * F.col("n"))
+                - F.sum("n").cast("double") * F.sum("n") / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("sigma"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    d = b.crossJoin(F.broadcast(stats)).select(
+        "bucket",
+        "n",
+        "sigma",
+        (F.col("n") - F.col("mu") - 0.5 * F.col("sigma")).alias("dev"),
+    )
+    p = d.select(
+        "bucket", "n", "sigma", F.sum("dev").over(w).alias("pre")
+    )
+    c = p.select(
+        "bucket",
+        "n",
+        "sigma",
+        (
+            F.col("pre")
+            - F.least(F.lit(0.0), F.min("pre").over(w))
+        ).alias("cusum"),
+    )
+    return c.filter(F.col("cusum") > 4 * F.col("sigma")).select(
+        "bucket", "n", F.round("cusum", 4).cast("double").alias("cusum_pos")
+    )
