@@ -48,6 +48,7 @@ _OPERATOR_MODULES = (
     "setup_harvest_action_spark.operators.events_analytics",
     "setup_harvest_action_spark.sources.files",
     "setup_harvest_action_spark.functions.text",
+    "setup_harvest_action_spark.functions.tokenizer",
     "setup_harvest_action_spark.functions.dedup",
     "setup_harvest_action_spark.functions.similarity",
     "setup_harvest_action_spark.functions.multimodal",
