@@ -67,6 +67,38 @@ from pyspark.sql.datasource import (
 
 MANIFEST = "_manifest.json"
 SNAPSHOT_FMT = "_manifest-v{}.json"
+REFS = "_refs.json"  # named refs (tags/branches) — sources/manifest_refs.py
+
+
+def _load_refs(path: str) -> dict:
+    """The table's named-ref file; an absent file is the empty ref set
+    (every pre-refs table stays valid unchanged)."""
+    try:
+        with open(os.path.join(path, REFS), encoding="utf-8") as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {"tags": {}, "branches": {}}
+
+
+def _ref_protected_versions(path: str) -> set[int]:
+    """Every snapshot version reachable from a named ref: tag targets,
+    branch heads, and each branch head's parent chain (branch lineage
+    must survive vacuum/overwrite so ancestry checks and the branch's
+    own history stay valid).  Empty — at the cost of one failed
+    ``open`` — when the table has no refs, the common case."""
+    refs = _load_refs(path)
+    protected: set[int] = {v for v in refs.get("tags", {}).values()}
+    for head in refs.get("branches", {}).values():
+        v = head
+        while isinstance(v, int) and v > 0 and v not in protected:
+            protected.add(v)
+            try:
+                snap = os.path.join(path, SNAPSHOT_FMT.format(v))
+                with open(snap, encoding="utf-8") as fh:
+                    v = json.load(fh).get("parent")
+            except FileNotFoundError:
+                break
+    return protected
 
 
 class CommitConflict(RuntimeError):
@@ -115,7 +147,17 @@ def _write_versioned(
                 f"table at {path} is at v{prev_version}, commit was "
                 f"derived from v{expected_version} — re-derive and retry"
             )
-        manifest["version"] = prev_version + 1
+        # Branch commits (sources/manifest_refs.py) persist snapshots
+        # the main pointer never referenced; a main commit must not
+        # reuse — and thereby overwrite — a version that a named ref
+        # still reaches.  Versions protected by a ref are skipped; a
+        # crash-orphaned snapshot is NOT protected, so the next commit
+        # still supersedes it in place (and vacuum reclaims it).
+        v = prev_version + 1
+        protected = _ref_protected_versions(path)
+        while v in protected:
+            v += 1
+        manifest["version"] = v
         snap = os.path.join(path, SNAPSHOT_FMT.format(manifest["version"]))
         tmp = snap + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
@@ -728,7 +770,7 @@ def select_files(m: dict, triples) -> list[dict]:
 
 
 def scan_manifest(
-    spark, path: str, version: int | None = None, where=()
+    spark, path: str, version: int | None = None, where=(), manifest=None
 ):
     """Read ONLY the files the manifest names — uncommitted/orphan
     parts in data/ are never visible to readers.  ``version`` time-
@@ -745,8 +787,13 @@ def scan_manifest(
     Reads go through the manifest's COMMITTED schema (when recorded):
     files older than an add-column evolution null-fill the new
     columns, and a time-travel read uses the schema as of THAT
-    version."""
-    m = read_manifest(path, version)
+    version.
+
+    ``manifest`` bypasses the main-pointer lookup with an already
+    resolved snapshot dict — the hook named refs (tags/branches,
+    sources/manifest_refs.py) scan through, since a branch head's
+    version can legitimately exceed the main pointer's."""
+    m = manifest if manifest is not None else read_manifest(path, version)
     entries = select_files(m, where) if where else m["files"]
     if not m["files"]:
         raise ValueError(f"empty manifest at {path}")
@@ -1297,6 +1344,10 @@ def vacuum_manifest(path: str, keep_last: int = 1) -> list[str]:
     cutoff = latest_v - max(keep_last, 1) + 1
     removed: list[str] = []
     referenced = {e["file"] for e in latest["files"]}
+    # A named ref pins its snapshots (and their files) regardless of
+    # retention age — dropping a tagged snapshot would silently break
+    # the tag, the one thing a tag exists to prevent.
+    protected = _ref_protected_versions(path)
     for entry in sorted(os.listdir(path)):
         if entry.endswith(".json.tmp"):
             # a crash between tmp-write and os.replace leaves these;
@@ -1307,7 +1358,7 @@ def vacuum_manifest(path: str, keep_last: int = 1) -> list[str]:
         if not (entry.startswith("_manifest-v") and entry.endswith(".json")):
             continue
         v = int(entry[len("_manifest-v"):-len(".json")])
-        if cutoff <= v <= latest_v:
+        if cutoff <= v <= latest_v or v in protected:
             with open(os.path.join(path, entry), encoding="utf-8") as fh:
                 referenced |= {e["file"] for e in json.load(fh)["files"]}
         else:
