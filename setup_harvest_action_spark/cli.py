@@ -96,6 +96,21 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="backfill per-file Bloom filters for COL[,COL...] "
                         "and index all future writes (point-lookup "
                         "data skipping)")
+    m.add_argument("--tag", nargs="+", metavar="NAME [VERSION]",
+                   help="name a committed version (default: current head); "
+                        "tags are immutable and pin their snapshot "
+                        "against vacuum")
+    m.add_argument("--branch", nargs="+", metavar="NAME [VERSION]",
+                   help="open a mutable branch at a committed version "
+                        "(default: current head)")
+    m.add_argument("--publish", metavar="BRANCH",
+                   help="fast-forward main to a branch head (refused if "
+                        "main diverged) — the write-audit-publish flip")
+    m.add_argument("--drop-ref", metavar="NAME",
+                   help="delete a tag or branch (releases its vacuum "
+                        "protection)")
+    m.add_argument("--refs", action="store_true",
+                   help="list named refs with their versions")
     return p
 
 
@@ -114,6 +129,49 @@ def _run_manifest(args) -> int:
         vacuum_manifest,
     )
 
+    if args.tag or args.branch:
+        from setup_harvest_action_spark.sources.manifest_refs import (
+            create_branch,
+            create_tag,
+        )
+
+        make, spec = (
+            (create_tag, args.tag) if args.tag else (create_branch, args.branch)
+        )
+        if len(spec) > 2:
+            print("--tag/--branch take NAME [VERSION]")
+            return 1
+        version = int(spec[1]) if len(spec) == 2 else None
+        v = make(args.path, spec[0], version)
+        kind = "tag" if args.tag else "branch"
+        print(f"{kind} {spec[0]!r} -> v{v}")
+        return 0
+    if args.publish is not None:
+        from setup_harvest_action_spark.sources.manifest_refs import (
+            fast_forward,
+        )
+
+        m = fast_forward(args.path, args.publish)
+        print(f"main fast-forwarded to {args.publish!r} "
+              f"(version {m['version']}, {m['total_rows']} rows)")
+        return 0
+    if args.drop_ref is not None:
+        from setup_harvest_action_spark.sources.manifest_refs import delete_ref
+
+        delete_ref(args.path, args.drop_ref)
+        print(f"dropped ref {args.drop_ref!r}")
+        return 0
+    if args.refs:
+        from setup_harvest_action_spark.sources.manifest_sink import _load_refs
+
+        refs = _load_refs(args.path)
+        for name, v in sorted(refs["tags"].items()):
+            print(f"tag    {name}: v{v}")
+        for name, v in sorted(refs["branches"].items()):
+            print(f"branch {name}: v{v}")
+        if not refs["tags"] and not refs["branches"]:
+            print("no refs")
+        return 0
     if args.add_bloom is not None:
         cols = [c.strip() for c in args.add_bloom.split(",") if c.strip()]
         after = add_bloom_filters(args.path, cols)

@@ -121,6 +121,106 @@ def test_vacuum_reclaims_crashed_branch_commit(sink, tmp_path, monkeypatch):
     refs.create_tag(p, "ok")
 
 
+def test_refs_protocol_randomized_model_check(sink, tmp_path):
+    """Seeded random interleaving of main appends/deletes, tag
+    creation, branch creation/append, fast-forward publish (success
+    AND divergence refusal), compaction and vacuum: after every op the
+    main table, every branch, and every tag must equal their in-memory
+    models exactly.  The single-scenario tests above pin each property
+    once; this pins their interaction."""
+    import random
+
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        compact,
+        delete_where,
+    )
+
+    rng = random.Random(20260815)
+    p = str(tmp_path)
+    main: list[int] = list(range(5))
+    _write(_df(sink, 0, 5), p, "overwrite")
+    next_id = 5
+    branches: dict[str, list[int]] = {}
+    publishable: dict[str, bool] = {}  # False once main advanced past base
+    tags: dict[str, list[int]] = {}
+    n_refs = 0
+
+    def check():
+        assert sorted(
+            r.id for r in scan_manifest(sink, p).collect()
+        ) == sorted(main)
+        for b, ids in branches.items():
+            assert sorted(
+                r.id for r in refs.scan_ref(sink, p, b).collect()
+            ) == sorted(ids), b
+        for t, ids in tags.items():
+            assert refs.scan_ref(sink, p, t).count() == len(ids), t
+
+    def main_moved():
+        for b in publishable:
+            publishable[b] = False
+
+    for _ in range(40):
+        op = rng.choice(
+            ["append", "append", "tag", "branch", "branch_append",
+             "branch_append", "publish", "delete", "compact", "vacuum"]
+        )
+        if op == "append":
+            n = rng.randint(1, 8)
+            _write(_df(sink, next_id, next_id + n), p)
+            main.extend(range(next_id, next_id + n))
+            next_id += n
+            main_moved()
+        elif op == "tag":
+            n_refs += 1
+            name = f"tag{n_refs}"
+            refs.create_tag(p, name)
+            tags[name] = list(main)
+        elif op == "branch":
+            n_refs += 1
+            name = f"br{n_refs}"
+            refs.create_branch(p, name)
+            branches[name] = list(main)
+            publishable[name] = True
+        elif op == "branch_append" and branches:
+            b = rng.choice(sorted(branches))
+            n = rng.randint(1, 6)
+            refs.append_to_branch(_df(sink, next_id, next_id + n), p, b)
+            branches[b].extend(range(next_id, next_id + n))
+            next_id += n
+        elif op == "publish" and branches:
+            b = rng.choice(sorted(branches))
+            if publishable[b]:
+                before = read_manifest(p)["version"]
+                refs.fast_forward(p, b)
+                main = list(branches[b])
+                if read_manifest(p)["version"] != before:
+                    # a real pointer move: every OTHER branch's base is
+                    # no longer an ancestor of main — unpublishable
+                    for other in publishable:
+                        if other != b:
+                            publishable[other] = False
+            else:
+                if branches[b] != main:
+                    with pytest.raises(CommitConflict):
+                        refs.fast_forward(p, b)
+                    refs.delete_ref(p, b)
+                    del branches[b], publishable[b]
+        elif op == "delete" and main:
+            victim = rng.choice(main)
+            delete_where(sink, p, [("id", "=", victim)])
+            main = [x for x in main if x != victim]
+            main_moved()
+        elif op == "compact" and main:
+            compact(sink, p, rng.randint(1, 3))
+            main_moved()
+        elif op == "vacuum":
+            vacuum_manifest(p, keep_last=rng.randint(1, 3))
+        check()
+    assert branches or tags, "seed never created a ref; pick another"
+    check()
+
+
 def test_wap_catalog_query_registered(sink, sf_dir):
     from setup_harvest_action_spark.catalog import load_catalog
 

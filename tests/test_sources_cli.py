@@ -589,6 +589,48 @@ def test_cli_manifest_show_history_compact_vacuum(spark, tmp_path, capsys):
     assert scan_manifest(spark, path).count() == 150
 
 
+def test_cli_manifest_refs_tag_branch_publish(spark, tmp_path, capsys):
+    """The r10-late ref surface: --tag, --branch, --refs, --publish,
+    --drop-ref drive write-audit-publish from the command line."""
+    from setup_harvest_action_spark.cli import main
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        register_manifest_sink,
+        scan_manifest,
+    )
+    from setup_harvest_action_spark.sources.manifest_refs import (
+        append_to_branch,
+    )
+
+    register_manifest_sink(spark)
+    path = str(tmp_path / "t")
+    spark.range(0, 10).write.format("manifest_parquet").mode(
+        "overwrite"
+    ).save(path)
+
+    assert main(["manifest", path, "--tag", "base"]) == 0
+    assert "tag 'base' -> v1" in capsys.readouterr().out
+    assert main(["manifest", path, "--branch", "staging"]) == 0
+    assert "branch 'staging' -> v1" in capsys.readouterr().out
+
+    append_to_branch(spark.range(10, 25), path, "staging")
+    assert scan_manifest(spark, path).count() == 10  # main untouched
+
+    assert main(["manifest", path, "--refs"]) == 0
+    out = capsys.readouterr().out
+    assert "tag    base: v1" in out and "branch staging: v2" in out
+
+    assert main(["manifest", path, "--publish", "staging"]) == 0
+    assert "fast-forwarded to 'staging' (version 2, 25 rows)" in (
+        capsys.readouterr().out
+    )
+    assert scan_manifest(spark, path).count() == 25
+
+    assert main(["manifest", path, "--drop-ref", "base"]) == 0
+    assert "dropped ref 'base'" in capsys.readouterr().out
+    assert main(["manifest", path, "--refs"]) == 0
+    assert "base" not in capsys.readouterr().out
+
+
 def test_cli_manifest_delete_merge_changes(spark, tmp_path, capsys):
     """The r10 CLI surface for the CRUD square: --delete-where,
     --merge-from/--merge-on, and --changes (batch CDC counts)."""
