@@ -795,3 +795,145 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("mean_score"),
     )
+
+
+@query(
+    "q_quality_expectations",
+    oracle="""
+WITH a AS (
+    SELECT count(*) AS n,
+           count(l_shipdate) AS n_shipdate,
+           count(DISTINCT (l_orderkey, l_linenumber)) AS n_pk,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                    THEN 1 ELSE 0 END) AS bad_flag,
+           sum(CASE WHEN l_linestatus NOT IN ('O', 'F')
+                    THEN 1 ELSE 0 END) AS bad_status,
+           min(l_discount) AS min_disc,
+           max(l_discount) AS max_disc,
+           min(l_extendedprice) AS min_price
+    FROM lineitem
+), o AS (
+    SELECT count(*) AS n_orphans
+    FROM lineitem l LEFT JOIN orders r ON l.l_orderkey = r.o_orderkey
+    WHERE r.o_orderkey IS NULL
+)
+SELECT 'completeness_l_shipdate' AS check_name,
+       CAST(round(n_shipdate * 1.0 / n, 6) AS DOUBLE) AS metric,
+       n_shipdate = n AS passed FROM a
+UNION ALL SELECT 'unique_pk_orderkey_linenumber',
+       CAST(round(n_pk * 1.0 / n, 6) AS DOUBLE), n_pk = n FROM a
+UNION ALL SELECT 'range_l_quantity_1_50',
+       CAST(max_qty AS DOUBLE), min_qty >= 1 AND max_qty <= 50 FROM a
+UNION ALL SELECT 'domain_l_returnflag',
+       CAST(bad_flag AS DOUBLE), bad_flag = 0 FROM a
+UNION ALL SELECT 'domain_l_linestatus',
+       CAST(bad_status AS DOUBLE), bad_status = 0 FROM a
+UNION ALL SELECT 'range_l_discount_0_0.1',
+       CAST(max_disc AS DOUBLE),
+       min_disc >= 0 AND max_disc <= 0.1 FROM a
+UNION ALL SELECT 'positive_l_extendedprice',
+       CAST(min_price AS DOUBLE), min_price > 0 FROM a
+UNION ALL SELECT 'referential_l_orderkey_in_orders',
+       CAST(n_orphans AS DOUBLE), n_orphans = 0 FROM o, a
+""",
+)
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality EXPECTATION SUITE (the Deequ /
+    Great-Expectations pattern, public designs): completeness,
+    key uniqueness, numeric ranges, categorical domains, positivity,
+    and referential integrity, verified as ONE report.
+
+    Scale design: every row-local check folds into a single
+    conditional aggregate over ONE lineitem scan (map-side partial
+    combine; the multi-distinct PK check is the only expansion and it
+    is keyed on the PK itself, so it shards perfectly).  The one
+    cross-table check (referential) is a left-anti join keyed on
+    l_orderkey — shuffle-partitioned at scale, never broadcast of a
+    data-scale side.  Both reduce to ONE-ROW frames that combine via
+    broadcast crossJoin (the repo's scalar-attach shape), then explode
+    into the report rows: checks cost one scan + one join regardless
+    of how many expectations the suite declares."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return expectation_report(li, orders)
+
+
+def expectation_report(li: DataFrame, orders: DataFrame) -> DataFrame:
+    """The suite body, factored over plain DataFrames so tests can
+    verify VIOLATIONS are caught (a suite that can only pass is not a
+    check) — see tests/test_quality.py."""
+    a = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("l_shipdate").alias("n_shipdate"),
+        F.count_distinct("l_orderkey", "l_linenumber").alias("n_pk"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.sum(
+            F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)
+        ).alias("bad_flag"),
+        F.sum(
+            F.when(~F.col("l_linestatus").isin("O", "F"), 1).otherwise(0)
+        ).alias("bad_status"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_discount").alias("max_disc"),
+        F.min("l_extendedprice").alias("min_price"),
+    )
+    orphans = (
+        li.select("l_orderkey")
+        .join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    row = a.crossJoin(F.broadcast(orphans))
+
+    def c(name, metric, passed):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            metric.cast("double").alias("metric"),
+            passed.alias("passed"),
+        )
+
+    checks = F.array(
+        c(
+            "completeness_l_shipdate",
+            F.round(F.col("n_shipdate") / F.col("n"), 6),
+            F.col("n_shipdate") == F.col("n"),
+        ),
+        c(
+            "unique_pk_orderkey_linenumber",
+            F.round(F.col("n_pk") / F.col("n"), 6),
+            F.col("n_pk") == F.col("n"),
+        ),
+        c(
+            "range_l_quantity_1_50",
+            F.col("max_qty"),
+            (F.col("min_qty") >= 1) & (F.col("max_qty") <= 50),
+        ),
+        c("domain_l_returnflag", F.col("bad_flag"), F.col("bad_flag") == 0),
+        c(
+            "domain_l_linestatus",
+            F.col("bad_status"),
+            F.col("bad_status") == 0,
+        ),
+        c(
+            "range_l_discount_0_0.1",
+            F.col("max_disc"),
+            (F.col("min_disc") >= 0) & (F.col("max_disc") <= 0.1),
+        ),
+        c(
+            "positive_l_extendedprice",
+            F.col("min_price"),
+            F.col("min_price") > 0,
+        ),
+        c(
+            "referential_l_orderkey_in_orders",
+            F.col("n_orphans"),
+            F.col("n_orphans") == 0,
+        ),
+    )
+    return row.select(F.explode(checks).alias("c")).select("c.*")

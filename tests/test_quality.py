@@ -260,3 +260,48 @@ def test_boilerplate_segments_exact_on_handbuilt_corpus(spark, queries, tmp_path
         assert out[d]["cleaned_md5"] == hashlib.md5(tail.encode()).hexdigest()
     assert out[4]["n_boilerplate"] == 0
     assert out[4]["cleaned_md5"] == hashlib.md5(rows[3][1].encode()).hexdigest()
+
+
+def test_expectation_suite_catches_each_violation_class(spark):
+    """A suite that can only pass is not a check: corrupt one field per
+    class and assert exactly the right expectation flips."""
+    import datetime
+
+    from setup_harvest_action_spark.functions.quality import (
+        expectation_report,
+    )
+
+    d = datetime.datetime(2024, 1, 1)
+    cols = ("l_orderkey long, l_linenumber int, l_quantity double, "
+            "l_extendedprice double, l_discount double, "
+            "l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp")
+    good = [(1, 1, 5.0, 100.0, 0.05, "A", "O", d),
+            (1, 2, 10.0, 200.0, 0.0, "N", "F", d)]
+    orders = spark.createDataFrame([(1,)], "o_orderkey long")
+
+    def report(rows, orders_df):
+        li = spark.createDataFrame(rows, cols)
+        got = expectation_report(li, orders_df).collect()
+        return {r.check_name: r.passed for r in got}
+
+    assert all(report(good, orders).values())
+
+    bad = {
+        "completeness_l_shipdate": [(1, 1, 5.0, 100.0, 0.0, "A", "O", None)],
+        "unique_pk_orderkey_linenumber": good[:1] + good[:1],
+        "range_l_quantity_1_50": [(1, 1, 99.0, 100.0, 0.0, "A", "O", d)],
+        "domain_l_returnflag": [(1, 1, 5.0, 100.0, 0.0, "X", "O", d)],
+        "domain_l_linestatus": [(1, 1, 5.0, 100.0, 0.0, "A", "X", d)],
+        "range_l_discount_0_0.1": [(1, 1, 5.0, 100.0, 0.9, "A", "O", d)],
+        "positive_l_extendedprice": [(1, 1, 5.0, -1.0, 0.0, "A", "O", d)],
+    }
+    for should_fail, rows in bad.items():
+        got = report(rows, orders)
+        assert not got[should_fail], should_fail
+        others = {k: v for k, v in got.items() if k != should_fail}
+        assert all(others.values()), (should_fail, others)
+
+    # referential: an l_orderkey with no parent order
+    got = report(good, spark.createDataFrame([(2,)], "o_orderkey long"))
+    assert not got["referential_l_orderkey_in_orders"]
