@@ -43,6 +43,60 @@ DAMPING = 0.85
 ITERATIONS = 3
 
 
+def copurchase_pairs(li: DataFrame, min_weight: int = 1) -> DataFrame:
+    """Co-purchase edges ``(u, v)`` with ``u < v``: parts are adjacent
+    when some order contains both, weighted by line-pair count, kept
+    when the weight reaches ``min_weight``.
+
+    Built SINGLE-SCAN: group lines by order, sort the in-order part
+    list, expand ordered pairs INSIDE the array (map-side lambda —
+    strictly-ascending ``y > x`` drops equal-part pairs exactly like
+    the equivalent self-join's ``pa < pb``), then one pair-keyed
+    count.  Semantically identical to
+    ``lineitem a JOIN lineitem b ON same order AND a.pk < b.pk``
+    (which is what every oracle states), but the plan is ONE shuffle
+    keyed on l_orderkey plus one pair-keyed aggregate, versus the
+    join's two exchange+sort legs, join, and aggregate — measured
+    10.1s → 2.7s at sf0.1 for the pair build (BENCHNOTES r10 late).
+
+    100 TB: the per-order group is bounded by the data model (an
+    order has ≤7 lines), so the collected array is O(1) and the
+    expansion O(lines²-per-order) — never a skew surface; the
+    pair-keyed aggregate partial-combines map-side."""
+    weighted = min_weight > 1
+    collect = F.collect_list if weighted else F.collect_set
+    ps = li.groupBy("l_orderkey").agg(
+        F.array_sort(collect("l_partkey")).alias("ps")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ps",
+            lambda x, i: F.transform(
+                F.filter(
+                    F.slice(F.col("ps"), i + 2, F.size("ps")),
+                    lambda y: y > x,
+                ),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    pairs = ps.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.u").alias("u"), F.col("p.v").alias("v")
+    )
+    if not weighted:
+        # distinct edges: dedup in-order via collect_set (smaller
+        # arrays, no duplicate expansion), then one distinct across
+        # orders — the y > x filter is then redundant but kept for one
+        # code path
+        return pairs.distinct()
+    return (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= min_weight)
+        .select("u", "v")
+    )
+
+
 def pagerank(edges: DataFrame, iterations: int = ITERATIONS,
              damping: float = DAMPING) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list
@@ -227,15 +281,7 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle-volume model at 100 TB: SCALE.md §4.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    pairs = materialize(
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
-        .distinct(),
-        "triangle_pairs",
-    )
+    pairs = materialize(copurchase_pairs(li), "triangle_pairs")
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
@@ -452,15 +498,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(10) rounds on power-law graphs — the same round-bound argument
     as label-propagation CC (SCALE.md §5)."""
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    pairs = materialize(
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
-        .distinct(),
-        "kcore_pairs",
-    )
+    pairs = materialize(copurchase_pairs(li), "kcore_pairs")
     und = materialize(
         pairs.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
             pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))
@@ -559,19 +597,10 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     falls geometrically so later rounds' count tables shrink.
     Hash-verified against the unrolled oracle at sf0.01 AND sf0.1."""
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    pairs = materialize(
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy(F.col("pa").alias("u"), F.col("pb").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)  # repeated co-purchase: the sparse,
-        # community-bearing backbone (the dense 1-hit graph collapses
-        # LPA to two giant labels — measured on the fixture)
-        .select("u", "v"),
-        "lpa_pairs",
-    )
+    # min_weight=2 — repeated co-purchase: the sparse, community-
+    # bearing backbone (the dense 1-hit graph collapses LPA to two
+    # giant labels — measured on the fixture)
+    pairs = materialize(copurchase_pairs(li, min_weight=2), "lpa_pairs")
     und = materialize(
         pairs.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
             pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))
