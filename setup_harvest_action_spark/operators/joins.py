@@ -23,6 +23,8 @@ Scale notes per join type:
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -763,5 +765,75 @@ def q_join_asof_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("back") + 1).cast("int").alias("k_back"),
             "click_ts",
             F.round("click_value", 4).alias("click_value"),
+        )
+    )
+
+
+BUCKET_COUNT = 16  # shared by both sides — co-location requires it
+
+
+@query(
+    "q_join_bucketed_colocated",
+    oracle="""
+SELECT o.o_orderstatus AS status,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
+           AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+""",
+)
+def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-FREE fact-fact join via native bucketed tables — the
+    storage-layout half of the join story (the runtime half is AQE).
+
+    Both fact tables are written ``bucketBy(BUCKET_COUNT, key)`` +
+    ``sortBy(key)`` into the session warehouse; Spark records the
+    bucket spec in the catalog, so the subsequent orderkey equi-join
+    reads MATCHING buckets pairwise and plans a sort-merge join with
+    NO Exchange on either side — at 100 TB that deletes the two
+    largest shuffles in the pipeline (re-shuffling both fact tables
+    per query), which is why warehouses bucket their fact tables once
+    at ingest and amortize it over every downstream join.  The only
+    exchange left in the plan is the final tiny status rollup
+    (plan-pinned in tests/test_plans.py: zero orderkey exchanges,
+    bucketed scans on both sides).
+
+    The oracle restates the identical join over the raw fixture views
+    — bucketing must be pure layout, never semantics."""
+    label = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    db = "shas_buckets"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    lt = f"{db}.lineitem_{label}"
+    ot = f"{db}.orders_{label}"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    (
+        li.write.bucketBy(BUCKET_COUNT, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(lt)
+    )
+    (
+        orders.write.bucketBy(BUCKET_COUNT, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(ot)
+    )
+    return (
+        spark.table(lt)
+        .join(spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
         )
     )

@@ -1064,3 +1064,23 @@ def test_point_in_time_join_is_equi_with_interval_residual(
     plan = plan_of(queries["q_scd2_point_in_time"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, queries):
+    """Co-located bucketed tables must join WITHOUT exchanging either
+    fact side: no hashpartitioning exchange on the join keys anywhere
+    in the plan, bucketed scans on both sides, and a sort-merge join
+    (broadcast disabled so the layout, not the optimizer, earns it).
+    The only exchange allowed is the final tiny status rollup."""
+    with conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"), conf(
+        spark, "spark.sql.adaptive.enabled", "false"
+    ):
+        df = queries["q_join_bucketed_colocated"](spark, SF)
+        plan = plan_of(df)
+        tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" in tree
+    assert "hashpartitioning(l_orderkey" not in plan
+    assert "hashpartitioning(o_orderkey" not in plan
+    assert plan.count("Bucketed: true") == 2
+    # exactly the aggregation exchange survives
+    assert tree.count("Exchange") == 1
