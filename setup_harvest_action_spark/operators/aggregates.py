@@ -1223,3 +1223,132 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+CMS_DEPTH = 4  # hash rows
+CMS_WIDTH = 256  # counters per row
+CMS_PROBES = 20  # heaviest keys verified against the sketch
+
+
+@query(
+    "q_agg_count_min_sketch",
+    oracle=f"""
+WITH base AS (SELECT l_partkey AS key FROM lineitem),
+hrows AS (SELECT unnest(range({CMS_DEPTH})) AS i),
+cnt AS (
+    SELECT i,
+           CAST('0x' || substring(md5(i || ':' || key), 1, 8) AS BIGINT)
+               % {CMS_WIDTH} AS b,
+           CAST(count(*) AS BIGINT) AS c
+    FROM base, hrows
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT key, CAST(count(*) AS BIGINT) AS exact_count
+    FROM base GROUP BY key
+    ORDER BY exact_count DESC, key LIMIT {CMS_PROBES}
+),
+est AS (
+    SELECT e.key, min(c.c) AS cms_estimate
+    FROM exact e
+    JOIN hrows r ON TRUE
+    JOIN cnt c
+      ON c.i = r.i
+     AND c.b = CAST('0x' || substring(md5(r.i || ':' || e.key), 1, 8)
+                    AS BIGINT) % {CMS_WIDTH}
+    GROUP BY e.key
+)
+SELECT e.key AS partkey,
+       e.exact_count,
+       est.cms_estimate,
+       est.cms_estimate >= e.exact_count AS never_underestimates
+FROM exact e JOIN est ON est.key = e.key
+""",
+)
+def q_agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH frequency estimation (Cormode & Muthukrishnan
+    2005) — the mergeable frequency sketch beside the HLL cardinality
+    family: every key increments one counter per hash row; a key's
+    estimate is the MIN of its CMS_DEPTH counters, which can only
+    OVER-estimate (collisions add, never subtract) — the output's
+    ``never_underestimates`` column states the guarantee per probe.
+
+    The hash family is the repo's sketch-contract md5 (row-salted,
+    first 32 bits, mod width), so DuckDB rebuilds the identical
+    sketch and the whole query is hash-ORACLED — same discipline as
+    the HLL set-algebra queries.
+
+    Scale design: the sketch is CMS_DEPTH x CMS_WIDTH counters
+    REGARDLESS of corpus size — one scan with map-side partial
+    combine collapses to <= 1024 rows, the mergeable-state property
+    that lets 1000 executors each fold their partition and union.
+    The exact side exists only to verify the sketch at gate scale
+    (same pattern as q_agg_hll_partitioned's verification pass); the
+    production shape is sketch-only.  Probes join the counter table
+    broadcast (it is O(1) sized)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(F.col("l_partkey").alias("key"))
+
+    def bucket(i, key_col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(i), key_col)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long") % CMS_WIDTH
+
+    counters = (
+        base.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            bucket(i, F.col("key")).alias("b"),
+                        )
+                        for i in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .groupBy(F.col("rb.i").alias("i"), F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        base.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "key")
+        .limit(CMS_PROBES)
+    )
+    probes = exact.select(
+        "key",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        bucket(i, F.col("key")).alias("b"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    )
+    est = (
+        probes.join(
+            F.broadcast(counters),
+            (F.col("rb.i") == F.col("i")) & (F.col("rb.b") == F.col("b")),
+        )
+        .groupBy("key", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("key").alias("partkey"),
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact_count")).alias(
+            "never_underestimates"
+        ),
+    )
