@@ -870,3 +870,45 @@ def test_gif_pipeline_matches_ppm_red_channel(spark, queries):
     }
     for doc_id, r in rows.items():
         assert r.mean_r == ppm_rows[doc_id].mean_r  # red channel shared
+
+
+def test_pq_adc_recall_floor_vs_exact(spark):
+    """The two-stage PQ search (ADC candidate pool -> exact re-rank)
+    must keep finding real neighbors: the returned top-10 overlaps the
+    exact euclidean top-10 in at least 8 of 10 positions at sf0.01
+    (measured 10/10; below the floor the codebooks stopped carrying
+    geometry and the candidate pool lost the true neighbors)."""
+    sf_dir = "/root/testdata/sf0.01"
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.catalog import load_catalog
+    from setup_harvest_action_spark.functions.similarity import (
+        PQ_PROBE,
+        PQ_TOPK,
+        _l2,
+    )
+    from setup_harvest_action_spark.io.loaders import load_table
+
+    queries, _ = load_catalog()
+    adc_ids = {
+        r.vec_id
+        for r in queries["q_similarity_pq_adc"](spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    probe = emb.filter(F.col("vec_id") == PQ_PROBE).select(
+        F.col("e").alias("q")
+    )
+    exact_ids = {
+        r.vec_id
+        for r in emb.filter(F.col("vec_id") != PQ_PROBE)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", _l2(F.col("e"), F.col("q")).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(PQ_TOPK)
+        .collect()
+    }
+    overlap = len(adc_ids & exact_ids)
+    assert overlap >= 8, (overlap, sorted(adc_ids), sorted(exact_ids))
