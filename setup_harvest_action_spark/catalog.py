@@ -98,7 +98,10 @@ _DRIVER_PRIORITY = (
     # q_quality_calibration, q_text_feature_hashing,
     # q_multimodal_gif_pipeline, q_scd2_point_in_time,
     # q_market_basket_rules, q_source_orc_roundtrip,
-    # q_text_textrank, q_events_cusum) — and the md5 re-gated
+    # q_text_textrank, q_events_cusum, and the r10-close wave:
+    # q_text_bpe_train, q_text_bpe_encode, q_source_manifest_wap,
+    # q_quality_expectations, q_join_bucketed_colocated,
+    # q_agg_count_min_sketch, q_similarity_pq_adc) — and the md5 re-gated
     # q_dedup_minhash/q_dedup_simhash front the r11 window; until then
     # they are hash-verified by tools/verify_oracle.py + pytest.
     # (a) Never carried a driver row (judge-replayed green in r9):

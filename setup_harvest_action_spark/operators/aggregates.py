@@ -1352,3 +1352,73 @@ def q_agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "never_underestimates"
         ),
     )
+
+
+SKEW_TILES = 100  # percentile resolution of the concentration report
+
+
+@query(
+    "q_agg_skew_report",
+    oracle=f"""
+WITH counts AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY user_id
+),
+tiled AS (
+    SELECT cnt,
+           ntile({SKEW_TILES}) OVER (ORDER BY cnt DESC, user_id) AS pct
+    FROM counts
+)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(round(max(cnt) * 1.0 / sum(cnt), 6) AS DOUBLE) AS max_share,
+       CAST(round(sum(CASE WHEN pct <= 1 THEN cnt ELSE 0 END) * 1.0
+                  / sum(cnt), 6) AS DOUBLE) AS top1pct_share,
+       CAST(round(sum(CASE WHEN pct <= 10 THEN cnt ELSE 0 END) * 1.0
+                  / sum(cnt), 6) AS DOUBLE) AS top10pct_share,
+       CAST(round(stddev_pop(cnt) / avg(cnt), 6) AS DOUBLE)
+           AS coeff_variation
+FROM tiled
+""",
+)
+def q_agg_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEY-SKEW DIAGNOSTIC report — the measurement that decides
+    whether a key needs salting before it hits a join or window
+    (the repo's salted sessionize/interval-coverage escape hatches
+    exist precisely for keys this report flags): events per user_id
+    summarized as max-key share, top-1%/top-10% concentration, and
+    the coefficient of variation.
+
+    Scale design: the key-count table comes from one hash aggregate
+    (map-side combine); the percentile assignment uses
+    ``ranked_ntile`` — the range-partitioned exact ntile from
+    operators/ranked.py — NOT ``ntile() OVER (ORDER BY ...)``, whose
+    single-task global sort is itself the scale bug this report hunts
+    (the oracle states the window form; ranked_ntile is bit-identical
+    by its pinned contract).  Everything after is one conditional
+    aggregate to a single row."""
+    from setup_harvest_action_spark.operators.ranked import ranked_ntile
+
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tiled = ranked_ntile(
+        counts, SKEW_TILES, "cnt", ["user_id"], descending=True, out="pct"
+    )
+    return tiled.agg(
+        F.sum("cnt").alias("n_events"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("max_share"),
+        F.round(
+            F.sum(F.when(F.col("pct") <= 1, F.col("cnt")).otherwise(0))
+            / F.sum("cnt"),
+            6,
+        ).alias("top1pct_share"),
+        F.round(
+            F.sum(F.when(F.col("pct") <= 10, F.col("cnt")).otherwise(0))
+            / F.sum("cnt"),
+            6,
+        ).alias("top10pct_share"),
+        F.round(F.stddev_pop("cnt") / F.avg("cnt"), 6).alias(
+            "coeff_variation"
+        ),
+    )
