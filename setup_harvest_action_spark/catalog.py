@@ -58,6 +58,7 @@ _OPERATOR_MODULES = (
     "setup_harvest_action_spark.operators.scd",
     "setup_harvest_action_spark.operators.tpch_shapes",
     "setup_harvest_action_spark.operators.tpch_shapes2",
+    "setup_harvest_action_spark.plans.pipeline",
     "setup_harvest_action_spark.sources.manifest_refs",
     "setup_harvest_action_spark.sources.sparql_datasource",
     "setup_harvest_action_spark.streaming.events",

@@ -801,11 +801,26 @@ def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle restates the identical join over the raw fixture views
     — bucketing must be pure layout, never semantics."""
+    import shutil
+
     label = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
     db = "shas_buckets"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     lt = f"{db}.lineitem_{label}"
     ot = f"{db}.orders_{label}"
+    # a managed table written by a PREVIOUS session leaves its
+    # warehouse directory behind while the new session's in-memory
+    # catalog has never heard of it — saveAsTable then refuses with
+    # LOCATION_ALREADY_EXISTS; drop both the entry and the directory
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for t in (lt, ot):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(
+            os.path.join(warehouse, f"{db}.db", t.split(".")[1]),
+            ignore_errors=True,
+        )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )

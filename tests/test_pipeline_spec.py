@@ -1,0 +1,108 @@
+"""Declarative pipeline compiler: validation errors, lazy
+composition (optimizer sees through spec boundaries), op coverage."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from setup_harvest_action_spark.plans.pipeline import (
+    DEMO_SPEC,
+    run_pipeline,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_cycle_is_rejected_before_any_job(spark):
+    spec = {
+        "datasets": {
+            "a": {"op": "filter", "input": "b", "where": "1 = 1"},
+            "b": {"op": "distinct", "input": "a"},
+        },
+        "output": "a",
+    }
+    with pytest.raises(ValueError, match="cycle"):
+        run_pipeline(spark, spec)
+
+
+def test_missing_dataset_and_unknown_op_are_loud(spark):
+    with pytest.raises(ValueError, match="not defined"):
+        run_pipeline(
+            spark,
+            {"datasets": {"a": {"op": "distinct", "input": "ghost"}},
+             "output": "a"},
+        )
+    with pytest.raises(ValueError, match="unknown op"):
+        run_pipeline(
+            spark,
+            {"datasets": {"a": {"op": "teleport"}}, "output": "a"},
+        )
+
+
+def test_filter_pushdown_survives_the_spec_boundary(spark, sf_dir):
+    """The whole point of lazy compilation: a filter declared as its
+    own dataset must still reach the parquet scan of the upstream
+    table dataset as a pushed filter."""
+    plan = _plan(run_pipeline(spark, DEMO_SPEC, sf_dir))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(n_chars,120)" in plan
+    # diamond: the tree shows exactly the two branch scans of the one
+    # documents table (exchange reuse merges them at runtime via AQE)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2
+
+
+def test_spec_matches_handwritten_dataframe(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.io.loaders import load_table
+
+    got = sorted(
+        tuple(r)
+        for r in run_pipeline(spark, DEMO_SPEC, sf_dir).collect()
+    )
+    docs = load_table(spark, sf_dir, "documents").filter("n_chars >= 120")
+    toks = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    by_source = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(toks), 4).alias("avg_tokens"),
+    )
+    by_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_docs"))
+    want = sorted(
+        tuple(r)
+        for r in by_source.join(by_lang, "lang")
+        .select(
+            "lang", "source", "n_docs", "avg_tokens",
+            F.round(F.col("n_docs") / F.col("lang_docs"), 6).alias(
+                "source_share"
+            ),
+        )
+        .collect()
+    )
+    assert got == want
+
+
+def test_union_distinct_order_limit_ops(spark, sf_dir):
+    spec = {
+        "datasets": {
+            "n": {"op": "table", "name": "nation"},
+            "a": {"op": "select", "input": "n",
+                  "columns": {"k": "n_nationkey", "r": "n_regionkey"}},
+            "b": {"op": "filter", "input": "a", "where": "r = 0"},
+            "u": {"op": "union", "inputs": ["a", "b"]},
+            "d": {"op": "distinct", "input": "u"},
+            "top": {"op": "order_limit", "input": "d",
+                    "order_by": ["k desc"], "limit": 3},
+        },
+        "output": "top",
+    }
+    rows = run_pipeline(spark, spec, sf_dir).collect()
+    assert [r.k for r in rows] == [24, 23, 22]
