@@ -111,7 +111,38 @@ def _build_parser() -> argparse.ArgumentParser:
                         "protection)")
     m.add_argument("--refs", action="store_true",
                    help="list named refs with their versions")
+    pl = sub.add_parser(
+        "pipeline",
+        help="compile and run a declarative pipeline spec "
+             "(plans/pipeline.py)",
+    )
+    pl.add_argument("spec", help="JSON spec file: {datasets: {...}, output}")
+    pl.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                    help="fixture directory for 'table' datasets")
+    pl.add_argument("--rows", type=int, default=20,
+                    help="rows to show (default 20)")
+    pl.add_argument("--write", metavar="PARQUET",
+                    help="write the output dataset to a parquet path "
+                         "instead of showing rows")
     return p
+
+
+def _run_pipeline(args) -> int:
+    import json
+
+    from setup_harvest_action_spark.plans.pipeline import run_pipeline
+    from setup_harvest_action_spark.session import get_spark
+
+    with open(args.spec, encoding="utf-8") as fh:
+        spec = json.load(fh)
+    df = run_pipeline(get_spark("cli-pipeline"), spec, args.sf_dir)
+    if args.write:
+        df.write.mode("overwrite").parquet(args.write)
+        print(f"wrote {args.write}")
+        return 0
+    for row in df.limit(args.rows).collect():
+        print(tuple(row))
+    return 0
 
 
 def _run_manifest(args) -> int:
@@ -375,6 +406,8 @@ def main(argv: list[str] | None = None) -> int:
             return _run_catalog(args)
         if args.command == "manifest":
             return _run_manifest(args)
+        if args.command == "pipeline":
+            return _run_pipeline(args)
         return _run_harvest(args)
     except ValueError as e:
         print(f"Invalid input: {e}")

@@ -106,3 +106,26 @@ def test_union_distinct_order_limit_ops(spark, sf_dir):
     }
     rows = run_pipeline(spark, spec, sf_dir).collect()
     assert [r.k for r in rows] == [24, 23, 22]
+
+
+def test_pipeline_cli_runs_spec_file(spark, tmp_path, capsys):
+    import json
+
+    from setup_harvest_action_spark.cli import main
+
+    spec = {
+        "datasets": {
+            "n": {"op": "table", "name": "region"},
+            "c": {"op": "aggregate", "input": "n",
+                  "aggs": {"n_regions": "count(*)"}},
+        },
+        "output": "c",
+    }
+    f = tmp_path / "spec.json"
+    f.write_text(json.dumps(spec))
+    assert main(["pipeline", str(f)]) == 0
+    assert "(5,)" in capsys.readouterr().out
+    # a broken spec exits through the Invalid-input taxonomy
+    f.write_text(json.dumps({"datasets": {}, "output": "ghost"}))
+    assert main(["pipeline", str(f)]) == 1
+    assert "Invalid input" in capsys.readouterr().out
