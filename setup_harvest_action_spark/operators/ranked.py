@@ -56,39 +56,26 @@ RANGE_BUCKETS = 32  # matches spark.sql.shuffle.partitions on the test box
 # caller's DataFrame; a caller already using one of these would hit
 # ambiguous-column resolution or silently wrong bucketing, so
 # ranked_ntile refuses such inputs up front.
-_TEMP_COLS = frozenset({"__rk", "__p", "__lo", "__hi", "__off", "__n", "__c"})
+_TEMP_COLS = frozenset(
+    {"__rk", "__p", "__lo", "__hi", "__off", "__n", "__c", "__rank"}
+)
 
 
-def ranked_ntile(
+def _global_rank(
     df: DataFrame,
-    n_tiles: int,
     value: str,
     tiebreakers: Sequence[str],
     *,
-    descending: bool = False,
-    buckets: int = RANGE_BUCKETS,
-    out: str = "ntile",
+    descending: bool,
+    buckets: int,
 ) -> DataFrame:
-    """``ntile(n_tiles) OVER (ORDER BY value [DESC], *tiebreakers)``
-    without the single-task global sort.
-
-    ``value`` must be a non-null numeric column (the range key);
-    ``tiebreakers`` order ascending within equal values, exactly like
-    the trailing ORDER BY columns of the window form, and must make
-    the total order unique for deterministic assignment.  Returns
-    ``df`` plus a bigint ``out`` column.
-
-    The non-null precondition is ENFORCED, not just documented: a null
-    rank key would get a null ``__p``, fail the inner ``__p``
-    equi-join, and silently drop the row — where ``ntile() OVER``
-    keeps nulls first.  ``assert_true`` in the ``__rk`` projection
-    turns that silent loss into a loud job failure (no extra scan —
-    it rides the same stage).
-    """
+    """Shared guts of :func:`ranked_ntile` / :func:`ranked_row_number`:
+    ``df`` plus the exact global rank as ``__rank`` and the grand row
+    count as ``__c`` (both bigint, caller drops them)."""
     taken = set(df.columns) & _TEMP_COLS
     if taken:
         raise ValueError(
-            f"ranked_ntile: input columns {sorted(taken)} collide with "
+            f"ranked rank/ntile: input columns {sorted(taken)} collide with "
             f"internal temp names {sorted(_TEMP_COLS)}; rename them first"
         )
     rkey = (-F.col(value)) if descending else F.col(value)
@@ -146,10 +133,47 @@ def ranked_ntile(
     w_in = Window.partitionBy("__p").orderBy(*order)
     rank = F.row_number().over(w_in).cast("long") + F.col("__off")
 
+    return (
+        bucketed.join(F.broadcast(offsets), "__p")
+        .withColumn("__rank", rank)
+        .drop("__rk", "__p", "__off")
+    )
+
+
+def ranked_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    value: str,
+    tiebreakers: Sequence[str],
+    *,
+    descending: bool = False,
+    buckets: int = RANGE_BUCKETS,
+    out: str = "ntile",
+) -> DataFrame:
+    """``ntile(n_tiles) OVER (ORDER BY value [DESC], *tiebreakers)``
+    without the single-task global sort.
+
+    ``value`` must be a non-null numeric column (the range key);
+    ``tiebreakers`` order ascending within equal values, exactly like
+    the trailing ORDER BY columns of the window form, and must make
+    the total order unique for deterministic assignment.  Returns
+    ``df`` plus a bigint ``out`` column.
+
+    The non-null precondition is ENFORCED, not just documented: a null
+    rank key would get a null ``__p``, fail the inner ``__p``
+    equi-join, and silently drop the row — where ``ntile() OVER``
+    keeps nulls first.  ``assert_true`` in the ``__rk`` projection
+    turns that silent loss into a loud job failure (no extra scan —
+    it rides the same stage).
+    """
+    ranked = _global_rank(
+        df, value, tiebreakers, descending=descending, buckets=buckets
+    )
     # Exact SQL ntile sizing: q = c div n, rem = c mod n; the first
     # rem tiles take q+1 rows.  greatest(q,1) only de-poisons the
     # dead branch under ANSI when q == 0 (fewer rows than tiles, where
     # the `when` arm always wins).
+    rank = F.col("__rank")
     c = F.col("__c")
     q = F.floor(c / F.lit(n_tiles)).cast("long")
     rem = c % F.lit(n_tiles)
@@ -157,9 +181,30 @@ def ranked_ntile(
     tile = F.when(rank <= big, F.ceil(rank / (q + F.lit(1)))).otherwise(
         rem + F.ceil((rank - big) / F.greatest(q, F.lit(1)))
     )
+    return ranked.withColumn(out, tile.cast("long")).drop("__rank", "__c")
 
-    return (
-        bucketed.join(F.broadcast(offsets), "__p")
-        .withColumn(out, tile.cast("long"))
-        .drop("__rk", "__p", "__off", "__c")
-    )
+
+def ranked_row_number(
+    df: DataFrame,
+    value: str,
+    tiebreakers: Sequence[str],
+    *,
+    descending: bool = False,
+    buckets: int = RANGE_BUCKETS,
+    out: str = "rank",
+    total: str | None = None,
+) -> DataFrame:
+    """``row_number() OVER (ORDER BY value [DESC], *tiebreakers)``
+    without the single-task global sort — the same three-step
+    range-bucket machinery as :func:`ranked_ntile` (bit-identical
+    window contract), stopping at the exact global rank instead of
+    the tile arithmetic.  With ``total``, the grand row count rides
+    along as an extra column — it falls out of the offsets table for
+    free, so callers doing modular rank arithmetic (negative-pair
+    sampling) skip a separate count job."""
+    ranked = _global_rank(
+        df, value, tiebreakers, descending=descending, buckets=buckets
+    ).withColumnRenamed("__rank", out)
+    if total is not None:
+        return ranked.withColumnRenamed("__c", total)
+    return ranked.drop("__c")
