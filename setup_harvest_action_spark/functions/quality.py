@@ -937,3 +937,61 @@ def expectation_report(li: DataFrame, orders: DataFrame) -> DataFrame:
         ),
     )
     return row.select(F.explode(checks).alias("c")).select("c.*")
+
+
+MAD_CONSISTENCY = 1.4826  # MAD -> sigma under normality (public constant)
+MAD_Z_CUTOFF = 3.0
+
+
+@query(
+    "q_quality_robust_zscore",
+    oracle=f"""
+WITH med AS (
+    SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+    FROM documents
+),
+mad AS (
+    SELECT quantile_cont(abs(CAST(n_chars AS DOUBLE) - med.med), 0.5) AS mad
+    FROM documents, med
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(round((n_chars - med.med) / ({MAD_CONSISTENCY} * mad.mad), 6)
+            AS DOUBLE) AS robust_z,
+       abs(n_chars - med.med) / ({MAD_CONSISTENCY} * mad.mad)
+           > {MAD_Z_CUTOFF} AS is_outlier
+FROM documents, med, mad
+""",
+)
+def q_quality_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST (median/MAD) outlier scoring of document lengths — the
+    quality gate that, unlike the mean/stddev z-score, a handful of
+    pathological documents cannot drag: median and MAD have a 50%
+    breakdown point, so the fence stays put no matter how extreme the
+    outliers are (the winsorize/percentile gates are the clamp
+    variants; this is the flag variant).
+
+    Scale shape: two exact medians (Spark ``median`` = exact
+    interpolated percentile, the same contract as DuckDB's) attach as
+    broadcast one-row aggregates — the repo's scalar-attach pattern —
+    and the scoring pass is map-only.  The outlier FLAG compares the
+    unrounded score on both engines (threshold rule, ADVICE r02);
+    only the reported score is rounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.agg(F.median(F.col("n_chars") * 1.0).alias("med"))
+    with_med = docs.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.median(F.abs(F.col("n_chars") - F.col("med"))).alias("mad")
+    )
+    scored = with_med.crossJoin(F.broadcast(mad))
+    sigma = F.lit(MAD_CONSISTENCY) * F.col("mad")
+    return scored.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round((F.col("n_chars") - F.col("med")) / sigma, 6).alias(
+            "robust_z"
+        ),
+        (F.abs(F.col("n_chars") - F.col("med")) / sigma > MAD_Z_CUTOFF).alias(
+            "is_outlier"
+        ),
+    )

@@ -873,3 +873,82 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", F.round("keep_rate", 6).alias("keep_rate")
         )
     )
+
+
+NEG_SHIFTS = (7, 131)  # deterministic ring offsets, one per negative
+
+
+@query(
+    "q_sample_negative_pairs",
+    oracle=f"""
+WITH keyed AS (
+    SELECT doc_id,
+           CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) AS k
+    FROM documents
+),
+r AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS rnk,
+           CAST(count(*) OVER () AS BIGINT) AS n
+    FROM keyed
+),
+shifts AS (
+    SELECT * FROM (VALUES (1, {NEG_SHIFTS[0]}), (2, {NEG_SHIFTS[1]}))
+        s(pair_idx, shift)
+)
+SELECT a.doc_id,
+       CAST(s.pair_idx AS INTEGER) AS pair_idx,
+       b.doc_id AS neg_doc_id
+FROM r a
+JOIN shifts s ON TRUE
+JOIN r b ON b.rnk = ((a.rnk - 1 + s.shift) % a.n) + 1
+""",
+)
+def q_sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC NEGATIVE SAMPLING for contrastive training pairs:
+    every document gets len(NEG_SHIFTS) pseudo-random negatives with
+    uniform coverage (each document appears as a negative exactly
+    len(NEG_SHIFTS) times — a permutation ring, not a lottery).
+
+    Construction: md5(doc_id) defines a random permutation; the exact
+    global position in that permutation comes from
+    ``ranked_row_number`` (operators/ranked.py — range-partitioned,
+    NO single-task window); negative j of a document is the document
+    ``NEG_SHIFTS[j]`` positions further around the ring (mod N, so the
+    ring closes).  Everything downstream is rank-keyed equi-joins —
+    at 100 TB this is two bounded shuffles for the rank plus one
+    shuffle join per negative, and the output is reproducible
+    run-to-run, which batch-building for contrastive losses needs
+    (the oracle restates the ring with the window form).  The grand
+    count N rides out of the rank's own offsets table — no separate
+    count job."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    from setup_harvest_action_spark.operators.ranked import (
+        ranked_row_number,
+    )
+
+    keyed = docs.select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    r = ranked_row_number(
+        keyed, "k", ["doc_id"], out="rnk", total="n"
+    ).select("doc_id", "rnk", "n")
+    shifts = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(NEG_SHIFTS)],
+        "pair_idx int, shift int",
+    )
+    a = r.crossJoin(F.broadcast(shifts)).select(
+        "doc_id",
+        "pair_idx",
+        (((F.col("rnk") - 1 + F.col("shift")) % F.col("n")) + 1).alias(
+            "neg_rnk"
+        ),
+    )
+    b = r.select(F.col("rnk").alias("neg_rnk"), F.col("doc_id").alias("neg_doc_id"))
+    return a.join(b, "neg_rnk").select("doc_id", "pair_idx", "neg_doc_id")
