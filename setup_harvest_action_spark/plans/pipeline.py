@@ -48,6 +48,7 @@ from setup_harvest_action_spark.io.loaders import load_table
 PIPELINE_OPS = (
     "table",
     "parquet",
+    "query",
     "filter",
     "select",
     "derive",
@@ -77,6 +78,20 @@ def _compile(name: str, node: dict, resolved: dict[str, DataFrame],
         return load_table(spark, sf_dir, node["name"])
     if op == "parquet":
         return spark.read.parquet(node["path"])
+    if op == "query":
+        # compose over the whole operator catalog: any registered
+        # q_* query becomes a pipeline dataset (still lazy — catalog
+        # queries return undisturbed DataFrames)
+        from setup_harvest_action_spark.catalog import load_catalog
+
+        queries, _ = load_catalog()
+        if node["name"] not in queries:
+            raise ValueError(
+                f"dataset {name!r}: no catalog query {node['name']!r}"
+            )
+        if sf_dir is None:
+            raise ValueError(f"dataset {name!r}: 'query' needs sf_dir")
+        return queries[node["name"]](spark, sf_dir)
     if op == "filter":
         return ins[0].filter(F.expr(node["where"]))
     if op == "select":

@@ -129,3 +129,28 @@ def test_pipeline_cli_runs_spec_file(spark, tmp_path, capsys):
     f.write_text(json.dumps({"datasets": {}, "output": "ghost"}))
     assert main(["pipeline", str(f)]) == 1
     assert "Invalid input" in capsys.readouterr().out
+
+
+def test_query_op_composes_over_the_catalog(spark, sf_dir):
+    """Any registered catalog query is a valid pipeline dataset — the
+    spec layer composes over the whole operator surface, not just raw
+    tables."""
+    spec = {
+        "datasets": {
+            "quality": {"op": "query", "name": "q_text_quality"},
+            "gated": {"op": "filter", "input": "quality",
+                      "where": "passes_length_gate"},
+            "summary": {"op": "aggregate", "input": "gated",
+                        "aggs": {"n_pass": "count(*)"}},
+        },
+        "output": "summary",
+    }
+    n_pass = run_pipeline(spark, spec, sf_dir).collect()[0].n_pass
+    assert n_pass > 0
+    with pytest.raises(ValueError, match="no catalog query"):
+        run_pipeline(
+            spark,
+            {"datasets": {"x": {"op": "query", "name": "q_ghost"}},
+             "output": "x"},
+            sf_dir,
+        )
