@@ -814,7 +814,7 @@ enc{m} AS (
         "WITH " + ",".join(parts) + f"""
 SELECT vec_id, codes, adc_dist, exact_dist FROM (
   SELECT v.vec_id AS vec_id,
-         [{codes}] AS codes,
+         array_to_string([{codes}], '-') AS codes,
          CAST(round(sqrt({adc_terms}), 6) AS DOUBLE) AS adc_dist,
          CAST(round(list_distance(v.e, probe.q), 6) AS DOUBLE) AS exact_dist
   FROM v JOIN enc0 ON enc0.vec_id = v.vec_id {joins}
@@ -922,7 +922,9 @@ def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         df.select(
             "vec_id",
-            F.array(*[b["cluster"] for b in best]).alias("codes"),
+            F.array_join(
+                F.array(*[b["cluster"] for b in best]), "-"
+            ).alias("codes"),
             F.round(F.sqrt(adc2), 6).alias("adc_dist"),
             F.round(_l2(F.col("e"), F.col("q")), 6).alias("exact_dist"),
         )

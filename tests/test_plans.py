@@ -691,7 +691,9 @@ def test_no_unbounded_driver_collect_in_package(spark):
     BUCKET ID list (bounded by n_buckets, a config constant — the
     moral equivalent of a partition listing), and cli.py's changes
     report collects one count per (commit version, change type) —
-    versions × 3 rows, never row data.  Nowhere else."""
+    versions × 3 rows, never row data — and its pipeline verb shows
+    the user at most --rows rows through an explicit limit().
+    Nowhere else."""
     import pathlib
 
     pkg = pathlib.Path("setup_harvest_action_spark")
@@ -707,7 +709,7 @@ def test_no_unbounded_driver_collect_in_package(spark):
         for o in offenders
         if "harvest/bucketed.py" in o or "cli.py" in o
     }
-    assert set(offenders) == allowed and len(allowed) == 3, offenders
+    assert set(offenders) == allowed and len(allowed) == 4, offenders
 
 
 def test_q5_shape_broadcasts_dim_chain(spark, queries):
