@@ -1849,3 +1849,107 @@ def q_multimodal_gif_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int, mean_r double, mean_g double, "
         "mean_b double, thumb_md5 string",
     )
+
+
+# --- Perceptual-hash near-duplicate detection -------------------------------
+
+PHASH_BASES = 40  # distinct base images among PHASH_DOCS payloads
+PHASH_DOCS = 200
+PHASH_SIDE = 32  # perceptual downsample side before the DCT
+
+
+def phash64(img) -> str:
+    """64-bit perceptual hash (classic pHash construction, public):
+    grayscale → nearest-neighbor downsample to PHASH_SIDE² → 2-D
+    DCT-II → sign of the top-left 8×8 low-frequency block against the
+    median of its AC coefficients.  Pure numpy; returns 16 hex chars.
+    Robust to perturbations the perceptual downsample ignores and to
+    small noise — exactly what byte-level (md5) dedup is blind to."""
+    import numpy as np
+
+    gray = img.astype(np.float64).mean(axis=2)
+    small = resize_nearest(gray[..., None], PHASH_SIDE, PHASH_SIDE)[..., 0]
+    n = PHASH_SIDE
+    k = np.arange(n)
+    basis = np.sqrt(2.0 / n) * np.cos(
+        np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n)
+    )
+    basis[0] = np.sqrt(1.0 / n)
+    dct = basis @ small @ basis.T
+    block = dct[:8, :8].flatten()
+    med = float(np.median(block[1:]))
+    v = 0
+    for c in block:
+        v = (v << 1) | int(c > med)
+    return f"{v & (2**64 - 1):016x}"
+
+
+def perturb_unsampled(img, doc_id: int):
+    """Flip one whole byte in a pixel COLUMN the PHASH_SIDE downsample
+    never samples (48→32 nearest-neighbor skips every third column):
+    the payload changes completely for md5 but not at all for the
+    perceptual path — the by-construction near-duplicate."""
+    import numpy as np
+
+    h, w, _ = img.shape
+    sampled = set(((np.arange(PHASH_SIDE) * w) // PHASH_SIDE).tolist())
+    skipped = [x for x in range(w) if x not in sampled]
+    out = img.copy()
+    out[
+        (doc_id * 7) % h, skipped[doc_id % len(skipped)], doc_id % 3
+    ] ^= 0xFF
+    return out
+
+
+@query("q_multimodal_phash_dedup")
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE NEAR-DUPLICATE detection by perceptual hash — the
+    multimodal counterpart of the text MinHash family: synthesize
+    PHASH_DOCS payloads covering PHASH_BASES distinct base images
+    (each variant's bytes perturbed so every payload is md5-UNIQUE),
+    decode, pHash, and cluster by the 64-bit perceptual fingerprint.
+
+    The output states the contrast this operator exists for: every
+    cluster has n_exact_variants == n_docs (byte dedup finds nothing)
+    while the pHash groups all variants of a base (n_docs per
+    cluster).  Everything heavy runs executor-side through Arrow
+    batches (mapInPandas); the cluster step is one hash aggregate on
+    the 8-byte fingerprint — at 100 TB of images this is exactly the
+    decode→fingerprint→groupBy shape, with a hamming-banded LSH join
+    (the SimHash machinery, functions/dedup.py) as the documented
+    escape when near-dups must also survive RE-ENCODING rather than
+    in-place edits.  No oracle (binary decode is outside DuckDB);
+    exact cluster structure is golden-pinned in tests/test_llm_functions.py."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < PHASH_DOCS
+    ).select("doc_id")
+
+    def hash_images(batches: Iterator):
+        for pdf in batches:
+            ids, md5s, phashes = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                img = decode_ppm(synthesize_ppm(d % PHASH_BASES))
+                img = perturb_unsampled(img, d)
+                payload = encode_ppm(img.shape[1], img.shape[0], img)
+                ids.append(d)
+                md5s.append(hashlib.md5(payload).hexdigest())
+                phashes.append(phash64(decode_ppm(payload)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload_md5": md5s, "phash": phashes}
+            )
+
+    hashed = docs.mapInPandas(
+        hash_images, "doc_id long, payload_md5 string, phash string"
+    )
+    return hashed.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("payload_md5").cast("long").alias(
+            "n_exact_variants"
+        ),
+        F.min("doc_id").alias("min_doc"),
+    )

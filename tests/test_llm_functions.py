@@ -912,3 +912,32 @@ def test_pq_adc_recall_floor_vs_exact(spark):
     }
     overlap = len(adc_ids & exact_ids)
     assert overlap >= 8, (overlap, sorted(adc_ids), sorted(exact_ids))
+
+
+def test_phash_dedup_finds_what_md5_cannot(spark, sf_dir):
+    """Perceptual-hash clustering: every payload is byte-unique (md5
+    dedup finds nothing) yet the pHash groups all variants of each
+    base image — the whole point of the operator.  Plus the hash
+    invariance/separation properties directly."""
+    from setup_harvest_action_spark.catalog import load_catalog
+    from setup_harvest_action_spark.functions.multimodal import (
+        PHASH_BASES,
+        PHASH_DOCS,
+        decode_ppm,
+        perturb_unsampled,
+        phash64,
+        synthesize_ppm,
+    )
+
+    queries, _ = load_catalog()
+    rows = queries["q_multimodal_phash_dedup"](spark, sf_dir).collect()
+    assert len(rows) == PHASH_BASES
+    assert all(r.n_docs == PHASH_DOCS // PHASH_BASES for r in rows)
+    # byte-level dedup would have found ZERO duplicates
+    assert all(r.n_exact_variants == r.n_docs for r in rows)
+    assert sorted(r.min_doc for r in rows) == list(range(PHASH_BASES))
+
+    # direct properties: perturbation-invariant, base-separating
+    base = decode_ppm(synthesize_ppm(3))
+    assert phash64(perturb_unsampled(base, 123)) == phash64(base)
+    assert phash64(decode_ppm(synthesize_ppm(4))) != phash64(base)
