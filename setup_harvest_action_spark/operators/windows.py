@@ -533,3 +533,59 @@ def q_window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pct_change"),
     )
+
+
+ROLL_CORR_FRAME = 10  # trailing rows per supplier
+
+
+@query(
+    "q_window_rolling_corr",
+    oracle=f"""
+SELECT l_suppkey,
+       l_orderkey,
+       l_linenumber,
+       CAST(round(corr(l_quantity, l_extendedprice) OVER w, 4) AS DOUBLE)
+           AS roll_corr
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN {ROLL_CORR_FRAME - 1} PRECEDING AND CURRENT ROW)
+""",
+)
+def q_window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING CORRELATION between quantity and price over each
+    supplier's last ROLL_CORR_FRAME shipments — the co-movement
+    monitor (features drifting apart inside a window is a standard
+    pipeline health/feature-engineering signal).
+
+    One window pass partitioned by supplier (shuffle keyed on
+    l_suppkey, per-partition sorted frames — no global sort, no
+    single-task window).  Pearson's r over a bounded frame is an
+    O(1)-state online aggregate in both engines; the deterministic
+    frame order (shipdate, orderkey, linenumber) makes the float
+    accumulation order identical, and 4-decimal rounding absorbs the
+    engines' last-ulp formula differences.  Spark's native ``corr``
+    raises DIVIDE_BY_ZERO under ANSI on a one-row frame, so r is
+    spelled from five windowed sums with an explicit positive-
+    denominator guard — NULL on degenerate frames exactly like
+    DuckDB's corr (n = 1 or zero variance)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-(ROLL_CORR_FRAME - 1), 0)
+    )
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx, sy = F.sum(x).over(w), F.sum(y).over(w)
+    sxx, syy = F.sum(x * x).over(w), F.sum(y * y).over(w)
+    sxy = F.sum(x * y).over(w)
+    num = n * sxy - sx * sy
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    c = F.when(den2 > 0, num / F.sqrt(den2))
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(c, 4).alias("roll_corr"),
+    )
