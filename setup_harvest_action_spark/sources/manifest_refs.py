@@ -235,6 +235,7 @@ def append_to_branch(
         m["parent"] = head
         m["branch"] = branch
         m["version"] = _max_version_on_disk(path) + 1
+        m["committed_at"] = time.time()
         snap = os.path.join(path, SNAPSHOT_FMT.format(m["version"]))
         tmp = snap + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
@@ -243,6 +244,30 @@ def append_to_branch(
         refs["branches"][branch] = m["version"]
         _save_refs(path, refs)
     return m
+
+
+def stream_append_to_branch(df, path: str, branch: str, checkpoint: str):
+    """STREAMING write-audit-publish: every micro-batch commits to
+    ``branch`` (never to main), so a continuous ingest can run all day
+    against the staging ref while production readers scan main
+    untouched; the nightly audit then publishes one ``fast_forward``.
+
+    ``foreachBatch`` + the CAS-advancing ``append_to_branch`` — the
+    same composition as ``stream_merge_into``, with the same contract:
+    replay idempotence comes from the checkpoint (a replayed batch
+    after a crash BEFORE the ref advance re-commits cleanly, because
+    the crashed attempt left only an unprotected orphan).  Returns the
+    started StreamingQuery."""
+
+    def _apply(batch_df, batch_id: int) -> None:
+        append_to_branch(batch_df, path, branch)
+
+    return (
+        df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def fast_forward(path: str, branch: str) -> dict:

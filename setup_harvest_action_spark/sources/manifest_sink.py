@@ -158,6 +158,12 @@ def _write_versioned(
         while v in protected:
             v += 1
         manifest["version"] = v
+        # wall-clock commit stamp: powers time-travel-by-timestamp
+        # (version_at_timestamp) exactly as Delta's commit timestamps
+        # do; never part of any value-hashed result
+        import time as _now
+
+        manifest["committed_at"] = _now.time()
         snap = os.path.join(path, SNAPSHOT_FMT.format(manifest["version"]))
         tmp = snap + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
@@ -1328,6 +1334,61 @@ def compact(spark, path: str, n_parts: int) -> dict:
             json.dump(after, fh, indent=1, sort_keys=True)
         os.replace(tmp, snap)
     return after
+
+
+def version_at_timestamp(path: str, ts: float) -> int:
+    """The MAIN-lineage version that was current at wall-clock ``ts``
+    (Delta's timestamp time travel): the newest committed-at-or-before
+    snapshot.  Branch snapshots (they carry a ``branch`` marker) are
+    not main history and never match; vacuumed snapshots are skipped —
+    asking for a time older than retention raises, same as asking for
+    a vacuumed version number."""
+    latest = read_manifest(path)
+    best = None
+    for v in range(1, latest.get("version", 0) + 1):
+        try:
+            snap = read_manifest(path, v)
+        except FileNotFoundError:
+            continue
+        if snap.get("branch") is not None:
+            continue
+        at = snap.get("committed_at")
+        if at is not None and at <= ts and (best is None or v > best):
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no retained commit at or before timestamp {ts} at {path}"
+        )
+    return best
+
+
+def auto_compact(
+    spark, path: str, small_bytes: int, n_parts: int = 1
+) -> dict:
+    """Size-targeted compaction (the OPTIMIZE half of maintenance):
+    rewrite ONLY the files smaller than ``small_bytes`` into
+    ``n_parts`` fresh files as one versioned commit under the
+    CommitConflict CAS; files already at target size are carried over
+    BYTE-IDENTICAL (never opened, never rewritten) — at 100 TB that
+    is the whole point, since full ``compact()`` re-reads the table
+    while the small-file problem lives in the most recent appends.
+    No-op (current manifest returned) when fewer than two small files
+    exist.  Stats/blooms for the rewritten parts rebuild through the
+    same ``_stage_parts`` plumbing as every other rewrite."""
+    before = read_manifest(path)
+    small = [e for e in before["files"] if e["bytes"] < small_bytes]
+    if len(small) < 2:
+        return before
+    keep = [e for e in before["files"] if e["bytes"] >= small_bytes]
+    df = _read_entries(spark, path, before, small).repartition(n_parts)
+    entries = _stage_parts(
+        df, path, bloom_columns=before.get("bloom_columns") or ()
+    )
+    after = dict(before)
+    after["files"] = sorted(keep + entries, key=lambda e: e["file"])
+    after["total_rows"] = sum(e["rows"] for e in after["files"])
+    _write_versioned(path, after, expected_version=before["version"])
+    return read_manifest(path)
 
 
 def vacuum_manifest(path: str, keep_last: int = 1) -> list[str]:

@@ -228,3 +228,69 @@ def test_wap_catalog_query_registered(sink, sf_dir):
     assert "q_source_manifest_wap" in oracles
     n = queries["q_source_manifest_wap"](sink, sf_dir).count()
     assert n == 150  # sf0.001 customer rowcount
+
+
+def test_stream_append_to_branch_is_invisible_until_publish(
+    sink, tmp_path
+):
+    """Streaming WAP: micro-batches land on the branch only; main is
+    untouched until fast-forward."""
+    import pyspark.sql.functions as F
+
+    p = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    _write(_df(sink, 0, 5), p, "overwrite")
+    refs.create_branch(p, "stg")
+    sink.range(5, 20).selectExpr("id", "id * 10 AS val").write.parquet(src)
+    stream = sink.readStream.schema("id long, val long").parquet(src)
+    q = refs.stream_append_to_branch(
+        stream, p, "stg", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert scan_manifest(sink, p).count() == 5  # main untouched
+    assert refs.scan_ref(sink, p, "stg").count() == 20
+    refs.fast_forward(p, "stg")
+    assert scan_manifest(sink, p).count() == 20
+
+
+def test_timestamp_time_travel_and_auto_compact(sink, tmp_path):
+    import time
+
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        auto_compact,
+        read_manifest,
+        version_at_timestamp,
+    )
+
+    p = str(tmp_path / "t")
+    _write(_df(sink, 0, 5).coalesce(1), p, "overwrite")  # v1: 1 file
+    t_after_v1 = time.time()
+    time.sleep(0.05)
+    _write(_df(sink, 5, 8).coalesce(1), p)  # v2: 1 file
+    _write(_df(sink, 8, 9).coalesce(1), p)  # v3: 1 file
+    assert version_at_timestamp(p, t_after_v1) == 1
+    assert version_at_timestamp(p, time.time()) == 3
+    with pytest.raises(ValueError, match="no retained commit"):
+        version_at_timestamp(p, t_after_v1 - 3600)
+    v = version_at_timestamp(p, t_after_v1)
+    assert scan_manifest(sink, p, version=v).count() == 5
+
+    # auto-compact: only sub-threshold files rewrite; the big file's
+    # bytes stay untouched on disk
+    import os
+
+    before = read_manifest(p)
+    assert len(before["files"]) == 3
+    big = max(before["files"], key=lambda e: e["bytes"])
+    # threshold placed just above the two smaller files
+    others = sorted(e["bytes"] for e in before["files"])[:-1]
+    assert all(b < big["bytes"] for b in others)
+    after = auto_compact(sink, p, small_bytes=big["bytes"], n_parts=1)
+    assert scan_manifest(sink, p).count() == 9
+    names = {e["file"] for e in after["files"]}
+    assert big["file"] in names  # carried over, not rewritten
+    assert len(after["files"]) == 2  # big + one fresh part
+    assert os.path.getsize(os.path.join(p, big["file"])) == big["bytes"]
+    # idempotent: nothing small left, second call is a no-op
+    again = auto_compact(sink, p, small_bytes=big["bytes"])
+    assert again["version"] == after["version"]
