@@ -941,3 +941,49 @@ def test_phash_dedup_finds_what_md5_cannot(spark, sf_dir):
     base = decode_ppm(synthesize_ppm(3))
     assert phash64(perturb_unsampled(base, 123)) == phash64(base)
     assert phash64(decode_ppm(synthesize_ppm(4))) != phash64(base)
+
+
+def test_avi_mjpeg_container_roundtrip_and_video_pipeline(spark, sf_dir):
+    """The AVI writer/parser must round-trip frames byte-identically,
+    enforce the declared-vs-carried frame-count invariant, and the
+    pipeline query must decode real pixels through the container."""
+    import numpy as np
+    import pytest as _pytest
+
+    from setup_harvest_action_spark.catalog import load_catalog
+    from setup_harvest_action_spark.functions.multimodal import (
+        IMG_H,
+        IMG_W,
+        VIDEO_DOCS,
+        VIDEO_FRAMES,
+        VIDEO_SAMPLE_EVERY,
+        decode_avi_mjpeg,
+        decode_jpeg,
+        encode_avi_mjpeg,
+        synthesize_avi,
+    )
+
+    frames = [b"\xff\xd8 fake one", b"\xff\xd8 fake two"]
+    meta = decode_avi_mjpeg(encode_avi_mjpeg(frames, 8, 6))
+    assert (meta["width"], meta["height"]) == (8, 6)
+    assert meta["frames"] == frames  # byte-identical through RIFF
+
+    with _pytest.raises(ValueError, match="not an AVI"):
+        decode_avi_mjpeg(b"RIFFxxxxWAVE")
+
+    clip = decode_avi_mjpeg(synthesize_avi(3))
+    assert clip["n_frames"] == VIDEO_FRAMES
+    # every frame decodes to real pixels at the declared geometry
+    img = decode_jpeg(clip["frames"][1])
+    assert img.shape == (IMG_H, IMG_W, 3)
+    assert 0 < float(np.mean(img)) < 255
+
+    queries, _ = load_catalog()
+    rows = queries["q_multimodal_video_pipeline"](spark, sf_dir).collect()
+    assert len(rows) == VIDEO_DOCS
+    expect_sampled = -(-VIDEO_FRAMES // VIDEO_SAMPLE_EVERY)
+    for r in rows:
+        assert (r.width, r.height) == (IMG_W, IMG_H)
+        assert r.n_frames == VIDEO_FRAMES
+        assert r.n_sampled == expect_sampled
+        assert 0 < r.mean_luma < 255
