@@ -103,7 +103,11 @@ _DRIVER_PRIORITY = (
     # q_text_textrank, q_events_cusum, and the r10-close wave:
     # q_text_bpe_train, q_text_bpe_encode, q_source_manifest_wap,
     # q_quality_expectations, q_join_bucketed_colocated,
-    # q_agg_count_min_sketch, q_similarity_pq_adc) — and the md5 re-gated
+    # q_agg_count_min_sketch, q_similarity_pq_adc, q_agg_skew_report,
+    # q_pipeline_spec_run, q_sample_negative_pairs,
+    # q_quality_robust_zscore, q_multimodal_phash_dedup,
+    # q_window_rolling_corr, q_multimodal_video_pipeline,
+    # q_sql_recursive_cte, q_join_lateral_topn) — and the md5 re-gated
     # q_dedup_minhash/q_dedup_simhash front the r11 window; until then
     # they are hash-verified by tools/verify_oracle.py + pytest.
     # (a) Never carried a driver row (judge-replayed green in r9):
