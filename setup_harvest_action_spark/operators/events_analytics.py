@@ -1724,3 +1724,74 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(F.col("cusum") > 4 * F.col("sigma")).select(
         "bucket", "n", F.round("cusum", 4).cast("double").alias("cusum_pos")
     )
+
+
+SEASONAL_BUCKET_SEC = 3600  # hourly buckets profiled by hour-of-day
+SEASONAL_Z = 2.5
+
+
+@query(
+    "q_events_seasonal_anomaly",
+    oracle=f"""
+WITH b AS (
+  SELECT time_bucket(INTERVAL '{SEASONAL_BUCKET_SEC} seconds', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT bucket, n,
+         CAST(extract(hour FROM bucket) AS INTEGER) AS hod,
+         avg(n) OVER w AS mean_hod,
+         stddev_samp(n) OVER w AS sd_hod,
+         CAST(count(*) OVER w AS BIGINT) AS k_days
+  FROM b
+  WINDOW w AS (PARTITION BY extract(hour FROM bucket))
+)
+SELECT bucket, hod, n, k_days,
+       CAST(round(mean_hod, 6) AS DOUBLE) AS mean_hod,
+       CAST(CASE WHEN sd_hod > 0 THEN round((n - mean_hod) / sd_hod, 6) END
+            AS DOUBLE) AS seasonal_z,
+       CASE WHEN sd_hod > 0
+            THEN abs(n - mean_hod) / sd_hod > {SEASONAL_Z} END AS is_anomaly
+FROM r
+""",
+)
+def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL anomaly detection — the complement of
+    q_events_anomaly's trailing window: each hourly bucket is scored
+    against the profile of the SAME hour-of-day across the whole
+    span, so a quiet 3 am is normal even though the trailing-window
+    detector would flag the nightly drop, and a quiet 3 PM is an
+    anomaly even if traffic declined gradually enough to fool the
+    trailing baseline.
+
+    The bucket aggregate is one corpus-wide partial/final count; the
+    profile window then runs PARTITIONED BY hour-of-day over
+    bucket-cardinality rows (24 partitions of days-of-history rows —
+    never a single-task global window, never event-scale data).  z
+    and the flag are NULL until an hour's profile has variance —
+    identical CASE guard both engines; the flag compares the
+    UNROUNDED score (threshold rule, ADVICE r02)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            F.timestamp_seconds(
+                (F.unix_timestamp("ts") / SEASONAL_BUCKET_SEC).cast("long")
+                * SEASONAL_BUCKET_SEC
+            ).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(F.hour("bucket"))
+    mean_hod = F.avg("n").over(w)
+    sd_hod = F.stddev_samp("n").over(w)
+    z = (F.col("n") - mean_hod) / sd_hod
+    return b.select(
+        "bucket",
+        F.hour("bucket").alias("hod"),
+        "n",
+        F.count(F.lit(1)).over(w).alias("k_days"),
+        F.round(mean_hod, 6).alias("mean_hod"),
+        F.when(sd_hod > 0, F.round(z, 6)).alias("seasonal_z"),
+        F.when(sd_hod > 0, F.abs(z) > SEASONAL_Z).alias("is_anomaly"),
+    )
