@@ -124,6 +124,11 @@ def train_bpe(
             )
         )
         best = materialize(best, f"bpe_merge_{rank}")
+        if not best.head(1):
+            # no adjacent pairs remain (degenerate corpus / exhausted
+            # merges): stop — continuing would crossJoin the empty
+            # arg-max and silently wipe the word table
+            break
         merges.append(best)
         pat = F.concat(
             F.lit(_SEP), F.col("p1"), F.lit(_SEP * 2), F.col("p2"), F.lit(_SEP)

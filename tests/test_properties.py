@@ -450,3 +450,102 @@ def test_substring_spans_match_bruteforce(spark, texts):
                 a, b = min(ia, ib), max(ia, ib)
                 expected[(a, b)] = len(shared)
     assert got == expected
+
+
+# ------------------------------------------------- BPE vs pure-Python
+
+
+def _ref_bpe(words: dict[str, int], n_merges: int):
+    """Reference BPE (pure Python): the textbook algorithm with the
+    repo's deterministic tie-break (count DESC, left ASC, right ASC)."""
+    seqs = {w: tuple(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, seq in seqs.items():
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + words[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        merges.append((l, r, l + r, cnt))
+        out = {}
+        for w, seq in seqs.items():
+            res, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == l and seq[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(seq[i])
+                    i += 1
+            out[w] = tuple(res)
+        seqs = out
+    return merges
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_training_matches_reference_implementation(spark, tokens):
+    """The distributed trainer must reproduce the textbook algorithm
+    merge-for-merge (same pairs, same counts, same tie-breaks) on
+    arbitrary corpora — including repeated tokens and in-word repeats
+    like 'aaaa'."""
+    from setup_harvest_action_spark.functions.tokenizer import train_bpe
+
+    docs = spark.createDataFrame([(0, " ".join(tokens))], "doc_id long, text string")
+    words: dict[str, int] = {}
+    for t in tokens:
+        words[t] = words.get(t, 0) + 1
+    want = _ref_bpe(words, 3)
+    got = [
+        (g.p1, g.p2, g.merged, g.pair_count)
+        for m in train_bpe(spark, docs, n_merges=3)
+        for g in m.collect()
+    ]
+    assert got == want  # same merges, counts, tie-breaks, AND length
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_ranked_row_number_matches_sorted_ranks(spark, values):
+    """The range-partitioned global rank must equal the single-machine
+    sort rank on arbitrary integer multisets (duplicates decided by
+    the tiebreaker), and the ridden-along total must be exact."""
+    from setup_harvest_action_spark.operators.ranked import (
+        ranked_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id long, v long"
+    )
+    got = {
+        r.id: (r.rank, r.n)
+        for r in ranked_row_number(
+            df, "v", ["id"], out="rank", total="n"
+        ).collect()
+    }
+    want = sorted(range(len(values)), key=lambda i: (values[i], i))
+    for rank0, i in enumerate(want):
+        assert got[i] == (rank0 + 1, len(values)), (i, values[i])
