@@ -1422,3 +1422,61 @@ def q_agg_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coeff_variation"
         ),
     )
+
+
+@query(
+    "q_agg_geomean_udaf",
+    oracle="""
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(exp(avg(ln(o_totalprice))), 4) AS DOUBLE) AS geo_mean
+FROM orders
+WHERE o_totalprice > 0
+GROUP BY o_orderstatus
+""",
+)
+def q_agg_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom AGGREGATE through a pandas GROUPED_AGG UDF — the one
+    Arrow surface the UDF matrix (SURVEY §2.2) did not yet exercise:
+    a ``pandas_udf`` whose input is a whole group's column as a
+    pandas Series and whose output is one scalar, usable inside
+    ``groupBy().agg(...)`` beside built-ins.
+
+    The aggregate itself (geometric mean) is deliberately also
+    SQL-expressible as ``exp(avg(ln(x)))`` so the Python path is
+    value-verified by the hash gate instead of being rows-only —
+    the matrix entry is the POINT, not the math.  Scale: grouped-agg
+    UDFs get the group's values Arrow-batched on the reducer —
+    per-group memory is the group size, the same bound as
+    ``collect_list``; for corpus-scale groups the decomposable
+    ``exp(avg(ln))`` spelling (one line below it) is the production
+    form, and this entry's docstring is where that trade is
+    recorded."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType given explicitly: the module uses deferred
+    # annotations, so the hint-based inference cannot see pd.Series
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geo_mean(v):
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # Catalyst refuses to mix grouped-agg pandas UDFs with built-in
+    # aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # count is a pandas UDAF too — which also pins that multiple
+    # grouped-agg UDFs compose in a single pass
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            n_rows("o_totalprice").alias("n"),
+            F.round(geo_mean("o_totalprice"), 4).alias("geo_mean"),
+        )
+    )
