@@ -1525,3 +1525,97 @@ def q_pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         F.count(F.lit(1)).over(Window.partitionBy("entity_id")),
     )
+
+
+PREFIX_JACCARD_T = 0.95  # set-similarity threshold
+PREFIX_SLICE = 300  # bounded slice the exact all-pairs oracle covers
+
+
+@query(
+    "q_dedup_prefix_filter_join",
+    oracle=f"""
+WITH s AS (
+    SELECT doc_id,
+           list_distinct(list_filter(string_split(text, ' '),
+                                     t -> t <> '')) AS toks
+    FROM documents WHERE doc_id < {PREFIX_SLICE}
+)
+SELECT a.doc_id AS doc_a,
+       b.doc_id AS doc_b,
+       CAST(round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+            (len(a.toks) + len(b.toks)
+             - len(list_intersect(a.toks, b.toks))), 6) AS DOUBLE)
+           AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+      >= {PREFIX_JACCARD_T}
+""",
+)
+def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS set-similarity join by PREFIX FILTERING (the
+    PPJoin/AllPairs family, Bayardo et al. 2007 / Xiao et al. 2008 —
+    public designs): two token SETS with Jaccard ≥ t must share at
+    least one token among each set's first ``|x| - ⌈t·|x|⌉ + 1``
+    tokens under ANY global token order, so only that prefix is
+    indexed — at t = 0.95 that is ~2 of ~25 tokens per document here,
+    a ~12× smaller candidate index with ZERO recall loss.
+
+    This is the lossless counterpart of the capped inverted index the
+    Jaccard/containment family uses (MAX_SHINGLE_DF trades recall on
+    hot shingles for a bound): prefix filtering needs no cap because
+    rarest-first ordering (ascending document frequency) makes the
+    indexed prefix tokens precisely the most selective ones.  The
+    oracle is the EXACT all-pairs join over the slice, so the hash
+    gate re-proves losslessness every round — the
+    q_similarity_pairs_threshold discipline.
+
+    Scale shape: df table (vocabulary-sized), per-doc sort of its own
+    token set (bounded by document length), prefix explode (≤ (1-t)
+    fraction of postings), token-keyed candidate equi-join, exact
+    verify only on candidates.  At 100 TB the slice filter drops away
+    and this plan — index, bucket join, verify — is the scale path;
+    no corpus-scale broadcast, no all-pairs anywhere."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < PREFIX_SLICE)
+        .select("doc_id", F.array_distinct(tokens_col()).alias("toks"))
+    )
+    ex = docs.select("doc_id", F.explode("toks").alias("tok"))
+    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        ex.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("sorted_toks")
+        )
+    )
+    plen = (
+        F.size("sorted_toks")
+        - F.ceil(F.lit(PREFIX_JACCARD_T) * F.size("sorted_toks"))
+        + 1
+    ).cast("int")
+    pref = ordered.select(
+        "doc_id", F.explode(F.slice("sorted_toks", 1, plen)).alias("tok")
+    )
+    cand = (
+        pref.select(F.col("doc_id").alias("doc_a"), "tok")
+        .join(pref.select(F.col("doc_id").alias("doc_b"), "tok"), "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    jac = inter / union
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(jac >= PREFIX_JACCARD_T)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -123,3 +123,33 @@ def test_df_cap_recall_floor(spark, injected_dir, name, qname, cap_attr, cols):
         f"{name}: injection did not exercise the cap "
         f"({len(capped_mod)} capped vs {len(uncapped_mod)} uncapped)"
     )
+
+
+def test_prefix_filter_indexes_a_fraction_and_loses_nothing(spark):
+    """The prefix index must be an order of magnitude smaller than the
+    full posting set (the efficiency claim) while the oracle gate
+    separately re-proves zero recall loss.  Pin the reduction so a
+    regression to full-set indexing fails here, not in a bench diff."""
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.functions.dedup import (
+        PREFIX_JACCARD_T,
+        PREFIX_SLICE,
+        tokens_col,
+    )
+    from setup_harvest_action_spark.io.loaders import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.01", "documents")
+        .filter(F.col("doc_id") < PREFIX_SLICE)
+        .select("doc_id", F.array_distinct(tokens_col()).alias("toks"))
+    )
+    sizes = docs.select(
+        F.sum(F.size("toks")).alias("full"),
+        F.sum(
+            F.size("toks")
+            - F.ceil(F.lit(PREFIX_JACCARD_T) * F.size("toks"))
+            + 1
+        ).alias("prefix"),
+    ).collect()[0]
+    assert sizes.prefix * 8 <= sizes.full, sizes
