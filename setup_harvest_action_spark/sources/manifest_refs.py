@@ -351,3 +351,59 @@ def q_source_manifest_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fast_forward(out, "staging")
     create_tag(out, "published")
     return scan_ref(spark, out, "published")
+
+
+@query(
+    "q_source_manifest_stream_wap",
+    oracle="""
+SELECT c_custkey AS ckey,
+       c_mktsegment AS segment,
+       CAST(round(c_acctbal, 2) AS DOUBLE) AS acctbal
+FROM customer
+""",
+)
+def q_source_manifest_stream_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING write-audit-publish under the hash gate: three
+    quarters of ``customer`` seed MAIN; the held-out quarter arrives
+    as a FILE STREAM and lands on the ``staging`` branch micro-batch
+    by micro-batch (``stream_append_to_branch`` — main readers see
+    nothing while the stream runs); after the drain the branch is
+    audited and published by fast-forward.  The final main scan must
+    hash-match the whole table — the same no-loss/no-dup/no-mutation
+    proof as the batch WAP entry, now across the streaming commit
+    path and its checkpoint."""
+    import shutil
+
+    from setup_harvest_action_spark.sources.files import _roundtrip_dir
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    out = _roundtrip_dir(sf_dir, "manifest_stream_wap", "customer")
+    shutil.rmtree(out, ignore_errors=True)
+    feed = _roundtrip_dir(sf_dir, "manifest_stream_wap_feed", "customer")
+    shutil.rmtree(feed, ignore_errors=True)
+    ckpt = _roundtrip_dir(sf_dir, "manifest_stream_wap_ckpt", "customer")
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    (
+        cust.filter(F.col("ckey") % 4 != 0)
+        .write.format("manifest_parquet")
+        .mode("overwrite")
+        .save(out)
+    )
+    create_branch(out, "staging")
+    cust.filter(F.col("ckey") % 4 == 0).write.parquet(feed)
+    stream = spark.readStream.schema(
+        "ckey long, segment string, acctbal double"
+    ).option("maxFilesPerTrigger", 1).parquet(feed)
+    q = stream_append_to_branch(stream, out, "staging", ckpt)
+    q.awaitTermination(300)
+    fast_forward(out, "staging")
+    return scan_ref(spark, out, "main")
