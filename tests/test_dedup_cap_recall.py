@@ -153,3 +153,48 @@ def test_prefix_filter_indexes_a_fraction_and_loses_nothing(spark):
         ).alias("prefix"),
     ).collect()[0]
     assert sizes.prefix * 8 <= sizes.full, sizes
+
+
+def test_prefix_filter_never_indexes_the_hottest_token(spark):
+    """Skew immunity by construction: rarest-first ordering puts a
+    celebrity token LAST in every document's sorted set, so it can
+    only enter a prefix if the whole document is nearly all prefix —
+    with a corpus-wide token present in every doc, no prefix may
+    contain it (the inverted-index families need MAX_*_DF caps for
+    exactly this row; prefix filtering gets it for free)."""
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.functions.dedup import PREFIX_JACCARD_T
+
+    # every doc shares 'hot'; the rest are distinct-ish tokens
+    rows = [
+        (i, "hot " + " ".join(f"w{i}_{j}" for j in range(12)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("toks"),
+    )
+    ex = docs.select("doc_id", F.explode("toks").alias("tok"))
+    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        ex.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("sorted_toks")
+        )
+    )
+    plen = (
+        F.size("sorted_toks")
+        - F.ceil(F.lit(PREFIX_JACCARD_T) * F.size("sorted_toks"))
+        + 1
+    ).cast("int")
+    prefixes = ordered.select(
+        F.explode(F.slice("sorted_toks", 1, plen)).alias("tok")
+    )
+    assert prefixes.filter(F.col("tok") == "hot").count() == 0
