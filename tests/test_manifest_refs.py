@@ -294,3 +294,36 @@ def test_timestamp_time_travel_and_auto_compact(sink, tmp_path):
     # idempotent: nothing small left, second call is a no-op
     again = auto_compact(sink, p, small_bytes=big["bytes"])
     assert again["version"] == after["version"]
+
+
+def test_concurrent_branch_appends_serialize_without_loss(sink, tmp_path):
+    """Two ACTUAL threads race append_to_branch on one branch (no
+    expected_head, so both must commit): the O_EXCL lock serializes
+    the metadata transitions and the final branch content is the
+    exact union — no lost update, no duplicate version."""
+    import threading
+
+    p = str(tmp_path)
+    _write(_df(sink, 0, 5), p, "overwrite")
+    refs.create_branch(p, "b")
+    errs = []
+
+    def worker(lo, hi):
+        try:
+            refs.append_to_branch(_df(sink, lo, hi), p, "b")
+        except Exception as e:  # noqa: BLE001 — surface in the assert
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=worker, args=(5, 12)),
+        threading.Thread(target=worker, args=(12, 20)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    got = sorted(r.id for r in refs.scan_ref(sink, p, "b").collect())
+    assert got == list(range(20))
+    head = refs.resolve_ref(p, "b")
+    assert head["parent"] is not None  # two chained commits, one head
