@@ -106,6 +106,13 @@ def train_bpe(
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(_word_repr(F.col("word")).alias("repr"), "freq")
     )
+    # lineage cut: every round's pair aggregate re-references the word
+    # table; without the cut each round re-runs the CORPUS scan +
+    # reduce.  At fixture scale the wall-clock is per-round scheduler
+    # cost either way (~1.6s/round on this box), but at 100 TB the
+    # uncut form re-reads the corpus K times — the cut is the scale
+    # fix, not a local-bench one.
+    words = materialize(words, "bpe_words")
     merges: list[DataFrame] = []
     for rank in range(1, n_merges + 1):
         pair = F.explode(_adjacent_pairs(F.col("repr"))).alias("pair")
