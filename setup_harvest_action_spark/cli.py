@@ -111,6 +111,9 @@ def _build_parser() -> argparse.ArgumentParser:
                         "protection)")
     m.add_argument("--refs", action="store_true",
                    help="list named refs with their versions")
+    m.add_argument("--health", action="store_true",
+                   help="metadata-only maintenance report: file-size "
+                        "posture + per-column clustering depth")
     pl = sub.add_parser(
         "pipeline",
         help="compile and run a declarative pipeline spec "
@@ -202,6 +205,18 @@ def _run_manifest(args) -> int:
             print(f"branch {name}: v{v}")
         if not refs["tags"] and not refs["branches"]:
             print("no refs")
+        return 0
+    if args.health:
+        from setup_harvest_action_spark.sources.manifest_sink import (
+            table_health,
+        )
+
+        h = table_health(args.path)
+        print(f"version {h['version']}: {h['n_files']} files, "
+              f"{h['total_rows']} rows, {h['total_bytes']} bytes "
+              f"({h['small_files']} small, median {h['median_file_bytes']})")
+        for col, d in h["clustering_depth"].items():
+            print(f"clustering depth {col}: {d}")
         return 0
     if args.add_bloom is not None:
         cols = [c.strip() for c in args.add_bloom.split(",") if c.strip()]

@@ -1433,3 +1433,54 @@ def vacuum_manifest(path: str, keep_last: int = 1) -> list[str]:
                 os.remove(os.path.join(data_dir, name))
                 removed.append(rel)
     return removed
+
+
+def table_health(path: str, small_bytes: int = 8 * 1024 * 1024) -> dict:
+    """Maintenance-planning report computed from MANIFEST METADATA
+    ONLY — no data file is opened, so it costs the same on a 100 TB
+    table as on a fixture: file-count/size posture (how urgent is
+    auto_compact) and per-column CLUSTERING DEPTH (how urgent is
+    Z-order) — for each stats column, the average number of files a
+    random point query must open, i.e. the mean overlap count of the
+    per-file [min, max] ranges measured by a sweep over range
+    endpoints.  Depth ≈ 1 means perfectly clustered (each point hits
+    one file); depth ≈ n_files means the column's ranges all overlap
+    and min/max skipping is blind on it."""
+    m = read_manifest(path)
+    files = m["files"]
+    sizes = sorted(e["bytes"] for e in files)
+    n = len(files)
+    health = {
+        "version": m.get("version", 0),
+        "n_files": n,
+        "total_rows": m.get("total_rows"),
+        "total_bytes": sum(sizes),
+        "small_files": sum(1 for b in sizes if b < small_bytes),
+        "median_file_bytes": sizes[n // 2] if n else 0,
+        "clustering_depth": {},
+    }
+    cols = set()
+    for e in files:
+        cols.update((e.get("stats") or {}).keys())
+    for col in sorted(cols):
+        ranges = [
+            e["stats"][col]
+            for e in files
+            if (e.get("stats") or {}).get(col) is not None
+        ]
+        numeric = [
+            (lo, hi)
+            for lo, hi in ranges
+            if isinstance(lo, (int, float)) and not isinstance(lo, bool)
+        ]
+        if not numeric:
+            continue
+        # sweep: average overlap depth across the distinct endpoints
+        points = sorted({p for r in numeric for p in r})
+        depths = [
+            sum(1 for lo, hi in numeric if lo <= p <= hi) for p in points
+        ]
+        health["clustering_depth"][col] = round(
+            sum(depths) / len(depths), 2
+        )
+    return health

@@ -1040,3 +1040,34 @@ def test_delete_where_detects_concurrent_commit_conflict(sink, tmp_path):
     delete_where(sink, path, [("id", "=", 5)])
     assert scan_manifest(sink, path).count() == 99
     assert not os.path.exists(os.path.join(path, "_commit.lock"))
+
+
+def test_table_health_reports_small_files_and_clustering_depth(
+    sink, tmp_path, capsys
+):
+    """Metadata-only health report: a range-partitioned key shows
+    depth ~1 (disjoint per-file ranges), the interleaved key shows
+    depth ~n_files; small-file count reflects the size threshold; the
+    CLI verb prints both."""
+    from setup_harvest_action_spark.cli import main
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        table_health,
+    )
+
+    p = str(tmp_path / "t")
+    df = sink.range(0, 4000).selectExpr(
+        "id AS clustered", "id % 8 AS interleaved"
+    )
+    df.repartitionByRange(8, "clustered").write.format(
+        "manifest_parquet"
+    ).mode("overwrite").save(p)
+
+    h = table_health(p)
+    assert h["n_files"] == 8
+    assert h["small_files"] == 8  # all tiny vs the 8 MiB default
+    assert h["clustering_depth"]["clustered"] <= 1.5
+    assert h["clustering_depth"]["interleaved"] >= 7.0
+
+    assert main(["manifest", p, "--health"]) == 0
+    out = capsys.readouterr().out
+    assert "8 files" in out and "clustering depth clustered" in out
