@@ -1795,3 +1795,110 @@ def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(sd_hod > 0, F.round(z, 6)).alias("seasonal_z"),
         F.when(sd_hod > 0, F.abs(z) > SEASONAL_Z).alias("is_anomaly"),
     )
+
+
+KM_CENSOR_DAYS = 5  # users active in the final window are censored
+
+
+@query(
+    "q_events_kaplan_meier",
+    oracle=f"""
+WITH bounds AS (SELECT max(ts) AS tmax FROM events),
+pu AS (
+    SELECT CAST(date_diff('day', CAST(min(ts) AS DATE),
+                          CAST(max(ts) AS DATE)) AS INTEGER) AS dur,
+           CAST(max(ts) < (SELECT tmax FROM bounds)
+                          - INTERVAL {KM_CENSOR_DAYS} DAY AS INTEGER)
+               AS churned
+    FROM events GROUP BY user_id
+),
+km AS (
+    SELECT dur,
+           CAST(sum(churned) AS BIGINT) AS d,
+           CAST(count(*) AS BIGINT) AS c
+    FROM pu GROUP BY dur
+),
+r AS (
+    SELECT dur, d, c,
+           sum(c) OVER () - coalesce(sum(c) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+    FROM km
+)
+SELECT dur, d, c, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CASE WHEN max(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END)
+                 OVER cum = 1
+            THEN 0.0
+            ELSE CAST(round(exp(sum(CASE WHEN d < n_at_risk
+                                         THEN ln(1 - d * 1.0 / n_at_risk)
+                                    END) OVER cum), 6) AS DOUBLE)
+       END AS survival
+FROM r
+WINDOW cum AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+""",
+)
+def q_events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN–MEIER survival estimation of user lifetime (time from
+    first to last event, right-censored for users still active within
+    KM_CENSOR_DAYS of the corpus edge) — the churn/retention curve
+    product analytics reads daily, and a genuinely different shape
+    from the cohort-retention matrix: censoring means simply averaging
+    lifetimes is biased, and the K-M product over at-risk counts is
+    the standard unbiased estimator (public method, Kaplan & Meier
+    1958).
+
+    The cumulative product is spelled ``exp(sum(ln(1 - d/n)))`` so
+    both engines accumulate in the identical order; the zero-survival
+    edge (a duration where every remaining user churns) short-circuits
+    through a flag instead of ln(0).  Scale shape: one user-keyed
+    aggregate over the corpus, a broadcast one-row corpus max, then
+    every window runs over DURATION-cardinality rows (days of
+    observation, not users) — the q_events_anomaly economics."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.max("ts").alias("tmax"))
+    pu = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias(
+                "dur"
+            ),
+            (
+                F.col("last_ts")
+                < F.col("tmax") - F.expr(f"INTERVAL {KM_CENSOR_DAYS} DAY")
+            )
+            .cast("int")
+            .alias("churned"),
+        )
+    )
+    km = pu.groupBy("dur").agg(
+        F.sum("churned").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_at_risk = F.sum("c").over(w_all) - F.coalesce(
+        F.sum("c").over(w_prev), F.lit(0)
+    )
+    r = km.withColumn("n_at_risk", n_at_risk)
+    dead = F.max(
+        F.when(F.col("d") >= F.col("n_at_risk"), 1).otherwise(0)
+    ).over(w_cum)
+    ln_term = F.when(
+        F.col("d") < F.col("n_at_risk"),
+        F.log(1 - F.col("d") / F.col("n_at_risk")),
+    )
+    survival = F.when(dead == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(ln_term).over(w_cum)), 6)
+    )
+    return r.select(
+        "dur", "d", "c", "n_at_risk", survival.alias("survival")
+    )
