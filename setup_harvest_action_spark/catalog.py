@@ -107,7 +107,10 @@ _DRIVER_PRIORITY = (
     # q_pipeline_spec_run, q_sample_negative_pairs,
     # q_quality_robust_zscore, q_multimodal_phash_dedup,
     # q_window_rolling_corr, q_multimodal_video_pipeline,
-    # q_sql_recursive_cte, q_join_lateral_topn) — and the md5 re-gated
+    # q_sql_recursive_cte, q_join_lateral_topn,
+    # q_source_manifest_stream_wap, q_events_seasonal_anomaly,
+    # q_agg_geomean_udaf, q_dedup_prefix_filter_join,
+    # q_events_kaplan_meier) — and the md5 re-gated
     # q_dedup_minhash/q_dedup_simhash front the r11 window; until then
     # they are hash-verified by tools/verify_oracle.py + pytest.
     # (a) Never carried a driver row (judge-replayed green in r9):
