@@ -1480,3 +1480,62 @@ def q_agg_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(geo_mean("o_totalprice"), 4).alias("geo_mean"),
         )
     )
+
+
+@query(
+    "q_agg_corr_matrix",
+    oracle="""
+SELECT 'quantity~price' AS pair,
+       CAST(round(corr(l_quantity, l_extendedprice), 4) AS DOUBLE) AS pearson,
+       CAST(round(covar_samp(l_quantity, l_extendedprice), 4) AS DOUBLE)
+           AS covariance
+FROM lineitem
+UNION ALL
+SELECT 'quantity~discount',
+       CAST(round(corr(l_quantity, l_discount), 4) AS DOUBLE),
+       CAST(round(covar_samp(l_quantity, l_discount), 4) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'price~discount',
+       CAST(round(corr(l_extendedprice, l_discount), 4) AS DOUBLE),
+       CAST(round(covar_samp(l_extendedprice, l_discount), 4) AS DOUBLE)
+FROM lineitem
+""",
+)
+def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation + sample covariance over the
+    lineitem measures — the feature-screening pass a pipeline runs
+    before modeling.  ONE corpus scan computes all six aggregates
+    (multi-aggregate hash agg with map-side partial combine — the
+    oracle's three-scan UNION spelling is for DuckDB readability; the
+    Spark plan is pinned to a single scan below via the one-row
+    explode), then the single row explodes into the matrix rows.
+    4-decimal rounding absorbs the engines' accumulation-order ulps
+    on the 6e5-row sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("c_qp"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("v_qp"),
+        F.corr("l_quantity", "l_discount").alias("c_qd"),
+        F.covar_samp("l_quantity", "l_discount").alias("v_qd"),
+        F.corr("l_extendedprice", "l_discount").alias("c_pd"),
+        F.covar_samp("l_extendedprice", "l_discount").alias("v_pd"),
+    )
+    cells = F.array(
+        F.struct(
+            F.lit("quantity~price").alias("pair"),
+            F.round("c_qp", 4).alias("pearson"),
+            F.round("v_qp", 4).alias("covariance"),
+        ),
+        F.struct(
+            F.lit("quantity~discount").alias("pair"),
+            F.round("c_qd", 4).alias("pearson"),
+            F.round("v_qd", 4).alias("covariance"),
+        ),
+        F.struct(
+            F.lit("price~discount").alias("pair"),
+            F.round("c_pd", 4).alias("pearson"),
+            F.round("v_pd", 4).alias("covariance"),
+        ),
+    )
+    return row.select(F.explode(cells).alias("c")).select("c.*")
