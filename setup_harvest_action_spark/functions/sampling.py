@@ -952,3 +952,54 @@ def q_sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = r.select(F.col("rnk").alias("neg_rnk"), F.col("doc_id").alias("neg_doc_id"))
     return a.join(b, "neg_rnk").select("doc_id", "pair_idx", "neg_doc_id")
+
+
+SYSTEMATIC_K = 7  # keep every K-th document
+SYSTEMATIC_OFFSET = 3  # which residue class survives
+
+
+@query(
+    "q_sample_systematic",
+    oracle=f"""
+WITH keyed AS (
+    SELECT doc_id, lang,
+           CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) AS k
+    FROM documents
+),
+r AS (
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS rnk
+    FROM keyed
+)
+SELECT doc_id, lang, rnk
+FROM r WHERE rnk % {SYSTEMATIC_K} = {SYSTEMATIC_OFFSET}
+""",
+)
+def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYSTEMATIC sampling — every K-th document of a deterministic
+    pseudo-random ordering (md5 permutation + exact global rank):
+    unlike Bernoulli, the sample size is exact (⌊N/K⌋±1, no variance)
+    and the spacing is uniform, which matters when the sample feeds a
+    budgeted eval set.  Rank via ``ranked_row_number``
+    (range-partitioned, no single-task window — the same primitive as
+    negative-pair sampling); the residue filter is map-side after the
+    rank."""
+    from setup_harvest_action_spark.operators.ranked import (
+        ranked_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    r = ranked_row_number(keyed, "k", ["doc_id"], out="rnk")
+    return r.filter(F.col("rnk") % SYSTEMATIC_K == SYSTEMATIC_OFFSET).select(
+        "doc_id", "lang", "rnk"
+    )

@@ -1902,3 +1902,71 @@ def q_events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "dur", "d", "c", "n_at_risk", survival.alias("survival")
     )
+
+
+@query(
+    "q_events_longest_streak",
+    oracle="""
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+grp AS (
+    SELECT user_id, day,
+           day - CAST(row_number() OVER (PARTITION BY user_id
+                                         ORDER BY day) AS INTEGER)
+               AS island
+    FROM days
+),
+streaks AS (
+    SELECT user_id, island,
+           CAST(count(*) AS BIGINT) AS len,
+           min(day) AS streak_start
+    FROM grp GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       min(streak_start) FILTER (
+           WHERE len = (SELECT max(s2.len) FROM streaks s2
+                        WHERE s2.user_id = streaks.user_id)
+       ) AS first_longest_start,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM streaks
+GROUP BY user_id
+""",
+)
+def q_events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity STREAK per user — the
+    gaps-and-islands pattern (the complement of
+    q_window_sequence_gaps' gap detection): distinct activity days,
+    island id = day minus the user-partitioned day rank (constant
+    exactly while days are consecutive), then per-island lengths roll
+    up to the user's longest streak, its first start date, and streak
+    count — the engagement metric behind every 'N-day streak' badge.
+
+    All windows are USER-partitioned over per-user distinct days
+    (bounded by the observation span, ~30 rows here) — no global
+    window, one shuffle keyed on user_id that every later aggregate
+    reuses.  The correlated max in the oracle is spelled as one more
+    window on the Spark side — same tie rule (earliest start wins)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "island", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("streak_start")
+    )
+    wu = Window.partitionBy("user_id")
+    best = F.max("len").over(wu)
+    return (
+        streaks.withColumn("best", best)
+        .groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.min(
+                F.when(F.col("len") == F.col("best"), F.col("streak_start"))
+            ).alias("first_longest_start"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+    )
