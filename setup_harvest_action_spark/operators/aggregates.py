@@ -1539,3 +1539,64 @@ def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return row.select(F.explode(cells).alias("c")).select("c.*")
+
+
+@query(
+    "q_agg_benford",
+    oracle="""
+WITH digits AS (
+    SELECT CAST(floor(l_extendedprice /
+                pow(10, floor(log10(l_extendedprice)))) AS INTEGER)
+               AS digit
+    FROM lineitem WHERE l_extendedprice > 0
+),
+obs AS (
+    SELECT digit, CAST(count(*) AS BIGINT) AS n,
+           sum(count(*)) OVER () AS total
+    FROM digits GROUP BY digit
+)
+SELECT digit, n,
+       CAST(round(n * 1.0 / total, 6) AS DOUBLE) AS obs_freq,
+       CAST(round(log10(1 + 1.0 / digit), 6) AS DOUBLE) AS benford_freq,
+       CAST(round(pow(n - total * log10(1 + 1.0 / digit), 2)
+                  / (total * log10(1 + 1.0 / digit)), 6) AS DOUBLE)
+           AS chi2_term
+FROM obs
+""",
+)
+def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit screen over prices — the classic
+    fabricated-data / unit-mixup detector (a synthetic or truncated
+    amount column drifts from the log-uniform digit law long before
+    any range check fires).  Per digit: observed count and frequency,
+    the Benford expectation log10(1 + 1/d), and the digit's χ² term
+    (callers sum the nine terms against the χ²₈ critical value —
+    kept per-digit so the report shows WHICH digits deviate).
+
+    One scan: first-significant-digit extraction is pure per-row
+    arithmetic (floor/log10/pow — identical IEEE ops both engines),
+    then a 9-group hash aggregate; the total rides a 9-row window.
+    TPC-H prices are uniform-ish, NOT Benford — the screen correctly
+    reports the deviation, which is the point of having it."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") > 0
+    )
+    digit = F.floor(
+        F.col("l_extendedprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("l_extendedprice")))
+    ).cast("int")
+    obs = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy()
+    total = F.sum("n").over(w)
+    benford = F.log10(1 + 1.0 / F.col("digit"))
+    return obs.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / total, 6).alias("obs_freq"),
+        F.round(benford, 6).alias("benford_freq"),
+        F.round(
+            F.pow(F.col("n") - total * benford, 2) / (total * benford), 6
+        ).alias("chi2_term"),
+    )
