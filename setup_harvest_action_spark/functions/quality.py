@@ -995,3 +995,47 @@ def q_quality_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+@query(
+    "q_quality_dedup_report",
+    oracle="""
+WITH groups AS (
+    SELECT md5(lower(trim(text))) AS f, CAST(count(*) AS BIGINT) AS sz
+    FROM documents GROUP BY 1
+)
+SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(sz) - count(*) AS BIGINT) AS n_redundant,
+       CAST(round((sum(sz) - count(*)) * 1.0 / sum(sz), 6) AS DOUBLE)
+           AS dup_rate,
+       CAST(max(sz) AS BIGINT) AS largest_group,
+       CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_groups
+FROM groups
+""",
+)
+def q_quality_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus DUPLICATION-RATE report — the one-row number every
+    ingest run logs before and after dedup (docs, distinct contents,
+    redundant rows, dup rate, largest clone group, clone-group
+    count), derived from the same normalized-content fingerprint the
+    exact-dedup operator keys on.  One scan, one fingerprint-keyed
+    aggregate with map-side combine, then a one-row rollup — the
+    cheapest honest answer to 'how duplicated is this corpus'."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("f")
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    return groups.agg(
+        F.sum("sz").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.sum("sz") - F.count(F.lit(1))).alias("n_redundant"),
+        F.round(
+            (F.sum("sz") - F.count(F.lit(1))) / F.sum("sz"), 6
+        ).alias("dup_rate"),
+        F.max("sz").alias("largest_group"),
+        F.sum(F.when(F.col("sz") > 1, 1).otherwise(0)).alias(
+            "n_dup_groups"
+        ),
+    )

@@ -1970,3 +1970,74 @@ def q_events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_streaks"),
         )
     )
+
+
+ACF_BUCKET_SEC = 600  # traffic series resolution
+ACF_MAX_LAG = 3
+
+
+@query(
+    "q_events_autocorrelation",
+    oracle=f"""
+WITH b AS (
+    SELECT time_bucket(INTERVAL '{ACF_BUCKET_SEC} seconds', ts) AS bucket,
+           CAST(count(*) AS DOUBLE) AS n
+    FROM events GROUP BY 1
+),
+lagged AS (
+    SELECT n,
+           lag(n, 1) OVER w AS n1,
+           lag(n, 2) OVER w AS n2,
+           lag(n, 3) OVER w AS n3
+    FROM b WINDOW w AS (ORDER BY bucket)
+)
+SELECT 1 AS lag, CAST(round(corr(n, n1), 4) AS DOUBLE) AS acf,
+       CAST(count(n1) AS BIGINT) AS n_pairs FROM lagged
+UNION ALL
+SELECT 2, CAST(round(corr(n, n2), 4) AS DOUBLE),
+       CAST(count(n2) AS BIGINT) FROM lagged
+UNION ALL
+SELECT 3, CAST(round(corr(n, n3), 4) AS DOUBLE),
+       CAST(count(n3) AS BIGINT) FROM lagged
+""",
+)
+def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..{ACF_MAX_LAG} AUTOCORRELATION of the event-rate series —
+    the seasonality/burstiness fingerprint read before choosing an
+    anomaly detector (high lag-k ACF at the daily period says use the
+    seasonal profile, near-zero says the trailing window suffices).
+
+    The bucket count is one corpus-wide partial/final aggregate; the
+    lag window and the corr aggregates then run over
+    BUCKET-cardinality rows (the q_events_anomaly economics — a
+    series of minutes, not events).  Pearson corr here is the plain
+    corr AGGREGATE over non-null (n, lag) pairs, identical
+    definitions both engines, 4-decimal rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            F.timestamp_seconds(
+                (F.unix_timestamp("ts") / ACF_BUCKET_SEC).cast("long")
+                * ACF_BUCKET_SEC
+            ).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    w = Window.orderBy("bucket")
+    lagged = b.select(
+        "n",
+        *[F.lag("n", k).over(w).alias(f"n{k}") for k in range(1, ACF_MAX_LAG + 1)]
+    )
+    parts = []
+    for k in range(1, ACF_MAX_LAG + 1):
+        parts.append(
+            lagged.agg(
+                F.lit(k).alias("lag"),
+                F.round(F.corr("n", f"n{k}"), 4).alias("acf"),
+                F.count(f"n{k}").alias("n_pairs"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
