@@ -1600,3 +1600,76 @@ def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.col("n") - total * benford, 2) / (total * benford), 6
         ).alias("chi2_term"),
     )
+
+
+@query(
+    "q_agg_welch_ttest",
+    oracle="""
+WITH g AS (
+    SELECT lang,
+           count(*) AS n,
+           avg(n_chars * 1.0) AS m,
+           var_samp(n_chars * 1.0) AS v
+    FROM documents WHERE lang IN ('en', 'de') GROUP BY lang
+),
+ab AS (
+    SELECT max(CASE WHEN lang = 'en' THEN n END) AS na,
+           max(CASE WHEN lang = 'en' THEN m END) AS ma,
+           max(CASE WHEN lang = 'en' THEN v END) AS va,
+           max(CASE WHEN lang = 'de' THEN n END) AS nb,
+           max(CASE WHEN lang = 'de' THEN m END) AS mb,
+           max(CASE WHEN lang = 'de' THEN v END) AS vb
+    FROM g
+)
+SELECT CAST(na AS BIGINT) AS n_en,
+       CAST(nb AS BIGINT) AS n_de,
+       CAST(round(ma - mb, 4) AS DOUBLE) AS mean_diff,
+       CAST(round((ma - mb) / sqrt(va / na + vb / nb), 4) AS DOUBLE)
+           AS t_stat,
+       CAST(round(pow(va / na + vb / nb, 2) /
+                  (pow(va / na, 2) / (na - 1)
+                   + pow(vb / nb, 2) / (nb - 1)), 2) AS DOUBLE)
+           AS welch_df
+FROM ab
+""",
+)
+def q_agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S two-sample t-test (unequal variances) comparing en vs
+    de document lengths — the A/B-test primitive completing the
+    evaluation-statistics quartet (χ² independence, exact AUC,
+    calibration, and now the mean-difference test with the
+    Welch–Satterthwaite degrees of freedom, all public formulas).
+
+    One scan: both samples reduce in a single grouped aggregate
+    (count/mean/variance are decomposable — map-side combine), the
+    two one-row summaries pivot together, and the statistic is pure
+    arithmetic on six scalars.  At 100 TB the cost is the scan,
+    full stop — the whole test rides the same partial-aggregate
+    machinery as any count."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de")
+    )
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("n_chars") * 1.0).alias("m"),
+        F.var_samp(F.col("n_chars") * 1.0).alias("v"),
+    )
+    ab = g.agg(
+        *[
+            F.max(F.when(F.col("lang") == lang, F.col(c))).alias(f"{c}{suf}")
+            for lang, suf in (("en", "a"), ("de", "b"))
+            for c in ("n", "m", "v")
+        ]
+    )
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    dfw = F.pow(se2, 2) / (
+        F.pow(F.col("va") / F.col("na"), 2) / (F.col("na") - 1)
+        + F.pow(F.col("vb") / F.col("nb"), 2) / (F.col("nb") - 1)
+    )
+    return ab.select(
+        F.col("na").alias("n_en"),
+        F.col("nb").alias("n_de"),
+        F.round(F.col("ma") - F.col("mb"), 4).alias("mean_diff"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(dfw, 2).alias("welch_df"),
+    )
