@@ -111,6 +111,9 @@ def _build_parser() -> argparse.ArgumentParser:
                         "protection)")
     m.add_argument("--refs", action="store_true",
                    help="list named refs with their versions")
+    m.add_argument("--clone-to", metavar="DST",
+                   help="zero-copy shallow clone: new table referencing "
+                        "this table's files (no data moves)")
     m.add_argument("--health", action="store_true",
                    help="metadata-only maintenance report: file-size "
                         "posture + per-column clustering depth")
@@ -205,6 +208,15 @@ def _run_manifest(args) -> int:
             print(f"branch {name}: v{v}")
         if not refs["tags"] and not refs["branches"]:
             print("no refs")
+        return 0
+    if args.clone_to is not None:
+        from setup_harvest_action_spark.sources.manifest_sink import (
+            shallow_clone,
+        )
+
+        c = shallow_clone(args.path, args.clone_to)
+        print(f"cloned v{c['cloned_from']['version']} -> {args.clone_to} "
+              f"({c['total_rows']} rows, zero bytes copied)")
         return 0
     if args.health:
         from setup_harvest_action_spark.sources.manifest_sink import (

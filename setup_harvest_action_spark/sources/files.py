@@ -755,3 +755,59 @@ def q_source_manifest_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") > 0)
     )
+
+
+@query(
+    "q_source_manifest_clone",
+    oracle="""
+SELECT o_orderkey AS okey, o_orderstatus AS status,
+       CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+FROM orders WHERE o_orderkey % 3 <> 0
+""",
+)
+def q_source_manifest_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY SHALLOW CLONE under the hash gate: commit ``orders``
+    as a manifest table, clone it (one manifest write, no data moved —
+    the clone starts with no data directory of its own), then
+    row-level-delete a third of the rows ON THE CLONE and scan it.
+    The oracle restates the post-delete content; a separate assertion
+    surface (tests/test_manifest_sink.py) pins that the SOURCE stays
+    byte-identical through all of it — the lineage-fork semantics a
+    100 TB experimentation workflow needs without a 100 TB copy."""
+    import shutil
+
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        delete_where,
+        register_manifest_sink,
+        scan_manifest,
+        shallow_clone,
+    )
+
+    register_manifest_sink(spark)
+    src = _roundtrip_dir(sf_dir, "manifest_clone_src", "orders")
+    dst = _roundtrip_dir(sf_dir, "manifest_clone_dst", "orders")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderstatus").alias("status"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .repartitionByRange(8, "okey")
+        .write.format("manifest_parquet")
+        .mode("overwrite")
+        .save(src)
+    )
+    shallow_clone(src, dst)
+    # the deleted class is a modulo, not a range, so it goes through
+    # the merge's delete mode rather than delete_where's stats triples
+    from setup_harvest_action_spark.sources.manifest_sink import merge_into
+
+    victims = scan_manifest(spark, dst).filter(F.col("okey") % 3 == 0)
+    merge_into(
+        spark, dst, victims, on=["okey"],
+        when_matched="delete", when_not_matched="ignore",
+    )
+    return scan_manifest(spark, dst).select("okey", "status", "price")

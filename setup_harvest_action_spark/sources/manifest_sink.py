@@ -1484,3 +1484,43 @@ def table_health(path: str, small_bytes: int = 8 * 1024 * 1024) -> dict:
             sum(depths) / len(depths), 2
         )
     return health
+
+
+def shallow_clone(src: str, dst: str, version: int | None = None) -> dict:
+    """ZERO-COPY clone (Delta SHALLOW CLONE parity): create a new
+    table at ``dst`` whose first commit references the SOURCE's data
+    files by absolute path — no byte of data moves, so cloning a
+    100 TB table costs one manifest write.  The clone then evolves
+    independently: appends stage new parts under ``dst/data/``, and
+    any rewrite (delete_where / merge_into / compact) replaces cloned
+    references with clone-local files, so divergence is incremental
+    and automatic.
+
+    Ownership caveat (same as Delta's): the clone BORROWS the source's
+    files — ``vacuum_manifest`` on the clone never touches them (it
+    only reclaims under ``dst/data/``), but vacuum on the SOURCE does
+    not know about clones; dropping the cloned-from snapshot there can
+    orphan the clone.  Pin the source version with a tag for clones
+    that must outlive source retention.  ``cloned_from`` records the
+    lineage."""
+    m = read_manifest(src, version)
+    if os.path.exists(os.path.join(dst, MANIFEST)):
+        raise ValueError(f"clone target {dst} is already a table")
+    os.makedirs(dst, exist_ok=True)
+    entries = [
+        {**e, "file": os.path.abspath(os.path.join(src, e["file"]))}
+        for e in m["files"]
+    ]
+    new = {
+        k: v
+        for k, v in m.items()
+        # version is re-stamped; stream batch ids, branch markers and
+        # parent pointers belong to the source's history, not ours
+        if k not in ("version", "committed_at", "batches", "branch",
+                     "parent")
+    }
+    new["files"] = entries
+    new["cloned_from"] = {"path": os.path.abspath(src),
+                          "version": m["version"]}
+    _write_versioned(dst, new)
+    return read_manifest(dst)

@@ -1071,3 +1071,66 @@ def test_table_health_reports_small_files_and_clustering_depth(
     assert main(["manifest", p, "--health"]) == 0
     out = capsys.readouterr().out
     assert "8 files" in out and "clustering depth clustered" in out
+
+
+def test_shallow_clone_is_zero_copy_and_diverges_independently(
+    sink, tmp_path, capsys
+):
+    """Clone without moving a byte, then prove independence: appends
+    and row-level deletes on the clone never disturb the source, a
+    rewrite migrates cloned references to clone-local files, and
+    vacuum on the clone leaves borrowed source files alone."""
+    import os as _os
+
+    from setup_harvest_action_spark.cli import main
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        delete_where,
+        read_manifest,
+        shallow_clone,
+        vacuum_manifest,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    sink.range(0, 100).selectExpr("id", "id * 2 AS v").repartition(
+        4
+    ).write.format("manifest_parquet").mode("overwrite").save(src)
+
+    c = shallow_clone(src, dst)
+    assert c["version"] == 1
+    assert c["cloned_from"]["version"] == 1
+    # zero copy: the clone has NO data directory yet
+    assert not _os.path.isdir(_os.path.join(dst, "data"))
+    assert scan_manifest(sink, dst).count() == 100
+    with pytest.raises(ValueError, match="already a table"):
+        shallow_clone(src, dst)
+
+    # clone-side mutation: source untouched
+    sink.range(100, 110).selectExpr("id", "id * 2 AS v").write.format(
+        "manifest_parquet"
+    ).mode("append").save(dst)
+    delete_where(sink, dst, [("id", "=", 5)])
+    assert scan_manifest(sink, dst).count() == 109
+    assert scan_manifest(sink, src).count() == 100
+    src_files = {e["file"] for e in read_manifest(src)["files"]}
+    assert all(
+        _os.path.exists(_os.path.join(src, f)) for f in src_files
+    )
+
+    # the delete rewrote the candidate file clone-locally: at most the
+    # untouched source refs remain absolute
+    m = read_manifest(dst)
+    local = [e for e in m["files"] if not _os.path.isabs(e["file"])]
+    assert local, "rewrite must create clone-local files"
+
+    # vacuum on the clone reclaims only its own data/ dir
+    removed = vacuum_manifest(dst, keep_last=1)
+    assert all(not _os.path.isabs(r) for r in removed)
+    assert scan_manifest(sink, src).count() == 100
+    assert scan_manifest(sink, dst).count() == 109
+
+    # CLI verb
+    dst2 = str(tmp_path / "dst2")
+    assert main(["manifest", src, "--clone-to", dst2]) == 0
+    assert "zero bytes copied" in capsys.readouterr().out
+    assert scan_manifest(sink, dst2).count() == 100
