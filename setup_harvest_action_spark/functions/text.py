@@ -1358,3 +1358,95 @@ def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     return scores.select("word", F.round("score", 8).alias("score"))
+
+
+NOVELTY_K = 3  # shingle width for the novelty score
+
+
+@query(
+    "q_text_novelty",
+    oracle=f"""
+WITH sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - {NOVELTY_K - 1}, 0) + 1),
+               i -> substring(md5(
+                   array_to_string(toks[i : i + {NOVELTY_K - 1}], ' ')),
+                   1, 16)
+           ))) AS s
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents)
+),
+df AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unique,
+       CAST(round(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1.0
+                  / count(*), 6) AS DOUBLE) AS novelty
+FROM sh JOIN df ON df.s = sh.s
+GROUP BY sh.doc_id
+""",
+)
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY score: the fraction of a document's
+    distinct {NOVELTY_K}-gram shingles that appear NOWHERE else in
+    the corpus (corpus document frequency = 1) — high novelty marks
+    fresh material worth keeping, low novelty marks boilerplate-
+    and-remix territory the dedup family then examines; the same
+    signal, inverted, estimates memorization risk for eval-set
+    construction.
+
+    One exploded-shingle shuffle builds the df table (shingles hashed
+    in place to 16-hex md5 keys — the repo's r9 discipline), one join
+    back on the shingle key scores documents: both sides of the join
+    are the SAME exploded relation, so AQE reuses the exchange; no
+    all-pairs anything, no caps needed (df is a count, not a posting
+    list)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.filter(
+                        F.transform(
+                            F.sequence(
+                                F.lit(1),
+                                F.greatest(
+                                    F.size(tokens()) - (NOVELTY_K - 1),
+                                    F.lit(0),
+                                ),
+                            ),
+                            lambda i: F.concat_ws(
+                                " ",
+                                *[
+                                    F.element_at(tokens(), i + j)
+                                    for j in range(NOVELTY_K)
+                                ],
+                            ),
+                        ),
+                        lambda x: x != "",
+                    ),
+                    lambda s: F.substring(F.md5(s), 1, 16),
+                )
+            )
+        ).alias("s"),
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias(
+                "n_unique"
+            ),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )

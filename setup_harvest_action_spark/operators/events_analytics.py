@@ -2041,3 +2041,79 @@ def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+BURST_BUCKET_SEC = 600
+BURST_FACTOR = 1.25  # a bucket is HOT when above FACTOR x median rate
+
+
+@query(
+    "q_events_bursts",
+    oracle=f"""
+WITH b AS (
+    SELECT time_bucket(INTERVAL '{BURST_BUCKET_SEC} seconds', ts) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+),
+med AS (SELECT quantile_cont(CAST(n AS DOUBLE), 0.5) AS m FROM b),
+hot AS (
+    SELECT bucket, n,
+           CAST(row_number() OVER (ORDER BY bucket) AS BIGINT) AS rn
+    FROM b, med WHERE n > {BURST_FACTOR} * med.m
+),
+islands AS (
+    SELECT bucket, n,
+           bucket - rn * INTERVAL '{BURST_BUCKET_SEC} seconds' AS island
+    FROM hot
+)
+SELECT min(bucket) AS burst_start,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(max(n) AS BIGINT) AS peak_rate
+FROM islands
+GROUP BY island
+""",
+)
+def q_events_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURST SEGMENTATION — the complement of the anomaly scorers:
+    instead of scoring buckets, SEGMENT contiguous runs of above-
+    threshold traffic into burst episodes (start, length, volume,
+    peak), the unit an incident review or rate-limiter postmortem
+    actually talks about.  Hot = above BURST_FACTOR x the median
+    bucket rate (median, not mean — the bursts themselves would drag
+    a mean threshold up); contiguity via gaps-and-islands on the
+    bucket timeline (bucket minus rank·width is constant exactly
+    within a run).
+
+    Scale: one corpus-wide bucket count, a broadcast one-row median,
+    then every window runs over bucket-cardinality rows (the
+    q_events_anomaly economics)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            F.timestamp_seconds(
+                (F.unix_timestamp("ts") / BURST_BUCKET_SEC).cast("long")
+                * BURST_BUCKET_SEC
+            ).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    med = b.agg(F.median(F.col("n").cast("double")).alias("m"))
+    hot = (
+        b.crossJoin(F.broadcast(med))
+        .filter(F.col("n") > BURST_FACTOR * F.col("m"))
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("bucket")).cast("long")
+        )
+    )
+    islands = hot.withColumn(
+        "island",
+        F.col("bucket")
+        - (F.col("rn") * BURST_BUCKET_SEC).cast("interval second"),
+    )
+    return islands.groupBy("island").agg(
+        F.min("bucket").alias("burst_start"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("peak_rate"),
+    ).drop("island")
