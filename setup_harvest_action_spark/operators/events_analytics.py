@@ -2117,3 +2117,63 @@ def q_events_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         F.max("n").alias("peak_rate"),
     ).drop("island")
+
+
+WAU_DAYS = 7  # trailing window for weekly-active
+
+
+@query(
+    "q_events_active_users",
+    oracle=f"""
+WITH ud AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+dau AS (
+    SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+),
+covers AS (
+    SELECT day + CAST(off AS INTEGER) AS day, user_id
+    FROM ud, (SELECT unnest(range({WAU_DAYS})) AS off)
+),
+wau AS (
+    SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM covers GROUP BY day
+)
+SELECT d.day, d.dau, w.wau,
+       CAST(round(d.dau * 1.0 / w.wau, 6) AS DOUBLE) AS stickiness
+FROM dau d JOIN wau w ON w.day = d.day
+""",
+)
+def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-{WAU_DAYS}-day WAU / stickiness (DAU÷WAU) — the
+    engagement dashboard row.  Distinct-users-over-a-trailing-window
+    is NOT a window aggregate (COUNT DISTINCT has no frame-mergeable
+    state), so WAU is computed by the bounded-expansion trick: each
+    (user, active-day) pair fans out to the {WAU_DAYS} calendar days
+    it keeps the user weekly-active for, then one distinct count per
+    day — expansion factor = the window length, a constant, and every
+    step is a keyed aggregate with map-side combine.  Days with no
+    DAU row (user active only in the preceding week) drop via the
+    inner join, matching the oracle.  The same shape scales to MAU
+    with factor 30 — the factor, not the corpus, is the knob."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    covers = ud.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(WAU_DAYS - 1)),
+                lambda off: F.date_add(F.col("day"), off),
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    wau = covers.groupBy("day").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+    )
