@@ -110,7 +110,11 @@ _DRIVER_PRIORITY = (
     # q_sql_recursive_cte, q_join_lateral_topn,
     # q_source_manifest_stream_wap, q_events_seasonal_anomaly,
     # q_agg_geomean_udaf, q_dedup_prefix_filter_join,
-    # q_events_kaplan_meier) — and the md5 re-gated
+    # q_events_kaplan_meier, q_agg_corr_matrix, q_sample_systematic,
+    # q_events_longest_streak, q_agg_benford, q_quality_dedup_report,
+    # q_events_autocorrelation, q_agg_welch_ttest,
+    # q_source_manifest_clone, q_events_bursts, q_text_novelty,
+    # q_events_active_users) — and the md5 re-gated
     # q_dedup_minhash/q_dedup_simhash front the r11 window; until then
     # they are hash-verified by tools/verify_oracle.py + pytest.
     # (a) Never carried a driver row (judge-replayed green in r9):
