@@ -1673,3 +1673,57 @@ def q_agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 4).alias("t_stat"),
         F.round(dfw, 2).alias("welch_df"),
     )
+
+
+@query(
+    "q_agg_gini",
+    oracle="""
+WITH counts AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY user_id
+),
+ranked AS (
+    SELECT cnt,
+           CAST(row_number() OVER (ORDER BY cnt, user_id) AS BIGINT) AS rnk,
+           CAST(count(*) OVER () AS BIGINT) AS n
+    FROM counts
+)
+SELECT CAST(max(n) AS BIGINT) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS n_events,
+       CAST(round(sum((2.0 * rnk - n - 1) * cnt)
+                  / (max(n) * sum(cnt)), 6) AS DOUBLE) AS gini
+FROM ranked
+""",
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Gini coefficient of events-per-user — the single-number
+    inequality index completing q_agg_skew_report's concentration
+    percentiles (0 = uniform load, →1 = one key owns the table; the
+    number a capacity planner tracks round over round).
+
+    Gini needs a GLOBAL rank of the key-count table — the classic
+    excuse for a single-task ORDER BY window; here the rank comes
+    from ``ranked_row_number`` (range-partitioned, the same primitive
+    behind negative-pair and systematic sampling), the grand count
+    rides out of its offsets table, and the closed form
+    Σ(2i−n−1)cᵢ / (nΣc) reduces in ONE aggregate.  Ties in cnt are
+    rank-order-invariant in the sum (equal values commute), so the
+    user_id tie-break exists only for bitwise determinism."""
+    from setup_harvest_action_spark.operators.ranked import (
+        ranked_row_number,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = ranked_row_number(
+        counts, "cnt", ["user_id"], out="rnk", total="n"
+    )
+    return ranked.agg(
+        F.max("n").alias("n_keys"),
+        F.sum("cnt").alias("n_events"),
+        F.round(
+            F.sum((2.0 * F.col("rnk") - F.col("n") - 1) * F.col("cnt"))
+            / (F.max("n") * F.sum("cnt")),
+            6,
+        ).alias("gini"),
+    )
