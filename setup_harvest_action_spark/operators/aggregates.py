@@ -1727,3 +1727,50 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "q_agg_entropy",
+    oracle="""
+WITH p AS (
+    SELECT source, count(*) * 1.0 /
+           (SELECT count(*) FROM documents) AS p
+    FROM documents GROUP BY source
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(round(-sum(p * log2(p)), 6) AS DOUBLE) AS entropy_bits,
+       CAST(round(-sum(p * log2(p)) / log2(count(*)), 6) AS DOUBLE)
+           AS normalized,
+       CAST(round(1.0 / sum(p * p), 4) AS DOUBLE) AS effective_classes
+FROM p
+""",
+)
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon ENTROPY of the corpus source mix (+ normalized entropy
+    and the inverse-Simpson 'effective class count') — the diversity
+    dial a data-mixing recipe is tuned against (temperature sampling
+    raises it; its verification is this number moving): Gini says how
+    unequal, entropy says how many effective sources the model
+    actually sees.
+
+    One grouped count over the corpus; the class-probability table is
+    |sources|-sized, the total attaches as a broadcast one-row
+    aggregate, and the three indices reduce in a single pass over
+    it."""
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(F.count(F.lit(1)).alias("total"))
+    p = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(total))
+        .select((F.col("c") / F.col("total")).alias("p"))
+    )
+    h = -F.sum(F.col("p") * F.log2("p"))
+    return p.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.round(h, 6).alias("entropy_bits"),
+        F.round(h / F.log2(F.count(F.lit(1))), 6).alias("normalized"),
+        F.round(1.0 / F.sum(F.col("p") * F.col("p")), 4).alias(
+            "effective_classes"
+        ),
+    )
