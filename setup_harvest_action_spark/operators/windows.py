@@ -589,3 +589,68 @@ def q_window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.round(c, 4).alias("roll_corr"),
     )
+
+
+@query(
+    "q_window_max_drawdown",
+    oracle="""
+WITH cums AS (
+    SELECT o_custkey, o_orderdate, o_orderkey,
+           sum(round(o_totalprice, 2)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS cum
+    FROM orders
+),
+series AS (
+    SELECT o_custkey, cum,
+           max(cum) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS peak
+    FROM cums
+)
+SELECT o_custkey AS custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(max(peak - cum), 2) AS DOUBLE) AS max_drawdown,
+       CAST(round(max(peak), 2) AS DOUBLE) AS peak_cum
+FROM series
+GROUP BY o_custkey
+HAVING count(*) >= 5
+""",
+)
+def q_window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX DRAWDOWN of each customer's cumulative order value — the
+    running-peak-minus-current statistic (finance's risk number; in a
+    pipeline it flags entities whose cumulative metric stalls hardest
+    against its own history — the windowed twin of the CUSUM
+    change-point query, which tracks the mirror-image recurrence).
+
+    One customer-keyed window pass computes the cumulative sum AND
+    its running max (a window over a window — both on the same
+    partitioning, so ONE shuffle and one sort serve both); the
+    drawdown then folds per customer.  The summand is rounded to
+    cents BEFORE accumulation so both engines add identical values in
+    identical order — accumulation-order parity for running sums
+    (ADVICE r02 applied to prefix sums, not just final aggregates)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = F.sum(F.round("o_totalprice", 2)).over(w)
+    peak = F.max(cum).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    series = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        cum.alias("cum"),
+        peak.alias("peak"),
+    )
+    return (
+        series.groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.max(F.col("peak") - F.col("cum")), 2).alias(
+                "max_drawdown"
+            ),
+            F.round(F.max("peak"), 2).alias("peak_cum"),
+        )
+        .filter(F.col("n_orders") >= 5)
+    )
