@@ -2177,3 +2177,51 @@ def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
     )
+
+
+@query(
+    "q_events_cadence",
+    oracle="""
+WITH gaps AS (
+    SELECT user_id,
+           epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)) AS gap_s
+    FROM events
+)
+SELECT user_id,
+       CAST(count(gap_s) AS BIGINT) AS n_gaps,
+       CAST(round(quantile_cont(gap_s, 0.5), 3) AS DOUBLE) AS median_gap_s,
+       CAST(round(quantile_cont(gap_s, 0.9), 3) AS DOUBLE) AS p90_gap_s,
+       CAST(round(max(gap_s), 3) AS DOUBLE) AS max_gap_s
+FROM gaps
+WHERE gap_s IS NOT NULL
+GROUP BY user_id
+""",
+)
+def q_events_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ENGAGEMENT CADENCE: median / p90 / max inter-event
+    gap — the rhythm metric behind churn-risk scoring (a user whose
+    median gap doubles is leaving long before their last event) and
+    the empirical input for picking session/watermark widths.
+
+    One lag window per user (shuffle keyed on user_id) computes the
+    gap stream; exact grouped percentiles reduce it per user — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the
+    interpolated definition (the q_quality_robust_zscore parity), and
+    each user's gap list is bounded by their event count, the same
+    bound every grouped exact percentile in the repo carries."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts.cast(double) keeps sub-second precision — epoch seconds with
+    # the microsecond fraction, matching DuckDB's epoch(interval)
+    ts_s = F.col("ts").cast("double")
+    gaps = ev.select(
+        "user_id",
+        (ts_s - F.lag(ts_s).over(w)).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 3).alias("median_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.9)), 3).alias("p90_gap_s"),
+        F.round(F.max("gap_s"), 3).alias("max_gap_s"),
+    )
