@@ -80,98 +80,87 @@ _EXPECTED_MISSING: frozenset[str] = frozenset()
 DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = (
-    # ---- r10 rotation ----
-    # 50 slots = 2 + 47 + 1.  The VERDICT r9 done-criterion pins the
-    # whole composition: both never-driver-checked entries plus every
-    # entry whose newest driver row is still r05 (47 of them).  That
-    # leaves exactly ONE slot, which goes to the round's headline
-    # addition (manifest MERGE INTO).  All other r10 additions —
-    # q_multimodal_png_pipeline, q_harvest_downstream_preserved, the
-    # manifest-format family (evolution, stream_merge, table_changes,
-    # cdc_rollup), the fifteen TPC-H shapes in operators/tpch_shapes.py
-    # + tpch_shapes2.py (the latter completing all 22 spec queries),
-    # q_sample_temperature, q_embedding_quantize_int8,
-    # q_window_period_over_period, q_events_attribution,
-    # q_graph_kcore, and the r10-late additions
-    # (q_multimodal_jpeg_pipeline, q_source_manifest_bloom_skipping,
-    # q_graph_label_propagation, q_stream_stream_join_full_outer,
-    # q_quality_auc, q_quality_k_anonymity,
-    # q_stream_approx_distinct_users, q_graph_hits,
-    # q_quality_calibration, q_text_feature_hashing,
-    # q_multimodal_gif_pipeline, q_scd2_point_in_time,
-    # q_market_basket_rules, q_source_orc_roundtrip,
-    # q_text_textrank, q_events_cusum, and the r10-close wave:
-    # q_text_bpe_train, q_text_bpe_encode, q_source_manifest_wap,
-    # q_quality_expectations, q_join_bucketed_colocated,
-    # q_agg_count_min_sketch, q_similarity_pq_adc, q_agg_skew_report,
-    # q_pipeline_spec_run, q_sample_negative_pairs,
-    # q_quality_robust_zscore, q_multimodal_phash_dedup,
-    # q_window_rolling_corr, q_multimodal_video_pipeline,
-    # q_sql_recursive_cte, q_join_lateral_topn,
-    # q_source_manifest_stream_wap, q_events_seasonal_anomaly,
-    # q_agg_geomean_udaf, q_dedup_prefix_filter_join,
-    # q_events_kaplan_meier, q_agg_corr_matrix, q_sample_systematic,
-    # q_events_longest_streak, q_agg_benford, q_quality_dedup_report,
-    # q_events_autocorrelation, q_agg_welch_ttest,
-    # q_source_manifest_clone, q_events_bursts, q_text_novelty,
-    # q_events_active_users) — and the md5 re-gated
-    # q_dedup_minhash/q_dedup_simhash front the r11 window; until then
-    # they are hash-verified by tools/verify_oracle.py + pytest.
-    # (a) Never carried a driver row (judge-replayed green in r9):
-    "q_small_quantity_revenue",
-    "q_quality_boilerplate_segments",
-    # (b) The r10 headline addition — manifest table-format MERGE INTO:
-    "q_source_manifest_merge",
-    # (c) The full r05 cohort — stalest driver rows in the catalog
-    # (all stayed green under tools/verify_oracle.py + judge replay
-    # every round since):
-    "q_agg_minmax_stats",
-    "q_agg_percentiles",
-    "q_agg_pivot",
-    "q_constraint_report",
-    "q_cube_lineitem_flags",
-    "q_dedup_components",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_semantic",
-    "q_embedding_kmeans",
-    "q_events_anomaly",
-    "q_events_cohort_retention",
-    "q_events_funnel",
-    "q_events_resample_ffill",
-    "q_events_sessionize",
-    "q_events_transitions",
-    "q_grouping_sets",
-    "q_harvest_read_path",
-    "q_harvest_rerun_stats",
-    "q_harvest_rerun_terms",
-    "q_harvest_term_fields",
-    "q_harvest_terms",
-    "q_harvest_unpivot",
-    "q_join_asof",
-    "q_join_asof_forward",
-    "q_large_orders",
-    "q_multimodal_metadata",
-    "q_pagination_page",
-    "q_pricing_summary",
-    "q_revenue_by_nation",
-    "q_rollup_order_stats",
-    "q_sample_source_cap",
-    "q_scalar_array",
-    "q_scalar_conditional",
-    "q_scalar_math",
-    "q_shipping_priority",
-    "q_similarity_exact_topk",
-    "q_stream_dedup",
-    "q_stream_dedup_within_watermark",
-    "q_stream_session_windows",
-    "q_stream_sliding_avg",
-    "q_stream_stateful_user_totals",
-    "q_stream_stream_join",
-    "q_stream_tumbling_append_filesink",
-    "q_stream_tumbling_counts",
-    "q_text_bytes_mapinarrow",
-    "q_text_lm_score",
+    # ---- r11 rotation ----
+    # 50 slots = 2 + 48, per the VERDICT r10 done-criterion: front the
+    # md5 re-gated q_dedup_minhash/q_dedup_simhash, then give FIRST
+    # driver rows to 48 of the 78 never-driver-sampled entries —
+    # q_harvest_downstream_preserved first (the reference's
+    # idempotence contract, harvest.py:292-299), then the full
+    # r10-late wave (16), the r10-main never-sampled block (10), all
+    # fifteen TPC-H shapes (completing driver coverage of the 22 spec
+    # queries), and six high-value r10-close entries (BPE train/
+    # encode, PQ-ADC, prefix-filter join, pipeline compiler, bucketed
+    # co-located join).  The 30 never-sampled entries that remain
+    # (q_agg_count_min_sketch, q_agg_skew_report, q_agg_geomean_udaf,
+    # q_agg_corr_matrix, q_agg_benford, q_agg_welch_ttest, q_agg_gini,
+    # q_agg_entropy, q_window_rolling_corr, q_window_max_drawdown,
+    # q_events_seasonal_anomaly, q_events_kaplan_meier,
+    # q_events_longest_streak, q_events_autocorrelation,
+    # q_events_bursts, q_events_active_users, q_events_cadence,
+    # q_source_manifest_clone, q_source_manifest_wap,
+    # q_source_manifest_stream_wap, q_text_novelty,
+    # q_multimodal_phash_dedup, q_multimodal_video_pipeline,
+    # q_sample_negative_pairs, q_sample_systematic,
+    # q_quality_expectations, q_quality_robust_zscore,
+    # q_quality_dedup_report, q_sql_recursive_cte, q_join_lateral_topn)
+    # front the r12 window; until then they stay hash-verified by
+    # tools/verify_oracle.py + pytest every session.
+    # (a) md5 re-gated in r10 — first driver rows on the new oracles:
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    # (b) the reference's idempotence heart (harvest_queries.py:372):
+    "q_harvest_downstream_preserved",
+    # (c) r10-late wave (16):
+    "q_multimodal_jpeg_pipeline",
+    "q_source_manifest_bloom_skipping",
+    "q_graph_label_propagation",
+    "q_stream_stream_join_full_outer",
+    "q_quality_auc",
+    "q_quality_k_anonymity",
+    "q_stream_approx_distinct_users",
+    "q_graph_hits",
+    "q_quality_calibration",
+    "q_text_feature_hashing",
+    "q_multimodal_gif_pipeline",
+    "q_scd2_point_in_time",
+    "q_market_basket_rules",
+    "q_source_orc_roundtrip",
+    "q_text_textrank",
+    "q_events_cusum",
+    # (d) r10-main never-sampled (10):
+    "q_source_manifest_evolution",
+    "q_source_manifest_table_changes",
+    "q_source_manifest_stream_merge",
+    "q_source_manifest_cdc_rollup",
+    "q_multimodal_png_pipeline",
+    "q_sample_temperature",
+    "q_embedding_quantize_int8",
+    "q_window_period_over_period",
+    "q_events_attribution",
+    "q_graph_kcore",
+    # (e) the fifteen TPC-H shapes (tpch_shapes.py + tpch_shapes2.py):
+    "q_priority_late_ship",
+    "q_bilateral_trade",
+    "q_lineitem_priority_matrix",
+    "q_promo_revenue_ratio",
+    "q_part_supplier_diversity",
+    "q_disjunctive_revenue",
+    "q_dormant_rich_customers",
+    "q_discount_revenue_delta",
+    "q_national_market_share",
+    "q_product_type_profit",
+    "q_returned_items_topk",
+    "q_important_parts_value",
+    "q_customer_order_distribution",
+    "q_top_supplier_revenue",
+    "q_promotable_suppliers",
+    # (f) r10-close high-value (6):
+    "q_text_bpe_train",
+    "q_text_bpe_encode",
+    "q_similarity_pq_adc",
+    "q_dedup_prefix_filter_join",
+    "q_pipeline_spec_run",
+    "q_join_bucketed_colocated",
 )
 
 _loaded = False
