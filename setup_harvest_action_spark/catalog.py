@@ -51,6 +51,7 @@ _OPERATOR_MODULES = (
     "setup_harvest_action_spark.functions.tokenizer",
     "setup_harvest_action_spark.functions.dedup",
     "setup_harvest_action_spark.functions.similarity",
+    "setup_harvest_action_spark.functions.ann_index",
     "setup_harvest_action_spark.functions.multimodal",
     "setup_harvest_action_spark.functions.sampling",
     "setup_harvest_action_spark.functions.quality",

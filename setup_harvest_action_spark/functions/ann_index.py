@@ -1,0 +1,291 @@
+"""Persisted, incrementally-maintained PQ (ANN) index on the manifest
+table format.
+
+`q_similarity_pq_adc` (functions/similarity.py) proves the PQ-ADC
+*kernel* but refits codebooks and re-encodes the whole corpus inside
+every query.  At 100 TB the index IS the asset: this module
+materializes it as two manifest tables under one index root —
+
+    <index>/codebooks   (m, cluster, c array<double>)   PQ_M·PQ_K rows
+    <index>/codes       (vec_id, codes array<int>)      one row/vector
+
+— and maintains it incrementally, mirroring the reference's
+idempotent-rerun contract (harvest.py:292-299: a re-run must not
+redo or duplicate work already committed) at index level:
+
+  * ``pq_index_build``  — train codebooks ONCE (on a bootstrap
+    sample; frozen thereafter, which is how production PQ systems ship
+    — FAISS trains on a sample and never refits on add) and encode +
+    commit the initial corpus.
+  * ``pq_index_append`` — encode ONLY the new batch with the STORED
+    codebooks (map-only, zero shuffle, O(batch) rows read), then
+    MERGE INTO the codes table keyed on vec_id.  Stats-admitted
+    rewrite means an append whose vec_id range is disjoint from
+    existing files rewrites NOTHING: every prior file entry survives
+    byte-identical (pinned in tests/test_ann_index.py), so re-index
+    cost is O(batch), not O(corpus).  Re-appending the same batch is
+    a no-op in content (the upsert replaces rows with themselves).
+  * ``pq_index_search`` — the query side starts from a SCAN of the
+    stored codes (no fit, no encode): ADC scores the compressed codes
+    against the probe via two broadcast one-row attaches (codebook
+    maps + probe), takes a PQ_CAND candidate pool, and re-ranks ONLY
+    the candidates against raw vectors.  Unlike the inline query, the
+    exact-distance math here touches PQ_CAND rows, never the corpus.
+
+100 TB design: the codes table is 64× smaller than the vectors
+(PQ_M bytes/vector vs PQ_M·PQ_SUB floats), range-committed on vec_id
+so the manifest's footer stats both bound merge admission and let a
+point lookup (``where=[("vec_id", ...)]``) skip files; search is one
+scan of that compressed table + a TakeOrderedAndProject; codebooks are
+O(1) state (PQ_M·PQ_K·PQ_SUB doubles).  An IVF routing layer would
+store (centroid_id) as one more codes column and turn the scan into a
+stats-pruned partition probe.
+
+Catalog entry `q_similarity_pq_adc_stored` shares
+`q_similarity_pq_adc`'s unrolled-Lloyd oracle verbatim: frozen
+codebooks trained on the full fixture + encode-on-append produce
+exactly the codes a monolithic build would, so the stored path must
+hash-match the inline path's oracle — build-vs-append equivalence is
+part of the gate, not just a unit test.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from setup_harvest_action_spark.catalog import query
+from setup_harvest_action_spark.functions.similarity import (
+    PQ_CAND,
+    PQ_M,
+    PQ_PROBE,
+    PQ_TOPK,
+    _as_double,
+    _l2,
+    _pq_oracle,
+    _slice,
+    pq_fit,
+)
+from setup_harvest_action_spark.io.loaders import load_table
+
+
+def _codebooks_path(index_path: str) -> str:
+    return os.path.join(index_path, "codebooks")
+
+
+def _codes_path(index_path: str) -> str:
+    return os.path.join(index_path, "codes")
+
+
+def fit_codebooks(emb: DataFrame) -> DataFrame:
+    """All PQ_M sub-codebooks as ONE relation (m, cluster, c) — the
+    storable image of ``pq_fit``'s list of per-subspace frames."""
+    books = pq_fit(emb)
+    out = None
+    for m, cent in enumerate(books):
+        tagged = cent.select(
+            F.lit(m).alias("m"), "cluster", F.col("c").alias("c")
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
+def pq_encode(emb: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Encode (vec_id, e) rows to (vec_id, codes array<int>) with FROZEN
+    codebooks — map-only: each sub-codebook collapses to one broadcast
+    collect_list row, every vector arg-mins all PQ_K centroids inline.
+    Zero shuffles; cost is O(|emb|) regardless of corpus size.
+
+    Arg-min orders on (round(dist, 6), cluster, centroid) — the exact
+    struct `q_similarity_pq_adc` compares, so stored codes are
+    bit-identical to the inline query's and both share one oracle."""
+    df = emb
+    for m in range(PQ_M):
+        one = codebooks.filter(F.col("m") == m).agg(
+            F.collect_list(F.struct("cluster", "c")).alias(f"cs{m}")
+        )
+        df = df.crossJoin(F.broadcast(one))
+
+    def _scorer(m: int):
+        # one-argument lambda: a second parameter would be bound by
+        # transform() as the array INDEX, not a closure
+        def score(s):
+            return F.struct(
+                F.round(_l2(_slice(F.col("e"), m), s["c"]), 6).alias("dr"),
+                s["cluster"].alias("cluster"),
+                s["c"].alias("c"),
+            )
+
+        return score
+
+    best = [
+        F.array_min(F.transform(F.col(f"cs{m}"), _scorer(m)))
+        for m in range(PQ_M)
+    ]
+    return df.select(
+        "vec_id", F.array(*[b["cluster"] for b in best]).alias("codes")
+    )
+
+
+def pq_index_build(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_path: str,
+    fit_on: DataFrame | None = None,
+    n_parts: int = 8,
+) -> None:
+    """Create the index: train codebooks (on ``fit_on`` — the bootstrap
+    sample, default the initial corpus itself; frozen afterwards) and
+    commit codebooks + initial codes as manifest tables.  Codes are
+    range-committed on vec_id so file footers carry disjoint key
+    ranges — the property that makes later appends rewrite nothing."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    cb = fit_codebooks(fit_on if fit_on is not None else emb)
+    (
+        cb.coalesce(1)
+        .write.format("manifest_parquet")
+        .mode("overwrite")
+        .save(_codebooks_path(index_path))
+    )
+    codes = pq_encode(emb, cb)
+    (
+        codes.repartitionByRange(n_parts, "vec_id")
+        .write.format("manifest_parquet")
+        .mode("overwrite")
+        .save(_codes_path(index_path))
+    )
+
+
+def pq_index_append(spark: SparkSession, new_emb: DataFrame, index_path: str) -> dict:
+    """Incrementally index a batch: encode ONLY ``new_emb`` with the
+    STORED codebooks, then MERGE INTO the codes table on vec_id.
+    O(batch): the encode scans just the batch, and merge's
+    stats-admitted rewrite leaves every file whose vec_id range
+    cannot overlap the batch byte-identical.  Idempotent: re-running
+    the same batch upserts rows to their existing values (the
+    reference's rerun contract, harvest.py:292-299).  Returns the new
+    codes manifest."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        merge_into,
+        register_manifest_sink,
+        scan_manifest,
+    )
+
+    register_manifest_sink(spark)
+    cb = scan_manifest(spark, _codebooks_path(index_path))
+    codes = pq_encode(new_emb, cb)
+    return merge_into(
+        spark,
+        _codes_path(index_path),
+        codes,
+        on=["vec_id"],
+        when_matched="update",
+        when_not_matched="insert",
+    )
+
+
+def pq_index_search(
+    spark: SparkSession,
+    index_path: str,
+    probe: DataFrame,
+    emb: DataFrame,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Two-stage ADC search whose FIRST stage is a scan of the stored
+    codes table: join nothing corpus-sized — codebook maps and the
+    probe attach as broadcast one-row frames, every code row scores
+    inline, a PQ_CAND pool survives TakeOrderedAndProject, and only
+    the pool re-ranks against raw vectors (broadcast semi-side join
+    of PQ_CAND rows into ``emb``).  Output schema matches
+    `q_similarity_pq_adc`: (vec_id, codes, adc_dist, exact_dist)."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        scan_manifest,
+    )
+
+    codes = scan_manifest(spark, _codes_path(index_path))
+    if exclude_vec_id is not None:
+        codes = codes.filter(F.col("vec_id") != exclude_vec_id)
+    cb = scan_manifest(spark, _codebooks_path(index_path))
+    df = codes
+    for m in range(PQ_M):
+        one = cb.filter(F.col("m") == m).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("cluster", "c"))
+            ).alias(f"map{m}")
+        )
+        df = df.crossJoin(F.broadcast(one))
+    df = df.crossJoin(F.broadcast(probe))
+    adc2 = None
+    for m in range(PQ_M):
+        cent = F.col(f"map{m}")[F.col("codes")[m]]
+        term = F.pow(_l2(_slice(F.col("q"), m), cent), 2)
+        adc2 = term if adc2 is None else adc2 + term
+    cand = (
+        df.select(
+            "vec_id",
+            F.array_join(F.col("codes"), "-").alias("codes"),
+            F.round(F.sqrt(adc2), 6).alias("adc_dist"),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(PQ_CAND)
+    )
+    return (
+        F.broadcast(cand)
+        .join(emb, "vec_id")
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "codes",
+            "adc_dist",
+            F.round(_l2(F.col("e"), F.col("q")), 6).alias("exact_dist"),
+        )
+        .orderBy("exact_dist", "vec_id")
+        .limit(PQ_TOPK)
+    )
+
+
+def _index_scratch(sf_dir: str) -> str:
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(tempfile.gettempdir(), "shas_ann", label, "pq_index")
+
+
+@query("q_similarity_pq_adc_stored", oracle=_pq_oracle())
+def q_similarity_pq_adc_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC search against a PERSISTED, INCREMENTALLY-BUILT index:
+    codebooks are trained once on the fixture (frozen), the first 3/4
+    of the corpus (by vec_id) is committed as the initial codes table,
+    the remaining 1/4 arrives later as an append batch (encode-only +
+    MERGE INTO — no refit, no corpus rewrite), and the search's first
+    stage is a manifest SCAN of the stored codes.  Because frozen
+    codebooks make encoding path-independent, the stored index is
+    bit-identical to a monolithic build and this query hash-matches
+    the same unrolled-Lloyd oracle as `q_similarity_pq_adc` — the
+    build→append→scan lifecycle itself is inside the gate.  Recall is
+    therefore the inline query's pinned floor unchanged
+    (tests/test_llm_functions.py; equality of the two queries is
+    additionally pinned in tests/test_ann_index.py)."""
+    out = _index_scratch(sf_dir)
+    # fresh index per call: the build+append lifecycle is stateful;
+    # repeated gate/bench runs must re-prove from the same commits
+    shutil.rmtree(out, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("e")
+    )
+    hi = emb.agg(F.max("vec_id").alias("hi")).first()["hi"]
+    split = int(hi * 3 // 4)
+    pq_index_build(
+        spark, emb.filter(F.col("vec_id") <= split), out, fit_on=emb
+    )
+    pq_index_append(spark, emb.filter(F.col("vec_id") > split), out)
+    probe = emb.filter(F.col("vec_id") == PQ_PROBE).select(
+        F.col("e").alias("q")
+    )
+    return pq_index_search(spark, out, probe, emb, exclude_vec_id=PQ_PROBE)
