@@ -34,6 +34,7 @@ LLM-pipeline pillar (SURVEY.md §2.2).  Design rules for 100 TB:
 
 from __future__ import annotations
 
+import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -41,6 +42,24 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from setup_harvest_action_spark.catalog import query
 from setup_harvest_action_spark.io.loaders import load_table
 from setup_harvest_action_spark.io.materialize import materialize
+
+# Sketch-hash spelling knob (r11, VERDICT r10 #5): the md5 spellings
+# exist so the DuckDB oracle can replay every sketch bit-for-bit — md5
+# is the ONE hash both engines share.  Production (and the headline
+# bench, which sets this env) runs the xxhash64 spelling instead: pure
+# JVM 64-bit output, no hex-string round-trip, measurably cheaper where
+# the hash sits inside a corpus-wide explode.  Semantics are
+# hash-agnostic — the same candidate-pair sets fall out on the fixture
+# (pinned by tests/test_hash_spellings.py) — so the oracle path keeps
+# md5 (the driver gate never sets the env) while the benched form pays
+# the production cost.
+SKETCH_HASH_ENV = "SPARK_GRAFT_SKETCH_HASH"
+
+
+def production_hash_spelling() -> bool:
+    """True = xxhash64 (benched/production), False = md5 (oracle)."""
+    return os.environ.get(SKETCH_HASH_ENV, "md5") == "xxhash64"
+
 
 SHINGLE_K = 3  # tokens per shingle
 MAX_SHINGLE_DF = 100  # drop shingles hotter than this (anti-blowup cap)
@@ -308,22 +327,20 @@ def minhash_signatures(docs: DataFrame, n_perms: int = MINHASH_PERMS) -> DataFra
     aggregate while keeping the full oracle.
     """
     tk = F.col("toks")
+
+    def _shingle(i):
+        s = F.concat_ws(
+            " ", *[F.element_at(tk, i + j) for j in range(SHINGLE_K)]
+        )
+        if production_hash_spelling():
+            # benched/production: one JVM xxhash64, no hex round-trip;
+            # abs() keeps h = sh % 2^30 in the oracle's domain
+            return F.abs(F.xxhash64(s))
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
     shingle_keys = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(tk) - (SHINGLE_K - 1), F.lit(0))),
-        lambda i: F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        " ",
-                        *[F.element_at(tk, i + j) for j in range(SHINGLE_K)],
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
+        _shingle,
     )
     ds = docs.select("doc_id", tokens_col().alias("toks")).select(
         "doc_id", F.explode(F.array_distinct(shingle_keys)).alias("sh")
@@ -509,12 +526,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token"
         ),
     )
-    m = F.md5(F.col("token"))
-    hashed = toks.select(
-        "doc_id",
-        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("hi"),
-        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("lo"),
-    )
+    if production_hash_spelling():
+        # benched/production: one xxhash64 split into the same two
+        # 32-bit vote halves (unsigned shift keeps hi in [0, 2^32))
+        x = F.xxhash64(F.col("token"))
+        hashed = toks.select(
+            "doc_id",
+            F.shiftrightunsigned(x, 32).alias("hi"),
+            x.bitwiseAND(F.lit(4294967295)).alias("lo"),
+        )
+    else:
+        m = F.md5(F.col("token"))
+        hashed = toks.select(
+            "doc_id",
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("lo"),
+        )
     bit_sums = [
         F.sum(
             F.when(
@@ -1294,21 +1321,30 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the sampled twin of §7's full stride-1 index; p = 1/8 scales
     every S1 term, measured 24.6 s vs 73.6 s at the 10× probe)."""
     docs = load_table(spark, sf_dir, "documents")
-    keep_sql = ", ".join(f"'{c}'" for c in FP_KEEP)
+    if production_hash_spelling():
+        # benched/production: 64-bit xxhash64 fingerprints with the
+        # same 1/8 mod-p selection (pmod(h, 8) = 0 keeps 1 slice of 8,
+        # exactly FP_KEEP's 2-of-16 hex-prefix fraction) — no hex
+        # strings anywhere in the explode
+        select_expr = (
+            f"filter(transform("
+            f"  sequence(1, length(text) - {FP_WIN} + 1),"
+            f"  i -> xxhash64(substring(text, i, {FP_WIN}))),"
+            f" h -> pmod(h, 8) = 0)"
+        )
+    else:
+        keep_sql = ", ".join(f"'{c}'" for c in FP_KEEP)
+        select_expr = (
+            f"filter(transform("
+            f"  sequence(1, length(text) - {FP_WIN} + 1),"
+            f"  i -> md5(substring(text, i, {FP_WIN}))),"
+            f" h -> substring(h, 1, 1) IN ({keep_sql}))"
+        )
     fps = (
         docs.filter(F.length("text") >= FP_WIN)
         .select(
             "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"filter(transform("
-                        f"  sequence(1, length(text) - {FP_WIN} + 1),"
-                        f"  i -> md5(substring(text, i, {FP_WIN}))),"
-                        f" h -> substring(h, 1, 1) IN ({keep_sql}))"
-                    )
-                )
-            ).alias("fp"),
+            F.explode(F.array_distinct(F.expr(select_expr))).alias("fp"),
         )
     )
     postings = (
