@@ -1363,7 +1363,11 @@ def version_at_timestamp(path: str, ts: float) -> int:
 
 
 def auto_compact(
-    spark, path: str, small_bytes: int, n_parts: int = 1
+    spark,
+    path: str,
+    small_bytes: int,
+    n_parts: int = 1,
+    zorder_by: list[str] | str | None = None,
 ) -> dict:
     """Size-targeted compaction (the OPTIMIZE half of maintenance):
     rewrite ONLY the files smaller than ``small_bytes`` into
@@ -1374,13 +1378,38 @@ def auto_compact(
     while the small-file problem lives in the most recent appends.
     No-op (current manifest returned) when fewer than two small files
     exist.  Stats/blooms for the rewritten parts rebuild through the
-    same ``_stage_parts`` plumbing as every other rewrite."""
+    same ``_stage_parts`` plumbing as every other rewrite.
+
+    ``zorder_by`` (r11, Delta ``OPTIMIZE ... ZORDER BY`` parity) adds
+    re-clustering to the rewrite: the admitted files are written back
+    Morton-clustered on the named columns (``io/layout.py``), so their
+    fresh footer stats cover tight hyper-rectangles and
+    ``scan_manifest(where=...)`` prunes them again.  ``"auto"`` closes
+    the maintenance loop with ``table_health``: the rewrite clusters
+    on the report's WORST column — the one whose clustering depth says
+    point queries open the most files.  Cost is unchanged in bytes
+    (same admitted files, one extra range-exchange of only those
+    bytes); kept files still move nothing."""
     before = read_manifest(path)
     small = [e for e in before["files"] if e["bytes"] < small_bytes]
     if len(small) < 2:
         return before
     keep = [e for e in before["files"] if e["bytes"] >= small_bytes]
-    df = _read_entries(spark, path, before, small).repartition(n_parts)
+    df = _read_entries(spark, path, before, small)
+    zcols: list[str] | None = None
+    if zorder_by == "auto":
+        depth = table_health(path)["clustering_depth"]
+        candidates = {c: d for c, d in depth.items() if d > 1.0}
+        if candidates:
+            zcols = [max(candidates, key=candidates.get)]
+    elif zorder_by:
+        zcols = list(zorder_by)
+    if zcols:
+        from setup_harvest_action_spark.io.layout import zorder_partitioned
+
+        df = zorder_partitioned(df, zcols, n_files=n_parts)
+    else:
+        df = df.repartition(n_parts)
     entries = _stage_parts(
         df, path, bloom_columns=before.get("bloom_columns") or ()
     )
@@ -1475,10 +1504,19 @@ def table_health(path: str, small_bytes: int = 8 * 1024 * 1024) -> dict:
         ]
         if not numeric:
             continue
-        # sweep: average overlap depth across the distinct endpoints
+        # sweep: average overlap depth across the distinct endpoints.
+        # O((n+m) log n) via two sorted endpoint arrays — the naive
+        # per-point membership scan is O(n·m), which at the 5k-part
+        # probe (tools/manifest_scale_probe.py) already cost ~3 s;
+        # depth(p) = #(lo ≤ p) − #(hi < p), identical result.
+        import bisect
+
         points = sorted({p for r in numeric for p in r})
+        los = sorted(lo for lo, _ in numeric)
+        his = sorted(hi for _, hi in numeric)
         depths = [
-            sum(1 for lo, hi in numeric if lo <= p <= hi) for p in points
+            bisect.bisect_right(los, p) - bisect.bisect_left(his, p)
+            for p in points
         ]
         health["clustering_depth"][col] = round(
             sum(depths) / len(depths), 2

@@ -1134,3 +1134,57 @@ def test_shallow_clone_is_zero_copy_and_diverges_independently(
     assert main(["manifest", src, "--clone-to", dst2]) == 0
     assert "zero bytes copied" in capsys.readouterr().out
     assert scan_manifest(sink, dst2).count() == 100
+
+
+def test_auto_compact_zorder_recluster_improves_skipping(sink, tmp_path):
+    """VERDICT r10 #8: auto_compact(zorder_by="auto") closes the
+    maintenance loop — table_health names the worst-clustered column,
+    the compaction rewrite Morton-clusters on it, and a point
+    predicate afterwards admits fewer files via footer-stats
+    skipping."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        auto_compact,
+        select_files,
+        table_health,
+    )
+
+    path = str(tmp_path / "t")
+    # round-robin layout: every one of the 8 files spans the FULL id
+    # range, so min/max skipping on id is blind (depth ≈ 8)
+    df = sink.range(0, 4000).selectExpr("id", "id * 3 AS val")
+    df.repartition(8).write.format("manifest_parquet").mode(
+        "overwrite"
+    ).save(path)
+    before = table_health(path)
+    assert before["n_files"] == 8
+    assert before["clustering_depth"]["id"] > 4
+    probe = [("id", ">=", 100), ("id", "<=", 110)]
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        read_manifest,
+    )
+
+    admitted_before = len(select_files(read_manifest(path), probe))
+    assert admitted_before == 8  # nothing skippable
+
+    # every file is "small": the whole table re-clusters on the worst
+    # column (id — depth 8 beats nothing else)
+    after = auto_compact(
+        sink, path, small_bytes=1 << 40, n_parts=8, zorder_by="auto"
+    )
+    assert after["version"] == before["version"] + 1
+    assert after["total_rows"] == 4000
+    health = table_health(path)
+    assert health["clustering_depth"]["id"] < 2
+    admitted_after = len(select_files(after, probe))
+    assert admitted_after <= 2
+    # content unchanged
+    assert (
+        scan_manifest(sink, path).selectExpr("sum(val)").collect()[0][0]
+        == sum(3 * i for i in range(4000))
+    )
+    # explicit column list works too, and a no-op threshold still
+    # short-circuits before any clustering work
+    again = auto_compact(
+        sink, path, small_bytes=1, n_parts=8, zorder_by=["val"]
+    )
+    assert again["version"] == after["version"]
