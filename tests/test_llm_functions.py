@@ -650,7 +650,8 @@ def test_jpeg_codec_exact_dc_bounded_ac_and_refusals():
     """The baseline JPEG pair must be a real entropy codec: EXACT
     reconstruction on constant-color (DC-only) content, bounded error
     on smooth content, deterministic bytes, grayscale decode, and
-    honest refusal of progressive / subsampled / restart variants."""
+    honest refusal of subsampled / restart variants (progressive
+    dispatches to its own real decoder since r11)."""
     import numpy as np
     import pytest as _pytest
 
@@ -701,7 +702,9 @@ def test_jpeg_codec_exact_dc_bounded_ac_and_refusals():
     out = decode_jpeg(color_blob)
     assert (out == 77).all()
 
-    # refusals: progressive SOF2, restart intervals, truncated tables
+    # refusals: restart intervals, truncated tables; SOF2 now
+    # DISPATCHES to the progressive decoder (r11), which still rejects
+    # a scanless header-only file
     def seg(marker, body):
         import struct
 
@@ -710,7 +713,7 @@ def test_jpeg_codec_exact_dc_bounded_ac_and_refusals():
     import struct
 
     sof2 = struct.pack(">BHHB", 8, 8, 8, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
-    with _pytest.raises(ValueError, match="non-baseline"):
+    with _pytest.raises(ValueError, match="missing SOF2 or SOS"):
         decode_jpeg(b"\xff\xd8" + seg(0xC2, sof2) + b"\xff\xd9")
     subsampled = struct.pack(">BHHB", 8, 8, 8, 3) + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
     with _pytest.raises(ValueError, match="subsampling"):
@@ -987,3 +990,68 @@ def test_avi_mjpeg_container_roundtrip_and_video_pipeline(spark, sf_dir):
         assert r.n_frames == VIDEO_FRAMES
         assert r.n_sampled == expect_sampled
         assert 0 < r.mean_luma < 255
+
+
+def test_progressive_jpeg_decode_equals_baseline():
+    """The progressive codec (r11): the 8-scan encoder ships the SAME
+    quantized coefficients as the baseline encoder, so decoding must be
+    PIXEL-IDENTICAL — which gates every scan kind at once (DC first,
+    DC refinement, AC first with cross-block EOB runs, AC refinement
+    with buffered correction bits)."""
+    import numpy as np
+
+    from setup_harvest_action_spark.functions.multimodal import (
+        decode_image_auto,
+        decode_jpeg,
+        decode_jpeg_progressive,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        synthesize_jpeg,
+        synthesize_jpeg_progressive,
+    )
+
+    # fixture images: smooth content (sparse AC at Al=1 → long EOB runs)
+    for doc in (0, 7, 199):
+        a = decode_jpeg(synthesize_jpeg(doc))
+        b = decode_image_auto(synthesize_jpeg_progressive(doc))
+        assert np.array_equal(a, b), f"doc {doc} diverged"
+
+    # high-frequency noise: dense AC, ZRL paths, refinement everywhere
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (64, 80, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(80, 64, img)),
+        decode_jpeg_progressive(encode_jpeg_progressive(80, 64, img)),
+    )
+
+    # flat image: every AC band empty → ONE EOB run spanning all
+    # blocks (the multi-block EOBn decoder path)
+    img = np.zeros((16, 24, 3), np.uint8)
+    img[:] = (200, 30, 90)
+    out = decode_jpeg_progressive(encode_jpeg_progressive(24, 16, img))
+    assert np.abs(out.astype(int) - np.array((200, 30, 90))).max() == 0
+
+    # deterministic bytes + magic dispatch + SOF2 marker present
+    blob = synthesize_jpeg_progressive(5)
+    assert blob == synthesize_jpeg_progressive(5)
+    assert b"\xff\xc2" in blob and blob[:2] == b"\xff\xd8"
+
+
+def test_progressive_jpeg_pipeline_rows_equal_baseline_pipeline(
+    spark, queries
+):
+    """q_multimodal_progressive_jpeg_pipeline's golden contract: every
+    output row byte-identical to q_multimodal_jpeg_pipeline's — decode
+    equivalence across entropy layers at the pipeline surface."""
+    base = {
+        r["doc_id"]: tuple(r)
+        for r in queries["q_multimodal_jpeg_pipeline"](spark, SF).collect()
+    }
+    prog = {
+        r["doc_id"]: tuple(r)
+        for r in queries["q_multimodal_progressive_jpeg_pipeline"](
+            spark, SF
+        ).collect()
+    }
+    assert base and prog.keys() == base.keys()
+    assert prog == base
