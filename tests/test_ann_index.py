@@ -130,3 +130,46 @@ def test_catalog_stored_query_equals_inline_query(spark):
     a = q_similarity_pq_adc(spark, sf).collect()
     b = q_similarity_pq_adc_stored(spark, sf).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_lsh_stored_index_append_o_batch_and_query_parity(spark):
+    """The stored LSH bucket table: appends with fresh vec_ids leave
+    every committed file byte-identical (O(batch)), and the stored
+    query returns EXACTLY the inline query's rows (deterministic
+    hyperplanes make coding path-independent)."""
+    from setup_harvest_action_spark.functions.ann_index import (
+        _lsh_codes_path,
+        q_similarity_ann_lsh_stored,
+    )
+    from setup_harvest_action_spark.functions.similarity import (
+        q_similarity_ann_lsh,
+    )
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        read_manifest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    inline = sorted(
+        tuple(r) for r in q_similarity_ann_lsh(spark, sf).collect()
+    )
+    stored = sorted(
+        tuple(r) for r in q_similarity_ann_lsh_stored(spark, sf).collect()
+    )
+    assert inline and stored == inline
+    # the append commit (version 2) must carry every version-1 file
+    # entry verbatim — the query's 3/4 + 1/4 lifecycle proves O(batch)
+    from setup_harvest_action_spark.functions.ann_index import (
+        _index_scratch,
+    )
+    import os
+
+    path = _lsh_codes_path(
+        os.path.join(_index_scratch(sf), os.pardir, "lsh_index")
+    )
+    m2 = read_manifest(path)
+    assert m2["version"] == 2
+    m1 = read_manifest(path, version=1)
+    v1 = {e["file"]: e for e in m1["files"]}
+    v2 = {e["file"]: e for e in m2["files"]}
+    assert set(v1) <= set(v2)
+    assert all(v2[f] == e for f, e in v1.items())

@@ -41,37 +41,39 @@ def test_every_oracle_has_a_query():
 
 def test_driver_window_covers_every_component():
     """The first DRIVER_WINDOW catalog entries (all the driver's
-    correctness gate ever records) must front the r10 rotation: the 2
-    never-driver-checked entries, the round's headline addition
-    (manifest MERGE INTO), and the full 47-query r05 cohort — the
-    composition the r9 verdict's done-criterion pins."""
+    correctness gate ever records) must front the r11 rotation: the 2
+    md5 re-gated sketch oracles plus 48 never-driver-sampled entries
+    (the VERDICT r10 done-criterion: first rows for >= 46 of the 78)."""
     queries, _ = cat.load_catalog()
     window = list(queries)[: cat.DRIVER_WINDOW]
     assert len(cat._DRIVER_PRIORITY) <= cat.DRIVER_WINDOW
     assert list(cat._DRIVER_PRIORITY) == window[: len(cat._DRIVER_PRIORITY)]
     for name in (
-        "q_small_quantity_revenue",
-        "q_quality_boilerplate_segments",
-        "q_source_manifest_merge",
-        # representatives of the 47-query r05 cohort
-        "q_pricing_summary",
-        "q_dedup_exact",
-        "q_dedup_ngram_jaccard",
-        "q_dedup_components",
-        "q_dedup_semantic",
-        "q_embedding_kmeans",
-        "q_events_funnel",
-        "q_events_sessionize",
-        "q_events_transitions",
-        "q_agg_percentiles",
-        "q_agg_pivot",
-        "q_grouping_sets",
-        "q_cube_lineitem_flags",
-        "q_join_asof",
-        "q_join_asof_forward",
-        "q_scalar_array",
-        "q_stream_tumbling_counts",
-        "q_harvest_terms",
+        "q_dedup_minhash",
+        "q_dedup_simhash",
+        "q_harvest_downstream_preserved",
+        # representatives of the r10-late wave
+        "q_multimodal_jpeg_pipeline",
+        "q_graph_label_propagation",
+        "q_quality_auc",
+        "q_scd2_point_in_time",
+        "q_source_orc_roundtrip",
+        # representatives of the r10-main never-sampled block
+        "q_source_manifest_evolution",
+        "q_source_manifest_table_changes",
+        "q_multimodal_png_pipeline",
+        "q_embedding_quantize_int8",
+        "q_graph_kcore",
+        # TPC-H shapes completing driver coverage of the 22 spec queries
+        "q_national_market_share",
+        "q_priority_late_ship",
+        "q_promotable_suppliers",
+        # r10-close high-value entries
+        "q_text_bpe_train",
+        "q_similarity_pq_adc",
+        "q_dedup_prefix_filter_join",
+        "q_pipeline_spec_run",
+        "q_join_bucketed_colocated",
     ):
         assert name in window, name
 
