@@ -402,6 +402,208 @@ def q_similarity_ann_lsh_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_index_search(spark, out, vecs, N_QUERY_VECS, TOP_K)
 
 
+# --- Stored IVF index ----------------------------------------------------------
+#
+# The third family: the inverted-file assignment of
+# `q_similarity_ann_ivf` persisted — a centroids table (the coarse
+# quantizer, O(1) state, frozen at build like the PQ codebooks) and an
+# assignment table (vec_id → centroid_id).  Appends assign only the
+# batch against the stored centroids and MERGE on vec_id.  At 100 TB
+# the assignment table IS the partitioning: a probe reads nprobe
+# clusters' members, never the corpus.
+
+
+def _ivf_centroids_path(index_path: str) -> str:
+    return os.path.join(index_path, "ivf_centroids")
+
+
+def _ivf_assign_path(index_path: str) -> str:
+    return os.path.join(index_path, "ivf_assignments")
+
+
+def _ivf_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id): nearest stored centroid by cosine —
+    map-only (centroids broadcast as one collect_list row, argmax
+    inline), ties to the lower centroid_id like the inline query."""
+    from setup_harvest_action_spark.functions.similarity import cosine
+
+    one = cents.agg(
+        F.collect_list(F.struct("centroid_id", "cv")).alias("cs")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda s: F.struct(
+                (-cosine(F.col("v"), s["cv"])).alias("neg"),
+                s["centroid_id"].alias("centroid_id"),
+            ),
+        )
+    )
+    return (
+        vecs.crossJoin(F.broadcast(one))
+        .select("vec_id", best["centroid_id"].alias("centroid_id"))
+    )
+
+
+def ivf_index_build(
+    spark: SparkSession,
+    vecs: DataFrame,
+    index_path: str,
+    n_centroids: int,
+    n_parts: int = 8,
+) -> None:
+    """Commit centroids (deterministic: the first ``n_centroids``
+    vectors, the inline query's stand-in for an offline k-means fit)
+    and the initial assignment table, range-committed on vec_id."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    cents = vecs.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("v").alias("cv"),
+    )
+    (
+        cents.coalesce(1)
+        .write.format("manifest_parquet")
+        .mode("overwrite")
+        .save(_ivf_centroids_path(index_path))
+    )
+    assign = _ivf_assign(vecs, cents)
+    (
+        assign.repartitionByRange(n_parts, "vec_id")
+        .write.format("manifest_parquet")
+        .mode("overwrite")
+        .save(_ivf_assign_path(index_path))
+    )
+
+
+def ivf_index_append(
+    spark: SparkSession, new_vecs: DataFrame, index_path: str
+) -> dict:
+    """Assign ONLY the batch against the FROZEN stored centroids, then
+    MERGE INTO the assignment table on vec_id — O(batch), idempotent."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        merge_into,
+        register_manifest_sink,
+        scan_manifest,
+    )
+
+    register_manifest_sink(spark)
+    cents = scan_manifest(spark, _ivf_centroids_path(index_path))
+    assign = _ivf_assign(new_vecs, cents)
+    return merge_into(
+        spark,
+        _ivf_assign_path(index_path),
+        assign,
+        on=["vec_id"],
+        when_matched="update",
+        when_not_matched="insert",
+    )
+
+
+def ivf_index_search(
+    spark: SparkSession,
+    index_path: str,
+    vecs: DataFrame,
+    n_query_vecs: int,
+    nprobe: int,
+    top_k: int,
+) -> DataFrame:
+    """Probe the stored index: rank stored centroids per query vector
+    (tiny broadcast), take ``nprobe``, fetch members from the stored
+    assignment table (the corpus never moves — only probed clusters'
+    ids join), exact cosine on the candidates.  Output schema matches
+    `q_similarity_ann_ivf`."""
+    from pyspark.sql import Window
+
+    from setup_harvest_action_spark.functions.similarity import cosine
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        scan_manifest,
+    )
+
+    cents = scan_manifest(spark, _ivf_centroids_path(index_path))
+    queries = vecs.filter(F.col("vec_id") < n_query_vecs).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cc"), F.asc("centroid_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "centroid_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cc"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    assignment = scan_manifest(spark, _ivf_assign_path(index_path))
+    cand_ids = (
+        assignment.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        cand_ids.join(vecs, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+@query("q_similarity_ann_ivf_stored")
+def q_similarity_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k against a PERSISTED, INCREMENTALLY-BUILT inverted
+    file: centroids frozen at build (FAISS semantics — the quantizer
+    never refits on add), first 3/4 of the corpus committed, the rest
+    assigned batch-only + MERGE INTO.  Assignment depends only on
+    (vector, centroids), so the stored index equals a monolithic build
+    and this returns EXACTLY `q_similarity_ann_ivf`'s rows (pinned in
+    tests/test_ann_index.py).  No oracle (argmax assignment + probing
+    isn't reasonably SQL-expressible); recall rides on the inline
+    query's pinned floor."""
+    from setup_harvest_action_spark.functions.similarity import (
+        IVF_CENTROIDS,
+        IVF_NPROBE,
+        N_QUERY_VECS,
+        TOP_K,
+    )
+
+    out = os.path.join(_index_scratch(sf_dir), os.pardir, "ivf_index")
+    shutil.rmtree(out, ignore_errors=True)
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+    hi = vecs.agg(F.max("vec_id").alias("hi")).first()["hi"]
+    split = int(hi * 3 // 4)
+    ivf_index_build(
+        spark, vecs.filter(F.col("vec_id") <= split), out, IVF_CENTROIDS
+    )
+    ivf_index_append(spark, vecs.filter(F.col("vec_id") > split), out)
+    return ivf_index_search(
+        spark, out, vecs, N_QUERY_VECS, IVF_NPROBE, TOP_K
+    )
+
+
 def _index_scratch(sf_dir: str) -> str:
     label = os.path.basename(sf_dir.rstrip("/")) or "sf"
     return os.path.join(tempfile.gettempdir(), "shas_ann", label, "pq_index")

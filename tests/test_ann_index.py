@@ -173,3 +173,42 @@ def test_lsh_stored_index_append_o_batch_and_query_parity(spark):
     v2 = {e["file"]: e for e in m2["files"]}
     assert set(v1) <= set(v2)
     assert all(v2[f] == e for f, e in v1.items())
+
+
+def test_ivf_stored_index_append_o_batch_and_query_parity(spark):
+    """The stored IVF index: frozen-centroid batch assignment makes the
+    incremental index equal a monolithic build, so the stored query
+    returns exactly the inline query's rows; appends with fresh
+    vec_ids leave every committed assignment file byte-identical."""
+    import os
+
+    from setup_harvest_action_spark.functions.ann_index import (
+        _index_scratch,
+        _ivf_assign_path,
+        q_similarity_ann_ivf_stored,
+    )
+    from setup_harvest_action_spark.functions.similarity import (
+        q_similarity_ann_ivf,
+    )
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        read_manifest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    inline = sorted(
+        tuple(r) for r in q_similarity_ann_ivf(spark, sf).collect()
+    )
+    stored = sorted(
+        tuple(r) for r in q_similarity_ann_ivf_stored(spark, sf).collect()
+    )
+    assert inline and stored == inline
+    path = _ivf_assign_path(
+        os.path.join(_index_scratch(sf), os.pardir, "ivf_index")
+    )
+    m2 = read_manifest(path)
+    assert m2["version"] == 2
+    m1 = read_manifest(path, version=1)
+    v1 = {e["file"]: e for e in m1["files"]}
+    v2 = {e["file"]: e for e in m2["files"]}
+    assert set(v1) <= set(v2)
+    assert all(v2[f] == e for f, e in v1.items())
