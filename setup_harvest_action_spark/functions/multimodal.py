@@ -588,6 +588,12 @@ def decode_image_auto(payload: bytes):
         return decode_jpeg(payload)
     if payload[:6] in (b"GIF89a", b"GIF87a"):
         return decode_gif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from setup_harvest_action_spark.functions.webp_codec import (
+            decode_webp,
+        )
+
+        return decode_webp(payload)
     return decode_image(payload)
 
 
@@ -2098,6 +2104,98 @@ def q_multimodal_progressive_jpeg_pipeline(
                         synthesize_jpeg_progressive(int(d))
                         for d in pdf["doc_id"]
                     ],
+                }
+            )
+
+    def decode_resize(batches: Iterator):
+        for pdf in batches:
+            doc_ids, ws, hs, mr, mg, mb, tmd5 = [], [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image_auto(bytes(payload))
+                thumb = resize_nearest(img, THUMB_W, THUMB_H)
+                doc_ids.append(doc_id)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                means = img.reshape(-1, 3).mean(axis=0)
+                mr.append(round(float(means[0]), 4))
+                mg.append(round(float(means[1]), 4))
+                mb.append(round(float(means[2]), 4))
+                tmd5.append(hashlib.md5(thumb.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "width": ws,
+                    "height": hs,
+                    "mean_r": mr,
+                    "mean_g": mg,
+                    "mean_b": mb,
+                    "thumb_md5": tmd5,
+                }
+            )
+
+    images = docs.select("doc_id").mapInPandas(
+        make_images, "doc_id long, payload binary"
+    )
+    return images.mapInPandas(
+        decode_resize,
+        "doc_id long, width int, height int, mean_r double, mean_g double, "
+        "mean_b double, thumb_md5 string",
+    )
+
+
+# --- WebP lossless (VP8L) pipeline --------------------------------------------
+#
+# The codec lives in functions/webp_codec.py (full RFC 9649 lossless
+# decode: prefix codes, LZ77 + distance mapping, color cache, meta
+# groups, all four transforms).  WebP is lossless here, so the
+# pipeline joins the PPM/BMP/PNG/GIF byte-identical-statistics family.
+
+
+def synthesize_webp(doc_id: int, width: int = IMG_W, height: int = IMG_H) -> bytes:
+    """Deterministic test image, VP8L-encoded with the feature-dense
+    settings (subtract-green + color cache + LZ77 + normal prefix
+    codes + 2-group meta split) so the fixture exercises the decoder's
+    full main path."""
+    import numpy as np
+
+    from setup_harvest_action_spark.functions.webp_codec import (
+        encode_webp_lossless,
+    )
+
+    yy, xx = np.mgrid[0:height, 0:width]
+    r = (xx * 7 + doc_id * 3) % 256
+    g = (yy * 11 + doc_id * 5) % 256
+    b = (xx * 2 + yy * 3 + doc_id * 7) % 256
+    return encode_webp_lossless(
+        width,
+        height,
+        np.stack([r, g, b], axis=-1).astype(np.uint8),
+        meta_bits=4,
+    )
+
+
+@query("q_multimodal_webp_pipeline")
+def q_multimodal_webp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image pipeline #7 — WebP lossless (VP8L), the other format
+    web crawls actually serve beside progressive JPEG: synthesize a
+    deterministic VP8L per document (subtract-green, color cache,
+    LZ77, meta prefix groups), decode through ``decode_image_auto``,
+    nearest-neighbor resize, per-channel means + thumbnail hash.
+    Lossless ⇒ statistics are byte-identical to the synthesized
+    pixels; golden values pinned in tests/test_llm_functions.py.  No
+    oracle (binary ops are outside DuckDB)."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def make_images(batches: Iterator):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synthesize_webp(int(d)) for d in pdf["doc_id"]],
                 }
             )
 

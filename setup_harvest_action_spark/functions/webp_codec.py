@@ -1,0 +1,914 @@
+"""WebP-lossless (VP8L) codec — pure stdlib/numpy, no image library.
+
+r11 companion to the progressive-JPEG decoder: between them they cover
+the two formats a web-crawl corpus actually serves.  VP8L (RFC 9649)
+is the lossless half of WebP: ARGB pixels entropy-coded with canonical
+prefix codes (DEFLATE-style: canonical code, MSB-first within the
+code, LSB-first bit packing in bytes), LZ77 back-references with a
+2-D-neighborhood distance mapping, an optional color cache, optional
+META prefix-code groups selected by an entropy sub-image, and four
+reversible transforms (predictor, color, subtract-green,
+color-indexing/palette).
+
+DECODER scope (``decode_webp``): the full lossless feature set —
+simple and normal (code-length-coded) prefix codes, LZ77 with both
+plain and neighborhood distances, color cache, meta prefix groups via
+the recursive entropy image, and all four transforms with all 14
+predictor modes.  Lossy WebP (VP8 chunk) and extended (VP8X: alpha,
+animation) are refused by name — they are a different codec.
+
+ENCODER scope (``encode_webp_lossless``): a correct, deliberately
+simple emitter used to build deterministic golden fixtures that
+exercise each decoder path: balanced canonical codes through the full
+code-length-code machinery (incl. the 16/17/18 repeat ops), simple
+codes where alphabets collapse, LZ77 row back-references, color
+cache, subtract-green, a 2-group meta split, a palette variant
+(pixel-bundled widths), and a constant-mode predictor variant.
+Lossless ⇒ every variant round-trips byte-exactly
+(tests/test_llm_functions.py pins it against the pre-encode pixels,
+the same contract as the PNG/GIF/BMP family).
+"""
+
+from __future__ import annotations
+
+import struct
+
+# code-length-code transmission order (RFC 9649 §5.2.1)
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+_NUM_LENGTH_CODES = 24
+_NUM_DISTANCE_CODES = 40
+_MAX_LZ77_LEN = 4096
+
+# 2-D neighborhood offsets for distance codes 1..120 (RFC 9649 §5.3):
+# (dx, dy) with dy >= 0; plain distances start at code 121.
+_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (8, 5),
+    (6, 7), (-6, 7), (7, 6), (-7, 6), (8, 6), (8, 7),
+)
+
+
+# --- bit I/O (LSB-first packing; prefix codes MSB-first within code) ----------
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            p = self.pos + i
+            byte = self.data[p >> 3]
+            v |= ((byte >> (p & 7)) & 1) << i
+        self.pos += n
+        return v
+
+    def bit(self) -> int:
+        return self.bits(1)
+
+    def symbol(self, code):
+        """Read one symbol of a canonical prefix code: accumulate bits
+        MSB-first and match (length, code) — the DEFLATE convention
+        VP8L shares."""
+        const = code.get("const")
+        if const is not None:
+            return const
+        acc = 0
+        ln = 0
+        while ln < 16:
+            acc = (acc << 1) | self.bit()
+            ln += 1
+            s = code.get((ln, acc))
+            if s is not None:
+                return s
+        raise ValueError("invalid VP8L prefix code")
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        self.acc |= (value & ((1 << nbits) - 1)) << self.n
+        self.n += nbits
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def put_code(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.put((code >> i) & 1, 1)
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc, self.n = 0, 0
+        return bytes(self.out)
+
+
+def _canonical(lengths):
+    """Canonical prefix code from a {symbol: length} map (or list):
+    returns (enc {sym: (code, len)}, dec {(len, code): sym}).  A
+    single-symbol code is the zero-bit 'const' special case."""
+    if isinstance(lengths, dict):
+        items = [(l, s) for s, l in lengths.items() if l]
+    else:
+        items = [(l, s) for s, l in enumerate(lengths) if l]
+    if not items:
+        raise ValueError("empty prefix code")
+    if len(items) == 1:
+        sym = items[0][1]
+        return {sym: (0, 0)}, {"const": sym}
+    items.sort()
+    enc, dec = {}, {}
+    code, prev_len = 0, items[0][0]
+    for l, s in items:
+        code <<= l - prev_len
+        prev_len = l
+        enc[s] = (code, l)
+        dec[(l, code)] = s
+        code += 1
+    return enc, dec
+
+
+# --- LZ77 value coding (RFC 9649 §5.3) ----------------------------------------
+
+
+def _lz77_decode_value(reader: _BitReader, sym: int) -> int:
+    if sym < 4:
+        return sym + 1
+    extra_bits = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra_bits
+    return offset + reader.bits(extra_bits) + 1
+
+
+def _lz77_encode_value(v: int):
+    """(symbol, extra_value, extra_bits) for a length/distance value."""
+    if v <= 4:
+        return v - 1, 0, 0
+    x = v - 1
+    eb = x.bit_length() - 2
+    b = (x >> eb) - 2
+    return 2 * eb + 2 + b, x - ((2 + b) << eb), eb
+
+
+def _cache_slot(argb: int, cache_bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+
+# --- prefix-code transmission --------------------------------------------------
+
+
+def _read_prefix_code(reader: _BitReader, alphabet_size: int):
+    """One prefix code: simple (1-2 literal symbols) or normal
+    (code-length-coded lengths with 16/17/18 repeats)."""
+    if reader.bit():  # simple
+        num_symbols = reader.bit() + 1
+        if reader.bit():  # first symbol is 8 bits
+            first = reader.bits(8)
+        else:
+            first = reader.bits(1)
+        if num_symbols == 2:
+            second = reader.bits(8)
+            _, dec = _canonical({first: 1, second: 1})
+        else:
+            _, dec = _canonical({first: 1})
+        return dec
+    num_cl = 4 + reader.bits(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = reader.bits(3)
+    _, cl_dec = _canonical(cl_lengths)
+    # optional cap on transmitted symbols
+    if reader.bit():
+        length_nbits = 2 + 2 * reader.bits(3)
+        max_symbol = 2 + reader.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_len = 8
+    symbol = 0
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = reader.symbol(cl_dec)
+        if cl < 16:
+            lengths[symbol] = cl
+            symbol += 1
+            if cl:
+                prev_len = cl
+        elif cl == 16:
+            rep = 3 + reader.bits(2)
+            for _ in range(rep):
+                if symbol >= alphabet_size:
+                    raise ValueError("VP8L code-length repeat overflow")
+                lengths[symbol] = prev_len
+                symbol += 1
+        elif cl == 17:
+            symbol += 3 + reader.bits(3)
+        else:
+            symbol += 11 + reader.bits(7)
+    if symbol > alphabet_size:
+        raise ValueError("VP8L code-length repeat overflow")
+    _, dec = _canonical(lengths)
+    return dec
+
+
+def _write_prefix_code(writer: _BitWriter, lengths: dict, alphabet_size: int):
+    """Emit a prefix code for the {symbol: length} map; returns the
+    encoder map.  Uses the simple form when possible (1-2 symbols, all
+    < 256), else the normal code-length-coded form."""
+    used = sorted(s for s, l in lengths.items() if l)
+    enc, _ = _canonical(lengths)
+    if 1 <= len(used) <= 2 and all(s < 256 for s in used):
+        writer.put(1, 1)  # simple
+        writer.put(len(used) - 1, 1)
+        first = used[0]
+        if first <= 1:
+            writer.put(0, 1)
+            writer.put(first, 1)
+        else:
+            writer.put(1, 1)
+            writer.put(first, 8)
+        if len(used) == 2:
+            writer.put(used[1], 8)
+        return enc
+    writer.put(0, 1)  # normal
+    full = [lengths.get(s, 0) for s in range(alphabet_size)]
+    # RLE the length sequence into code-length ops
+    ops = []  # (cl_symbol, extra_value, extra_bits)
+    i = 0
+    while i < alphabet_size:
+        l = full[i]
+        if l == 0:
+            j = i
+            while j < alphabet_size and full[j] == 0:
+                j += 1
+            run = j - i
+            while run >= 11:
+                n = min(run, 138)
+                ops.append((18, n - 11, 7))
+                run -= n
+            while run >= 3:
+                n = min(run, 10)
+                ops.append((17, n - 3, 3))
+                run -= n
+            ops.extend((0, 0, 0) for _ in range(run))
+            i = j
+        else:
+            ops.append((l, 0, 0))
+            j = i + 1
+            while j < alphabet_size and full[j] == l:
+                j += 1
+            run = j - i - 1
+            while run >= 3:
+                n = min(run, 6)
+                ops.append((16, n - 3, 2))
+                run -= n
+            ops.extend((l, 0, 0) for _ in range(run))
+            i = j
+    # balanced canonical code over the used code-length symbols
+    cl_used = sorted({op[0] for op in ops})
+    cl_len = max(1, (len(cl_used) - 1).bit_length()) if len(cl_used) > 1 else 1
+    cl_lengths = {s: cl_len for s in cl_used}
+    cl_enc, _ = _canonical(cl_lengths)
+    num_cl = max(
+        4, max(i for i, s in enumerate(_CL_ORDER) if s in cl_lengths) + 1
+    )
+    writer.put(num_cl - 4, 4)
+    for i in range(num_cl):
+        writer.put(cl_lengths.get(_CL_ORDER[i], 0), 3)
+    writer.put(0, 1)  # no transmitted-symbol cap
+    for sym, extra, ebits in ops:
+        writer.put_code(*cl_enc[sym])
+        if ebits:
+            writer.put(extra, ebits)
+    return enc
+
+
+# --- transforms -----------------------------------------------------------------
+
+
+def _sub(v):
+    return (v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF
+
+
+def _pack(a, r, g, b):
+    return ((a & 0xFF) << 24) | ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF)
+
+
+def _avg2(x, y):
+    return tuple((p + q) >> 1 for p, q in zip(_sub(x), _sub(y)))
+
+
+def _predict(mode: int, left: int, top: int, tl: int, tr: int) -> tuple:
+    if mode == 0:
+        return (0xFF, 0, 0, 0)
+    if mode == 1:
+        return _sub(left)
+    if mode == 2:
+        return _sub(top)
+    if mode == 3:
+        return _sub(tr)
+    if mode == 4:
+        return _sub(tl)
+    if mode == 5:
+        inner = _pack(*_avg2(left, tr))
+        return _avg2(inner, top)
+    if mode == 6:
+        return _avg2(left, tl)
+    if mode == 7:
+        return _avg2(left, top)
+    if mode == 8:
+        return _avg2(tl, top)
+    if mode == 9:
+        return _avg2(top, tr)
+    if mode == 10:
+        return _avg2(_pack(*_avg2(left, tl)), _pack(*_avg2(top, tr)))
+    if mode == 11:  # Select
+        l4, t4, tl4 = _sub(left), _sub(top), _sub(tl)
+        p_l = sum(abs(t4[i] - tl4[i]) for i in range(4))
+        p_t = sum(abs(l4[i] - tl4[i]) for i in range(4))
+        return t4 if p_l > p_t else l4
+    if mode == 12:  # ClampAddSubtractFull
+        l4, t4, tl4 = _sub(left), _sub(top), _sub(tl)
+        return tuple(
+            max(0, min(255, l4[i] + t4[i] - tl4[i])) for i in range(4)
+        )
+    if mode == 13:  # ClampAddSubtractHalf
+        a4 = _avg2(left, top)
+        tl4 = _sub(tl)
+        return tuple(
+            max(0, min(255, a4[i] + (a4[i] - tl4[i]) // 2))
+            for i in range(4)
+        )
+    raise ValueError(f"VP8L predictor mode {mode} out of range")
+
+
+def _inverse_predictor(pixels, w, h, tiles, bits):
+    tw = (w + (1 << bits) - 1) >> bits
+    for y in range(h):
+        row = y * w
+        for x in range(w):
+            p = row + x
+            if x == 0 and y == 0:
+                pred = (0xFF, 0, 0, 0)
+            elif y == 0:
+                pred = _sub(pixels[p - 1])
+            elif x == 0:
+                pred = _sub(pixels[p - w])
+            else:
+                mode = (tiles[(y >> bits) * tw + (x >> bits)] >> 8) & 0xFF
+                tr = pixels[p - w + 1] if x + 1 < w else pixels[p - w]
+                pred = _predict(
+                    mode, pixels[p - 1], pixels[p - w], pixels[p - w - 1], tr
+                )
+            a, r, g, b = _sub(pixels[p])
+            pixels[p] = _pack(
+                a + pred[0], r + pred[1], g + pred[2], b + pred[3]
+            )
+
+
+def _s8(v):
+    return v - 256 if v >= 128 else v
+
+
+def _ct_delta(pred: int, color: int) -> int:
+    return (_s8(pred & 0xFF) * _s8(color & 0xFF)) >> 5
+
+
+def _inverse_color_transform(pixels, w, h, tiles, bits):
+    tw = (w + (1 << bits) - 1) >> bits
+    for y in range(h):
+        for x in range(w):
+            p = y * w + x
+            t = tiles[(y >> bits) * tw + (x >> bits)]
+            g2r, g2b, r2b = t & 0xFF, (t >> 8) & 0xFF, (t >> 16) & 0xFF
+            a, r, g, b = _sub(pixels[p])
+            r = (r + _ct_delta(g2r, g)) & 0xFF
+            b = (b + _ct_delta(g2b, g) + _ct_delta(r2b, r)) & 0xFF
+            pixels[p] = _pack(a, r, g, b)
+
+
+def _inverse_subtract_green(pixels):
+    for i, v in enumerate(pixels):
+        a, r, g, b = _sub(v)
+        pixels[i] = _pack(a, (r + g) & 0xFF, g, (b + g) & 0xFF)
+
+
+def _palette_xbits(n: int) -> int:
+    if n <= 2:
+        return 3
+    if n <= 4:
+        return 2
+    if n <= 16:
+        return 1
+    return 0
+
+
+def _inverse_palette(packed, w, h, packed_w, palette):
+    xbits = _palette_xbits(len(palette))
+    bpp = 8 >> xbits
+    mask = (1 << xbits) - 1
+    out = [0] * (w * h)
+    for y in range(h):
+        for x in range(w):
+            unit = packed[y * packed_w + (x >> xbits)]
+            idx = ((unit >> 8) & 0xFF) >> ((x & mask) * bpp)
+            idx &= (1 << bpp) - 1
+            if idx >= len(palette):
+                raise ValueError("VP8L palette index out of range")
+            out[y * w + x] = palette[idx]
+    return out
+
+
+# --- image-stream decode ---------------------------------------------------------
+
+
+def _decode_image_stream(reader: _BitReader, w: int, h: int, level0: bool):
+    """The recursive DecodeImageStream of the spec: transforms (level 0
+    only), color-cache info, meta prefix groups (level 0 only), prefix
+    codes, then the LZ77/literal/cache pixel loop.  Returns (pixels,
+    transforms) where transforms is the read-order list."""
+    transforms = []
+    if level0:
+        while reader.bit():
+            ttype = reader.bits(2)
+            if ttype == 2:  # subtract green: no payload
+                transforms.append(("subtract_green",))
+            elif ttype in (0, 1):  # predictor / color
+                bits = reader.bits(3) + 2
+                tw = (w + (1 << bits) - 1) >> bits
+                th = (h + (1 << bits) - 1) >> bits
+                tiles, _ = _decode_image_stream(reader, tw, th, False)
+                transforms.append(
+                    ("predictor" if ttype == 0 else "color", bits, tiles)
+                )
+            elif ttype == 3:  # color indexing
+                n = reader.bits(8) + 1
+                pal_deltas, _ = _decode_image_stream(reader, n, 1, False)
+                palette = []
+                prev = 0
+                for d in pal_deltas:
+                    pa, pr, pg, pb = _sub(prev)
+                    da, dr, dg, db = _sub(d)
+                    prev = _pack(pa + da, pr + dr, pg + dg, pb + db)
+                    palette.append(prev)
+                xbits = _palette_xbits(n)
+                orig_w = w
+                w = (w + (1 << xbits) - 1) >> xbits
+                transforms.append(("palette", palette, orig_w))
+            else:  # pragma: no cover — bits(2) can't exceed 3
+                raise ValueError("VP8L unknown transform")
+
+    cache_bits = 0
+    if reader.bit():
+        cache_bits = reader.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("VP8L color-cache size out of range")
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+
+    meta = None
+    n_groups = 1
+    meta_bits = 0
+    if level0 and reader.bit():
+        meta_bits = reader.bits(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_img, _ = _decode_image_stream(reader, mw, mh, False)
+        meta = [((p >> 8) & 0xFFFF) for p in meta_img]
+        n_groups = max(meta) + 1
+
+    green_size = 256 + _NUM_LENGTH_CODES + (1 << cache_bits if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups):
+        groups.append(
+            (
+                _read_prefix_code(reader, green_size),
+                _read_prefix_code(reader, 256),  # red
+                _read_prefix_code(reader, 256),  # blue
+                _read_prefix_code(reader, 256),  # alpha
+                _read_prefix_code(reader, _NUM_DISTANCE_CODES),
+            )
+        )
+
+    mw = (w + (1 << meta_bits) - 1) >> meta_bits if meta else 0
+    pixels = [0] * (w * h)
+    pos = 0
+    while pos < w * h:
+        if meta:
+            x, y = pos % w, pos // w
+            grp = groups[meta[(y >> meta_bits) * mw + (x >> meta_bits)]]
+        else:
+            grp = groups[0]
+        g_code, r_code, b_code, a_code, d_code = grp
+        sym = reader.symbol(g_code)
+        if sym < 256:
+            r = reader.symbol(r_code)
+            b = reader.symbol(b_code)
+            a = reader.symbol(a_code)
+            px = _pack(a, r, sym, b)
+            pixels[pos] = px
+            if cache is not None:
+                cache[_cache_slot(px, cache_bits)] = px
+            pos += 1
+        elif sym < 256 + _NUM_LENGTH_CODES:
+            length = _lz77_decode_value(reader, sym - 256)
+            dsym = reader.symbol(d_code)
+            dval = _lz77_decode_value(reader, dsym)
+            if dval > 120:
+                dist = dval - 120
+            else:
+                dx, dy = _DIST_MAP[dval - 1]
+                dist = max(1, dy * w + dx)
+            if dist > pos or pos + length > w * h:
+                raise ValueError("VP8L back-reference out of range")
+            for _ in range(length):
+                px = pixels[pos - dist]
+                pixels[pos] = px
+                if cache is not None:
+                    cache[_cache_slot(px, cache_bits)] = px
+                pos += 1
+        else:
+            if cache is None:
+                raise ValueError("VP8L cache reference without cache")
+            pixels[pos] = cache[sym - 256 - _NUM_LENGTH_CODES]
+            pos += 1
+    return pixels, transforms
+
+
+def decode_webp(payload: bytes):
+    """Decode a lossless WebP (RIFF/VP8L) into ndarray[h, w, 3] uint8.
+    Refuses lossy (VP8) and extended (VP8X) WebP by name."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    fourcc = payload[12:16]
+    if fourcc == b"VP8 ":
+        raise ValueError("unsupported WebP: lossy VP8 (different codec)")
+    if fourcc == b"VP8X":
+        raise ValueError("unsupported WebP: extended VP8X features")
+    if fourcc != b"VP8L":
+        raise ValueError(f"unsupported WebP chunk {fourcc!r}")
+    (size,) = struct.unpack_from("<I", payload, 16)
+    stream = payload[20 : 20 + size]
+    if not stream or stream[0] != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    reader = _BitReader(stream[1:])
+    w = reader.bits(14) + 1
+    h = reader.bits(14) + 1
+    reader.bit()  # alpha hint
+    if reader.bits(3) != 0:
+        raise ValueError("unsupported VP8L version")
+
+    # color indexing reduces the coded width; handled inside the
+    # stream decode, which returns read-order transforms
+    pixels, transforms = _decode_image_stream(reader, w, h, True)
+    coded_w = w
+    for t in transforms:
+        if t[0] == "palette":
+            xbits = _palette_xbits(len(t[1]))
+            coded_w = (t[2] + (1 << xbits) - 1) >> xbits
+    # apply inverse transforms in reverse read order
+    for t in reversed(transforms):
+        if t[0] == "palette":
+            palette, orig_w = t[1], t[2]
+            xbits = _palette_xbits(len(palette))
+            packed_w = (orig_w + (1 << xbits) - 1) >> xbits
+            pixels = _inverse_palette(pixels, orig_w, h, packed_w, palette)
+            coded_w = orig_w
+        elif t[0] == "subtract_green":
+            _inverse_subtract_green(pixels)
+        elif t[0] == "predictor":
+            _inverse_predictor(pixels, coded_w, h, t[2], t[1])
+        elif t[0] == "color":
+            _inverse_color_transform(pixels, coded_w, h, t[2], t[1])
+    if coded_w != w:  # palette transform must have restored full width
+        raise ValueError("VP8L width mismatch after transforms")
+
+    arr = np.zeros((h, w, 3), np.uint8)
+    for i, v in enumerate(pixels):
+        _, r, g, b = _sub(v)
+        arr[i // w, i % w] = (r, g, b)
+    return arr
+
+
+# --- encoder ---------------------------------------------------------------------
+
+
+def _balanced_lengths(hist: dict) -> dict:
+    """Balanced canonical code: every used symbol at ceil(log2(k))
+    bits — Kraft-valid, exercises the normal-code machinery; optimal
+    compression is a non-goal for fixture generation."""
+    k = len(hist)
+    if k == 0:
+        return {}
+    if k == 1:
+        return {next(iter(hist)): 1}
+    ln = (k - 1).bit_length()
+    return {s: ln for s in hist}
+
+
+def _tokenize(pixels, w, h, cache_bits, use_lz77):
+    """Greedy token stream: row back-references (plain distances),
+    color-cache hits, literals — mirrors the decoder's cache updates
+    exactly."""
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    tokens = []
+    n = len(pixels)
+    pos = 0
+    while pos < n:
+        if use_lz77 and pos >= w and pixels[pos] == pixels[pos - w]:
+            length = 0
+            while (
+                pos + length < n
+                and length < _MAX_LZ77_LEN
+                and pixels[pos + length] == pixels[pos + length - w]
+            ):
+                length += 1
+            if length >= 4:
+                tokens.append(("copy", length, w))
+                for i in range(pos, pos + length):
+                    if cache is not None:
+                        cache[_cache_slot(pixels[i], cache_bits)] = pixels[i]
+                pos += length
+                continue
+        px = pixels[pos]
+        if cache is not None:
+            slot = _cache_slot(px, cache_bits)
+            if cache[slot] == px:
+                tokens.append(("cache", slot))
+                pos += 1
+                continue
+            cache[slot] = px
+        tokens.append(("lit", px))
+        pos += 1
+    return tokens
+
+
+def _emit_image(
+    writer: _BitWriter,
+    pixels,
+    w: int,
+    h: int,
+    cache_bits: int = 0,
+    use_lz77: bool = True,
+    meta_bits: int = 0,
+    level0: bool = True,
+):
+    """Entropy-code one ARGB pixel list: color-cache info, optional
+    2-group meta split (group = tile-column parity), prefix codes,
+    token stream.  Sub-images (``level0=False``) carry no meta bit —
+    the decoder only reads one at level 0."""
+    if cache_bits:
+        writer.put(1, 1)
+        writer.put(cache_bits, 4)
+    else:
+        writer.put(0, 1)
+
+    n_groups = 1
+    meta = None
+    if level0:
+        if meta_bits:
+            writer.put(1, 1)
+            writer.put(meta_bits - 2, 3)
+            mw = (w + (1 << meta_bits) - 1) >> meta_bits
+            mh = (h + (1 << meta_bits) - 1) >> meta_bits
+            meta = [(mx % 2) for _ in range(mh) for mx in range(mw)]
+            # the entropy image is itself an image stream (level != 0):
+            # index rides in (r << 8) | g — emit as literal green values
+            _emit_image(
+                writer,
+                [_pack(255, 0, m, 0) for m in meta],
+                mw,
+                mh,
+                cache_bits=0,
+                use_lz77=False,
+                level0=False,
+            )
+            n_groups = max(meta) + 1
+        else:
+            writer.put(0, 1)
+    elif meta_bits:
+        raise ValueError("meta prefix groups only allowed at level 0")
+
+    green_size = 256 + _NUM_LENGTH_CODES + (1 << cache_bits if cache_bits else 0)
+    mw = (w + (1 << meta_bits) - 1) >> meta_bits if meta else 0
+
+    def group_of(pos: int) -> int:
+        if not meta:
+            return 0
+        x, y = pos % w, pos // w
+        return meta[(y >> meta_bits) * mw + (x >> meta_bits)]
+
+    tokens = _tokenize(pixels, w, h, cache_bits, use_lz77)
+
+    # histograms per group (token group = group of its first pixel)
+    hists = [
+        {"g": {}, "r": {}, "b": {}, "a": {}, "d": {}} for _ in range(n_groups)
+    ]
+    pos = 0
+    for tok in tokens:
+        hd = hists[group_of(pos)]
+        if tok[0] == "lit":
+            a, r, g, b = _sub(tok[1])
+            hd["g"][g] = hd["g"].get(g, 0) + 1
+            hd["r"][r] = hd["r"].get(r, 0) + 1
+            hd["b"][b] = hd["b"].get(b, 0) + 1
+            hd["a"][a] = hd["a"].get(a, 0) + 1
+            pos += 1
+        elif tok[0] == "cache":
+            s = 256 + _NUM_LENGTH_CODES + tok[1]
+            hd["g"][s] = hd["g"].get(s, 0) + 1
+            pos += 1
+        else:
+            lsym, _, _ = _lz77_encode_value(tok[1])
+            dsym, _, _ = _lz77_encode_value(tok[2] + 120)
+            hd["g"][256 + lsym] = hd["g"].get(256 + lsym, 0) + 1
+            hd["d"][dsym] = hd["d"].get(dsym, 0) + 1
+            pos += tok[1]
+
+    encs = []
+    for hd in hists:
+        # every alphabet needs at least one symbol for a valid code
+        for key, default in (("g", 0), ("r", 0), ("b", 0), ("a", 255), ("d", 0)):
+            if not hd[key]:
+                hd[key][default] = 1
+        encs.append(
+            {
+                key: _write_prefix_code(
+                    writer,
+                    _balanced_lengths(hd[key]),
+                    {"g": green_size, "d": _NUM_DISTANCE_CODES}.get(key, 256),
+                )
+                for key in ("g", "r", "b", "a", "d")
+            }
+        )
+
+    pos = 0
+    for tok in tokens:
+        e = encs[group_of(pos)]
+        if tok[0] == "lit":
+            a, r, g, b = _sub(tok[1])
+            writer.put_code(*e["g"][g])
+            writer.put_code(*e["r"][r])
+            writer.put_code(*e["b"][b])
+            writer.put_code(*e["a"][a])
+            pos += 1
+        elif tok[0] == "cache":
+            writer.put_code(*e["g"][256 + _NUM_LENGTH_CODES + tok[1]])
+            pos += 1
+        else:
+            lsym, lext, lbits = _lz77_encode_value(tok[1])
+            writer.put_code(*e["g"][256 + lsym])
+            if lbits:
+                writer.put(lext, lbits)
+            dsym, dext, dbits = _lz77_encode_value(tok[2] + 120)
+            writer.put_code(*e["d"][dsym])
+            if dbits:
+                writer.put(dext, dbits)
+            pos += tok[1]
+
+
+def encode_webp_lossless(
+    width: int,
+    height: int,
+    rgb,
+    cache_bits: int = 4,
+    subtract_green: bool = True,
+    use_lz77: bool = True,
+    meta_bits: int = 0,
+    palette: bool = False,
+    predictor: bool = False,
+) -> bytes:
+    """Lossless WebP from ndarray[h, w, 3] uint8.  The option flags
+    select which decoder paths the emitted stream exercises; every
+    combination round-trips exactly."""
+    pixels = [
+        _pack(255, int(px[0]), int(px[1]), int(px[2]))
+        for row in rgb
+        for px in row
+    ]
+    writer = _BitWriter()
+    writer.put(width - 1, 14)
+    writer.put(height - 1, 14)
+    writer.put(0, 1)  # no alpha
+    writer.put(0, 3)  # version
+    coded_w = width
+
+    if palette:
+        uniq = sorted(set(pixels))
+        if len(uniq) > 256:
+            raise ValueError("palette variant needs <= 256 distinct colors")
+        writer.put(1, 1)
+        writer.put(3, 2)  # color indexing
+        writer.put(len(uniq) - 1, 8)
+        deltas = []
+        prev = 0
+        for p in uniq:
+            pa, pr, pg, pb = _sub(prev)
+            a, r, g, b = _sub(p)
+            deltas.append(_pack(a - pa, r - pr, g - pg, b - pb))
+            prev = p
+        _emit_image(
+            writer, deltas, len(uniq), 1, cache_bits=0, use_lz77=False,
+            level0=False,
+        )
+        index = {p: i for i, p in enumerate(uniq)}
+        xbits = _palette_xbits(len(uniq))
+        bpp = 8 >> xbits
+        packed_w = (width + (1 << xbits) - 1) >> xbits
+        packed = []
+        for y in range(height):
+            for ux in range(packed_w):
+                unit = 0
+                for k in range(1 << xbits):
+                    x = (ux << xbits) + k
+                    if x < width:
+                        unit |= index[pixels[y * width + x]] << (k * bpp)
+                packed.append(_pack(255, 0, unit, 0))
+        pixels = packed
+        coded_w = packed_w
+    if predictor:
+        # constant mode-2 (= TOP) predictor over 16x16 tiles: residual
+        # image + a simple-coded one-tile-per-block sub-image
+        bits = 4
+        tw = (coded_w + 15) >> 4
+        th = (height + 15) >> 4
+        writer.put(1, 1)
+        writer.put(0, 2)  # predictor
+        writer.put(bits - 2, 3)
+        _emit_image(
+            writer,
+            [_pack(255, 0, 2, 0)] * (tw * th),
+            tw,
+            th,
+            cache_bits=0,
+            use_lz77=False,
+            level0=False,
+        )
+        res = list(pixels)
+        for y in range(height - 1, -1, -1):
+            for x in range(coded_w - 1, -1, -1):
+                p = y * coded_w + x
+                if x == 0 and y == 0:
+                    pred = (0xFF, 0, 0, 0)
+                elif y == 0:
+                    pred = _sub(pixels[p - 1])
+                elif x == 0:
+                    pred = _sub(pixels[p - coded_w])
+                else:
+                    pred = _sub(pixels[p - coded_w])  # mode 2 = TOP
+                a, r, g, b = _sub(pixels[p])
+                res[p] = _pack(
+                    a - pred[0], r - pred[1], g - pred[2], b - pred[3]
+                )
+        pixels = res
+    if subtract_green:
+        writer.put(1, 1)
+        writer.put(2, 2)
+        pixels = [
+            _pack(
+                (v >> 24) & 0xFF,
+                ((v >> 16) - (v >> 8)) & 0xFF,
+                (v >> 8) & 0xFF,
+                (v - (v >> 8)) & 0xFF,
+            )
+            for v in pixels
+        ]
+    writer.put(0, 1)  # end of transforms
+
+    _emit_image(
+        writer,
+        pixels,
+        coded_w,
+        height,
+        cache_bits=cache_bits,
+        use_lz77=use_lz77,
+        meta_bits=meta_bits,
+    )
+    stream = b"\x2f" + writer.flush()
+    payload = b"VP8L" + struct.pack("<I", len(stream)) + stream
+    if len(stream) % 2:
+        payload += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" + payload

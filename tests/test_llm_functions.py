@@ -1055,3 +1055,95 @@ def test_progressive_jpeg_pipeline_rows_equal_baseline_pipeline(
     }
     assert base and prog.keys() == base.keys()
     assert prog == base
+
+
+def test_webp_codec_roundtrips_all_variants():
+    """VP8L (RFC 9649) lossless: every encoder variant — and therefore
+    every decoder path it exercises (normal code-length-coded prefix
+    codes with repeat ops, simple codes, LZ77 back-references, color
+    cache, 2-group meta split via the recursive entropy image,
+    subtract-green, palette at every pixel-bundle width, constant-mode
+    predictor) — round-trips byte-exactly."""
+    import numpy as np
+
+    from setup_harvest_action_spark.functions.multimodal import (
+        decode_image_auto,
+    )
+    from setup_harvest_action_spark.functions.webp_codec import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.RandomState(11)
+    yy, xx = np.mgrid[0:40, 0:56]
+    smooth = np.stack(
+        [(xx * 3) % 256, (yy * 5) % 256, (xx + yy) % 256], axis=-1
+    ).astype(np.uint8)
+    noise = rng.randint(0, 256, (33, 47, 3)).astype(np.uint8)
+
+    def rt(img, **kw):
+        blob = encode_webp_lossless(img.shape[1], img.shape[0], img, **kw)
+        assert np.array_equal(decode_webp(blob), img), kw
+        return blob
+
+    rt(smooth)  # subtract-green + cache + LZ77 + normal codes
+    rt(np.tile(smooth[:8], (5, 1, 1)))  # LZ77-heavy
+    rt(noise, cache_bits=0)
+    rt(smooth, meta_bits=4)  # 2-group meta via entropy image
+    for ncol in (2, 4, 12, 200):  # palette at every bundle width
+        cols = rng.randint(0, 256, (ncol, 3))
+        pimg = cols[rng.randint(0, ncol, (25, 37))].astype(np.uint8)
+        rt(pimg, palette=True, subtract_green=False, cache_bits=0)
+    rt(smooth, predictor=True)
+    rt(smooth, predictor=True, meta_bits=4)
+    rt(np.array([[[7, 200, 13]]], dtype=np.uint8))  # 1x1
+
+    # magic dispatch + determinism + refusals by name
+    blob = rt(smooth)
+    assert np.array_equal(decode_image_auto(blob), smooth)
+    assert blob == encode_webp_lossless(56, 40, smooth)
+    with pytest.raises(ValueError, match="lossy"):
+        decode_webp(b"RIFF\x00\x00\x00\x00WEBPVP8 xxxx")
+    with pytest.raises(ValueError, match="VP8X"):
+        decode_webp(b"RIFF\x00\x00\x00\x00WEBPVP8Xxxxx")
+
+
+def test_webp_pipeline_stats_match_synthesized_pixels(spark, queries):
+    """Lossless contract at the pipeline surface: the decoded
+    statistics equal the synthesized pixels' statistics exactly
+    (the PNG/GIF/BMP byte-identical family)."""
+    import hashlib
+
+    import numpy as np
+
+    from setup_harvest_action_spark.functions.multimodal import (
+        IMG_H,
+        IMG_W,
+        THUMB_H,
+        THUMB_W,
+        resize_nearest,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in queries["q_multimodal_webp_pipeline"](spark, SF).collect()
+    }
+    assert len(rows) == 200
+    for doc_id in (0, 7, 42, 199):
+        yy, xx = np.mgrid[0:IMG_H, 0:IMG_W]
+        img = np.stack(
+            [
+                (xx * 7 + doc_id * 3) % 256,
+                (yy * 11 + doc_id * 5) % 256,
+                (xx * 2 + yy * 3 + doc_id * 7) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        r = rows[doc_id]
+        assert (r["width"], r["height"]) == (IMG_W, IMG_H)
+        means = img.reshape(-1, 3).mean(axis=0)
+        assert r["mean_r"] == round(float(means[0]), 4)
+        assert r["mean_g"] == round(float(means[1]), 4)
+        assert r["mean_b"] == round(float(means[2]), 4)
+        thumb = resize_nearest(img, THUMB_W, THUMB_H)
+        assert r["thumb_md5"] == hashlib.md5(thumb.tobytes()).hexdigest()
