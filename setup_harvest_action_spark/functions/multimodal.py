@@ -17,7 +17,8 @@ DQT/DHT table reconstruction, Huffman entropy decode — multi-scan
 spectral-selection × successive-approximation accumulation for SOF2
 (r11) — dequant + IDCT, YCbCr→RGB), GIF (LZW), and PCM WAV audio
 (RIFF chunk walk + FFT features).  ``decode_image`` remains the
-honest PIL-gated fallback for formats outside those (e.g. WebP/HEIC),
+honest PIL-gated fallback for formats outside those (e.g. HEIC, lossy
+VP8 WebP) — lossless VP8L WebP is REAL since r11 (webp_codec.py) —
 raising ``NotImplementedError`` when no library is present.
 The
 Spark-side plumbing — schema, Arrow batching, partitioning, UDF
