@@ -104,6 +104,9 @@ _DRIVER_PRIORITY = (
     # q_sample_negative_pairs, q_sample_systematic,
     # q_quality_expectations, q_quality_robust_zscore,
     # q_quality_dedup_report, q_sql_recursive_cte, q_join_lateral_topn)
+    # plus the r11 additions (q_similarity_pq_adc_stored,
+    # q_similarity_ann_lsh_stored, q_similarity_ann_ivf_stored,
+    # q_multimodal_progressive_jpeg_pipeline, q_multimodal_webp_pipeline)
     # front the r12 window; until then they stay hash-verified by
     # tools/verify_oracle.py + pytest every session.
     # (a) md5 re-gated in r10 — first driver rows on the new oracles:

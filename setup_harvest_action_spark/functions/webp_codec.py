@@ -743,7 +743,11 @@ def _emit_image(
             pos += 1
         else:
             lsym, _, _ = _lz77_encode_value(tok[1])
-            dsym, _, _ = _lz77_encode_value(tok[2] + 120)
+            # the one-row-up reference is neighborhood code 1 ((0, 1)
+            # in _DIST_MAP) — exercises the 2-D mapping; other
+            # distances ship plain (code = dist + 120)
+            dval = 1 if tok[2] == w else tok[2] + 120
+            dsym, _, _ = _lz77_encode_value(dval)
             hd["g"][256 + lsym] = hd["g"].get(256 + lsym, 0) + 1
             hd["d"][dsym] = hd["d"].get(dsym, 0) + 1
             pos += tok[1]
@@ -783,7 +787,8 @@ def _emit_image(
             writer.put_code(*e["g"][256 + lsym])
             if lbits:
                 writer.put(lext, lbits)
-            dsym, dext, dbits = _lz77_encode_value(tok[2] + 120)
+            dval = 1 if tok[2] == w else tok[2] + 120
+            dsym, dext, dbits = _lz77_encode_value(dval)
             writer.put_code(*e["d"][dsym])
             if dbits:
                 writer.put(dext, dbits)
