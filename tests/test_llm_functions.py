@@ -337,10 +337,14 @@ def test_png_codec_roundtrip_all_filters_and_variants():
     with _pytest.raises(ValueError, match="unsupported PNG variant"):
         decode_png(deep)
 
-    # an unrecognized format (WebP) still falls through to the honest
-    # stub (JPEG routes to the real decoder since r10 late)
-    with _pytest.raises(NotImplementedError, match="requires PIL"):
+    # lossless WebP routes to the real VP8L decoder since r11; LOSSY
+    # WebP is a different codec and refuses by name
+    with _pytest.raises(ValueError, match="lossy VP8"):
         decode_image_auto(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 24)
+    # a genuinely unrecognized format (HEIC) still falls through to
+    # the honest PIL stub
+    with _pytest.raises(NotImplementedError, match="requires PIL"):
+        decode_image_auto(b"\x00\x00\x00\x18ftypheic" + b"\x00" * 24)
 
 
 def test_png_pipeline_matches_ppm_and_bmp(spark, queries):
