@@ -252,6 +252,80 @@ def pq_index_search(
     )
 
 
+def pq_index_stream_append(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    timeout_sec: int = 300,
+) -> None:
+    """STREAMING index maintenance: drain a (vec_id, e) stream into the
+    PQ index via foreachBatch → ``pq_index_append`` per micro-batch —
+    the index-level form of ``stream_merge_into``.  Each batch encodes
+    with the frozen stored codebooks and merges O(batch); the
+    checkpoint makes re-runs resume-exactly-once, and because append
+    is content-idempotent a replayed batch upserts rows to their
+    existing values (the reference's rerun contract at stream
+    granularity)."""
+
+    def _apply(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pq_index_append(spark, batch_df, index_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
+@query("q_stream_similarity_pq_index", oracle=_pq_oracle())
+def q_stream_similarity_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC search against an index maintained by a STREAM: the
+    first quarter of the corpus is the initial build (codebooks frozen
+    on the full fixture — oracle parity), the remaining three quarters
+    arrive as a checkpointed file-source stream in ≥3 micro-batches,
+    each encode-batch + MERGE INTO.  After the drain the search scans
+    the stored codes and must hash-match the SAME unrolled-Lloyd
+    oracle as the inline and stored-batch PQ queries — streaming
+    maintenance is inside the correctness gate, not just a pipeline
+    demo."""
+    import shutil
+
+    base = os.path.join(_index_scratch(sf_dir), os.pardir, "pq_stream")
+    shutil.rmtree(base, ignore_errors=True)
+    out = os.path.join(base, "index")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("e")
+    )
+    hi = emb.agg(F.max("vec_id").alias("hi")).first()["hi"]
+    split = int(hi // 4)
+    pq_index_build(
+        spark, emb.filter(F.col("vec_id") <= split), out, fit_on=emb
+    )
+    arrivals = os.path.join(base, "arrivals")
+    (
+        emb.filter(F.col("vec_id") > split)
+        .repartitionByRange(3, "vec_id")
+        .write.parquet(arrivals)
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+    )
+    pq_index_stream_append(
+        spark, stream, out, os.path.join(base, "ckpt")
+    )
+    probe = emb.filter(F.col("vec_id") == PQ_PROBE).select(
+        F.col("e").alias("q")
+    )
+    return pq_index_search(spark, out, probe, emb, exclude_vec_id=PQ_PROBE)
+
+
 # --- Stored LSH bucket table --------------------------------------------------
 #
 # The second index family the VERDICT named: the multi-table

@@ -212,3 +212,42 @@ def test_ivf_stored_index_append_o_batch_and_query_parity(spark):
     v2 = {e["file"]: e for e in m2["files"]}
     assert set(v1) <= set(v2)
     assert all(v2[f] == e for f, e in v1.items())
+
+
+def test_pq_stream_append_batches_and_drained_checkpoint_noop(
+    spark, emb, index, tmp_path
+):
+    """Streaming maintenance: one merge commit per micro-batch, and a
+    re-run against the drained checkpoint performs no new commits."""
+    from setup_harvest_action_spark.functions.ann_index import (
+        pq_index_stream_append,
+    )
+
+    arrivals = str(tmp_path / "arrivals")
+    (
+        emb.filter(F.col("vec_id") >= SPLIT)
+        .repartitionByRange(2, "vec_id")
+        .write.parquet(arrivals)
+    )
+    stream = (
+        spark.readStream.schema("vec_id BIGINT, e ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+    )
+    v0 = read_manifest(_codes_path(index))["version"]
+    ckpt = str(tmp_path / "ckpt")
+    pq_index_stream_append(spark, stream, index, ckpt)
+    m = read_manifest(_codes_path(index))
+    assert m["version"] == v0 + 2  # one commit per micro-batch
+    assert m["total_rows"] == N
+    after = _codes_map(spark, index)
+
+    stream2 = (
+        spark.readStream.schema("vec_id BIGINT, e ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+    )
+    pq_index_stream_append(spark, stream2, index, ckpt)  # same checkpoint
+    m2 = read_manifest(_codes_path(index))
+    assert m2["version"] == m["version"]  # drained: no new commits
+    assert _codes_map(spark, index) == after
