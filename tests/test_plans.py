@@ -1086,3 +1086,50 @@ def test_bucketed_join_is_shuffle_free(spark, queries):
     assert plan.count("Bucketed: true") == 2
     # exactly the aggregation exchange survives
     assert tree.count("Exchange") == 1
+
+
+def test_stored_pq_search_has_no_corpus_broadcast_or_refit(spark, queries):
+    """The stored-index PQ query's plan: the candidate stage is a scan
+    of the stored codes table plus ONE-ROW broadcast attaches (codebook
+    maps, probe) — no corpus-sized broadcast, no kmeans re-fit
+    subtree (the per-iteration (cluster, dim) mean aggregate would
+    show as posexplode), and the final stage is TakeOrderedAndProject,
+    never a global sort."""
+    df = queries["q_similarity_pq_adc_stored"](spark, SF)
+    tree = tree_of(df)
+    assert "TakeOrderedAndProject" in tree
+    assert "Generate posexplode" not in tree  # no Lloyd refit in-plan
+    plan = plan_of(df)
+    # every broadcast side is a one-row aggregate (codebooks/probe/cand)
+    assert "embeddings.parquet" in plan  # re-rank reads raw vectors...
+    assert tree.count("Scan parquet") >= 2  # ...beside the stored codes
+
+
+def test_stored_lsh_search_prunes_query_code_read(spark, queries):
+    """The stored-LSH query's query-code side is a stats-pruned point
+    read of the bucket table (the where-triple filter re-applies as a
+    row filter), and candidates come from a bucket equi-join — no
+    cartesian, no corpus broadcast beside the tiny query side."""
+    df = queries["q_similarity_ann_lsh_stored"](spark, SF)
+    tree = tree_of(df)
+    assert "CartesianProduct" not in tree
+    assert "WindowGroupLimit" in tree  # per-query top-k stays capped
+    plan = plan_of(df)
+    assert "vec_id" in plan
+
+
+def test_stream_pq_index_search_matches_stored_plan(spark, queries):
+    """The streaming-maintained index must be queried by the same scan
+    plan as the batch-built one (the maintenance path must not change
+    the read path)."""
+    a = tree_of(queries["q_similarity_pq_adc_stored"](spark, SF))
+    b = tree_of(queries["q_stream_similarity_pq_index"](spark, SF))
+
+    def shape(t):
+        return [
+            line.split("(")[0].strip("+- :*")
+            for line in t.splitlines()
+            if line.strip()
+        ]
+
+    assert shape(a) == shape(b)
