@@ -678,6 +678,189 @@ def q_similarity_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Composed IVF+PQ index ------------------------------------------------------
+#
+# The 100 TB ANN architecture the PQ docstring promises: IVF routes,
+# PQ-ADC scores.  The asset is ONE inverted-file table
+# (vec_id, centroid_id, codes) range-committed on centroid_id, so each
+# file's footer covers a tight centroid range and
+# ``scan_manifest(where=[("centroid_id", "=", c)])`` opens only that
+# cluster's files — the probe IS file-level data skipping, no
+# partition layout tricks needed.  After unclustered appends,
+# ``auto_compact(zorder_by=["centroid_id"])`` (r11) restores the
+# routing selectivity — the maintenance loop this round built.
+
+
+def _ivfpq_codes_path(index_path: str) -> str:
+    return os.path.join(index_path, "ivfpq_codes")
+
+
+def ivfpq_index_build(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_path: str,
+    n_centroids: int,
+    n_parts: int = 8,
+    fit_on: DataFrame | None = None,
+) -> None:
+    """Build the composed index: IVF centroids (frozen), PQ codebooks
+    (frozen), and the inverted-file codes table clustered by
+    centroid_id.  ``emb`` carries (vec_id, e)."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    vecs = emb.select("vec_id", F.col("e").alias("v"))
+    cents = vecs.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("v").alias("cv"),
+    )
+    (
+        cents.coalesce(1)
+        .write.format("manifest_parquet")
+        .mode("overwrite")
+        .save(_ivf_centroids_path(index_path))
+    )
+    cb = fit_codebooks(fit_on if fit_on is not None else emb)
+    (
+        cb.coalesce(1)
+        .write.format("manifest_parquet")
+        .mode("overwrite")
+        .save(_codebooks_path(index_path))
+    )
+    assign = _ivf_assign(vecs, cents)
+    codes = pq_encode(emb, cb).join(assign, "vec_id")
+    (
+        codes.repartitionByRange(n_parts, "centroid_id")
+        .sortWithinPartitions("centroid_id", "vec_id")
+        .write.format("manifest_parquet")
+        .mode("overwrite")
+        .save(_ivfpq_codes_path(index_path))
+    )
+
+
+def ivfpq_search(
+    spark: SparkSession,
+    index_path: str,
+    probe_vec: DataFrame,
+    emb: DataFrame,
+    nprobe: int,
+    n_cand: int,
+    top_k: int,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Two-level search: rank the stored centroids against the probe
+    (tiny — one job over n_centroids rows, the repo's bounded-collect
+    class, like the bucket-id lists in harvest/bucketed.py), then ONE
+    pruned scan per probed centroid — the manifest's centroid_id
+    footer stats open only that cluster's files — ADC-score the
+    candidate codes, exact-rerank the top ``n_cand``."""
+    from setup_harvest_action_spark.functions.similarity import cosine
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        scan_manifest,
+    )
+
+    cents = scan_manifest(spark, _ivf_centroids_path(index_path))
+    ranked = (
+        cents.crossJoin(F.broadcast(probe_vec))
+        .select(
+            "centroid_id", (-cosine(F.col("cv"), F.col("q"))).alias("neg")
+        )
+        .orderBy("neg", "centroid_id")
+        .limit(nprobe)
+    )
+    probe_ids = [r["centroid_id"] for r in ranked.collect()]  # nprobe ints
+    parts = [
+        scan_manifest(
+            spark,
+            _ivfpq_codes_path(index_path),
+            where=[("centroid_id", "=", int(c))],
+        )
+        for c in probe_ids
+    ]
+    codes = parts[0]
+    for p in parts[1:]:
+        codes = codes.unionByName(p)
+    if exclude_vec_id is not None:
+        codes = codes.filter(F.col("vec_id") != exclude_vec_id)
+    cb = scan_manifest(spark, _codebooks_path(index_path))
+    df = codes
+    for m in range(PQ_M):
+        one = cb.filter(F.col("m") == m).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("cluster", "c"))
+            ).alias(f"map{m}")
+        )
+        df = df.crossJoin(F.broadcast(one))
+    df = df.crossJoin(F.broadcast(probe_vec))
+    adc2 = None
+    for m in range(PQ_M):
+        cent = F.col(f"map{m}")[F.col("codes")[m]]
+        term = F.pow(_l2(_slice(F.col("q"), m), cent), 2)
+        adc2 = term if adc2 is None else adc2 + term
+    cand = (
+        df.select(
+            "vec_id",
+            F.array_join(F.col("codes"), "-").alias("codes"),
+            F.round(F.sqrt(adc2), 6).alias("adc_dist"),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(n_cand)
+    )
+    return (
+        F.broadcast(cand)
+        .join(emb, "vec_id")
+        .crossJoin(F.broadcast(probe_vec))
+        .select(
+            "vec_id",
+            "codes",
+            "adc_dist",
+            F.round(_l2(F.col("e"), F.col("q")), 6).alias("exact_dist"),
+        )
+        .orderBy("exact_dist", "vec_id")
+        .limit(top_k)
+    )
+
+
+@query("q_similarity_ivfpq_stored")
+def q_similarity_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ, the production ANN composition, on ONE stored
+    inverted-file table: IVF routing happens at the FILE level (the
+    probe's pruned scans open only the probed centroids' files —
+    pinned via select_files in tests), PQ-ADC scores only those
+    clusters' compressed codes, exact re-rank touches just the
+    candidate pool.  At 100 TB this reads nprobe/n_centroids of a
+    64×-compressed table — the only corpus-shaped cost in the query.
+    Rows-only (IVF argmax routing isn't reasonably SQL-expressible);
+    recall floor vs the exact top-k and the file-pruning contract are
+    pinned in tests/test_ann_index.py."""
+    from setup_harvest_action_spark.functions.similarity import (
+        IVF_CENTROIDS,
+        IVF_NPROBE,
+    )
+
+    out = os.path.join(_index_scratch(sf_dir), os.pardir, "ivfpq_index")
+    shutil.rmtree(out, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("e")
+    )
+    ivfpq_index_build(spark, emb, out, IVF_CENTROIDS)
+    probe = emb.filter(F.col("vec_id") == PQ_PROBE).select(
+        F.col("e").alias("q")
+    )
+    return ivfpq_search(
+        spark,
+        out,
+        probe,
+        emb,
+        nprobe=IVF_NPROBE,
+        n_cand=PQ_CAND,
+        top_k=PQ_TOPK,
+        exclude_vec_id=PQ_PROBE,
+    )
+
+
 def _index_scratch(sf_dir: str) -> str:
     label = os.path.basename(sf_dir.rstrip("/")) or "sf"
     return os.path.join(tempfile.gettempdir(), "shas_ann", label, "pq_index")

@@ -251,3 +251,47 @@ def test_pq_stream_append_batches_and_drained_checkpoint_noop(
     m2 = read_manifest(_codes_path(index))
     assert m2["version"] == m["version"]  # drained: no new commits
     assert _codes_map(spark, index) == after
+
+
+def test_ivfpq_routes_at_file_level_with_recall_floor(spark):
+    """The composed IVF+PQ index: (a) each probe's scan is admitted by
+    footer stats to ONLY that centroid's files — file-level routing,
+    the 100 TB story; (b) routing + compression still recovers >= 8 of
+    the full-corpus PQ search's top-10 on the fixture (measured 10/10;
+    floor leaves band room)."""
+    import os
+
+    from setup_harvest_action_spark.functions.ann_index import (
+        _index_scratch,
+        _ivfpq_codes_path,
+        q_similarity_ivfpq_stored,
+    )
+    from setup_harvest_action_spark.functions.similarity import (
+        IVF_CENTROIDS,
+        q_similarity_pq_adc,
+    )
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        read_manifest,
+        select_files,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    routed = [r["vec_id"] for r in q_similarity_ivfpq_stored(spark, sf).collect()]
+    full = [r["vec_id"] for r in q_similarity_pq_adc(spark, sf).collect()]
+    assert len(routed) == 10
+    assert len(set(routed) & set(full)) >= 8
+
+    path = _ivfpq_codes_path(
+        os.path.join(_index_scratch(sf), os.pardir, "ivfpq_index")
+    )
+    m = read_manifest(path)
+    n_files = len(m["files"])
+    assert n_files >= 4  # range-committed into multiple parts
+    # a single-centroid probe must open a strict subset of the files,
+    # and different centroids' probes open different subsets
+    admitted = {
+        c: {e["file"] for e in select_files(m, [("centroid_id", "=", c)])}
+        for c in range(IVF_CENTROIDS)
+    }
+    assert all(len(f) < n_files for f in admitted.values())
+    assert len({frozenset(f) for f in admitted.values()}) > 1
