@@ -117,6 +117,29 @@ def _build_parser() -> argparse.ArgumentParser:
     m.add_argument("--health", action="store_true",
                    help="metadata-only maintenance report: file-size "
                         "posture + per-column clustering depth")
+    a = sub.add_parser(
+        "ann",
+        help="build / incrementally maintain / search a stored ANN "
+             "index (functions/ann_index.py — manifest tables)",
+    )
+    a.add_argument("path", help="index root directory")
+    a.add_argument("--kind", choices=("pq", "lsh", "ivf", "ivfpq"),
+                   default="pq",
+                   help="index family (default pq)")
+    a.add_argument("--build-from", metavar="PARQUET",
+                   help="build the index from a (vec_id, embedding) "
+                        "parquet — codebooks/centroids are fit here and "
+                        "FROZEN for later appends")
+    a.add_argument("--append-from", metavar="PARQUET",
+                   help="incrementally index a batch: encode/assign with "
+                        "the stored codebooks + MERGE (O(batch), "
+                        "idempotent on rerun)")
+    a.add_argument("--search", type=int, metavar="VEC_ID",
+                   help="two-stage search with corpus vector VEC_ID as "
+                        "the probe (pq / ivfpq)")
+    a.add_argument("--vectors", metavar="PARQUET",
+                   help="raw vectors for probe + exact re-rank "
+                        "(defaults to --build-from / --append-from)")
     pl = sub.add_parser(
         "pipeline",
         help="compile and run a declarative pipeline spec "
@@ -131,6 +154,99 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="write the output dataset to a parquet path "
                          "instead of showing rows")
     return p
+
+
+def _run_ann(args) -> int:
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.functions import ann_index as ai
+    from setup_harvest_action_spark.functions.similarity import (
+        IVF_CENTROIDS,
+        IVF_NPROBE,
+        PQ_CAND,
+        PQ_TOPK,
+    )
+    from setup_harvest_action_spark.session import get_spark
+
+    spark = get_spark("cli-ann")
+
+    def _vecs(path: str):
+        df = spark.read.parquet(path)
+        emb_col = "embedding" if "embedding" in df.columns else "e"
+        return df.select(
+            "vec_id",
+            F.transform(emb_col, lambda x: x.cast("double")).alias("e"),
+        )
+
+    src = args.build_from or args.append_from or args.vectors
+    if args.build_from:
+        emb = _vecs(args.build_from)
+        if args.kind == "pq":
+            ai.pq_index_build(spark, emb, args.path)
+        elif args.kind == "lsh":
+            ai.lsh_index_build(
+                spark, emb.withColumnRenamed("e", "v"), args.path
+            )
+        elif args.kind == "ivf":
+            ai.ivf_index_build(
+                spark,
+                emb.withColumnRenamed("e", "v"),
+                args.path,
+                IVF_CENTROIDS,
+            )
+        else:
+            ai.ivfpq_index_build(spark, emb, args.path, IVF_CENTROIDS)
+        print(f"built {args.kind} index at {args.path}")
+    if args.append_from:
+        emb = _vecs(args.append_from)
+        if args.kind == "pq":
+            m = ai.pq_index_append(spark, emb, args.path)
+        elif args.kind == "lsh":
+            m = ai.lsh_index_append(
+                spark, emb.withColumnRenamed("e", "v"), args.path
+            )
+        elif args.kind == "ivf":
+            m = ai.ivf_index_append(
+                spark, emb.withColumnRenamed("e", "v"), args.path
+            )
+        else:
+            raise ValueError(
+                "ivfpq appends ride the plain append + "
+                "auto_compact(zorder_by=['centroid_id']) path"
+            )
+        print(
+            f"appended into {args.kind} index: version "
+            f"{m['version']}, {m['total_rows']} rows"
+        )
+    if args.search is not None:
+        if args.kind not in ("pq", "ivfpq"):
+            raise ValueError("--search supports pq and ivfpq indexes")
+        if not src:
+            raise ValueError("--search needs --vectors (raw vectors)")
+        emb = _vecs(args.vectors or src)
+        probe = emb.filter(F.col("vec_id") == args.search).select(
+            F.col("e").alias("q")
+        )
+        if args.kind == "pq":
+            out = ai.pq_index_search(
+                spark, args.path, probe, emb, exclude_vec_id=args.search
+            )
+        else:
+            out = ai.ivfpq_search(
+                spark,
+                args.path,
+                probe,
+                emb,
+                nprobe=IVF_NPROBE,
+                n_cand=PQ_CAND,
+                top_k=PQ_TOPK,
+                exclude_vec_id=args.search,
+            )
+        for row in out.collect():
+            print(tuple(row))
+    if not (args.build_from or args.append_from or args.search is not None):
+        raise ValueError("ann needs --build-from, --append-from or --search")
+    return 0
 
 
 def _run_pipeline(args) -> int:
@@ -435,6 +551,8 @@ def main(argv: list[str] | None = None) -> int:
             return _run_manifest(args)
         if args.command == "pipeline":
             return _run_pipeline(args)
+        if args.command == "ann":
+            return _run_ann(args)
         return _run_harvest(args)
     except ValueError as e:
         print(f"Invalid input: {e}")

@@ -670,3 +670,35 @@ def test_cli_manifest_delete_merge_changes(spark, tmp_path, capsys):
     assert main(
         ["manifest", path, "--merge-from", src]
     ) == 1  # --merge-on required
+
+
+def test_cli_ann_build_append_search(spark, tmp_path, capsys):
+    """End-to-end CLI drive of the stored ANN index: build on a prefix,
+    append the rest (O(batch) merge), search with a corpus probe."""
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.cli import main
+    from setup_harvest_action_spark.io.loaders import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    full = str(tmp_path / "full.parquet")
+    head = str(tmp_path / "head.parquet")
+    tail = str(tmp_path / "tail.parquet")
+    emb.write.parquet(full)
+    emb.filter(F.col("vec_id") < 300).write.parquet(head)
+    emb.filter(F.col("vec_id") >= 300).write.parquet(tail)
+    idx = str(tmp_path / "idx")
+
+    assert main(["ann", idx, "--build-from", head]) == 0
+    assert "built pq index" in capsys.readouterr().out
+    assert main(["ann", idx, "--append-from", tail]) == 0
+    out = capsys.readouterr().out
+    assert "version 2" in out
+    assert main(["ann", idx, "--search", "0", "--vectors", full]) == 0
+    lines = [
+        ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("(")
+    ]
+    assert 0 < len(lines) <= 10
+    # error taxonomy: no verb
+    assert main(["ann", idx]) == 1
+    assert "Invalid input" in capsys.readouterr().out
