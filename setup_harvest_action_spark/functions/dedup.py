@@ -1655,3 +1655,97 @@ def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= PREFIX_JACCARD_T)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# --- Benchmark decontamination (r11) -------------------------------------------
+
+DECON_K = 5  # tokens per contamination n-gram (13 at real scale)
+DECON_BENCH_DOCS = 20  # fixture stand-in for the eval set: doc_id < 20
+
+
+@query(
+    "q_dedup_decontaminate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         substring(md5(tk[CAST(i AS INTEGER)] || ' ' ||
+                       tk[CAST(i AS INTEGER) + 1] || ' ' ||
+                       tk[CAST(i AS INTEGER) + 2] || ' ' ||
+                       tk[CAST(i AS INTEGER) + 3] || ' ' ||
+                       tk[CAST(i AS INTEGER) + 4]), 1, 16) AS g
+  FROM toks, UNNEST(generate_series(1, len(tk) - {DECON_K - 1})) t(i)
+  WHERE len(tk) >= {DECON_K}
+),
+bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id < {DECON_BENCH_DOCS}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_grams
+FROM grams JOIN bench USING (g)
+WHERE doc_id >= {DECON_BENCH_DOCS}
+GROUP BY doc_id
+""",
+)
+def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCHMARK DECONTAMINATION — the n-gram overlap screen every LLM
+    training pipeline runs before an eval suite is trustworthy (the
+    GPT-3 appendix / Llama methodology: drop or flag training docs
+    sharing any long n-gram with the benchmark).  Fixture stand-in:
+    doc_id < {bench} plays the benchmark, {k}-token grams play the
+    13-grams (fixture docs are 10-99 tokens).
+
+    Output: every CORPUS doc sharing >= 1 distinct gram with the
+    benchmark, with its shared-gram count — the flag set a removal
+    pass would drop.
+
+    100 TB design: the benchmark side is an EVAL SUITE — thousands of
+    documents, i.e. ~10^5-10^6 grams — so its distinct-gram set
+    BROADCASTS (plan-pinned: BroadcastHashJoin, corpus side never
+    shuffles for the probe) and the whole screen is one map-side scan
+    of the corpus + a per-doc partial-count aggregate.  Gram keys are
+    hashed in place (16 hex chars of md5, the r9 index-key discipline)
+    so the broadcast ships 16-byte keys, never raw text; a collision
+    can only ADD a flag (2^-64-scale false positive), never lose one —
+    the conservative direction for decontamination.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.col("toks")
+    gram_keys = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(tk) - (DECON_K - 1), F.lit(0))
+            ),
+            lambda i: F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at(tk, i + j) for j in range(DECON_K)],
+                    )
+                ),
+                1,
+                16,
+            ),
+        )
+    )
+    grams = docs.select(
+        "doc_id", tokens_col().alias("toks")
+    ).select("doc_id", F.explode(gram_keys).alias("g"))
+    bench = (
+        grams.filter(F.col("doc_id") < DECON_BENCH_DOCS)
+        .select("g")
+        .distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") >= DECON_BENCH_DOCS)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+
+
+q_dedup_decontaminate.__doc__ = q_dedup_decontaminate.__doc__.format(
+    bench=DECON_BENCH_DOCS, k=DECON_K
+)

@@ -1039,3 +1039,125 @@ def q_quality_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dup_groups"
         ),
     )
+
+
+# --- PII detection & redaction (r11) --------------------------------------------
+
+# RE2-and-Java-compatible patterns (no lookaround).  The generic
+# single-pattern scrubber is q_quality_pii_redact above; this family
+# adds TYPED per-category counts (email / phone / IPv4) with an
+# ordered multi-pass redaction.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+@query(
+    "q_quality_pii_typed_redact",
+    oracle=f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id ||
+                '@example.com or x' || doc_id || '@mail.test now'
+           WHEN doc_id % 7 = 1 THEN ' call 555-' ||
+                lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+           WHEN doc_id % 7 = 2 THEN ' from 10.0.' ||
+                CAST(doc_id % 256 AS VARCHAR) || '.7'
+           ELSE ''
+         END AS text
+  FROM documents
+),
+redacted AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+         regexp_replace(text, '{PII_EMAIL}', '[EMAIL]', 'g') AS t1,
+         text
+  FROM planted
+),
+r2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{PII_IPV4}')) AS n_ips,
+         regexp_replace(t1, '{PII_IPV4}', '[IP]', 'g') AS t2
+  FROM redacted
+)
+SELECT doc_id, CAST(n_emails AS INTEGER) AS n_emails,
+       CAST(n_ips AS INTEGER) AS n_ips,
+       CAST(len(regexp_extract_all(t2, '{PII_PHONE}')) AS INTEGER)
+           AS n_phones,
+       md5(regexp_replace(t2, '{PII_PHONE}', '[PHONE]', 'g'))
+           AS clean_md5
+FROM r2
+""",
+)
+def q_quality_pii_typed_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPED PII detection + redaction — per-category counts (email,
+    phone, IPv4) with ordered multi-pass redaction, as portable regexes
+    (no lookaround: the same pattern text compiles under Java regex
+    and DuckDB's RE2, so the redacted output can cross-engine
+    hash-match).  The fixture contains no PII, so deterministic PII is
+    PLANTED first (doc_id-derived emails/phones/IPs on doc_id % 7
+    lanes) to make the gate non-vacuous; the oracle replays plant +
+    redact + per-type counts + md5(clean text) exactly.
+
+    Redaction order is fixed (email → IPv4 → phone) so a dotted
+    address inside an email can't double-count after replacement.
+
+    100 TB design: pure map — regexp_count/regexp_replace are
+    JVM-side codegen'd expressions, zero shuffles, no UDF; scales as
+    one corpus scan.  The planted CASE is fixture plumbing; production
+    use is ``redact_pii`` below on raw text."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or x"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.test now"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 7 == 1,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                    F.lit("-0199"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 7 == 2,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(planted)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_ips, n_phones, clean_md5): per-type PII
+    counts and the md5 of the fully redacted text — map-only."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL)).cast("int")
+    t1 = F.regexp_replace(t, PII_EMAIL, "[EMAIL]")
+    n_ips = F.regexp_count(t1, F.lit(PII_IPV4)).cast("int")
+    t2 = F.regexp_replace(t1, PII_IPV4, "[IP]")
+    n_phones = F.regexp_count(t2, F.lit(PII_PHONE)).cast("int")
+    t3 = F.regexp_replace(t2, PII_PHONE, "[PHONE]")
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        F.md5(t3).alias("clean_md5"),
+    )
