@@ -1749,3 +1749,133 @@ def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_dedup_decontaminate.__doc__ = q_dedup_decontaminate.__doc__.format(
     bench=DECON_BENCH_DOCS, k=DECON_K
 )
+
+
+# --- Cross-document substring REMOVAL (r11) -------------------------------------
+
+
+@query(
+    "q_dedup_substring_removal",
+    oracle=f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         substring(md5(substring(text, CAST(i AS INTEGER), {SPAN_LEN})),
+                   1, 16) AS h
+  FROM d, UNNEST(generate_series(1, n - {SPAN_LEN} + 1)) t(i)
+  WHERE n >= {SPAN_LEN}
+),
+shared AS (
+  SELECT h FROM (
+    SELECT h, count(DISTINCT doc_id) AS c FROM wins GROUP BY h
+  ) WHERE c >= 2
+),
+cov AS (
+  SELECT DISTINCT w.doc_id, w.i + t.off AS p
+  FROM wins w JOIN shared USING (h),
+       UNNEST(generate_series(0, {SPAN_LEN - 1})) t(off)
+),
+pos AS (
+  SELECT d.doc_id, d.text, CAST(t.p AS BIGINT) AS p
+  FROM d, UNNEST(generate_series(1, n)) t(p)
+),
+kept AS (
+  SELECT pos.doc_id,
+         coalesce(
+           string_agg(substring(pos.text, CAST(pos.p AS INTEGER), 1), ''
+                      ORDER BY pos.p),
+           '') AS clean
+  FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+  WHERE cov.p IS NULL
+  GROUP BY pos.doc_id
+)
+SELECT d.doc_id,
+       CAST(length(coalesce(k.clean, '')) AS BIGINT) AS clean_len,
+       CAST(d.n - length(coalesce(k.clean, '')) AS BIGINT)
+           AS removed_chars,
+       md5(coalesce(k.clean, '')) AS clean_md5
+FROM d LEFT JOIN kept k USING (doc_id)
+-- a doc absent from kept has ZERO surviving characters (fully covered
+-- by shared windows) — coalesce to the empty string, never the text
+""",
+)
+def q_dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring REMOVAL — the rewrite half of
+    ExactSubstr dedup (Lee et al.): every {SPAN_LEN}-char window that
+    appears in >= 2 DISTINCT documents is cut from EVERY document
+    (overlapping windows merge into spans), and the cleaned corpus is
+    value-checked by md5.  The detection family
+    (q_dedup_substring_spans) reports the pairs; this operator
+    actually removes the duplicated text — re-running the detector on
+    the output finds ZERO cross-document spans (the self-referential
+    closure pinned in tests/test_llm_functions.py).
+
+    No pair expansion anywhere: removal needs only the window -> DF
+    count (one keyed aggregate), so the hot-boilerplate quadratic risk
+    the detector caps with MAX_SPAN_DF does not exist here — and
+    corpus-wide boilerplate above the cap is exactly what removal is
+    FOR, so no cap is applied.
+
+    Plan shape: one stride-1 window explode (the §7 exactness premium,
+    shared with the detector), one count aggregate, one covered-start
+    join back, then a PER-DOCUMENT O(n_starts) interval-stitch FOLD
+    (higher-order ``aggregate`` over the sorted start list: emit
+    text[pos, s), advance pos to s+W) — the cleaned string is built
+    JVM-side with zero char-level explosion; the oracle uses the
+    equivalent kept-position set spelling.  Docs shorter than
+    {SPAN_LEN} chars, or with no shared window, pass through verbatim
+    (md5-equal)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wins = (
+        docs.filter(F.length("text") >= SPAN_LEN)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {SPAN_LEN} + 1),"
+                    f" i -> struct(CAST(i AS BIGINT) AS i,"
+                    f" substring(md5(substring(text, i, {SPAN_LEN})), 1, 16)"
+                    f" AS h))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.i").alias("i"), F.col("w.h").alias("h"))
+    )
+    shared = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    starts = (
+        wins.join(shared, "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("i")).alias("starts"))
+    )
+    joined = docs.join(starts, "doc_id", "left").withColumn(
+        "starts", F.coalesce(F.col("starts"), F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    )
+    clean = joined.selectExpr(
+        "doc_id",
+        f"""
+        aggregate(
+          starts,
+          struct(CAST(1 AS BIGINT) AS p, '' AS t),
+          (a, s) -> struct(
+            greatest(a.p, s + {SPAN_LEN}) AS p,
+            concat(a.t, substr(text, a.p, CAST(greatest(s - a.p, 0) AS INT)))
+              AS t),
+          a -> concat(a.t, substr(text, a.p))
+        ) AS clean
+        """,
+        "length(text) AS orig_len",
+    )
+    return clean.select(
+        "doc_id",
+        F.length("clean").cast("long").alias("clean_len"),
+        (F.col("orig_len") - F.length("clean")).cast("long").alias(
+            "removed_chars"
+        ),
+        F.md5("clean").alias("clean_md5"),
+    )

@@ -1151,3 +1151,62 @@ def test_webp_pipeline_stats_match_synthesized_pixels(spark, queries):
         assert r["mean_b"] == round(float(means[2]), 4)
         thumb = resize_nearest(img, THUMB_W, THUMB_H)
         assert r["thumb_md5"] == hashlib.md5(thumb.tobytes()).hexdigest()
+
+
+def test_substring_removal_closure_no_spans_survive(spark, queries):
+    """The removal operator's semantic contract, checked by its own
+    detector: rebuild the cleaned corpus (same fold the query runs,
+    materialized as text), re-run the cross-document window INDEX over
+    it — ZERO windows shared by >= 2 docs survive.  Also pins
+    conservation: clean_len + removed_chars == original length, and
+    pass-through docs keep their original md5."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.functions.dedup import SPAN_LEN
+    from setup_harvest_action_spark.io.loaders import load_table
+
+    rows = {
+        r["doc_id"]: r
+        for r in queries["q_dedup_substring_removal"](spark, SF).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    assert rows.keys() == docs.keys()
+    assert any(r["removed_chars"] > 0 for r in rows.values())
+    assert any(r["removed_chars"] == 0 for r in rows.values())
+
+    # python replay of the same policy to materialize the cleaned text
+    from collections import defaultdict
+
+    df = defaultdict(set)
+    for d, t in docs.items():
+        for i in range(len(t) - SPAN_LEN + 1):
+            df[hashlib.md5(t[i:i + SPAN_LEN].encode()).hexdigest()[:16]].add(d)
+    shared = {h for h, s in df.items() if len(s) >= 2}
+    cleaned = {}
+    for d, t in docs.items():
+        covered = set()
+        for i in range(max(len(t) - SPAN_LEN + 1, 0)):
+            h = hashlib.md5(t[i:i + SPAN_LEN].encode()).hexdigest()[:16]
+            if h in shared:
+                covered.update(range(i, i + SPAN_LEN))
+        cleaned[d] = "".join(c for j, c in enumerate(t) if j not in covered)
+        # the Spark result must equal this replay exactly
+        assert rows[d]["clean_md5"] == hashlib.md5(
+            cleaned[d].encode()
+        ).hexdigest(), d
+        assert rows[d]["clean_len"] + rows[d]["removed_chars"] == len(t)
+        if rows[d]["removed_chars"] == 0:
+            assert cleaned[d] == t
+
+    # CLOSURE: the detector finds nothing on the cleaned corpus
+    df2 = defaultdict(set)
+    for d, t in cleaned.items():
+        for i in range(max(len(t) - SPAN_LEN + 1, 0)):
+            df2[hashlib.md5(t[i:i + SPAN_LEN].encode()).hexdigest()[:16]].add(d)
+    survivors = {h for h, s in df2.items() if len(s) >= 2}
+    assert not survivors
