@@ -1663,6 +1663,45 @@ DECON_K = 5  # tokens per contamination n-gram (13 at real scale)
 DECON_BENCH_DOCS = 20  # fixture stand-in for the eval set: doc_id < 20
 
 
+def contamination_flags(
+    docs: DataFrame, bench: DataFrame, k: int = DECON_K
+) -> DataFrame:
+    """(doc_id, shared_grams) for corpus docs sharing >= 1 distinct
+    k-token gram with the BENCHMARK docs — the reusable stage behind
+    q_dedup_decontaminate.  The benchmark gram set broadcasts."""
+
+    def grams(df: DataFrame) -> DataFrame:
+        tk = F.col("toks")
+        keys = F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(tk) - (k - 1), F.lit(0))
+                ),
+                lambda i: F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            *[F.element_at(tk, i + j) for j in range(k)],
+                        )
+                    ),
+                    1,
+                    16,
+                ),
+            )
+        )
+        return df.select("doc_id", tokens_col().alias("toks")).select(
+            "doc_id", F.explode(keys).alias("g")
+        )
+
+    bench_grams = grams(bench).select("g").distinct()
+    return (
+        grams(docs)
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+
+
 @query(
     "q_dedup_decontaminate",
     oracle=f"""
@@ -1712,37 +1751,9 @@ def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the conservative direction for decontamination.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tk = F.col("toks")
-    gram_keys = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size(tk) - (DECON_K - 1), F.lit(0))
-            ),
-            lambda i: F.substring(
-                F.md5(
-                    F.concat_ws(
-                        " ",
-                        *[F.element_at(tk, i + j) for j in range(DECON_K)],
-                    )
-                ),
-                1,
-                16,
-            ),
-        )
-    )
-    grams = docs.select(
-        "doc_id", tokens_col().alias("toks")
-    ).select("doc_id", F.explode(gram_keys).alias("g"))
-    bench = (
-        grams.filter(F.col("doc_id") < DECON_BENCH_DOCS)
-        .select("g")
-        .distinct()
-    )
-    return (
-        grams.filter(F.col("doc_id") >= DECON_BENCH_DOCS)
-        .join(F.broadcast(bench), "g")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    return contamination_flags(
+        docs.filter(F.col("doc_id") >= DECON_BENCH_DOCS),
+        docs.filter(F.col("doc_id") < DECON_BENCH_DOCS),
     )
 
 
@@ -1752,6 +1763,61 @@ q_dedup_decontaminate.__doc__ = q_dedup_decontaminate.__doc__.format(
 
 
 # --- Cross-document substring REMOVAL (r11) -------------------------------------
+
+
+def remove_shared_substrings(
+    docs: DataFrame, span_len: int = SPAN_LEN
+) -> DataFrame:
+    """(doc_id, clean): every ``span_len``-char window appearing in
+    >= 2 distinct documents cut from every document — the reusable
+    pipeline stage behind q_dedup_substring_removal (one window
+    explode, one DF-count aggregate, a per-doc interval-stitch fold;
+    no pair expansion, so no hot-key cap needed)."""
+    docs = docs.select("doc_id", "text")
+    wins = (
+        docs.filter(F.length("text") >= span_len)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {span_len} + 1),"
+                    f" i -> struct(CAST(i AS BIGINT) AS i,"
+                    f" substring(md5(substring(text, i, {span_len})), 1, 16)"
+                    f" AS h))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.i").alias("i"), F.col("w.h").alias("h"))
+    )
+    shared = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    starts = (
+        wins.join(shared, "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("i")).alias("starts"))
+    )
+    joined = docs.join(starts, "doc_id", "left").withColumn(
+        "starts",
+        F.coalesce(F.col("starts"), F.expr("CAST(array() AS ARRAY<BIGINT>)")),
+    )
+    return joined.selectExpr(
+        "doc_id",
+        f"""
+        aggregate(
+          starts,
+          struct(CAST(1 AS BIGINT) AS p, '' AS t),
+          (a, s) -> struct(
+            greatest(a.p, s + {span_len}) AS p,
+            concat(a.t, substr(text, a.p, CAST(greatest(s - a.p, 0) AS INT)))
+              AS t),
+          a -> concat(a.t, substr(text, a.p))
+        ) AS clean
+        """,
+    )
 
 
 @query(
@@ -1826,50 +1892,8 @@ def q_dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     {SPAN_LEN} chars, or with no shared window, pass through verbatim
     (md5-equal)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    wins = (
-        docs.filter(F.length("text") >= SPAN_LEN)
-        .select(
-            "doc_id",
-            "text",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, length(text) - {SPAN_LEN} + 1),"
-                    f" i -> struct(CAST(i AS BIGINT) AS i,"
-                    f" substring(md5(substring(text, i, {SPAN_LEN})), 1, 16)"
-                    f" AS h))"
-                )
-            ).alias("w"),
-        )
-        .select("doc_id", F.col("w.i").alias("i"), F.col("w.h").alias("h"))
-    )
-    shared = (
-        wins.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("h")
-    )
-    starts = (
-        wins.join(shared, "h")
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set("i")).alias("starts"))
-    )
-    joined = docs.join(starts, "doc_id", "left").withColumn(
-        "starts", F.coalesce(F.col("starts"), F.expr("CAST(array() AS ARRAY<BIGINT>)"))
-    )
-    clean = joined.selectExpr(
-        "doc_id",
-        f"""
-        aggregate(
-          starts,
-          struct(CAST(1 AS BIGINT) AS p, '' AS t),
-          (a, s) -> struct(
-            greatest(a.p, s + {SPAN_LEN}) AS p,
-            concat(a.t, substr(text, a.p, CAST(greatest(s - a.p, 0) AS INT)))
-              AS t),
-          a -> concat(a.t, substr(text, a.p))
-        ) AS clean
-        """,
-        "length(text) AS orig_len",
+    clean = remove_shared_substrings(docs).join(
+        docs.select("doc_id", F.length("text").alias("orig_len")), "doc_id"
     )
     return clean.select(
         "doc_id",

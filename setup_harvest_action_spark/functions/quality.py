@@ -1144,9 +1144,13 @@ def q_quality_pii_typed_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(planted)
 
 
-def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, n_emails, n_ips, n_phones, clean_md5): per-type PII
-    counts and the md5 of the fully redacted text — map-only."""
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", keep_text: bool = False
+) -> DataFrame:
+    """(doc_id, n_emails, n_ips, n_phones, clean_md5[, clean_text]):
+    per-type PII counts and the md5 of the fully redacted text —
+    map-only.  ``keep_text=True`` adds the redacted text itself for
+    pipeline composition."""
     t = F.col(text_col)
     n_emails = F.regexp_count(t, F.lit(PII_EMAIL)).cast("int")
     t1 = F.regexp_replace(t, PII_EMAIL, "[EMAIL]")
@@ -1154,10 +1158,13 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t2 = F.regexp_replace(t1, PII_IPV4, "[IP]")
     n_phones = F.regexp_count(t2, F.lit(PII_PHONE)).cast("int")
     t3 = F.regexp_replace(t2, PII_PHONE, "[PHONE]")
-    return docs.select(
-        "doc_id",
+    cols = [
+        F.col("doc_id"),
         n_emails.alias("n_emails"),
         n_ips.alias("n_ips"),
         n_phones.alias("n_phones"),
         F.md5(t3).alias("clean_md5"),
-    )
+    ]
+    if keep_text:
+        cols.append(t3.alias("clean_text"))
+    return docs.select(*cols)

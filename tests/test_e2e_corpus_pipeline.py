@@ -157,3 +157,84 @@ def test_late_duplicate_of_published_doc_is_still_rejected(spark, tmp_path):
     cycle([(2, "five six seven eight"), (3, "nine ten eleven twelve")])
     final = {r.doc_id for r in scan_manifest(spark, table).collect()}
     assert final == {0, 1, 3}
+
+
+def test_publish_decontaminate_redact_scrub_index(spark, tmp_path):
+    """The EXPORT side of the pipeline, composed from r11 operators: a
+    published corpus table is screened against a benchmark
+    (decontaminate), PII-redacted, cross-document boilerplate is CUT
+    (substring removal), and the surviving docs' embeddings are built
+    into a persisted PQ index that search then serves.  Each stage is
+    oracled/pinned in isolation; this pins the composition: flagged
+    docs never reach the export, no PII and no shared span survives in
+    the exported text, and the index answers only over survivors."""
+    import random
+
+    from setup_harvest_action_spark.functions.ann_index import (
+        pq_index_build,
+        pq_index_search,
+    )
+    from setup_harvest_action_spark.functions.dedup import (
+        contamination_flags,
+        remove_shared_substrings,
+    )
+    from setup_harvest_action_spark.functions.quality import (
+        PII_EMAIL,
+        redact_pii,
+    )
+
+    register_manifest_sink(spark)
+    table = str(tmp_path / "corpus")
+    boiler = "SHARED LICENSE HEADER " * 3  # 66 chars > SPAN_LEN
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        # 0: contaminated (contains a benchmark 5-gram)
+        (0, "clean words then alpha beta gamma delta epsilon end"),
+        # 1: carries PII
+        (1, "write to me at someone@example.com for the data"),
+        # 2 + 3: share the boilerplate header
+        (2, boiler + "unique tail two two two two two two two two"),
+        (3, boiler + "other tail three three three three three three"),
+        # 4: plain survivor
+        (4, "perfectly ordinary document with enough words to pass"),
+    ]
+    _docs(spark, rows).write.format("manifest_parquet").mode(
+        "overwrite"
+    ).save(table)
+    corpus = scan_manifest(spark, table)
+    bench = _docs(spark, [(1000, bench_text)])
+
+    # stage 1: decontamination screen — flagged docs drop
+    flagged = contamination_flags(corpus, bench)
+    flagged_ids = {r["doc_id"] for r in flagged.collect()}
+    assert flagged_ids == {0}
+    surviving = corpus.join(flagged, "doc_id", "left_anti")
+
+    # stage 2: PII redaction (text kept for the next stage)
+    redacted = redact_pii(surviving, keep_text=True).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+
+    # stage 3: cross-document boilerplate removal
+    cleaned = remove_shared_substrings(redacted)
+    out = {r["doc_id"]: r["clean"] for r in cleaned.collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert "someone@example.com" not in out[1] and "[EMAIL]" in out[1]
+    assert all("SHARED LICENSE HEADER" not in t for t in out.values())
+    assert "unique tail" in out[2] and "other tail" in out[3]
+    assert out[4] == rows[4][1]  # untouched survivor
+
+    # stage 4: persisted PQ index over the survivors' embeddings
+    rng = random.Random(99)
+    emb = spark.createDataFrame(
+        [
+            (d, [round(rng.uniform(-1, 1), 4) for _ in range(64)])
+            for d in sorted(out)
+        ],
+        "vec_id BIGINT, e ARRAY<DOUBLE>",
+    )
+    idx = str(tmp_path / "idx")
+    pq_index_build(spark, emb, idx)
+    probe = emb.filter(F.col("vec_id") == 4).select(F.col("e").alias("q"))
+    hits = pq_index_search(spark, idx, probe, emb, exclude_vec_id=4).collect()
+    assert hits and {r["vec_id"] for r in hits} <= {1, 2, 3}

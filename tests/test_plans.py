@@ -1133,3 +1133,13 @@ def test_stream_pq_index_search_matches_stored_plan(spark, queries):
         ]
 
     assert shape(a) == shape(b)
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, queries):
+    """The benchmark gram set (an eval suite — tiny at any corpus
+    scale) must BROADCAST; the corpus side never shuffles for the
+    probe.  The per-doc count then aggregates partial/final."""
+    tree = tree_of(queries["q_dedup_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+    assert "HashAggregate" in tree
