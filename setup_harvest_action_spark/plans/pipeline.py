@@ -57,6 +57,12 @@ PIPELINE_OPS = (
     "union",
     "distinct",
     "order_limit",
+    # corpus-hygiene stages (r11): the export-side operators as
+    # declarable datasets — each delegates to its oracled catalog
+    # implementation (functions/dedup.py, functions/quality.py)
+    "decontaminate",
+    "redact_pii",
+    "scrub_substrings",
 )
 
 
@@ -117,6 +123,36 @@ def _compile(name: str, node: dict, resolved: dict[str, DataFrame],
         return out
     if op == "distinct":
         return ins[0].distinct()
+    if op == "decontaminate":
+        # inputs: [corpus, benchmark]; mode "drop" (default) anti-joins
+        # the flagged docs away, "flags" returns (doc_id, shared_grams)
+        from setup_harvest_action_spark.functions.dedup import (
+            DECON_K,
+            contamination_flags,
+        )
+
+        flags = contamination_flags(
+            ins[0], ins[1], k=node.get("k", DECON_K)
+        )
+        if node.get("mode", "drop") == "flags":
+            return flags
+        return ins[0].join(flags, "doc_id", "left_anti")
+    if op == "redact_pii":
+        from setup_harvest_action_spark.functions.quality import redact_pii
+
+        out = redact_pii(ins[0], keep_text=True)
+        if node.get("counts_only"):
+            return out.drop("clean_text")
+        return out.select("doc_id", F.col("clean_text").alias("text"))
+    if op == "scrub_substrings":
+        from setup_harvest_action_spark.functions.dedup import (
+            SPAN_LEN,
+            remove_shared_substrings,
+        )
+
+        return remove_shared_substrings(
+            ins[0], span_len=node.get("span_len", SPAN_LEN)
+        ).select("doc_id", F.col("clean").alias("text"))
     if op == "order_limit":
         def _key(e: str):
             # trailing "desc"/"asc" is direction, not expression —

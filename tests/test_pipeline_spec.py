@@ -154,3 +154,70 @@ def test_query_op_composes_over_the_catalog(spark, sf_dir):
              "output": "x"},
             sf_dir,
         )
+
+
+def test_corpus_hygiene_ops_compose_in_spec(spark):
+    """The r11 export stages as declarable datasets: a JSON spec runs
+    decontaminate (drop mode) -> redact_pii -> scrub_substrings as ONE
+    lazy plan, matching the hand-composed stage calls exactly."""
+    import pyspark.sql.functions as F
+
+    boiler = "SHARED LICENSE HEADER " * 3
+    corpus = spark.createDataFrame(
+        [
+            (0, "clean words then alpha beta gamma delta epsilon end"),
+            (1, "write to me at someone@example.com for the data"),
+            (2, boiler + "unique tail two two two two two two"),
+            (3, boiler + "other tail three three three three"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus.createOrReplaceTempView("hyg_corpus")
+    bench.createOrReplaceTempView("hyg_bench")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        corpus.write.parquet(f"{d}/corpus")
+        bench.write.parquet(f"{d}/bench")
+        spec = {
+            "datasets": {
+                "corpus": {"op": "parquet", "path": f"{d}/corpus"},
+                "bench": {"op": "parquet", "path": f"{d}/bench"},
+                "screened": {
+                    "op": "decontaminate",
+                    "inputs": ["corpus", "bench"],
+                },
+                "redacted": {"op": "redact_pii", "input": "screened"},
+                "clean": {"op": "scrub_substrings", "input": "redacted"},
+            },
+            "output": "clean",
+        }
+        out = {r["doc_id"]: r["text"] for r in run_pipeline(spark, spec).collect()}
+    assert set(out) == {1, 2, 3}  # doc 0 dropped by the screen
+    assert "[EMAIL]" in out[1]
+    assert all("SHARED LICENSE HEADER" not in t for t in out.values())
+    assert "unique tail" in out[2] and "other tail" in out[3]
+
+    # flags mode returns the screen report instead of dropping
+    flags_spec = {
+        "datasets": {
+            "corpus": {"op": "parquet", "path": "__unused__"},
+        },
+        "output": "corpus",
+    }
+    del flags_spec  # (drop mode is the composition test; flags mode:)
+    from setup_harvest_action_spark.plans.pipeline import _compile
+
+    flags = _compile(
+        "f",
+        {"op": "decontaminate", "inputs": ["c", "b"], "mode": "flags"},
+        {"c": corpus, "b": bench},
+        spark,
+        None,
+    )
+    rows = {r["doc_id"]: r["shared_grams"] for r in flags.collect()}
+    assert set(rows) == {0} and rows[0] >= 1
