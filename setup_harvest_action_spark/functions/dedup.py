@@ -1667,8 +1667,14 @@ def contamination_flags(
     docs: DataFrame, bench: DataFrame, k: int = DECON_K
 ) -> DataFrame:
     """(doc_id, shared_grams) for corpus docs sharing >= 1 distinct
-    k-token gram with the BENCHMARK docs — the reusable stage behind
-    q_dedup_decontaminate.  The benchmark gram set broadcasts."""
+    k-token gram with the BENCHMARK docs — the composable stage form
+    of decontamination (the ORACLED catalog operator is
+    q_quality_decontaminate in functions/quality.py; this helper
+    differs in taking an arbitrary benchmark FRAME and hashing gram
+    keys in place — 16-byte broadcast entries instead of raw shingle
+    strings, the scale-relevant spelling the declarative pipeline op
+    and the export e2e composition use).  The benchmark gram set
+    broadcasts."""
 
     def grams(df: DataFrame) -> DataFrame:
         tk = F.col("toks")
@@ -1702,64 +1708,6 @@ def contamination_flags(
     )
 
 
-@query(
-    "q_dedup_decontaminate",
-    oracle=f"""
-WITH toks AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-  FROM documents
-),
-grams AS (
-  SELECT DISTINCT doc_id,
-         substring(md5(tk[CAST(i AS INTEGER)] || ' ' ||
-                       tk[CAST(i AS INTEGER) + 1] || ' ' ||
-                       tk[CAST(i AS INTEGER) + 2] || ' ' ||
-                       tk[CAST(i AS INTEGER) + 3] || ' ' ||
-                       tk[CAST(i AS INTEGER) + 4]), 1, 16) AS g
-  FROM toks, UNNEST(generate_series(1, len(tk) - {DECON_K - 1})) t(i)
-  WHERE len(tk) >= {DECON_K}
-),
-bench AS (
-  SELECT DISTINCT g FROM grams WHERE doc_id < {DECON_BENCH_DOCS}
-)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_grams
-FROM grams JOIN bench USING (g)
-WHERE doc_id >= {DECON_BENCH_DOCS}
-GROUP BY doc_id
-""",
-)
-def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BENCHMARK DECONTAMINATION — the n-gram overlap screen every LLM
-    training pipeline runs before an eval suite is trustworthy (the
-    GPT-3 appendix / Llama methodology: drop or flag training docs
-    sharing any long n-gram with the benchmark).  Fixture stand-in:
-    doc_id < {bench} plays the benchmark, {k}-token grams play the
-    13-grams (fixture docs are 10-99 tokens).
-
-    Output: every CORPUS doc sharing >= 1 distinct gram with the
-    benchmark, with its shared-gram count — the flag set a removal
-    pass would drop.
-
-    100 TB design: the benchmark side is an EVAL SUITE — thousands of
-    documents, i.e. ~10^5-10^6 grams — so its distinct-gram set
-    BROADCASTS (plan-pinned: BroadcastHashJoin, corpus side never
-    shuffles for the probe) and the whole screen is one map-side scan
-    of the corpus + a per-doc partial-count aggregate.  Gram keys are
-    hashed in place (16 hex chars of md5, the r9 index-key discipline)
-    so the broadcast ships 16-byte keys, never raw text; a collision
-    can only ADD a flag (2^-64-scale false positive), never lose one —
-    the conservative direction for decontamination.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    return contamination_flags(
-        docs.filter(F.col("doc_id") >= DECON_BENCH_DOCS),
-        docs.filter(F.col("doc_id") < DECON_BENCH_DOCS),
-    )
-
-
-q_dedup_decontaminate.__doc__ = q_dedup_decontaminate.__doc__.format(
-    bench=DECON_BENCH_DOCS, k=DECON_K
-)
 
 
 # --- Cross-document substring REMOVAL (r11) -------------------------------------

@@ -1136,10 +1136,27 @@ def test_stream_pq_index_search_matches_stored_plan(spark, queries):
 
 
 def test_decontaminate_broadcasts_benchmark_grams(spark, queries):
-    """The benchmark gram set (an eval suite — tiny at any corpus
-    scale) must BROADCAST; the corpus side never shuffles for the
-    probe.  The per-doc count then aggregates partial/final."""
-    tree = tree_of(queries["q_dedup_decontaminate"](spark, SF))
+    """Both decontamination spellings broadcast the benchmark gram
+    set (an eval suite — tiny at any corpus scale): the oracled
+    catalog operator and the composable hashed-key helper the
+    declarative pipeline uses.  The corpus side never shuffles for
+    the probe; the per-doc count aggregates partial/final."""
+    tree = tree_of(queries["q_quality_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.functions.dedup import (
+        contamination_flags,
+    )
+    from setup_harvest_action_spark.io.loaders import load_table
+
+    docs = load_table(spark, SF, "documents")
+    flags = contamination_flags(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20)
+    )
+    tree = tree_of(flags)
     assert "BroadcastHashJoin" in tree
     assert "CartesianProduct" not in tree
     assert "HashAggregate" in tree

@@ -42,7 +42,7 @@ Each probed query's own plan contract is what should absorb the skew:
 | q_embedding_kmeans | map-only assignment stays linear in corpus |
 | q_dedup_substring_spans | MAX_SPAN_DF hot-window cap (r9) |
 | q_dedup_substring_removal | NO cap needed: window->DF count only, per-doc work bounded by doc length (r11; measured 7.6s -> 85.5s plain->10x with near-TOTAL window sharing — ~linear, no blowup) |
-| q_dedup_decontaminate | broadcast benchmark grams; corpus side map-only (r11; measured 0.9s -> 4.9s plain->10x, sublinear) |
+| q_quality_decontaminate | broadcast benchmark grams; corpus side map-only (the hashed-key helper spelling measured 0.9s -> 4.9s plain->10x, sublinear) |
 | q_dedup_winnowing | 1/8 mod-p selection + MAX_FP_DF cap (r9) |
 | q_events_interval_coverage | per-user windows under one hot user (r9) |
 | q_events_interval_coverage_salted | time-chunk salt spreads the hot user; grouping-invariant two-phase merge (r9) |
@@ -91,7 +91,7 @@ PROBES = [
     "q_dedup_substring_spans",
     "q_dedup_winnowing",
     "q_dedup_substring_removal",
-    "q_dedup_decontaminate",
+    "q_quality_decontaminate",
     "q_events_interval_coverage",
     "q_events_interval_coverage_salted",
     "q_late_supplier_blame",
