@@ -1,0 +1,85 @@
+"""Decoder robustness on malformed inputs — a crawl-facing decoder's
+second contract after correctness: truncated or bit-flipped payloads
+must raise cleanly (never hang, never loop, never return a wrong
+image silently for structural corruption).  Deterministic fuzz:
+seeded corruption of valid fixtures, every byte-truncation prefix."""
+
+from __future__ import annotations
+
+import random
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from setup_harvest_action_spark.functions.multimodal import (
+    decode_image_auto,
+    synthesize_jpeg,
+    synthesize_jpeg_progressive,
+    synthesize_png,
+    synthesize_webp,
+)
+
+# exception classes a malformed payload may legitimately raise: the
+# decoders' own ValueError, plus index/struct/zlib errors from
+# truncation mid-structure.  Anything else (hang, SystemError,
+# RecursionError) is a bug.
+CLEAN_FAILURES = (
+    ValueError,  # the decoders' own refusals (struct.error subclasses it)
+    IndexError,
+    KeyError,
+    EOFError,
+    OverflowError,
+    struct.error,
+    zlib.error,
+    # a corrupted MAGIC makes the dispatcher fall through to the
+    # honest PIL stub — also a clean, named failure
+    NotImplementedError,
+)
+
+
+def _blobs():
+    return {
+        "jpeg": synthesize_jpeg(3),
+        "progressive": synthesize_jpeg_progressive(3),
+        "png": synthesize_png(3),
+        "webp": synthesize_webp(3),
+    }
+
+
+@pytest.mark.parametrize("fmt", ["jpeg", "progressive", "png", "webp"])
+def test_truncations_fail_cleanly_or_not_at_all(fmt):
+    blob = _blobs()[fmt]
+    baseline = decode_image_auto(blob)
+    # every strict prefix long enough to carry the magic bytes
+    for cut in range(12, len(blob), max(1, len(blob) // 200)):
+        try:
+            out = decode_image_auto(blob[:cut])
+        except CLEAN_FAILURES:
+            continue
+        except Exception as exc:  # pragma: no cover — the bug class
+            raise AssertionError(
+                f"{fmt} truncated at {cut}: unclean {type(exc).__name__}: {exc}"
+            )
+        # decoding may legitimately succeed near the end (trailing
+        # padding / EOI optional) — but then it must match
+        assert out.shape == baseline.shape, f"{fmt} truncated at {cut}"
+
+
+@pytest.mark.parametrize("fmt", ["jpeg", "progressive", "png", "webp"])
+def test_bitflips_never_hang_or_crash_uncleanly(fmt):
+    blob = bytearray(_blobs()[fmt])
+    rng = random.Random(4242)
+    for _ in range(150):
+        i = rng.randrange(len(blob))
+        bit = 1 << rng.randrange(8)
+        blob[i] ^= bit
+        try:
+            out = decode_image_auto(bytes(blob))
+            # a surviving decode must still be a well-formed image
+            assert isinstance(out, np.ndarray) and out.ndim == 3
+        except CLEAN_FAILURES:
+            pass
+        finally:
+            blob[i] ^= bit  # restore
