@@ -164,6 +164,34 @@ def pq_index_build(
     )
 
 
+def _merge_with_retry(
+    spark, path: str, source: DataFrame, on: list[str], retries: int = 5
+) -> dict:
+    """``merge_into`` under the standard optimistic loop: a
+    ``CommitConflict`` from an interleaved writer re-derives against
+    the fresh snapshot (the ``stream_merge_into`` discipline), so two
+    concurrent index appenders both land instead of one dying."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        CommitConflict,
+        merge_into,
+    )
+
+    for attempt in range(retries):
+        try:
+            return merge_into(
+                spark,
+                path,
+                source,
+                on=on,
+                when_matched="update",
+                when_not_matched="insert",
+            )
+        except CommitConflict:
+            if attempt == retries - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
 def pq_index_append(spark: SparkSession, new_emb: DataFrame, index_path: str) -> dict:
     """Incrementally index a batch: encode ONLY ``new_emb`` with the
     STORED codebooks, then MERGE INTO the codes table on vec_id.
@@ -171,10 +199,10 @@ def pq_index_append(spark: SparkSession, new_emb: DataFrame, index_path: str) ->
     stats-admitted rewrite leaves every file whose vec_id range
     cannot overlap the batch byte-identical.  Idempotent: re-running
     the same batch upserts rows to their existing values (the
-    reference's rerun contract, harvest.py:292-299).  Returns the new
-    codes manifest."""
+    reference's rerun contract, harvest.py:292-299).  Concurrent
+    appenders serialize under the CommitConflict retry loop.  Returns
+    the new codes manifest."""
     from setup_harvest_action_spark.sources.manifest_sink import (
-        merge_into,
         register_manifest_sink,
         scan_manifest,
     )
@@ -182,13 +210,8 @@ def pq_index_append(spark: SparkSession, new_emb: DataFrame, index_path: str) ->
     register_manifest_sink(spark)
     cb = scan_manifest(spark, _codebooks_path(index_path))
     codes = pq_encode(new_emb, cb)
-    return merge_into(
-        spark,
-        _codes_path(index_path),
-        codes,
-        on=["vec_id"],
-        when_matched="update",
-        when_not_matched="insert",
+    return _merge_with_retry(
+        spark, _codes_path(index_path), codes, on=["vec_id"]
     )
 
 
@@ -375,19 +398,13 @@ def lsh_index_append(
         lsh_codes,
     )
     from setup_harvest_action_spark.sources.manifest_sink import (
-        merge_into,
         register_manifest_sink,
     )
 
     register_manifest_sink(spark)
     codes = lsh_codes(new_vecs, hyperplanes_df(spark))
-    return merge_into(
-        spark,
-        _lsh_codes_path(index_path),
-        codes,
-        on=["vec_id", "table_id"],
-        when_matched="update",
-        when_not_matched="insert",
+    return _merge_with_retry(
+        spark, _lsh_codes_path(index_path), codes, on=["vec_id", "table_id"]
     )
 
 
@@ -559,7 +576,6 @@ def ivf_index_append(
     """Assign ONLY the batch against the FROZEN stored centroids, then
     MERGE INTO the assignment table on vec_id — O(batch), idempotent."""
     from setup_harvest_action_spark.sources.manifest_sink import (
-        merge_into,
         register_manifest_sink,
         scan_manifest,
     )
@@ -567,13 +583,8 @@ def ivf_index_append(
     register_manifest_sink(spark)
     cents = scan_manifest(spark, _ivf_centroids_path(index_path))
     assign = _ivf_assign(new_vecs, cents)
-    return merge_into(
-        spark,
-        _ivf_assign_path(index_path),
-        assign,
-        on=["vec_id"],
-        when_matched="update",
-        when_not_matched="insert",
+    return _merge_with_retry(
+        spark, _ivf_assign_path(index_path), assign, on=["vec_id"]
     )
 
 

@@ -295,3 +295,40 @@ def test_ivfpq_routes_at_file_level_with_recall_floor(spark):
     }
     assert all(len(f) < n_files for f in admitted.values())
     assert len({frozenset(f) for f in admitted.values()}) > 1
+
+
+def test_concurrent_appends_serialize_without_loss(spark, emb, index):
+    """Two ACTUAL threads race pq_index_append with disjoint batches:
+    the CommitConflict retry loop serializes them — both batches land,
+    nothing is lost, and the final codes equal the sequential result."""
+    import threading
+
+    b1 = emb.filter((F.col("vec_id") >= SPLIT) & (F.col("vec_id") % 2 == 0))
+    b2 = emb.filter((F.col("vec_id") >= SPLIT) & (F.col("vec_id") % 2 == 1))
+    errs = []
+
+    def run(batch):
+        try:
+            pq_index_append(spark, batch, index)
+        except Exception as exc:  # noqa: BLE001 — surfaced below
+            errs.append(exc)
+
+    t1 = threading.Thread(target=run, args=(b1,))
+    t2 = threading.Thread(target=run, args=(b2,))
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    assert not errs, errs
+    m = read_manifest(_codes_path(index))
+    assert m["total_rows"] == N
+    stored = _codes_map(spark, index)
+    assert set(stored) == set(range(N))
+    # equality with the sequential build (frozen codebooks: path-free)
+    from setup_harvest_action_spark.functions.ann_index import (
+        fit_codebooks,
+        pq_encode,
+    )
+
+    mono = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(emb, fit_codebooks(emb)).collect()
+    }
+    assert stored == mono
