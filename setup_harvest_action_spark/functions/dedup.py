@@ -731,8 +731,9 @@ def connected_components(
         # POINTER DOUBLING (r11): one extra self-join per round takes
         # each vertex to min(label, label(label)) — label distances
         # halve, so rounds drop from O(diameter) to O(log diameter)
-        # (measured 9 → 5 label materializations on the sf0.1
-        # entity-resolution graph, -1.9s end-to-end).  Labels are
+        # (measured 9 → 6 label materializations on the sf0.1
+        # entity-resolution graph; full query 10.0 → 7.6s median).
+        # Labels are
         # always existing vertex ids (they start as ids and only
         # min-propagate), so the jump join is an equi-join on the
         # label table itself; min() keeps the fixpoint identical —
