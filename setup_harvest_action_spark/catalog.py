@@ -106,9 +106,13 @@ _DRIVER_PRIORITY = (
     # q_quality_dedup_report, q_sql_recursive_cte, q_join_lateral_topn)
     # plus the r11 additions (q_similarity_pq_adc_stored,
     # q_similarity_ann_lsh_stored, q_similarity_ann_ivf_stored,
-    # q_multimodal_progressive_jpeg_pipeline, q_multimodal_webp_pipeline)
+    # q_similarity_ivfpq_stored, q_stream_similarity_pq_index,
+    # q_multimodal_progressive_jpeg_pipeline, q_multimodal_webp_pipeline,
+    # q_dedup_substring_removal, q_quality_pii_typed_redact)
     # front the r12 window; until then they stay hash-verified by
-    # tools/verify_oracle.py + pytest every session.
+    # tools/verify_oracle.py + pytest every session.  (30 + 9 = 39
+    # never-sampled after r11 lands, so r12's 50 slots cover them all
+    # with ~11 left for the stalest r06 cohort.)
     # (a) md5 re-gated in r10 — first driver rows on the new oracles:
     "q_dedup_minhash",
     "q_dedup_simhash",
