@@ -81,94 +81,74 @@ _EXPECTED_MISSING: frozenset[str] = frozenset()
 DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = (
-    # ---- r11 rotation ----
-    # 50 slots = 2 + 48, per the VERDICT r10 done-criterion: front the
-    # md5 re-gated q_dedup_minhash/q_dedup_simhash, then give FIRST
-    # driver rows to 48 of the 78 never-driver-sampled entries —
-    # q_harvest_downstream_preserved first (the reference's
-    # idempotence contract, harvest.py:292-299), then the full
-    # r10-late wave (16), the r10-main never-sampled block (10), all
-    # fifteen TPC-H shapes (completing driver coverage of the 22 spec
-    # queries), and six high-value r10-close entries (BPE train/
-    # encode, PQ-ADC, prefix-filter join, pipeline compiler, bucketed
-    # co-located join).  The 30 never-sampled entries that remain
-    # (q_agg_count_min_sketch, q_agg_skew_report, q_agg_geomean_udaf,
-    # q_agg_corr_matrix, q_agg_benford, q_agg_welch_ttest, q_agg_gini,
-    # q_agg_entropy, q_window_rolling_corr, q_window_max_drawdown,
-    # q_events_seasonal_anomaly, q_events_kaplan_meier,
-    # q_events_longest_streak, q_events_autocorrelation,
-    # q_events_bursts, q_events_active_users, q_events_cadence,
-    # q_source_manifest_clone, q_source_manifest_wap,
-    # q_source_manifest_stream_wap, q_text_novelty,
-    # q_multimodal_phash_dedup, q_multimodal_video_pipeline,
-    # q_sample_negative_pairs, q_sample_systematic,
-    # q_quality_expectations, q_quality_robust_zscore,
-    # q_quality_dedup_report, q_sql_recursive_cte, q_join_lateral_topn)
-    # plus the r11 additions (q_similarity_pq_adc_stored,
-    # q_similarity_ann_lsh_stored, q_similarity_ann_ivf_stored,
-    # q_similarity_ivfpq_stored, q_stream_similarity_pq_index,
-    # q_multimodal_progressive_jpeg_pipeline, q_multimodal_webp_pipeline,
-    # q_dedup_substring_removal, q_quality_pii_typed_redact)
-    # front the r12 window; until then they stay hash-verified by
-    # tools/verify_oracle.py + pytest every session.  (30 + 9 = 39
-    # never-sampled after r11 lands, so r12's 50 slots cover them all
-    # with ~11 left for the stalest r06 cohort.)
-    # (a) md5 re-gated in r10 — first driver rows on the new oracles:
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    # (b) the reference's idempotence heart (harvest_queries.py:372):
-    "q_harvest_downstream_preserved",
-    # (c) r10-late wave (16):
-    "q_multimodal_jpeg_pipeline",
-    "q_source_manifest_bloom_skipping",
-    "q_graph_label_propagation",
-    "q_stream_stream_join_full_outer",
-    "q_quality_auc",
-    "q_quality_k_anonymity",
-    "q_stream_approx_distinct_users",
-    "q_graph_hits",
-    "q_quality_calibration",
-    "q_text_feature_hashing",
-    "q_multimodal_gif_pipeline",
-    "q_scd2_point_in_time",
-    "q_market_basket_rules",
-    "q_source_orc_roundtrip",
-    "q_text_textrank",
-    "q_events_cusum",
-    # (d) r10-main never-sampled (10):
-    "q_source_manifest_evolution",
-    "q_source_manifest_table_changes",
-    "q_source_manifest_stream_merge",
-    "q_source_manifest_cdc_rollup",
-    "q_multimodal_png_pipeline",
-    "q_sample_temperature",
-    "q_embedding_quantize_int8",
-    "q_window_period_over_period",
-    "q_events_attribution",
-    "q_graph_kcore",
-    # (e) the fifteen TPC-H shapes (tpch_shapes.py + tpch_shapes2.py):
-    "q_priority_late_ship",
-    "q_bilateral_trade",
-    "q_lineitem_priority_matrix",
-    "q_promo_revenue_ratio",
-    "q_part_supplier_diversity",
-    "q_disjunctive_revenue",
-    "q_dormant_rich_customers",
-    "q_discount_revenue_delta",
-    "q_national_market_share",
-    "q_product_type_profit",
-    "q_returned_items_topk",
-    "q_important_parts_value",
-    "q_customer_order_distribution",
-    "q_top_supplier_revenue",
-    "q_promotable_suppliers",
-    # (f) r10-close high-value (6):
-    "q_text_bpe_train",
-    "q_text_bpe_encode",
-    "q_similarity_pq_adc",
-    "q_dedup_prefix_filter_join",
-    "q_pipeline_spec_run",
-    "q_join_bucketed_colocated",
+    # ---- r12 rotation ----
+    # 50 slots = 39 + 11, per the VERDICT r11 done-criterion: give FIRST
+    # driver rows to ALL 39 remaining never-driver-sampled entries —
+    # the 9 r11 additions first (the stored ANN index family, the
+    # streaming-maintained PQ index, progressive-JPEG and WebP decode
+    # pipelines, cross-document substring removal, typed PII redaction),
+    # then the 30 r10-close stragglers — and fill the remaining 11
+    # slots with the stalest r06 cohort (newest driver row r06,
+    # alphabetical).  After this window lands, ZERO catalog entries
+    # remain never-driver-sampled; subsequent rounds rotate purely by
+    # staleness.  Entries outside the window stay hash-verified by
+    # tools/verify_oracle.py + pytest every session.
+    # (a) r11 additions — stored/streaming ANN lifecycle first:
+    "q_similarity_pq_adc_stored",
+    "q_similarity_ann_lsh_stored",
+    "q_similarity_ann_ivf_stored",
+    "q_similarity_ivfpq_stored",
+    "q_stream_similarity_pq_index",
+    "q_dedup_substring_removal",
+    "q_quality_pii_typed_redact",
+    "q_multimodal_progressive_jpeg_pipeline",
+    "q_multimodal_webp_pipeline",
+    # (b) r10-close stragglers — aggregates/statistics (8):
+    "q_agg_count_min_sketch",
+    "q_agg_skew_report",
+    "q_agg_geomean_udaf",
+    "q_agg_corr_matrix",
+    "q_agg_benford",
+    "q_agg_welch_ttest",
+    "q_agg_gini",
+    "q_agg_entropy",
+    # (c) windows + events (9):
+    "q_window_rolling_corr",
+    "q_window_max_drawdown",
+    "q_events_seasonal_anomaly",
+    "q_events_kaplan_meier",
+    "q_events_longest_streak",
+    "q_events_autocorrelation",
+    "q_events_bursts",
+    "q_events_active_users",
+    "q_events_cadence",
+    # (d) manifest table format (3):
+    "q_source_manifest_clone",
+    "q_source_manifest_wap",
+    "q_source_manifest_stream_wap",
+    # (e) text/multimodal/sampling/quality/sql (10):
+    "q_text_novelty",
+    "q_multimodal_phash_dedup",
+    "q_multimodal_video_pipeline",
+    "q_sample_negative_pairs",
+    "q_sample_systematic",
+    "q_quality_expectations",
+    "q_quality_robust_zscore",
+    "q_quality_dedup_report",
+    "q_sql_recursive_cte",
+    "q_join_lateral_topn",
+    # (f) stalest r06 cohort (newest driver row r06; alphabetical, 11):
+    "q_agg_incremental_rollup",
+    "q_count_distinct_members",
+    "q_dedup_embedding_cosine",
+    "q_distinct_projection",
+    "q_events_top_paths",
+    "q_filter_project",
+    "q_graph_triangle_count",
+    "q_join_asof_tolerance",
+    "q_join_range",
+    "q_join_runtime_filter",
+    "q_multimodal_bmp_pipeline",
 )
 
 _loaded = False
