@@ -165,7 +165,13 @@ def pq_index_build(
 
 
 def _merge_with_retry(
-    spark, path: str, source: DataFrame, on: list[str], retries: int = 5
+    spark,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    retries: int = 5,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
 ) -> dict:
     """``merge_into`` under the standard optimistic loop: a
     ``CommitConflict`` from an interleaved writer re-derives against
@@ -183,13 +189,66 @@ def _merge_with_retry(
                 path,
                 source,
                 on=on,
-                when_matched="update",
-                when_not_matched="insert",
+                when_matched=when_matched,
+                when_not_matched=when_not_matched,
             )
         except CommitConflict:
             if attempt == retries - 1:
                 raise
     raise AssertionError("unreachable")
+
+
+def _index_delete(spark, table_path: str, vec_ids: DataFrame) -> dict:
+    """Row-level DELETE from one index table by vec_id — the takedown /
+    right-to-be-forgotten path, mirroring the reference's cascade
+    contract (harvest.py:204: ON DELETE CASCADE keeps dependents from
+    outliving their parent row) at index level.  ``vec_ids`` carries
+    the single key column; the key-only MERGE ... WHEN MATCHED THEN
+    DELETE rewrites ONLY stats-admitted files (those whose vec_id
+    footer range overlaps the deleted ids) — O(touched files), every
+    other file entry survives byte-identical — and lands as one
+    versioned commit under the CommitConflict CAS."""
+    return _merge_with_retry(
+        spark,
+        table_path,
+        vec_ids.select("vec_id").distinct(),
+        on=["vec_id"],
+        when_matched="delete",
+        when_not_matched="ignore",
+    )
+
+
+def pq_index_delete(spark: SparkSession, vec_ids: DataFrame, index_path: str) -> dict:
+    """Delete vectors from the stored PQ index: their code rows leave
+    the codes table; codebooks (O(1) frozen state) are untouched.  A
+    deleted vec_id can never appear in ``pq_index_search`` again —
+    search's first stage scans the committed codes, so the delete is
+    visible to every subsequent reader atomically."""
+    return _index_delete(spark, _codes_path(index_path), vec_ids)
+
+
+def lsh_index_delete(spark: SparkSession, vec_ids: DataFrame, index_path: str) -> dict:
+    """Delete vectors from the stored LSH index: every (vec_id,
+    table_id) bucket row for the ids goes — the key-only merge
+    anti-joins on vec_id, so all n_tables posting entries drop in one
+    commit (no stale postings, the VERDICT's takedown gap)."""
+    return _index_delete(spark, _lsh_codes_path(index_path), vec_ids)
+
+
+def ivf_index_delete(spark: SparkSession, vec_ids: DataFrame, index_path: str) -> dict:
+    """Delete vectors from the stored IVF index (assignment rows);
+    centroids stay frozen — FAISS remove_ids semantics."""
+    return _index_delete(spark, _ivf_assign_path(index_path), vec_ids)
+
+
+def ivfpq_index_delete(spark: SparkSession, vec_ids: DataFrame, index_path: str) -> dict:
+    """Delete vectors from the composed IVF+PQ inverted file.  Cost
+    note: this table is clustered on centroid_id, so per-file vec_id
+    ranges are wide and a delete admits more files than on the
+    vec_id-clustered single-level tables — still bounded by admission,
+    and ``auto_compact(zorder_by=["centroid_id"])`` re-tightens the
+    rewritten files' routing stats afterwards (SCALE.md §17)."""
+    return _index_delete(spark, _ivfpq_codes_path(index_path), vec_ids)
 
 
 def pq_index_append(spark: SparkSession, new_emb: DataFrame, index_path: str) -> dict:
@@ -751,6 +810,69 @@ def ivfpq_index_build(
     )
 
 
+def ivfpq_index_append(
+    spark: SparkSession, new_emb: DataFrame, index_path: str
+) -> dict:
+    """Incrementally index a batch into the composed inverted file:
+    PQ-encode AND IVF-assign ONLY ``new_emb`` (columns vec_id, e)
+    against the FROZEN stored codebooks + centroids — both map-only,
+    zero shuffle — then MERGE INTO the (vec_id, centroid_id, codes)
+    table on vec_id.  O(batch): stats admission rewrites nothing when
+    the batch's vec_id range is disjoint from committed files (the
+    centroid-clustered layout still carries vec_id footer stats).
+    Idempotent on rerun (harvest.py:292-299 at index level); concurrent
+    appenders serialize under the CommitConflict retry.
+
+    The append trades clustering for latency: fresh files span many
+    centroids, so probe admission degrades until
+    ``auto_compact(zorder_by=["centroid_id"])`` re-clusters them —
+    the degrade→compact→restored loop is pinned in
+    tests/test_ann_index.py."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        register_manifest_sink,
+        scan_manifest,
+    )
+
+    register_manifest_sink(spark)
+    cb = scan_manifest(spark, _codebooks_path(index_path))
+    cents = scan_manifest(spark, _ivf_centroids_path(index_path))
+    vecs = new_emb.select("vec_id", F.col("e").alias("v"))
+    codes = pq_encode(new_emb, cb).join(_ivf_assign(vecs, cents), "vec_id")
+    return _merge_with_retry(
+        spark, _ivfpq_codes_path(index_path), codes, on=["vec_id"]
+    )
+
+
+def ivfpq_index_stream_append(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    timeout_sec: int = 300,
+) -> None:
+    """STREAMING maintenance for the composed index: drain a
+    (vec_id, e) stream via foreachBatch → ``ivfpq_index_append`` per
+    micro-batch.  Same contract as ``pq_index_stream_append``: the
+    checkpoint makes re-runs resume-exactly-once and the append's
+    content-idempotence makes replays harmless.  Compaction is the
+    OTHER half of the loop — run ``auto_compact(zorder_by=
+    ["centroid_id"])`` on a cadence (e.g. every N batches) to restore
+    the routing selectivity streaming appends dilute."""
+
+    def _apply(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivfpq_index_append(spark, batch_df, index_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
 def ivfpq_search(
     spark: SparkSession,
     index_path: str,
@@ -843,20 +965,44 @@ def q_similarity_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters' compressed codes, exact re-rank touches just the
     candidate pool.  At 100 TB this reads nprobe/n_centroids of a
     64×-compressed table — the only corpus-shaped cost in the query.
-    Rows-only (IVF argmax routing isn't reasonably SQL-expressible);
-    recall floor vs the exact top-k and the file-pruning contract are
+    The query runs the FULL maintenance loop (r12): build on the first
+    3/4 of the corpus, ``ivfpq_index_append`` the rest (encode+assign
+    batch-only against the frozen codebooks/centroids, MERGE on
+    vec_id), then ``auto_compact(zorder_by=["centroid_id"])`` — the
+    append dilutes file-level routing (fresh files span many
+    centroids) and the z-order rewrite restores it, which is the
+    steady-state cadence a 100 TB deployment runs.  Rows-only (IVF
+    argmax routing isn't reasonably SQL-expressible); recall floor,
+    O(batch) append, and the degrade→compact→restored routing loop are
     pinned in tests/test_ann_index.py."""
     from setup_harvest_action_spark.functions.similarity import (
         IVF_CENTROIDS,
         IVF_NPROBE,
     )
+    from setup_harvest_action_spark.sources.manifest_sink import auto_compact
 
     out = os.path.join(_index_scratch(sf_dir), os.pardir, "ivfpq_index")
     shutil.rmtree(out, ignore_errors=True)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double().alias("e")
     )
-    ivfpq_index_build(spark, emb, out, IVF_CENTROIDS)
+    hi = emb.agg(F.max("vec_id").alias("hi")).first()["hi"]
+    split = int(hi * 3 // 4)
+    ivfpq_index_build(
+        spark,
+        emb.filter(F.col("vec_id") <= split),
+        out,
+        IVF_CENTROIDS,
+        fit_on=emb,
+    )
+    ivfpq_index_append(spark, emb.filter(F.col("vec_id") > split), out)
+    auto_compact(
+        spark,
+        _ivfpq_codes_path(out),
+        small_bytes=1 << 30,
+        n_parts=8,
+        zorder_by=["centroid_id"],
+    )
     probe = emb.filter(F.col("vec_id") == PQ_PROBE).select(
         F.col("e").alias("q")
     )

@@ -925,7 +925,12 @@ def merge_into(
     * ``when_matched="update"``: a target row whose ``on`` key appears
       in ``source`` is REPLACED by the source row (full-row update;
       source must carry the table's exact column set);
-      ``"delete"`` drops matched target rows instead.
+      ``"delete"`` drops matched target rows instead.  A pure delete
+      (``when_matched="delete", when_not_matched="ignore"``) accepts a
+      KEY-ONLY source — Delta's ``MERGE ... WHEN MATCHED THEN DELETE``
+      with nothing to insert needs no payload columns; this is the
+      takedown path (row-level delete by key, e.g. right-to-be-
+      forgotten against an index's vec_id).
     * ``update_cols=[...]`` narrows the update to the named columns —
       Delta's ``UPDATE SET col = s.col`` clause: matched target rows
       keep every other column's value.  Semantics differ from the
@@ -971,6 +976,14 @@ def merge_into(
         )
     keys = list(on)
     m = read_manifest(path)
+    # pure delete accepts a key-only source: no row is ever inserted or
+    # updated from it, so payload columns would be dead weight
+    key_only_delete = (
+        when_matched == "delete"
+        and when_not_matched == "ignore"
+        and set(source.columns) == set(keys)
+    )
+    tgt_cols = source.columns
     if m["files"]:
         table_cols = (
             [f["name"] for f in m["schema"]["fields"]]
@@ -979,12 +992,17 @@ def merge_into(
                 os.path.join(path, m["files"][0]["file"])
             ).names
         )
-        if set(source.columns) != set(table_cols):
-            raise ValueError(
-                "full-row merge needs the table's exact column set: "
-                f"table={sorted(table_cols)} source={sorted(source.columns)}"
-            )
-        source = source.select(*table_cols)
+        if key_only_delete:
+            source = source.select(*keys)
+            tgt_cols = table_cols
+        else:
+            if set(source.columns) != set(table_cols):
+                raise ValueError(
+                    "full-row merge needs the table's exact column set: "
+                    f"table={sorted(table_cols)} source={sorted(source.columns)}"
+                )
+            source = source.select(*table_cols)
+            tgt_cols = table_cols
     # Delta parity: >1 source row per key makes the surviving value
     # shuffle-order nondeterministic — refuse loudly
     if (
@@ -1012,7 +1030,7 @@ def merge_into(
     candidates = select_files(m, triples)
     keep_entries = [e for e in m["files"] if e not in candidates]
     tgt = (
-        _read_entries(spark, path, m, candidates).select(*source.columns)
+        _read_entries(spark, path, m, candidates).select(*tgt_cols)
         if candidates
         else None
     )

@@ -297,6 +297,257 @@ def test_ivfpq_routes_at_file_level_with_recall_floor(spark):
     assert len({frozenset(f) for f in admitted.values()}) > 1
 
 
+IVFPQ_CENTS = 8
+
+
+@pytest.fixture()
+def ivfpq(spark, emb, tmp_path):
+    """Composed index built on the vec_id < SPLIT prefix (codebooks +
+    centroids frozen on/at build), 4 centroid-clustered files."""
+    from setup_harvest_action_spark.functions.ann_index import (
+        ivfpq_index_build,
+    )
+
+    path = str(tmp_path / "ivfpq_index")
+    ivfpq_index_build(
+        spark,
+        emb.filter(F.col("vec_id") < SPLIT),
+        path,
+        IVFPQ_CENTS,
+        n_parts=4,
+        fit_on=emb,
+    )
+    return path
+
+
+def _ivfpq_map(spark, path):
+    from setup_harvest_action_spark.functions.ann_index import (
+        _ivfpq_codes_path,
+    )
+
+    return {
+        r["vec_id"]: (r["centroid_id"], list(r["codes"]))
+        for r in scan_manifest(spark, _ivfpq_codes_path(path)).collect()
+    }
+
+
+def _ivfpq_monolithic(spark, emb, path):
+    """What a one-shot build would store, derived from the STORED
+    frozen centroids + codebooks (path-independence is the claim)."""
+    from setup_harvest_action_spark.functions.ann_index import (
+        _ivf_assign,
+        _ivf_centroids_path,
+        _codebooks_path,
+        pq_encode,
+    )
+
+    cb = scan_manifest(spark, _codebooks_path(path))
+    cents = scan_manifest(spark, _ivf_centroids_path(path))
+    vecs = emb.select("vec_id", F.col("e").alias("v"))
+    full = pq_encode(emb, cb).join(_ivf_assign(vecs, cents), "vec_id")
+    return {
+        r["vec_id"]: (r["centroid_id"], list(r["codes"]))
+        for r in full.collect()
+    }
+
+
+def test_ivfpq_append_o_batch_and_matches_monolithic(spark, emb, ivfpq):
+    """The composed index's append: encode+assign ONLY the batch with
+    the frozen codebooks/centroids, MERGE on vec_id — pre-append file
+    entries survive byte-identical (the batch's vec_id range is
+    disjoint) and the incremental index equals a monolithic build."""
+    from setup_harvest_action_spark.functions.ann_index import (
+        _ivfpq_codes_path,
+        ivfpq_index_append,
+    )
+
+    m1 = read_manifest(_ivfpq_codes_path(ivfpq))
+    m2 = ivfpq_index_append(
+        spark, emb.filter(F.col("vec_id") >= SPLIT), ivfpq
+    )
+    assert m2["version"] == m1["version"] + 1
+    v1 = {e["file"]: e for e in m1["files"]}
+    v2 = {e["file"]: e for e in m2["files"]}
+    assert set(v1) <= set(v2)
+    assert all(v2[f] == e for f, e in v1.items())
+    assert m2["total_rows"] == N
+    assert _ivfpq_map(spark, ivfpq) == _ivfpq_monolithic(spark, emb, ivfpq)
+
+
+def test_ivfpq_append_degrades_routing_and_zorder_compact_restores(
+    spark, emb, ivfpq
+):
+    """The maintenance loop the composed index needs at 100 TB:
+    unclustered appends write files spanning many centroids, so a
+    single-centroid probe admits MORE files; auto_compact(zorder_by=
+    ["centroid_id"]) rewrites them Morton-clustered and the admission
+    count drops back — measured here as files-admitted-per-probe
+    before / after append / after compact."""
+    from setup_harvest_action_spark.functions.ann_index import (
+        _ivfpq_codes_path,
+        ivfpq_index_append,
+    )
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        auto_compact,
+        select_files,
+    )
+
+    path = _ivfpq_codes_path(ivfpq)
+
+    def admitted(m):
+        return {
+            c: len(select_files(m, [("centroid_id", "=", c)]))
+            for c in range(IVFPQ_CENTS)
+        }
+
+    base = admitted(read_manifest(path))
+    assert all(n >= 1 for n in base.values())
+    # two appends, each a fresh unclustered file over all centroids
+    ivfpq_index_append(
+        spark,
+        emb.filter((F.col("vec_id") >= SPLIT) & (F.col("vec_id") % 2 == 0)),
+        ivfpq,
+    )
+    ivfpq_index_append(
+        spark,
+        emb.filter((F.col("vec_id") >= SPLIT) & (F.col("vec_id") % 2 == 1)),
+        ivfpq,
+    )
+    degraded = admitted(read_manifest(path))
+    assert sum(degraded.values()) > sum(base.values())
+    m3 = auto_compact(
+        spark, path, small_bytes=1 << 30, n_parts=4,
+        zorder_by=["centroid_id"],
+    )
+    restored = admitted(m3)
+    assert sum(restored.values()) < sum(degraded.values())
+    assert all(n < len(m3["files"]) for n in restored.values())
+    # compaction moved bytes, not rows: content is exactly the corpus
+    assert m3["total_rows"] == N
+    assert _ivfpq_map(spark, ivfpq) == _ivfpq_monolithic(spark, emb, ivfpq)
+
+
+def test_ivfpq_stream_append_maintains_index(spark, emb, ivfpq, tmp_path):
+    """Streaming twin: one merge commit per micro-batch through
+    foreachBatch → ivfpq_index_append; the drained index equals the
+    monolithic build and a checkpoint re-run commits nothing."""
+    from setup_harvest_action_spark.functions.ann_index import (
+        _ivfpq_codes_path,
+        ivfpq_index_stream_append,
+    )
+
+    arrivals = str(tmp_path / "arrivals")
+    (
+        emb.filter(F.col("vec_id") >= SPLIT)
+        .repartitionByRange(2, "vec_id")
+        .write.parquet(arrivals)
+    )
+    v0 = read_manifest(_ivfpq_codes_path(ivfpq))["version"]
+    ckpt = str(tmp_path / "ckpt")
+
+    def _stream():
+        return (
+            spark.readStream.schema("vec_id BIGINT, e ARRAY<DOUBLE>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(arrivals)
+        )
+
+    ivfpq_index_stream_append(spark, _stream(), ivfpq, ckpt)
+    m = read_manifest(_ivfpq_codes_path(ivfpq))
+    assert m["version"] == v0 + 2
+    assert m["total_rows"] == N
+    assert _ivfpq_map(spark, ivfpq) == _ivfpq_monolithic(spark, emb, ivfpq)
+    ivfpq_index_stream_append(spark, _stream(), ivfpq, ckpt)
+    assert read_manifest(_ivfpq_codes_path(ivfpq))["version"] == m["version"]
+
+
+def test_pq_index_delete_takedown(spark, emb, index):
+    """Row-level delete (the takedown path): a deleted vector never
+    appears in search again, the delete rewrites ONLY files whose
+    vec_id range covers the ids (O(touched files)), and re-deleting
+    is harmless."""
+    from setup_harvest_action_spark.functions.ann_index import (
+        pq_index_append,
+        pq_index_delete,
+    )
+
+    pq_index_append(spark, emb.filter(F.col("vec_id") >= SPLIT), index)
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("q"))
+    top = pq_index_search(spark, index, probe, emb, exclude_vec_id=0)
+    victim = top.collect()[0]["vec_id"]
+
+    m_before = read_manifest(_codes_path(index))
+    untouched = {
+        e["file"]: e
+        for e in m_before["files"]
+        if not (e["stats"]["vec_id"][0] <= victim <= e["stats"]["vec_id"][1])
+    }
+    assert untouched  # the delete must not be a full-table rewrite
+    ids = spark.createDataFrame([(int(victim),)], "vec_id BIGINT")
+    m_after = pq_index_delete(spark, ids, index)
+    assert m_after["total_rows"] == N - 1
+    after_entries = {e["file"]: e for e in m_after["files"]}
+    assert all(after_entries[f] == e for f, e in untouched.items())
+    assert victim not in _codes_map(spark, index)
+    again = pq_index_search(spark, index, probe, emb, exclude_vec_id=0)
+    assert victim not in {r["vec_id"] for r in again.collect()}
+    # idempotent rerun: deleting an absent key leaves content unchanged
+    pq_index_delete(spark, ids, index)
+    assert read_manifest(_codes_path(index))["total_rows"] == N - 1
+
+
+def test_lsh_ivf_ivfpq_delete_removes_every_posting(spark, emb, ivfpq, tmp_path):
+    """Delete across the other stored families: LSH drops ALL
+    (vec_id, table_id) posting rows for the ids, IVF drops the
+    assignment, IVF+PQ drops the inverted-file row — and search never
+    surfaces a deleted vector."""
+    from setup_harvest_action_spark.functions.ann_index import (
+        _ivf_assign_path,
+        _ivfpq_codes_path,
+        _lsh_codes_path,
+        ivf_index_build,
+        ivf_index_delete,
+        ivfpq_index_delete,
+        ivfpq_search,
+        lsh_index_build,
+        lsh_index_delete,
+        lsh_index_search,
+    )
+
+    vecs = emb.select("vec_id", F.col("e").alias("v"))
+    lsh = str(tmp_path / "lsh")
+    lsh_index_build(spark, vecs, lsh)
+    ids = spark.createDataFrame([(7,), (9,)], "vec_id BIGINT")
+    lsh_index_delete(spark, ids, lsh)
+    left = scan_manifest(spark, _lsh_codes_path(lsh))
+    assert left.filter(F.col("vec_id").isin(7, 9)).count() == 0
+    res = lsh_index_search(spark, lsh, vecs, n_query_vecs=3, top_k=5)
+    assert {7, 9}.isdisjoint({r["neighbor_id"] for r in res.collect()})
+
+    ivf = str(tmp_path / "ivf")
+    ivf_index_build(spark, vecs, ivf, n_centroids=IVFPQ_CENTS)
+    ivf_index_delete(spark, ids, ivf)
+    assert (
+        scan_manifest(spark, _ivf_assign_path(ivf))
+        .filter(F.col("vec_id").isin(7, 9))
+        .count()
+        == 0
+    )
+
+    ivfpq_index_delete(spark, ids, ivfpq)
+    assert (
+        scan_manifest(spark, _ivfpq_codes_path(ivfpq))
+        .filter(F.col("vec_id").isin(7, 9))
+        .count()
+        == 0
+    )
+    probe = emb.filter(F.col("vec_id") == 7).select(F.col("e").alias("q"))
+    out = ivfpq_search(
+        spark, ivfpq, probe, emb, nprobe=IVFPQ_CENTS, n_cand=40, top_k=10
+    )
+    assert {7, 9}.isdisjoint({r["vec_id"] for r in out.collect()})
+
+
 def test_concurrent_appends_serialize_without_loss(spark, emb, index):
     """Two ACTUAL threads race pq_index_append with disjoint batches:
     the CommitConflict retry loop serializes them — both batches land,

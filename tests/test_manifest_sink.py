@@ -710,6 +710,54 @@ def test_merge_into_matched_delete_and_ignore_unmatched(sink, tmp_path):
     assert got == list(range(90))
 
 
+def test_merge_into_key_only_delete_is_o_touched_files(sink, tmp_path):
+    """A pure delete (when_matched='delete', when_not_matched='ignore')
+    accepts a KEY-ONLY source — the takedown path: no payload columns
+    exist at delete time — and rewrites ONLY stats-admitted files;
+    every file whose key range excludes the deleted ids survives
+    byte-identical.  The same key-only source with anything to insert
+    or update still raises (those paths need full rows)."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        merge_into,
+        read_manifest,
+        scan_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    sink.range(0, 400).selectExpr(
+        "id", "id * 10 AS val"
+    ).repartitionByRange(4, "id").write.format("manifest_parquet").mode(
+        "overwrite"
+    ).save(path)
+    before = read_manifest(path)
+    untouched = {
+        e["file"]: e for e in before["files"] if e["stats"]["id"][1] < 390
+    }
+    assert len(untouched) == 3
+
+    after = merge_into(
+        sink, path, sink.range(390, 410).select("id"), on=["id"],
+        when_matched="delete", when_not_matched="ignore",
+    )
+    assert after["total_rows"] == 390
+    after_entries = {e["file"]: e for e in after["files"]}
+    assert all(after_entries[f] == e for f, e in untouched.items())
+    got = scan_manifest(sink, path)
+    assert got.count() == 390
+    # surviving rows keep their full payload — the delete's target
+    # rewrite must not project columns away
+    assert got.columns == ["id", "val"]
+    assert got.selectExpr("max(val)").collect()[0][0] == 3890
+
+    with pytest.raises(ValueError, match="exact column set"):
+        merge_into(
+            sink, path, sink.range(0, 5).select("id"), on=["id"],
+            when_matched="delete", when_not_matched="insert",
+        )
+    with pytest.raises(ValueError, match="exact column set"):
+        merge_into(sink, path, sink.range(0, 5).select("id"), on=["id"])
+
+
 def test_merge_into_column_subset_update(sink, tmp_path):
     """update_cols (Delta's UPDATE SET col = s.col): matched rows take
     the named columns from the source and keep every other column's
