@@ -86,6 +86,14 @@ HEADLINE = [
     # the 22-query spec set.
     "q_graph_label_propagation",
     "q_national_market_share",
+    # round 12 (VERDICT r11 #6): price the stored-ANN path as a measured
+    # number — the inline PQ-ADC (refits + re-encodes the corpus every
+    # query) BESIDE the stored index query (build 3/4 + O(batch) append
+    # + scan-only search).  The stored row bills the whole lifecycle;
+    # the search-only split (the steady-state cost the index exists to
+    # buy) is the BENCHNOTES r12 A/B.
+    "q_similarity_pq_adc",
+    "q_similarity_pq_adc_stored",
 ]
 
 

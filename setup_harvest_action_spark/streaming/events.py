@@ -41,6 +41,31 @@ from setup_harvest_action_spark.schemas import EVENTS_NTZ, EVENTS_RAW
 _counter = itertools.count()
 
 
+class _scoped_shuffle_partitions:
+    """Temporarily set spark.sql.shuffle.partitions around a streaming
+    query START.  Streaming state parallelism is frozen at query start:
+    each state partition is its own HDFSBackedStateStore provider —
+    delta files, snapshot maintenance, task overhead — so a tiny
+    aggregate under the session default (32) pays 32 providers per run
+    for state that fits in one.  The r11 verdict's noisiest headline
+    query (q_stream_trending_topk, 1.5-7x run-to-run swings) pinned to
+    exactly this: scoping the state exchange to 8 partitions cut the
+    per-run provider surface 4x and the measured spread to ±15%
+    (BENCHNOTES r12 A/B).  Batch queries never need this — AQE coalesces
+    their shuffles at runtime; streaming state exchanges are exempt
+    from AQE, hence the explicit scope."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def _fixture_tag(sf_dir: str) -> str:
     """Cache key for derived stream-source directories: path PLUS the
     events fixture's mtime/size, so a driver-side fixture regeneration
@@ -1065,7 +1090,12 @@ def q_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     result equals the batch ranking exactly.  At scale the same
     foreachBatch body runs in update mode over a watermark-expired
     window key-space and MERGEs changed windows into the serving
-    store — the ranking stage is identical."""
+    store — the ranking stage is identical.
+
+    State parallelism is scoped to 8 partitions (r12): the per-window
+    count state is tiny, and 32 state-store providers per run were the
+    measured source of this query's run-to-run variance (see
+    _scoped_shuffle_partitions)."""
     events = read_event_stream(spark, sf_dir)
     counts = (
         events.withColumn("item", F.get_json_object("props", "$.k"))
@@ -1092,13 +1122,14 @@ def q_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out_dir)
         )
 
-    q = (
-        counts.writeStream.foreachBatch(rank_and_serve)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            counts.writeStream.foreachBatch(rank_and_serve)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir)
 
 
