@@ -17,8 +17,9 @@ DQT/DHT table reconstruction, Huffman entropy decode — multi-scan
 spectral-selection × successive-approximation accumulation for SOF2
 (r11) — dequant + IDCT, YCbCr→RGB), GIF (LZW), and PCM WAV audio
 (RIFF chunk walk + FFT features).  ``decode_image`` remains the
-honest PIL-gated fallback for formats outside those (e.g. HEIC, lossy
-VP8 WebP) — lossless VP8L WebP is REAL since r11 (webp_codec.py) —
+honest PIL-gated fallback for formats outside those (e.g. HEIC) —
+lossless VP8L WebP is REAL since r11 (webp_codec.py) and lossy VP8
+key-frame WebP since r12 (vp8_codec.py, bit-exact vs libwebp) —
 raising ``NotImplementedError`` when no library is present.
 The
 Spark-side plumbing — schema, Arrow batching, partitioning, UDF
@@ -2233,6 +2234,95 @@ def q_multimodal_webp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_resize,
         "doc_id long, width int, height int, mean_r double, mean_g double, "
         "mean_b double, thumb_md5 string",
+    )
+
+
+# --- WebP lossy (VP8 key frame) pipeline ---------------------------------------
+#
+# r12: the majority-of-WebP format.  The decoder (vp8_codec.py) is the
+# full RFC 6386 key-frame path, validated byte-exact against libwebp
+# on 324 configurations; payloads here are REAL libwebp-encoded
+# bitstreams embedded at build time (vp8_fixtures.py — the repo
+# deliberately ships no lossy encoder, so fixtures are conformant
+# files, not synthetic approximations).
+
+
+@query("q_multimodal_webp_lossy_pipeline")
+def q_multimodal_webp_lossy_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL image pipeline #8 — lossy VP8 WebP: assign each document a
+    real libwebp-encoded key-frame bitstream (8 fixtures spanning
+    segmentation, B_PRED-heavy content, simple+normal loop filters,
+    8-partition layout, non-MB-aligned crops), decode through the
+    RFC 6386 decoder, and extract features from the YUV planes — the
+    spec's bit-exact surface, so every value here is pinned by the
+    conformance hashes in vp8_fixtures.py, not by self-consistency.
+    Same two-stage mapInPandas shape as the other decode pipelines
+    (Arrow-batched, zero per-row Python overhead at the plan level).
+    No oracle (binary ops are outside DuckDB); rows-only + golden
+    pytest (tests/test_llm_functions.py, tests/test_codec_robustness.py).
+
+    100 TB: decode is map-only over whatever partitioning the corpus
+    already has; per-doc cost is bounded by pixel count; a decode
+    error quarantines the row (here: fixtures are valid by
+    construction)."""
+    import hashlib
+
+    import pandas as pd
+
+    from setup_harvest_action_spark.functions.vp8_fixtures import (
+        VP8_FIXTURES,
+        fixture_payload,
+    )
+
+    names = sorted(VP8_FIXTURES)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def make_images(batches: Iterator):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        fixture_payload(names[int(d) % len(names)])
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def decode_features(batches: Iterator):
+        from setup_harvest_action_spark.functions.vp8_codec import (
+            decode_webp_lossy,
+        )
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_y": [], "mean_u": [], "mean_v": [], "yuv_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                y, u, v = decode_webp_lossy(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["height"].append(y.shape[0])
+                out["width"].append(y.shape[1])
+                out["mean_y"].append(round(float(y.mean()), 4))
+                out["mean_u"].append(round(float(u.mean()), 4))
+                out["mean_v"].append(round(float(v.mean()), 4))
+                out["yuv_md5"].append(
+                    hashlib.md5(
+                        y.tobytes() + u.tobytes() + v.tobytes()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    images = docs.select("doc_id").mapInPandas(
+        make_images, "doc_id long, payload binary"
+    )
+    return images.mapInPandas(
+        decode_features,
+        "doc_id long, width int, height int, mean_y double, mean_u double, "
+        "mean_v double, yuv_md5 string",
     )
 
 

@@ -27,6 +27,11 @@ cache, subtract-green, a 2-group meta split, a palette variant
 Lossless ⇒ every variant round-trips byte-exactly
 (tests/test_llm_functions.py pins it against the pre-encode pixels,
 the same contract as the PNG/GIF/BMP family).
+
+r12: lossy VP8 key frames are REAL too — ``decode_webp`` routes the
+'VP8 ' chunk to ``vp8_codec.decode_webp_lossy`` (RFC 6386 decode,
+bit-exact vs libwebp on the YUV planes); only VP8X (alpha/animation)
+remains refused by name.
 """
 
 from __future__ import annotations
@@ -557,15 +562,23 @@ def _decode_image_stream(reader: _BitReader, w: int, h: int, level0: bool):
 
 
 def decode_webp(payload: bytes):
-    """Decode a lossless WebP (RIFF/VP8L) into ndarray[h, w, 3] uint8.
-    Refuses lossy (VP8) and extended (VP8X) WebP by name."""
+    """Decode a WebP (RIFF container) into ndarray[h, w, 3] uint8:
+    lossless VP8L here, lossy VP8 key frames via ``vp8_codec`` (r12 —
+    bit-exact YUV reconstruction + the ecosystem BT.601 RGB
+    conversion).  Extended (VP8X: alpha/animation) stays refused by
+    name."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP payload")
     fourcc = payload[12:16]
     if fourcc == b"VP8 ":
-        raise ValueError("unsupported WebP: lossy VP8 (different codec)")
+        from setup_harvest_action_spark.functions.vp8_codec import (
+            decode_webp_lossy,
+            yuv_to_rgb,
+        )
+
+        return yuv_to_rgb(*decode_webp_lossy(payload))
     if fourcc == b"VP8X":
         raise ValueError("unsupported WebP: extended VP8X features")
     if fourcc != b"VP8L":

@@ -41,39 +41,44 @@ def test_every_oracle_has_a_query():
 
 def test_driver_window_covers_every_component():
     """The first DRIVER_WINDOW catalog entries (all the driver's
-    correctness gate ever records) must front the r11 rotation: the 2
-    md5 re-gated sketch oracles plus 48 never-driver-sampled entries
-    (the VERDICT r10 done-criterion: first rows for >= 46 of the 78)."""
+    correctness gate ever records) must front the r12 rotation: ALL 39
+    never-driver-sampled entries (the VERDICT r11 #1 done-criterion —
+    zero never-sampled entries remain after this window lands) plus
+    the 11 stalest r06-cohort entries."""
     queries, _ = cat.load_catalog()
     window = list(queries)[: cat.DRIVER_WINDOW]
     assert len(cat._DRIVER_PRIORITY) <= cat.DRIVER_WINDOW
     assert list(cat._DRIVER_PRIORITY) == window[: len(cat._DRIVER_PRIORITY)]
     for name in (
-        "q_dedup_minhash",
-        "q_dedup_simhash",
-        "q_harvest_downstream_preserved",
-        # representatives of the r10-late wave
-        "q_multimodal_jpeg_pipeline",
-        "q_graph_label_propagation",
-        "q_quality_auc",
-        "q_scd2_point_in_time",
-        "q_source_orc_roundtrip",
-        # representatives of the r10-main never-sampled block
-        "q_source_manifest_evolution",
-        "q_source_manifest_table_changes",
-        "q_multimodal_png_pipeline",
-        "q_embedding_quantize_int8",
-        "q_graph_kcore",
-        # TPC-H shapes completing driver coverage of the 22 spec queries
-        "q_national_market_share",
-        "q_priority_late_ship",
-        "q_promotable_suppliers",
-        # r10-close high-value entries
-        "q_text_bpe_train",
-        "q_similarity_pq_adc",
-        "q_dedup_prefix_filter_join",
-        "q_pipeline_spec_run",
-        "q_join_bucketed_colocated",
+        # the r11 additions (stored/streaming ANN family first)
+        "q_similarity_pq_adc_stored",
+        "q_similarity_ann_lsh_stored",
+        "q_similarity_ann_ivf_stored",
+        "q_similarity_ivfpq_stored",
+        "q_stream_similarity_pq_index",
+        "q_dedup_substring_removal",
+        "q_quality_pii_typed_redact",
+        "q_multimodal_progressive_jpeg_pipeline",
+        "q_multimodal_webp_pipeline",
+        # representatives of the 30 r10-close stragglers
+        "q_agg_count_min_sketch",
+        "q_agg_benford",
+        "q_window_max_drawdown",
+        "q_events_kaplan_meier",
+        "q_source_manifest_clone",
+        "q_source_manifest_wap",
+        "q_text_novelty",
+        "q_multimodal_video_pipeline",
+        "q_sample_negative_pairs",
+        "q_quality_expectations",
+        "q_sql_recursive_cte",
+        "q_join_lateral_topn",
+        # representatives of the stalest r06 cohort
+        "q_agg_incremental_rollup",
+        "q_dedup_embedding_cosine",
+        "q_graph_triangle_count",
+        "q_join_asof_tolerance",
+        "q_multimodal_bmp_pipeline",
     ):
         assert name in window, name
 

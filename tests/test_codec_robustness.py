@@ -40,15 +40,26 @@ CLEAN_FAILURES = (
 
 
 def _blobs():
+    from setup_harvest_action_spark.functions.vp8_fixtures import (
+        fixture_payload,
+    )
+
     return {
         "jpeg": synthesize_jpeg(3),
         "progressive": synthesize_jpeg_progressive(3),
         "png": synthesize_png(3),
         "webp": synthesize_webp(3),
+        # lossy VP8: arithmetic coding means corruption often decodes
+        # to garbage "successfully" (libwebp behaves the same) — the
+        # contract under fuzz is bounded termination + clean failures,
+        # and the truncation shape-stability assert below
+        "webp_lossy": fixture_payload("crop_q75"),
     }
 
 
-@pytest.mark.parametrize("fmt", ["jpeg", "progressive", "png", "webp"])
+@pytest.mark.parametrize(
+    "fmt", ["jpeg", "progressive", "png", "webp", "webp_lossy"]
+)
 def test_truncations_fail_cleanly_or_not_at_all(fmt):
     blob = _blobs()[fmt]
     baseline = decode_image_auto(blob)
@@ -67,7 +78,9 @@ def test_truncations_fail_cleanly_or_not_at_all(fmt):
         assert out.shape == baseline.shape, f"{fmt} truncated at {cut}"
 
 
-@pytest.mark.parametrize("fmt", ["jpeg", "progressive", "png", "webp"])
+@pytest.mark.parametrize(
+    "fmt", ["jpeg", "progressive", "png", "webp", "webp_lossy"]
+)
 def test_bitflips_never_hang_or_crash_uncleanly(fmt):
     blob = bytearray(_blobs()[fmt])
     rng = random.Random(4242)

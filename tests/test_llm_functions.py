@@ -1102,12 +1102,14 @@ def test_webp_codec_roundtrips_all_variants():
     rt(smooth, predictor=True, meta_bits=4)
     rt(np.array([[[7, 200, 13]]], dtype=np.uint8))  # 1x1
 
-    # magic dispatch + determinism + refusals by name
+    # magic dispatch + determinism + refusals by name.  A 'VP8 ' chunk
+    # routes to the r12 lossy decoder (no longer refused), so a junk
+    # body raises ITS structural error; VP8X stays refused by name.
     blob = rt(smooth)
     assert np.array_equal(decode_image_auto(blob), smooth)
     assert blob == encode_webp_lossless(56, 40, smooth)
-    with pytest.raises(ValueError, match="lossy"):
-        decode_webp(b"RIFF\x00\x00\x00\x00WEBPVP8 xxxx")
+    with pytest.raises(ValueError, match="too short|start code"):
+        decode_webp(b"RIFF\x00\x00\x00\x00WEBPVP8 \x04\x00\x00\x00xxxx")
     with pytest.raises(ValueError, match="VP8X"):
         decode_webp(b"RIFF\x00\x00\x00\x00WEBPVP8Xxxxx")
 
@@ -1210,3 +1212,137 @@ def test_substring_removal_closure_no_spans_survive(spark, queries):
             df2[hashlib.md5(t[i:i + SPAN_LEN].encode()).hexdigest()[:16]].add(d)
     survivors = {h for h, s in df2.items() if len(s) >= 2}
     assert not survivors
+
+
+def test_vp8_lossy_decode_matches_conformance_hashes():
+    """Lossy VP8 (RFC 6386): every embedded fixture — real
+    libwebp-encoded bitstreams spanning segmentation, B_PRED-heavy
+    content, simple AND normal loop filters, sharpness, an 8-partition
+    layout, and non-MB-aligned crops — decodes to the pinned md5 of
+    its (y, u, v) planes.  The hashes were produced by a decoder
+    verified byte-exact against libwebp on 324 configurations
+    (tools/vp8_ab.py), so this pins conformance, not
+    self-consistency."""
+    import hashlib
+
+    from setup_harvest_action_spark.functions.vp8_codec import (
+        decode_webp_lossy,
+    )
+    from setup_harvest_action_spark.functions.vp8_fixtures import (
+        VP8_FIXTURES,
+        fixture_payload,
+    )
+
+    assert len(VP8_FIXTURES) >= 8
+    for name, (_, w, h, digest) in VP8_FIXTURES.items():
+        y, u, v = decode_webp_lossy(fixture_payload(name))
+        assert y.shape == (h, w), name
+        assert u.shape == ((h + 1) // 2, (w + 1) // 2), name
+        got = hashlib.md5(y.tobytes() + u.tobytes() + v.tobytes()).hexdigest()
+        assert got == digest, name
+
+
+def test_vp8_lossy_live_conformance_vs_libwebp():
+    """When the system libwebp is present, re-verify bit-exactness on
+    FRESH encodes (not the embedded fixtures): libwebp encodes a new
+    image, both decoders decode it, the YUV planes must be identical.
+    Skipped cleanly where libwebp is absent — the fixture-hash test
+    above still pins conformance there."""
+    import ctypes
+    import ctypes.util
+
+    import numpy as np
+
+    so = ctypes.util.find_library("webp")
+    if so is None:
+        pytest.skip("libwebp not installed")
+    lw = ctypes.CDLL(so)
+    lw.WebPEncodeRGB.restype = ctypes.c_size_t
+    lw.WebPEncodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lw.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+    lw.WebPDecodeYUV.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+
+    from setup_harvest_action_spark.functions.vp8_codec import (
+        decode_webp_lossy,
+    )
+
+    rng = np.random.RandomState(77)
+    for (w, h, q) in [(64, 48, 75.0), (41, 29, 35.0), (96, 96, 90.0)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.dstack([
+            (128 + 80 * np.sin(xx / 5.0)).astype(np.uint8),
+            np.clip((yy * 3) % 256 + rng.randint(-5, 6, (h, w)), 0, 255)
+            .astype(np.uint8),
+            ((xx + 2 * yy) % 256).astype(np.uint8),
+        ])
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        n = lw.WebPEncodeRGB(img.tobytes(), w, h, w * 3, q, ctypes.byref(out))
+        assert n > 0
+        data = ctypes.string_at(out, n)
+        lw.WebPFree(out)
+
+        wi, hi = ctypes.c_int(), ctypes.c_int()
+        up, vp = ctypes.POINTER(ctypes.c_uint8)(), ctypes.POINTER(ctypes.c_uint8)()
+        st, ust = ctypes.c_int(), ctypes.c_int()
+        yp = lw.WebPDecodeYUV(
+            data, len(data), ctypes.byref(wi), ctypes.byref(hi),
+            ctypes.byref(up), ctypes.byref(vp),
+            ctypes.byref(st), ctypes.byref(ust),
+        )
+        assert yp
+        cw, ch = (wi.value + 1) // 2, (hi.value + 1) // 2
+        ry = np.frombuffer(
+            ctypes.string_at(yp, st.value * hi.value), np.uint8
+        ).reshape(hi.value, st.value)[:, : wi.value].copy()
+        ru = np.frombuffer(
+            ctypes.string_at(up, ust.value * ch), np.uint8
+        ).reshape(ch, ust.value)[:, :cw].copy()
+        rv = np.frombuffer(
+            ctypes.string_at(vp, ust.value * ch), np.uint8
+        ).reshape(ch, ust.value)[:, :cw].copy()
+        lw.WebPFree(yp)
+
+        my, mu, mv = decode_webp_lossy(data)
+        assert np.array_equal(ry, my), (w, h, q)
+        assert np.array_equal(ru, mu), (w, h, q)
+        assert np.array_equal(rv, mv), (w, h, q)
+
+
+def test_vp8_lossy_pipeline_rows_and_goldens(spark, queries):
+    """The catalog pipeline decodes all 200 docs, each row's yuv_md5
+    equals its fixture's conformance hash, and plane means are the
+    decoded planes' means (spot-checked against a direct decode)."""
+    import numpy as np
+
+    from setup_harvest_action_spark.functions.vp8_codec import (
+        decode_webp_lossy,
+    )
+    from setup_harvest_action_spark.functions.vp8_fixtures import (
+        VP8_FIXTURES,
+        fixture_payload,
+    )
+
+    out = queries["q_multimodal_webp_lossy_pipeline"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 200
+    names = sorted(VP8_FIXTURES)
+    by_name = {n: VP8_FIXTURES[n] for n in names}
+    for row in out:
+        name = names[row["doc_id"] % len(names)]
+        _, w, h, digest = by_name[name]
+        assert (row["width"], row["height"]) == (w, h)
+        assert row["yuv_md5"] == digest
+    y, u, v = decode_webp_lossy(fixture_payload(names[0]))
+    r0 = next(r for r in out if r["doc_id"] % len(names) == 0)
+    assert r0["mean_y"] == round(float(np.mean(y)), 4)
+    assert r0["mean_u"] == round(float(np.mean(u)), 4)
