@@ -40,6 +40,9 @@ CLEAN_FAILURES = (
 
 
 def _blobs():
+    from setup_harvest_action_spark.functions.jpeg_arith_fixtures import (
+        fixture_pair,
+    )
     from setup_harvest_action_spark.functions.vp8_fixtures import (
         fixture_payload,
     )
@@ -54,11 +57,14 @@ def _blobs():
         # contract under fuzz is bounded termination + clean failures,
         # and the truncation shape-stability assert below
         "webp_lossy": fixture_payload("crop_q75"),
+        # arithmetic JPEG: same bounded-termination contract
+        "jpeg_arith": fixture_pair("photo_q75")[0],
     }
 
 
 @pytest.mark.parametrize(
-    "fmt", ["jpeg", "progressive", "png", "webp", "webp_lossy"]
+    "fmt",
+    ["jpeg", "progressive", "png", "webp", "webp_lossy", "jpeg_arith"],
 )
 def test_truncations_fail_cleanly_or_not_at_all(fmt):
     blob = _blobs()[fmt]
@@ -79,7 +85,8 @@ def test_truncations_fail_cleanly_or_not_at_all(fmt):
 
 
 @pytest.mark.parametrize(
-    "fmt", ["jpeg", "progressive", "png", "webp", "webp_lossy"]
+    "fmt",
+    ["jpeg", "progressive", "png", "webp", "webp_lossy", "jpeg_arith"],
 )
 def test_bitflips_never_hang_or_crash_uncleanly(fmt):
     blob = bytearray(_blobs()[fmt])

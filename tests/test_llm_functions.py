@@ -337,9 +337,10 @@ def test_png_codec_roundtrip_all_filters_and_variants():
     with _pytest.raises(ValueError, match="unsupported PNG variant"):
         decode_png(deep)
 
-    # lossless WebP routes to the real VP8L decoder since r11; LOSSY
-    # WebP is a different codec and refuses by name
-    with _pytest.raises(ValueError, match="lossy VP8"):
+    # lossless WebP routes to the real VP8L decoder since r11 and
+    # LOSSY WebP to the real VP8 decoder since r12 — a junk VP8 body
+    # raises the decoder's own structural error, not a refusal
+    with _pytest.raises(ValueError, match="too short|start code"):
         decode_image_auto(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 24)
     # a genuinely unrecognized format (HEIC) still falls through to
     # the honest PIL stub
@@ -1346,3 +1347,87 @@ def test_vp8_lossy_pipeline_rows_and_goldens(spark, queries):
     r0 = next(r for r in out if r["doc_id"] % len(names) == 0)
     assert r0["mean_y"] == round(float(np.mean(y)), 4)
     assert r0["mean_u"] == round(float(np.mean(u)), 4)
+
+
+def test_jpeg_arith_decodes_identical_to_huffman_twin():
+    """Arithmetic JPEG (SOF9, T.81 Annex D): every embedded fixture
+    decodes byte-identical to its Huffman twin — the same libjpeg
+    encode of the same image, so the two files carry the identical
+    quantized-coefficient stream and only the entropy layer differs.
+    Equality therefore pins the arithmetic entropy decoder's
+    conformance end-to-end (coder core, DC conditioning contexts, AC
+    Kx spectral split, byte-stuffing rules)."""
+    import hashlib
+
+    import numpy as np
+
+    from setup_harvest_action_spark.functions.jpeg_arith_fixtures import (
+        JPEG_ARITH_FIXTURES,
+        fixture_pair,
+    )
+    from setup_harvest_action_spark.functions.multimodal import (
+        decode_image_auto,
+        decode_jpeg,
+    )
+
+    assert len(JPEG_ARITH_FIXTURES) >= 6
+    for name, (_, _, w, h, digest) in JPEG_ARITH_FIXTURES.items():
+        ari, huf = fixture_pair(name)
+        a = decode_image_auto(ari)  # dispatches through the SOF9 route
+        b = decode_jpeg(huf)
+        assert a.shape == (h, w, 3), name
+        assert np.array_equal(a, b), name
+        assert hashlib.md5(a.tobytes()).hexdigest() == digest, name
+        # arithmetic coding is why the format exists: smaller files
+        assert len(ari) < len(huf), name
+
+
+def test_jpeg_arith_live_conformance_vs_libjpeg():
+    """When the system libjpeg is present, re-verify on FRESH encode
+    pairs (not the embedded fixtures) across qualities and shapes;
+    skipped cleanly where libjpeg is absent."""
+    import ctypes.util
+
+    import numpy as np
+
+    if ctypes.util.find_library("jpeg") is None:
+        pytest.skip("libjpeg not installed")
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    try:
+        from tools.jpeg_arith_ab import encode_jpeg_libjpeg
+    except Exception:
+        pytest.skip("libjpeg harness unavailable")
+    from setup_harvest_action_spark.functions.multimodal import decode_jpeg
+
+    rng = np.random.RandomState(5)
+    for (w, h, q) in [(64, 48, 75), (41, 29, 35), (96, 96, 95)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.dstack([
+            (128 + 80 * np.sin(xx / 5.0)).astype(np.uint8),
+            np.clip((yy * 3) % 256 + rng.randint(-5, 6, (h, w)), 0, 255)
+            .astype(np.uint8),
+            ((xx + 2 * yy) % 256).astype(np.uint8),
+        ])
+        ari = encode_jpeg_libjpeg(img, q, arith=True)
+        huf = encode_jpeg_libjpeg(img, q, arith=False)
+        assert np.array_equal(decode_jpeg(ari), decode_jpeg(huf)), (w, h, q)
+
+
+def test_jpeg_arith_pipeline_rows_and_goldens(spark, queries):
+    """The catalog pipeline decodes all 200 docs and each row's pixel
+    hash equals its fixture's twin-pinned digest."""
+    from setup_harvest_action_spark.functions.jpeg_arith_fixtures import (
+        JPEG_ARITH_FIXTURES,
+    )
+
+    out = queries["q_multimodal_jpeg_arith_pipeline"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 200
+    names = sorted(JPEG_ARITH_FIXTURES)
+    for row in out:
+        _, _, w, h, digest = JPEG_ARITH_FIXTURES[names[row["doc_id"] % len(names)]]
+        assert (row["width"], row["height"]) == (w, h)
+        assert row["rgb_md5"] == digest
