@@ -137,6 +137,11 @@ def _build_parser() -> argparse.ArgumentParser:
     a.add_argument("--search", type=int, metavar="VEC_ID",
                    help="two-stage search with corpus vector VEC_ID as "
                         "the probe (pq / ivfpq)")
+    a.add_argument("--delete", metavar="VEC_IDS",
+                   help="row-level takedown: comma-separated vec_ids to "
+                        "remove from the index (key-only MERGE DELETE, "
+                        "O(touched files); deleted vectors never appear "
+                        "in search again)")
     a.add_argument("--vectors", metavar="PARQUET",
                    help="raw vectors for probe + exact re-rank "
                         "(defaults to --build-from / --append-from)")
@@ -210,13 +215,25 @@ def _run_ann(args) -> int:
                 spark, emb.withColumnRenamed("e", "v"), args.path
             )
         else:
-            raise ValueError(
-                "ivfpq appends ride the plain append + "
-                "auto_compact(zorder_by=['centroid_id']) path"
-            )
+            m = ai.ivfpq_index_append(spark, emb, args.path)
         print(
             f"appended into {args.kind} index: version "
             f"{m['version']}, {m['total_rows']} rows"
+        )
+    if args.delete:
+        ids = spark.createDataFrame(
+            [(int(v),) for v in args.delete.split(",")], "vec_id BIGINT"
+        )
+        fn = {
+            "pq": ai.pq_index_delete,
+            "lsh": ai.lsh_index_delete,
+            "ivf": ai.ivf_index_delete,
+            "ivfpq": ai.ivfpq_index_delete,
+        }[args.kind]
+        m = fn(spark, ids, args.path)
+        print(
+            f"deleted from {args.kind} index: version "
+            f"{m['version']}, {m['total_rows']} rows remain"
         )
     if args.search is not None:
         if args.kind not in ("pq", "ivfpq"):
@@ -244,8 +261,15 @@ def _run_ann(args) -> int:
             )
         for row in out.collect():
             print(tuple(row))
-    if not (args.build_from or args.append_from or args.search is not None):
-        raise ValueError("ann needs --build-from, --append-from or --search")
+    if not (
+        args.build_from
+        or args.append_from
+        or args.delete
+        or args.search is not None
+    ):
+        raise ValueError(
+            "ann needs --build-from, --append-from, --delete or --search"
+        )
     return 0
 
 

@@ -699,6 +699,17 @@ def test_cli_ann_build_append_search(spark, tmp_path, capsys):
         ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("(")
     ]
     assert 0 < len(lines) <= 10
+    top_ids = [int(ln.split(",")[0].lstrip("(")) for ln in lines]
+    # takedown verb: delete the top hit, it never comes back
+    victim = top_ids[0]
+    assert main(["ann", idx, "--delete", str(victim)]) == 0
+    out = capsys.readouterr().out
+    assert f"deleted from pq index" in out and "rows remain" in out
+    assert main(["ann", idx, "--search", "0", "--vectors", full]) == 0
+    lines2 = [
+        ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("(")
+    ]
+    assert victim not in [int(ln.split(",")[0].lstrip("(")) for ln in lines2]
     # error taxonomy: no verb
     assert main(["ann", idx]) == 1
     assert "Invalid input" in capsys.readouterr().out
