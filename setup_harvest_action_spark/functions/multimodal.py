@@ -16,7 +16,8 @@ compressed-format path), baseline, progressive AND arithmetic JPEG
 (marker walk, DQT/DHT table reconstruction, Huffman entropy decode —
 multi-scan spectral-selection × successive-approximation accumulation
 for SOF2 (r11) — and the T.81 Annex D adaptive binary arithmetic
-entropy decoder for SOF9 (r12) — dequant + IDCT, YCbCr→RGB), GIF
+entropy decoder for SOF9 and progressive SOF10 (r12) — dequant +
+IDCT, YCbCr→RGB), GIF
 (LZW), and PCM WAV audio
 (RIFF chunk walk + FFT features).  ``decode_image`` remains the
 honest PIL-gated fallback for formats outside those (e.g. HEIC) —
@@ -1375,9 +1376,10 @@ def decode_jpeg(payload: bytes):
     byte unstuffing, differential DC, dequantize, inverse zigzag, IDCT,
     YCbCr→RGB.  Accepts 3-component 4:4:4 and single-component
     grayscale; progressive (SOF2) dispatches to
-    ``decode_jpeg_progressive`` (r11) and sequential arithmetic (SOF9)
-    to ``decode_jpeg_arith`` (r12); refuses progressive-arithmetic
-    (SOF10), lossless/differential (SOF3+), subsampled, 12-bit and
+    ``decode_jpeg_progressive`` (r11), sequential arithmetic (SOF9) to
+    ``decode_jpeg_arith`` and progressive arithmetic (SOF10) to
+    ``decode_jpeg_arith_progressive`` (both r12); refuses
+    lossless/differential (SOF3+), subsampled, 12-bit and
     restart-interval variants by name."""
     import struct
 
@@ -1452,9 +1454,8 @@ def decode_jpeg(payload: bytes):
             # sequential arithmetic (T.81 Annex D): own decoder (r12)
             return decode_jpeg_arith(payload)
         elif marker == 0xCA:
-            raise ValueError(
-                "unsupported JPEG: progressive arithmetic (SOF10)"
-            )
+            # progressive arithmetic: own decoder (r12)
+            return decode_jpeg_arith_progressive(payload)
         elif marker in (0xC1, 0xC3) or 0xC5 <= marker <= 0xCF:
             raise ValueError(
                 f"unsupported JPEG: non-baseline frame (SOF{marker - 0xC0})"
@@ -1799,9 +1800,7 @@ def decode_jpeg_arith(payload: bytes):
                 comps.append((cid, tq))
             frame = (h, w, comps)
         elif marker == 0xCA:
-            raise ValueError(
-                "unsupported JPEG: progressive arithmetic (SOF10)"
-            )
+            return decode_jpeg_arith_progressive(payload)
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3) or 0xC5 <= marker <= 0xCF:
             raise ValueError(
                 f"not sequential-arithmetic (SOF{marker - 0xC0}): "
@@ -2685,6 +2684,264 @@ def q_multimodal_webp_lossy_pipeline(
     )
 
 
+# --- Progressive arithmetic JPEG (SOF10) -----------------------------------------
+#
+# r12, completing the JPEG matrix: {sequential, progressive} x
+# {Huffman, arithmetic}.  Progressive-arithmetic reuses the SOF2 scan
+# machinery (spectral bands x successive approximation, coefficients
+# accumulated across scans) with the Annex D coder per scan: each SOS
+# starts a FRESH arithmetic decoder and resets the statistics areas of
+# the tables it uses (G.1.3.2 — encoder and decoder must re-zero
+# together or every later scan desyncs).  Conformance gate: identical
+# pixels to the progressive-HUFFMAN twin of the same libjpeg encode.
+
+
+def _arith_scan_end(payload: bytes, pos: int) -> int:
+    """Position of the marker ending an arithmetic entropy segment:
+    0xFF followed by anything except a stuffed 0x00 or an 0xFF fill
+    byte (§D.1.6 framing — different from Huffman's unstuffing)."""
+    i = pos
+    n = len(payload)
+    while i < n - 1:
+        if payload[i] == 0xFF and payload[i + 1] not in (0x00, 0xFF):
+            return i
+        i += 1
+    return n
+
+
+def _arith_dc_first(dec, stats, ctx, ci, last_dc, dc_l, dc_u, al, block):
+    """DC first scan, one block (G.2 + F.1.4.4.1): the sequential DC
+    model on the point-transformed values; block DC = total << Al."""
+    last_dc[ci] = _arith_decode_dc(
+        dec, stats, ctx, ci, last_dc[ci], dc_l, dc_u
+    )
+    block[0] = last_dc[ci] << al
+
+
+def _arith_ac_first(dec, stats, fixed, block, ss, se, al, ac_kx):
+    """AC first scan, one block (G.2): the sequential AC model bounded
+    to the [Ss, Se] band, values placed << Al."""
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if dec.decode(stats, st):  # EOB
+            break
+        while dec.decode(stats, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arith JPEG: AC index past band end")
+        sign = dec.decode(fixed, 0)
+        st += 2
+        m = dec.decode(stats, st)
+        if m:
+            if dec.decode(stats, st):
+                m = 2
+                st = 189 if k <= ac_kx else 217
+                while dec.decode(stats, st):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("arith JPEG: AC magnitude overflow")
+                    st += 1
+        v = m
+        st += 14
+        m >>= 1
+        while m:
+            if dec.decode(stats, st):
+                v |= m
+            m >>= 1
+        v += 1
+        block[k] = (-v if sign else v) << al
+        k += 1
+
+
+def _arith_ac_refine(dec, stats, fixed, block, ss, se, al):
+    """AC refinement scan, one block (G.2 / T.81 Figure G.10): one
+    correction bit per already-nonzero coefficient on the walk, the
+    newly-nonzero decision + sign otherwise, EOB decision only beyond
+    the previous scans' highest nonzero index."""
+    p1 = 1 << al
+    m1 = -1 << al
+    kex = se
+    while kex > 0 and block[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(stats, st):
+                break
+        while True:
+            if block[k]:
+                if dec.decode(stats, st + 2):
+                    block[k] += m1 if block[k] < 0 else p1
+                break
+            if dec.decode(stats, st + 1):
+                block[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arith JPEG: AC refine past band end")
+        k += 1
+
+
+def decode_jpeg_arith_progressive(payload: bytes):
+    """Decode a PROGRESSIVE ARITHMETIC JPEG (SOF10) into
+    ndarray[h, w, 3] uint8 — the SOF2 multi-scan accumulation with the
+    T.81 Annex D entropy decoder, per-scan statistics reset, then one
+    dequant + IDCT + color convert.  Refuses the same variants as the
+    other JPEG decoders (12-bit, subsampled, restart intervals)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs = {}
+    dc_cond = {i: (0, 1) for i in range(4)}
+    ac_cond = {i: 5 for i in range(4)}
+    frame = None
+    coeffs = None
+    comp_index: dict[int, int] = {}
+    n_blocks = 0
+    saw_scan = False
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                if i + 65 > len(body):
+                    raise ValueError("JPEG DQT segment truncated")
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("unsupported JPEG: 16-bit DQT")
+                zzt = _jpeg_zigzag()
+                nat = np.zeros(64, np.int64)
+                nat[zzt] = np.frombuffer(body[i + 1 : i + 65], np.uint8)
+                qtabs[tq] = nat
+                i += 65
+        elif marker == 0xCC:
+            i = 0
+            while i + 2 <= len(body):
+                tc, tb = body[i] >> 4, body[i] & 0x0F
+                cs = body[i + 1]
+                if tc == 0:
+                    if (cs & 0x0F) > (cs >> 4):
+                        raise ValueError("arith JPEG: DAC L > U")
+                    dc_cond[tb] = (cs & 0x0F, cs >> 4)
+                else:
+                    ac_cond[tb] = cs
+                i += 2
+        elif marker == 0xCA:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("unsupported JPEG: 12-bit precision")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG: {nc} components")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                if samp != 0x11:
+                    raise ValueError(
+                        "unsupported JPEG: chroma subsampling "
+                        f"(sampling factor 0x{samp:02x})"
+                    )
+                comps.append((cid, tq))
+                comp_index[cid] = c
+            frame = (h, w, comps)
+            n_blocks = ((h + 7) // 8) * ((w + 7) // 8)
+            coeffs = [
+                [[0] * 64 for _ in range(n_blocks)] for _ in range(nc)
+            ]
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9) or (
+            0xC5 <= marker <= 0xCF
+        ):
+            raise ValueError(
+                f"not progressive-arithmetic (SOF{marker - 0xC0}): "
+                "use decode_jpeg"
+            )
+        elif marker == 0xDD:
+            raise ValueError("unsupported JPEG: restart intervals")
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF10")
+            saw_scan = True
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tabs = struct.unpack_from(">BB", body, 1 + 2 * c)
+                scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            dec = _JpegArithDecoder(payload, pos)
+            # per-scan statistics reset (G.1.3.2): the tables this
+            # scan references start from state 0 / MPS 0
+            dc_stats = {t: bytearray(64) for _, t, _ in scan_comps}
+            ac_stats = {t: bytearray(256) for _, _, t in scan_comps}
+            fixed = bytearray((113 << 1,))
+            last_dc = [0] * len(comps)
+            dc_ctx = [0] * len(comps)
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("JPEG DC scan with Se != 0")
+                if ah == 0:
+                    for b in range(n_blocks):
+                        for cid, dc_id, _ in scan_comps:
+                            ci = comp_index[cid]
+                            dc_l, dc_u = dc_cond[dc_id]
+                            _arith_dc_first(
+                                dec, dc_stats[dc_id], dc_ctx, ci,
+                                last_dc, dc_l, dc_u, al, coeffs[ci][b],
+                            )
+                else:
+                    p1 = 1 << al
+                    for b in range(n_blocks):
+                        for cid, _, _ in scan_comps:
+                            if dec.decode(fixed, 0):
+                                coeffs[comp_index[cid]][b][0] |= p1
+            else:
+                if ns != 1:
+                    raise ValueError("JPEG interleaved AC scan")
+                cid, _, ac_id = scan_comps[0]
+                ci = comp_index[cid]
+                for b in range(n_blocks):
+                    if ah == 0:
+                        _arith_ac_first(
+                            dec, ac_stats[ac_id], fixed, coeffs[ci][b],
+                            ss, se, al, ac_cond[ac_id],
+                        )
+                    else:
+                        _arith_ac_refine(
+                            dec, ac_stats[ac_id], fixed, coeffs[ci][b],
+                            ss, se, al,
+                        )
+            pos = _arith_scan_end(payload, pos)
+    if frame is None or coeffs is None or not saw_scan:
+        raise ValueError("progressive arith JPEG missing SOF10 or SOS")
+    h, w, comps = frame
+    zzt = _jpeg_zigzag()
+    planes = [
+        _qblocks_to_plane(
+            np.array(coeffs[c], np.int32), qtabs[comps[c][1]], zzt, h, w
+        )
+        for c in range(len(comps))
+    ]
+    if len(comps) == 1:
+        gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    return _ycbcr_to_rgb(*planes)
+
+
+
 # --- Arithmetic-JPEG pipeline ---------------------------------------------------
 
 
@@ -2693,10 +2950,11 @@ def q_multimodal_jpeg_arith_pipeline(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """REAL image pipeline #9 — arithmetic-coded JPEG (SOF9): assign
-    each document a real libjpeg-encoded arithmetic bitstream (6
-    embedded fixtures incl. grayscale and a non-MCU-aligned crop),
-    decode through the format-dispatched ``decode_image_auto`` (the
-    T.81 Annex D entropy decoder), extract per-channel means + pixel
+    each document a real libjpeg-encoded arithmetic bitstream (8
+    embedded fixtures: sequential SOF9 incl. grayscale and a
+    non-MCU-aligned crop, plus progressive SOF10 pairs), decode
+    through the format-dispatched ``decode_image_auto`` (the T.81
+    Annex D entropy decoder), extract per-channel means + pixel
     hash.  Every fixture carries a HUFFMAN TWIN encoded from the same
     image at the same settings, and the generator asserted
     byte-identical decodes — so these features pin entropy-layer

@@ -57,14 +57,17 @@ def _blobs():
         # contract under fuzz is bounded termination + clean failures,
         # and the truncation shape-stability assert below
         "webp_lossy": fixture_payload("crop_q75"),
-        # arithmetic JPEG: same bounded-termination contract
+        # arithmetic JPEG (sequential + progressive): same
+        # bounded-termination contract
         "jpeg_arith": fixture_pair("photo_q75")[0],
+        "jpeg_arith_prog": fixture_pair("prog_photo_q75")[0],
     }
 
 
 @pytest.mark.parametrize(
     "fmt",
-    ["jpeg", "progressive", "png", "webp", "webp_lossy", "jpeg_arith"],
+    ["jpeg", "progressive", "png", "webp", "webp_lossy", "jpeg_arith",
+     "jpeg_arith_prog"],
 )
 def test_truncations_fail_cleanly_or_not_at_all(fmt):
     blob = _blobs()[fmt]
@@ -86,7 +89,8 @@ def test_truncations_fail_cleanly_or_not_at_all(fmt):
 
 @pytest.mark.parametrize(
     "fmt",
-    ["jpeg", "progressive", "png", "webp", "webp_lossy", "jpeg_arith"],
+    ["jpeg", "progressive", "png", "webp", "webp_lossy", "jpeg_arith",
+     "jpeg_arith_prog"],
 )
 def test_bitflips_never_hang_or_crash_uncleanly(fmt):
     blob = bytearray(_blobs()[fmt])

@@ -1,5 +1,6 @@
 """Regenerate ``functions/jpeg_arith_fixtures.py`` — REAL
-arithmetic-coded JPEG (SOF9) payloads plus their Huffman (SOF0) twins.
+arithmetic-coded JPEG payloads (sequential SOF9 and progressive
+SOF10) plus their Huffman twins (SOF0 / SOF2).
 
 Each pair is the SAME image encoded by the system libjpeg at the same
 quality/sampling — identical quantized-coefficient stream, different
@@ -52,10 +53,18 @@ def main() -> None:
          .astype(np.uint8), 60),
         ("crop_q75", photo(33, 17, 4), 75),
     ]
+    # progressive-arithmetic (SOF10) pairs: twin = progressive Huffman
+    prog_cases = [
+        ("prog_photo_q75", photo(64, 48, 5), 75),
+        ("prog_gray_q60",
+         (128 + 100 * np.sin(xx / 4.0) * np.cos(yy / 5.0))
+         .astype(np.uint8), 60),
+    ]
     rows = []
-    for name, img, q in cases:
-        ari = encode_jpeg_libjpeg(img, q, arith=True)
-        huf = encode_jpeg_libjpeg(img, q, arith=False)
+    for name, img, q in cases + prog_cases:
+        prog = name.startswith("prog_")
+        ari = encode_jpeg_libjpeg(img, q, arith=True, progressive=prog)
+        huf = encode_jpeg_libjpeg(img, q, arith=False, progressive=prog)
         a = decode_jpeg(ari)
         h_ = decode_jpeg(huf)
         assert np.array_equal(a, h_), name  # entropy-layer conformance

@@ -41,7 +41,10 @@ _JCS_GRAYSCALE, _JCS_RGB, _JCS_YCBCR = 1, 2, 3
 
 
 def encode_jpeg_libjpeg(
-    img: np.ndarray, quality: int = 75, arith: bool = False
+    img: np.ndarray,
+    quality: int = 75,
+    arith: bool = False,
+    progressive: bool = False,
 ) -> bytes:
     """Encode RGB/grayscale ndarray as baseline (SOF0) or arithmetic
     (SOF9) JPEG at 4:4:4 / 8-bit, no restarts — the feature envelope
@@ -74,6 +77,8 @@ def encode_jpeg_libjpeg(
     )
     LJ.jpeg_set_quality(ctypes.byref(cinfo), quality, 1)
     ctypes.c_int.from_address(base + _O_ARITH_CODE).value = 1 if arith else 0
+    if progressive:
+        LJ.jpeg_simple_progression(ctypes.byref(cinfo))
     # force 4:4:4: luma defaults to 2x2 for YCbCr
     ci = ctypes.c_void_p.from_address(base + _O_COMP_INFO).value
     ctypes.c_int.from_address(ci + _CI_H_SAMP).value = 1
