@@ -968,7 +968,7 @@ def q_multimodal_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # error on smooth content — the sandbox ships no libjpeg to bit-compare
 # against; tables are embedded in DQT/DHT segments per spec, so real
 # decoders read these files and this decoder reads any baseline
-# 4:4:4/grayscale JPEG.  Progressive, subsampled, arithmetic-coded and
+# 4:4:4/subsampled/grayscale JPEG.  Progressive, arithmetic-coded and
 # 12-bit variants are refused with a ValueError naming the variant —
 # the same honest-refusal contract as decode_png's interlace path.
 
@@ -1059,15 +1059,21 @@ _JPEG_QUALITY = 90
 
 
 def _jpeg_zigzag():
-    """Zigzag index order: position i of the serialized coefficient
-    stream maps to natural-order index ZZ[i]."""
+    """Zigzag index order (T.81 Figure 5): position i of the serialized
+    coefficient stream maps to natural-order index ZZ[i].  On even
+    anti-diagonals the scan walks UP-RIGHT (row decreasing), so the
+    tie-break inside a diagonal orders by column x there — the r12 fix:
+    the previous spelling ordered the diagonals transposed, which
+    self-cancelled between the repo's encoder and decoder but made both
+    sides spec-nonconformant (standard files decoded with every 8×8
+    block transposed; pinned against libjpeg now)."""
     import numpy as np
 
     order = sorted(
         ((x, y) for y in range(8) for x in range(8)),
         key=lambda p: (
             p[0] + p[1],
-            p[1] if (p[0] + p[1]) % 2 == 0 else p[0],
+            p[0] if (p[0] + p[1]) % 2 == 0 else p[1],
         ),
     )
     return np.array([y * 8 + x for x, y in order], dtype=np.int64)
@@ -1173,6 +1179,79 @@ def _qblocks_to_plane(qblocks, qtab, zz, h, w):
         .reshape(H, W)
     )
     return plane[:h, :w]
+
+
+def _jpeg_sampling(body, nc):
+    """Per-component (h_i, v_i) sampling factors from a SOF body —
+    accepted range {1, 2} each (covers 4:4:4, 4:2:2, 4:4:0, 4:2:0, the
+    layouts cameras and web encoders actually emit); larger factors
+    refused by name."""
+    import struct
+
+    samps = []
+    for c in range(nc):
+        _, samp, _ = struct.unpack_from(">BBB", body, 6 + 3 * c)
+        hi, vi = samp >> 4, samp & 0x0F
+        if hi not in (1, 2) or vi not in (1, 2):
+            raise ValueError(
+                f"unsupported JPEG: sampling factor 0x{samp:02x} "
+                "(h/v must be 1 or 2)"
+            )
+        samps.append((hi, vi))
+    return samps
+
+
+def _jpeg_geometry(w, h, samps):
+    """MCU grid + per-component geometry (T.81 A.1.1/A.2.4).  Returns
+    (mcu_w, mcu_h, geo) where geo[i] = dict of the component's pixel
+    dims (cw, ch), nominal block grid (bw, bh) and the MCU-padded
+    block grid (pbw, pbh) interleaved scans actually encode."""
+    hmax = max(hi for hi, _ in samps)
+    vmax = max(vi for _, vi in samps)
+    mcu_w = (w + 8 * hmax - 1) // (8 * hmax)
+    mcu_h = (h + 8 * vmax - 1) // (8 * vmax)
+    geo = []
+    for hi, vi in samps:
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        geo.append(
+            dict(
+                hi=hi, vi=vi, cw=cw, ch=ch,
+                bw=(cw + 7) // 8, bh=(ch + 7) // 8,
+                pbw=mcu_w * hi, pbh=mcu_h * vi,
+            )
+        )
+    return mcu_w, mcu_h, geo
+
+
+def _jpeg_planes(coeffs, geo, qtabs, comps, h, w):
+    """Component planes at full resolution: select the nominal blocks
+    out of each MCU-padded grid, inverse-transform at the component's
+    own resolution, then upsample subsampled chroma by pixel
+    replication.  The upsampling FILTER is not normative (T.81 leaves
+    it open; decoders legitimately differ) — the entropy layer and the
+    per-component reconstruction are the bit-pinned parts."""
+    import numpy as np
+
+    zz = _jpeg_zigzag()
+    planes = []
+    for c, g in enumerate(geo):
+        arr = coeffs[c]
+        if g["pbw"] != g["bw"] or g["pbh"] != g["bh"]:
+            idx = [
+                r * g["pbw"] + cx
+                for r in range(g["bh"])
+                for cx in range(g["bw"])
+            ]
+            arr = arr[idx]
+        plane = _qblocks_to_plane(arr, qtabs[comps[c][1]], zz, g["ch"], g["cw"])
+        if g["ch"] != h or g["cw"] != w:
+            fy = (h + g["ch"] - 1) // g["ch"]
+            fx = (w + g["cw"] - 1) // g["cw"]
+            plane = np.repeat(np.repeat(plane, fy, 0), fx, 1)[:h, :w]
+        planes.append(plane)
+    return planes
+
 
 
 class _JpegBitWriter:
@@ -1374,13 +1453,17 @@ def decode_jpeg(payload: bytes):
     entropy-coded decode: marker walk, DQT/DHT table reconstruction
     (validated canonical codes), Huffman+magnitude entropy decode with
     byte unstuffing, differential DC, dequantize, inverse zigzag, IDCT,
-    YCbCr→RGB.  Accepts 3-component 4:4:4 and single-component
-    grayscale; progressive (SOF2) dispatches to
+    YCbCr→RGB.  Accepts 3-component 4:4:4/4:2:2/4:4:0/4:2:0 and
+    single-component grayscale; progressive (SOF2) dispatches to
     ``decode_jpeg_progressive`` (r11), sequential arithmetic (SOF9) to
     ``decode_jpeg_arith`` and progressive arithmetic (SOF10) to
     ``decode_jpeg_arith_progressive`` (both r12); refuses
-    lossless/differential (SOF3+), subsampled, 12-bit and
-    restart-interval variants by name."""
+    lossless/differential (SOF3+), 12-bit and restart-interval
+    variants by name.  Chroma subsampling (4:2:0 / 4:2:2 / 4:4:0) is
+    REAL since r12: MCU-interleaved block tiles, per-component block
+    grids with the MCU edge padding the spec encodes, pixel-replication
+    upsampling (the upsample FILTER is non-normative; everything
+    before it is pinned against libjpeg)."""
     import struct
 
     import numpy as np
@@ -1437,16 +1520,12 @@ def decode_jpeg(payload: bytes):
                 raise ValueError("unsupported JPEG: 12-bit precision")
             if nc not in (1, 3):
                 raise ValueError(f"unsupported JPEG: {nc} components")
+            samps = _jpeg_sampling(body, nc)
             comps = []
             for c in range(nc):
-                cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
-                if samp != 0x11:
-                    raise ValueError(
-                        "unsupported JPEG: chroma subsampling "
-                        f"(sampling factor 0x{samp:02x})"
-                    )
+                cid, _, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append((cid, tq))
-            frame = (h, w, comps)
+            frame = (h, w, comps, samps)
         elif marker == 0xC2:
             # progressive: multi-scan entropy layer, own decoder (r11)
             return decode_jpeg_progressive(payload)
@@ -1472,7 +1551,7 @@ def decode_jpeg(payload: bytes):
             break
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF0 or SOS")
-    h, w, comps = frame
+    h, w, comps, samps = frame
     scan_tabs, data_start = scan
 
     # extract + unstuff the entropy segment (ends at the next marker)
@@ -1491,22 +1570,42 @@ def decode_jpeg(payload: bytes):
         i += 1
 
     reader = _JpegBitReader(bytes(raw))
-    zz = _jpeg_zigzag()
-    n_blocks = ((h + 7) // 8) * ((w + 7) // 8)
     nc = len(comps)
-    coeffs = [np.zeros((n_blocks, 64), np.int32) for _ in range(nc)]
-    prev = [0] * nc
-    for b in range(n_blocks):
-        for c in range(nc):
-            _, dc_id, ac_id = scan_tabs[c]
-            block, prev[c] = _decode_block(
-                reader, prev[c], dc_maps[dc_id], ac_maps[ac_id]
-            )
-            coeffs[c][b] = block
-    planes = [
-        _qblocks_to_plane(coeffs[c], qtabs[comps[c][1]], zz, h, w)
-        for c in range(nc)
+    mcu_w, mcu_h, geo = _jpeg_geometry(w, h, samps)
+    coeffs = [
+        np.zeros((g["pbh"] * g["pbw"], 64), np.int32) for g in geo
     ]
+    prev = [0] * nc
+    if nc == 1:
+        # single-component scan: non-interleaved, nominal block grid
+        g = geo[0]
+        _, dc_id, ac_id = scan_tabs[0]
+        for r in range(g["bh"]):
+            for cx in range(g["bw"]):
+                block, prev[0] = _decode_block(
+                    reader, prev[0], dc_maps[dc_id], ac_maps[ac_id]
+                )
+                coeffs[0][r * g["pbw"] + cx] = block
+    else:
+        # interleaved: per MCU, each component contributes its
+        # h_i x v_i block tile (incl. the MCU-grid padding blocks the
+        # encoder must emit at the right/bottom edges)
+        for my in range(mcu_h):
+            for mx in range(mcu_w):
+                for c in range(nc):
+                    _, dc_id, ac_id = scan_tabs[c]
+                    g = geo[c]
+                    for by in range(g["vi"]):
+                        for bx in range(g["hi"]):
+                            block, prev[c] = _decode_block(
+                                reader, prev[c],
+                                dc_maps[dc_id], ac_maps[ac_id],
+                            )
+                            coeffs[c][
+                                (my * g["vi"] + by) * g["pbw"]
+                                + mx * g["hi"] + bx
+                            ] = block
+    planes = _jpeg_planes(coeffs, geo, qtabs, comps, h, w)
     if nc == 1:
         gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return np.repeat(gray[:, :, None], 3, axis=2)
@@ -1731,10 +1830,11 @@ def decode_jpeg_arith(payload: bytes):
     uint8: marker walk (DAC conditioning tables instead of DHT), the
     Annex D adaptive binary arithmetic decoder, per-component DC
     conditioning contexts + Kx AC spectral split, then the shared
-    dequant/IDCT/YCbCr path.  Accepts 3-component 4:4:4 and grayscale;
-    refuses progressive-arithmetic (SOF10), subsampled, 12-bit and
-    restart-interval variants by name — same envelope as the Huffman
-    decoders."""
+    dequant/IDCT/YCbCr path.  Accepts 3-component 4:4:4 and subsampled
+    layouts plus grayscale;
+    dispatches progressive-arithmetic (SOF10); refuses 12-bit and
+    restart-interval variants by name — same envelope (incl. r12
+    chroma subsampling) as the Huffman decoders."""
     import struct
 
     import numpy as np
@@ -1789,16 +1889,12 @@ def decode_jpeg_arith(payload: bytes):
                 raise ValueError("unsupported JPEG: 12-bit precision")
             if nc not in (1, 3):
                 raise ValueError(f"unsupported JPEG: {nc} components")
+            samps = _jpeg_sampling(body, nc)
             comps = []
             for c in range(nc):
-                cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
-                if samp != 0x11:
-                    raise ValueError(
-                        "unsupported JPEG: chroma subsampling "
-                        f"(sampling factor 0x{samp:02x})"
-                    )
+                cid, _, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append((cid, tq))
-            frame = (h, w, comps)
+            frame = (h, w, comps, samps)
         elif marker == 0xCA:
             return decode_jpeg_arith_progressive(payload)
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3) or 0xC5 <= marker <= 0xCF:
@@ -1818,7 +1914,7 @@ def decode_jpeg_arith(payload: bytes):
             break
     if frame is None or scan is None:
         raise ValueError("arith JPEG missing SOF9 or SOS")
-    h, w, comps = frame
+    h, w, comps, samps = frame
     scan_tabs, data_start = scan
     nc = len(comps)
 
@@ -1832,26 +1928,41 @@ def decode_jpeg_arith(payload: bytes):
     dc_ctx = [0] * nc
     last_dc = [0] * nc
 
-    zz = _jpeg_zigzag()
-    n_blocks = ((h + 7) // 8) * ((w + 7) // 8)
-    coeffs = [np.zeros((n_blocks, 64), np.int32) for _ in range(nc)]
-    for b in range(n_blocks):
-        for c in range(nc):
-            _, dc_id, ac_id = scan_tabs[c]
-            block = [0] * 64
-            dc_l, dc_u = dc_cond[dc_id]
-            last_dc[c] = _arith_decode_dc(
-                dec, dc_stats[dc_id], dc_ctx, c, last_dc[c], dc_l, dc_u
-            )
-            block[0] = last_dc[c]
-            _arith_decode_ac_block(
-                dec, ac_stats[ac_id], fixed, block, ac_cond[ac_id]
-            )
-            coeffs[c][b] = block
-    planes = [
-        _qblocks_to_plane(coeffs[c], qtabs[comps[c][1]], zz, h, w)
-        for c in range(nc)
+    mcu_w, mcu_h, geo = _jpeg_geometry(w, h, samps)
+    coeffs = [
+        np.zeros((g["pbh"] * g["pbw"], 64), np.int32) for g in geo
     ]
+
+    def one_block(c):
+        _, dc_id, ac_id = scan_tabs[c]
+        block = [0] * 64
+        dc_l, dc_u = dc_cond[dc_id]
+        last_dc[c] = _arith_decode_dc(
+            dec, dc_stats[dc_id], dc_ctx, c, last_dc[c], dc_l, dc_u
+        )
+        block[0] = last_dc[c]
+        _arith_decode_ac_block(
+            dec, ac_stats[ac_id], fixed, block, ac_cond[ac_id]
+        )
+        return block
+
+    if nc == 1:
+        g = geo[0]
+        for r in range(g["bh"]):
+            for cx in range(g["bw"]):
+                coeffs[0][r * g["pbw"] + cx] = one_block(0)
+    else:
+        for my in range(mcu_h):
+            for mx in range(mcu_w):
+                for c in range(nc):
+                    g = geo[c]
+                    for by in range(g["vi"]):
+                        for bx in range(g["hi"]):
+                            coeffs[c][
+                                (my * g["vi"] + by) * g["pbw"]
+                                + mx * g["hi"] + bx
+                            ] = one_block(c)
+    planes = _jpeg_planes(coeffs, geo, qtabs, comps, h, w)
     if nc == 1:
         gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return np.repeat(gray[:, :, None], 3, axis=2)
@@ -2054,7 +2165,8 @@ def decode_jpeg_progressive(payload: bytes):
     DHT redefinitions honored, coefficients accumulated across scans
     (spectral bands × successive-approximation bits), then one
     dequant + IDCT + color convert at the end.  Refuses the same
-    variants as baseline (12-bit, subsampled, restart intervals)."""
+    variants as baseline (12-bit, restart intervals); subsampling
+    supported since r12."""
     import struct
 
     import numpy as np
@@ -2112,19 +2224,17 @@ def decode_jpeg_progressive(payload: bytes):
                 raise ValueError("unsupported JPEG: 12-bit precision")
             if nc not in (1, 3):
                 raise ValueError(f"unsupported JPEG: {nc} components")
+            samps = _jpeg_sampling(body, nc)
             comps = []
             for c in range(nc):
-                cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
-                if samp != 0x11:
-                    raise ValueError(
-                        "unsupported JPEG: chroma subsampling "
-                        f"(sampling factor 0x{samp:02x})"
-                    )
+                cid, _, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append((cid, tq))
                 comp_index[cid] = c
-            frame = (h, w, comps)
-            n_blocks = ((h + 7) // 8) * ((w + 7) // 8)
-            coeffs = [np.zeros((n_blocks, 64), np.int32) for _ in range(nc)]
+            frame = (h, w, comps, samps)
+            mcu_w, mcu_h, geo = _jpeg_geometry(w, h, samps)
+            coeffs = [
+                np.zeros((g["pbh"] * g["pbw"], 64), np.int32) for g in geo
+            ]
         elif marker in (0xC0, 0xC1, 0xC3) or 0xC5 <= marker <= 0xCF:
             raise ValueError(
                 f"not progressive (SOF{marker - 0xC0}): use decode_jpeg"
@@ -2144,22 +2254,62 @@ def decode_jpeg_progressive(payload: bytes):
             Ah, Al = ahal >> 4, ahal & 0x0F
             raw, pos = _jpeg_unstuff(payload, pos)
             reader = _JpegBitReader(raw)
+
+            def scan_blocks(ci):
+                """Block indices (into the MCU-padded grid) in the
+                order a NON-interleaved scan visits them."""
+                g = geo[ci]
+                for r in range(g["bh"]):
+                    for cx in range(g["bw"]):
+                        yield r * g["pbw"] + cx
+
+            def mcu_blocks(ci, my_, mx_):
+                g = geo[ci]
+                for by in range(g["vi"]):
+                    for bx in range(g["hi"]):
+                        yield (my_ * g["vi"] + by) * g["pbw"] + mx_ * g["hi"] + bx
+
             if Ss == 0:  # DC scan (interleaved or single-component)
                 if Se != 0:
                     raise ValueError("JPEG DC scan with Se != 0")
                 if Ah == 0:
                     prev = dict.fromkeys(comp_index, 0)
-                    for b in range(n_blocks):
-                        for cid, dc_id, _ in scan_comps:
-                            s = reader.symbol(dc_maps[dc_id])
-                            prev[cid] += _jpeg_extend(reader.bits(s), s)
-                            coeffs[comp_index[cid]][b][0] = prev[cid] << Al
+
+                    def dc_first(cid, dc_id, b):
+                        s = reader.symbol(dc_maps[dc_id])
+                        prev[cid] += _jpeg_extend(reader.bits(s), s)
+                        coeffs[comp_index[cid]][b][0] = prev[cid] << Al
+
+                    if ns == 1:
+                        cid, dc_id, _ = scan_comps[0]
+                        for b in scan_blocks(comp_index[cid]):
+                            dc_first(cid, dc_id, b)
+                    else:
+                        for my_ in range(mcu_h):
+                            for mx_ in range(mcu_w):
+                                for cid, dc_id, _ in scan_comps:
+                                    for b in mcu_blocks(
+                                        comp_index[cid], my_, mx_
+                                    ):
+                                        dc_first(cid, dc_id, b)
                 else:
                     p1 = 1 << Al
-                    for b in range(n_blocks):
-                        for cid, _, _ in scan_comps:
+                    if ns == 1:
+                        cid = scan_comps[0][0]
+                        for b in scan_blocks(comp_index[cid]):
                             if reader.bit():
                                 coeffs[comp_index[cid]][b][0] |= p1
+                    else:
+                        for my_ in range(mcu_h):
+                            for mx_ in range(mcu_w):
+                                for cid, _, _ in scan_comps:
+                                    for b in mcu_blocks(
+                                        comp_index[cid], my_, mx_
+                                    ):
+                                        if reader.bit():
+                                            coeffs[comp_index[cid]][b][
+                                                0
+                                            ] |= p1
             else:  # AC scan: exactly one component (T.81 G.1.1.1.1)
                 if ns != 1:
                     raise ValueError("JPEG interleaved AC scan")
@@ -2168,18 +2318,14 @@ def decode_jpeg_progressive(payload: bytes):
                 ac_map = ac_maps[ac_id]
                 eobrun = 0
                 dec = _dec_ac_first if Ah == 0 else _dec_ac_refine
-                for b in range(n_blocks):
+                for b in scan_blocks(ci):
                     eobrun = dec(
                         reader, coeffs[ci][b], Ss, Se, Al, ac_map, eobrun
                     )
     if frame is None or coeffs is None or not saw_scan:
         raise ValueError("progressive JPEG missing SOF2 or SOS")
-    h, w, comps = frame
-    zzt = _jpeg_zigzag()
-    planes = [
-        _qblocks_to_plane(coeffs[c], qtabs[comps[c][1]], zzt, h, w)
-        for c in range(len(comps))
-    ]
+    h, w, comps, samps = frame
+    planes = _jpeg_planes(coeffs, geo, qtabs, comps, h, w)
     if len(comps) == 1:
         gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return np.repeat(gray[:, :, None], 3, axis=2)
@@ -2791,7 +2937,8 @@ def decode_jpeg_arith_progressive(payload: bytes):
     ndarray[h, w, 3] uint8 — the SOF2 multi-scan accumulation with the
     T.81 Annex D entropy decoder, per-scan statistics reset, then one
     dequant + IDCT + color convert.  Refuses the same variants as the
-    other JPEG decoders (12-bit, subsampled, restart intervals)."""
+    other JPEG decoders (12-bit, restart intervals); subsampling
+    supported since r12."""
     import struct
 
     import numpy as np
@@ -2847,20 +2994,17 @@ def decode_jpeg_arith_progressive(payload: bytes):
                 raise ValueError("unsupported JPEG: 12-bit precision")
             if nc not in (1, 3):
                 raise ValueError(f"unsupported JPEG: {nc} components")
+            samps = _jpeg_sampling(body, nc)
             comps = []
             for c in range(nc):
-                cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
-                if samp != 0x11:
-                    raise ValueError(
-                        "unsupported JPEG: chroma subsampling "
-                        f"(sampling factor 0x{samp:02x})"
-                    )
+                cid, _, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append((cid, tq))
                 comp_index[cid] = c
-            frame = (h, w, comps)
-            n_blocks = ((h + 7) // 8) * ((w + 7) // 8)
+            frame = (h, w, comps, samps)
+            mcu_w, mcu_h, geo = _jpeg_geometry(w, h, samps)
             coeffs = [
-                [[0] * 64 for _ in range(n_blocks)] for _ in range(nc)
+                [[0] * 64 for _ in range(g["pbh"] * g["pbw"])]
+                for g in geo
             ]
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9) or (
             0xC5 <= marker <= 0xCF
@@ -2890,30 +3034,68 @@ def decode_jpeg_arith_progressive(payload: bytes):
             fixed = bytearray((113 << 1,))
             last_dc = [0] * len(comps)
             dc_ctx = [0] * len(comps)
+
+            def scan_blocks(ci):
+                g = geo[ci]
+                for r in range(g["bh"]):
+                    for cx in range(g["bw"]):
+                        yield r * g["pbw"] + cx
+
+            def mcu_blocks(ci, my_, mx_):
+                g = geo[ci]
+                for by in range(g["vi"]):
+                    for bx in range(g["hi"]):
+                        yield (my_ * g["vi"] + by) * g["pbw"] + mx_ * g["hi"] + bx
+
             if ss == 0:
                 if se != 0:
                     raise ValueError("JPEG DC scan with Se != 0")
                 if ah == 0:
-                    for b in range(n_blocks):
-                        for cid, dc_id, _ in scan_comps:
-                            ci = comp_index[cid]
-                            dc_l, dc_u = dc_cond[dc_id]
-                            _arith_dc_first(
-                                dec, dc_stats[dc_id], dc_ctx, ci,
-                                last_dc, dc_l, dc_u, al, coeffs[ci][b],
-                            )
+
+                    def dc_first(cid, dc_id, b):
+                        ci = comp_index[cid]
+                        dc_l, dc_u = dc_cond[dc_id]
+                        _arith_dc_first(
+                            dec, dc_stats[dc_id], dc_ctx, ci,
+                            last_dc, dc_l, dc_u, al, coeffs[ci][b],
+                        )
+
+                    if ns == 1:
+                        cid, dc_id, _ = scan_comps[0]
+                        for b in scan_blocks(comp_index[cid]):
+                            dc_first(cid, dc_id, b)
+                    else:
+                        for my_ in range(mcu_h):
+                            for mx_ in range(mcu_w):
+                                for cid, dc_id, _ in scan_comps:
+                                    for b in mcu_blocks(
+                                        comp_index[cid], my_, mx_
+                                    ):
+                                        dc_first(cid, dc_id, b)
                 else:
                     p1 = 1 << al
-                    for b in range(n_blocks):
-                        for cid, _, _ in scan_comps:
+                    if ns == 1:
+                        cid = scan_comps[0][0]
+                        for b in scan_blocks(comp_index[cid]):
                             if dec.decode(fixed, 0):
                                 coeffs[comp_index[cid]][b][0] |= p1
+                    else:
+                        for my_ in range(mcu_h):
+                            for mx_ in range(mcu_w):
+                                for cid, _, _ in scan_comps:
+                                    for b in mcu_blocks(
+                                        comp_index[cid], my_, mx_
+                                    ):
+                                        if dec.decode(fixed, 0):
+                                            coeffs[comp_index[cid]][b][
+                                                0
+                                            ] |= p1
             else:
                 if ns != 1:
                     raise ValueError("JPEG interleaved AC scan")
                 cid, _, ac_id = scan_comps[0]
                 ci = comp_index[cid]
-                for b in range(n_blocks):
+                for b in scan_blocks(ci):
                     if ah == 0:
                         _arith_ac_first(
                             dec, ac_stats[ac_id], fixed, coeffs[ci][b],
@@ -2927,14 +3109,10 @@ def decode_jpeg_arith_progressive(payload: bytes):
             pos = _arith_scan_end(payload, pos)
     if frame is None or coeffs is None or not saw_scan:
         raise ValueError("progressive arith JPEG missing SOF10 or SOS")
-    h, w, comps = frame
-    zzt = _jpeg_zigzag()
-    planes = [
-        _qblocks_to_plane(
-            np.array(coeffs[c], np.int32), qtabs[comps[c][1]], zzt, h, w
-        )
-        for c in range(len(comps))
-    ]
+    h, w, comps, samps = frame
+    planes = _jpeg_planes(
+        [np.array(c, np.int32) for c in coeffs], geo, qtabs, comps, h, w
+    )
     if len(comps) == 1:
         gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return np.repeat(gray[:, :, None], 3, axis=2)

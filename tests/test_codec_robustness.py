@@ -61,13 +61,15 @@ def _blobs():
         # bounded-termination contract
         "jpeg_arith": fixture_pair("photo_q75")[0],
         "jpeg_arith_prog": fixture_pair("prog_photo_q75")[0],
+        # 4:2:0 (r12): MCU-tiled layout under the same fuzz contract
+        "jpeg_420": fixture_pair("sub420_photo_q75")[1],
     }
 
 
 @pytest.mark.parametrize(
     "fmt",
     ["jpeg", "progressive", "png", "webp", "webp_lossy", "jpeg_arith",
-     "jpeg_arith_prog"],
+     "jpeg_arith_prog", "jpeg_420"],
 )
 def test_truncations_fail_cleanly_or_not_at_all(fmt):
     blob = _blobs()[fmt]
@@ -90,7 +92,7 @@ def test_truncations_fail_cleanly_or_not_at_all(fmt):
 @pytest.mark.parametrize(
     "fmt",
     ["jpeg", "progressive", "png", "webp", "webp_lossy", "jpeg_arith",
-     "jpeg_arith_prog"],
+     "jpeg_arith_prog", "jpeg_420"],
 )
 def test_bitflips_never_hang_or_crash_uncleanly(fmt):
     blob = bytearray(_blobs()[fmt])

@@ -720,9 +720,15 @@ def test_jpeg_codec_exact_dc_bounded_ac_and_refusals():
     sof2 = struct.pack(">BHHB", 8, 8, 8, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
     with _pytest.raises(ValueError, match="missing SOF2 or SOS"):
         decode_jpeg(b"\xff\xd8" + seg(0xC2, sof2) + b"\xff\xd9")
+    # 2x2 luma sampling (4:2:0) is SUPPORTED since r12 — a header-only
+    # file now fails on the missing scan, not a sampling refusal;
+    # factors above 2 still refuse by name
     subsampled = struct.pack(">BHHB", 8, 8, 8, 3) + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
-    with _pytest.raises(ValueError, match="subsampling"):
+    with _pytest.raises(ValueError, match="missing SOF0 or SOS"):
         decode_jpeg(b"\xff\xd8" + seg(0xC0, subsampled) + b"\xff\xd9")
+    oversampled = struct.pack(">BHHB", 8, 8, 8, 3) + b"\x01\x33\x00\x02\x11\x01\x03\x11\x01"
+    with _pytest.raises(ValueError, match="sampling factor"):
+        decode_jpeg(b"\xff\xd8" + seg(0xC0, oversampled) + b"\xff\xd9")
     with _pytest.raises(ValueError, match="restart"):
         decode_jpeg(b"\xff\xd8" + seg(0xDD, b"\x00\x04") + b"\xff\xd9")
     with _pytest.raises(ValueError):
@@ -1431,3 +1437,95 @@ def test_jpeg_arith_pipeline_rows_and_goldens(spark, queries):
         _, _, w, h, digest = JPEG_ARITH_FIXTURES[names[row["doc_id"] % len(names)]]
         assert (row["width"], row["height"]) == (w, h)
         assert row["rgb_md5"] == digest
+
+
+def test_jpeg_subsampled_twins_and_libjpeg_closeness():
+    """Chroma subsampling (r12): the embedded 4:2:0 fixture pairs
+    decode twin-identically, and — when libjpeg is present — fresh
+    encodes across 4:2:0/4:2:2/4:4:0, sequential+progressive, decode
+    within IDCT rounding (maxdiff <= 3 on smooth content) of libjpeg's
+    own replicated-upsample decode.  The zigzag-orientation fix this
+    test locks in: before r12 the repo's zigzag was transposed
+    (self-cancelling between its encoder and decoder, nonconformant
+    against everyone else)."""
+    import ctypes.util
+
+    import numpy as np
+
+    from setup_harvest_action_spark.functions.jpeg_arith_fixtures import (
+        JPEG_ARITH_FIXTURES,
+        fixture_pair,
+    )
+    from setup_harvest_action_spark.functions.multimodal import decode_jpeg
+
+    sub = [n for n in JPEG_ARITH_FIXTURES if n.startswith("sub420_")]
+    assert len(sub) >= 2
+    for name in sub:
+        ari, huf = fixture_pair(name)
+        a, b = decode_jpeg(ari), decode_jpeg(huf)
+        assert np.array_equal(a, b), name
+        _, _, w, h, digest = JPEG_ARITH_FIXTURES[name]
+        import hashlib
+
+        assert a.shape == (h, w, 3)
+        assert hashlib.md5(a.tobytes()).hexdigest() == digest, name
+
+    if ctypes.util.find_library("jpeg") is None:
+        pytest.skip("libjpeg not installed — fixture pins covered above")
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.jpeg_arith_ab import (
+        decode_jpeg_libjpeg,
+        encode_jpeg_libjpeg_subsampled,
+    )
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.dstack([
+        (xx * 255 // 63), (yy * 255 // 47), ((xx + yy) * 255 // 110)
+    ]).astype(np.uint8)
+    for hs, vs in [(2, 2), (2, 1), (1, 2)]:
+        for prog in (False, True):
+            d = encode_jpeg_libjpeg_subsampled(
+                img, 75, arith=False, progressive=prog, hs=hs, vs=vs
+            )
+            ref = decode_jpeg_libjpeg(d, fancy_upsampling=False)
+            mine = decode_jpeg(d)
+            assert int(
+                np.abs(ref.astype(int) - mine.astype(int)).max()
+            ) <= 3, (hs, vs, prog)
+
+
+def test_jpeg_decodes_libjpeg_444_within_idct_rounding():
+    """The r12 zigzag fix at the 4:4:4 surface: repo decode of a
+    libjpeg file and libjpeg decode of a repo file both land within
+    IDCT rounding — interop in BOTH directions, not self-consistency.
+    Skipped cleanly without libjpeg."""
+    import ctypes.util
+
+    import numpy as np
+
+    if ctypes.util.find_library("jpeg") is None:
+        pytest.skip("libjpeg not installed")
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.jpeg_arith_ab import decode_jpeg_libjpeg, encode_jpeg_libjpeg
+
+    from setup_harvest_action_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.dstack([
+        (xx * 255 // 63), (yy * 255 // 47), ((xx + yy) * 255 // 110)
+    ]).astype(np.uint8)
+    d = encode_jpeg_libjpeg(img, 75)
+    assert int(np.abs(
+        decode_jpeg_libjpeg(d).astype(int) - decode_jpeg(d).astype(int)
+    ).max()) <= 3
+    e = encode_jpeg(64, 48, img)
+    assert int(np.abs(
+        decode_jpeg_libjpeg(e).astype(int) - decode_jpeg(e).astype(int)
+    ).max()) <= 3

@@ -60,9 +60,30 @@ def main() -> None:
          (128 + 100 * np.sin(xx / 4.0) * np.cos(yy / 5.0))
          .astype(np.uint8), 60),
     ]
+    # 4:2:0 pairs (r12): the layout virtually every camera/web JPEG
+    # uses — sequential and progressive, twin-validated like the rest
+    sub_cases = [
+        ("sub420_photo_q75", photo(64, 48, 6), 75),
+        ("sub420_prog_photo_q75", photo(70, 46, 7), 75),
+    ]
     rows = []
-    for name, img, q in cases + prog_cases:
-        prog = name.startswith("prog_")
+    for name, img, q in cases + prog_cases + sub_cases:
+        prog = "prog" in name
+        if name.startswith("sub420_"):
+            from tools.jpeg_arith_ab import encode_jpeg_libjpeg_subsampled
+
+            ari = encode_jpeg_libjpeg_subsampled(
+                img, q, arith=True, progressive=prog, hs=2, vs=2
+            )
+            huf = encode_jpeg_libjpeg_subsampled(
+                img, q, arith=False, progressive=prog, hs=2, vs=2
+            )
+            a = decode_jpeg(ari)
+            assert np.array_equal(a, decode_jpeg(huf)), name
+            digest = hashlib.md5(a.tobytes()).hexdigest()
+            rows.append((name, ari, huf, a.shape[1], a.shape[0], digest))
+            print(f"{name}: arith {len(ari)} B vs huffman {len(huf)} B, {digest}")
+            continue
         ari = encode_jpeg_libjpeg(img, q, arith=True, progressive=prog)
         huf = encode_jpeg_libjpeg(img, q, arith=False, progressive=prog)
         a = decode_jpeg(ari)

@@ -121,3 +121,99 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+# --- libjpeg decode (reference oracle for subsampled layouts) --------------------
+
+_DSIZE = 632  # sizeof(jpeg_decompress_struct), ABI-checked by CreateDecompress
+_OD_OUT_CSPACE = 64
+_OD_FANCY = 100
+_OD_OUT_WIDTH, _OD_OUT_HEIGHT = 136, 140
+_OD_OUT_COMPONENTS = 148
+_OD_OUT_SCANLINE = 168
+
+
+def decode_jpeg_libjpeg(data: bytes, fancy_upsampling: bool = False):
+    """Decode via libjpeg to RGB ndarray.  With fancy_upsampling=False
+    libjpeg replicates chroma pixels — the same non-normative
+    upsampling choice the repo's decoder makes, so the two outputs are
+    comparable to IDCT rounding."""
+    h_buf = ctypes.create_string_buffer(1024)
+    perr = LJ.jpeg_std_error(h_buf)
+    cinfo = ctypes.create_string_buffer(_DSIZE)
+    base = ctypes.addressof(cinfo)
+    ctypes.c_void_p.from_address(base + _O_ERR).value = perr
+    LJ.jpeg_CreateDecompress(ctypes.byref(cinfo), 62, _DSIZE)
+    buf = ctypes.create_string_buffer(data, len(data))
+    LJ.jpeg_mem_src(ctypes.byref(cinfo), buf, len(data))
+    assert LJ.jpeg_read_header(ctypes.byref(cinfo), 1) == 1
+    ctypes.c_int.from_address(base + _OD_FANCY).value = (
+        1 if fancy_upsampling else 0
+    )
+    assert LJ.jpeg_start_decompress(ctypes.byref(cinfo))
+    w = ctypes.c_uint32.from_address(base + _OD_OUT_WIDTH).value
+    h = ctypes.c_uint32.from_address(base + _OD_OUT_HEIGHT).value
+    comps = ctypes.c_int.from_address(base + _OD_OUT_COMPONENTS).value
+    stride = w * comps
+    rows = []
+    rb = ctypes.create_string_buffer(stride)
+    ptrs = (ctypes.c_void_p * 1)(ctypes.addressof(rb))
+    scanline = ctypes.c_uint32.from_address(base + _OD_OUT_SCANLINE)
+    while scanline.value < h:
+        assert LJ.jpeg_read_scanlines(ctypes.byref(cinfo), ptrs, 1) == 1
+        rows.append(bytes(rb.raw[:stride]))
+    LJ.jpeg_finish_decompress(ctypes.byref(cinfo))
+    LJ.jpeg_destroy_decompress(ctypes.byref(cinfo))
+    arr = np.frombuffer(b"".join(rows), np.uint8).reshape(h, w, comps)
+    if comps == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    return arr
+
+
+def encode_jpeg_libjpeg_subsampled(
+    img: np.ndarray,
+    quality: int = 75,
+    arith: bool = False,
+    progressive: bool = False,
+    hs: int = 2,
+    vs: int = 2,
+) -> bytes:
+    """4:2:0 / 4:2:2 / 4:4:0 variant of ``encode_jpeg_libjpeg``: pokes
+    luma to (hs, vs) instead of 1x1."""
+    h, w, comps = img.shape
+    errmgr = ctypes.create_string_buffer(1024)
+    perr = LJ.jpeg_std_error(errmgr)
+    cinfo = ctypes.create_string_buffer(_CSIZE)
+    base = ctypes.addressof(cinfo)
+    ctypes.c_void_p.from_address(base + _O_ERR).value = perr
+    LJ.jpeg_CreateCompress(ctypes.byref(cinfo), 62, _CSIZE)
+    out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+    out_size = ctypes.c_ulong(0)
+    LJ.jpeg_mem_dest(
+        ctypes.byref(cinfo), ctypes.byref(out_ptr), ctypes.byref(out_size)
+    )
+    ctypes.c_uint32.from_address(base + _O_WIDTH).value = w
+    ctypes.c_uint32.from_address(base + _O_HEIGHT).value = h
+    ctypes.c_int.from_address(base + _O_NCOMP).value = comps
+    ctypes.c_int.from_address(base + _O_CSPACE).value = _JCS_RGB
+    LJ.jpeg_set_defaults(ctypes.byref(cinfo))
+    LJ.jpeg_set_quality(ctypes.byref(cinfo), quality, 1)
+    ctypes.c_int.from_address(base + _O_ARITH_CODE).value = 1 if arith else 0
+    if progressive:
+        LJ.jpeg_simple_progression(ctypes.byref(cinfo))
+    ci = ctypes.c_void_p.from_address(base + _O_COMP_INFO).value
+    ctypes.c_int.from_address(ci + _CI_H_SAMP).value = hs
+    ctypes.c_int.from_address(ci + _CI_V_SAMP).value = vs
+    LJ.jpeg_start_compress(ctypes.byref(cinfo), 1)
+    stride = w * comps
+    buf = np.ascontiguousarray(img).tobytes()
+    scanline = ctypes.c_uint32.from_address(base + _O_NEXT_SCANLINE)
+    while scanline.value < h:
+        y = scanline.value
+        rb = ctypes.create_string_buffer(buf[y * stride : (y + 1) * stride], stride)
+        ptrs = (ctypes.c_void_p * 1)(ctypes.addressof(rb))
+        assert LJ.jpeg_write_scanlines(ctypes.byref(cinfo), ptrs, 1) == 1
+    LJ.jpeg_finish_compress(ctypes.byref(cinfo))
+    data = ctypes.string_at(out_ptr, out_size.value)
+    LJ.jpeg_destroy_compress(ctypes.byref(cinfo))
+    return data
