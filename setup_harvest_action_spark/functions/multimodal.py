@@ -1254,6 +1254,56 @@ def _jpeg_planes(coeffs, geo, qtabs, comps, h, w):
 
 
 
+def _huffman_restart_segments(payload: bytes, pos: int):
+    """Split a Huffman entropy stream into restart segments: unstuffed
+    byte runs separated by RST0-7 markers (T.81 B.2.1.2).  Returns
+    (segments, next_marker_pos)."""
+    segs = []
+    cur = bytearray()
+    i = pos
+    while i < len(payload):
+        b = payload[i]
+        if b == 0xFF:
+            nxt = payload[i + 1] if i + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break
+        cur.append(b)
+        i += 1
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def _arith_restart_offsets(payload: bytes, pos: int):
+    """Start offsets of each restart segment in an ARITHMETIC entropy
+    stream (the decoder handles stuffing itself; RST0-7 are segment
+    separators, any other marker ends the scan).  Returns
+    (offsets, next_marker_pos)."""
+    offs = [pos]
+    i = pos
+    while i < len(payload) - 1:
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt in (0x00, 0xFF):
+                i += 2 if nxt == 0x00 else 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                offs.append(i + 2)
+                i += 2
+                continue
+            return offs, i
+        i += 1
+    return offs, len(payload)
+
+
+
 class _JpegBitWriter:
     """MSB-first bit accumulator with 0xFF→0xFF00 byte stuffing and
     1-padding on flush (T.81 F.1.2.3)."""
@@ -1458,9 +1508,9 @@ def decode_jpeg(payload: bytes):
     ``decode_jpeg_progressive`` (r11), sequential arithmetic (SOF9) to
     ``decode_jpeg_arith`` and progressive arithmetic (SOF10) to
     ``decode_jpeg_arith_progressive`` (both r12); refuses
-    lossless/differential (SOF3+), 12-bit and restart-interval
-    variants by name.  Chroma subsampling (4:2:0 / 4:2:2 / 4:4:0) is
-    REAL since r12: MCU-interleaved block tiles, per-component block
+    lossless/differential (SOF3+) and 12-bit variants by name.
+    Chroma subsampling (4:2:0 / 4:2:2 / 4:4:0) and restart intervals
+    are REAL since r12: MCU-interleaved block tiles, per-component block
     grids with the MCU edge padding the spec encodes, pixel-replication
     upsampling (the upsample FILTER is non-normative; everything
     before it is pinned against libjpeg)."""
@@ -1474,6 +1524,7 @@ def decode_jpeg(payload: bytes):
     qtabs, dc_maps, ac_maps = {}, {}, {}
     frame = None
     scan = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
@@ -1540,7 +1591,7 @@ def decode_jpeg(payload: bytes):
                 f"unsupported JPEG: non-baseline frame (SOF{marker - 0xC0})"
             )
         elif marker == 0xDD:
-            raise ValueError("unsupported JPEG: restart intervals")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             ns = body[0]
             scan_tabs = []
@@ -1554,28 +1605,29 @@ def decode_jpeg(payload: bytes):
     h, w, comps, samps = frame
     scan_tabs, data_start = scan
 
-    # extract + unstuff the entropy segment (ends at the next marker)
-    raw = bytearray()
-    i = data_start
-    while i < len(payload):
-        b = payload[i]
-        if b == 0xFF:
-            nxt = payload[i + 1] if i + 1 < len(payload) else 0xD9
-            if nxt == 0x00:
-                raw.append(0xFF)
-                i += 2
-                continue
-            break
-        raw.append(b)
-        i += 1
-
-    reader = _JpegBitReader(bytes(raw))
+    # restart intervals (r12): the entropy stream splits into RSTn
+    # segments; each starts a fresh bit reader with DC predictors
+    # reset (T.81 B.2.1.2 / F.2.1.3.1)
+    segments, _ = _huffman_restart_segments(payload, data_start)
+    seg_iter = iter(segments)
+    reader = _JpegBitReader(next(seg_iter))
     nc = len(comps)
     mcu_w, mcu_h, geo = _jpeg_geometry(w, h, samps)
     coeffs = [
         np.zeros((g["pbh"] * g["pbw"], 64), np.int32) for g in geo
     ]
     prev = [0] * nc
+    mcu_count = 0
+
+    def maybe_restart():
+        nonlocal reader, prev, mcu_count
+        mcu_count += 1
+        if restart_interval and mcu_count % restart_interval == 0:
+            nxt = next(seg_iter, None)
+            if nxt is not None:
+                reader = _JpegBitReader(nxt)
+                prev = [0] * nc
+
     if nc == 1:
         # single-component scan: non-interleaved, nominal block grid
         g = geo[0]
@@ -1586,6 +1638,7 @@ def decode_jpeg(payload: bytes):
                     reader, prev[0], dc_maps[dc_id], ac_maps[ac_id]
                 )
                 coeffs[0][r * g["pbw"] + cx] = block
+                maybe_restart()
     else:
         # interleaved: per MCU, each component contributes its
         # h_i x v_i block tile (incl. the MCU-grid padding blocks the
@@ -1605,6 +1658,7 @@ def decode_jpeg(payload: bytes):
                                 (my * g["vi"] + by) * g["pbw"]
                                 + mx * g["hi"] + bx
                             ] = block
+                maybe_restart()
     planes = _jpeg_planes(coeffs, geo, qtabs, comps, h, w)
     if nc == 1:
         gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
@@ -1832,9 +1886,9 @@ def decode_jpeg_arith(payload: bytes):
     conditioning contexts + Kx AC spectral split, then the shared
     dequant/IDCT/YCbCr path.  Accepts 3-component 4:4:4 and subsampled
     layouts plus grayscale;
-    dispatches progressive-arithmetic (SOF10); refuses 12-bit and
-    restart-interval variants by name — same envelope (incl. r12
-    chroma subsampling) as the Huffman decoders."""
+    dispatches progressive-arithmetic (SOF10); refuses 12-bit
+    variants by name — same envelope (incl. r12 chroma subsampling
+    and restart intervals) as the Huffman decoders."""
     import struct
 
     import numpy as np
@@ -1848,6 +1902,7 @@ def decode_jpeg_arith(payload: bytes):
     ac_cond = {i: 5 for i in range(4)}
     frame = None
     scan = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
@@ -1903,7 +1958,7 @@ def decode_jpeg_arith(payload: bytes):
                 "use decode_jpeg"
             )
         elif marker == 0xDD:
-            raise ValueError("unsupported JPEG: restart intervals")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             ns = body[0]
             scan_tabs = []
@@ -1918,7 +1973,12 @@ def decode_jpeg_arith(payload: bytes):
     scan_tabs, data_start = scan
     nc = len(comps)
 
-    dec = _JpegArithDecoder(payload, data_start)
+    # restart segments (r12): at each RSTn the arithmetic decoder
+    # re-initializes and the statistics, DC predictors and DC
+    # conditioning contexts reset — same as a scan start (F.2.1.3.1)
+    seg_offs, _ = _arith_restart_offsets(payload, data_start)
+    seg_iter = iter(seg_offs)
+    dec = _JpegArithDecoder(payload, next(seg_iter))
     # statistics areas (F.1.4.4.1.3 / F.1.4.4.2.1): DC 64 bins/table
     # (49 used), AC 256 bins/table; one shared non-adaptive sign bin
     dc_stats = {t: bytearray(64) for _, t, _ in scan_tabs}
@@ -1932,6 +1992,21 @@ def decode_jpeg_arith(payload: bytes):
     coeffs = [
         np.zeros((g["pbh"] * g["pbw"], 64), np.int32) for g in geo
     ]
+    mcu_count = 0
+
+    def maybe_restart():
+        nonlocal dec, mcu_count
+        mcu_count += 1
+        if restart_interval and mcu_count % restart_interval == 0:
+            off = next(seg_iter, None)
+            if off is not None:
+                dec = _JpegArithDecoder(payload, off)
+                for t in dc_stats:
+                    dc_stats[t] = bytearray(64)
+                for t in ac_stats:
+                    ac_stats[t] = bytearray(256)
+                dc_ctx[:] = [0] * nc
+                last_dc[:] = [0] * nc
 
     def one_block(c):
         _, dc_id, ac_id = scan_tabs[c]
@@ -1951,6 +2026,7 @@ def decode_jpeg_arith(payload: bytes):
         for r in range(g["bh"]):
             for cx in range(g["bw"]):
                 coeffs[0][r * g["pbw"] + cx] = one_block(0)
+                maybe_restart()
     else:
         for my in range(mcu_h):
             for mx in range(mcu_w):
@@ -1962,6 +2038,7 @@ def decode_jpeg_arith(payload: bytes):
                                 (my * g["vi"] + by) * g["pbw"]
                                 + mx * g["hi"] + bx
                             ] = one_block(c)
+                maybe_restart()
     planes = _jpeg_planes(coeffs, geo, qtabs, comps, h, w)
     if nc == 1:
         gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
@@ -2165,8 +2242,8 @@ def decode_jpeg_progressive(payload: bytes):
     DHT redefinitions honored, coefficients accumulated across scans
     (spectral bands × successive-approximation bits), then one
     dequant + IDCT + color convert at the end.  Refuses the same
-    variants as baseline (12-bit, restart intervals); subsampling
-    supported since r12."""
+    variants as baseline (12-bit); subsampling and restart
+    intervals supported since r12."""
     import struct
 
     import numpy as np
@@ -2178,7 +2255,7 @@ def decode_jpeg_progressive(payload: bytes):
     frame = None
     coeffs = None
     comp_index: dict[int, int] = {}
-    n_blocks = 0
+    restart_interval = 0
     saw_scan = False
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -2240,7 +2317,7 @@ def decode_jpeg_progressive(payload: bytes):
                 f"not progressive (SOF{marker - 0xC0}): use decode_jpeg"
             )
         elif marker == 0xDD:
-            raise ValueError("unsupported JPEG: restart intervals")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF2")
@@ -2252,8 +2329,21 @@ def decode_jpeg_progressive(payload: bytes):
                 scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
             Ss, Se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             Ah, Al = ahal >> 4, ahal & 0x0F
-            raw, pos = _jpeg_unstuff(payload, pos)
-            reader = _JpegBitReader(raw)
+            segments, pos = _huffman_restart_segments(payload, pos)
+            seg_iter = iter(segments)
+            reader = _JpegBitReader(next(seg_iter))
+            unit_count = 0
+            restart_hooks = []
+
+            def maybe_restart():
+                nonlocal reader, unit_count
+                unit_count += 1
+                if restart_interval and unit_count % restart_interval == 0:
+                    nxt = next(seg_iter, None)
+                    if nxt is not None:
+                        reader = _JpegBitReader(nxt)
+                        for hook in restart_hooks:
+                            hook()
 
             def scan_blocks(ci):
                 """Block indices (into the MCU-padded grid) in the
@@ -2274,6 +2364,9 @@ def decode_jpeg_progressive(payload: bytes):
                     raise ValueError("JPEG DC scan with Se != 0")
                 if Ah == 0:
                     prev = dict.fromkeys(comp_index, 0)
+                    restart_hooks.append(
+                        lambda: prev.update(dict.fromkeys(prev, 0))
+                    )
 
                     def dc_first(cid, dc_id, b):
                         s = reader.symbol(dc_maps[dc_id])
@@ -2284,6 +2377,7 @@ def decode_jpeg_progressive(payload: bytes):
                         cid, dc_id, _ = scan_comps[0]
                         for b in scan_blocks(comp_index[cid]):
                             dc_first(cid, dc_id, b)
+                            maybe_restart()
                     else:
                         for my_ in range(mcu_h):
                             for mx_ in range(mcu_w):
@@ -2292,6 +2386,7 @@ def decode_jpeg_progressive(payload: bytes):
                                         comp_index[cid], my_, mx_
                                     ):
                                         dc_first(cid, dc_id, b)
+                                maybe_restart()
                 else:
                     p1 = 1 << Al
                     if ns == 1:
@@ -2299,6 +2394,7 @@ def decode_jpeg_progressive(payload: bytes):
                         for b in scan_blocks(comp_index[cid]):
                             if reader.bit():
                                 coeffs[comp_index[cid]][b][0] |= p1
+                            maybe_restart()
                     else:
                         for my_ in range(mcu_h):
                             for mx_ in range(mcu_w):
@@ -2310,18 +2406,24 @@ def decode_jpeg_progressive(payload: bytes):
                                             coeffs[comp_index[cid]][b][
                                                 0
                                             ] |= p1
+                                maybe_restart()
             else:  # AC scan: exactly one component (T.81 G.1.1.1.1)
                 if ns != 1:
                     raise ValueError("JPEG interleaved AC scan")
                 cid, _, ac_id = scan_comps[0]
                 ci = comp_index[cid]
                 ac_map = ac_maps[ac_id]
-                eobrun = 0
+                eob_state = {"run": 0}
+                restart_hooks.append(
+                    lambda: eob_state.update(run=0)
+                )
                 dec = _dec_ac_first if Ah == 0 else _dec_ac_refine
                 for b in scan_blocks(ci):
-                    eobrun = dec(
-                        reader, coeffs[ci][b], Ss, Se, Al, ac_map, eobrun
+                    eob_state["run"] = dec(
+                        reader, coeffs[ci][b], Ss, Se, Al, ac_map,
+                        eob_state["run"],
                     )
+                    maybe_restart()
     if frame is None or coeffs is None or not saw_scan:
         raise ValueError("progressive JPEG missing SOF2 or SOS")
     h, w, comps, samps = frame
@@ -2937,8 +3039,8 @@ def decode_jpeg_arith_progressive(payload: bytes):
     ndarray[h, w, 3] uint8 — the SOF2 multi-scan accumulation with the
     T.81 Annex D entropy decoder, per-scan statistics reset, then one
     dequant + IDCT + color convert.  Refuses the same variants as the
-    other JPEG decoders (12-bit, restart intervals); subsampling
-    supported since r12."""
+    other JPEG decoders (12-bit); subsampling and restart
+    intervals supported since r12."""
     import struct
 
     import numpy as np
@@ -2952,7 +3054,7 @@ def decode_jpeg_arith_progressive(payload: bytes):
     frame = None
     coeffs = None
     comp_index: dict[int, int] = {}
-    n_blocks = 0
+    restart_interval = 0
     saw_scan = False
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -3014,7 +3116,7 @@ def decode_jpeg_arith_progressive(payload: bytes):
                 "use decode_jpeg"
             )
         elif marker == 0xDD:
-            raise ValueError("unsupported JPEG: restart intervals")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF10")
@@ -3026,7 +3128,9 @@ def decode_jpeg_arith_progressive(payload: bytes):
                 scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
-            dec = _JpegArithDecoder(payload, pos)
+            seg_offs, scan_end = _arith_restart_offsets(payload, pos)
+            seg_iter = iter(seg_offs)
+            dec = _JpegArithDecoder(payload, next(seg_iter))
             # per-scan statistics reset (G.1.3.2): the tables this
             # scan references start from state 0 / MPS 0
             dc_stats = {t: bytearray(64) for _, t, _ in scan_comps}
@@ -3034,6 +3138,21 @@ def decode_jpeg_arith_progressive(payload: bytes):
             fixed = bytearray((113 << 1,))
             last_dc = [0] * len(comps)
             dc_ctx = [0] * len(comps)
+            unit_count = 0
+
+            def maybe_restart():
+                nonlocal dec, unit_count
+                unit_count += 1
+                if restart_interval and unit_count % restart_interval == 0:
+                    off = next(seg_iter, None)
+                    if off is not None:
+                        dec = _JpegArithDecoder(payload, off)
+                        for t in dc_stats:
+                            dc_stats[t] = bytearray(64)
+                        for t in ac_stats:
+                            ac_stats[t] = bytearray(256)
+                        last_dc[:] = [0] * len(comps)
+                        dc_ctx[:] = [0] * len(comps)
 
             def scan_blocks(ci):
                 g = geo[ci]
@@ -3064,6 +3183,7 @@ def decode_jpeg_arith_progressive(payload: bytes):
                         cid, dc_id, _ = scan_comps[0]
                         for b in scan_blocks(comp_index[cid]):
                             dc_first(cid, dc_id, b)
+                            maybe_restart()
                     else:
                         for my_ in range(mcu_h):
                             for mx_ in range(mcu_w):
@@ -3072,6 +3192,7 @@ def decode_jpeg_arith_progressive(payload: bytes):
                                         comp_index[cid], my_, mx_
                                     ):
                                         dc_first(cid, dc_id, b)
+                                maybe_restart()
                 else:
                     p1 = 1 << al
                     if ns == 1:
@@ -3079,6 +3200,7 @@ def decode_jpeg_arith_progressive(payload: bytes):
                         for b in scan_blocks(comp_index[cid]):
                             if dec.decode(fixed, 0):
                                 coeffs[comp_index[cid]][b][0] |= p1
+                            maybe_restart()
                     else:
                         for my_ in range(mcu_h):
                             for mx_ in range(mcu_w):
@@ -3090,6 +3212,7 @@ def decode_jpeg_arith_progressive(payload: bytes):
                                             coeffs[comp_index[cid]][b][
                                                 0
                                             ] |= p1
+                                maybe_restart()
             else:
                 if ns != 1:
                     raise ValueError("JPEG interleaved AC scan")
@@ -3106,7 +3229,8 @@ def decode_jpeg_arith_progressive(payload: bytes):
                             dec, ac_stats[ac_id], fixed, coeffs[ci][b],
                             ss, se, al,
                         )
-            pos = _arith_scan_end(payload, pos)
+                    maybe_restart()
+            pos = scan_end
     if frame is None or coeffs is None or not saw_scan:
         raise ValueError("progressive arith JPEG missing SOF10 or SOS")
     h, w, comps, samps = frame

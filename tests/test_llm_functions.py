@@ -729,7 +729,9 @@ def test_jpeg_codec_exact_dc_bounded_ac_and_refusals():
     oversampled = struct.pack(">BHHB", 8, 8, 8, 3) + b"\x01\x33\x00\x02\x11\x01\x03\x11\x01"
     with _pytest.raises(ValueError, match="sampling factor"):
         decode_jpeg(b"\xff\xd8" + seg(0xC0, oversampled) + b"\xff\xd9")
-    with _pytest.raises(ValueError, match="restart"):
+    # restart intervals are SUPPORTED since r12 — a DRI-only file now
+    # fails on the missing frame, not a refusal
+    with _pytest.raises(ValueError, match="missing SOF0 or SOS"):
         decode_jpeg(b"\xff\xd8" + seg(0xDD, b"\x00\x04") + b"\xff\xd9")
     with _pytest.raises(ValueError):
         decode_jpeg(blob[:40])  # truncated mid-DQT
@@ -1529,3 +1531,66 @@ def test_jpeg_decodes_libjpeg_444_within_idct_rounding():
     assert int(np.abs(
         decode_jpeg_libjpeg(e).astype(int) - decode_jpeg(e).astype(int)
     ).max()) <= 3
+
+
+def test_jpeg_restart_intervals_all_variants():
+    """Restart intervals (r12): DRI + RSTn segmentation decodes
+    conformantly across sequential/progressive x Huffman/arithmetic x
+    4:4:4/4:2:0 — twins byte-identical, within IDCT rounding of
+    libjpeg.  Skipped without libjpeg (the DRI path has no embedded
+    fixture; it composes the already-pinned machinery with segment
+    resets)."""
+    import ctypes
+    import ctypes.util
+
+    import numpy as np
+
+    if ctypes.util.find_library("jpeg") is None:
+        pytest.skip("libjpeg not installed")
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import tools.jpeg_arith_ab as ab
+
+    from setup_harvest_action_spark.functions.multimodal import decode_jpeg
+
+    def encode_rst(img, rst, **kw):
+        orig = ab.LJ.jpeg_start_compress
+
+        def patched(cinfo_ref, flag):
+            base = ctypes.addressof(cinfo_ref._obj)
+            ctypes.c_uint32.from_address(base + 280).value = rst
+            return orig(cinfo_ref, flag)
+
+        ab.LJ.jpeg_start_compress = patched
+        try:
+            if kw.get("hs", 1) == 1:
+                return ab.encode_jpeg_libjpeg(
+                    img, 75, arith=kw.get("arith", False),
+                    progressive=kw.get("progressive", False),
+                )
+            return ab.encode_jpeg_libjpeg_subsampled(
+                img, 75, arith=kw.get("arith", False),
+                progressive=kw.get("progressive", False),
+                hs=kw["hs"], vs=kw["vs"],
+            )
+        finally:
+            ab.LJ.jpeg_start_compress = orig
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.dstack([
+        (xx * 255 // 63), (yy * 255 // 47), ((xx + yy) * 255 // 110)
+    ]).astype(np.uint8)
+    for rst in (1, 3):
+        for hs, vs in [(1, 1), (2, 2)]:
+            for prog in (False, True):
+                dh = encode_rst(img, rst, progressive=prog, hs=hs, vs=vs)
+                da = encode_rst(
+                    img, rst, arith=True, progressive=prog, hs=hs, vs=vs
+                )
+                mh, ma = decode_jpeg(dh), decode_jpeg(da)
+                assert np.array_equal(mh, ma), (rst, hs, vs, prog)
+                ref = ab.decode_jpeg_libjpeg(dh, fancy_upsampling=False)
+                assert int(
+                    np.abs(ref.astype(int) - mh.astype(int)).max()
+                ) <= 3, (rst, hs, vs, prog)
