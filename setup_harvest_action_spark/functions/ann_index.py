@@ -1055,3 +1055,37 @@ def q_similarity_pq_adc_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("q")
     )
     return pq_index_search(spark, out, probe, emb, exclude_vec_id=PQ_PROBE)
+
+
+# ids deleted by q_similarity_pq_delete: chosen so the takedown is
+# NON-VACUOUS under the gate — 73 sits in the probe's top-10 at BOTH
+# sf0.001 and sf0.01, 365 is the sf0.01 #1 neighbor; a delete that
+# silently failed would leave them in the result and break the hash
+PQ_DELETE = (73, 365)
+
+
+@query("q_similarity_pq_delete", oracle=_pq_oracle(exclude=PQ_DELETE))
+def q_similarity_pq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE inside the correctness gate (r12): build the
+    stored PQ index on the full corpus (codebooks frozen), take down
+    vec_ids {73, 365} via the key-only MERGE DELETE, then search.  The
+    DuckDB oracle is the inline PQ query's unrolled-Lloyd SQL with the
+    deleted ids excluded from the CANDIDATE set only — fit-then-delete
+    in exactly the lifecycle's order — so a takedown that failed to
+    remove a posting (or removed the wrong rows, or leaked the vectors
+    back through the exact re-rank) hash-mismatches.  Complements the
+    O(touched-files) and search-absence pins in
+    tests/test_ann_index.py with a driver-checkable gate, the same
+    promotion r11 gave the stored lifecycle."""
+    out = os.path.join(_index_scratch(sf_dir), os.pardir, "pq_delete")
+    shutil.rmtree(out, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("e")
+    )
+    pq_index_build(spark, emb, out, fit_on=emb)
+    ids = spark.createDataFrame([(int(i),) for i in PQ_DELETE], "vec_id BIGINT")
+    pq_index_delete(spark, ids, out)
+    probe = emb.filter(F.col("vec_id") == PQ_PROBE).select(
+        F.col("e").alias("q")
+    )
+    return pq_index_search(spark, out, probe, emb, exclude_vec_id=PQ_PROBE)

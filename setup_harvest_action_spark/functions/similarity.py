@@ -751,11 +751,16 @@ PQ_CAND = 100  # ADC candidate pool fetched before exact re-rank
 PQ_TOPK = 10  # final re-ranked neighbors
 
 
-def _pq_oracle() -> str:
+def _pq_oracle(exclude: tuple = ()) -> str:
     """Unrolled PQ oracle: PQ_M independent unrolled-Lloyd codebook
     fits on vector slices (same recurrence as KMEANS_ORACLE_CTES),
     then ADC scoring against the probe — generated by the same loop
-    shape as the Spark code so they stay term-for-term comparable."""
+    shape as the Spark code so they stay term-for-term comparable.
+
+    ``exclude`` drops vec_ids from the CANDIDATE set only (the
+    codebook fit still sees the full corpus): the oracle twin of a
+    row-level index DELETE executed after build — fit-then-delete is
+    exactly the stored index's lifecycle order."""
     parts = [
         """
 v AS (
@@ -810,6 +815,7 @@ enc{m} AS (
         f"JOIN enc{m} ON enc{m}.vec_id = v.vec_id" for m in range(1, PQ_M)
     )
     codes = ", ".join(f"enc{m}.code" for m in range(PQ_M))
+    not_in = ", ".join(str(i) for i in (PQ_PROBE, *exclude))
     return (
         "WITH " + ",".join(parts) + f"""
 SELECT vec_id, codes, adc_dist, exact_dist FROM (
@@ -819,7 +825,7 @@ SELECT vec_id, codes, adc_dist, exact_dist FROM (
          CAST(round(list_distance(v.e, probe.q), 6) AS DOUBLE) AS exact_dist
   FROM v JOIN enc0 ON enc0.vec_id = v.vec_id {joins}
   CROSS JOIN probe
-  WHERE v.vec_id <> {PQ_PROBE}
+  WHERE v.vec_id NOT IN ({not_in})
   ORDER BY adc_dist, v.vec_id
   LIMIT {PQ_CAND}
 )
