@@ -957,7 +957,7 @@ mad AS (
 SELECT doc_id,
        CAST(n_chars AS BIGINT) AS n_chars,
        CAST(round((n_chars - med.med) / ({MAD_CONSISTENCY} * mad.mad), 6)
-            AS DOUBLE) AS robust_z,
+            + 0.0 AS DOUBLE) AS robust_z,
        abs(n_chars - med.med) / ({MAD_CONSISTENCY} * mad.mad)
            > {MAD_Z_CUTOFF} AS is_outlier
 FROM documents, med, mad
@@ -988,9 +988,11 @@ def q_quality_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
-        F.round((F.col("n_chars") - F.col("med")) / sigma, 6).alias(
-            "robust_z"
-        ),
+        # signed-zero sweep (r13): z-scores are signed doubles.
+        (
+            F.round((F.col("n_chars") - F.col("med")) / sigma, 6)
+            + F.lit(0.0)
+        ).alias("robust_z"),
         (F.abs(F.col("n_chars") - F.col("med")) / sigma > MAD_Z_CUTOFF).alias(
             "is_outlier"
         ),

@@ -68,7 +68,7 @@ scored AS (
     FROM q JOIN vecs ON q.query_id <> vecs.vec_id
 )
 SELECT query_id, neighbor_id,
-       CAST(round(cos, 6) AS DOUBLE) AS cosine,
+       CAST(round(cos, 6) + 0.0 AS DOUBLE) AS cosine,
        CAST(rn AS BIGINT) AS rank
 FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
@@ -104,7 +104,8 @@ def q_similarity_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round("cos", 6).alias("cosine"),
+            # signed-zero sweep (r13): cosine is signed.
+            (F.round("cos", 6) + F.lit(0.0)).alias("cosine"),
             "rank",
         )
     )
@@ -430,8 +431,8 @@ ranked AS (
 )
 SELECT doc_id,
        CAST(bm25_norm AS DOUBLE) AS bm25_norm,
-       CAST(cos AS DOUBLE) AS cosine,
-       CAST(hybrid AS DOUBLE) AS hybrid,
+       CAST(cos + 0.0 AS DOUBLE) AS cosine,
+       CAST(hybrid + 0.0 AS DOUBLE) AS hybrid,
        CAST(rank AS BIGINT) AS rank
 FROM ranked
 WHERE rank <= {HYBRID_TOP_K}
@@ -472,12 +473,18 @@ def q_similarity_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.round(F.col("bm25") / F.col("mx"), 6).alias("bm25_norm"),
-            F.round(cosine(F.col("v"), F.col("qvec")), 6).alias("cosine"),
+            (
+                F.round(cosine(F.col("v"), F.col("qvec")), 6) + F.lit(0.0)
+            ).alias("cosine"),
         )
     )
-    hybrid = F.round(
-        HYBRID_ALPHA * F.col("bm25_norm") + (1 - HYBRID_ALPHA) * F.col("cosine"),
-        6,
+    hybrid = (
+        F.round(
+            HYBRID_ALPHA * F.col("bm25_norm")
+            + (1 - HYBRID_ALPHA) * F.col("cosine"),
+            6,
+        )
+        + F.lit(0.0)
     )
     w = Window.orderBy(F.desc("hybrid"), F.asc("doc_id"))
     return (

@@ -878,7 +878,7 @@ uc AS (SELECT w, count(*) AS n FROM uni GROUP BY w),
 tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n_tokens FROM uc)
 SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
        CAST(round(
-           ln(n_pair * tot.n_tokens / (a.n * CAST(b.n AS DOUBLE))), 6)
+           ln(n_pair * tot.n_tokens / (a.n * CAST(b.n AS DOUBLE))), 6) + 0.0
            AS DOUBLE) AS pmi
 FROM bi
 JOIN uc a ON a.w = bi.w1
@@ -936,13 +936,16 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "n_pair",
-            F.round(
-                F.log(
-                    F.col("n_pair")
-                    * F.col("n_tokens")
-                    / (F.col("na") * F.col("nb").cast("double"))
-                ),
-                6,
+            (
+                F.round(
+                    F.log(
+                        F.col("n_pair")
+                        * F.col("n_tokens")
+                        / (F.col("na") * F.col("nb").cast("double"))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("pmi"),
         )
         .orderBy(F.desc("pmi"), "w1", "w2")
@@ -1033,8 +1036,8 @@ ranked AS (
          row_number() OVER (ORDER BY freq DESC, token) AS rk
   FROM counts
 )
-SELECT CAST(round(regr_slope(ln(freq), ln(rk)), 4) AS DOUBLE) AS zipf_slope,
-       CAST(round(regr_intercept(ln(freq), ln(rk)), 4) AS DOUBLE)
+SELECT CAST(round(regr_slope(ln(freq), ln(rk)), 4) + 0.0 AS DOUBLE) AS zipf_slope,
+       CAST(round(regr_intercept(ln(freq), ln(rk)), 4) + 0.0 AS DOUBLE)
          AS zipf_intercept,
        CAST(round(regr_r2(ln(freq), ln(rk)), 4) AS DOUBLE) AS fit_r2,
        CAST(count(*) AS BIGINT) AS n_ranks
@@ -1069,8 +1072,11 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rk") <= ZIPF_TOP_RANKS)
     lf, lr = F.ln("freq"), F.ln("rk")
     return ranked.agg(
-        F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
-        F.round(F.regr_intercept(lf, lr), 4).alias("zipf_intercept"),
+        # signed-zero sweep (r13): slope/intercept are signed doubles.
+        (F.round(F.regr_slope(lf, lr), 4) + F.lit(0.0)).alias("zipf_slope"),
+        (F.round(F.regr_intercept(lf, lr), 4) + F.lit(0.0)).alias(
+            "zipf_intercept"
+        ),
         F.round(F.regr_r2(lf, lr), 4).alias("fit_r2"),
         F.count("*").cast("bigint").alias("n_ranks"),
     )

@@ -839,9 +839,9 @@ WITH m AS (
          avg(l_quantity * l_quantity)                           AS m2r,
          avg(l_quantity * l_quantity * l_quantity)              AS m3r,
          avg(l_quantity * l_quantity * l_quantity * l_quantity) AS m4r,
-         CAST(round(corr(l_quantity, l_extendedprice), 6) AS DOUBLE)
+         CAST(round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS DOUBLE)
              AS corr_qty_price,
-         CAST(round(covar_samp(l_quantity, l_extendedprice), 4) AS DOUBLE)
+         CAST(round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS DOUBLE)
              AS covar_qty_price,
          CAST(round(var_samp(l_quantity), 6) AS DOUBLE) AS var_qty
   FROM lineitem
@@ -849,10 +849,10 @@ WITH m AS (
 )
 SELECT l_returnflag, n, corr_qty_price, covar_qty_price, var_qty,
        CAST(round((m3r - 3 * mu * m2r + 2 * mu * mu * mu)
-                  / pow(m2r - mu * mu, 1.5), 6) AS DOUBLE) AS skew_qty,
+                  / pow(m2r - mu * mu, 1.5), 6) + 0.0 AS DOUBLE) AS skew_qty,
        CAST(round((m4r - 4 * mu * m3r + 6 * mu * mu * m2r
                        - 3 * mu * mu * mu * mu)
-                  / pow(m2r - mu * mu, 2) - 3, 6) AS DOUBLE) AS kurt_qty
+                  / pow(m2r - mu * mu, 2) - 3, 6) + 0.0 AS DOUBLE) AS kurt_qty
 FROM m
 """,
 )
@@ -876,15 +876,17 @@ def q_agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+        # signed-zero sweep (r13): `+ 0.0` folds rounded -0.0 to +0.0
+        # on signed outputs (driver hash distinguishes signed zeros).
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias(
             "corr_qty_price"
         ),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias(
             "covar_qty_price"
         ),
         F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
-        F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
-        F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+        (F.round(F.skewness("l_quantity"), 6) + F.lit(0.0)).alias("skew_qty"),
+        (F.round(F.kurtosis("l_quantity"), 6) + F.lit(0.0)).alias("kurt_qty"),
     )
 
 
@@ -1486,19 +1488,19 @@ def q_agg_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_corr_matrix",
     oracle="""
 SELECT 'quantity~price' AS pair,
-       CAST(round(corr(l_quantity, l_extendedprice), 4) AS DOUBLE) AS pearson,
-       CAST(round(covar_samp(l_quantity, l_extendedprice), 4) AS DOUBLE)
+       CAST(round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS DOUBLE) AS pearson,
+       CAST(round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS DOUBLE)
            AS covariance
 FROM lineitem
 UNION ALL
 SELECT 'quantity~discount',
-       CAST(round(corr(l_quantity, l_discount), 4) AS DOUBLE),
-       CAST(round(covar_samp(l_quantity, l_discount), 4) AS DOUBLE)
+       CAST(round(corr(l_quantity, l_discount), 4) + 0.0 AS DOUBLE),
+       CAST(round(covar_samp(l_quantity, l_discount), 4) + 0.0 AS DOUBLE)
 FROM lineitem
 UNION ALL
 SELECT 'price~discount',
-       CAST(round(corr(l_extendedprice, l_discount), 4) AS DOUBLE),
-       CAST(round(covar_samp(l_extendedprice, l_discount), 4) AS DOUBLE)
+       CAST(round(corr(l_extendedprice, l_discount), 4) + 0.0 AS DOUBLE),
+       CAST(round(covar_samp(l_extendedprice, l_discount), 4) + 0.0 AS DOUBLE)
 FROM lineitem
 """,
 )
@@ -1524,18 +1526,18 @@ def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = F.array(
         F.struct(
             F.lit("quantity~price").alias("pair"),
-            F.round("c_qp", 4).alias("pearson"),
-            F.round("v_qp", 4).alias("covariance"),
+            (F.round("c_qp", 4) + F.lit(0.0)).alias("pearson"),
+            (F.round("v_qp", 4) + F.lit(0.0)).alias("covariance"),
         ),
         F.struct(
             F.lit("quantity~discount").alias("pair"),
-            F.round("c_qd", 4).alias("pearson"),
-            F.round("v_qd", 4).alias("covariance"),
+            (F.round("c_qd", 4) + F.lit(0.0)).alias("pearson"),
+            (F.round("v_qd", 4) + F.lit(0.0)).alias("covariance"),
         ),
         F.struct(
             F.lit("price~discount").alias("pair"),
-            F.round("c_pd", 4).alias("pearson"),
-            F.round("v_pd", 4).alias("covariance"),
+            (F.round("c_pd", 4) + F.lit(0.0)).alias("pearson"),
+            (F.round("v_pd", 4) + F.lit(0.0)).alias("covariance"),
         ),
     )
     return row.select(F.explode(cells).alias("c")).select("c.*")
@@ -1623,8 +1625,8 @@ ab AS (
 )
 SELECT CAST(na AS BIGINT) AS n_en,
        CAST(nb AS BIGINT) AS n_de,
-       CAST(round(ma - mb, 4) AS DOUBLE) AS mean_diff,
-       CAST(round((ma - mb) / sqrt(va / na + vb / nb), 4) AS DOUBLE)
+       CAST(round(ma - mb, 4) + 0.0 AS DOUBLE) AS mean_diff,
+       CAST(round((ma - mb) / sqrt(va / na + vb / nb), 4) + 0.0 AS DOUBLE)
            AS t_stat,
        CAST(round(pow(va / na + vb / nb, 2) /
                   (pow(va / na, 2) / (na - 1)
@@ -1669,8 +1671,8 @@ def q_agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab.select(
         F.col("na").alias("n_en"),
         F.col("nb").alias("n_de"),
-        F.round(F.col("ma") - F.col("mb"), 4).alias("mean_diff"),
-        F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 4).alias("t_stat"),
+        (F.round(F.col("ma") - F.col("mb"), 4) + F.lit(0.0)).alias("mean_diff"),
+        (F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 4) + F.lit(0.0)).alias("t_stat"),
         F.round(dfw, 2).alias("welch_df"),
     )
 

@@ -534,7 +534,7 @@ r AS (
 )
 SELECT bucket, n,
        CAST(round(mean_n, 6) AS DOUBLE) AS mean_n,
-       CAST(CASE WHEN sd_n > 0 THEN round((n - mean_n) / sd_n, 6) END
+       CAST(CASE WHEN sd_n > 0 THEN round((n - mean_n) / sd_n, 6) + 0.0 END
             AS DOUBLE) AS z
 FROM r
 """,
@@ -573,9 +573,12 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "n",
         F.round("mean_n", 6).alias("mean_n"),
+        # signed-zero sweep (r13): `+ 0.0` folds rounded -0.0 to +0.0
+        # (driver hash distinguishes signed zeros; same on the oracle).
         F.when(
             F.col("sd_n") > 0,
-            F.round((F.col("n") - F.col("mean_n")) / F.col("sd_n"), 6),
+            F.round((F.col("n") - F.col("mean_n")) / F.col("sd_n"), 6)
+            + F.lit(0.0),
         ).alias("z"),
     )
 
@@ -1749,7 +1752,7 @@ r AS (
 )
 SELECT bucket, hod, n, k_days,
        CAST(round(mean_hod, 6) AS DOUBLE) AS mean_hod,
-       CAST(CASE WHEN sd_hod > 0 THEN round((n - mean_hod) / sd_hod, 6) END
+       CAST(CASE WHEN sd_hod > 0 THEN round((n - mean_hod) / sd_hod, 6) + 0.0 END
             AS DOUBLE) AS seasonal_z,
        CASE WHEN sd_hod > 0
             THEN abs(n - mean_hod) / sd_hod > {SEASONAL_Z} END AS is_anomaly
@@ -1792,7 +1795,7 @@ def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.count(F.lit(1)).over(w).alias("k_days"),
         F.round(mean_hod, 6).alias("mean_hod"),
-        F.when(sd_hod > 0, F.round(z, 6)).alias("seasonal_z"),
+        F.when(sd_hod > 0, F.round(z, 6) + F.lit(0.0)).alias("seasonal_z"),
         F.when(sd_hod > 0, F.abs(z) > SEASONAL_Z).alias("is_anomaly"),
     )
 
@@ -1991,13 +1994,13 @@ lagged AS (
            lag(n, 3) OVER w AS n3
     FROM b WINDOW w AS (ORDER BY bucket)
 )
-SELECT 1 AS lag, CAST(round(corr(n, n1), 4) AS DOUBLE) AS acf,
+SELECT 1 AS lag, CAST(round(corr(n, n1), 4) + 0.0 AS DOUBLE) AS acf,
        CAST(count(n1) AS BIGINT) AS n_pairs FROM lagged
 UNION ALL
-SELECT 2, CAST(round(corr(n, n2), 4) AS DOUBLE),
+SELECT 2, CAST(round(corr(n, n2), 4) + 0.0 AS DOUBLE),
        CAST(count(n2) AS BIGINT) FROM lagged
 UNION ALL
-SELECT 3, CAST(round(corr(n, n3), 4) AS DOUBLE),
+SELECT 3, CAST(round(corr(n, n3), 4) + 0.0 AS DOUBLE),
        CAST(count(n3) AS BIGINT) FROM lagged
 """,
 )
@@ -2033,7 +2036,7 @@ def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.append(
             lagged.agg(
                 F.lit(k).alias("lag"),
-                F.round(F.corr("n", f"n{k}"), 4).alias("acf"),
+                (F.round(F.corr("n", f"n{k}"), 4) + F.lit(0.0)).alias("acf"),
                 F.count(f"n{k}").alias("n_pairs"),
             )
         )

@@ -228,10 +228,10 @@ def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT vec_id,
        CAST(len(embedding) AS INTEGER) AS dim,
-       CAST(round(CAST(embedding[1] AS DOUBLE), 6) AS DOUBLE) AS first_component,
+       CAST(round(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS DOUBLE) AS first_component,
        CAST(round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 4) AS DOUBLE)
            AS l2_norm,
-       CAST(round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / len(embedding), 6) AS DOUBLE)
+       CAST(round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / len(embedding), 6) + 0.0 AS DOUBLE)
            AS mean_component
 FROM embeddings
 WHERE vec_id < 100
@@ -250,11 +250,16 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.filter(F.col("vec_id") < 100).select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 6).alias(
-            "first_component"
-        ),
+        # signed-zero sweep (r13): embeddings are signed; `+ 0.0`
+        # folds a rounded -0.0 (driver hash distinguishes signed zeros).
+        (
+            F.round(F.element_at("embedding", 1).cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("first_component"),
         F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
-        F.round(comp_sum / F.size("embedding"), 6).alias("mean_component"),
+        (F.round(comp_sum / F.size("embedding"), 6) + F.lit(0.0)).alias(
+            "mean_component"
+        ),
     )
 
 

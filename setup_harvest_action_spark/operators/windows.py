@@ -483,7 +483,7 @@ SELECT nationkey, y, m,
        CAST(revenue AS DOUBLE) AS revenue,
        CAST(lag(revenue) OVER w AS DOUBLE) AS prev_revenue,
        CAST(round(100.0 * (revenue - lag(revenue) OVER w)
-                  / lag(revenue) OVER w, 4) AS DOUBLE) AS pct_change
+                  / lag(revenue) OVER w, 4) + 0.0 AS DOUBLE) AS pct_change
 FROM monthly
 WINDOW w AS (PARTITION BY nationkey ORDER BY y, m)
 """,
@@ -526,11 +526,17 @@ def q_window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m",
         F.col("revenue").cast("double").alias("revenue"),
         prev.cast("double").alias("prev_revenue"),
-        F.round(
-            F.lit(100.0)
-            * (F.col("revenue") - prev).cast("double")
-            / prev.cast("double"),
-            4,
+        # signed-zero sweep (r13): `+ 0.0` folds a rounded -0.0 to +0.0
+        # on every round()-over-signed-double output — the driver's
+        # value hash distinguishes signed zeros (r12 rolling_corr fail).
+        (
+            F.round(
+                F.lit(100.0)
+                * (F.col("revenue") - prev).cast("double")
+                / prev.cast("double"),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("pct_change"),
     )
 
@@ -544,7 +550,7 @@ ROLL_CORR_FRAME = 10  # trailing rows per supplier
 SELECT l_suppkey,
        l_orderkey,
        l_linenumber,
-       CAST(round(corr(l_quantity, l_extendedprice) OVER w, 4) AS DOUBLE)
+       CAST(round(corr(l_quantity, l_extendedprice) OVER w, 4) + 0.0 AS DOUBLE)
            AS roll_corr
 FROM lineitem
 WINDOW w AS (PARTITION BY l_suppkey
@@ -583,11 +589,15 @@ def q_window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = n * sxy - sx * sy
     den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
     c = F.when(den2 > 0, num / F.sqrt(den2))
+    # ``+ 0.0`` folds IEEE -0.0 to +0.0 after rounding (r12 driver
+    # fail: 3 rows where a tiny-negative r rounded to -0.0 in DuckDB
+    # and +0.0 in Spark — numerically equal, hash-distinct).  Same
+    # normalization on the oracle side.
     return li.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.round(c, 4).alias("roll_corr"),
+        (F.round(c, 4) + F.lit(0.0)).alias("roll_corr"),
     )
 
 
