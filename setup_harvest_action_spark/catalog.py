@@ -81,74 +81,70 @@ _EXPECTED_MISSING: frozenset[str] = frozenset()
 DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = (
-    # ---- r12 rotation ----
-    # 50 slots = 39 + 11, per the VERDICT r11 done-criterion: give FIRST
-    # driver rows to ALL 39 remaining never-driver-sampled entries —
-    # the 9 r11 additions first (the stored ANN index family, the
-    # streaming-maintained PQ index, progressive-JPEG and WebP decode
-    # pipelines, cross-document substring removal, typed PII redaction),
-    # then the 30 r10-close stragglers — and fill the remaining 11
-    # slots with the stalest r06 cohort (newest driver row r06,
-    # alphabetical).  After this window lands, ZERO catalog entries
-    # remain never-driver-sampled; subsequent rounds rotate purely by
-    # staleness.  Entries outside the window stay hash-verified by
-    # tools/verify_oracle.py + pytest every session.
-    # (a) r11 additions — stored/streaming ANN lifecycle first:
-    "q_similarity_pq_adc_stored",
-    "q_similarity_ann_lsh_stored",
-    "q_similarity_ann_ivf_stored",
-    "q_similarity_ivfpq_stored",
-    "q_stream_similarity_pq_index",
-    "q_dedup_substring_removal",
-    "q_quality_pii_typed_redact",
-    "q_multimodal_progressive_jpeg_pipeline",
-    "q_multimodal_webp_pipeline",
-    # (b) r10-close stragglers — aggregates/statistics (8):
-    "q_agg_count_min_sketch",
-    "q_agg_skew_report",
-    "q_agg_geomean_udaf",
-    "q_agg_corr_matrix",
-    "q_agg_benford",
-    "q_agg_welch_ttest",
-    "q_agg_gini",
-    "q_agg_entropy",
-    # (c) windows + events (9):
+    # ---- r13 rotation ----
+    # 50 slots = 3 + 14 + 33.  (a) the 3 entries that postdate the r12
+    # window commit and are therefore the only never-driver-sampled
+    # queries left; (b) the repaired q_window_rolling_corr (r12 hash
+    # fail: signed zero) plus the 13 other queries touched by the r13
+    # signed-zero sweep — their outputs changed (-0.0 folded to +0.0),
+    # so each needs a fresh driver row computed from the new
+    # definition; (c) the complete stalest cohort: all 33 entries whose
+    # newest driver row is r06.  After this window, the oldest rows
+    # are the r08 cohort.  Entries outside the window stay
+    # hash-verified by tools/verify_oracle.py + pytest every session.
+    # (a) never-driver-sampled (added after the r12 window committed):
+    "q_similarity_pq_delete",
+    "q_multimodal_webp_lossy_pipeline",
+    "q_multimodal_jpeg_arith_pipeline",
+    # (b) signed-zero sweep — repaired fail first, then the swept set:
     "q_window_rolling_corr",
-    "q_window_max_drawdown",
+    "q_window_period_over_period",
+    "q_events_anomaly",
     "q_events_seasonal_anomaly",
-    "q_events_kaplan_meier",
-    "q_events_longest_streak",
     "q_events_autocorrelation",
-    "q_events_bursts",
-    "q_events_active_users",
-    "q_events_cadence",
-    # (d) manifest table format (3):
-    "q_source_manifest_clone",
-    "q_source_manifest_wap",
-    "q_source_manifest_stream_wap",
-    # (e) text/multimodal/sampling/quality/sql (10):
-    "q_text_novelty",
-    "q_multimodal_phash_dedup",
-    "q_multimodal_video_pipeline",
-    "q_sample_negative_pairs",
-    "q_sample_systematic",
-    "q_quality_expectations",
+    "q_agg_statistics",
+    "q_agg_corr_matrix",
+    "q_agg_welch_ttest",
+    "q_scalar_array",
+    "q_text_zipf_fit",
+    "q_text_collocations",
     "q_quality_robust_zscore",
-    "q_quality_dedup_report",
-    "q_sql_recursive_cte",
-    "q_join_lateral_topn",
-    # (f) stalest r06 cohort (newest driver row r06; alphabetical, 11):
-    "q_agg_incremental_rollup",
-    "q_count_distinct_members",
-    "q_dedup_embedding_cosine",
-    "q_distinct_projection",
-    "q_events_top_paths",
-    "q_filter_project",
-    "q_graph_triangle_count",
-    "q_join_asof_tolerance",
-    "q_join_range",
-    "q_join_runtime_filter",
-    "q_multimodal_bmp_pipeline",
+    "q_similarity_exact_topk",
+    "q_similarity_hybrid_rerank",
+    # (c) stalest cohort — every entry whose newest driver row is r06:
+    "q_multimodal_features",
+    "q_multimodal_frame_sample",
+    "q_multimodal_modality_mix",
+    "q_multimodal_thumbnail",
+    "q_pagination_keyset",
+    "q_parameterized_sql",
+    "q_quality_decontaminate",
+    "q_regex_filter",
+    "q_scalar_map",
+    "q_scalar_variant",
+    "q_scd2_customer_segment",
+    "q_similarity_ann_ivf",
+    "q_similarity_ann_lsh",
+    "q_source_csv_roundtrip",
+    "q_source_json_roundtrip",
+    "q_source_manifest_roundtrip",
+    "q_sparql_source_sim",
+    "q_sparql_stream",
+    "q_stream_session_dynamic_gap",
+    "q_stream_session_windows_append",
+    "q_stream_sliding_avg_append",
+    "q_stream_static_join",
+    "q_stream_stream_join_outer",
+    "q_table_diff",
+    "q_text_bm25",
+    "q_text_fingerprint",
+    "q_text_lang_profile",
+    "q_text_ngrams_udtf",
+    "q_text_quality",
+    "q_text_tfidf",
+    "q_text_token_estimate",
+    "q_text_token_stats",
+    "q_text_zscore_by_lang",
 )
 
 _loaded = False
