@@ -92,10 +92,12 @@ _DRIVER_PRIORITY = (
     # newest driver row is r06.  After this window, the oldest rows
     # are the r08 cohort.  Entries outside the window stay
     # hash-verified by tools/verify_oracle.py + pytest every session.
-    # (a) never-driver-sampled (added after the r12 window committed):
+    # (a) never-driver-sampled (added after the r12 window committed,
+    #     plus this round's own VP8X-alpha pipeline):
     "q_similarity_pq_delete",
     "q_multimodal_webp_lossy_pipeline",
     "q_multimodal_jpeg_arith_pipeline",
+    "q_multimodal_webp_alpha_pipeline",
     # (b) signed-zero sweep — repaired fail first, then the swept set:
     "q_window_rolling_corr",
     "q_window_period_over_period",
@@ -144,7 +146,7 @@ _DRIVER_PRIORITY = (
     "q_text_tfidf",
     "q_text_token_estimate",
     "q_text_token_stats",
-    "q_text_zscore_by_lang",
+    # q_text_zscore_by_lang stays r06-stale; first in line for r14
 )
 
 _loaded = False

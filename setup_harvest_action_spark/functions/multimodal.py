@@ -2932,6 +2932,101 @@ def q_multimodal_webp_lossy_pipeline(
     )
 
 
+# --- WebP extended container (VP8X: ALPH alpha over lossy VP8) ------------------
+#
+# r13: alpha-channel WebP is common in real crawls (logos, product
+# images).  The ALPH chunk is a VP8L image-stream (alpha in the green
+# channel, no header) or a raw plane, with one of four row filters,
+# composited over the lossy VP8 base — decode_webp returns (h, w, 4)
+# exactly when alpha is present.  Payloads are REAL libwebp-encoded
+# VP8X containers embedded at build time (webp_alpha_fixtures.py);
+# two hand-filtered ALPH chunks pin the vertical/gradient filters the
+# encoder rarely emits.  Conformance: byte-exact vs libwebp across
+# 180 configurations (tools/webp_alpha_ab.py); animation stays
+# refused by name.
+
+
+@query("q_multimodal_webp_alpha_pipeline")
+def q_multimodal_webp_alpha_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL image pipeline #9 — VP8X alpha stills: assign each
+    document a real libwebp-encoded VP8X container (7 fixtures
+    spanning compressed/raw/lossy-quantized alpha, all four ALPH row
+    filters, and VP8L-with-alpha), decode through ``decode_webp``
+    (RGBA out), and extract alpha-aware features: per-channel means,
+    opaque-pixel fraction, and the RGBA md5 pinned by the conformance
+    hashes in webp_alpha_fixtures.py.  Same two-stage Arrow-batched
+    mapInPandas shape as the other decode pipelines.  No oracle
+    (binary ops are outside DuckDB); rows-only + conformance pytest
+    (tests/test_llm_functions.py).
+
+    100 TB: decode is map-only over the corpus partitioning; per-doc
+    cost is bounded by pixel count; a decode error quarantines the
+    row (here: fixtures are valid by construction)."""
+    import hashlib
+
+    import pandas as pd
+
+    from setup_harvest_action_spark.functions.webp_alpha_fixtures import (
+        WEBP_ALPHA_FIXTURES,
+        fixture_payload,
+    )
+
+    names = sorted(WEBP_ALPHA_FIXTURES)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def make_images(batches: Iterator):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        fixture_payload(names[int(d) % len(names)])
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def decode_features(batches: Iterator):
+        from setup_harvest_action_spark.functions.webp_codec import (
+            decode_webp,
+        )
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+                "mean_a": [], "opaque_frac": [], "rgba_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_webp(bytes(payload))
+                a = arr[:, :, 3]
+                out["doc_id"].append(doc_id)
+                out["height"].append(arr.shape[0])
+                out["width"].append(arr.shape[1])
+                out["mean_r"].append(round(float(arr[:, :, 0].mean()), 4))
+                out["mean_g"].append(round(float(arr[:, :, 1].mean()), 4))
+                out["mean_b"].append(round(float(arr[:, :, 2].mean()), 4))
+                out["mean_a"].append(round(float(a.mean()), 4))
+                out["opaque_frac"].append(
+                    round(float((a == 255).mean()), 4)
+                )
+                out["rgba_md5"].append(
+                    hashlib.md5(arr.tobytes()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    images = docs.select("doc_id").mapInPandas(
+        make_images, "doc_id long, payload binary"
+    )
+    return images.mapInPandas(
+        decode_features,
+        "doc_id long, width int, height int, mean_r double, mean_g double, "
+        "mean_b double, mean_a double, opaque_frac double, rgba_md5 string",
+    )
+
+
 # --- Progressive arithmetic JPEG (SOF10) -----------------------------------------
 #
 # r12, completing the JPEG matrix: {sequential, progressive} x

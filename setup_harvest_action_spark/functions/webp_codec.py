@@ -14,8 +14,8 @@ DECODER scope (``decode_webp``): the full lossless feature set —
 simple and normal (code-length-coded) prefix codes, LZ77 with both
 plain and neighborhood distances, color cache, meta prefix groups via
 the recursive entropy image, and all four transforms with all 14
-predictor modes.  Lossy WebP (VP8 chunk) and extended (VP8X: alpha,
-animation) are refused by name — they are a different codec.
+predictor modes.  Lossy WebP (VP8 chunk) routes to vp8_codec (r12);
+the extended container (VP8X) decodes STILLS with alpha (r13).
 
 ENCODER scope (``encode_webp_lossless``): a correct, deliberately
 simple emitter used to build deterministic golden fixtures that
@@ -30,7 +30,12 @@ the same contract as the PNG/GIF/BMP family).
 
 r12: lossy VP8 key frames are REAL too — ``decode_webp`` routes the
 'VP8 ' chunk to ``vp8_codec.decode_webp_lossy`` (RFC 6386 decode,
-bit-exact vs libwebp on the YUV planes); only VP8X (alpha/animation)
+bit-exact vs libwebp on the YUV planes).
+
+r13: the VP8X extended container decodes for STILL images — the ALPH
+chunk (raw or VP8L-compressed alpha, all four row filters; byte-exact
+vs libwebp across 180 configurations, tools/webp_alpha_ab.py) over the
+lossy VP8 base, and VP8L-with-alpha.  Only animation (ANIM/ANMF)
 remains refused by name.
 """
 
@@ -561,48 +566,16 @@ def _decode_image_stream(reader: _BitReader, w: int, h: int, level0: bool):
     return pixels, transforms
 
 
-def decode_webp(payload: bytes):
-    """Decode a WebP (RIFF container) into ndarray[h, w, 3] uint8:
-    lossless VP8L here, lossy VP8 key frames via ``vp8_codec`` (r12 —
-    bit-exact YUV reconstruction + the ecosystem BT.601 RGB
-    conversion).  Extended (VP8X: alpha/animation) stays refused by
-    name."""
-    import numpy as np
-
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
-        raise ValueError("not a WebP payload")
-    fourcc = payload[12:16]
-    if fourcc == b"VP8 ":
-        from setup_harvest_action_spark.functions.vp8_codec import (
-            decode_webp_lossy,
-            yuv_to_rgb,
-        )
-
-        return yuv_to_rgb(*decode_webp_lossy(payload))
-    if fourcc == b"VP8X":
-        raise ValueError("unsupported WebP: extended VP8X features")
-    if fourcc != b"VP8L":
-        raise ValueError(f"unsupported WebP chunk {fourcc!r}")
-    (size,) = struct.unpack_from("<I", payload, 16)
-    stream = payload[20 : 20 + size]
-    if not stream or stream[0] != 0x2F:
-        raise ValueError("bad VP8L signature byte")
-    reader = _BitReader(stream[1:])
-    w = reader.bits(14) + 1
-    h = reader.bits(14) + 1
-    reader.bit()  # alpha hint
-    if reader.bits(3) != 0:
-        raise ValueError("unsupported VP8L version")
-
-    # color indexing reduces the coded width; handled inside the
-    # stream decode, which returns read-order transforms
-    pixels, transforms = _decode_image_stream(reader, w, h, True)
+def _apply_inverse_transforms(pixels, w, h, transforms):
+    """Apply the read-order VP8L transforms in reverse (RFC 9649 §6):
+    the color-indexing transform reduces the coded width, so the
+    predictor/color transforms that were READ after it operate on the
+    packed width until the palette inverse restores full width."""
     coded_w = w
     for t in transforms:
         if t[0] == "palette":
             xbits = _palette_xbits(len(t[1]))
             coded_w = (t[2] + (1 << xbits) - 1) >> xbits
-    # apply inverse transforms in reverse read order
     for t in reversed(transforms):
         if t[0] == "palette":
             palette, orig_w = t[1], t[2]
@@ -618,12 +591,191 @@ def decode_webp(payload: bytes):
             _inverse_color_transform(pixels, coded_w, h, t[2], t[1])
     if coded_w != w:  # palette transform must have restored full width
         raise ValueError("VP8L width mismatch after transforms")
+    return pixels
 
-    arr = np.zeros((h, w, 3), np.uint8)
+
+def _decode_vp8l_stream(stream: bytes):
+    """Decode a VP8L bitstream (signature byte onward) to
+    (ARGB pixel list, w, h, alpha_hint)."""
+    if not stream or stream[0] != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    reader = _BitReader(stream[1:])
+    w = reader.bits(14) + 1
+    h = reader.bits(14) + 1
+    alpha_hint = reader.bit()
+    if reader.bits(3) != 0:
+        raise ValueError("unsupported VP8L version")
+    pixels, transforms = _decode_image_stream(reader, w, h, True)
+    pixels = _apply_inverse_transforms(pixels, w, h, transforms)
+    return pixels, w, h, alpha_hint
+
+
+def _unfilter_alpha(plane, method: int) -> None:
+    """Invert the ALPH row filter in place (container spec §Alpha;
+    semantics match libwebp dsp/filters.c *Unfilter_C byte-exactly).
+    Row 0 always unfilters horizontally with a zero seed; later rows
+    predict from the reconstructed previous row."""
+    h, w = plane.shape
+    # row 0: horizontal with pred seed 0 == cumulative sum mod 256
+    if method in (1, 2, 3):
+        acc = 0
+        row = plane[0]
+        for i in range(w):
+            acc = (acc + int(row[i])) & 0xFF
+            row[i] = acc
+    if method == 1:  # horizontal
+        for r in range(1, h):
+            pred = int(plane[r - 1, 0])
+            row = plane[r]
+            for i in range(w):
+                pred = (pred + int(row[i])) & 0xFF
+                row[i] = pred
+    elif method == 2:  # vertical: out[r] = in[r] + out[r-1] (vectorized)
+        import numpy as np
+
+        plane[1:] = (
+            np.cumsum(plane.astype(np.int64), axis=0)[1:] & 0xFF
+        ).astype(plane.dtype)
+    elif method == 3:  # gradient with [0,255] clip on the predictor
+        for r in range(1, h):
+            prev, row = plane[r - 1], plane[r]
+            left = top_left = int(prev[0])
+            for i in range(w):
+                top = int(prev[i])
+                g = left + top - top_left
+                g = 0 if g < 0 else (255 if g > 255 else g)
+                left = (int(row[i]) + g) & 0xFF
+                top_left = top
+                row[i] = left
+
+
+def _decode_alpha_chunk(data: bytes, w: int, h: int):
+    """ALPH chunk -> ndarray[h, w] uint8 alpha plane (container spec
+    §Alpha).  Compression 0 = raw plane; 1 = a VP8L image-stream of
+    implicit dimension w×h with the alpha value in the GREEN channel
+    (no VP8L header — the container supplies the dimensions).  The
+    pre-processing bits (level reduction) are encoder-side only and
+    need no inverse; the row filter is inverted after decompression."""
+    import numpy as np
+
+    if not data:
+        raise ValueError("empty ALPH chunk")
+    b0 = data[0]
+    comp = b0 & 0x3
+    filt = (b0 >> 2) & 0x3
+    if (b0 >> 6) & 0x3:
+        raise ValueError("reserved ALPH bits set")
+    if comp == 0:
+        if len(data) - 1 < w * h:
+            raise ValueError("truncated raw alpha plane")
+        plane = (
+            np.frombuffer(data[1 : 1 + w * h], np.uint8).reshape(h, w).copy()
+        )
+    elif comp == 1:
+        reader = _BitReader(data[1:])
+        pixels, transforms = _decode_image_stream(reader, w, h, True)
+        pixels = _apply_inverse_transforms(pixels, w, h, transforms)
+        plane = np.empty((h, w), np.uint8)
+        for i, v in enumerate(pixels):
+            plane[i // w, i % w] = (v >> 8) & 0xFF  # green channel
+    else:
+        raise ValueError(f"unsupported ALPH compression method {comp}")
+    if filt:
+        _unfilter_alpha(plane, filt)
+    return plane
+
+
+def _riff_chunks(payload: bytes):
+    """Iterate (fourcc, data) over the RIFF chunks of a WebP payload."""
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    total = min(len(payload), 8 + riff_size)
+    pos = 12
+    while pos + 8 <= total:
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        data = payload[pos + 8 : pos + 8 + size]
+        if len(data) < size:
+            raise ValueError(f"truncated RIFF chunk {fourcc!r}")
+        yield fourcc, data
+        pos += 8 + size + (size & 1)
+
+
+def _argb_to_array(pixels, w, h, with_alpha: bool):
+    import numpy as np
+
+    arr = np.zeros((h, w, 4 if with_alpha else 3), np.uint8)
     for i, v in enumerate(pixels):
-        _, r, g, b = _sub(v)
-        arr[i // w, i % w] = (r, g, b)
+        a, r, g, b = _sub(v)
+        arr[i // w, i % w] = (r, g, b, a) if with_alpha else (r, g, b)
     return arr
+
+
+def decode_webp(payload: bytes):
+    """Decode a WebP (RIFF container) into ndarray[h, w, 3|4] uint8:
+    lossless VP8L here, lossy VP8 key frames via ``vp8_codec`` (r12 —
+    bit-exact YUV reconstruction + the ecosystem BT.601 RGB
+    conversion), and (r13) the extended VP8X container for STILL
+    images: ALPH alpha plane (raw or VP8L-compressed, all four row
+    filters) composited with the VP8 base, or VP8L-with-alpha.  Output
+    gains the alpha channel (h, w, 4) exactly when the image carries
+    one; animation (ANIM/ANMF) stays refused by name."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    fourcc = payload[12:16]
+    if fourcc == b"VP8 ":
+        from setup_harvest_action_spark.functions.vp8_codec import (
+            decode_webp_lossy,
+            yuv_to_rgb,
+        )
+
+        return yuv_to_rgb(*decode_webp_lossy(payload))
+    if fourcc == b"VP8X":
+        if len(payload) < 30:
+            raise ValueError("truncated VP8X header")
+        flags = payload[20]
+        if flags & 0x02:
+            raise ValueError("unsupported WebP: animation")
+        has_alpha = bool(flags & 0x10)
+        canvas_w = 1 + int.from_bytes(payload[24:27], "little")
+        canvas_h = 1 + int.from_bytes(payload[27:30], "little")
+        alph = img = img_cc = None
+        for cc, data in _riff_chunks(payload):
+            if cc in (b"ANIM", b"ANMF"):
+                raise ValueError("unsupported WebP: animation")
+            if cc == b"ALPH" and alph is None:
+                alph = data
+            elif cc in (b"VP8 ", b"VP8L") and img is None:
+                img, img_cc = data, cc
+            # ICCP/EXIF/XMP are metadata — ignored
+        if img is None:
+            raise ValueError("VP8X container without an image chunk")
+        if img_cc == b"VP8L":
+            pixels, w, h, _ = _decode_vp8l_stream(img)
+            if (w, h) != (canvas_w, canvas_h):
+                raise ValueError("VP8X canvas/bitstream size mismatch")
+            return _argb_to_array(pixels, w, h, has_alpha)
+        from setup_harvest_action_spark.functions.vp8_codec import (
+            decode_vp8,
+            yuv_to_rgb,
+        )
+
+        y, u, v = decode_vp8(img)
+        h, w = y.shape
+        if (w, h) != (canvas_w, canvas_h):
+            raise ValueError("VP8X canvas/bitstream size mismatch")
+        rgb = yuv_to_rgb(y, u, v)
+        if alph is None:
+            return rgb
+        a = _decode_alpha_chunk(alph, w, h)
+        return np.dstack([rgb, a])
+    if fourcc != b"VP8L":
+        raise ValueError(f"unsupported WebP chunk {fourcc!r}")
+    (size,) = struct.unpack_from("<I", payload, 16)
+    stream = payload[20 : 20 + size]
+    pixels, w, h, alpha_hint = _decode_vp8l_stream(stream)
+    return _argb_to_array(pixels, w, h, bool(alpha_hint))
 
 
 # --- encoder ---------------------------------------------------------------------

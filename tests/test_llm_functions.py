@@ -1326,6 +1326,129 @@ def test_vp8_lossy_live_conformance_vs_libwebp():
         assert np.array_equal(rv, mv), (w, h, q)
 
 
+def test_webp_alpha_decode_matches_conformance_hashes():
+    """VP8X alpha stills (r13): every embedded fixture — real
+    libwebp-encoded containers spanning compressed/raw/lossy-quantized
+    alpha, all four ALPH row filters (two via hand-filtered chunks
+    libwebp itself also decodes), and VP8L-with-alpha — decodes to the
+    pinned md5 of its RGBA array.  Hashes were produced by a decoder
+    verified byte-exact against libwebp on 180 configurations
+    (tools/webp_alpha_ab.py): conformance, not self-consistency."""
+    import hashlib
+
+    from setup_harvest_action_spark.functions.webp_alpha_fixtures import (
+        WEBP_ALPHA_FIXTURES,
+        fixture_payload,
+    )
+    from setup_harvest_action_spark.functions.webp_codec import decode_webp
+
+    assert len(WEBP_ALPHA_FIXTURES) >= 7
+    for name, (_, w, h, digest) in WEBP_ALPHA_FIXTURES.items():
+        arr = decode_webp(fixture_payload(name))
+        assert arr.shape == (h, w, 4), name
+        assert hashlib.md5(arr.tobytes()).hexdigest() == digest, name
+    # at least one fixture must be genuinely transparent somewhere —
+    # otherwise the alpha surface isn't being exercised
+    arr = decode_webp(fixture_payload("alpha_shapes_q75"))
+    assert (arr[:, :, 3] < 255).any()
+
+
+def test_webp_alpha_live_conformance_vs_libwebp():
+    """When the system libwebp is present, re-verify byte-exactness on
+    FRESH RGBA encodes: the alpha plane must equal WebPDecodeRGBA's A
+    channel, the YUV planes must equal WebPDecodeYUV's, and lossless
+    RGBA must match in full (the tools/webp_alpha_ab.py contract)."""
+    import ctypes.util
+
+    if ctypes.util.find_library("webp") is None:
+        pytest.skip("libwebp not installed")
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    from tools.webp_alpha_ab import (
+        alpha_image,
+        encode_rgba,
+        encode_rgba_lossless,
+        run_case,
+        synth_vp8x_alpha,
+    )
+
+    fails = []
+    for kind in ("noise", "shapes"):
+        img = alpha_image(kind, 40, 33)
+        fails += run_case(encode_rgba(img, 75.0), f"{kind}-lossy")
+        fails += run_case(encode_rgba_lossless(img), f"{kind}-lossless")
+        for filt in (1, 2, 3):
+            fails += run_case(
+                synth_vp8x_alpha(img[:, :, :3], img[:, :, 3], filt),
+                f"{kind}-f{filt}",
+            )
+    assert not fails, fails
+
+
+def test_webp_vp8x_refusals_and_robustness():
+    """Animation refused BY NAME (flag and chunk), truncated headers
+    and planes raise structured errors, reserved ALPH bits refused —
+    a malformed container must never decode to garbage silently."""
+    from setup_harvest_action_spark.functions.webp_alpha_fixtures import (
+        fixture_payload,
+    )
+    from setup_harvest_action_spark.functions.webp_codec import (
+        _decode_alpha_chunk,
+        decode_webp,
+    )
+
+    good = fixture_payload("alpha_shapes_q75")
+    # animation flag set in the VP8X header
+    anim = bytearray(good)
+    anim[20] |= 0x02
+    with pytest.raises(ValueError, match="animation"):
+        decode_webp(bytes(anim))
+    # truncated VP8X header
+    with pytest.raises(ValueError, match="VP8X"):
+        decode_webp(b"RIFF\x08\x00\x00\x00WEBPVP8X")
+    # raw alpha plane shorter than w*h
+    with pytest.raises(ValueError, match="truncated raw alpha"):
+        _decode_alpha_chunk(bytes([0]) + b"\xff" * 10, 8, 8)
+    # reserved bits in the ALPH header
+    with pytest.raises(ValueError, match="reserved ALPH"):
+        _decode_alpha_chunk(bytes([0xC0]) + b"\x00" * 64, 8, 8)
+    # unknown compression method
+    with pytest.raises(ValueError, match="compression method"):
+        _decode_alpha_chunk(bytes([3]) + b"\x00" * 64, 8, 8)
+
+
+def test_webp_alpha_pipeline_rows_and_goldens(spark, queries):
+    """The catalog pipeline decodes all 200 docs; each row's rgba_md5
+    equals its fixture's conformance hash and the alpha stats match a
+    direct decode."""
+    import numpy as np
+
+    from setup_harvest_action_spark.functions.webp_alpha_fixtures import (
+        WEBP_ALPHA_FIXTURES,
+        fixture_payload,
+    )
+    from setup_harvest_action_spark.functions.webp_codec import decode_webp
+
+    out = queries["q_multimodal_webp_alpha_pipeline"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 200
+    names = sorted(WEBP_ALPHA_FIXTURES)
+    arrs = {n: decode_webp(fixture_payload(n)) for n in names}
+    import hashlib
+
+    for row in out:
+        n = names[row["doc_id"] % len(names)]
+        arr = arrs[n]
+        assert row["rgba_md5"] == hashlib.md5(arr.tobytes()).hexdigest()
+        assert row["width"] == arr.shape[1] and row["height"] == arr.shape[0]
+        a = arr[:, :, 3]
+        assert row["mean_a"] == round(float(a.mean()), 4)
+        assert row["opaque_frac"] == round(float((a == 255).mean()), 4)
+        assert row["mean_r"] == round(float(np.mean(arr[:, :, 0])), 4)
+
+
 def test_vp8_lossy_pipeline_rows_and_goldens(spark, queries):
     """The catalog pipeline decodes all 200 docs, each row's yuv_md5
     equals its fixture's conformance hash, and plane means are the
