@@ -94,6 +94,12 @@ HEADLINE = [
     # buy) is the BENCHNOTES r12 A/B.
     "q_similarity_pq_adc",
     "q_similarity_pq_adc_stored",
+    # round 13 (VERDICT r12 #3): price ONE decode pipeline round-over-
+    # round so the ~6k-line codec surface shows an Arrow-batching or
+    # plan regression as wall-clock, not as a judge's plan-read.  The
+    # lossy-VP8 pipeline is the heaviest decode path (full RFC 6386
+    # reconstruction per doc).
+    "q_multimodal_webp_lossy_pipeline",
 ]
 
 
@@ -129,6 +135,7 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    spread_pct: dict[str, float] = {}
     for name in names:
         # Cold pass (untimed): parquet footer reads, plan compilation,
         # codegen — fixed costs billed once per session, not per query.
@@ -138,7 +145,12 @@ def main() -> None:
             t0 = time.time()
             _materialize(queries[name](spark, sf_dir))
             runs.append(time.time() - t0)
-        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        med = sorted(runs)[len(runs) // 2]
+        timings[name] = round(med, 3)
+        # per-query spread makes round-over-round deltas readable:
+        # a delta inside the query's own spread is noise, not a plan
+        # change (BENCHNOTES r13 methodology).
+        spread_pct[name] = round(100.0 * (max(runs) - min(runs)) / med, 1)
         print(f"# {name}: median {timings[name]}s over {RUNS} runs "
               f"(all: {[round(r, 3) for r in runs]})", file=sys.stderr)
 
@@ -150,6 +162,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread_pct": spread_pct,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
