@@ -192,6 +192,7 @@ COPY (
 
 
 HOT_DST = "/tmp/spark_graft_skew_hotuser"
+ANN_DST = "/tmp/spark_graft_ann_skew"
 HOT_REPLICAS = 29  # plus the original = 30x events
 HOT_FRACTION = 35  # % of replica events collapsing onto HOT_USER
 HOT_PROBES = ["q_events_sessionize", "q_events_sessionize_salted"]
@@ -237,8 +238,245 @@ COPY (
     print(f"# generated hot-user fixture: {total} events, {hot} on user {HOT_USER}")
 
 
+def run_ann_probe() -> None:
+    """HOT-CENTROID mode (``--ann``, r13): the stored-ANN failure mode
+    file-level routing meets at 100 TB — a skewed corpus where ~60% of
+    all vectors fall in ONE IVF cell (and hash into one celebrity LSH
+    bucket per table), so a probe routed there admits the hot cell's
+    entire mass while the uniform case admits ~1/n_centroids.
+
+    Builds TWO 4× corpora from sf0.1 embeddings (uniform: per-replica
+    jitter keeps replicas near their original; hot: 60% of replicas
+    are micro-jitters of centroid 3's vector), commits stored IVF+PQ
+    and LSH indexes for both, and measures per probe:
+
+    * assignment histogram (max cell / mean cell),
+    * files admitted + rows scanned for the probed cells,
+    * LSH candidate volume for a probe inside the celebrity mass,
+    * search wall-clock hot vs uniform.
+
+    Escape hatch (named in SCALE.md §17): per-cell SUB-SPLIT on
+    admission count — when one cell's row share crosses a threshold
+    (observable from the same footer stats the routing reads), re-fit
+    sub-centroids for that cell only (a local k-means over one cell's
+    rows) or, cheaper, z-order-compact the cell across (centroid_id,
+    vec_id) into multiple files so the intra-cell scan parallelizes;
+    candidate caps (the MAX_SHINGLE_DF pattern) bound the ADC stage.
+    """
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from setup_harvest_action_spark.functions.ann_index import (
+        _ivf_assign_path,
+        _ivfpq_codes_path,
+        ivf_index_build,
+        ivfpq_index_build,
+        ivfpq_search,
+        lsh_index_build,
+        lsh_index_search,
+    )
+    from setup_harvest_action_spark.functions.similarity import (
+        IVF_CENTROIDS,
+        _as_double,
+    )
+    from setup_harvest_action_spark.session import get_spark
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        read_manifest,
+        scan_manifest,
+        select_files,
+    )
+
+    spark = get_spark("ann_skew_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet(os.path.join(SRC, "embeddings.parquet")).select(
+        "vec_id", _as_double().alias("v")
+    )
+    n_base = base.count()
+    hot_cent = 3  # the celebrity cell; centroids are vec_id < IVF_CENTROIDS
+    magnet = base.filter(F.col("vec_id") == hot_cent).first()["v"]
+    mag_lit = F.array(*[F.lit(float(c)) for c in magnet])
+
+    def corpus(hot: bool):
+        """4x replicas with fresh ids; in hot mode 60% of REPLICA rows
+        collapse onto micro-jitters of the magnet vector (originals —
+        including the centroid-defining first rows — stay put)."""
+        reps = []
+        for i in range(1, 4):
+            r = base.select(
+                (F.col("vec_id") + i * n_base).alias("vec_id"),
+                F.transform(
+                    F.col("v"), lambda x, j: x + F.lit(0.0007 * i)
+                ).alias("v"),
+            )
+            if hot:
+                jitter = (
+                    F.pmod(
+                        F.xxhash64(F.col("vec_id")), F.lit(1000)
+                    ).cast("double")
+                    / 1e6
+                )
+                r = r.select(
+                    "vec_id",
+                    F.when(
+                        F.col("vec_id") % 5 < 4,  # 80% of replicas = 60% of total
+                        F.transform(mag_lit, lambda x, j: x + jitter),
+                    )
+                    .otherwise(F.col("v"))
+                    .alias("v"),
+                )
+            reps.append(r)
+        out = base
+        for r in reps:
+            out = out.unionByName(r)
+        return out
+
+    for label, hot in (("uniform", False), ("hot-centroid", True)):
+        vecs = corpus(hot)
+        root = os.path.join(ANN_DST, label)
+        shutil.rmtree(root, ignore_errors=True)
+        ivf = os.path.join(root, "ivf")
+        ivfpq = os.path.join(root, "ivfpq")
+        lsh = os.path.join(root, "lsh")
+        ivf_index_build(spark, vecs, ivf, IVF_CENTROIDS)
+        ivfpq_index_build(
+            spark,
+            vecs.select("vec_id", F.col("v").alias("e")),
+            ivfpq,
+            IVF_CENTROIDS,
+        )
+        lsh_index_build(spark, vecs, lsh)
+
+        hist = {
+            r["centroid_id"]: r["n"]
+            for r in scan_manifest(spark, _ivf_assign_path(ivf))
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        mx = max(hist.values())
+        mean = sum(hist.values()) / len(hist)
+        m = read_manifest(_ivfpq_codes_path(ivfpq))
+        rows_hot = hist.get(hot_cent, 0)
+        files_hot = len(select_files(m, [("centroid_id", "=", hot_cent)]))
+        cold = min(hist, key=hist.get)
+        files_cold = len(select_files(m, [("centroid_id", "=", cold)]))
+        print(
+            f"{label}: cells max={mx} mean={mean:.0f} "
+            f"(max/mean {mx / mean:.1f}x); probe cell {hot_cent}: "
+            f"{rows_hot} rows / {files_hot} files admitted; "
+            f"cold cell {cold}: {hist[cold]} rows / {files_cold} files",
+            flush=True,
+        )
+
+        probe = vecs.filter(F.col("vec_id") == n_base + hot_cent).select(
+            F.col("v").alias("q")
+        )
+        t0 = _t.time()
+        ivfpq_search(
+            spark, ivfpq, probe,
+            vecs.select("vec_id", F.col("v").alias("e")),
+            nprobe=2, n_cand=200, top_k=10,
+        ).write.format("noop").mode("overwrite").save()
+        t_pq = _t.time() - t0
+        t0 = _t.time()
+        res = lsh_index_search(spark, lsh, vecs, 5, 10)
+        n_lsh = res.count()
+        # candidate volume = the pre-top-k join size; re-derive it
+        from setup_harvest_action_spark.functions.ann_index import (
+            _lsh_codes_path,
+        )
+
+        codes = scan_manifest(spark, _lsh_codes_path(lsh))
+        qc = codes.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "table_id", "code"
+        )
+        n_cand = (
+            codes.join(F.broadcast(qc), ["table_id", "code"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id")
+            .distinct()
+            .count()
+        )
+        t_lsh = _t.time() - t0
+        print(
+            f"{label}: ivfpq_search(hot probe) {t_pq:.1f}s; "
+            f"lsh candidates {n_cand} ({n_lsh} results) {t_lsh:.1f}s",
+            flush=True,
+        )
+
+        if hot:
+            # ESCAPE HATCH, measured: per-cell SUB-SPLIT — re-cluster
+            # the codes table on (centroid_id, vec_id) across more
+            # parts, so the hot cell spans several files (each footer
+            # still centroid-pure → admission stays cell-pruned) and
+            # the intra-cell scan parallelizes instead of landing on
+            # one giant file/task.
+            from setup_harvest_action_spark.sources.manifest_sink import (
+                auto_compact,
+            )
+
+            auto_compact(
+                spark,
+                _ivfpq_codes_path(ivfpq),
+                small_bytes=1 << 30,
+                n_parts=16,
+                zorder_by=["centroid_id", "vec_id"],
+            )
+            m2 = read_manifest(_ivfpq_codes_path(ivfpq))
+            files_hot2 = len(
+                select_files(m2, [("centroid_id", "=", hot_cent)])
+            )
+            files_cold2 = len(select_files(m2, [("centroid_id", "=", cold)]))
+            t0 = _t.time()
+            ivfpq_search(
+                spark, ivfpq, probe,
+                vecs.select("vec_id", F.col("v").alias("e")),
+                nprobe=2, n_cand=200, top_k=10,
+            ).write.format("noop").mode("overwrite").save()
+            print(
+                f"{label} after z-order sub-split compact: hot cell "
+                f"{files_hot2} files (cold {files_cold2}) — intra-cell "
+                f"scan parallelism {files_hot2}x; search "
+                f"{_t.time() - t0:.1f}s",
+                flush=True,
+            )
+            # purer variant: LEXICOGRAPHIC range sub-split on
+            # (centroid_id, vec_id) — files stay centroid-pure except
+            # at boundaries, so the hot cell parallelizes while cold
+            # cells keep 1-file admission
+            codes_df = scan_manifest(spark, _ivfpq_codes_path(ivfpq))
+            (
+                codes_df.repartitionByRange(16, "centroid_id", "vec_id")
+                .sortWithinPartitions("centroid_id", "vec_id")
+                .write.format("manifest_parquet")
+                .mode("overwrite")
+                .save(_ivfpq_codes_path(ivfpq))
+            )
+            m3 = read_manifest(_ivfpq_codes_path(ivfpq))
+            files_hot3 = len(
+                select_files(m3, [("centroid_id", "=", hot_cent)])
+            )
+            files_cold3 = len(select_files(m3, [("centroid_id", "=", cold)]))
+            t0 = _t.time()
+            ivfpq_search(
+                spark, ivfpq, probe,
+                vecs.select("vec_id", F.col("v").alias("e")),
+                nprobe=2, n_cand=200, top_k=10,
+            ).write.format("noop").mode("overwrite").save()
+            print(
+                f"{label} after range sub-split: hot cell "
+                f"{files_hot3} files (cold {files_cold3}); search "
+                f"{_t.time() - t0:.1f}s",
+                flush=True,
+            )
+
+
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a not in ("--regen", "--hot")]
+    argv = [a for a in sys.argv[1:] if a not in ("--regen", "--hot", "--ann")]
+    if "--ann" in sys.argv:
+        run_ann_probe()
+        return
     if "--hot" in sys.argv:
         if "--regen" in sys.argv or not os.path.isdir(HOT_DST):
             generate_hot()
