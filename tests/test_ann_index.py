@@ -583,3 +583,148 @@ def test_concurrent_appends_serialize_without_loss(spark, emb, index):
         for r in pq_encode(emb, fit_codebooks(emb)).collect()
     }
     assert stored == mono
+
+
+def test_ivfpq_takedown_under_churn(spark, emb, ivfpq):
+    """The PRODUCTION cadence, not the single steps: three interleaved
+    delete → append → z-order-compact cycles against the composed
+    index, pinning at every step that
+
+    (a) the stored content equals what a one-shot build of the CURRENT
+        corpus would store (churn is path-free), and search quality
+        holds (the stored top-10 recovers >= 6 of the exact-L2 top-10
+        under 3-of-8-cell probing — generous floor, measured higher),
+    (b) file count and admission selectivity return to (or below) the
+        post-append level after each compact, with strict-subset
+        admission restored,
+    (c) a deleted id NEVER reappears — not in the codes table, not in
+        any search, across the whole cycle (the takedown contract is
+        durable under later appends and rewrites, harvest.py:204's
+        cascade at index level).
+    """
+    import random as _random
+
+    from setup_harvest_action_spark.functions.ann_index import (
+        _ivfpq_codes_path,
+        ivfpq_index_append,
+        ivfpq_index_delete,
+        ivfpq_search,
+    )
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        auto_compact,
+        select_files,
+    )
+
+    # start from the fully-loaded index (fixture holds vec_id < SPLIT)
+    ivfpq_index_append(spark, emb.filter(F.col("vec_id") >= SPLIT), ivfpq)
+    path = _ivfpq_codes_path(ivfpq)
+
+    rng = _random.Random(4321)
+    fresh = {
+        i: [round(rng.uniform(-1.0, 1.0), 4) for _ in range(DIM)]
+        for i in range(1000, 1018)
+    }
+    current = {
+        r["vec_id"]: list(r["e"]) for r in emb.collect()
+    }
+    probe_vec = current[0]
+    probe = spark.createDataFrame(
+        [(probe_vec,)], "q ARRAY<DOUBLE>"
+    )
+    deleted: set[int] = set()
+
+    def corpus_df():
+        rows = [(i, v) for i, v in sorted(current.items())]
+        return spark.createDataFrame(rows, "vec_id BIGINT, e ARRAY<DOUBLE>")
+
+    def exact_top10():
+        def l2(v):
+            return sum((a - b) ** 2 for a, b in zip(v, probe_vec))
+
+        return [
+            i
+            for i, _ in sorted(
+                ((i, l2(v)) for i, v in current.items() if i != 0),
+                key=lambda t: (t[1], t[0]),
+            )[:10]
+        ]
+
+    def check(step: str):
+        stored = _ivfpq_map(spark, ivfpq)
+        mono = _ivfpq_monolithic(spark, corpus_df(), ivfpq)
+        assert stored == mono, step  # (a) churn is path-free
+        assert deleted.isdisjoint(stored), step  # (c) in the table
+        res = [
+            r["vec_id"]
+            for r in ivfpq_search(
+                spark, ivfpq, probe, corpus_df(),
+                nprobe=3, n_cand=80, top_k=10, exclude_vec_id=0,
+            ).collect()
+        ]
+        assert deleted.isdisjoint(res), step  # (c) in search
+        assert len(set(res) & set(exact_top10())) >= 6, step  # (a) recall
+
+    fresh_ids = sorted(fresh)
+    for cycle in range(3):
+        # DELETE two ids that are currently in the probe's top-10 —
+        # absence afterwards is then meaningful, not vacuous
+        top = [
+            r["vec_id"]
+            for r in ivfpq_search(
+                spark, ivfpq, probe, corpus_df(),
+                nprobe=3, n_cand=80, top_k=10, exclude_vec_id=0,
+            ).collect()
+        ]
+        victims = [int(v) for v in top[:2]]
+        ivfpq_index_delete(
+            spark,
+            spark.createDataFrame([(v,) for v in victims], "vec_id BIGINT"),
+            ivfpq,
+        )
+        for v in victims:
+            deleted.add(v)
+            current.pop(v)
+        check(f"cycle{cycle}-post-delete")
+
+        # APPEND a fresh batch (unclustered file spanning centroids)
+        batch = fresh_ids[cycle * 6 : cycle * 6 + 6]
+        for i in batch:
+            current[i] = fresh[i]
+        ivfpq_index_append(
+            spark,
+            spark.createDataFrame(
+                [(i, fresh[i]) for i in batch], "vec_id BIGINT, e ARRAY<DOUBLE>"
+            ),
+            ivfpq,
+        )
+        check(f"cycle{cycle}-post-append")
+        m_app = read_manifest(path)
+        admitted_app = sum(
+            len(select_files(m_app, [("centroid_id", "=", c)]))
+            for c in range(IVFPQ_CENTS)
+        )
+
+        # COMPACT: z-order on centroid_id restores routing selectivity
+        auto_compact(
+            spark, path, small_bytes=1 << 30, n_parts=4,
+            zorder_by=["centroid_id"],
+        )
+        check(f"cycle{cycle}-post-compact")
+        m_cmp = read_manifest(path)
+        admitted_cmp = sum(
+            len(select_files(m_cmp, [("centroid_id", "=", c)]))
+            for c in range(IVFPQ_CENTS)
+        )
+        # (b) selectivity back to/below post-append, file count bounded
+        # by the compaction's own n_parts (the fixture is all-small, so
+        # every file rewrites; at production sizes large files carry)
+        assert admitted_cmp <= admitted_app, cycle
+        assert len(m_cmp["files"]) <= 4, cycle
+        n_files = len(m_cmp["files"])
+        assert all(
+            len(select_files(m_cmp, [("centroid_id", "=", c)])) < n_files
+            for c in range(IVFPQ_CENTS)
+        ), cycle
+
+    assert len(deleted) == 6
+    assert read_manifest(path)["total_rows"] == N - 6 + 18
