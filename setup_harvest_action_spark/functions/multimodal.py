@@ -444,39 +444,60 @@ def _png_filter_row(ftype: int, cur, prev, channels: int):
 
 
 def _png_unfilter(raw: bytes, width: int, height: int, channels: int):
-    """Reconstruct scanlines from inflated filter-prefixed rows — the
-    decode-side inverse of ``_png_filter_row``.  Sub/Average/Paeth have
-    an intra-row left-neighbor dependency, so those rows reconstruct
-    sequentially (spec-faithful reference loop; a production hot path
-    hosts libpng/PIL in the same mapInPandas iterator)."""
+    """Back-compat wrapper: depth-8 unfilter over ``width*channels``
+    byte rows (the pre-r13 single-pass truecolor path)."""
+    out, _ = _png_unfilter_bytes(raw, 0, height, width * channels, channels)
+    return out
+
+
+def _png_unfilter_bytes(
+    raw: bytes, offset: int, n_rows: int, row_bytes: int, bpp: int
+):
+    """Reconstruct ``n_rows`` filter-prefixed scanlines of ``row_bytes``
+    bytes starting at ``offset`` — the decode-side inverse of
+    ``_png_filter_row``.  PNG filtering is defined on BYTES with a
+    ``bpp``-byte left step (``max(1, bits_per_pixel // 8)``), which is
+    what lets the same loop serve sub-byte palette/gray rows and
+    truecolor rows alike.  Sub/Average/Paeth have an intra-row
+    left-neighbor dependency, so those rows reconstruct sequentially
+    (spec-faithful reference loop; a production hot path hosts
+    libpng/PIL in the same mapInPandas iterator).  Returns
+    (ndarray[n_rows, row_bytes] uint8, next offset)."""
     import numpy as np
 
-    stride = width * channels
-    out = np.zeros((height, stride), dtype=np.uint8)
-    pos = 0
-    for y in range(height):
+    out = np.zeros((n_rows, row_bytes), dtype=np.uint8)
+    pos = offset
+    for y in range(n_rows):
+        if pos >= len(raw):
+            raise ValueError("truncated PNG image data")
         ftype = raw[pos]
         pos += 1
-        line = np.frombuffer(raw, np.uint8, count=stride, offset=pos).astype(
-            np.int32
+        if pos + row_bytes > len(raw):
+            raise ValueError("truncated PNG scanline")
+        line = np.frombuffer(
+            raw, np.uint8, count=row_bytes, offset=pos
+        ).astype(np.int32)
+        pos += row_bytes
+        prev = (
+            out[y - 1].astype(np.int32)
+            if y
+            else np.zeros(row_bytes, np.int32)
         )
-        pos += stride
-        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
         if ftype == 0:
             cur = line
         elif ftype == 2:  # Up: no left dependency, vectorized
             cur = (line + prev) % 256
         elif ftype in (1, 3, 4):
-            cur = np.zeros(stride, np.int32)
-            for x in range(stride):
-                a = int(cur[x - channels]) if x >= channels else 0
+            cur = np.zeros(row_bytes, np.int32)
+            for x in range(row_bytes):
+                a = int(cur[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
                 if ftype == 1:
                     rec = line[x] + a
                 elif ftype == 3:
                     rec = line[x] + (a + b) // 2
                 else:
-                    c = int(prev[x - channels]) if x >= channels else 0
+                    c = int(prev[x - bpp]) if x >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
@@ -485,7 +506,42 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int):
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = cur.astype(np.uint8)
-    return out
+    return out, pos
+
+
+def _png_unpack_samples(row, n_samples: int, depth: int):
+    """Unpack one unfiltered scanline's bytes into ``n_samples``
+    samples at bit ``depth`` (MSB-first within each byte, PNG §7.2)."""
+    import numpy as np
+
+    if depth == 8:
+        return row[:n_samples].astype(np.uint8)
+    shifts = np.arange(8 - depth, -1, -depth, dtype=np.uint16)
+    mask = (1 << depth) - 1
+    s = (row[:, None].astype(np.uint16) >> shifts[None, :]) & mask
+    return s.reshape(-1)[:n_samples].astype(np.uint8)
+
+
+def _png_pack_samples(vals, depth: int) -> bytes:
+    """Inverse of ``_png_unpack_samples`` (encode side)."""
+    import numpy as np
+
+    if depth == 8:
+        return vals.astype(np.uint8).tobytes()
+    per = 8 // depth
+    pad = (-len(vals)) % per
+    v = np.concatenate(
+        [vals.astype(np.uint16), np.zeros(pad, np.uint16)]
+    ).reshape(-1, per)
+    shifts = np.arange(8 - depth, -1, -depth, dtype=np.uint16)
+    return (v << shifts[None, :]).sum(axis=1).astype(np.uint8).tobytes()
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 def encode_png(width: int, height: int, rgb) -> bytes:
@@ -517,11 +573,22 @@ def encode_png(width: int, height: int, rgb) -> bytes:
 
 
 def decode_png(payload: bytes):
-    """Parse a PNG into ndarray[h, w, 3] uint8 — the real
-    compressed-image decode: chunk walk with CRC32 verification, IHDR
-    validation (8-bit, gray/RGB/RGBA, non-interlaced), multi-IDAT zlib
-    inflate, five-filter scanline reconstruction.  Grayscale expands
-    to 3 channels; RGBA drops alpha."""
+    """Parse a PNG into ndarray[h, w, 3|4] uint8 — the real
+    compressed-image decode: chunk walk with CRC32 verification,
+    multi-IDAT zlib inflate, five-filter scanline reconstruction.
+
+    r13 widens the accepted surface to what a web crawl actually
+    serves (conformance-gated byte-exact vs system libpng16,
+    tools/png_ab.py): PALETTE images (color type 3, PLTE, bit depths
+    1/2/4/8 — the icon/logo workhorse), grayscale at sub-byte depths
+    (1/2/4, scaled by bit replication exactly as libpng does),
+    gray+alpha (type 4), tRNS transparency for palette/gray/truecolor,
+    and ADAM7 INTERLACING for every supported type (7 sub-images, each
+    independently filtered, scattered into the output grid).  The
+    output gains the alpha channel (h, w, 4) exactly when the image
+    carries one (type 4/6 or a tRNS chunk) — the same contract as
+    ``webp_codec.decode_webp``.  16-bit depth stays refused by name
+    (rare in crawls; scaling conventions differ across decoders)."""
     import struct
     import zlib
 
@@ -530,6 +597,7 @@ def decode_png(payload: bytes):
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, idat, meta = 8, bytearray(), None
+    palette = trns = None
     while pos + 12 <= len(payload):
         size, tag = struct.unpack_from(">I4s", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
@@ -540,12 +608,29 @@ def decode_png(payload: bytes):
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or ctype not in (0, 2, 6) or comp or filt or interlace:
+            ok_depth = (
+                depth in (1, 2, 4, 8)
+                if ctype in (0, 3)
+                else depth == 8
+            )
+            if (
+                not ok_depth
+                or ctype not in (0, 2, 3, 4, 6)
+                or comp
+                or filt
+                or interlace not in (0, 1)
+            ):
                 raise ValueError(
                     f"unsupported PNG variant (depth={depth}, color={ctype}, "
                     f"interlace={interlace})"
                 )
-            meta = (w, h, ctype)
+            meta = (w, h, depth, ctype, interlace)
+        elif tag == b"PLTE":
+            if size % 3:
+                raise ValueError("PNG PLTE size not a multiple of 3")
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = bytes(body)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -553,16 +638,129 @@ def decode_png(payload: bytes):
         pos += 12 + size
     if meta is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT chunk")
-    w, h, ctype = meta
-    channels = {0: 1, 2: 3, 6: 4}[ctype]
-    img = _png_unfilter(zlib.decompress(bytes(idat)), w, h, channels).reshape(
-        h, w, channels
-    )
+    w, h, depth, ctype, interlace = meta
+    if ctype == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    bits_pp = depth * channels
+    bpp = max(1, bits_pp // 8)
+
+    raw = zlib.decompress(bytes(idat))
+    samples = np.zeros((h, w, channels), np.uint8)
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    off = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        row_bytes = (pw * bits_pp + 7) // 8
+        rows, off = _png_unfilter_bytes(raw, off, ph, row_bytes, bpp)
+        for i in range(ph):
+            vals = _png_unpack_samples(rows[i], pw * channels, depth)
+            samples[y0 + i * dy, x0::dx] = vals.reshape(pw, channels)
+
+    # color expansion + transparency (all conventions libpng-matched)
+    if ctype == 3:
+        idx = samples[:, :, 0]
+        if int(idx.max()) >= len(palette):
+            raise ValueError("PNG palette index out of range")
+        rgb = palette[idx]
+        if trns is None:
+            return rgb.copy()
+        a_tab = np.full(len(palette), 255, np.uint8)
+        a_tab[: len(trns)] = np.frombuffer(trns, np.uint8)
+        return np.dstack([rgb, a_tab[idx]])
     if ctype == 0:
-        return np.repeat(img, 3, axis=2)
-    if ctype == 6:
-        return img[:, :, :3].copy()
-    return img
+        g = samples[:, :, 0]
+        g8 = g * np.uint8(255 // ((1 << depth) - 1))
+        if trns is None:
+            return np.repeat(g8[:, :, None], 3, axis=2)
+        (tval,) = struct.unpack(">H", trns[:2])
+        a = np.where(g == tval, 0, 255).astype(np.uint8)
+        return np.dstack([g8, g8, g8, a])
+    if ctype == 2:
+        rgb = samples
+        if trns is None:
+            return rgb
+        tr, tg, tb = struct.unpack(">HHH", trns[:6])
+        hit = (
+            (rgb[:, :, 0] == tr) & (rgb[:, :, 1] == tg) & (rgb[:, :, 2] == tb)
+        )
+        return np.dstack([rgb, np.where(hit, 0, 255).astype(np.uint8)])
+    if ctype == 4:
+        g, a = samples[:, :, 0], samples[:, :, 1]
+        return np.dstack([g, g, g, a])
+    return samples  # ctype 6: RGBA as stored
+
+
+def encode_png_adv(
+    width: int,
+    height: int,
+    pixels,
+    ctype: int = 2,
+    depth: int = 8,
+    interlace: int = 0,
+    palette=None,
+    trns: bytes | None = None,
+) -> bytes:
+    """PNG emitter for the full decoder surface (fixture generation):
+    any supported color type / bit depth / interlace combination, with
+    optional PLTE/tRNS.  ``pixels`` carries SAMPLES — [h, w] indices or
+    gray values for types 0/3, [h, w, c] otherwise.  Rows cycle
+    through all five filter types (at the spec's byte-level ``bpp``
+    step), each Adam7 pass filtered independently, exactly the layout
+    ``decode_png`` reverses — and tools/png_ab.py pins that system
+    libpng decodes these emissions back to the source pixels, so the
+    emitter cannot share a convention bug with the decoder unnoticed
+    (the r12 zigzag lesson)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    px = np.asarray(pixels, np.uint8).reshape(height, width, channels)
+    bits_pp = depth * channels
+    bpp = max(1, bits_pp // 8)
+    raw = bytearray()
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        row_bytes = (pw * bits_pp + 7) // 8
+        prev = np.zeros(row_bytes, np.int32)
+        for i in range(ph):
+            vals = px[y0 + i * dy, x0::dx].reshape(-1)
+            cur = np.frombuffer(
+                _png_pack_samples(vals, depth).ljust(row_bytes, b"\x00"),
+                np.uint8,
+            ).astype(np.int32)
+            ftype = i % 5
+            raw.append(ftype)
+            raw.extend(
+                _png_filter_row(ftype, cur, prev, bpp)
+                .astype(np.uint8)
+                .tobytes()
+            )
+            prev = cur
+    out = _PNG_SIG + _png_chunk(
+        b"IHDR",
+        struct.pack(">IIBBBBB", width, height, depth, ctype, 0, 0, interlace),
+    )
+    if palette is not None:
+        out += _png_chunk(
+            b"PLTE", np.asarray(palette, np.uint8).reshape(-1).tobytes()
+        )
+    if trns is not None:
+        out += _png_chunk(b"tRNS", trns)
+    return (
+        out
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def synthesize_png(doc_id: int, width: int = IMG_W, height: int = IMG_H) -> bytes:
@@ -741,6 +939,97 @@ def q_multimodal_ppm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_resize,
         "doc_id long, width int, height int, mean_r double, mean_g double, "
         "mean_b double, thumb_md5 string",
+    )
+
+
+def synthesize_png_palette(doc_id: int, width: int = IMG_W, height: int = IMG_H) -> bytes:
+    """Deterministic PALETTE PNG per document: a doc-seeded 16-color
+    palette with two transparent/semi-transparent tRNS entries, 4-bit
+    indices, and Adam7 interlacing on odd doc_ids — every r13 decoder
+    path in one synthesizer."""
+    import numpy as np
+
+    n = width * height
+    idx = (
+        (np.uint64(doc_id * 131) + np.arange(n, dtype=np.uint64) * np.uint64(2654435761))
+        % 16
+    ).astype(np.uint8).reshape(height, width)
+    pal = (
+        (np.uint64(doc_id * 17 + 5) + np.arange(48, dtype=np.uint64) * np.uint64(40503))
+        % 256
+    ).astype(np.uint8).reshape(16, 3)
+    return encode_png_adv(
+        width, height, idx, ctype=3, depth=4,
+        interlace=doc_id % 2, palette=pal, trns=bytes([0, 160]),
+    )
+
+
+@query("q_multimodal_png_palette_pipeline")
+def q_multimodal_png_palette_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL image pipeline #10 — palette/interlaced PNG (r13), the
+    icon-and-logo half of the web's PNGs: synthesize a deterministic
+    16-color 4-bit-palette PNG per document (tRNS alpha entries; Adam7
+    interlacing on odd doc_ids), decode through ``decode_image_auto``
+    (palette lookup, sub-byte unpacking, per-pass unfiltering +
+    scatter), and emit RGBA features: per-channel means, transparent
+    fraction, interlace flag parity, and the RGBA md5.  The decode
+    path is byte-exact vs system libpng16 on 111 configurations
+    (tools/png_ab.py), so the per-doc hashes pin conformant output.
+    No oracle (binary ops are outside DuckDB); rows-only + conformance
+    pytest.
+
+    100 TB: decode is map-only over the corpus partitioning, Arrow-
+    batched two-stage mapInPandas like every decode pipeline; a decode
+    error quarantines the row (fixtures valid by construction)."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def make_images(batches: Iterator):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synthesize_png_palette(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def decode_features(batches: Iterator):
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "interlaced": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+                "transparent_frac": [], "rgba_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image_auto(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["interlaced"].append(bool(doc_id % 2))
+                out["mean_r"].append(round(float(img[:, :, 0].mean()), 4))
+                out["mean_g"].append(round(float(img[:, :, 1].mean()), 4))
+                out["mean_b"].append(round(float(img[:, :, 2].mean()), 4))
+                out["transparent_frac"].append(
+                    round(float((img[:, :, 3] < 255).mean()), 4)
+                )
+                out["rgba_md5"].append(hashlib.md5(img.tobytes()).hexdigest())
+            yield pd.DataFrame(out)
+
+    images = docs.select("doc_id").mapInPandas(
+        make_images, "doc_id long, payload binary"
+    )
+    return images.mapInPandas(
+        decode_features,
+        "doc_id long, width int, height int, interlaced boolean, "
+        "mean_r double, mean_g double, mean_b double, "
+        "transparent_frac double, rgba_md5 string",
     )
 
 

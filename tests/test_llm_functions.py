@@ -316,7 +316,9 @@ def test_png_codec_roundtrip_all_filters_and_variants():
     assert (out[:, :, 0] == gray[:, :, 0]).all()
     assert (out[:, :, 1] == out[:, :, 0]).all()
 
-    # RGBA (color type 6) drops alpha
+    # RGBA (color type 6) keeps alpha since r13 — output gains the
+    # alpha channel exactly when the image carries one (the
+    # decode_webp contract)
     rgba = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8)
     raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
     a_png = (
@@ -325,7 +327,7 @@ def test_png_codec_roundtrip_all_filters_and_variants():
         + _png_chunk(b"IDAT", zlib.compress(raw))
         + _png_chunk(b"IEND", b"")
     )
-    assert (decode_png(a_png) == rgba[:, :, :3]).all()
+    assert (decode_png(a_png) == rgba).all()
 
     # 16-bit depth refused (honest boundary, not silent garbage)
     deep = (
@@ -346,6 +348,155 @@ def test_png_codec_roundtrip_all_filters_and_variants():
     # the honest PIL stub
     with _pytest.raises(NotImplementedError, match="requires PIL"):
         decode_image_auto(b"\x00\x00\x00\x18ftypheic" + b"\x00" * 24)
+
+
+def test_png_palette_interlace_surface(spark=None):
+    """r13 PNG surface widening, fixture-level: palette (all depths),
+    sub-byte gray, gray+alpha, tRNS on palette/gray/RGB, and Adam7 —
+    our emitter round-trips through our decoder for every combination,
+    malformed variants refuse by name.  Byte-exact conformance vs
+    system libpng is the live test below + tools/png_ab.py."""
+    import numpy as np
+    import pytest as _pytest
+
+    from setup_harvest_action_spark.functions.multimodal import (
+        decode_png,
+        encode_png_adv,
+    )
+
+    rng = np.random.default_rng(42)
+    w, h = 19, 11
+    for interlace in (0, 1):
+        # palette RGB at every legal depth
+        for depth in (1, 2, 4, 8):
+            nc = min(1 << depth, 9)
+            cmap = rng.integers(0, 256, (nc, 3), np.uint8)
+            idx = rng.integers(0, nc, (h, w)).astype(np.uint8)
+            out = decode_png(
+                encode_png_adv(
+                    w, h, idx, ctype=3, depth=depth,
+                    interlace=interlace, palette=cmap,
+                )
+            )
+            assert out.shape == (h, w, 3)
+            assert (out == cmap[idx]).all(), (depth, interlace)
+        # palette + tRNS -> RGBA
+        cmap = rng.integers(0, 256, (6, 3), np.uint8)
+        idx = rng.integers(0, 6, (h, w)).astype(np.uint8)
+        out = decode_png(
+            encode_png_adv(
+                w, h, idx, ctype=3, depth=4, interlace=interlace,
+                palette=cmap, trns=bytes([0, 99]),
+            )
+        )
+        assert out.shape == (h, w, 4)
+        want_a = np.where(idx == 0, 0, np.where(idx == 1, 99, 255))
+        assert (out[:, :, 3] == want_a).all()
+        # gray+alpha
+        ga = rng.integers(0, 256, (h, w, 2), np.uint8)
+        out = decode_png(encode_png_adv(w, h, ga, ctype=4, interlace=interlace))
+        assert out.shape == (h, w, 4)
+        assert (out[:, :, 0] == ga[:, :, 0]).all()
+        assert (out[:, :, 3] == ga[:, :, 1]).all()
+        # sub-byte gray scales by bit replication
+        g = rng.integers(0, 4, (h, w)).astype(np.uint8)
+        out = decode_png(
+            encode_png_adv(w, h, g, ctype=0, depth=2, interlace=interlace)
+        )
+        assert (out[:, :, 0] == g * 85).all()
+
+    # refusals stay refusals
+    with _pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(
+            encode_png_adv(4, 3, np.zeros((3, 4), np.uint8), ctype=3, depth=8)
+        )
+    with _pytest.raises(ValueError, match="palette index out of range"):
+        decode_png(
+            encode_png_adv(
+                4, 3, np.full((3, 4), 5, np.uint8), ctype=3, depth=8,
+                palette=np.zeros((2, 3), np.uint8),
+            )
+        )
+
+
+def test_png_live_conformance_vs_libpng():
+    """When system libpng16 is present, verify byte-exactness on fresh
+    cases in BOTH directions: libpng-authored files (incl. real
+    colormap PNGs) decode identically in our decoder, and our
+    emitter's files decode back to the source pixels under libpng."""
+    import os
+
+    import numpy as np
+
+    if not os.path.exists("/usr/lib/x86_64-linux-gnu/libpng16.so.16"):
+        import pytest as _pytest
+
+        _pytest.skip("libpng16 not installed")
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    from setup_harvest_action_spark.functions.multimodal import (
+        encode_png_adv,
+    )
+    from tools.png_ab import (
+        _to_rgba,
+        encode_ref,
+        encode_ref_colormap,
+        run_case,
+    )
+
+    rng = np.random.default_rng(7)
+    w, h = 21, 13
+    rgb = rng.integers(0, 256, (h, w, 3), np.uint8)
+    rgba = rng.integers(0, 256, (h, w, 4), np.uint8)
+    fails = []
+    fails += run_case(encode_ref(rgb), "ref-rgb", _to_rgba(rgb))
+    fails += run_case(encode_ref(rgba), "ref-rgba", rgba)
+    cmap = rng.integers(0, 256, (16, 4), np.uint8)
+    idx = rng.integers(0, 16, (h, w)).astype(np.uint8)
+    fails += run_case(encode_ref_colormap(idx, cmap), "ref-cmap", cmap[idx])
+    for interlace in (0, 1):
+        fails += run_case(
+            encode_png_adv(w, h, rgba, ctype=6, interlace=interlace),
+            f"own-rgba-i{interlace}", rgba,
+        )
+        pcmap = rng.integers(0, 256, (7, 3), np.uint8)
+        pidx = rng.integers(0, 7, (h, w)).astype(np.uint8)
+        fails += run_case(
+            encode_png_adv(
+                w, h, pidx, ctype=3, depth=4, interlace=interlace,
+                palette=pcmap,
+            ),
+            f"own-pal-i{interlace}", _to_rgba(pcmap[pidx]),
+        )
+    assert not fails, fails
+
+
+def test_png_palette_pipeline_rows_and_goldens(spark, queries):
+    """The palette-PNG pipeline decodes all 200 docs; each row's
+    rgba_md5 and alpha stats match a direct decode of the same
+    deterministic fixture (which tools/png_ab.py pinned byte-exact
+    against libpng)."""
+    import hashlib
+
+    from setup_harvest_action_spark.functions.multimodal import (
+        decode_png,
+        synthesize_png_palette,
+    )
+
+    out = queries["q_multimodal_png_palette_pipeline"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 200
+    for row in out[:20] + out[-5:]:
+        img = decode_png(synthesize_png_palette(row["doc_id"]))
+        assert img.shape == (row["height"], row["width"], 4)
+        assert row["rgba_md5"] == hashlib.md5(img.tobytes()).hexdigest()
+        assert row["interlaced"] == bool(row["doc_id"] % 2)
+        assert row["transparent_frac"] == round(
+            float((img[:, :, 3] < 255).mean()), 4
+        )
+        assert row["transparent_frac"] > 0  # tRNS entries really used
 
 
 def test_png_pipeline_matches_ppm_and_bmp(spark, queries):
