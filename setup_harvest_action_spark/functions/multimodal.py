@@ -3763,9 +3763,20 @@ def _lzw_compress(indices, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+def _lzw_decompress(
+    data: bytes, min_code_size: int, n_out: int | None = None
+) -> bytes:
     """Inverse of _lzw_compress, including the KwKwK case (a code equal
-    to the next unassigned entry means w + w[0])."""
+    to the next unassigned entry means w + w[0]).
+
+    ``n_out`` (r13): stop as soon as that many bytes are decoded — the
+    ecosystem convention (giflib, browser decoders) and a REQUIREMENT
+    for interop, found by the giflib A/B (tools/gif_ab.py): after the
+    FINAL data code the encoder makes no dictionary insert, so a
+    decoder whose width bump is driven by table size can cross a width
+    boundary the encoder never crossed and misread the EOI code.  Real
+    decoders never depend on the EOI; with the pixel count known the
+    trailing code is irrelevant."""
     clear = 1 << min_code_size
     eoi = clear + 1
     pos = 0
@@ -3811,6 +3822,8 @@ def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
         else:
             raise ValueError(f"invalid GIF LZW code {code}")
         out.extend(entry)
+        if n_out is not None and len(out) >= n_out:
+            return bytes(out[:n_out])
         if prev is not None and len(table) < 4096:
             table.append(prev + entry[:1])
             if len(table) == (1 << width) and width < 12:
@@ -3840,12 +3853,29 @@ def encode_gif(width: int, height: int, gray) -> bytes:
     return bytes(out)
 
 
+def _gif_interlace_rows(height: int) -> list:
+    """Row order of an interlaced GIF's four passes (GIF89a Appendix E):
+    every 8th row from 0, every 8th from 4, every 4th from 2, every
+    2nd from 1."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
 def decode_gif(payload: bytes):
-    """Parse a GIF89a/87a into ndarray[h, w, 3] uint8 — the real LZW
-    decode: header + global color table, image descriptor,
-    sub-block-chained LZW stream, palette lookup.  Animation
-    (multiple images), interlacing and local color tables are refused
-    by name; extension blocks are skipped per spec."""
+    """Parse a GIF89a/87a into ndarray[h, w, 3|4] uint8 — the real LZW
+    decode: header + color tables, image descriptor, sub-block-chained
+    LZW stream, palette lookup.
+
+    r13 widens the accepted surface (conformance-gated vs system
+    giflib, tools/gif_ab.py): INTERLACED images (four-pass row
+    reorder), LOCAL color tables (per-image palette overriding the
+    global one), and Graphic-Control-Extension TRANSPARENCY (the
+    common web-GIF alpha: one palette index renders transparent) —
+    output gains the alpha channel (h, w, 4) exactly when a
+    transparent index is declared, the decode_png/decode_webp
+    contract.  Animation (multiple images) stays refused by name."""
     import struct
 
     import numpy as np
@@ -3864,12 +3894,19 @@ def decode_gif(payload: bytes):
         ).reshape(n, 3)
         pos += 3 * n
     seen_image = False
+    transparent = None
     while pos < len(payload):
         b = payload[pos]
         if b == 0x3B:  # trailer
             break
-        if b == 0x21:  # extension: skip sub-blocks
+        if b == 0x21:  # extension
+            label = payload[pos + 1]
             pos += 2
+            if label == 0xF9 and payload[pos] >= 4:
+                # Graphic Control Extension: transparency flag + index
+                gflags = payload[pos + 1]
+                if gflags & 0x01:
+                    transparent = payload[pos + 4]
             while payload[pos]:
                 pos += 1 + payload[pos]
             pos += 1
@@ -3881,11 +3918,17 @@ def decode_gif(payload: bytes):
         seen_image = True
         _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
         pos += 10
-        if iflags & 0x40:
-            raise ValueError("unsupported GIF: interlaced image")
-        if iflags & 0x80:
-            raise ValueError("unsupported GIF: local color table")
-        if palette is None:
+        interlaced = bool(iflags & 0x40)
+        table = palette
+        if iflags & 0x80:  # local color table overrides the global one
+            n = 2 << (iflags & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("GIF color table truncated")
+            table = np.frombuffer(
+                payload[pos : pos + 3 * n], np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
             raise ValueError("GIF missing a color table")
         min_code = payload[pos]
         pos += 1
@@ -3896,15 +3939,101 @@ def decode_gif(payload: bytes):
             pos += 1 + ln
         pos += 1
         indices = np.frombuffer(
-            _lzw_decompress(bytes(lzw), min_code), np.uint8
+            _lzw_decompress(bytes(lzw), min_code, n_out=w * h), np.uint8
         )
         if indices.size != w * h:
             raise ValueError(
                 f"GIF pixel count mismatch: {indices.size} != {w * h}"
             )
-        img = palette[indices.reshape(h, w)]
-        return img.astype(np.uint8)
+        idx = indices.reshape(h, w)
+        if interlaced:
+            grid = np.empty_like(idx)
+            grid[_gif_interlace_rows(h)] = idx
+            idx = grid
+        if int(idx.max()) >= len(table):
+            raise ValueError("GIF color index out of range")
+        # scan the remaining blocks: a second image descriptor means
+        # animation, which stays refused BY NAME (silently returning
+        # frame 1 would misreport multi-frame content as a still)
+        scan = pos
+        while scan < len(payload):
+            b2 = payload[scan]
+            if b2 == 0x3B:
+                break
+            if b2 == 0x2C:
+                raise ValueError(
+                    "unsupported GIF: multiple images (animation)"
+                )
+            if b2 == 0x21:
+                scan += 2
+                while scan < len(payload) and payload[scan]:
+                    scan += 1 + payload[scan]
+                scan += 1
+                continue
+            raise ValueError(f"unexpected GIF block 0x{b2:02x}")
+        img = table[idx].astype(np.uint8)
+        if transparent is None:
+            return img
+        a = np.where(idx == transparent, 0, 255).astype(np.uint8)
+        return np.dstack([img, a])
     raise ValueError("GIF contained no image")
+
+
+def encode_gif_adv(
+    width: int,
+    height: int,
+    indices,
+    palette,
+    interlace: bool = False,
+    local: bool = False,
+    transparent: int | None = None,
+) -> bytes:
+    """GIF89a emitter for the full decoder surface (fixture
+    generation): arbitrary palette (global or LOCAL), interlaced row
+    order, and a GCE transparent index.  tools/gif_ab.py pins that
+    system giflib decodes these emissions back to the source indices,
+    so the emitter cannot share a convention bug with the decoder."""
+    import math
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices, np.uint8).reshape(height, width)
+    pal = np.asarray(palette, np.uint8).reshape(-1, 3)
+    bits = max(1, math.ceil(math.log2(len(pal))))
+    size_field = max(bits, 1) - 1
+    n_entries = 2 << size_field
+    pal_bytes = np.vstack(
+        [pal, np.zeros((n_entries - len(pal), 3), np.uint8)]
+    ).tobytes()
+
+    out = bytearray(b"GIF89a")
+    if local:
+        out += struct.pack("<HHBBB", width, height, 0x00, 0, 0)
+    else:
+        out += struct.pack(
+            "<HHBBB", width, height, 0x80 | size_field, 0, 0
+        )
+        out += pal_bytes
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    iflags = (0x40 if interlace else 0) | (
+        (0x80 | size_field) if local else 0
+    )
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, iflags)
+    if local:
+        out += pal_bytes
+    if interlace:
+        idx = idx[_gif_interlace_rows(height)]
+    min_code = max(2, bits)
+    out.append(min_code)
+    lzw = _lzw_compress(bytes(idx.reshape(-1)), min_code)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def synthesize_gif(doc_id: int, width: int = IMG_W, height: int = IMG_H) -> bytes:

@@ -987,14 +987,93 @@ def test_gif_codec_lossless_roundtrip_and_refusals():
     blob = bytearray(synthesize_gif(1))
     with _pytest.raises(ValueError, match="truncated"):
         decode_gif(bytes(blob[:60]))
-    # interlace flag set on the image descriptor (fixed offset:
-    # 13-byte header + 768-byte global color table)
-    idesc = 13 + 768
-    assert blob[idesc] == 0x2C
-    hacked = bytearray(blob)
-    hacked[idesc + 9] |= 0x40
-    with _pytest.raises(ValueError, match="interlaced"):
-        decode_gif(bytes(hacked))
+    # animation (a second image descriptor) stays refused by name
+    # (r13 supports interlace/local palettes/transparency, not frames)
+    two = bytes(blob[:-1]) + bytes(blob[13 + 768 :])  # re-append image
+    with _pytest.raises(ValueError, match="animation"):
+        decode_gif(two)
+
+
+def test_gif_interlace_local_transparency_surface():
+    """r13 GIF surface widening: interlaced four-pass reorder, local
+    color tables, GCE transparency (RGBA out exactly when a
+    transparent index is declared) — emitter → decoder for every
+    combination, plus the spec's literal interlace row order."""
+    import numpy as np
+
+    from setup_harvest_action_spark.functions.multimodal import (
+        _gif_interlace_rows,
+        decode_gif,
+        encode_gif_adv,
+    )
+
+    # the spec's row order, pinned literally for h=10
+    assert _gif_interlace_rows(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+
+    rng = np.random.default_rng(11)
+    w, h = 21, 13
+    pal = rng.integers(0, 256, (16, 3), np.uint8)
+    idx = rng.integers(0, 16, (h, w)).astype(np.uint8)
+    for interlace in (False, True):
+        for local in (False, True):
+            out = decode_gif(
+                encode_gif_adv(
+                    w, h, idx, pal, interlace=interlace, local=local
+                )
+            )
+            assert out.shape == (h, w, 3), (interlace, local)
+            assert (out == pal[idx]).all(), (interlace, local)
+    # transparency: RGBA out, alpha 0 exactly at the declared index
+    out = decode_gif(
+        encode_gif_adv(w, h, idx, pal, interlace=True, transparent=3)
+    )
+    assert out.shape == (h, w, 4)
+    assert (out[:, :, :3] == pal[idx]).all()
+    assert (out[:, :, 3] == np.where(idx == 3, 0, 255)).all()
+
+
+def test_gif_live_conformance_vs_giflib():
+    """When system giflib is present: our emitter's files must decode
+    under giflib to the source index raster (DGifSlurp deinterlaces,
+    independently validating the four-pass reorder and the LZW layer —
+    which caught the r13 tail-width find: decoders must stop at pixel
+    count, never depend on a well-formed EOI code), and our decoder
+    must match giflib's output."""
+    import os
+
+    import numpy as np
+
+    if not os.path.exists("/usr/lib/x86_64-linux-gnu/libgif.so.7"):
+        import pytest as _pytest
+
+        _pytest.skip("giflib not installed")
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    from setup_harvest_action_spark.functions.multimodal import (
+        encode_gif_adv,
+    )
+    from tools.gif_ab import run_case
+
+    rng = np.random.default_rng(23)
+    w, h = 23, 14
+    fails = []
+    # n_colors=16 at this size is the exact tail-width regression case
+    for n_colors in (4, 16):
+        pal = rng.integers(0, 256, (n_colors, 3), np.uint8)
+        idx = rng.integers(0, n_colors, (h, w)).astype(np.uint8)
+        for interlace in (False, True):
+            for transparent in (None, 1):
+                fails += run_case(
+                    encode_gif_adv(
+                        w, h, idx, pal,
+                        interlace=interlace, local=interlace,
+                        transparent=transparent,
+                    ),
+                    f"c{n_colors}i{int(interlace)}t{transparent}",
+                    idx, pal, transparent,
+                )
+    assert not fails, fails
 
 
 def test_gif_pipeline_matches_ppm_red_channel(spark, queries):
