@@ -99,6 +99,7 @@ _DRIVER_PRIORITY = (
     "q_multimodal_jpeg_arith_pipeline",
     "q_multimodal_webp_alpha_pipeline",
     "q_multimodal_png_palette_pipeline",
+    "q_multimodal_tiff_pipeline",
     # (b) signed-zero sweep — repaired fail first, then the swept set:
     "q_window_rolling_corr",
     "q_window_period_over_period",
@@ -145,9 +146,8 @@ _DRIVER_PRIORITY = (
     "q_text_ngrams_udtf",
     "q_text_quality",
     "q_text_tfidf",
-    "q_text_token_estimate",
-    # q_text_token_stats + q_text_zscore_by_lang stay r06-stale;
-    # first in line for r14
+    # q_text_token_estimate + q_text_token_stats + q_text_zscore_by_lang
+    # stay r06-stale; first in line for r14
 )
 
 _loaded = False

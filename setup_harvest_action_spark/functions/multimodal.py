@@ -18,11 +18,18 @@ multi-scan spectral-selection × successive-approximation accumulation
 for SOF2 (r11) — and the T.81 Annex D adaptive binary arithmetic
 entropy decoder for SOF9 and progressive SOF10 (r12) — dequant +
 IDCT, YCbCr→RGB), GIF
-(LZW), and PCM WAV audio
-(RIFF chunk walk + FFT features).  ``decode_image`` remains the
+(LZW; r13 adds interlacing, local color tables, and GCE transparency,
+conformance-gated vs system giflib), baseline TIFF (r13,
+tiff_codec.py: strip layout, none/TIFF-LZW/Deflate/PackBits,
+predictor, palette/gray/RGB/RGBA, both byte orders — byte-exact vs
+system libtiff), and PCM WAV audio
+(RIFF chunk walk + FFT features).  PNG gained palette / gray+alpha /
+tRNS / sub-byte depths / Adam7 interlacing in r13, byte-exact vs
+system libpng16.  ``decode_image`` remains the
 honest PIL-gated fallback for formats outside those (e.g. HEIC) —
-lossless VP8L WebP is REAL since r11 (webp_codec.py) and lossy VP8
-key-frame WebP since r12 (vp8_codec.py, bit-exact vs libwebp) —
+lossless VP8L WebP is REAL since r11 (webp_codec.py), lossy VP8
+key-frame WebP since r12 (vp8_codec.py, bit-exact vs libwebp), and
+the VP8X extended container (ALPH alpha stills) since r13 —
 raising ``NotImplementedError`` when no library is present.
 The
 Spark-side plumbing — schema, Arrow batching, partitioning, UDF
@@ -797,6 +804,12 @@ def decode_image_auto(payload: bytes):
         )
 
         return decode_webp(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from setup_harvest_action_spark.functions.tiff_codec import (
+            decode_tiff,
+        )
+
+        return decode_tiff(payload)
     return decode_image(payload)
 
 
@@ -939,6 +952,104 @@ def q_multimodal_ppm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_resize,
         "doc_id long, width int, height int, mean_r double, mean_g double, "
         "mean_b double, thumb_md5 string",
+    )
+
+
+def synthesize_tiff(doc_id: int, width: int = IMG_W, height: int = IMG_H) -> bytes:
+    """Deterministic baseline TIFF per document, cycling the decoder
+    surface by doc_id: compression none/LZW/Deflate/PackBits (doc % 4),
+    horizontal-differencing predictor on the LZW/Deflate docs, RGB /
+    gray / palette / RGBA photometrics (doc % 4 again, offset), byte
+    order MM on odd docs, and a 3-strip layout — same pixel arithmetic
+    family as the other synthesizers."""
+    import numpy as np
+
+    from setup_harvest_action_spark.functions.tiff_codec import encode_tiff
+
+    n = width * height * 3
+    idx = np.arange(n, dtype=np.uint64)
+    vals = (
+        (np.uint64(doc_id * 31) + idx * np.uint64(2654435761)) % 256
+    ).astype(np.uint8).reshape(height, width, 3)
+    comp = (1, 5, 8, 32773)[doc_id % 4]
+    pred = 2 if comp in (5, 8) else 1
+    kind = (doc_id // 4) % 4
+    be = bool(doc_id % 2)
+    if kind == 0:  # RGB
+        return encode_tiff(vals, 2, comp, pred, big_endian=be,
+                           rows_per_strip=max(1, height // 3))
+    if kind == 1:  # grayscale (red channel)
+        return encode_tiff(vals[:, :, 0], 1, comp, pred, big_endian=be)
+    if kind == 2:  # palette: 16 doc-seeded colors
+        pal = (
+            (np.uint64(doc_id * 17 + 3)
+             + np.arange(48, dtype=np.uint64) * np.uint64(40503)) % 256
+        ).astype(np.uint8).reshape(16, 3)
+        pidx = (vals[:, :, 0] % 16).astype(np.uint8)
+        return encode_tiff(pidx, 3, comp, pred, palette=pal, big_endian=be)
+    # RGBA: alpha = green channel
+    rgba = np.dstack([vals, vals[:, :, 1]])
+    return encode_tiff(rgba, 2, comp, pred, big_endian=be)
+
+
+@query("q_multimodal_tiff_pipeline")
+def q_multimodal_tiff_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image pipeline #11 — baseline TIFF (r13), the 13th decode
+    family and the SECOND dictionary codec (TIFF-LZW: MSB-first codes,
+    early width change — pinned byte-exact against system libtiff on
+    218 configurations, tools/tiff_ab.py): each document gets a
+    deterministic TIFF cycling compression (none/LZW/Deflate/PackBits),
+    predictor, photometric (RGB/gray/palette/RGBA) and byte order;
+    decode through ``decode_image_auto`` (IFD walk, strip re-assembly,
+    per-compression inflate, predictor integration, colormap scaling)
+    and emit per-channel means, alpha presence, and the pixel md5.
+    Same two-stage Arrow-batched mapInPandas shape as every decode
+    pipeline.  No oracle (binary ops are outside DuckDB); rows-only +
+    conformance pytest.
+
+    100 TB: decode is map-only over the corpus partitioning; per-doc
+    cost bounded by pixel count; a decode error quarantines the row
+    (fixtures valid by construction)."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def make_images(batches: Iterator):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synthesize_tiff(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def decode_features(batches: Iterator):
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "has_alpha": [],
+                "mean_r": [], "mean_g": [], "mean_b": [], "px_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image_auto(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["has_alpha"].append(img.shape[2] == 4)
+                out["mean_r"].append(round(float(img[:, :, 0].mean()), 4))
+                out["mean_g"].append(round(float(img[:, :, 1].mean()), 4))
+                out["mean_b"].append(round(float(img[:, :, 2].mean()), 4))
+                out["px_md5"].append(hashlib.md5(img.tobytes()).hexdigest())
+            yield pd.DataFrame(out)
+
+    images = docs.select("doc_id").mapInPandas(
+        make_images, "doc_id long, payload binary"
+    )
+    return images.mapInPandas(
+        decode_features,
+        "doc_id long, width int, height int, has_alpha boolean, "
+        "mean_r double, mean_g double, mean_b double, px_md5 string",
     )
 
 

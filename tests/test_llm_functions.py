@@ -499,6 +499,140 @@ def test_png_palette_pipeline_rows_and_goldens(spark, queries):
         assert row["transparent_frac"] > 0  # tRNS entries really used
 
 
+def test_tiff_codec_surface_and_refusals():
+    """Baseline TIFF (r13): gray/RGB/RGBA/palette × none/LZW/Deflate/
+    PackBits × predictor × byte order round-trips exactly through the
+    emitter/decoder pair; TIFF-LZW conventions (MSB-first, early
+    change, mid-stream Clear) hold on a table-overflowing stream; the
+    refusal boundary raises by name.  Byte-exact conformance vs
+    system libtiff is the live test below + tools/tiff_ab.py (218
+    configurations)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from setup_harvest_action_spark.functions.tiff_codec import (
+        _tiff_lzw_compress,
+        _tiff_lzw_decompress,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(8)
+    for be in (False, True):
+        for comp in (1, 5, 8, 32773):
+            pred = 2 if comp in (5, 8) else 1
+            rgb = rng.integers(0, 256, (13, 21, 3), np.uint8)
+            assert np.array_equal(
+                decode_tiff(
+                    encode_tiff(rgb, 2, comp, pred, big_endian=be,
+                                rows_per_strip=5)
+                ),
+                rgb,
+            ), (be, comp)
+            g = rng.integers(0, 256, (9, 17), np.uint8)
+            out = decode_tiff(encode_tiff(g, 0, comp, pred, big_endian=be))
+            assert (out[:, :, 0] == 255 - g).all(), (be, comp)  # MinIsWhite
+            pal = rng.integers(0, 256, (16, 3), np.uint8)
+            idx = rng.integers(0, 16, (9, 17)).astype(np.uint8)
+            assert np.array_equal(
+                decode_tiff(
+                    encode_tiff(idx, 3, comp, pred, palette=pal,
+                                big_endian=be)
+                ),
+                pal[idx],
+            ), (be, comp)
+            rgba = rng.integers(0, 256, (9, 17, 4), np.uint8)
+            out = decode_tiff(encode_tiff(rgba, 2, comp, pred, big_endian=be))
+            assert out.shape == (9, 17, 4) and np.array_equal(out, rgba)
+
+    # LZW table overflow -> mid-stream Clear, exact recovery
+    d = bytes(rng.integers(0, 256, 120000, dtype=np.uint8))
+    assert _tiff_lzw_decompress(_tiff_lzw_compress(d), len(d)) == d
+
+    # refusals by name
+    with _pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"XXXX" + b"\x00" * 20)
+    with _pytest.raises(ValueError, match="BigTIFF"):
+        decode_tiff(b"II+\x00" + b"\x00" * 20)
+    good = bytearray(encode_tiff(np.zeros((4, 4, 3), np.uint8), 2, 1))
+    import struct as _struct
+
+    # flip compression tag to JPEG (7) in place
+    tif = bytes(good)
+    idx7 = tif.index(_struct.pack("<HHI", 259, 3, 1))
+    hacked = bytearray(tif)
+    hacked[idx7 + 8 : idx7 + 10] = _struct.pack("<H", 7)
+    with _pytest.raises(ValueError, match="compression 7"):
+        decode_tiff(bytes(hacked))
+
+
+def test_tiff_live_conformance_vs_libtiff():
+    """When system libtiff is present: libtiff-authored files (incl.
+    LZW + predictor — the convention anchor) must decode identically
+    in our decoder, and our emitter's files must decode back to source
+    pixels under libtiff."""
+    import os
+
+    import numpy as np
+
+    if not os.path.exists("/usr/lib/x86_64-linux-gnu/libtiff.so.6"):
+        import pytest as _pytest
+
+        _pytest.skip("libtiff not installed")
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    from setup_harvest_action_spark.functions.tiff_codec import encode_tiff
+    from tools.tiff_ab import _want_rgba, encode_ref, run_case
+
+    rng = np.random.default_rng(31)
+    w, h = 23, 15
+    rgb = rng.integers(0, 256, (h, w, 3), np.uint8)
+    pal = rng.integers(0, 256, (16, 3), np.uint8)
+    idx = rng.integers(0, 16, (h, w)).astype(np.uint8)
+    fails = []
+    for comp, pred in ((5, 2), (8, 2), (32773, 1), (1, 1)):
+        want = _want_rgba(rgb, 2, None)
+        fails += run_case(
+            encode_ref(rgb, 2, comp, pred, None, rows_per_strip=6),
+            f"ref-c{comp}", want,
+        )
+        for be in (False, True):
+            fails += run_case(
+                encode_tiff(rgb, 2, comp, pred, big_endian=be,
+                            rows_per_strip=6),
+                f"own-c{comp}-{'MM' if be else 'II'}", want,
+            )
+    fails += run_case(
+        encode_ref(idx, 3, 5, 1, pal), "ref-pal", _want_rgba(idx, 3, pal)
+    )
+    assert not fails, fails
+
+
+def test_tiff_pipeline_rows_and_goldens(spark, queries):
+    """The TIFF pipeline decodes all 200 docs; spot rows match a
+    direct decode of the same deterministic fixture, and all four
+    compressions + the RGBA photometric actually occur."""
+    import hashlib
+
+    from setup_harvest_action_spark.functions.multimodal import (
+        decode_image_auto,
+        synthesize_tiff,
+    )
+
+    out = queries["q_multimodal_tiff_pipeline"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 200
+    assert any(r["has_alpha"] for r in out)
+    assert sum(1 for r in out if r["has_alpha"]) == 200 // 16 * 4
+    for row in out[:16] + out[-4:]:
+        img = decode_image_auto(synthesize_tiff(row["doc_id"]))
+        assert img.shape[:2] == (row["height"], row["width"])
+        assert row["px_md5"] == hashlib.md5(img.tobytes()).hexdigest()
+        assert row["mean_r"] == round(float(img[:, :, 0].mean()), 4)
+
+
 def test_png_pipeline_matches_ppm_and_bmp(spark, queries):
     """The PNG pipeline must produce byte-identical statistics to the
     PPM and BMP pipelines (same pixel arithmetic, compressed
