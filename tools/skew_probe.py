@@ -48,8 +48,9 @@ Each probed query's own plan contract is what should absorb the skew:
 | q_events_interval_coverage_salted | time-chunk salt spreads the hot user; grouping-invariant two-phase merge (r9) |
 | q_late_supplier_blame | all joins keyed on the (non-hot) orderkey — growth must stay ~linear in volume (r9) |
 
-Usage:  python tools/skew_probe.py [--regen] [query ...]
-Results land in stdout; record them in BENCHNOTES.md.
+Usage:  python tools/skew_probe.py [--regen] [--hot] [--ann] [query ...]
+Results land in stdout; record them in BENCHNOTES.md.  ``--ann`` runs
+the r13 hot-centroid stored-ANN probe (see run_ann_probe).
 
 HOT-USER MODE (``--hot``, r10): the r9 probe showed salted
 sessionization TYING the plain form at a 330k-row hot user — per-task
