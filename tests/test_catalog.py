@@ -41,44 +41,47 @@ def test_every_oracle_has_a_query():
 
 def test_driver_window_covers_every_component():
     """The first DRIVER_WINDOW catalog entries (all the driver's
-    correctness gate ever records) must front the r12 rotation: ALL 39
-    never-driver-sampled entries (the VERDICT r11 #1 done-criterion —
-    zero never-sampled entries remain after this window lands) plus
-    the 11 stalest r06-cohort entries."""
+    correctness gate ever records) must front the r13 rotation: every
+    never-driver-sampled entry (the 3 r12-late additions plus this
+    round's own codec pipelines), the repaired q_window_rolling_corr
+    and the rest of the signed-zero sweep, then the stalest r06
+    cohort."""
     queries, _ = cat.load_catalog()
     window = list(queries)[: cat.DRIVER_WINDOW]
     assert len(cat._DRIVER_PRIORITY) <= cat.DRIVER_WINDOW
     assert list(cat._DRIVER_PRIORITY) == window[: len(cat._DRIVER_PRIORITY)]
     for name in (
-        # the r11 additions (stored/streaming ANN family first)
-        "q_similarity_pq_adc_stored",
-        "q_similarity_ann_lsh_stored",
-        "q_similarity_ann_ivf_stored",
-        "q_similarity_ivfpq_stored",
-        "q_stream_similarity_pq_index",
-        "q_dedup_substring_removal",
-        "q_quality_pii_typed_redact",
-        "q_multimodal_progressive_jpeg_pipeline",
-        "q_multimodal_webp_pipeline",
-        # representatives of the 30 r10-close stragglers
-        "q_agg_count_min_sketch",
-        "q_agg_benford",
-        "q_window_max_drawdown",
-        "q_events_kaplan_meier",
-        "q_source_manifest_clone",
-        "q_source_manifest_wap",
-        "q_text_novelty",
-        "q_multimodal_video_pipeline",
-        "q_sample_negative_pairs",
-        "q_quality_expectations",
-        "q_sql_recursive_cte",
-        "q_join_lateral_topn",
+        # never-driver-sampled (r12-late + r13 additions)
+        "q_similarity_pq_delete",
+        "q_multimodal_webp_lossy_pipeline",
+        "q_multimodal_jpeg_arith_pipeline",
+        "q_multimodal_webp_alpha_pipeline",
+        "q_multimodal_png_palette_pipeline",
+        "q_multimodal_tiff_pipeline",
+        # the signed-zero sweep (repaired fail first)
+        "q_window_rolling_corr",
+        "q_window_period_over_period",
+        "q_events_anomaly",
+        "q_events_seasonal_anomaly",
+        "q_events_autocorrelation",
+        "q_agg_statistics",
+        "q_agg_corr_matrix",
+        "q_agg_welch_ttest",
+        "q_scalar_array",
+        "q_text_zipf_fit",
+        "q_text_collocations",
+        "q_quality_robust_zscore",
+        "q_similarity_exact_topk",
+        "q_similarity_hybrid_rerank",
         # representatives of the stalest r06 cohort
-        "q_agg_incremental_rollup",
-        "q_dedup_embedding_cosine",
-        "q_graph_triangle_count",
-        "q_join_asof_tolerance",
-        "q_multimodal_bmp_pipeline",
+        "q_multimodal_features",
+        "q_quality_decontaminate",
+        "q_scd2_customer_segment",
+        "q_similarity_ann_lsh",
+        "q_stream_session_dynamic_gap",
+        "q_table_diff",
+        "q_text_bm25",
+        "q_text_tfidf",
     ):
         assert name in window, name
 

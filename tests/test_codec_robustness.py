@@ -18,6 +18,8 @@ from setup_harvest_action_spark.functions.multimodal import (
     synthesize_jpeg,
     synthesize_jpeg_progressive,
     synthesize_png,
+    synthesize_png_palette,
+    synthesize_tiff,
     synthesize_webp,
 )
 
@@ -63,13 +65,42 @@ def _blobs():
         "jpeg_arith_prog": fixture_pair("prog_photo_q75")[0],
         # 4:2:0 (r12): MCU-tiled layout under the same fuzz contract
         "jpeg_420": fixture_pair("sub420_photo_q75")[1],
+        # r13 surface: VP8X alpha still, palette/interlaced PNG with
+        # tRNS, interlaced GIF with local palette + transparency, and
+        # baseline TIFF (LZW + predictor, multi-strip)
+        "webp_alpha": _webp_alpha_blob(),
+        "png_palette": synthesize_png_palette(3),
+        "gif_surface": _gif_surface_blob(),
+        "tiff": synthesize_tiff(5),
     }
+
+
+def _webp_alpha_blob():
+    from setup_harvest_action_spark.functions.webp_alpha_fixtures import (
+        fixture_payload as _wa,
+    )
+
+    return _wa("alpha_shapes_q75")
+
+
+def _gif_surface_blob():
+    from setup_harvest_action_spark.functions.multimodal import (
+        encode_gif_adv,
+    )
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (16, 3), np.uint8)
+    idx = rng.integers(0, 16, (24, 33)).astype(np.uint8)
+    return encode_gif_adv(
+        33, 24, idx, pal, interlace=True, local=True, transparent=2
+    )
 
 
 @pytest.mark.parametrize(
     "fmt",
     ["jpeg", "progressive", "png", "webp", "webp_lossy", "jpeg_arith",
-     "jpeg_arith_prog", "jpeg_420"],
+     "jpeg_arith_prog", "jpeg_420", "webp_alpha", "png_palette",
+     "gif_surface", "tiff"],
 )
 def test_truncations_fail_cleanly_or_not_at_all(fmt):
     blob = _blobs()[fmt]
@@ -92,7 +123,8 @@ def test_truncations_fail_cleanly_or_not_at_all(fmt):
 @pytest.mark.parametrize(
     "fmt",
     ["jpeg", "progressive", "png", "webp", "webp_lossy", "jpeg_arith",
-     "jpeg_arith_prog", "jpeg_420"],
+     "jpeg_arith_prog", "jpeg_420", "webp_alpha", "png_palette",
+     "gif_surface", "tiff"],
 )
 def test_bitflips_never_hang_or_crash_uncleanly(fmt):
     blob = bytearray(_blobs()[fmt])
