@@ -235,11 +235,17 @@ def _read_ifd(payload: bytes, bo: str):
         base = off + 2 + 12 * i
         tag, typ, count = struct.unpack_from(bo + "HHI", payload, base)
         size = _TYPE_SIZES.get(typ, 1) * count
+        # a corrupt count can claim gigabytes; everything must fit the
+        # payload (guards the unpack format-string build too)
+        if size > len(payload):
+            raise ValueError("TIFF tag value larger than file")
         if size <= 4:
             raw = payload[base + 8 : base + 8 + size]
         else:
             (voff,) = struct.unpack_from(bo + "I", payload, base + 8)
             raw = payload[voff : voff + size]
+        if len(raw) < size:
+            raise ValueError("TIFF tag value out of range")
         if typ == 3:
             vals = struct.unpack(bo + "H" * count, raw)
         elif typ == 4:
