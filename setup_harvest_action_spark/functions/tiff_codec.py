@@ -278,14 +278,29 @@ def decode_tiff(payload: bytes):
     tags, _ = _read_ifd(payload, bo)
     if _T_TILE_WIDTH in tags or _T_TILE_LENGTH in tags:
         raise ValueError("unsupported TIFF: tiled layout")
-    w = tags[_T_WIDTH][0]
-    h = tags[_T_HEIGHT][0]
-    spp = tags.get(_T_SPP, (1,))[0]
+
+    def _int_tag(tag, default=None):
+        vals = tags.get(tag)
+        if vals is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        v = vals[0]
+        # a corrupt field TYPE parses as raw bytes — refuse, don't crash
+        if not isinstance(v, int):
+            raise ValueError(f"TIFF tag {tag} has a non-integer type")
+        return v
+
+    w = _int_tag(_T_WIDTH)
+    h = _int_tag(_T_HEIGHT)
+    spp = _int_tag(_T_SPP, 1)
     bits = tags.get(_T_BITS, (8,) * spp)
-    comp = tags.get(_T_COMPRESSION, (1,))[0]
-    photo = tags.get(_T_PHOTOMETRIC, (1,))[0]
-    planar = tags.get(_T_PLANAR, (1,))[0]
-    predictor = tags.get(_T_PREDICTOR, (1,))[0]
+    if not all(isinstance(b, int) for b in bits):
+        raise ValueError("TIFF BitsPerSample has a non-integer type")
+    comp = _int_tag(_T_COMPRESSION, 1)
+    photo = _int_tag(_T_PHOTOMETRIC, 1)
+    planar = _int_tag(_T_PLANAR, 1)
+    predictor = _int_tag(_T_PREDICTOR, 1)
     if planar != 1:
         raise ValueError("unsupported TIFF: planar configuration 2")
     if any(b != 8 for b in bits):
@@ -294,11 +309,17 @@ def decode_tiff(payload: bytes):
         raise ValueError(f"unsupported TIFF: photometric {photo}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF: predictor {predictor}")
-    rows_per_strip = tags.get(_T_ROWS_PER_STRIP, (h,))[0]
-    offsets = tags[_T_STRIP_OFFSETS]
-    counts = tags[_T_STRIP_COUNTS]
+    rows_per_strip = _int_tag(_T_ROWS_PER_STRIP, h)
+    if rows_per_strip <= 0:
+        raise ValueError("TIFF RowsPerStrip must be positive")
+    offsets = tags.get(_T_STRIP_OFFSETS)
+    counts = tags.get(_T_STRIP_COUNTS)
+    if offsets is None or counts is None:
+        raise ValueError("TIFF missing strip offsets/counts")
     if len(offsets) != len(counts):
         raise ValueError("TIFF strip offset/count mismatch")
+    if not all(isinstance(v, int) for v in offsets + counts):
+        raise ValueError("TIFF strip tags have a non-integer type")
 
     row_bytes = w * spp
     raw = bytearray()
