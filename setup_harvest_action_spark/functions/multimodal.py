@@ -1244,10 +1244,19 @@ def encode_wav(samples, rate: int = AUDIO_RATE) -> bytes:
 
 
 def decode_wav(payload: bytes):
-    """Parse a RIFF/WAVE payload into (rate, ndarray[int16]) — real
-    chunk-walking container parse in pure numpy/struct: validates the
-    PCM/mono/16-bit format chunk, then locates the data chunk wherever
-    it sits in the chunk list."""
+    """Parse a RIFF/WAVE payload into (rate, ndarray[int16] mono) —
+    real chunk-walking container parse in pure numpy/struct.
+
+    r13 widens the accepted surface to what crawled audio actually is:
+    PCM at 8 (unsigned), 16, 24 (packed), and 32 bits, IEEE float32/
+    float64 (codec 3), MULTI-CHANNEL (downmixed to mono by channel
+    mean — the corpus-pipeline convention), and WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE) with the PCM/float SubFormat ids.  Every width normalizes
+    to the int16 domain with the standard shifts (u8 -> (x-128)*256,
+    s24 -> x>>8, s32 -> x>>16, float -> clip*32767) so downstream
+    features see one scale; PCM widths and multi-channel frames are
+    oracled against the stdlib ``wave`` reader in tests.  Compressed
+    codecs (ADPCM, MP3-in-WAV, a-law/u-law) stay refused by name."""
     import struct
 
     import numpy as np
@@ -1255,21 +1264,69 @@ def decode_wav(payload: bytes):
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, rate, data = 12, None, None
+    codec = channels = bits = None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            codec, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
-            if codec != 1 or channels != 1 or bits != 16:
-                raise ValueError(
-                    f"unsupported WAV variant (codec={codec}, ch={channels}, bits={bits})"
-                )
+            codec, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if codec == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+                if len(body) < 26:
+                    raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE")
+                # the SubFormat GUID leads with the real codec id
+                (codec,) = struct.unpack_from("<H", body, 24)
         elif cid == b"data":
-            data = np.frombuffer(body, dtype="<i2")
+            data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if rate is None or data is None:
+    if rate is None or data is None or codec is None:
         raise ValueError("WAV missing fmt or data chunk")
-    return rate, data
+    if channels < 1:
+        raise ValueError("WAV with zero channels")
+    if codec == 1:  # integer PCM
+        if bits == 8:
+            x = (np.frombuffer(data, np.uint8).astype(np.int32) - 128) * 256
+        elif bits == 16:
+            x = np.frombuffer(
+                data[: len(data) - len(data) % 2], "<i2"
+            ).astype(np.int32)
+        elif bits == 24:
+            raw = np.frombuffer(data, np.uint8)
+            raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
+            x = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+            x = ((x ^ 0x800000) - 0x800000) >> 8  # sign-extend, rescale
+        elif bits == 32:
+            x = (
+                np.frombuffer(data[: len(data) - len(data) % 4], "<i4")
+                .astype(np.int64)
+                >> 16
+            ).astype(np.int32)
+        else:
+            raise ValueError(f"unsupported WAV variant (pcm bits={bits})")
+    elif codec == 3:  # IEEE float
+        if bits == 32:
+            f = np.frombuffer(
+                data[: len(data) - len(data) % 4], "<f4"
+            ).astype(np.float64)
+        elif bits == 64:
+            f = np.frombuffer(data[: len(data) - len(data) % 8], "<f8")
+        else:
+            raise ValueError(f"unsupported WAV variant (float bits={bits})")
+        x = np.round(np.clip(f, -1.0, 1.0) * 32767.0).astype(np.int32)
+    else:
+        raise ValueError(
+            f"unsupported WAV variant (codec={codec}, ch={channels}, "
+            f"bits={bits})"
+        )
+    if channels > 1:
+        x = x[: len(x) - len(x) % channels].reshape(-1, channels)
+        x = x.mean(axis=1).astype(np.int32)  # mono downmix
+    return rate, np.clip(x, -32768, 32767).astype(np.int16)
 
 
 def synthesize_wav(doc_id: int, n: int = AUDIO_N, rate: int = AUDIO_RATE) -> bytes:

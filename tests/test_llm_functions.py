@@ -499,6 +499,90 @@ def test_png_palette_pipeline_rows_and_goldens(spark, queries):
         assert row["transparent_frac"] > 0  # tRNS entries really used
 
 
+def test_wav_widths_channels_and_float_vs_stdlib_wave():
+    """r13 WAV widening: PCM 8/16/24/32-bit and stereo frames are
+    authored with the STDLIB ``wave`` writer (external convention
+    anchor) and must decode to the spec normalization; IEEE float and
+    WAVE_FORMAT_EXTENSIBLE round-trip from hand-built containers;
+    compressed codecs stay refused by name."""
+    import io
+    import struct
+    import wave as _wave
+
+    import numpy as np
+    import pytest as _pytest
+
+    from setup_harvest_action_spark.functions.multimodal import decode_wav
+
+    rng = np.random.default_rng(5)
+    n = 400
+
+    def author(sampwidth, channels, frames: bytes) -> bytes:
+        buf = io.BytesIO()
+        w = _wave.open(buf, "wb")
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(8000)
+        w.writeframes(frames)
+        w.close()
+        return buf.getvalue()
+
+    # 8-bit unsigned PCM
+    u8 = rng.integers(0, 256, n, dtype=np.uint8)
+    rate, out = decode_wav(author(1, 1, u8.tobytes()))
+    assert rate == 8000
+    assert (out == (u8.astype(np.int32) - 128) * 256).all()
+    # 16-bit
+    s16 = rng.integers(-32768, 32768, n).astype("<i2")
+    _, out = decode_wav(author(2, 1, s16.tobytes()))
+    assert (out == s16).all()
+    # 24-bit packed
+    s24 = rng.integers(-(1 << 23), 1 << 23, n).astype(np.int32)
+    frames = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in s24
+    )
+    _, out = decode_wav(author(3, 1, frames))
+    assert (out == (s24 >> 8)).all()
+    # 32-bit
+    s32 = rng.integers(-(1 << 31), 1 << 31 - 1, n).astype("<i4")
+    _, out = decode_wav(author(4, 1, s32.tobytes()))
+    assert (out == np.clip(s32.astype(np.int64) >> 16, -32768, 32767)).all()
+    # stereo downmix = channel mean
+    st = rng.integers(-30000, 30000, (n, 2)).astype("<i2")
+    _, out = decode_wav(author(2, 2, st.tobytes()))
+    assert (out == st.astype(np.int32).mean(axis=1).astype(np.int16)).all()
+
+    # IEEE float32 (codec 3), hand-built container
+    f = rng.uniform(-1.2, 1.2, n).astype("<f4")
+    body = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    wavf = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(body) + 8 + 4 * n) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(body)) + body
+        + b"data" + struct.pack("<I", 4 * n) + f.tobytes()
+    )
+    _, out = decode_wav(wavf)
+    want = np.round(np.clip(f.astype(np.float64), -1, 1) * 32767).astype(int)
+    assert (out == want).all()
+
+    # WAVE_FORMAT_EXTENSIBLE wrapping PCM 16
+    sub = struct.pack("<H", 1) + b"\x00\x00" + bytes(12)
+    bodyx = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+    bodyx += struct.pack("<HHI", 22, 16, 3) + sub[:16]
+    wavx = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(bodyx)) + bodyx
+        + b"data" + struct.pack("<I", 2 * n) + s16.tobytes()
+    )
+    _, out = decode_wav(wavx)
+    assert (out == s16).all()
+
+    # compressed codecs refused by name
+    bad = bytearray(wavf)
+    bad[20:22] = struct.pack("<H", 2)  # ADPCM
+    with _pytest.raises(ValueError, match="unsupported WAV"):
+        decode_wav(bytes(bad))
+
+
 def test_tiff_codec_surface_and_refusals():
     """Baseline TIFF (r13): gray/RGB/RGBA/palette × none/LZW/Deflate/
     PackBits × predictor × byte order round-trips exactly through the
