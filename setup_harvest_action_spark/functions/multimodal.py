@@ -1243,6 +1243,32 @@ def encode_wav(samples, rate: int = AUDIO_RATE) -> bytes:
     )
 
 
+def _g711_tables():
+    """G.711 expansion tables, int16 per coded byte — the exact
+    segment-companding formulas (mu-law: invert, 3-bit exponent,
+    4-bit mantissa, bias 0x84; A-law: XOR 0x55, audioop's positive-on-
+    sign-bit convention).  Pinned byte-for-byte against the CPython
+    ``audioop`` reference in tests."""
+    import numpy as np
+
+    ul = np.empty(256, np.int16)
+    al = np.empty(256, np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        s = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+        ul[b] = -s if (u & 0x80) else s
+        a = b ^ 0x55
+        exp = (a >> 4) & 7
+        mant = a & 0x0F
+        s = (((mant << 4) + 0x108) << (exp - 1)) if exp else ((mant << 4) + 8)
+        al[b] = s if (a & 0x80) else -s
+    return ul, al
+
+
+_G711_ULAW, _G711_ALAW = _g711_tables()
+
+
+
 def decode_wav(payload: bytes):
     """Parse a RIFF/WAVE payload into (rate, ndarray[int16] mono) —
     real chunk-walking container parse in pure numpy/struct.
@@ -1255,8 +1281,10 @@ def decode_wav(payload: bytes):
     to the int16 domain with the standard shifts (u8 -> (x-128)*256,
     s24 -> x>>8, s32 -> x>>16, float -> clip*32767) so downstream
     features see one scale; PCM widths and multi-channel frames are
-    oracled against the stdlib ``wave`` reader in tests.  Compressed
-    codecs (ADPCM, MP3-in-WAV, a-law/u-law) stay refused by name."""
+    oracled against the stdlib ``wave`` reader in tests.  G.711
+    A-law/mu-law (codecs 6/7 — telephony audio) expand through exact
+    companding tables pinned against the CPython ``audioop`` reference.
+    Compressed codecs (ADPCM, MP3-in-WAV) stay refused by name."""
     import struct
 
     import numpy as np
@@ -1318,6 +1346,9 @@ def decode_wav(payload: bytes):
         else:
             raise ValueError(f"unsupported WAV variant (float bits={bits})")
         x = np.round(np.clip(f, -1.0, 1.0) * 32767.0).astype(np.int32)
+    elif codec in (6, 7):  # G.711 A-law / mu-law (telephony; 8-bit)
+        table = _G711_ALAW if codec == 6 else _G711_ULAW
+        x = table[np.frombuffer(data, np.uint8)].astype(np.int32)
     else:
         raise ValueError(
             f"unsupported WAV variant (codec={codec}, ch={channels}, "

@@ -576,6 +576,35 @@ def test_wav_widths_channels_and_float_vs_stdlib_wave():
     _, out = decode_wav(wavx)
     assert (out == s16).all()
 
+    # G.711 mu-law / A-law (codecs 7 / 6): every byte value expands
+    # through the exact companding tables — pinned against the CPython
+    # audioop reference where available, and against embedded goldens
+    # always (audioop is removed in Python 3.13)
+    allb = bytes(range(256))
+    for codec, golden in ((7, (-32124, -31100, 32124, 31100)),
+                          (6, (-5504, -5248, 5504, 5248))):
+        bodyg = struct.pack("<HHIIHH", codec, 1, 8000, 8000, 1, 8)
+        wavg = (
+            b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(bodyg)) + bodyg
+            + b"data" + struct.pack("<I", 256) + allb
+        )
+        _, out = decode_wav(wavg)
+        assert out.shape == (256,)
+        assert (out[0], out[1], out[128], out[129]) == golden, codec
+        try:
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                import audioop
+
+            fn = audioop.ulaw2lin if codec == 7 else audioop.alaw2lin
+            ref = np.frombuffer(fn(allb, 2), "<i2")
+            assert (out == ref).all(), codec
+        except ImportError:
+            pass
+
     # compressed codecs refused by name
     bad = bytearray(wavf)
     bad[20:22] = struct.pack("<H", 2)  # ADPCM
