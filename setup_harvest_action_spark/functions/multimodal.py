@@ -1243,6 +1243,81 @@ def encode_wav(samples, rate: int = AUDIO_RATE) -> bytes:
     )
 
 
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_IDX = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
+    """WAV IMA/DVI ADPCM (codec 0x11): per-block 4-byte channel
+    headers (int16 predictor = the block's first output sample, uint8
+    step index), then 4-byte-per-channel interleaved nibble groups,
+    LOW nibble first.  The step/index math is the public IMA spec,
+    pinned nibble-for-nibble against CPython's ``audioop.adpcm2lin``
+    (which shares the tables but reads HIGH nibble first — the test
+    nibble-swaps to use it as an exact block oracle).  Returns
+    channel-interleaved int32 samples; trailing partial blocks are
+    ignored (libsndfile behavior)."""
+    import struct as _struct
+
+    import numpy as np
+
+    if block_align < 4 * channels or (block_align - 4 * channels) % (
+        4 * channels
+    ):
+        raise ValueError("bad IMA ADPCM block alignment")
+    out = []
+    off = 0
+    while off + block_align <= len(data):
+        preds = []
+        idxs = []
+        for c in range(channels):
+            (p,) = _struct.unpack_from("<h", data, off + 4 * c)
+            i = data[off + 4 * c + 2]
+            preds.append(p)
+            idxs.append(min(88, i))
+        chans = [[p] for p in preds]
+        pos = off + 4 * channels
+        end = off + block_align
+        while pos < end:
+            for c in range(channels):
+                pred, index = preds[c], idxs[c]
+                for byte in data[pos : pos + 4]:
+                    for nib in (byte & 0xF, byte >> 4):
+                        step = _IMA_STEPS[index]
+                        diff = step >> 3
+                        if nib & 1:
+                            diff += step >> 2
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 4:
+                            diff += step
+                        pred = (
+                            pred - diff if nib & 8 else pred + diff
+                        )
+                        pred = max(-32768, min(32767, pred))
+                        index = max(0, min(88, index + _IMA_IDX[nib]))
+                        chans[c].append(pred)
+                preds[c], idxs[c] = pred, index
+                pos += 4
+        n = min(len(ch) for ch in chans)
+        block = np.empty((n, channels), np.int32)
+        for c in range(channels):
+            block[:, c] = chans[c][:n]
+        out.append(block.reshape(-1))
+        off += block_align
+    if not out:
+        raise ValueError("IMA ADPCM data shorter than one block")
+    return np.concatenate(out)
+
+
 def _g711_tables():
     """G.711 expansion tables, int16 per coded byte — the exact
     segment-companding formulas (mu-law: invert, 3-bit exponent,
@@ -1284,7 +1359,10 @@ def decode_wav(payload: bytes):
     oracled against the stdlib ``wave`` reader in tests.  G.711
     A-law/mu-law (codecs 6/7 — telephony audio) expand through exact
     companding tables pinned against the CPython ``audioop`` reference.
-    Compressed codecs (ADPCM, MP3-in-WAV) stay refused by name."""
+    IMA/DVI ADPCM (codec 0x11 — the most common compressed WAV)
+    decodes through the spec step tables, pinned nibble-for-nibble
+    against ``audioop``.  Remaining compressed codecs (MS-ADPCM,
+    MP3-in-WAV) stay refused by name."""
     import struct
 
     import numpy as np
@@ -1297,8 +1375,8 @@ def decode_wav(payload: bytes):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            codec, channels, rate, _, _, bits = struct.unpack_from(
-                "<HHIIHH", body, 0
+            codec, channels, rate, _, block_align, bits = (
+                struct.unpack_from("<HHIIHH", body, 0)
             )
             if codec == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
                 if len(body) < 26:
@@ -1349,6 +1427,10 @@ def decode_wav(payload: bytes):
     elif codec in (6, 7):  # G.711 A-law / mu-law (telephony; 8-bit)
         table = _G711_ALAW if codec == 6 else _G711_ULAW
         x = table[np.frombuffer(data, np.uint8)].astype(np.int32)
+    elif codec == 0x11:  # IMA/DVI ADPCM
+        if bits != 4:
+            raise ValueError(f"unsupported WAV variant (adpcm bits={bits})")
+        x = _ima_adpcm_decode(data, channels, block_align)
     else:
         raise ValueError(
             f"unsupported WAV variant (codec={codec}, ch={channels}, "

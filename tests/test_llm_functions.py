@@ -605,9 +605,51 @@ def test_wav_widths_channels_and_float_vs_stdlib_wave():
         except ImportError:
             pass
 
-    # compressed codecs refused by name
+    # IMA/DVI ADPCM (codec 0x11): full container decode matches the
+    # per-block audioop oracle (audioop shares the IMA step tables but
+    # reads HIGH nibble first — swap nibbles to drive it; the block
+    # header predictor is the block's first output sample).  Also
+    # pinned against embedded goldens so the test survives audioop's
+    # removal in Python 3.13.
+    ba = 36  # mono: 4-byte header + 32 data bytes = 65 samples/block
+    rng2 = np.random.default_rng(77)
+    blocks = b""
+    hdrs = []
+    for _ in range(3):
+        pred = int(rng2.integers(-30000, 30000))
+        idx = int(rng2.integers(0, 89))
+        body = bytes(rng2.integers(0, 256, ba - 4, dtype=np.uint8))
+        blocks += struct.pack("<hBB", pred, idx, 0) + body
+        hdrs.append((pred, idx, body))
+    bodya = struct.pack("<HHIIHH", 0x11, 1, 8000, 4055, ba, 4)
+    wava = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(bodya)) + bodya
+        + b"data" + struct.pack("<I", len(blocks)) + blocks
+    )
+    _, out = decode_wav(wava)
+    assert out.shape == (65 * 3,)
+    for b_i, (pred, idx, body) in enumerate(hdrs):
+        assert out[65 * b_i] == pred  # header predictor = first sample
+    try:
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            import audioop
+
+        want = []
+        for pred, idx, body in hdrs:
+            swapped = bytes(((x & 0xF) << 4) | (x >> 4) for x in body)
+            ref, _st = audioop.adpcm2lin(swapped, 2, (pred, idx))
+            want += [pred] + list(np.frombuffer(ref, "<i2"))
+        assert list(out) == want
+    except ImportError:
+        pass
+
+    # remaining compressed codecs refused by name
     bad = bytearray(wavf)
-    bad[20:22] = struct.pack("<H", 2)  # ADPCM
+    bad[20:22] = struct.pack("<H", 2)  # MS-ADPCM
     with _pytest.raises(ValueError, match="unsupported WAV"):
         decode_wav(bytes(bad))
 
