@@ -22,8 +22,11 @@ IDCT, YCbCr→RGB), GIF
 conformance-gated vs system giflib), baseline TIFF (r13,
 tiff_codec.py: strip layout, none/TIFF-LZW/Deflate/PackBits,
 predictor, palette/gray/RGB/RGBA, both byte orders — byte-exact vs
-system libtiff), and PCM WAV audio
-(RIFF chunk walk + FFT features).  PNG gained palette / gray+alpha /
+system libtiff), and WAV audio
+(RIFF chunk walk + FFT features; r13: PCM 8/16/24/32-bit, IEEE float,
+multichannel downmix, EXTENSIBLE, G.711 A-law/mu-law, IMA ADPCM —
+integer widths oracled vs the stdlib ``wave`` writer, companding and
+ADPCM nibble-exact vs ``audioop``).  PNG gained palette / gray+alpha /
 tRNS / sub-byte depths / Adam7 interlacing in r13, byte-exact vs
 system libpng16.  ``decode_image`` remains the
 honest PIL-gated fallback for formats outside those (e.g. HEIC) —
