@@ -100,6 +100,7 @@ _DRIVER_PRIORITY = (
     "q_multimodal_webp_alpha_pipeline",
     "q_multimodal_png_palette_pipeline",
     "q_multimodal_tiff_pipeline",
+    "q_multimodal_audio_codecs_pipeline",
     # (b) signed-zero sweep — repaired fail first, then the swept set:
     "q_window_rolling_corr",
     "q_window_period_over_period",
@@ -141,13 +142,12 @@ _DRIVER_PRIORITY = (
     "q_stream_stream_join_outer",
     "q_table_diff",
     "q_text_bm25",
-    "q_text_fingerprint",
     "q_text_lang_profile",
     "q_text_ngrams_udtf",
     "q_text_quality",
     "q_text_tfidf",
-    # q_text_token_estimate + q_text_token_stats + q_text_zscore_by_lang
-    # stay r06-stale; first in line for r14
+    # q_text_fingerprint + q_text_token_estimate + q_text_token_stats +
+    # q_text_zscore_by_lang stay r06-stale; first in line for r14
 )
 
 _loaded = False

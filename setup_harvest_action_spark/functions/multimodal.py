@@ -1477,6 +1477,151 @@ def audio_features(rate: int, samples) -> dict:
     }
 
 
+def synthesize_wav_variant(doc_id: int, n: int = AUDIO_N, rate: int = AUDIO_RATE) -> bytes:
+    """Deterministic WAV cycling the r13 decoder surface by doc_id:
+    the same sine tone as ``synthesize_wav`` authored as PCM 8/16/24/
+    32-bit, IEEE float32, G.711 mu-law/A-law, or mono IMA ADPCM
+    (doc % 8), with stereo (identical channels) on doc % 3 == 0 for
+    the non-compressed codecs — pure arithmetic, platform-stable."""
+    import struct
+
+    import numpy as np
+
+    hz = 200 + (doc_id % 32) * 100
+    t = np.arange(n, dtype=np.float64) / rate
+    f = np.sin(2 * np.pi * hz * t) * 0.5
+    kind = doc_id % 8
+    stereo = (doc_id % 3 == 0) and kind < 5
+    ch = 2 if stereo else 1
+
+    def container(codec, bits, frames, block_align=None):
+        ba = block_align or (ch * max(1, bits // 8))
+        body = struct.pack("<HHIIHH", codec, ch, rate, rate * ba, ba, bits)
+        return (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(body) + 8 + len(frames))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(body)) + body
+            + b"data" + struct.pack("<I", len(frames)) + frames
+        )
+
+    def interleave(x):
+        return np.repeat(x, ch) if stereo else x
+
+    if kind == 0:  # PCM 16
+        x = interleave((f * 32767).astype("<i2"))
+        return container(1, 16, x.tobytes())
+    if kind == 1:  # PCM 8 unsigned
+        x = interleave((np.round(f * 127) + 128).astype(np.uint8))
+        return container(1, 8, x.tobytes())
+    if kind == 2:  # PCM 24 packed
+        v = interleave(np.round(f * (1 << 23) - (f < 0)).astype(np.int64))
+        frames = b"".join(int(s & 0xFFFFFF).to_bytes(3, "little") for s in v)
+        return container(1, 24, frames)
+    if kind == 3:  # PCM 32
+        x = interleave(np.round(f * ((1 << 31) - 1)).astype("<i4"))
+        return container(1, 32, x.tobytes())
+    if kind == 4:  # IEEE float32
+        x = interleave(f.astype("<f4"))
+        return container(3, 32, x.tobytes())
+    if kind in (5, 6):  # G.711 mu-law / A-law: nearest-code encode
+        table = _G711_ULAW if kind == 5 else _G711_ALAW
+        order = np.argsort(table)
+        target = np.round(f * 32767).astype(np.int32)
+        pos = np.searchsorted(table[order], target).clip(1, 255)
+        lo = order[pos - 1]
+        hi = order[np.minimum(pos, 255)]
+        pick = np.where(
+            np.abs(table[lo] - target) <= np.abs(table[hi] - target), lo, hi
+        ).astype(np.uint8)
+        return container(7 if kind == 5 else 6, 8, pick.tobytes())
+    # kind == 7: mono IMA ADPCM — greedy nibble encoder (the exact
+    # inverse search over the spec step table the decoder uses)
+    target = np.round(f * 32767).astype(np.int32)
+    ba = 256  # 4-byte header + 252 data bytes = 505 samples/block
+    spb = 1 + (ba - 4) * 2
+    frames = bytearray()
+    pos = 0
+    while pos + spb <= len(target):
+        pred = int(target[pos])
+        index = 0
+        frames += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for want in target[pos + 1 : pos + spb]:
+            best = None
+            for nib in range(16):
+                step = _IMA_STEPS[index]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                cand = pred - diff if nib & 8 else pred + diff
+                cand = max(-32768, min(32767, cand))
+                err = abs(cand - int(want))
+                if best is None or err < best[0]:
+                    best = (err, nib, cand)
+            _, nib, pred = best
+            index = max(0, min(88, index + _IMA_IDX[nib]))
+            nibbles.append(nib)
+        for j in range(0, len(nibbles), 2):
+            frames.append(nibbles[j] | (nibbles[j + 1] << 4))
+        pos += spb
+    return container(0x11, 4, bytes(frames), block_align=ba)
+
+
+@query("q_multimodal_audio_codecs_pipeline")
+def q_multimodal_audio_codecs_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL audio pipeline #2 (r13) — the codec matrix: each document's
+    sine tone is authored in one of eight WAV codings (PCM 8/16/24/32,
+    IEEE float32, G.711 mu-law/A-law, mono IMA ADPCM; stereo frames on
+    a third of the uncompressed docs), decoded through ``decode_wav``
+    (normalized int16 mono out), and analyzed with the same FFT
+    features as pipeline #1 — so the DOMINANT FREQUENCY must survive
+    every codec (lossy companding/ADPCM included), which the golden
+    test pins per doc.  The integer-PCM and companding paths are
+    oracled against stdlib ``wave``/``audioop`` elsewhere; this entry
+    carries the end-to-end Spark shape (two-stage Arrow-batched
+    mapInPandas, map-only, single scan).  No oracle (signal math is
+    outside DuckDB); rows-only + golden pytest."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def make_clips(batches: Iterator):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synthesize_wav_variant(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def decode_analyze(batches: Iterator):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = decode_wav(bytes(payload))
+                feats = audio_features(rate, samples)
+                feats["doc_id"] = doc_id
+                feats["codec_kind"] = int(doc_id % 8)
+                rows.append(feats)
+            yield pd.DataFrame(rows)
+
+    clips = docs.select("doc_id").mapInPandas(
+        make_clips, "doc_id long, payload binary"
+    )
+    return clips.mapInPandas(
+        decode_analyze,
+        "n_samples int, duration_ms double, rms double, peak int, "
+        "zero_crossings int, dominant_hz double, doc_id long, codec_kind int",
+    )
+
+
 @query("q_multimodal_audio_pipeline")
 def q_multimodal_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio pipeline — the third library-free decoder beside

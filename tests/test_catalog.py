@@ -58,6 +58,7 @@ def test_driver_window_covers_every_component():
         "q_multimodal_webp_alpha_pipeline",
         "q_multimodal_png_palette_pipeline",
         "q_multimodal_tiff_pipeline",
+        "q_multimodal_audio_codecs_pipeline",
         # the signed-zero sweep (repaired fail first)
         "q_window_rolling_corr",
         "q_window_period_over_period",

@@ -654,6 +654,35 @@ def test_wav_widths_channels_and_float_vs_stdlib_wave():
         decode_wav(bytes(bad))
 
 
+def test_audio_codecs_pipeline_rows_and_goldens(spark, queries):
+    """The codec-matrix audio pipeline decodes all 200 docs across the
+    eight WAV codings; the dominant frequency must survive every codec
+    (lossy companding/ADPCM included) and spot rows must match a
+    direct decode of the same deterministic clip."""
+    from setup_harvest_action_spark.functions.multimodal import (
+        audio_features,
+        decode_wav,
+        synthesize_wav_variant,
+    )
+
+    out = queries["q_multimodal_audio_codecs_pipeline"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 200
+    assert {r["codec_kind"] for r in out} == set(range(8))
+    for row in out:
+        hz_want = 200 + (row["doc_id"] % 32) * 100
+        assert abs(row["dominant_hz"] - hz_want) < 20, (
+            row["doc_id"], row["codec_kind"], row["dominant_hz"],
+        )
+    for row in out[:16]:
+        rate, samples = decode_wav(synthesize_wav_variant(row["doc_id"]))
+        feats = audio_features(rate, samples)
+        assert row["rms"] == feats["rms"]
+        assert row["n_samples"] == feats["n_samples"]
+        assert row["dominant_hz"] == feats["dominant_hz"]
+
+
 def test_tiff_codec_surface_and_refusals():
     """Baseline TIFF (r13): gray/RGB/RGBA/palette × none/LZW/Deflate/
     PackBits × predictor × byte order round-trips exactly through the
