@@ -81,73 +81,68 @@ _EXPECTED_MISSING: frozenset[str] = frozenset()
 DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = (
-    # ---- r13 rotation ----
-    # 50 slots = 3 + 14 + 33.  (a) the 3 entries that postdate the r12
-    # window commit and are therefore the only never-driver-sampled
-    # queries left; (b) the repaired q_window_rolling_corr (r12 hash
-    # fail: signed zero) plus the 13 other queries touched by the r13
-    # signed-zero sweep — their outputs changed (-0.0 folded to +0.0),
-    # so each needs a fresh driver row computed from the new
-    # definition; (c) the complete stalest cohort: all 33 entries whose
-    # newest driver row is r06.  After this window, the oldest rows
-    # are the r08 cohort.  Entries outside the window stay
-    # hash-verified by tools/verify_oracle.py + pytest every session.
-    # (a) never-driver-sampled (added after the r12 window committed,
-    #     plus this round's own VP8X-alpha pipeline):
-    "q_similarity_pq_delete",
-    "q_multimodal_webp_lossy_pipeline",
-    "q_multimodal_jpeg_arith_pipeline",
-    "q_multimodal_webp_alpha_pipeline",
-    "q_multimodal_png_palette_pipeline",
-    "q_multimodal_tiff_pipeline",
-    "q_multimodal_audio_codecs_pipeline",
-    # (b) signed-zero sweep — repaired fail first, then the swept set:
-    "q_window_rolling_corr",
-    "q_window_period_over_period",
-    "q_events_anomaly",
-    "q_events_seasonal_anomaly",
-    "q_events_autocorrelation",
-    "q_agg_statistics",
-    "q_agg_corr_matrix",
-    "q_agg_welch_ttest",
-    "q_scalar_array",
-    "q_text_zipf_fit",
-    "q_text_collocations",
-    "q_quality_robust_zscore",
-    "q_similarity_exact_topk",
-    "q_similarity_hybrid_rerank",
-    # (c) stalest cohort — every entry whose newest driver row is r06:
-    "q_multimodal_features",
-    "q_multimodal_frame_sample",
-    "q_multimodal_modality_mix",
-    "q_multimodal_thumbnail",
-    "q_pagination_keyset",
-    "q_parameterized_sql",
-    "q_quality_decontaminate",
-    "q_regex_filter",
-    "q_scalar_map",
-    "q_scalar_variant",
-    "q_scd2_customer_segment",
-    "q_similarity_ann_ivf",
-    "q_similarity_ann_lsh",
-    "q_source_csv_roundtrip",
-    "q_source_json_roundtrip",
-    "q_source_manifest_roundtrip",
-    "q_sparql_source_sim",
-    "q_sparql_stream",
-    "q_stream_session_dynamic_gap",
-    "q_stream_session_windows_append",
-    "q_stream_sliding_avg_append",
-    "q_stream_static_join",
-    "q_stream_stream_join_outer",
-    "q_table_diff",
-    "q_text_bm25",
-    "q_text_lang_profile",
-    "q_text_ngrams_udtf",
-    "q_text_quality",
-    "q_text_tfidf",
-    # q_text_fingerprint + q_text_token_estimate + q_text_token_stats +
-    # q_text_zscore_by_lang stay r06-stale; first in line for r14
+    # ---- r14 rotation ----
+    # 50 slots = 4 + 46: the complete staleness queue, exactly one
+    # window (the r13 verdict's #1 ask).  (a) the 4 entries whose
+    # newest driver row is r06 — the oldest rows in the catalog;
+    # (b) the complete 46-entry cohort whose newest driver row is r08.
+    # After this window commits, no catalog entry's newest driver row
+    # is older than r09.  Entries outside the window stay hash-verified
+    # by tools/verify_oracle.py + pytest every session.  New r14
+    # catalog entries (animated GIF/WebP pipelines) register after the
+    # priority list and queue for the r15 rotation.
+    # (a) r06-stale:
+    "q_text_fingerprint",
+    "q_text_token_estimate",
+    "q_text_token_stats",
+    "q_text_zscore_by_lang",
+    # (b) the complete r08 cohort:
+    "q_agg_equidepth_histogram",
+    "q_agg_heavy_hitters",
+    "q_dedup_containment",
+    "q_dedup_fuzzy_edit",
+    "q_dedup_incremental",
+    "q_events_cdc_apply",
+    "q_events_resample_interp",
+    "q_events_rfm",
+    "q_events_rolling_active_users",
+    "q_graph_bfs_distance",
+    "q_graph_pagerank",
+    "q_harvest_bucketed_rerun",
+    "q_join_anti",
+    "q_join_interval_banded",
+    "q_join_null_safe",
+    "q_join_overlap_intervals",
+    "q_join_salted_skew",
+    "q_join_semi",
+    "q_local_supplier_volume",
+    "q_multimodal_audio_pipeline",
+    "q_pipeline_corpus_prep",
+    "q_pipeline_entity_resolution",
+    "q_sample_balanced_classes",
+    "q_sample_exact_k",
+    "q_sample_pack_sequences",
+    "q_sample_weighted",
+    "q_sample_weighted_stratified",
+    "q_scalar_date",
+    "q_scalar_json",
+    "q_scalar_string",
+    "q_setop_except_all",
+    "q_setop_intersect",
+    "q_setop_union_by_name",
+    "q_similarity_pairs_threshold",
+    "q_source_manifest_stream_roundtrip",
+    "q_source_partitioned_roundtrip",
+    "q_sparql_datasource",
+    "q_stream_cdc_apply",
+    "q_stream_stateful_totals_append",
+    "q_text_entropy_pandas_udf",
+    "q_text_langid",
+    "q_text_minmax_scale_arrow",
+    "q_window_lag_lead",
+    "q_window_pareto_concentration",
+    "q_window_ranking",
+    "q_window_topk_per_group",
 )
 
 _loaded = False

@@ -41,48 +41,33 @@ def test_every_oracle_has_a_query():
 
 def test_driver_window_covers_every_component():
     """The first DRIVER_WINDOW catalog entries (all the driver's
-    correctness gate ever records) must front the r13 rotation: every
-    never-driver-sampled entry (the 3 r12-late additions plus this
-    round's own codec pipelines), the repaired q_window_rolling_corr
-    and the rest of the signed-zero sweep, then the stalest r06
-    cohort."""
+    correctness gate ever records) must front the r14 rotation: the
+    complete staleness queue — the 4 entries whose newest driver row
+    is r06 plus the complete 46-entry r08 cohort (exactly one window;
+    the r13 verdict's #1 ask).  After this window commits, no catalog
+    entry's newest driver row is older than r09."""
     queries, _ = cat.load_catalog()
     window = list(queries)[: cat.DRIVER_WINDOW]
     assert len(cat._DRIVER_PRIORITY) <= cat.DRIVER_WINDOW
     assert list(cat._DRIVER_PRIORITY) == window[: len(cat._DRIVER_PRIORITY)]
     for name in (
-        # never-driver-sampled (r12-late + r13 additions)
-        "q_similarity_pq_delete",
-        "q_multimodal_webp_lossy_pipeline",
-        "q_multimodal_jpeg_arith_pipeline",
-        "q_multimodal_webp_alpha_pipeline",
-        "q_multimodal_png_palette_pipeline",
-        "q_multimodal_tiff_pipeline",
-        "q_multimodal_audio_codecs_pipeline",
-        # the signed-zero sweep (repaired fail first)
-        "q_window_rolling_corr",
-        "q_window_period_over_period",
-        "q_events_anomaly",
-        "q_events_seasonal_anomaly",
-        "q_events_autocorrelation",
-        "q_agg_statistics",
-        "q_agg_corr_matrix",
-        "q_agg_welch_ttest",
-        "q_scalar_array",
-        "q_text_zipf_fit",
-        "q_text_collocations",
-        "q_quality_robust_zscore",
-        "q_similarity_exact_topk",
-        "q_similarity_hybrid_rerank",
-        # representatives of the stalest r06 cohort
-        "q_multimodal_features",
-        "q_quality_decontaminate",
-        "q_scd2_customer_segment",
-        "q_similarity_ann_lsh",
-        "q_stream_session_dynamic_gap",
-        "q_table_diff",
-        "q_text_bm25",
-        "q_text_tfidf",
+        # the 4 r06-stale text queries — oldest rows in the catalog
+        "q_text_fingerprint",
+        "q_text_token_estimate",
+        "q_text_token_stats",
+        "q_text_zscore_by_lang",
+        # representatives of the r08 cohort (the full 46 are pinned by
+        # the _DRIVER_PRIORITY == window prefix assertion above)
+        "q_graph_pagerank",
+        "q_pipeline_entity_resolution",
+        "q_sparql_datasource",
+        "q_stream_cdc_apply",
+        "q_sample_weighted_stratified",
+        "q_setop_except_all",
+        "q_join_salted_skew",
+        "q_window_topk_per_group",
+        "q_scalar_json",
+        "q_multimodal_audio_pipeline",
     ):
         assert name in window, name
 
