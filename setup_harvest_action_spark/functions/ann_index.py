@@ -810,6 +810,60 @@ def ivfpq_index_build(
     )
 
 
+def _leaf_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id): nearest LEAF cell, two-level-aware.
+
+    Plain centroids tables (no ``parent_id`` column — every index
+    until its first ``ivfpq_cell_refit``) fall through to
+    ``_ivf_assign`` unchanged.  After a refit the table carries child
+    rows (``parent_id`` = the split cell); assignment then routes
+    nearest TOP-LEVEL centroid first and, when that cell is split,
+    re-argmins among ITS children — both levels in ONE map-only pass
+    (top list + a parent→children map attach as two broadcast one-row
+    frames; no row ever shuffles for assignment).  Same metric and
+    tie-break as ``_ivf_assign`` (cosine, ties to the lower id) at
+    both levels."""
+    from setup_harvest_action_spark.functions.similarity import cosine
+
+    if "parent_id" not in cents.columns:
+        return _ivf_assign(vecs, cents)
+    top = cents.filter(F.col("parent_id").isNull()).select(
+        "centroid_id", "cv"
+    )
+    kids = cents.filter(F.col("parent_id").isNotNull())
+    one_top = top.agg(
+        F.collect_list(F.struct("centroid_id", "cv")).alias("cs")
+    )
+    one_kids = (
+        kids.groupBy("parent_id")
+        .agg(F.collect_list(F.struct("centroid_id", "cv")).alias("ks"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("parent_id", "ks"))
+            ).alias("kmap")
+        )
+    )
+
+    def _argmin(arr):
+        return F.array_min(
+            F.transform(
+                arr,
+                lambda s: F.struct(
+                    (-cosine(F.col("v"), s["cv"])).alias("neg"),
+                    s["centroid_id"].alias("centroid_id"),
+                ),
+            )
+        )["centroid_id"]
+
+    df = vecs.crossJoin(F.broadcast(one_top)).crossJoin(
+        F.broadcast(one_kids)
+    )
+    best_top = _argmin(F.col("cs"))
+    ks = F.col("kmap")[best_top]
+    leaf = F.when(ks.isNull(), best_top).otherwise(_argmin(ks))
+    return df.select("vec_id", leaf.alias("centroid_id"))
+
+
 def ivfpq_index_append(
     spark: SparkSession, new_emb: DataFrame, index_path: str
 ) -> dict:
@@ -822,6 +876,12 @@ def ivfpq_index_append(
     centroid-clustered layout still carries vec_id footer stats).
     Idempotent on rerun (harvest.py:292-299 at index level); concurrent
     appenders serialize under the CommitConflict retry.
+
+    Assignment is leaf-aware (``_leaf_assign``): on an index where a
+    celebrity cell has been split by ``ivfpq_cell_refit``, new vectors
+    route directly into the split cell's children — still one map-only
+    pass.  On never-split indexes this is byte-identical to the
+    original single-level assignment.
 
     The append trades clustering for latency: fresh files span many
     centroids, so probe admission degrades until
@@ -837,7 +897,7 @@ def ivfpq_index_append(
     cb = scan_manifest(spark, _codebooks_path(index_path))
     cents = scan_manifest(spark, _ivf_centroids_path(index_path))
     vecs = new_emb.select("vec_id", F.col("e").alias("v"))
-    codes = pq_encode(new_emb, cb).join(_ivf_assign(vecs, cents), "vec_id")
+    codes = pq_encode(new_emb, cb).join(_leaf_assign(vecs, cents), "vec_id")
     return _merge_with_retry(
         spark, _ivfpq_codes_path(index_path), codes, on=["vec_id"]
     )
@@ -882,28 +942,57 @@ def ivfpq_search(
     n_cand: int,
     top_k: int,
     exclude_vec_id: int | None = None,
+    sub_nprobe: int = 2,
 ) -> DataFrame:
-    """Two-level search: rank the stored centroids against the probe
+    """Routed search: rank the stored centroids against the probe
     (tiny — one job over n_centroids rows, the repo's bounded-collect
     class, like the bucket-id lists in harvest/bucketed.py), then ONE
     pruned scan per probed centroid — the manifest's centroid_id
     footer stats open only that cluster's files — ADC-score the
-    candidate codes, exact-rerank the top ``n_cand``."""
+    candidate codes, exact-rerank the top ``n_cand``.
+
+    TWO-LEVEL routing (hot-cell escape, SCALE.md §17): when a probed
+    top-level cell has been split by ``ivfpq_cell_refit`` (child rows
+    with ``parent_id`` in the centroids table), the probe expands to
+    the nearest ``sub_nprobe`` of ITS children instead of the whole
+    celebrity mass — admission drops from the split cell's entire row
+    share to ~share/n_sub per probed child.  The parent id stays in
+    the probe set (its scan is ~empty post-refit; it covers rows
+    written by an append that raced the refit's codes rewrite), so
+    routing is correct in every intermediate state.  Never-split
+    indexes take the single-level path unchanged."""
     from setup_harvest_action_spark.functions.similarity import cosine
     from setup_harvest_action_spark.sources.manifest_sink import (
         scan_manifest,
     )
 
     cents = scan_manifest(spark, _ivf_centroids_path(index_path))
+    two_level = "parent_id" in cents.columns
+    top = (
+        cents.filter(F.col("parent_id").isNull()) if two_level else cents
+    )
+    neg = (-cosine(F.col("cv"), F.col("q"))).alias("neg")
     ranked = (
-        cents.crossJoin(F.broadcast(probe_vec))
-        .select(
-            "centroid_id", (-cosine(F.col("cv"), F.col("q"))).alias("neg")
-        )
+        top.crossJoin(F.broadcast(probe_vec))
+        .select("centroid_id", neg)
         .orderBy("neg", "centroid_id")
         .limit(nprobe)
     )
     probe_ids = [r["centroid_id"] for r in ranked.collect()]  # nprobe ints
+    if two_level:
+        from pyspark.sql import Window as _W
+
+        w_kid = _W.partitionBy("parent_id").orderBy("neg", "centroid_id")
+        kid_rows = (  # bounded: ≤ (split cells probed) × n_sub rows
+            cents.filter(F.col("parent_id").isin([int(c) for c in probe_ids]))
+            .crossJoin(F.broadcast(probe_vec))
+            .select("parent_id", "centroid_id", neg)
+            .withColumn("rn", F.row_number().over(w_kid))
+            .filter(F.col("rn") <= sub_nprobe)
+            .select("centroid_id")
+            .collect()
+        )
+        probe_ids = probe_ids + [r["centroid_id"] for r in kid_rows]
     parts = [
         scan_manifest(
             spark,
@@ -954,6 +1043,317 @@ def ivfpq_search(
         .orderBy("exact_dist", "vec_id")
         .limit(top_k)
     )
+
+
+# --- Hot-cell local re-fit (two-level IVF) ---------------------------------------
+#
+# The structural escape SCALE.md §17 names for a persistent celebrity
+# cell: when one IVF cell accumulates a disproportionate row share
+# (60% in the measured probe — one probe scanned 5,033 of ~20k rows),
+# sub-splitting its FILES (z-order / range rewrite) parallelizes the
+# scan but every probe still reads the whole mass.  The fix is local:
+# k-means over THAT cell's members only, splitting it into
+# sub-centroids, rewriting only that cell's files — O(cell), never
+# O(index) — and giving routing a two-level lookup for split cells.
+# Entirely index-resident: member vectors are RECONSTRUCTED from their
+# own PQ codes (codebook lookup, the decode half of ADC), so the refit
+# reads zero corpus bytes; the same recurrence accepts raw vectors by
+# swapping the reconstruction for a corpus fetch when exactness of the
+# sub-centroids matters more than locality.
+
+
+def _reconstruct(
+    codes_df: DataFrame, cb: DataFrame, out_col: str = "e"
+) -> DataFrame:
+    """Decode PQ codes back to their centroid concatenation as a new
+    ``out_col`` beside the input columns — map-only (PQ_M one-row
+    codebook-map broadcasts, the exact lookup ADC scoring uses), no
+    corpus access, no shuffle."""
+    keep = codes_df.columns
+    df = codes_df
+    for m in range(PQ_M):
+        one = cb.filter(F.col("m") == m).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("cluster", "c"))
+            ).alias(f"rmap{m}")
+        )
+        df = df.crossJoin(F.broadcast(one))
+    rv = F.concat(
+        *[F.col(f"rmap{m}")[F.col("codes")[m]] for m in range(PQ_M)]
+    )
+    return df.select(*keep, rv.alias(out_col))
+
+
+def ivfpq_cell_shares(index_path: str) -> dict[int, float]:
+    """Per-cell row-share LOWER BOUNDS from manifest footer stats
+    alone — zero data files opened: a file whose centroid_id min==max
+    is cell-pure and its manifest row count attributes wholly to that
+    cell.  On a freshly built/compacted (centroid-clustered) table
+    nearly every file is pure, so the bound is tight exactly when the
+    maintenance decision matters.  This is the split TRIGGER: a cell
+    whose share crosses the deployment's threshold (the measured probe
+    used 0.25) goes to ``ivfpq_cell_refit``."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        read_manifest,
+    )
+
+    m = read_manifest(_ivfpq_codes_path(index_path))
+    total = sum(e["rows"] for e in m["files"]) or 1
+    shares: dict[int, float] = {}
+    for e in m["files"]:
+        st = (e.get("stats") or {}).get("centroid_id")  # [min, max]
+        if st and st[0] == st[1] and st[0] is not None:
+            cid = int(st[0])
+            shares[cid] = shares.get(cid, 0.0) + e["rows"] / total
+    return shares
+
+
+def ivfpq_cell_refit(
+    spark: SparkSession,
+    index_path: str,
+    centroid_id: int,
+    n_sub: int = 8,
+    iters: int = 2,
+    n_parts: int = 8,
+    retries: int = 5,
+    emb: DataFrame | None = None,
+) -> dict:
+    """LOCAL re-fit of one celebrity cell — the structural hot-cell
+    fix (SCALE.md §17): split cell ``centroid_id`` into ``n_sub``
+    sub-cells so probes admit ~1/n_sub of its mass instead of all of
+    it.  Three bounded steps, none corpus- or index-shaped:
+
+    1. FIT — Lloyd k-means (``_assign``/``_update``, the repo's
+       kmeans recurrence) over the CELL's members only, reconstructed
+       from their own PQ codes (``_reconstruct`` — the refit never
+       reads a raw vector).  Deterministic init: the cell's first
+       ``n_sub`` members by vec_id.  O(cell·iters).
+    2. COMMIT sub-centroids — child rows (fresh ids above the current
+       max, ``parent_id`` = the split cell) append to the centroids
+       table; existing rows null-fill ``parent_id``.  The parent row
+       STAYS as the router's first-level entry.  Committed BEFORE the
+       codes rewrite so searches in the intermediate state probe
+       parent (all rows still there) + children (empty) — correct at
+       every point.
+    3. REWRITE only the cell's files — the ``auto_compact`` commit
+       pattern: stats-admitted files (footer centroid range covers the
+       cell) re-read, the cell's rows re-argmined against the
+       sub-centroids INLINE (broadcast n_sub rows; same cosine /
+       ties-to-lower-id rule ``_leaf_assign`` applies to future
+       appends), passthrough rows byte-equal, everything else in the
+       table carried over BYTE-IDENTICAL.  One versioned commit under
+       the CommitConflict CAS (re-derived per retry).
+
+    Routing afterwards: ``ivfpq_search`` expands probed split cells to
+    their nearest ``sub_nprobe`` children; ``ivfpq_index_append``
+    assigns leaf-aware.  Takedown (``ivfpq_index_delete``) keys on
+    vec_id and is split-agnostic.  Placement note: members are
+    re-assigned from RECONSTRUCTIONS while future appends assign raw
+    vectors — placement near sub-cell boundaries is approximate (IVF
+    placement always is); recall is what the floor tests gate.
+
+    RECONSTRUCTION vs RAW (``emb``): the default fits on PQ
+    reconstructions — index-only, zero corpus bytes.  That fails on a
+    QUANTIZATION POINT-MASS: a celebrity cell of near-duplicate
+    vectors (jitter below the PQ step) reconstructs to ONE point and
+    no vector-space k-means can spread it (measured in
+    tools/skew_probe.py --ann: children [4801, 60, ...]).  Passing
+    ``emb`` (vec_id, e — the corpus) escalates to a RAW-vector refit:
+    member vectors come from an O(cell) pruned corpus fetch (a keyed
+    semi-join; at 100 TB the corpus table's vec_id clustering makes
+    this a file-pruned read, not a scan), sub-structure below the
+    quantization step becomes visible, and member placement is
+    EXACTLY what ``_leaf_assign`` gives future appends (no
+    reconstruction approximation).
+
+    By contract TWO-level: refitting a child (or re-splitting an
+    already-split parent) raises — a celebrity child is handled by
+    raising ``n_sub`` in a fresh refit after a rebuild, keeping the
+    router a single parent→children map."""
+    from setup_harvest_action_spark.functions.similarity import (
+        _assign,
+        _update,
+        cosine,
+    )
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        CommitConflict,
+        _read_entries,
+        _stage_parts,
+        _write_versioned,
+        read_manifest,
+        register_manifest_sink,
+        scan_manifest,
+        select_files,
+    )
+
+    register_manifest_sink(spark)
+    cid = int(centroid_id)
+    cents = scan_manifest(spark, _ivf_centroids_path(index_path))
+    if "parent_id" in cents.columns:
+        row = cents.filter(F.col("centroid_id") == cid).first()
+        if row is None:
+            raise ValueError(f"unknown centroid_id {cid}")
+        if row["parent_id"] is not None:
+            raise ValueError(f"cell {cid} is a child — two-level only")
+        if cents.filter(F.col("parent_id") == cid).limit(1).count():
+            raise ValueError(f"cell {cid} is already split")
+    else:
+        cents = cents.withColumn("parent_id", F.lit(None).cast("int"))
+    cb = scan_manifest(spark, _codebooks_path(index_path))
+
+    # 1. FIT on the cell's reconstructed members
+    from pyspark.sql import Window as _W
+
+    codes_path = _ivfpq_codes_path(index_path)
+    members = scan_manifest(
+        spark, codes_path, where=[("centroid_id", "=", cid)]
+    ).select("vec_id", "codes")
+    if emb is not None:
+        recon = emb.join(members.select("vec_id"), "vec_id").select(
+            "vec_id", "e"
+        )
+    else:
+        recon = _reconstruct(members, cb).select("vec_id", "e")
+    # Deterministic MASS-QUANTILE seeding: first-k-by-vec_id seeds
+    # collapse when a dominant sub-mass sits far from the first
+    # members (measured in the skew probe: one child swallowed
+    # 4816/5033 rows — k-means never recovers from one seed near the
+    # mass).  Seed one member at each norm QUANTILE of the cell's own
+    # distribution instead, so a celebrity sub-mass gets seeds in
+    # proportion to its rows — all O(cell): one map for norms, a
+    # distributed quantile sketch, one n_sub-keyed min_by agg.  Falls
+    # back to first-k when the norm is degenerate (all members
+    # equidistant from the origin).
+    nrm = F.sqrt(
+        F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    mem_n = recon.withColumn("nrm", nrm)
+    probs = [(2 * i + 1) / (2 * n_sub) for i in range(n_sub)]
+    qvals = mem_n.approxQuantile("nrm", probs, 0.001)
+    if len(set(qvals)) >= 2:
+        one_q = F.array(*[F.lit(float(q)) for q in qvals])
+        bucket = F.array_min(
+            F.transform(
+                one_q,
+                lambda q, i: F.struct(
+                    F.abs(F.col("nrm") - q).alias("d"), i.alias("i")
+                ),
+            )
+        )["i"]
+        seeds = (  # ≤ n_sub rows, the repo's bounded-collect class
+            mem_n.withColumn("b", bucket)
+            .groupBy("b")
+            .agg(
+                F.min_by(
+                    "e", F.struct(F.col("nrm"), F.col("vec_id"))
+                ).alias("c")
+            )
+            .orderBy("b")
+            .collect()
+        )
+        init = spark.createDataFrame(
+            [(i, [float(x) for x in r["c"]]) for i, r in enumerate(seeds)],
+            "cluster int, c array<double>",
+        )
+    else:
+        init = (
+            recon.orderBy("vec_id")
+            .limit(n_sub)
+            .select(
+                (F.row_number().over(_W.orderBy("vec_id")) - 1).alias(
+                    "cluster"
+                ),
+                F.col("e").alias("c"),
+            )
+        )
+    cent = init
+    for _ in range(iters):
+        cent = _update(_assign(recon, cent))
+    subs = cent.orderBy("cluster").collect()  # ≤ n_sub rows, bounded
+    if len(subs) < 2:
+        raise ValueError(f"cell {cid} has <2 distinct members; not split")
+
+    # 2. COMMIT sub-centroids (dense fresh ids, parent lineage)
+    base = int(cents.agg(F.max("centroid_id")).first()[0]) + 1
+    sub_rows = [
+        (base + i, [float(x) for x in r["c"]], cid)
+        for i, r in enumerate(subs)
+    ]
+    sub_df = spark.createDataFrame(
+        sub_rows, "centroid_id int, cv array<double>, parent_id int"
+    )
+    (
+        cents.unionByName(sub_df)
+        .coalesce(1)
+        .write.format("manifest_parquet")
+        .mode("overwrite")
+        .save(_ivf_centroids_path(index_path))
+    )
+
+    # 3. REWRITE only the cell's stats-admitted files
+    one_sub = sub_df.agg(
+        F.collect_list(F.struct("centroid_id", "cv")).alias("subs")
+    )
+    for attempt in range(retries):
+        m = read_manifest(codes_path)
+        admitted = select_files(m, [("centroid_id", "=", cid)])
+        names = {e["file"] for e in admitted}
+        keep = [e for e in m["files"] if e["file"] not in names]
+        df = _read_entries(spark, codes_path, m, admitted)
+        if emb is not None:
+            rdf = df.join(
+                emb.select("vec_id", F.col("e").alias("rv")),
+                "vec_id",
+                "left",
+            )
+        else:
+            rdf = _reconstruct(df, cb, out_col="rv")
+        best = F.array_min(
+            F.transform(
+                F.col("subs"),
+                lambda s: F.struct(
+                    F.round(-cosine(F.col("rv"), s["cv"]), 6).alias("neg"),
+                    s["centroid_id"].alias("centroid_id"),
+                ),
+            )
+        )["centroid_id"]
+        out = (
+            rdf.crossJoin(F.broadcast(one_sub))
+            .select(
+                "vec_id",
+                # rv is null only for a raw-mode member missing from
+                # the supplied corpus — such a row keeps the parent id
+                # (parent stays probed, so it remains reachable)
+                F.when(
+                    (F.col("centroid_id") == cid)
+                    & F.col("rv").isNotNull(),
+                    best,
+                )
+                .otherwise(F.col("centroid_id"))
+                .alias("centroid_id"),
+                "codes",
+            )
+            .repartitionByRange(n_parts, "centroid_id", "vec_id")
+            .sortWithinPartitions("centroid_id", "vec_id")
+        )
+        entries = _stage_parts(
+            out, codes_path, bloom_columns=m.get("bloom_columns") or ()
+        )
+        after = dict(m)
+        after["files"] = sorted(keep + entries, key=lambda e: e["file"])
+        after["total_rows"] = sum(e["rows"] for e in after["files"])
+        try:
+            _write_versioned(codes_path, after, expected_version=m["version"])
+            break
+        except CommitConflict:
+            if attempt == retries - 1:
+                raise
+    return {
+        "cell": cid,
+        "sub_ids": [r[0] for r in sub_rows],
+        "files_rewritten": len(admitted),
+        "files_kept": len(keep),
+    }
 
 
 @query("q_similarity_ivfpq_stored")

@@ -728,3 +728,257 @@ def test_ivfpq_takedown_under_churn(spark, emb, ivfpq):
 
     assert len(deleted) == 6
     assert read_manifest(path)["total_rows"] == N - 6 + 18
+
+
+def _leaf_monolithic(spark, emb, path):
+    """One-shot derivation under the LEAF-AWARE assignment — what a
+    fresh encode+assign of the current corpus against the stored
+    (two-level) centroids would store."""
+    from setup_harvest_action_spark.functions.ann_index import (
+        _codebooks_path,
+        _ivf_centroids_path,
+        _leaf_assign,
+        pq_encode,
+    )
+
+    cb = scan_manifest(spark, _codebooks_path(path))
+    cents = scan_manifest(spark, _ivf_centroids_path(path))
+    vecs = emb.select("vec_id", F.col("e").alias("v"))
+    full = pq_encode(emb, cb).join(_leaf_assign(vecs, cents), "vec_id")
+    return {
+        r["vec_id"]: (r["centroid_id"], list(r["codes"]))
+        for r in full.collect()
+    }
+
+
+def test_ivfpq_cell_refit_two_level(spark, emb, ivfpq):
+    """The structural hot-cell fix (SCALE.md §17): splitting one cell
+    into sub-cells must (1) rewrite ONLY that cell's stats-admitted
+    files — every other file entry survives byte-identical, (2) move
+    every member to a child (zero rows keep the parent id) WITHOUT
+    touching PQ codes, (3) keep search recall at the pinned floor
+    under two-level probing, (4) route subsequent appends leaf-aware
+    so the post-append table equals a one-shot leaf-assign derivation,
+    and (5) refuse child re-splits and double splits by contract."""
+    import pytest as _pytest
+
+    from setup_harvest_action_spark.functions.ann_index import (
+        _ivf_centroids_path,
+        _ivfpq_codes_path,
+        ivfpq_cell_refit,
+        ivfpq_cell_shares,
+        ivfpq_index_append,
+        ivfpq_search,
+    )
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        select_files,
+    )
+
+    path = _ivfpq_codes_path(ivfpq)
+    before = _ivfpq_map(spark, ivfpq)
+    m0 = read_manifest(path)
+    # exact per-cell counts pick the hot cell; the stats-derived
+    # trigger is a LOWER BOUND of these (empty when no file is
+    # centroid-pure, tight after a centroid-clustered rewrite)
+    from collections import Counter
+
+    counts = Counter(cid for cid, _ in before.values())
+    total = sum(counts.values())
+    hot = max(counts, key=lambda c: (counts[c], -c))
+    for cell, share in ivfpq_cell_shares(ivfpq).items():
+        assert share <= counts[cell] / total + 1e-9, cell
+    admitted0 = {e["file"] for e in select_files(m0, [("centroid_id", "=", hot)])}
+    untouched0 = {
+        e["file"]: (e["bytes"], e["rows"])
+        for e in m0["files"]
+        if e["file"] not in admitted0
+    }
+
+    res = ivfpq_cell_refit(spark, ivfpq, hot, n_sub=4)
+    assert res["files_rewritten"] == len(admitted0)
+
+    # (1) O(cell): non-admitted entries carried over byte-identical
+    m1 = read_manifest(path)
+    after_entries = {e["file"]: (e["bytes"], e["rows"]) for e in m1["files"]}
+    for f, sig in untouched0.items():
+        assert after_entries.get(f) == sig, f
+
+    # (2) members moved to children, codes untouched
+    cents = scan_manifest(spark, _ivf_centroids_path(ivfpq))
+    kids = {
+        r["centroid_id"]
+        for r in cents.filter(F.col("parent_id") == hot).collect()
+    }
+    assert res["sub_ids"] == sorted(kids) and len(kids) >= 2
+    after = _ivfpq_map(spark, ivfpq)
+    assert set(after) == set(before)
+    for vid, (cid, codes) in after.items():
+        assert codes == before[vid][1], vid  # PQ codes never change
+        if before[vid][0] == hot:
+            assert cid in kids, vid
+        else:
+            assert cid == before[vid][0], vid
+
+    # (3) recall floor under two-level probing (same floor style as
+    # the churn test: stored top-10 recovers >= 6 of exact-L2 top-10)
+    current = {r["vec_id"]: list(r["e"]) for r in emb.collect()
+               if r["vec_id"] < SPLIT}
+    probe_vec = current[0]
+    probe = spark.createDataFrame([(probe_vec,)], "q ARRAY<DOUBLE>")
+
+    def exact_top10():
+        def l2(v):
+            return sum((a - b) ** 2 for a, b in zip(v, probe_vec))
+
+        return [
+            i for i, _ in sorted(
+                ((i, l2(v)) for i, v in current.items() if i != 0),
+                key=lambda t: (t[1], t[0]),
+            )[:10]
+        ]
+
+    # sub_nprobe = n_sub (all children) must preserve the pre-split
+    # floor exactly: the probed mass is identical to pre-refit.  On
+    # this UNIFORM fixture the split cell's contents are random, so
+    # probing fewer children genuinely trades recall for admission —
+    # nearest-child probing is priced on HOT data (micro-jittered
+    # duplicates, where neighbors cluster) in tools/skew_probe.py --ann.
+    res10 = [
+        r["vec_id"]
+        for r in ivfpq_search(
+            spark, ivfpq, probe,
+            emb.filter(F.col("vec_id") < SPLIT),
+            nprobe=3, n_cand=80, top_k=10, exclude_vec_id=0,
+            sub_nprobe=4,
+        ).collect()
+    ]
+    assert len(set(res10) & set(exact_top10())) >= 6
+    # tighter sub-probing admits a strict subset of ADC candidates
+    narrow = [
+        r["vec_id"]
+        for r in ivfpq_search(
+            spark, ivfpq, probe,
+            emb.filter(F.col("vec_id") < SPLIT),
+            nprobe=3, n_cand=80, top_k=10, exclude_vec_id=0,
+            sub_nprobe=1,
+        ).collect()
+    ]
+    assert len(narrow) == 10  # still returns a full page
+
+    # (4) appends route leaf-aware: the appended batch lands exactly
+    # where a one-shot leaf assign of RAW vectors puts it.  Pre-refit
+    # members may sit one child off a raw-vector assignment near
+    # sub-cell boundaries — they were re-assigned from their PQ
+    # RECONSTRUCTIONS (the documented placement approximation) — but
+    # must still be inside the split cell's children.
+    ivfpq_index_append(spark, emb.filter(F.col("vec_id") >= SPLIT), ivfpq)
+    stored = _ivfpq_map(spark, ivfpq)
+    mono = _leaf_monolithic(spark, emb, ivfpq)
+    for vid in stored:
+        if vid >= SPLIT:
+            assert stored[vid] == mono[vid], vid
+        elif before[vid][0] == hot:
+            assert stored[vid][0] in kids and mono[vid][0] in kids, vid
+        else:
+            assert stored[vid] == mono[vid], vid
+    assert all(cid != hot for cid, _ in stored.values())
+
+    # (5) contract: no child re-split, no double split
+    with _pytest.raises(ValueError):
+        ivfpq_cell_refit(spark, ivfpq, res["sub_ids"][0], n_sub=2)
+    with _pytest.raises(ValueError):
+        ivfpq_cell_refit(spark, ivfpq, hot, n_sub=2)
+
+
+def test_ivfpq_takedown_inside_split_cell(spark, emb, ivfpq):
+    """Takedown/refit interaction (the r13 verdict's named gap): a
+    DELETE of ids living inside a SPLIT cell's children must remove
+    them from the table and from every subsequent two-level search,
+    and stay durable across a later append that routes into the same
+    children."""
+    from setup_harvest_action_spark.functions.ann_index import (
+        _ivfpq_codes_path,
+        ivfpq_cell_refit,
+        ivfpq_cell_shares,
+        ivfpq_index_append,
+        ivfpq_index_delete,
+        ivfpq_search,
+    )
+
+    from collections import Counter
+
+    counts = Counter(cid for cid, _ in _ivfpq_map(spark, ivfpq).values())
+    hot = max(counts, key=lambda c: (counts[c], -c))
+    res = ivfpq_cell_refit(spark, ivfpq, hot, n_sub=4)
+    # post-rewrite the refit's range-clustered files make the stats
+    # trigger observable again: every reported share is a true lower
+    # bound and children are visible
+    after_counts = Counter(
+        cid for cid, _ in _ivfpq_map(spark, ivfpq).values()
+    )
+    t = sum(after_counts.values())
+    for cell, share in ivfpq_cell_shares(ivfpq).items():
+        assert share <= after_counts[cell] / t + 1e-9, cell
+    kids = set(res["sub_ids"])
+    codes = scan_manifest(spark, _ivfpq_codes_path(ivfpq))
+    victims = sorted(
+        r["vec_id"]
+        for r in codes.filter(
+            F.col("centroid_id").isin([int(k) for k in kids])
+        ).select("vec_id").limit(3).collect()
+    )
+    assert victims, "split cell must have members"
+    ivfpq_index_delete(
+        spark,
+        spark.createDataFrame([(int(v),) for v in victims], "vec_id BIGINT"),
+        ivfpq,
+    )
+
+    def assert_gone(step):
+        live = set(_ivfpq_map(spark, ivfpq))
+        assert live.isdisjoint(victims), step
+        probe = (
+            emb.filter(F.col("vec_id") == victims[0])
+            .select(F.col("e").alias("q"))
+        )
+        hits = [
+            r["vec_id"]
+            for r in ivfpq_search(
+                spark, ivfpq, probe, emb,
+                nprobe=3, n_cand=80, top_k=10,
+            ).collect()
+        ]
+        assert set(hits).isdisjoint(victims), step
+
+    assert_gone("post-delete")
+    ivfpq_index_append(spark, emb.filter(F.col("vec_id") >= SPLIT), ivfpq)
+    assert_gone("post-append")
+    # the parent id never resurfaces either
+    assert all(
+        cid != hot for cid, _ in _ivfpq_map(spark, ivfpq).values()
+    )
+
+
+def test_ivfpq_cell_refit_raw_mode_exact_placement(spark, emb, ivfpq):
+    """Raw-vector refit (``emb`` passed — the quantization-point-mass
+    escalation): member placement must be EXACTLY the leaf assignment
+    future appends get (no reconstruction approximation), so the whole
+    table equals the one-shot leaf-assign derivation, pre-refit
+    members included."""
+    from collections import Counter
+
+    from setup_harvest_action_spark.functions.ann_index import (
+        ivfpq_cell_refit,
+        ivfpq_index_append,
+    )
+
+    before = _ivfpq_map(spark, ivfpq)
+    counts = Counter(cid for cid, _ in before.values())
+    hot = max(counts, key=lambda c: (counts[c], -c))
+    ivfpq_cell_refit(spark, ivfpq, hot, n_sub=4, emb=emb)
+    stored = _ivfpq_map(spark, ivfpq)
+    assert stored == _leaf_monolithic(
+        spark, emb.filter(F.col("vec_id") < SPLIT), ivfpq
+    )
+    ivfpq_index_append(spark, emb.filter(F.col("vec_id") >= SPLIT), ivfpq)
+    assert _ivfpq_map(spark, ivfpq) == _leaf_monolithic(spark, emb, ivfpq)

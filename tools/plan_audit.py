@@ -27,7 +27,87 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
-def audit_plan(df) -> dict:
+# Adjudicated-benign unpartitioned-window sites (the r13 verdict's #5
+# ask, run like the BNLJ review list): every entry is a deliberate
+# window over a BOUNDED already-aggregated frame (rows = a constant or
+# a tiny group count, never corpus-scale), where the single task is a
+# handful of rows and partitioning would only add an exchange.  A
+# query NOT in this dict that plans an unpartitioned window gets the
+# `unpartitioned_window_review` suspect — the audit's job is that a
+# future real single-task window over row-scale data cannot hide among
+# known-benign warnings.
+UNPARTITIONED_WINDOW_BENIGN = {
+    # bounded aggregated frames (collapse-then-window discipline):
+    # the window input is a keyed-aggregate output whose cardinality
+    # is a constant / bucket count / vocabulary, never the corpus
+    "q_agg_benford": "9-row first-digit frame; total-share attach",
+    "q_agg_chi_square": "contingency cells (|rf|x|ls| = 6) total attach",
+    "q_agg_equidepth_histogram": "bucket-boundary frame (N_BUCKETS rows)",
+    "q_window_pareto_concentration": "10-row decile frame cum-sum",
+    "q_text_zipf_fit": "rank-frequency regression over top-N words",
+    "q_agg_gini": "cumulative share over aggregated per-key frame",
+    "q_events_anomaly": "10-min traffic buckets (minutes, not events)",
+    "q_events_cusum": "prefix sums over the same bucket series",
+    "q_events_autocorrelation": "lag windows over the bucket series",
+    "q_events_bursts": "burst segmentation over the bucket series",
+    "q_events_kaplan_meier": "per-lifetime-day frame (horizon days)",
+    "q_events_top_paths": "trigram counts <= |event vocab|^3, then rank",
+    "q_quality_auc": "Mann-Whitney rank over the distinct-score table",
+    "q_text_topk_tokens": "final rank over the pre-capped top-k pool",
+    "q_similarity_hybrid_rerank": "top-k window over the fused candidate pool",
+    # ranked_ntile / ranked_row_number / _dense_ids internals: the
+    # range-partitioned rank's ONLY single-partition step is the
+    # cumulative-offset window over <= RANGE_BUCKETS (~64) rows
+    "q_events_rfm": "ranked_ntile offset window (<= buckets rows)",
+    "q_agg_skew_report": "ranked_ntile offset window (<= buckets rows)",
+    "q_harvest_terms": "_dense_ids offset window (<= buckets rows)",
+    "q_harvest_rerun_terms": "_dense_ids offset window (<= buckets rows)",
+    "q_harvest_term_fields": "_dense_ids offset window (<= buckets rows)",
+    "q_sample_negative_pairs": "ranked_row_number offset window",
+    "q_sample_systematic": "ranked_row_number offset window",
+    # documented trades (the docstring names the 100 TB alternative)
+    "q_sample_global_shuffle": "exactness premium; 100TB path drops the rank",
+    "q_join_lateral_topn": "decorrelation parity entry; use topk_per_group",
+    "q_stream_dedup_within_watermark": "total-count attach on the collected result",
+}
+
+
+def _unpartitioned_windows(plan: str) -> int:
+    """Count windowspecdefinition instances with NO partition columns
+    (every pre-frame argument is an order spec).  Parses the formatted
+    plan's argument lists with a depth-aware scan, since column exprs
+    may themselves contain parentheses."""
+    n = 0
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        i, depth, arg, args = m.end(), 1, "", []
+        while i < len(plan) and depth > 0:
+            c = plan[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            if depth == 1 and c == ",":
+                args.append(arg)
+                arg = ""
+            else:
+                arg += c
+            i += 1
+        args.append(arg)
+        pre_frame = [
+            a.strip()
+            for a in args
+            if "specifiedwindowframe" not in a and a.strip()
+        ]
+        if not any(
+            " ASC" not in a and " DESC" not in a for a in pre_frame
+        ):
+            n += 1
+    return n
+
+
+def audit_plan(df, name: str | None = None) -> dict:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
@@ -72,12 +152,19 @@ def audit_plan(df) -> dict:
         "HashAggregate" not in plan.split("Exchange SinglePartition")[0]
     ):
         suspects.append("single_partition_window_review")
+    facts["unpartitioned_windows"] = _unpartitioned_windows(plan)
+    if facts["unpartitioned_windows"] and (
+        name is None or name not in UNPARTITIONED_WINDOW_BENIGN
+    ):
+        suspects.append("unpartitioned_window_review")
     facts["suspects"] = suspects
     return facts
 
 
 def main() -> int:
     argv = sys.argv[1:]
+    audit_all = "--all" in argv
+    argv = [a for a in argv if a != "--all"]
     sf_dir = argv[0] if argv and "/" in argv[0] else "/root/testdata/sf0.001"
     only = [a for a in argv if "/" not in a]
 
@@ -92,10 +179,13 @@ def main() -> int:
     # placeholders); broadcast decisions still reflect size estimates.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     queries, _ = load_catalog()
-    names = only or [n for n in bench.HEADLINE if n in queries]
+    if audit_all:
+        names = list(queries)  # full-catalog sweep (--all)
+    else:
+        names = only or [n for n in bench.HEADLINE if n in queries]
     for name in names:
         try:
-            facts = audit_plan(queries[name](spark, sf_dir))
+            facts = audit_plan(queries[name](spark, sf_dir), name=name)
         except Exception as exc:  # keep auditing
             facts = {"error": f"{type(exc).__name__}: {exc}"[:200]}
         print(json.dumps({"query": name, **facts}, sort_keys=True), flush=True)

@@ -332,7 +332,10 @@ def run_ann_probe() -> None:
             out = out.unionByName(r)
         return out
 
-    for label, hot in (("uniform", False), ("hot-centroid", True)):
+    cases = (("uniform", False), ("hot-centroid", True))
+    if "--hot-only" in sys.argv:  # iterate on the refit path quickly
+        cases = (("hot-centroid", True),)
+    for label, hot in cases:
         vecs = corpus(hot)
         root = os.path.join(ANN_DST, label)
         shutil.rmtree(root, ignore_errors=True)
@@ -472,9 +475,91 @@ def run_ann_probe() -> None:
                 flush=True,
             )
 
+            # STRUCTURAL FIX, measured (r14): LOCAL RE-FIT of the
+            # celebrity cell — k-means over THAT cell's members only
+            # (reconstructed from their own PQ codes: zero corpus
+            # reads), sub-centroids committed with parent lineage,
+            # ONLY the cell's files rewritten, routing two-level.
+            # Expected: the probe lands on the nearest CHILD and
+            # admission returns from the cell's whole mass (~5k rows)
+            # toward the uniform ~1/n_centroids (~533).
+            from setup_harvest_action_spark.functions.ann_index import (
+                ivfpq_cell_refit,
+                ivfpq_cell_shares,
+            )
+            from setup_harvest_action_spark.functions.similarity import (
+                cosine,
+            )
+
+            # The celebrity mass here is NEAR-DUPLICATE (micro-jitter
+            # below the PQ quantization step), so the index-only
+            # reconstruction fit cannot spread it (measured: children
+            # [4801, 60, ...] — a quantization point-mass).  This is
+            # exactly the escalation case the API's ``emb`` parameter
+            # exists for: a RAW-vector refit (O(cell) pruned corpus
+            # fetch) sees the sub-quantization structure.
+            t0 = _t.time()
+            refit = ivfpq_cell_refit(
+                spark, ivfpq, hot_cent, n_sub=8,
+                emb=vecs.select("vec_id", F.col("v").alias("e")),
+            )
+            t_refit = _t.time() - t0
+            codes_df = scan_manifest(spark, _ivfpq_codes_path(ivfpq))
+            hist2 = {
+                r["centroid_id"]: r["n"]
+                for r in codes_df.groupBy("centroid_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            kid_rows = {k: hist2.get(k, 0) for k in refit["sub_ids"]}
+            mx2 = max(hist2.values())
+            mean2 = sum(hist2.values()) / len(hist2)
+            # which child does the hot probe actually admit?
+            from setup_harvest_action_spark.functions.ann_index import (
+                _ivf_centroids_path,
+            )
+
+            cents2 = scan_manifest(spark, _ivf_centroids_path(ivfpq))
+            nearest_kid = (
+                cents2.filter(F.col("parent_id") == hot_cent)
+                .crossJoin(F.broadcast(probe))
+                .select(
+                    "centroid_id",
+                    (-cosine(F.col("cv"), F.col("q"))).alias("neg"),
+                )
+                .orderBy("neg", "centroid_id")
+                .first()["centroid_id"]
+            )
+            m4 = read_manifest(_ivfpq_codes_path(ivfpq))
+            files_kid = len(
+                select_files(m4, [("centroid_id", "=", int(nearest_kid))])
+            )
+            t0 = _t.time()
+            ivfpq_search(
+                spark, ivfpq, probe,
+                vecs.select("vec_id", F.col("v").alias("e")),
+                nprobe=2, n_cand=200, top_k=10, sub_nprobe=1,
+            ).write.format("noop").mode("overwrite").save()
+            t_search = _t.time() - t0
+            shares2 = ivfpq_cell_shares(ivfpq)
+            print(
+                f"{label} after LOCAL RE-FIT of cell {hot_cent} "
+                f"({refit['files_rewritten']} files rewritten / "
+                f"{refit['files_kept']} kept byte-identical; "
+                f"re-fit {t_refit:.1f}s): children rows "
+                f"{sorted(kid_rows.values(), reverse=True)}; "
+                f"table max/mean {mx2 / mean2:.1f}x; probed child "
+                f"{nearest_kid}: {hist2.get(nearest_kid, 0)} rows / "
+                f"{files_kid} files admitted (sub_nprobe=1); "
+                f"search {t_search:.1f}s; stats-trigger shares "
+                f"(top3): "
+                f"{sorted(shares2.items(), key=lambda kv: -kv[1])[:3]}",
+                flush=True,
+            )
+
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a not in ("--regen", "--hot", "--ann")]
+    argv = [a for a in sys.argv[1:] if a not in ("--regen", "--hot", "--ann", "--hot-only")]
     if "--ann" in sys.argv:
         run_ann_probe()
         return
