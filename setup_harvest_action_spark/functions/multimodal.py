@@ -4304,7 +4304,9 @@ def decode_gif(payload: bytes):
     common web-GIF alpha: one palette index renders transparent) —
     output gains the alpha channel (h, w, 4) exactly when a
     transparent index is declared, the decode_png/decode_webp
-    contract.  Animation (multiple images) stays refused by name."""
+    contract.  Animated payloads are refused by name HERE and decoded
+    by ``decode_gif_animation`` (r14) so a still pipeline cannot
+    misreport a multi-frame asset as one frame."""
     import struct
 
     import numpy as np
@@ -4465,6 +4467,226 @@ def encode_gif_adv(
     return bytes(out)
 
 
+def encode_gif_animation(
+    frames,
+    palette,
+    delays=None,
+    disposals=None,
+    transparents=None,
+    offsets=None,
+    screen=None,
+    local_palettes=None,
+    interlaces=None,
+) -> bytes:
+    """GIF89a ANIMATION emitter (fixture generation for the A/B
+    harness): N frames, each with its own geometry/offset, optional
+    LOCAL palette, optional interlace, a Graphic Control Extension
+    carrying delay (centiseconds), disposal method (0 none / 1 keep /
+    2 restore-background / 3 restore-previous) and transparent index,
+    plus the NETSCAPE2.0 loop extension.  tools/gif_anim_ab.py pins
+    that system giflib slurps these emissions back to the source
+    rasters and control blocks."""
+    import math
+    import struct
+
+    import numpy as np
+
+    n_frames = len(frames)
+    delays = delays or [4] * n_frames
+    disposals = disposals or [0] * n_frames
+    transparents = transparents or [None] * n_frames
+    offsets = offsets or [(0, 0)] * n_frames
+    local_palettes = local_palettes or [None] * n_frames
+    interlaces = interlaces or [False] * n_frames
+    if screen is None:
+        screen = (
+            max(o[0] + np.asarray(f).shape[1] for o, f in zip(offsets, frames)),
+            max(o[1] + np.asarray(f).shape[0] for o, f in zip(offsets, frames)),
+        )
+
+    def _pal_bytes(pal):
+        pal = np.asarray(pal, np.uint8).reshape(-1, 3)
+        bits = max(1, math.ceil(math.log2(len(pal))))
+        size_field = bits - 1
+        n_entries = 2 << size_field
+        padded = np.vstack(
+            [pal, np.zeros((n_entries - len(pal), 3), np.uint8)]
+        )
+        return size_field, padded.tobytes()
+
+    g_size, g_bytes = _pal_bytes(palette)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", screen[0], screen[1], 0x80 | g_size, 0, 0)
+    out += g_bytes
+    # NETSCAPE2.0 infinite-loop application extension
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for i, frame in enumerate(frames):
+        idx = np.asarray(frame, np.uint8)
+        h, w = idx.shape
+        x, y = offsets[i]
+        t = transparents[i]
+        gflags = (disposals[i] & 0x07) << 2 | (0x01 if t is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gflags])
+        out += struct.pack("<H", delays[i])
+        out += bytes([t if t is not None else 0, 0])
+        lp = local_palettes[i]
+        iflags = 0x40 if interlaces[i] else 0
+        l_bytes = b""
+        if lp is not None:
+            l_size, l_bytes = _pal_bytes(lp)
+            iflags |= 0x80 | l_size
+        out += b"\x2c" + struct.pack("<HHHHB", x, y, w, h, iflags)
+        out += l_bytes
+        if interlaces[i]:
+            idx = idx[_gif_interlace_rows(h)]
+        pal_n = len(lp) if lp is not None else len(
+            np.asarray(palette).reshape(-1, 3)
+        )
+        min_code = max(2, math.ceil(math.log2(max(pal_n, 2))))
+        out.append(min_code)
+        lzw = _lzw_compress(bytes(idx.reshape(-1)), min_code)
+        for j in range(0, len(lzw), 255):
+            block = lzw[j : j + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_animation(payload: bytes, every_n: int = 1):
+    """Decode an ANIMATED GIF into composited full-canvas RGBA frames
+    — the r13 verdict's #3 ask; animation leaves the refusal list.
+
+    Returns ``(frames, delays)``: every ``every_n``-th composited
+    frame (frame 0 always included — the video pipeline's sampling
+    shape) as ndarray[H, W, 4] uint8 over the LOGICAL SCREEN, plus the
+    full per-frame delay list (centiseconds).  Compositing follows the
+    GIF89a disposal model as browsers implement it:
+
+      * canvas starts fully TRANSPARENT (modern viewers ignore the
+        background-color field),
+      * each image renders into its (left, top, w, h) sub-rectangle;
+        pixels equal to the frame's GCE transparent index leave the
+        canvas unchanged,
+      * disposal 0/1 keep the canvas, 2 clears the frame's RECTANGLE
+        back to transparent, 3 restores the pre-render canvas.
+
+    Per-frame index rasters, geometry, palettes and GCE fields are
+    conformance-gated against system giflib's DGifSlurp and the
+    compositor against an independent spec implementation in
+    tools/gif_anim_ab.py; still-image decoding stays in
+    ``decode_gif`` (which keeps refusing multi-image payloads so a
+    still pipeline cannot misreport an animation as one frame)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    g_table = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("GIF color table truncated")
+        g_table = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    canvas = np.zeros((sh, sw, 4), np.uint8)
+    frames: list = []
+    delays: list[int] = []
+    gce = None  # (disposal, transparent, delay) pending for next image
+    frame_i = 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and pos < len(payload) and payload[pos] >= 4:
+                gflags = payload[pos + 1]
+                delay = struct.unpack_from("<H", payload, pos + 2)[0]
+                transparent = (
+                    payload[pos + 4] if gflags & 0x01 else None
+                )
+                gce = ((gflags >> 2) & 0x07, transparent, delay)
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        x, y, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+        if x + w > sw or y + h > sh:
+            raise ValueError("GIF frame exceeds logical screen")
+        pos += 10
+        table = g_table
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("GIF color table truncated")
+            table = np.frombuffer(
+                payload[pos : pos + 3 * n], np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF missing a color table")
+        if pos >= len(payload):
+            raise ValueError("GIF image data truncated")
+        min_code = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(payload) and payload[pos]:
+            ln = payload[pos]
+            lzw += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        if pos >= len(payload):
+            raise ValueError("GIF image data truncated")
+        pos += 1
+        indices = np.frombuffer(
+            _lzw_decompress(bytes(lzw), min_code, n_out=w * h), np.uint8
+        )
+        if indices.size != w * h:
+            raise ValueError(
+                f"GIF pixel count mismatch: {indices.size} != {w * h}"
+            )
+        idx = indices.reshape(h, w)
+        if iflags & 0x40:
+            grid = np.empty_like(idx)
+            grid[_gif_interlace_rows(h)] = idx
+            idx = grid
+        if int(idx.max()) >= len(table):
+            raise ValueError("GIF color index out of range")
+        disposal, transparent, delay = gce if gce else (0, None, 0)
+        gce = None  # a GCE governs exactly one image
+        prev = canvas.copy() if disposal == 3 else None
+        region = canvas[y : y + h, x : x + w]
+        mask = (
+            np.ones((h, w), bool)
+            if transparent is None
+            else idx != transparent
+        )
+        rgba = np.dstack(
+            [table[idx], np.full((h, w), 255, np.uint8)]
+        )
+        region[mask] = rgba[mask]
+        if frame_i % every_n == 0:
+            frames.append(canvas.copy())
+        delays.append(delay)
+        if disposal == 2:
+            canvas[y : y + h, x : x + w] = 0
+        elif disposal == 3:
+            canvas = prev
+        frame_i += 1
+    if not frames:
+        raise ValueError("GIF contained no image")
+    return frames, delays
+
+
 def synthesize_gif(doc_id: int, width: int = IMG_W, height: int = IMG_H) -> bytes:
     """Deterministic grayscale pattern — the SAME pixel arithmetic as
     synthesize_ppm's red channel, so cross-format checks can compare
@@ -4539,6 +4761,204 @@ def q_multimodal_gif_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_resize,
         "doc_id long, width int, height int, mean_r double, mean_g double, "
         "mean_b double, thumb_md5 string",
+    )
+
+
+# --- Animation pipelines (GIF multi-frame + WebP ANMF, r14) ------------------
+#
+# The frame loop over decoders that already existed: compositing per
+# the GIF89a disposal model / the WebP container spec, conformance
+# pinned in tools/gif_anim_ab.py (192 giflib DGifSlurp multi-image
+# configs + independent compositor, byte-exact) and
+# tools/webp_anim_ab.py (37 configs: frame pixels vs system libwebp
+# WebPDecodeRGBA / WebPDecodeYUV, compositor vs an independent spec
+# implementation).  Pipelines sample every ANIM_SAMPLE_EVERY-th
+# composited frame — the q_multimodal_video_pipeline shape.
+
+ANIM_DOCS = 60
+ANIM_SAMPLE_EVERY = 2
+
+
+def synthesize_gif_animation(doc_id: int, n_frames: int = 5) -> bytes:
+    """Deterministic multi-frame GIF89a per document: a full-canvas
+    base frame plus shrinking offset overlays cycling through disposal
+    methods 1/2/3 and a transparent index — the widest compositing
+    surface the decoder accepts, all engine-emitted
+    (encode_gif_animation)."""
+    import numpy as np
+
+    w, h = 40, 28
+    rng_base = np.uint64(doc_id * 31 + 7)
+    pal = (
+        (np.arange(48, dtype=np.uint64) * np.uint64(2654435761) + rng_base)
+        % 256
+    ).astype(np.uint8).reshape(16, 3)
+    frames, offsets, disposals, transparents = [], [], [], []
+    for i in range(n_frames):
+        fw = w if i == 0 else max(4, w // (i + 1))
+        fh = h if i == 0 else max(4, h // (i + 1))
+        n = fw * fh
+        base = np.uint64(doc_id * 131 + i * 17)
+        idx = (
+            (np.arange(n, dtype=np.uint64) * np.uint64(40503) + base) % 16
+        ).astype(np.uint8).reshape(fh, fw)
+        frames.append(idx)
+        offsets.append((0, 0) if i == 0 else (min(w - fw, 2 * i), min(h - fh, i)))
+        disposals.append(0 if i == 0 else (i % 3) + 1)
+        transparents.append(1 if i % 2 else None)
+    return encode_gif_animation(
+        frames,
+        pal,
+        delays=[4 * (i + 1) for i in range(n_frames)],
+        disposals=disposals,
+        transparents=transparents,
+        offsets=offsets,
+        screen=(w, h),
+    )
+
+
+def synthesize_webp_animation(doc_id: int, n_frames: int = 4) -> bytes:
+    """Deterministic animated WebP per document: engine-emitted VP8L
+    lossless frame stills (encode_webp_lossless) wrapped into ANMF by
+    encode_webp_animation, alternating blend/overwrite and
+    dispose-to-background."""
+    import numpy as np
+
+    from setup_harvest_action_spark.functions.webp_codec import (
+        encode_webp_animation,
+        encode_webp_lossless,
+    )
+
+    w, h = 32, 20
+    stills, offsets = [], []
+    for i in range(n_frames):
+        fw = w if i == 0 else max(4, (w // (i + 1)) & ~1 or 4)
+        fh = h if i == 0 else max(4, (h // (i + 1)) & ~1 or 4)
+        n = fw * fh
+        base = np.uint64(doc_id * 977 + i * 101)
+        vals = (
+            (np.arange(n * 3, dtype=np.uint64) * np.uint64(2654435761) + base)
+            % 256
+        ).astype(np.uint8).reshape(fh, fw, 3)
+        stills.append(encode_webp_lossless(fw, fh, vals))
+        x = 0 if i == 0 else min(w - fw, 2 * i)
+        y = 0 if i == 0 else min(h - fh, 2 * i)
+        offsets.append((x - x % 2, y - y % 2))
+    return encode_webp_animation(
+        stills,
+        offsets=offsets,
+        durations=[30 * (i + 1) for i in range(n_frames)],
+        blends=[i % 2 == 0 for i in range(n_frames)],
+        disposals=[i % 3 == 2 for i in range(n_frames)],
+        canvas=(w, h),
+    )
+
+
+@query("q_multimodal_gif_anim_pipeline")
+def q_multimodal_gif_anim_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED-GIF pipeline — the r13 verdict's #3 ask: synthesize a
+    deterministic multi-frame GIF per document (disposal methods
+    1/2/3, transparency, offset sub-frames), decode + COMPOSITE with
+    ``decode_gif_animation`` (conformance: tools/gif_anim_ab.py, 192
+    giflib configs byte-exact), sample every ANIM_SAMPLE_EVERY-th
+    composited frame, and emit per-doc frame counts, delay totals and
+    sampled-frame RGBA statistics.  Arrow-batched ``mapInPandas``,
+    payloads never leave the executors; at 100 TB the synthesize slot
+    is the crawl's GIF bytes column.  No oracle (binary compositing is
+    outside DuckDB); invariants + goldens in tests."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < ANIM_DOCS
+    ).select("doc_id")
+
+    def clips(batches: Iterator):
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_frames": [], "n_sampled": [],
+                "total_delay_cs": [], "mean_rgb": [], "opaque_ratio": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                frames, delays = decode_gif_animation(
+                    synthesize_gif_animation(d), every_n=ANIM_SAMPLE_EVERY
+                )
+                stack = np.stack(frames).astype(np.float64)
+                out["doc_id"].append(d)
+                out["n_frames"].append(len(delays))
+                out["n_sampled"].append(len(frames))
+                out["total_delay_cs"].append(int(sum(delays)))
+                out["mean_rgb"].append(
+                    round(float(stack[..., :3].mean()), 4)
+                )
+                out["opaque_ratio"].append(
+                    round(float((stack[..., 3] == 255).mean()), 4)
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        clips,
+        "doc_id long, n_frames int, n_sampled int, total_delay_cs int, "
+        "mean_rgb double, opaque_ratio double",
+    )
+
+
+@query("q_multimodal_webp_anim_pipeline")
+def q_multimodal_webp_anim_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED-WebP (VP8X ANIM/ANMF) pipeline — the other half of the
+    r13 verdict's #3 ask: engine-emitted VP8L frame stills wrapped
+    into ANMF per document, decoded + composited by
+    ``decode_webp_animation`` (alpha-blend vs overwrite, dispose to
+    background; conformance: tools/webp_anim_ab.py — frame pixels
+    byte-gated against system libwebp, compositor against an
+    independent spec implementation), every ANIM_SAMPLE_EVERY-th
+    composited frame sampled into per-doc statistics.  No oracle;
+    invariants + goldens in tests."""
+    import pandas as pd
+
+    from setup_harvest_action_spark.functions.webp_codec import (
+        decode_webp_animation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < ANIM_DOCS
+    ).select("doc_id")
+
+    def clips(batches: Iterator):
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_frames": [], "n_sampled": [],
+                "total_duration_ms": [], "mean_luma": [], "mean_alpha": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                frames, durs = decode_webp_animation(
+                    synthesize_webp_animation(d), every_n=ANIM_SAMPLE_EVERY
+                )
+                stack = np.stack(frames).astype(np.float64)
+                luma = (
+                    0.299 * stack[..., 0]
+                    + 0.587 * stack[..., 1]
+                    + 0.114 * stack[..., 2]
+                )
+                out["doc_id"].append(d)
+                out["n_frames"].append(len(durs))
+                out["n_sampled"].append(len(frames))
+                out["total_duration_ms"].append(int(sum(durs)))
+                out["mean_luma"].append(round(float(luma.mean()), 4))
+                out["mean_alpha"].append(
+                    round(float(stack[..., 3].mean()), 4)
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        clips,
+        "doc_id long, n_frames int, n_sampled int, total_duration_ms int, "
+        "mean_luma double, mean_alpha double",
     )
 
 

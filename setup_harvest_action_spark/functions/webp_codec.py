@@ -35,8 +35,15 @@ bit-exact vs libwebp on the YUV planes).
 r13: the VP8X extended container decodes for STILL images — the ALPH
 chunk (raw or VP8L-compressed alpha, all four row filters; byte-exact
 vs libwebp across 180 configurations, tools/webp_alpha_ab.py) over the
-lossy VP8 base, and VP8L-with-alpha.  Only animation (ANIM/ANMF)
-remains refused by name.
+lossy VP8 base, and VP8L-with-alpha.
+
+r14: ANIMATION (ANIM/ANMF) decodes through its own entry point —
+``decode_webp_animation`` composites the frame loop (alpha-blend /
+overwrite, dispose-to-background) over the existing VP8/VP8L/ALPH
+decoders; frame pixels gated against system libwebp and the compositor
+against an independent spec implementation in tools/webp_anim_ab.py.
+``decode_webp`` (the STILL path) keeps refusing animated payloads by
+name so a still pipeline cannot misreport a multi-frame asset.
 """
 
 from __future__ import annotations
@@ -718,7 +725,8 @@ def decode_webp(payload: bytes):
     images: ALPH alpha plane (raw or VP8L-compressed, all four row
     filters) composited with the VP8 base, or VP8L-with-alpha.  Output
     gains the alpha channel (h, w, 4) exactly when the image carries
-    one; animation (ANIM/ANMF) stays refused by name."""
+    one; animated payloads are refused by name HERE and decoded by
+    ``decode_webp_animation`` (r14), keeping still pipelines honest."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
@@ -776,6 +784,238 @@ def decode_webp(payload: bytes):
     stream = payload[20 : 20 + size]
     pixels, w, h, alpha_hint = _decode_vp8l_stream(stream)
     return _argb_to_array(pixels, w, h, bool(alpha_hint))
+
+
+# --- animation (ANIM/ANMF) --------------------------------------------------------
+#
+# r14: the frame loop over the decoders that already exist — each ANMF
+# frame is a standard VP8/VP8L (+ALPH) bitstream decoded by the r12/r13
+# machinery; what this section adds is container parsing (VP8X ANIM
+# flag, ANMF geometry/duration/flags) and the WebP compositing model.
+# STILL decoding (decode_webp) keeps refusing animated payloads by
+# name, mirroring decode_gif: a still pipeline must not misreport a
+# multi-frame asset as one frame.
+
+
+def _blend_frame(canvas_region, frame_rgba) -> None:
+    """WebP ANMF alpha-blend (blending method 0) in EXACT integer
+    arithmetic, round-half-up — the container spec's non-premultiplied
+    formula with numerator and denominator scaled by 255:
+
+        a_num   = 255*sa + da*(255 - sa)          # = 255 * out_a
+        out_a   = (a_num + 127) // 255
+        out_rgb = (255*sa*src + da*(255-sa)*dst + a_num//2) // a_num
+
+    (0 where a_num == 0).  tools/webp_anim_ab.py implements the same
+    sentence independently and the harness pins byte-equality."""
+    import numpy as np
+
+    sa = frame_rgba[..., 3].astype(np.int64)
+    da = canvas_region[..., 3].astype(np.int64)
+    a_num = 255 * sa + da * (255 - sa)
+    out_a = (a_num + 127) // 255
+    src = frame_rgba[..., :3].astype(np.int64)
+    dst = canvas_region[..., :3].astype(np.int64)
+    num = 255 * sa[..., None] * src + (da * (255 - sa))[..., None] * dst
+    den = a_num[..., None]
+    rgb = np.where(den > 0, (num + den // 2) // np.maximum(den, 1), 0)
+    canvas_region[..., :3] = rgb.astype(np.uint8)
+    canvas_region[..., 3] = out_a.astype(np.uint8)
+
+
+def _decode_anmf_image(sub: bytes):
+    """Decode one ANMF frame's image sub-chunks (optional ALPH +
+    VP8/VP8L) into ndarray[h, w, 4] uint8 — the same decoders the
+    still paths use."""
+    import numpy as np
+
+    alph = img = img_cc = None
+    pos = 0
+    while pos + 8 <= len(sub):
+        cc = sub[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", sub, pos + 4)
+        data = sub[pos + 8 : pos + 8 + size]
+        if len(data) < size:
+            raise ValueError(f"truncated ANMF sub-chunk {cc!r}")
+        if cc == b"ALPH" and alph is None:
+            alph = data
+        elif cc in (b"VP8 ", b"VP8L") and img is None:
+            img, img_cc = data, cc
+        pos += 8 + size + (size & 1)
+    if img is None:
+        raise ValueError("ANMF frame without an image chunk")
+    if img_cc == b"VP8L":
+        pixels, w, h, _ = _decode_vp8l_stream(img)
+        return _argb_to_array(pixels, w, h, True)
+    from setup_harvest_action_spark.functions.vp8_codec import (
+        decode_vp8,
+        yuv_to_rgb,
+    )
+
+    y, u, v = decode_vp8(img)
+    h, w = y.shape
+    rgb = yuv_to_rgb(y, u, v)
+    if alph is None:
+        a = np.full((h, w), 255, np.uint8)
+    else:
+        a = _decode_alpha_chunk(alph, w, h)
+    return np.dstack([rgb, a])
+
+
+def decode_webp_animation(payload: bytes, every_n: int = 1):
+    """Decode an ANIMATED WebP (VP8X + ANIM/ANMF) into composited
+    full-canvas RGBA frames — the r13 verdict's #3 ask; animation
+    leaves the refusal list via this entry point.
+
+    Returns ``(frames, durations)``: every ``every_n``-th composited
+    frame (frame 0 always included) as ndarray[H, W, 4] uint8 over the
+    VP8X canvas, plus the full per-frame duration list (ms).  The
+    compositing model is the container spec's: canvas starts fully
+    transparent; each frame renders at (2*frame_x, 2*frame_y) either
+    ALPHA-BLENDED (flag bit 1 = 0, ``_blend_frame``'s exact integer
+    formula) or OVERWRITING its rectangle (bit 1 = 1); disposal bit 0
+    clears the frame's rectangle back to transparent after emit.
+
+    Oracle note (honest): libwebpdemux (WebPAnimDecoder) is NOT on
+    this box, so composited frames cannot be gated on the system
+    library end-to-end like GIF is on giflib.  Instead each frame's
+    PIXELS are byte-gated against ``WebPDecodeRGBA`` by re-wrapping
+    the frame bitstream as a standalone still, and the compositor is
+    pinned against an independent spec implementation — both in
+    tools/webp_anim_ab.py."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    if payload[12:16] != b"VP8X":
+        raise ValueError("not an extended (VP8X) WebP")
+    if len(payload) < 30:
+        raise ValueError("truncated VP8X header")
+    flags = payload[20]
+    if not flags & 0x02:
+        raise ValueError("VP8X without the animation flag")
+    canvas_w = 1 + int.from_bytes(payload[24:27], "little")
+    canvas_h = 1 + int.from_bytes(payload[27:30], "little")
+    canvas = np.zeros((canvas_h, canvas_w, 4), np.uint8)
+    frames: list = []
+    durations: list[int] = []
+    saw_anim = False
+    frame_i = 0
+    for cc, data in _riff_chunks(payload):
+        if cc == b"ANIM":
+            if len(data) < 6:
+                raise ValueError("truncated ANIM chunk")
+            saw_anim = True
+            continue
+        if cc != b"ANMF":
+            continue  # ICCP/EXIF/XMP metadata
+        if not saw_anim:
+            raise ValueError("ANMF before ANIM chunk")
+        if len(data) < 16:
+            raise ValueError("truncated ANMF header")
+        fx = int.from_bytes(data[0:3], "little") * 2
+        fy = int.from_bytes(data[3:6], "little") * 2
+        fw = 1 + int.from_bytes(data[6:9], "little")
+        fh = 1 + int.from_bytes(data[9:12], "little")
+        dur = int.from_bytes(data[12:15], "little")
+        fflags = data[15]
+        if fx + fw > canvas_w or fy + fh > canvas_h:
+            raise ValueError("ANMF frame exceeds canvas")
+        img = _decode_anmf_image(data[16:])
+        if img.shape[:2] != (fh, fw):
+            raise ValueError("ANMF declared size != bitstream size")
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if fflags & 0x02:  # blending method 1: do not blend
+            region[...] = img
+        else:
+            _blend_frame(region, img)
+        if frame_i % every_n == 0:
+            frames.append(canvas.copy())
+        durations.append(dur)
+        if fflags & 0x01:  # dispose to background
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+        frame_i += 1
+    if not frames:
+        raise ValueError("animated WebP contained no frame")
+    return frames, durations
+
+
+def encode_webp_animation(
+    stills,
+    offsets=None,
+    durations=None,
+    blends=None,
+    disposals=None,
+    canvas=None,
+) -> bytes:
+    """Build an ANIMATED WebP container from per-frame STILL WebP
+    payloads (any file ``decode_webp`` accepts — bare VP8/VP8L or
+    VP8X stills; their ALPH/VP8/VP8L chunks are re-wrapped as ANMF
+    frame data).  Fixture generation for tools/webp_anim_ab.py — the
+    stills themselves are typically encoded by SYSTEM libwebp there,
+    so frame pixels stay conformance-anchored.  ``offsets`` are
+    even-pixel (x, y); ``blends[i]`` True = alpha-blend (method 0);
+    ``disposals[i]`` True = dispose to background."""
+    metas = []
+    for still in stills:
+        if still[:4] != b"RIFF" or still[8:12] != b"WEBP":
+            raise ValueError("frame still is not a WebP payload")
+        sub = bytearray()
+        w = h = None
+        if still[12:16] in (b"VP8 ", b"VP8L"):
+            chunks = [(still[12:16], still[20 : 20 + struct.unpack_from("<I", still, 16)[0]])]
+        else:
+            chunks = list(_riff_chunks(still))
+        for cc, data in chunks:
+            if cc == b"ALPH":
+                sub += cc + struct.pack("<I", len(data)) + data
+                if len(data) % 2:
+                    sub += b"\x00"
+            elif cc in (b"VP8 ", b"VP8L"):
+                if cc == b"VP8L":
+                    w = 1 + (data[1] | (data[2] & 0x3F) << 8)
+                    h = 1 + ((data[2] >> 6) | data[3] << 2 | (data[4] & 0x0F) << 10)
+                else:
+                    w = struct.unpack_from("<H", data, 6)[0] & 0x3FFF
+                    h = struct.unpack_from("<H", data, 8)[0] & 0x3FFF
+                sub += cc + struct.pack("<I", len(data)) + data
+                if len(data) % 2:
+                    sub += b"\x00"
+        if w is None:
+            raise ValueError("frame still carries no image chunk")
+        metas.append((bytes(sub), w, h))
+    n = len(metas)
+    offsets = offsets or [(0, 0)] * n
+    durations = durations or [40] * n
+    blends = blends if blends is not None else [True] * n
+    disposals = disposals if disposals is not None else [False] * n
+    if canvas is None:
+        canvas = (
+            max(o[0] + m[1] for o, m in zip(offsets, metas)),
+            max(o[1] + m[2] for o, m in zip(offsets, metas)),
+        )
+    body = bytearray()
+    body += b"VP8X" + struct.pack("<I", 10)
+    body += bytes([0x12, 0, 0, 0])  # animation + alpha flags
+    body += (canvas[0] - 1).to_bytes(3, "little")
+    body += (canvas[1] - 1).to_bytes(3, "little")
+    body += b"ANIM" + struct.pack("<I", 6) + b"\x00\x00\x00\x00\x00\x00"
+    for i, (sub, w, h) in enumerate(metas):
+        x, y = offsets[i]
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even")
+        hdr = bytearray()
+        hdr += (x // 2).to_bytes(3, "little")
+        hdr += (y // 2).to_bytes(3, "little")
+        hdr += (w - 1).to_bytes(3, "little")
+        hdr += (h - 1).to_bytes(3, "little")
+        hdr += int(durations[i]).to_bytes(3, "little")
+        hdr.append((0x00 if blends[i] else 0x02) | (0x01 if disposals[i] else 0x00))
+        payload = bytes(hdr) + sub
+        body += b"ANMF" + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + bytes(body)
 
 
 # --- encoder ---------------------------------------------------------------------
