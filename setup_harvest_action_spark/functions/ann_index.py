@@ -473,13 +473,24 @@ def lsh_index_search(
     vecs: DataFrame,
     n_query_vecs: int,
     top_k: int,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """ANN top-k whose candidate generation is a SCAN of the stored
     bucket table: query codes come from a stats-PRUNED point read of
     the same table (``where vec_id < n_query_vecs`` — the manifest
     skips every file whose footer range excludes the query ids),
     candidates from the bucket equi-join, exact cosine only on
-    candidates.  Output schema matches `q_similarity_ann_lsh`."""
+    candidates.  Output schema matches `q_similarity_ann_lsh`.
+
+    ``max_bucket`` (r14) bounds the CELEBRITY-BUCKET failure mode the
+    hot-corpus probe measured (one bucket holding 60% of the corpus
+    grows candidate volume 2.3x, SCALE.md §17): at most ``max_bucket``
+    candidates admit per probed (query, table, bucket), deterministic
+    by ascending vec_id — the MAX_SHINGLE_DF pattern from the dedup
+    family, trading recall tail for a hard per-bucket bound.  The cap
+    runs AFTER the bucket equi-join, so it bounds what flows into the
+    distinct + exact-cosine stages (the expensive side); default None
+    keeps exact parity with `q_similarity_ann_lsh` (pinned)."""
     from pyspark.sql import Window
 
     from setup_harvest_action_spark.functions.similarity import cosine
@@ -493,12 +504,19 @@ def lsh_index_search(
         _lsh_codes_path(index_path),
         where=[("vec_id", "<", n_query_vecs)],
     ).select(F.col("vec_id").alias("query_id"), "table_id", "code")
-    cand_ids = (
-        codes.join(F.broadcast(qcodes), ["table_id", "code"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
-        .distinct()
+    joined = codes.join(F.broadcast(qcodes), ["table_id", "code"]).filter(
+        F.col("vec_id") != F.col("query_id")
     )
+    if max_bucket is not None:
+        wb = Window.partitionBy("query_id", "table_id", "code").orderBy(
+            "vec_id"
+        )
+        joined = (
+            joined.withColumn("__bn", F.row_number().over(wb))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
+    cand_ids = joined.select("query_id", "vec_id").distinct()
     queries = vecs.filter(F.col("vec_id") < n_query_vecs).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )

@@ -982,3 +982,60 @@ def test_ivfpq_cell_refit_raw_mode_exact_placement(spark, emb, ivfpq):
     )
     ivfpq_index_append(spark, emb.filter(F.col("vec_id") >= SPLIT), ivfpq)
     assert _ivfpq_map(spark, ivfpq) == _leaf_monolithic(spark, emb, ivfpq)
+
+
+def test_lsh_search_bucket_cap_bounds_candidates_and_preserves_parity(
+    spark, emb, tmp_path
+):
+    """max_bucket (the celebrity-bucket escape): with a cap no probed
+    bucket may admit more than max_bucket candidates, admission is
+    deterministic (ascending vec_id), and a cap LARGER than every
+    bucket returns exactly the uncapped rows — the parity contract
+    that lets production set a cap without forking results on
+    well-behaved corpora."""
+    from setup_harvest_action_spark.functions.ann_index import (
+        _lsh_codes_path,
+        lsh_index_build,
+        lsh_index_search,
+    )
+
+    path = str(tmp_path / "lsh_cap")
+    lsh_index_build(spark, emb.select("vec_id", F.col("e").alias("v")), path)
+    vecs = emb.select("vec_id", F.col("e").alias("v"))
+    uncapped = lsh_index_search(spark, path, vecs, 5, 10).collect()
+    same = lsh_index_search(
+        spark, path, vecs, 5, 10, max_bucket=10**6
+    ).collect()
+    assert sorted(map(tuple, same)) == sorted(map(tuple, uncapped))
+
+    cap = 3
+    codes = scan_manifest(spark, _lsh_codes_path(path))
+    qc = codes.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "table_id", "code"
+    )
+    joined = codes.join(F.broadcast(qc), ["table_id", "code"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    # expected admission: first `cap` vec_ids per probed bucket
+    per_bucket = {}
+    for r in joined.collect():
+        per_bucket.setdefault(
+            (r["query_id"], r["table_id"], r["code"]), []
+        ).append(r["vec_id"])
+    expected_cands = {
+        (q, v)
+        for (q, _t, _c), vids in per_bucket.items()
+        for v in sorted(vids)[:cap]
+    }
+    capped = lsh_index_search(
+        spark, path, vecs, 5, 10, max_bucket=cap
+    ).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in capped}
+    assert got <= expected_cands  # only capped admissions can rank
+    # per-query result pages still fill from admitted candidates
+    from collections import Counter
+
+    by_q = Counter(r["query_id"] for r in capped)
+    for q in range(5):
+        n_admitted = len({v for (qq, v) in expected_cands if qq == q})
+        assert by_q[q] == min(10, n_admitted), q

@@ -410,6 +410,42 @@ def run_ann_probe() -> None:
         )
 
         if hot:
+            # Celebrity-bucket escape (r14): cap per-bucket candidate
+            # admission (deterministic by vec_id) and measure candidate
+            # volume + result overlap vs uncapped.
+            res_cap = lsh_index_search(spark, lsh, vecs, 5, 10, max_bucket=500)
+            t0 = _t.time()
+            capped_rows = res_cap.collect()
+            t_cap = _t.time() - t0
+            uncapped_rows = res.collect()
+            overlap = len(
+                {(r["query_id"], r["neighbor_id"]) for r in capped_rows}
+                & {(r["query_id"], r["neighbor_id"]) for r in uncapped_rows}
+            )
+            qc2 = codes.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("query_id"), "table_id", "code"
+            )
+            from pyspark.sql import Window as _W
+
+            wb = _W.partitionBy("query_id", "table_id", "code").orderBy(
+                "vec_id"
+            )
+            n_cand_cap = (
+                codes.join(F.broadcast(qc2), ["table_id", "code"])
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .withColumn("__bn", F.row_number().over(wb))
+                .filter(F.col("__bn") <= 500)
+                .select("query_id", "vec_id")
+                .distinct()
+                .count()
+            )
+            print(
+                f"{label} lsh max_bucket=500: candidates "
+                f"{n_cand} -> {n_cand_cap}; top-10 overlap "
+                f"{overlap}/{len(uncapped_rows)}; search {t_cap:.1f}s",
+                flush=True,
+            )
+
             # ESCAPE HATCH, measured: per-cell SUB-SPLIT — re-cluster
             # the codes table on (centroid_id, vec_id) across more
             # parts, so the hot cell spans several files (each footer
