@@ -58,6 +58,7 @@ _OPERATOR_MODULES = (
     "setup_harvest_action_spark.functions.graph",
     "setup_harvest_action_spark.operators.scd",
     "setup_harvest_action_spark.functions.html_extract",
+    "setup_harvest_action_spark.functions.urls",
     "setup_harvest_action_spark.operators.sql_surface",
     "setup_harvest_action_spark.operators.tpch_shapes",
     "setup_harvest_action_spark.operators.tpch_shapes2",
