@@ -1,0 +1,292 @@
+"""WARC (ISO 28500) ingestion — the container crawled corpora actually
+arrive in (Common Crawl ships ~100 TB/month of .warc.gz).
+
+Pure-stdlib reader/writer in the codec-family discipline:
+
+* ``encode_warc(records)`` — WARC/1.0 writer: warcinfo + per-page
+  request/response records, correct Content-Length framing, optional
+  per-record-gzip-member layout (the standard .warc.gz shape — each
+  record is its own gzip member so a production reader can seek;
+  stdlib gzip decompresses the concatenation).
+* ``parse_warc(payload)`` — record walk driven by Content-Length,
+  NEVER by scanning for separators (a response body may legally
+  contain ``\\r\\n\\r\\nWARC/1.0`` — the adversarial case the tests
+  pin), plus HTTP response parsing (status line, headers, body) for
+  response records.
+
+The catalog entry ``q_pipeline_warc_to_text`` is the whole ingest
+chain INSIDE the hash gate: documents → pages → HTTP responses → WARC
+files of ~20 records (one applyInPandas group per file, the real
+many-pages-per-file layout) → parse → HTTP body → HTML boilerplate
+removal → the original text's md5, compared against DuckDB
+normalizing the raw column.  Container framing, HTTP parsing and
+extraction all sit under one oracle.
+
+Scale: WARC files are embarrassingly parallel (one task per file —
+exactly how Common Crawl jobs shard); parse is a single pass per
+file; everything flows through Arrow batches.
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import io as _io
+import uuid as _uuid
+
+_CRLF = b"\r\n"
+
+
+def _record(
+    rtype: str,
+    payload: bytes,
+    uri: str | None = None,
+    date: str = "2026-01-01T00:00:00Z",
+    content_type: str = "application/octet-stream",
+    record_id: str | None = None,
+) -> bytes:
+    rid = record_id or f"<urn:uuid:{_uuid.uuid5(_uuid.NAMESPACE_URL, uri or rtype)}>"
+    head = [
+        b"WARC/1.0",
+        b"WARC-Type: " + rtype.encode(),
+        b"WARC-Record-ID: " + rid.encode(),
+        b"WARC-Date: " + date.encode(),
+        b"Content-Type: " + content_type.encode(),
+        b"Content-Length: " + str(len(payload)).encode(),
+    ]
+    if uri is not None:
+        head.insert(3, b"WARC-Target-URI: " + uri.encode())
+    return _CRLF.join(head) + _CRLF * 2 + payload + _CRLF * 2
+
+
+def http_response(html: str, status: int = 200) -> bytes:
+    body = html.encode()
+    return (
+        f"HTTP/1.1 {status} OK".encode() + _CRLF
+        + b"Content-Type: text/html; charset=utf-8" + _CRLF
+        + b"Content-Length: " + str(len(body)).encode() + _CRLF * 2
+        + body
+    )
+
+
+def encode_warc(pages, gzip_members: bool = False) -> bytes:
+    """One WARC file from ``pages`` = [(uri, html_str), ...]: a
+    warcinfo record then one response record per page, each carrying a
+    full HTTP response.  ``gzip_members`` emits the standard
+    record-per-gzip-member .warc.gz layout."""
+    recs = [
+        _record(
+            "warcinfo",
+            b"software: setup-harvest-action-spark\r\n",
+            content_type="application/warc-fields",
+        )
+    ]
+    for uri, html in pages:
+        recs.append(
+            _record(
+                "response",
+                http_response(html),
+                uri=uri,
+                content_type="application/http;msgtype=response",
+            )
+        )
+    if not gzip_members:
+        return b"".join(recs)
+    out = bytearray()
+    for r in recs:
+        buf = _io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            g.write(r)
+        out += buf.getvalue()
+    return bytes(out)
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """All records of a WARC file (gzip'd or plain): dicts with type /
+    uri / headers, and for application/http responses the parsed
+    status + body.  Framing is Content-Length-driven; a record whose
+    declared length overruns the file raises ValueError (truncation is
+    an error, not a silent partial read)."""
+    if payload[:2] == b"\x1f\x8b":
+        payload = _gzip.decompress(payload)
+    records: list[dict] = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        while pos < n and payload[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        line_end = payload.find(_CRLF, pos)
+        if line_end < 0 or not payload[pos:line_end].startswith(b"WARC/"):
+            raise ValueError("malformed WARC: missing version line")
+        hdr_end = payload.find(_CRLF * 2, line_end)
+        if hdr_end < 0:
+            raise ValueError("malformed WARC: unterminated headers")
+        headers: dict[str, str] = {}
+        for raw in payload[line_end + 2 : hdr_end].split(_CRLF):
+            k, _, v = raw.partition(b":")
+            headers[k.strip().decode().lower()] = v.strip().decode()
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("malformed WARC: bad Content-Length")
+        body_start = hdr_end + 4
+        if body_start + length > n:
+            raise ValueError("truncated WARC record")
+        body = payload[body_start : body_start + length]
+        rec = {
+            "type": headers.get("warc-type", ""),
+            "uri": headers.get("warc-target-uri"),
+            "headers": headers,
+            "payload": body,
+        }
+        if rec["type"] == "response" and body.startswith(b"HTTP/"):
+            split = body.find(_CRLF * 2)
+            if split < 0:
+                raise ValueError("malformed HTTP response in WARC")
+            status_line = body[: body.find(_CRLF)].decode(
+                "utf-8", "replace"
+            )
+            parts = status_line.split(None, 2)
+            rec["http_status"] = int(parts[1]) if len(parts) > 1 else 0
+            rec["http_body"] = body[split + 4 :]
+        records.append(rec)
+        pos = body_start + length
+    return records
+
+
+# --- catalog queries ---------------------------------------------------------
+
+from collections.abc import Iterator  # noqa: E402
+
+import pyspark.sql.functions as F  # noqa: E402
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from setup_harvest_action_spark.catalog import query  # noqa: E402
+from setup_harvest_action_spark.io.loaders import load_table  # noqa: E402
+
+WARC_DOCS = 300
+WARC_MIN_CHARS = 30
+PAGES_PER_FILE = 20
+
+
+@query(
+    "q_pipeline_warc_to_text",
+    oracle=f"""
+SELECT doc_id,
+       'https://corpus.example/doc/' || doc_id AS target_uri,
+       md5(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')))
+         AS main_md5
+FROM documents
+WHERE n_chars >= {WARC_MIN_CHARS} AND doc_id < {WARC_DOCS}
+""",
+)
+def q_pipeline_warc_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl ingest chain inside the hash gate: ~20 documents per
+    .warc.gz file (applyInPandas group = one container, the real
+    many-pages-per-file layout), each page a full HTTP response
+    wrapping the synthesized crawl HTML; the read side walks WARC
+    records by Content-Length, parses the HTTP response, strips
+    boilerplate, and must recover each document's original text
+    md5-exactly per DuckDB's normalization of the raw column —
+    container framing, HTTP parsing and extraction under ONE oracle.
+    Scale: one task per WARC file, all map-side."""
+    import hashlib
+
+    import pandas as pd
+
+    from setup_harvest_action_spark.functions.html_extract import (
+        main_text,
+        synthesize_page,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("n_chars") >= WARC_MIN_CHARS)
+            & (F.col("doc_id") < WARC_DOCS)
+        )
+        .select("doc_id", "text", "lang")
+        .withColumn("file_id", (F.col("doc_id") / PAGES_PER_FILE).cast("int"))
+    )
+
+    def one_file(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        pages = [
+            (
+                f"https://corpus.example/doc/{int(d)}",
+                synthesize_page(int(d), t, lang=lg),
+            )
+            for d, t, lg in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
+        ]
+        blob = encode_warc(pages, gzip_members=True)
+        rows = {"doc_id": [], "target_uri": [], "main_md5": []}
+        for rec in parse_warc(blob):
+            if rec["type"] != "response" or rec.get("http_status") != 200:
+                continue
+            text = main_text(rec["http_body"].decode())
+            rows["doc_id"].append(int(rec["uri"].rsplit("/", 1)[1]))
+            rows["target_uri"].append(rec["uri"])
+            rows["main_md5"].append(hashlib.md5(text.encode()).hexdigest())
+        return pd.DataFrame(rows)
+
+    return (
+        docs.groupBy("file_id")
+        .applyInPandas(
+            one_file, "doc_id long, target_uri string, main_md5 string"
+        )
+    )
+
+
+@query("q_source_warc_stats")
+def q_source_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container diagnostics per file: record counts by type,
+    compressed vs raw bytes (the gzip-member layout's ratio), mean
+    page size — the ingest-health dashboard.  Rows-only (container
+    arithmetic); the framing itself is oracled by
+    q_pipeline_warc_to_text and pinned adversarially in tests."""
+    import pandas as pd
+
+    from setup_harvest_action_spark.functions.html_extract import (
+        synthesize_page,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("n_chars") >= WARC_MIN_CHARS)
+            & (F.col("doc_id") < WARC_DOCS)
+        )
+        .select("doc_id", "text", "lang")
+        .withColumn("file_id", (F.col("doc_id") / PAGES_PER_FILE).cast("int"))
+    )
+
+    def one_file(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        pages = [
+            (
+                f"https://corpus.example/doc/{int(d)}",
+                synthesize_page(int(d), t, lang=lg),
+            )
+            for d, t, lg in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
+        ]
+        gz = encode_warc(pages, gzip_members=True)
+        raw = encode_warc(pages, gzip_members=False)
+        recs = parse_warc(gz)
+        n_resp = sum(1 for r in recs if r["type"] == "response")
+        return pd.DataFrame(
+            {
+                "file_id": [int(pdf["file_id"].iloc[0])],
+                "n_records": [len(recs)],
+                "n_responses": [n_resp],
+                "raw_bytes": [len(raw)],
+                "gz_bytes": [len(gz)],
+                "compression_ratio": [round(len(raw) / len(gz), 4)],
+            }
+        )
+
+    return docs.groupBy("file_id").applyInPandas(
+        one_file,
+        "file_id int, n_records int, n_responses int, raw_bytes long, "
+        "gz_bytes long, compression_ratio double",
+    )
