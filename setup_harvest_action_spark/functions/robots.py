@@ -1,0 +1,208 @@
+"""robots.txt — the crawl pipeline's admission filter.
+
+Parser + matcher for the Robots Exclusion Protocol, two documented
+decision policies because the ecosystem genuinely has two:
+
+* ``policy="ordered"`` — the original 1994 convention CPython's
+  ``urllib.robotparser`` implements: rules apply in FILE ORDER, first
+  matching prefix decides.  This policy is conformance-pinned
+  byte-for-byte against the stdlib parser on randomized rule sets
+  (tests/test_robots.py) — the same stdlib-as-external-oracle
+  discipline the WAV integer widths use.
+* ``policy="longest"`` — RFC 9309 (Google REP) semantics: the MOST
+  SPECIFIC (longest-prefix) matching rule decides, Allow winning
+  exact ties.  This policy sits under the catalog query's DuckDB
+  oracle, which re-derives the decision RELATIONALLY (join paths to
+  matching prefixes, arg-max on (length, allow)) — an imperative
+  matcher and a relational formulation agreeing under the hash gate.
+
+Group selection: the group whose User-agent token is the longest
+substring of the caller's agent wins; ``*`` is the fallback group
+(RFC 9309 §2.2.1).  Unmatched paths are allowed.  Crawl-delay and
+Sitemap lines are surfaced, not interpreted.
+
+Scale: robots decisions are a broadcast-sized dimension (one ruleset
+per host) against a corpus-sized URL column — the decision itself is
+a map-only prefix match.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from setup_harvest_action_spark.catalog import query
+from setup_harvest_action_spark.io.loaders import load_table
+
+
+def parse_robots(text: str) -> dict:
+    """Parse robots.txt into groups: [{agents: [..], rules:
+    [(allow, prefix), ...], crawl_delay}], plus sitemaps.  Comments
+    (#) strip; a User-agent line after rules starts a NEW group
+    (RFC 9309 group structure); unknown directives are ignored."""
+    groups: list[dict] = []
+    sitemaps: list[str] = []
+    cur: dict | None = None
+    expecting_agents = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "sitemap":
+            sitemaps.append(val)
+            continue
+        if key == "user-agent":
+            if cur is None or not expecting_agents:
+                cur = {"agents": [], "rules": [], "crawl_delay": None}
+                groups.append(cur)
+                expecting_agents = True
+            cur["agents"].append(val.lower())
+            continue
+        if cur is None:
+            continue  # rules before any User-agent line are orphans
+        expecting_agents = False
+        if key in ("allow", "disallow"):
+            # empty Disallow == allow everything (1994 convention):
+            # an empty prefix matches all paths with ALLOW semantics
+            if val == "" and key == "disallow":
+                cur["rules"].append((True, ""))
+            elif val:
+                cur["rules"].append((key == "allow", val))
+        elif key == "crawl-delay":
+            try:
+                cur["crawl_delay"] = float(val)
+            except ValueError:
+                pass
+    return {"groups": groups, "sitemaps": sitemaps}
+
+
+def _select_group(parsed: dict, agent: str) -> dict | None:
+    """Longest-token-substring group match; '*' is the fallback."""
+    agent = agent.lower()
+    best, best_len = None, -1
+    star = None
+    for g in parsed["groups"]:
+        for tok in g["agents"]:
+            if tok == "*":
+                star = star or g
+            elif tok in agent and len(tok) > best_len:
+                best, best_len = g, len(tok)
+    return best if best is not None else star
+
+
+def can_fetch(
+    parsed: dict, agent: str, path: str, policy: str = "longest"
+) -> bool:
+    g = _select_group(parsed, agent)
+    if g is None:
+        return True
+    if policy == "ordered":  # first match in file order decides
+        for allow, prefix in g["rules"]:
+            if path.startswith(prefix):
+                return allow
+        return True
+    if policy == "longest":  # RFC 9309: most specific; Allow wins ties
+        best = None  # (length, allow)
+        for allow, prefix in g["rules"]:
+            if path.startswith(prefix):
+                key = (len(prefix), allow)
+                if best is None or key > best:
+                    best = key
+        return True if best is None else best[1]
+    raise ValueError(f"unknown robots policy {policy!r}")
+
+
+# --- catalog query -----------------------------------------------------------
+
+ROBOTS_DOCS = 400
+
+ROBOTS_TXT = """\
+# corpus.example crawl policy
+User-agent: badbot
+Disallow: /
+
+User-agent: *
+Disallow: /private/
+Disallow: /tmp/
+Allow: /private/public/
+Disallow: /articles/draft
+Allow: /articles/
+Crawl-delay: 2
+Sitemap: https://corpus.example/sitemap.xml
+"""
+
+# the same path construction runs in DuckDB (CASE on doc_id)
+_PATH_SQL = """
+CASE WHEN doc_id % 5 = 0 THEN '/articles/' || CAST(doc_id AS VARCHAR)
+     WHEN doc_id % 5 = 1 THEN '/private/' || CAST(doc_id AS VARCHAR)
+     WHEN doc_id % 5 = 2 THEN '/private/public/' || CAST(doc_id AS VARCHAR)
+     WHEN doc_id % 5 = 3 THEN '/articles/draft' || CAST(doc_id AS VARCHAR)
+     ELSE '/tmp/page' || CAST(doc_id AS VARCHAR) END
+"""
+
+# the ruleset above, as a relation (allow, prefix) for the oracle
+_RULES_SQL = """
+(VALUES (FALSE, '/private/'), (FALSE, '/tmp/'),
+        (TRUE, '/private/public/'), (FALSE, '/articles/draft'),
+        (TRUE, '/articles/')) AS rules(allow, prefix)
+"""
+
+
+@query(
+    "q_text_robots_filter",
+    oracle=f"""
+WITH paths AS (
+  SELECT doc_id, ({_PATH_SQL}) AS path
+  FROM documents WHERE doc_id < {ROBOTS_DOCS}
+), matched AS (
+  SELECT p.doc_id, p.path, rules.allow, length(rules.prefix) AS l
+  FROM paths p LEFT JOIN {_RULES_SQL}
+    ON starts_with(p.path, rules.prefix)
+)
+SELECT doc_id, path,
+       COALESCE(arg_max(allow, l * 2 + CAST(allow AS INT)), TRUE)
+         AS allowed
+FROM matched GROUP BY doc_id, path
+""",
+)
+def q_text_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots admission under the hash gate: the engine PARSES the
+    robots.txt text and decides per path with the RFC 9309
+    longest-match rule (imperative matcher); the DuckDB oracle
+    re-derives every decision RELATIONALLY — arg-max over matching
+    prefixes on (length, allow) with the allow-wins-ties encoding —
+    from the same ruleset as a VALUES relation.  Paths cover every
+    rule interaction: plain allow, plain disallow, an Allow carving a
+    subtree out of a Disallow, and a longer Disallow overriding a
+    shorter Allow.  The ordered (stdlib) policy is conformance-pinned
+    against urllib.robotparser in tests."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    parsed = parse_robots(ROBOTS_TXT)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < ROBOTS_DOCS)
+        .select("doc_id", F.expr(_PATH_SQL.replace("VARCHAR", "STRING")).alias("path"))
+    )
+
+    def decide(batches: Iterator):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "path": pdf["path"],
+                    "allowed": [
+                        can_fetch(parsed, "spark-graft-crawler", p)
+                        for p in pdf["path"]
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(
+        decide, "doc_id long, path string, allowed boolean"
+    )

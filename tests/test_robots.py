@@ -1,0 +1,104 @@
+"""robots.txt (functions/robots.py): ordered-policy conformance
+against stdlib urllib.robotparser on randomized rule sets, RFC 9309
+longest-match goldens, group selection, and parser edge cases."""
+
+from __future__ import annotations
+
+import random
+from urllib.robotparser import RobotFileParser
+
+import pytest
+
+from setup_harvest_action_spark.functions.robots import (
+    ROBOTS_TXT,
+    can_fetch,
+    parse_robots,
+)
+
+_SEGS = ["articles", "private", "tmp", "api", "img", "draft", "public"]
+
+
+def _random_robots(rng: random.Random) -> str:
+    lines = []
+    for agent in (["testbot"] if rng.random() < 0.7 else []) + ["*"]:
+        lines.append(f"User-agent: {agent}")
+        for _ in range(rng.randrange(2, 7)):
+            kind = rng.choice(["Allow", "Disallow"])
+            depth = rng.randrange(1, 3)
+            path = "/" + "/".join(rng.choice(_SEGS) for _ in range(depth))
+            if rng.random() < 0.5:
+                path += "/"
+            lines.append(f"{kind}: {path}")
+        if rng.random() < 0.3:
+            lines.append("Disallow:")  # empty = allow-all rule line
+        lines.append("")
+    return "\n".join(lines)
+
+
+def _random_path(rng: random.Random) -> str:
+    depth = rng.randrange(1, 4)
+    p = "/" + "/".join(rng.choice(_SEGS) for _ in range(depth))
+    if rng.random() < 0.4:
+        p += f"/page{rng.randrange(10)}"
+    return p
+
+
+def test_ordered_policy_matches_stdlib_robotparser():
+    """First-match-in-file-order semantics, byte-for-byte against
+    CPython's parser across 60 randomized rule sets × 40 paths (rule
+    sets have at most one specific group plus '*', the structure both
+    group-selection strategies agree on)."""
+    rng = random.Random(4711)
+    for _ in range(60):
+        text = _random_robots(rng)
+        ours = parse_robots(text)
+        ref = RobotFileParser()
+        ref.parse(text.splitlines())
+        for _ in range(40):
+            path = _random_path(rng)
+            for agent in ("testbot", "otherbot"):
+                want = ref.can_fetch(agent, path)
+                got = can_fetch(ours, agent, path, policy="ordered")
+                assert got == want, (text, agent, path)
+
+
+def test_longest_match_goldens():
+    parsed = parse_robots(ROBOTS_TXT)
+    cases = [
+        ("/articles/7", True),  # plain allow
+        ("/private/7", False),  # plain disallow
+        ("/private/public/7", True),  # Allow carves out a subtree
+        ("/articles/draft7", False),  # longer Disallow overrides Allow
+        ("/tmp/page7", False),
+        ("/elsewhere", True),  # unmatched → allowed
+    ]
+    for path, want in cases:
+        assert can_fetch(parsed, "spark-graft-crawler", path) == want, path
+
+
+def test_group_selection_and_metadata():
+    parsed = parse_robots(ROBOTS_TXT)
+    # the badbot group (Disallow: /) applies to matching agents only
+    assert not can_fetch(parsed, "BadBot/2.0 (+http://bad)", "/articles/1")
+    assert can_fetch(parsed, "goodbot", "/articles/1")
+    assert parsed["sitemaps"] == ["https://corpus.example/sitemap.xml"]
+    star = [g for g in parsed["groups"] if "*" in g["agents"]][0]
+    assert star["crawl_delay"] == 2.0
+
+
+def test_parser_edges():
+    # comments, blank-separated groups, rules before any agent, and a
+    # User-agent line after rules starting a new group
+    text = (
+        "Disallow: /orphan/\n"  # orphan rule: ignored
+        "User-agent: a\nUser-agent: b\nDisallow: /x/\n"
+        "User-agent: c  # trailing comment\nAllow: /x/\nDisallow: /\n"
+    )
+    p = parse_robots(text)
+    assert len(p["groups"]) == 2
+    assert p["groups"][0]["agents"] == ["a", "b"]
+    assert not can_fetch(p, "b", "/x/1", policy="ordered")
+    assert can_fetch(p, "c", "/x/1", policy="ordered")
+    assert not can_fetch(p, "c", "/y", policy="ordered")
+    with pytest.raises(ValueError):
+        can_fetch(p, "a", "/x", policy="nonsense")
