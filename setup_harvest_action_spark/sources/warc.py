@@ -290,3 +290,101 @@ def q_source_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file_id int, n_records int, n_responses int, raw_bytes long, "
         "gz_bytes long, compression_ratio double",
     )
+
+
+@query(
+    "q_pipeline_crawl_prep",
+    oracle=f"""
+WITH allowed AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 5 = 0
+              THEN '/articles/' || CAST(doc_id AS VARCHAR)
+              ELSE '/private/public/' || CAST(doc_id AS VARCHAR) END
+           AS path
+  FROM documents
+  WHERE n_chars >= {WARC_MIN_CHARS} AND doc_id < {WARC_DOCS}
+    AND doc_id % 5 IN (0, 2)
+)
+SELECT doc_id, path,
+       md5(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')))
+         AS main_md5,
+       CAST(len(string_split(
+         trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')), ' '))
+         AS INT) AS n_tokens
+FROM allowed
+""",
+)
+def q_pipeline_crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END crawl-prep composition, every stage r14-built and
+    the WHOLE chain under one DuckDB oracle: documents → crawl pages at
+    robots-meaningful paths → HTTP responses → .warc.gz containers
+    (~20 pages/file) → Content-Length-framed parse → robots.txt
+    admission (RFC 9309 longest-match drops /private/, /tmp/ and
+    /articles/draft while the Allow rules keep /articles/ and
+    /private/public/) → HTML boilerplate removal → whitespace-token
+    count.  The oracle re-derives admission arithmetic, text recovery
+    and token counts relationally — the full ingest funnel is
+    hash-gated, not narrated.  Scale: one task per WARC file, robots
+    rules a broadcast-sized closure, everything else map-side."""
+    import hashlib
+
+    import pandas as pd
+
+    from setup_harvest_action_spark.functions.html_extract import (
+        main_text,
+        synthesize_page,
+    )
+    from setup_harvest_action_spark.functions.robots import (
+        ROBOTS_TXT,
+        can_fetch,
+        parse_robots,
+    )
+
+    parsed = parse_robots(ROBOTS_TXT)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("n_chars") >= WARC_MIN_CHARS)
+            & (F.col("doc_id") < WARC_DOCS)
+        )
+        .select("doc_id", "text", "lang")
+        .withColumn("file_id", (F.col("doc_id") / PAGES_PER_FILE).cast("int"))
+    )
+
+    def one_file(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        pages = []
+        for d, t, lg in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+            d = int(d)
+            seg = [
+                f"/articles/{d}", f"/private/{d}", f"/private/public/{d}",
+                f"/articles/draft{d}", f"/tmp/page{d}",
+            ][d % 5]
+            pages.append(
+                (
+                    f"https://corpus.example{seg}",
+                    synthesize_page(d, t, lang=lg),
+                )
+            )
+        blob = encode_warc(pages, gzip_members=True)
+        rows = {"doc_id": [], "path": [], "main_md5": [], "n_tokens": []}
+        for rec in parse_warc(blob):
+            if rec["type"] != "response" or rec.get("http_status") != 200:
+                continue
+            path = rec["uri"].split("corpus.example", 1)[1]
+            if not can_fetch(parsed, "spark-graft-crawler", path):
+                continue  # robots admission
+            text = main_text(rec["http_body"].decode())
+            rows["doc_id"].append(
+                int("".join(ch for ch in path.rsplit("/", 1)[1]
+                            if ch.isdigit()))
+            )
+            rows["path"].append(path)
+            rows["main_md5"].append(hashlib.md5(text.encode()).hexdigest())
+            rows["n_tokens"].append(len(text.split()))
+        return pd.DataFrame(rows)
+
+    return docs.groupBy("file_id").applyInPandas(
+        one_file,
+        "doc_id long, path string, main_md5 string, n_tokens int",
+    )
