@@ -594,8 +594,104 @@ def run_ann_probe() -> None:
             )
 
 
+def run_ingest_probe() -> None:
+    """VOLUME probe for the r14 crawl-ingest family (``--ingest``):
+    the family's 100 TB claim is "map-only Arrow-batched ⇒ linear in
+    corpus bytes" — this measures it.  Runs the full per-document
+    funnel (synthesize crawl page → WARC-wrap/parse roundtrip →
+    boilerplate removal → md5 + token count, plus the codegen'd URL
+    canonicalization) over ALL documents at sf0.1 (5k docs) and at
+    the 10× fixture (50k docs, same text lengths), uncapped — the
+    catalog queries cap doc_id for gate runtime, the probe does not.
+    Pass = wall-clock ratio ~10× (±ramp-up amortization), proving no
+    super-linear stage hides in the chain.  Numbers land in
+    SCALE.md §18."""
+    import time as _t
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from setup_harvest_action_spark.functions.html_extract import (
+        main_text,
+        synthesize_page,
+    )
+    from setup_harvest_action_spark.functions.urls import canonicalize_url
+    from setup_harvest_action_spark.session import get_spark
+    from setup_harvest_action_spark.sources.warc import (
+        encode_warc,
+        parse_warc,
+    )
+
+    if not os.path.isdir(DST):
+        generate()
+    spark = get_spark("ingest_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def funnel(batches):
+        import hashlib
+
+        for pdf in batches:
+            pages = [
+                (f"https://corpus.example/doc/{int(d)}",
+                 synthesize_page(int(d), t))
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            out = {"doc_id": [], "main_md5": [], "n_tokens": []}
+            # WARC-wrap in ~20-page files, parse back, extract
+            for i in range(0, len(pages), 20):
+                blob = encode_warc(pages[i : i + 20], gzip_members=True)
+                for rec in parse_warc(blob):
+                    if rec["type"] != "response":
+                        continue
+                    text = main_text(rec["http_body"].decode())
+                    out["doc_id"].append(
+                        int(rec["uri"].rsplit("/", 1)[1])
+                    )
+                    out["main_md5"].append(
+                        hashlib.md5(text.encode()).hexdigest()
+                    )
+                    out["n_tokens"].append(len(text.split()))
+            yield pd.DataFrame(out)
+
+    for label, src in (("1x sf0.1", SRC), ("10x", DST)):
+        docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+        n = docs.count()
+        pipe = (
+            docs.select("doc_id", "text")
+            .repartition(32)
+            .mapInPandas(
+                funnel, "doc_id long, main_md5 string, n_tokens int"
+            )
+        )
+        # warm-up pass: Python-worker spin-up and Arrow init dominate
+        # at 5k docs (measured 4.0s cold vs 0.4s warm) — the probe's
+        # claim is about steady-state per-doc cost, so time run 2
+        pipe.write.format("noop").mode("overwrite").save()
+        t0 = _t.time()
+        pipe.write.format("noop").mode("overwrite").save()
+        t_funnel = _t.time() - t0
+        messy = F.concat(
+            F.lit("HTTP://WWW.Example.COM:80/Articles/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?z=1&a=2#frag"),
+        )
+        cano = docs.select(canonicalize_url(messy).alias("u"))
+        cano.write.format("noop").mode("overwrite").save()  # warm-up
+        t0 = _t.time()
+        cano.write.format("noop").mode("overwrite").save()
+        t_canon = _t.time() - t0
+        print(
+            f"ingest {label}: {n} docs — funnel {t_funnel:.1f}s, "
+            f"url-canonicalize {t_canon:.1f}s",
+            flush=True,
+        )
+
+
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a not in ("--regen", "--hot", "--ann", "--hot-only")]
+    argv = [a for a in sys.argv[1:] if a not in ("--regen", "--hot", "--ann", "--hot-only", "--ingest")]
+    if "--ingest" in sys.argv:
+        run_ingest_probe()
+        return
     if "--ann" in sys.argv:
         run_ann_probe()
         return
