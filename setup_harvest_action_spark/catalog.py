@@ -93,11 +93,11 @@ _DRIVER_PRIORITY = (
     # (b) the complete 46-entry cohort whose newest driver row is r08.
     # After this window commits, no catalog entry's newest driver row
     # is older than r09.  Entries outside the window stay hash-verified
-    # by tools/verify_oracle.py + pytest every session.  The 11 new
+    # by tools/verify_oracle.py + pytest every session.  The 12 new
     # r14 entries (animation pipelines ×2, HTML extraction ×3, URL
-    # canonicalization ×2, WARC ×2, robots, crawl-prep composition)
-    # register after the priority list and head the r15 rotation
-    # queue, followed by 39 of the 49-entry r09 cohort.
+    # canonicalization ×2, WARC ×2, robots, crawl-prep composition,
+    # PDF pipeline) register after the priority list and head the r15
+    # rotation queue, followed by 38 of the 49-entry r09 cohort.
     # (a) r06-stale:
     "q_text_fingerprint",
     "q_text_token_estimate",
