@@ -86,70 +86,71 @@ _EXPECTED_MISSING: frozenset[str] = frozenset()
 DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = (
-    # ---- r14 rotation ----
-    # 50 slots = 4 + 46: the complete staleness queue, exactly one
-    # window (the r13 verdict's #1 ask).  (a) the 4 entries whose
-    # newest driver row is r06 — the oldest rows in the catalog;
-    # (b) the complete 46-entry cohort whose newest driver row is r08.
-    # After this window commits, no catalog entry's newest driver row
-    # is older than r09.  Entries outside the window stay hash-verified
-    # by tools/verify_oracle.py + pytest every session.  The 12 new
-    # r14 entries (animation pipelines ×2, HTML extraction ×3, URL
-    # canonicalization ×2, WARC ×2, robots, crawl-prep composition,
-    # PDF pipeline) register after the priority list and head the r15
-    # rotation queue, followed by 38 of the 49-entry r09 cohort.
-    # (a) r06-stale:
-    "q_text_fingerprint",
-    "q_text_token_estimate",
-    "q_text_token_stats",
-    "q_text_zscore_by_lang",
-    # (b) the complete r08 cohort:
-    "q_agg_equidepth_histogram",
-    "q_agg_heavy_hitters",
-    "q_dedup_containment",
-    "q_dedup_fuzzy_edit",
-    "q_dedup_incremental",
-    "q_events_cdc_apply",
-    "q_events_resample_interp",
-    "q_events_rfm",
-    "q_events_rolling_active_users",
-    "q_graph_bfs_distance",
-    "q_graph_pagerank",
-    "q_harvest_bucketed_rerun",
-    "q_join_anti",
-    "q_join_interval_banded",
-    "q_join_null_safe",
-    "q_join_overlap_intervals",
-    "q_join_salted_skew",
-    "q_join_semi",
-    "q_local_supplier_volume",
-    "q_multimodal_audio_pipeline",
-    "q_pipeline_corpus_prep",
-    "q_pipeline_entity_resolution",
-    "q_sample_balanced_classes",
-    "q_sample_exact_k",
-    "q_sample_pack_sequences",
-    "q_sample_weighted",
-    "q_sample_weighted_stratified",
-    "q_scalar_date",
-    "q_scalar_json",
-    "q_scalar_string",
-    "q_setop_except_all",
-    "q_setop_intersect",
-    "q_setop_union_by_name",
-    "q_similarity_pairs_threshold",
-    "q_source_manifest_stream_roundtrip",
-    "q_source_partitioned_roundtrip",
-    "q_sparql_datasource",
-    "q_stream_cdc_apply",
-    "q_stream_stateful_totals_append",
-    "q_text_entropy_pandas_udf",
-    "q_text_langid",
-    "q_text_minmax_scale_arrow",
-    "q_window_lag_lead",
-    "q_window_pareto_concentration",
-    "q_window_ranking",
-    "q_window_topk_per_group",
+    # ---- r15 rotation ----
+    # 50 slots = 12 + 38 (the r14 verdict's #1 ask).  (a) the 12
+    # r14-new entries that have never been driver-sampled — the whole
+    # crawl-ingest family plus the two animation pipelines and the PDF
+    # pipeline; (b) 38 of the 49-entry cohort whose newest driver row
+    # is r09 (the stalest after r14).  Deferred to the r16 queue: the
+    # cohort's 2 rows-only entries (q_multimodal_ppm_pipeline,
+    # q_quality_compression_ratio — they get the weaker rows-only
+    # check, so a slot buys less) and the 9 alphabetically-last hash
+    # entries (q_text_lm_bigram_score, q_text_topk_tokens, the 7
+    # q_window_* rows), plus any r15-new entries.  Entries outside the
+    # window stay hash-verified by tools/verify_oracle.py + pytest
+    # every session.
+    # (a) never-sampled r14 entries:
+    "q_multimodal_gif_anim_pipeline",
+    "q_multimodal_webp_anim_pipeline",
+    "q_text_html_extract",
+    "q_text_html_metadata",
+    "q_text_html_boilerplate_stats",
+    "q_text_url_canonicalize",
+    "q_dedup_url_exact",
+    "q_text_robots_filter",
+    "q_pipeline_warc_to_text",
+    "q_source_warc_stats",
+    "q_pipeline_crawl_prep",
+    "q_multimodal_pdf_pipeline",
+    # (b) 38 of the r09-stale cohort:
+    "q_agg_approx_quantiles",
+    "q_agg_chi_square",
+    "q_agg_hll_partitioned",
+    "q_agg_hll_set_algebra",
+    "q_approx_count_distinct",
+    "q_dedup_substring_spans",
+    "q_dedup_winnowing",
+    "q_embedding_outliers",
+    "q_events_interval_coverage",
+    "q_events_interval_coverage_salted",
+    "q_events_sessionize_salted",
+    "q_events_time_decay_score",
+    "q_join_asof_topk",
+    "q_join_cross",
+    "q_join_existence",
+    "q_join_full_outer",
+    "q_join_multikey",
+    "q_join_right_outer",
+    "q_late_supplier_blame",
+    "q_min_cost_supplier",
+    "q_quality_pii_redact",
+    "q_quality_repetition",
+    "q_quality_winsorize",
+    "q_sample_bernoulli_hash",
+    "q_sample_bootstrap",
+    "q_sample_chunk_windows",
+    "q_sample_global_shuffle",
+    "q_sample_mixture_weights",
+    "q_sample_stratified",
+    "q_sample_train_valid_test",
+    "q_setop_except",
+    "q_setop_intersect_all",
+    "q_setop_union_all",
+    "q_setop_union_distinct",
+    "q_source_manifest_changes_stream",
+    "q_source_manifest_skipping",
+    "q_stream_trending_topk",
+    "q_text_kwic_udtf",
 )
 
 _loaded = False

@@ -1329,8 +1329,11 @@ def ivfpq_cell_refit(
         best = F.array_min(
             F.transform(
                 F.col("subs"),
+                # unrounded cosine, exactly _leaf_assign's metric, so a
+                # member placed here and an identical vector appended
+                # later land in the same child even near ties
                 lambda s: F.struct(
-                    F.round(-cosine(F.col("rv"), s["cv"]), 6).alias("neg"),
+                    (-cosine(F.col("rv"), s["cv"])).alias("neg"),
                     s["centroid_id"].alias("centroid_id"),
                 ),
             )

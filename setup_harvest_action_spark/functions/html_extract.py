@@ -114,11 +114,13 @@ class _BlockParser(HTMLParser):
             self.lang = dict(attrs).get("lang")
         if tag == "meta":
             a = dict(attrs)
-            if a.get("name", "").lower() == "description":
+            # valueless attributes ('<meta name content=x>') parse as
+            # None values — `or ""` keeps the no-raise crawl contract
+            if (a.get("name") or "").lower() == "description":
                 self.meta_description = a.get("content")
         if tag == "link":
             a = dict(attrs)
-            if a.get("rel", "").lower() == "canonical":
+            if (a.get("rel") or "").lower() == "canonical":
                 self.canonical = a.get("href")
         if tag == "title":
             self._in_title = True

@@ -5,16 +5,22 @@ decision policies because the ecosystem genuinely has two:
 
 * ``policy="ordered"`` — the original 1994 convention CPython's
   ``urllib.robotparser`` implements: rules apply in FILE ORDER, first
-  matching prefix decides.  This policy is conformance-pinned
-  byte-for-byte against the stdlib parser on randomized rule sets
-  (tests/test_robots.py) — the same stdlib-as-external-oracle
-  discipline the WAV integer widths use.
-* ``policy="longest"`` — RFC 9309 (Google REP) semantics: the MOST
-  SPECIFIC (longest-prefix) matching rule decides, Allow winning
+  matching LITERAL prefix decides ('*'/'$' are ordinary characters,
+  exactly as the stdlib treats them — that literal scope is the
+  point of this policy).  Conformance-pinned byte-for-byte against
+  the stdlib parser on randomized rule sets (tests/test_robots.py) —
+  the same stdlib-as-external-oracle discipline the WAV integer
+  widths use.
+* ``policy="longest"`` — RFC 9309 semantics: full §2.2.3 pattern
+  syntax ('*' matches any character run including none; a trailing
+  '$' anchors the pattern at the path's end), the MOST SPECIFIC
+  match decides where specificity = the rule pattern's octet length
+  (RFC 9309 §2.2.2 "the match with the most octets"), Allow winning
   exact ties.  This policy sits under the catalog query's DuckDB
   oracle, which re-derives the decision RELATIONALLY (join paths to
-  matching prefixes, arg-max on (length, allow)) — an imperative
-  matcher and a relational formulation agreeing under the hash gate.
+  matching rule regexes, arg-max on (pattern length, allow)) — an
+  imperative matcher and a relational formulation agreeing under the
+  hash gate, wildcard rules included.
 
 Group selection: the group whose User-agent token is the longest
 substring of the caller's agent wins; ``*`` is the fallback group
@@ -27,6 +33,8 @@ a map-only prefix match.
 """
 
 from __future__ import annotations
+
+import re as _re
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -79,6 +87,25 @@ def parse_robots(text: str) -> dict:
     return {"groups": groups, "sitemaps": sitemaps}
 
 
+def _rule_regex(pattern: str) -> "_re.Pattern[str]":
+    """RFC 9309 §2.2.3 rule pattern → compiled regex, anchored at the
+    path start: '*' matches any character run (including empty); a
+    trailing '$' anchors at the path's END; a '$' anywhere else is a
+    literal octet (the reading Google's reference matcher uses).
+    Plain prefixes compile to ``^literal`` — same decisions as
+    startswith, so the regex path is the only matcher."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    body = ".*".join(_re.escape(part) for part in pattern.split("*"))
+    return _re.compile("^" + body + (r"\Z" if anchored else ""))
+
+
+def rule_matches(pattern: str, path: str) -> bool:
+    """Does an RFC 9309 Allow/Disallow pattern match ``path``?"""
+    return _rule_regex(pattern).match(path) is not None
+
+
 def _select_group(parsed: dict, agent: str) -> dict | None:
     """Longest-token-substring group match; '*' is the fallback."""
     agent = agent.lower()
@@ -99,16 +126,20 @@ def can_fetch(
     g = _select_group(parsed, agent)
     if g is None:
         return True
-    if policy == "ordered":  # first match in file order decides
+    if policy == "ordered":
+        # first LITERAL-prefix match in file order decides — stdlib
+        # urllib.robotparser parity ('*'/'$' are ordinary characters)
         for allow, prefix in g["rules"]:
             if path.startswith(prefix):
                 return allow
         return True
-    if policy == "longest":  # RFC 9309: most specific; Allow wins ties
-        best = None  # (length, allow)
-        for allow, prefix in g["rules"]:
-            if path.startswith(prefix):
-                key = (len(prefix), allow)
+    if policy == "longest":
+        # RFC 9309: full '*'/'$' pattern syntax; most specific match
+        # decides, specificity = pattern octet length; Allow wins ties
+        best = None  # (pattern length, allow)
+        for allow, pattern in g["rules"]:
+            if rule_matches(pattern, path):
+                key = (len(pattern), allow)
                 if best is None or key > best:
                     best = key
         return True if best is None else best[1]
@@ -130,24 +161,36 @@ Disallow: /tmp/
 Allow: /private/public/
 Disallow: /articles/draft
 Allow: /articles/
+Disallow: /*.tmp$
+Allow: /downloads/*.pdf
+Disallow: /downloads/
 Crawl-delay: 2
 Sitemap: https://corpus.example/sitemap.xml
 """
 
-# the same path construction runs in DuckDB (CASE on doc_id)
+# the same path construction runs in DuckDB (CASE on doc_id); cases
+# 4/5 exercise the '$' anchor (hit and anchored MISS), 6/7 a '*'
+# Allow out-ranking a shorter literal Disallow
 _PATH_SQL = """
-CASE WHEN doc_id % 5 = 0 THEN '/articles/' || CAST(doc_id AS VARCHAR)
-     WHEN doc_id % 5 = 1 THEN '/private/' || CAST(doc_id AS VARCHAR)
-     WHEN doc_id % 5 = 2 THEN '/private/public/' || CAST(doc_id AS VARCHAR)
-     WHEN doc_id % 5 = 3 THEN '/articles/draft' || CAST(doc_id AS VARCHAR)
+CASE WHEN doc_id % 9 = 0 THEN '/articles/' || CAST(doc_id AS VARCHAR)
+     WHEN doc_id % 9 = 1 THEN '/private/' || CAST(doc_id AS VARCHAR)
+     WHEN doc_id % 9 = 2 THEN '/private/public/' || CAST(doc_id AS VARCHAR)
+     WHEN doc_id % 9 = 3 THEN '/articles/draft' || CAST(doc_id AS VARCHAR)
+     WHEN doc_id % 9 = 4 THEN '/cache/' || CAST(doc_id AS VARCHAR) || '.tmp'
+     WHEN doc_id % 9 = 5 THEN '/cache/' || CAST(doc_id AS VARCHAR) || '.tmp.bak'
+     WHEN doc_id % 9 = 6 THEN '/downloads/file' || CAST(doc_id AS VARCHAR) || '.pdf'
+     WHEN doc_id % 9 = 7 THEN '/downloads/file' || CAST(doc_id AS VARCHAR) || '.txt'
      ELSE '/tmp/page' || CAST(doc_id AS VARCHAR) END
 """
 
-# the ruleset above, as a relation (allow, prefix) for the oracle
-_RULES_SQL = """
-(VALUES (FALSE, '/private/'), (FALSE, '/tmp/'),
-        (TRUE, '/private/public/'), (FALSE, '/articles/draft'),
-        (TRUE, '/articles/')) AS rules(allow, prefix)
+# the ruleset above as a relation (allow, anchored RE2 regex,
+# RFC 9309 specificity = raw pattern octet length incl. '*'/'$')
+_RULES_SQL = r"""
+(VALUES (FALSE, '^/private/', 9), (FALSE, '^/tmp/', 5),
+        (TRUE, '^/private/public/', 16),
+        (FALSE, '^/articles/draft', 15), (TRUE, '^/articles/', 10),
+        (FALSE, '^/.*\.tmp$', 7), (TRUE, '^/downloads/.*\.pdf', 16),
+        (FALSE, '^/downloads/', 11)) AS rules(allow, re, l)
 """
 
 
@@ -158,9 +201,9 @@ WITH paths AS (
   SELECT doc_id, ({_PATH_SQL}) AS path
   FROM documents WHERE doc_id < {ROBOTS_DOCS}
 ), matched AS (
-  SELECT p.doc_id, p.path, rules.allow, length(rules.prefix) AS l
+  SELECT p.doc_id, p.path, rules.allow, rules.l
   FROM paths p LEFT JOIN {_RULES_SQL}
-    ON starts_with(p.path, rules.prefix)
+    ON regexp_matches(p.path, rules.re)
 )
 SELECT doc_id, path,
        COALESCE(arg_max(allow, l * 2 + CAST(allow AS INT)), TRUE)
@@ -171,14 +214,18 @@ FROM matched GROUP BY doc_id, path
 def q_text_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots admission under the hash gate: the engine PARSES the
     robots.txt text and decides per path with the RFC 9309
-    longest-match rule (imperative matcher); the DuckDB oracle
-    re-derives every decision RELATIONALLY — arg-max over matching
-    prefixes on (length, allow) with the allow-wins-ties encoding —
-    from the same ruleset as a VALUES relation.  Paths cover every
-    rule interaction: plain allow, plain disallow, an Allow carving a
-    subtree out of a Disallow, and a longer Disallow overriding a
-    shorter Allow.  The ordered (stdlib) policy is conformance-pinned
-    against urllib.robotparser in tests."""
+    longest-match rule — full '*'/'$' pattern syntax (imperative
+    matcher); the DuckDB oracle re-derives every decision
+    RELATIONALLY — arg-max over regex-matching rules on (pattern
+    length, allow) with the allow-wins-ties encoding — from the same
+    ruleset as a VALUES relation of anchored RE2 regexes.  Paths
+    cover every rule interaction: plain allow, plain disallow, an
+    Allow carving a subtree out of a Disallow, a longer Disallow
+    overriding a shorter Allow, a '$'-anchored wildcard Disallow
+    hitting and (anchored) missing, and a '*' Allow out-ranking a
+    shorter literal Disallow.  The ordered (stdlib, literal-prefix)
+    policy is conformance-pinned against urllib.robotparser in
+    tests."""
     from collections.abc import Iterator
 
     import pandas as pd

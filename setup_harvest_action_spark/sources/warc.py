@@ -59,9 +59,12 @@ def _record(
 
 
 def http_response(html: str, status: int = 200) -> bytes:
+    import http.client as _hc
+
     body = html.encode()
+    reason = _hc.responses.get(status, "")
     return (
-        f"HTTP/1.1 {status} OK".encode() + _CRLF
+        f"HTTP/1.1 {status} {reason}".rstrip().encode() + _CRLF
         + b"Content-Type: text/html; charset=utf-8" + _CRLF
         + b"Content-Length: " + str(len(body)).encode() + _CRLF * 2
         + body

@@ -41,33 +41,38 @@ def test_every_oracle_has_a_query():
 
 def test_driver_window_covers_every_component():
     """The first DRIVER_WINDOW catalog entries (all the driver's
-    correctness gate ever records) must front the r14 rotation: the
-    complete staleness queue — the 4 entries whose newest driver row
-    is r06 plus the complete 46-entry r08 cohort (exactly one window;
-    the r13 verdict's #1 ask).  After this window commits, no catalog
-    entry's newest driver row is older than r09."""
+    correctness gate ever records) must front the r15 rotation: the
+    12 r14-new entries that have never been driver-sampled (the whole
+    crawl-ingest family + animation + PDF pipelines) plus 38 of the
+    49-entry r09-stale cohort (the r14 verdict's #1 ask)."""
     queries, _ = cat.load_catalog()
     window = list(queries)[: cat.DRIVER_WINDOW]
     assert len(cat._DRIVER_PRIORITY) <= cat.DRIVER_WINDOW
     assert list(cat._DRIVER_PRIORITY) == window[: len(cat._DRIVER_PRIORITY)]
     for name in (
-        # the 4 r06-stale text queries — oldest rows in the catalog
-        "q_text_fingerprint",
-        "q_text_token_estimate",
-        "q_text_token_stats",
-        "q_text_zscore_by_lang",
-        # representatives of the r08 cohort (the full 46 are pinned by
+        # the 12 never-sampled r14 entries — all must earn driver rows
+        "q_multimodal_gif_anim_pipeline",
+        "q_multimodal_webp_anim_pipeline",
+        "q_text_html_extract",
+        "q_text_html_metadata",
+        "q_text_html_boilerplate_stats",
+        "q_text_url_canonicalize",
+        "q_dedup_url_exact",
+        "q_text_robots_filter",
+        "q_pipeline_warc_to_text",
+        "q_source_warc_stats",
+        "q_pipeline_crawl_prep",
+        "q_multimodal_pdf_pipeline",
+        # representatives of the r09 cohort (the full 38 are pinned by
         # the _DRIVER_PRIORITY == window prefix assertion above)
-        "q_graph_pagerank",
-        "q_pipeline_entity_resolution",
-        "q_sparql_datasource",
-        "q_stream_cdc_apply",
-        "q_sample_weighted_stratified",
-        "q_setop_except_all",
-        "q_join_salted_skew",
-        "q_window_topk_per_group",
-        "q_scalar_json",
-        "q_multimodal_audio_pipeline",
+        "q_agg_approx_quantiles",
+        "q_dedup_winnowing",
+        "q_join_asof_topk",
+        "q_quality_pii_redact",
+        "q_sample_train_valid_test",
+        "q_source_manifest_skipping",
+        "q_stream_trending_topk",
+        "q_text_kwic_udtf",
     ):
         assert name in window, name
 

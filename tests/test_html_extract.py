@@ -135,6 +135,21 @@ def test_malformed_html_never_raises():
     # pathological nesting depth stays linear (no recursion)
     deep = "<div>" * 5000 + "x" + "</div>" * 5000
     assert isinstance(html_to_text(deep), str)
+    # valueless attributes (the r14 advice item): '<meta name content=x>'
+    # parses name=None — must not raise, and must not claim metadata
+    from setup_harvest_action_spark.functions.html_extract import parse_blocks
+
+    _, meta = parse_blocks(
+        "<html><head><meta name content='x'><link rel href='/c'>"
+        "</head><body><p>body text</p></body></html>"
+    )
+    assert meta.meta_description is None
+    assert meta.canonical is None
+    _, meta2 = parse_blocks(
+        "<meta name=description content='real'><link rel=canonical href='/c'>"
+    )
+    assert meta2.meta_description == "real"
+    assert meta2.canonical == "/c"
 
 
 def test_block_stats_shape():

@@ -71,9 +71,34 @@ def test_longest_match_goldens():
         ("/articles/draft7", False),  # longer Disallow overrides Allow
         ("/tmp/page7", False),
         ("/elsewhere", True),  # unmatched → allowed
+        # RFC 9309 §2.2.3 pattern syntax (the r14 advice item):
+        ("/cache/7.tmp", False),  # '/*.tmp$' wildcard Disallow hits
+        ("/cache/7.tmp.bak", True),  # '$' anchors — no match
+        ("/doc/a.pdf", True),  # '*' Allow /downloads/*.pdf doesn't leak
+        ("/downloads/file7.pdf", True),  # '*' Allow (len 16) beats
+        ("/downloads/file7.txt", False),  # literal Disallow (len 11)
     ]
     for path, want in cases:
         assert can_fetch(parsed, "spark-graft-crawler", path) == want, path
+
+
+def test_rfc9309_pattern_matching():
+    """'*'/'$' semantics in isolation: the advice item's exact case —
+    'Disallow: /*.pdf$' must block /doc/a.pdf — plus literal-'$'
+    mid-pattern, empty-'*' runs, and multi-'*' patterns."""
+    from setup_harvest_action_spark.functions.robots import rule_matches
+
+    p = parse_robots("User-agent: *\nDisallow: /*.pdf$\n")
+    assert not can_fetch(p, "anybot", "/doc/a.pdf")
+    assert can_fetch(p, "anybot", "/doc/a.pdfx")  # anchored miss
+    assert rule_matches("/*.pdf$", "/a.pdf")
+    assert rule_matches("/a*b", "/ab")  # '*' matches empty
+    assert rule_matches("/a*b*c", "/aXbYc")
+    assert not rule_matches("/a*b", "/ba")  # anchored at path start
+    assert rule_matches("/p$q", "/p$q-literal")  # mid-'$' is literal
+    assert not rule_matches("/p$q", "/pq")
+    # ordered policy stays literal (stdlib parity): '*' not special
+    assert can_fetch(p, "anybot", "/doc/a.pdf", policy="ordered")
 
 
 def test_group_selection_and_metadata():
