@@ -1,7 +1,10 @@
 """PDF codec (functions/pdf_codec.py): roundtrip goldens across the
-show operators, string-escape and hex-string semantics, damaged-xref
-fallback, honest refusals, page structure, and the truncation/bitflip
-fuzz contract."""
+show operators and BOTH file layouts (classic 1.4 xref tables; 1.5
+xref streams + /ObjStm, with and without the PNG predictor),
+string-escape and hex-string semantics, the Type0/ToUnicode composite
+-font path (bfrange/bfchar, surrogate pairs), damaged-xref fallbacks
+incl. object-stream expansion, honest refusals, page structure, and
+the truncation/bitflip fuzz contract."""
 
 from __future__ import annotations
 
@@ -13,11 +16,21 @@ import pytest
 
 from setup_harvest_action_spark.functions.pdf_codec import (
     PDF_LINES_PER_PAGE,
+    PDF_UNICODE_TAIL,
+    _esc,
     _page_text,
+    _parse_tounicode,
+    _tounicode_cmap,
     encode_pdf,
     extract_pdf_text,
     synthesize_pdf,
 )
+
+LAYOUTS = [
+    ("classic", False),
+    ("xref_stream", False),
+    ("xref_stream", True),  # + PNG Up predictor /DecodeParms
+]
 
 CLEAN_FAILURES = (
     ValueError,
@@ -31,13 +44,73 @@ CLEAN_FAILURES = (
 )
 
 
-def test_roundtrip_multi_page_all_show_operators():
+@pytest.mark.parametrize("layout,pred", LAYOUTS)
+def test_roundtrip_multi_page_all_show_operators(layout, pred):
     lines1 = [f"line number {i} with words" for i in range(7)]
     lines2 = ["page two starts", "and ends"]
-    pages = extract_pdf_text(encode_pdf([lines1, lines2]))
+    pages = extract_pdf_text(
+        encode_pdf([lines1, lines2], layout=layout, xref_predictor=pred)
+    )
     assert len(pages) == 2
     assert pages[0].split("\n") == lines1  # covers Tj, TJ and '
     assert pages[1].split("\n") == lines2
+
+
+@pytest.mark.parametrize("layout,pred", LAYOUTS)
+def test_roundtrip_tounicode_composite_font(layout, pred):
+    """Non-latin-1 lines route through the Type0/Identity-H font as
+    hex CID strings and come back through the /ToUnicode CMap —
+    including a supplementary-plane char (surrogate pair in UTF-16BE)
+    and font SWITCHING mid-page (ascii lines stay on F1)."""
+    lines = [
+        "plain ascii line",
+        "中文 line with naïve café €uro",
+        "mixed Ω and 𝄞 clef plus ascii",
+        "back to ascii",
+    ]
+    pages = extract_pdf_text(
+        encode_pdf([lines], layout=layout, xref_predictor=pred)
+    )
+    assert pages[0].split("\n") == lines
+
+
+def test_tounicode_cmap_writer_parser_pair():
+    """The CMap writer and parser agree exactly: consecutive BMP
+    codepoints become bfrange entries, the surrogate-pair char and
+    isolated codes become bfchar — and parsing inverts the map."""
+    codes = {chr(0x4E00 + i): i + 1 for i in range(10)}  # a bfrange run
+    codes["𝄞"] = 11  # U+1D11E: 4-byte UTF-16BE dst, bfchar only
+    codes["A"] = 12
+    cm = _tounicode_cmap(codes)
+    assert b"beginbfrange" in cm and b"beginbfchar" in cm
+    assert _parse_tounicode(cm) == {c: ch for ch, c in codes.items()}
+
+
+def test_tounicode_parser_array_form_and_edges():
+    """Real-world CMaps use the bfrange ARRAY dst form; unmapped codes
+    must degrade to U+FFFD, not crash."""
+    cmap = (
+        b"2 beginbfrange\n"
+        b"<0001> <0002> [<0041> <00420043>]\n"
+        b"<0010> <0012> <0061>\n"
+        b"endbfrange\n"
+        b"1 beginbfchar\n<0020> <D834DD1E>\nendbfchar\n"
+    )
+    m = _parse_tounicode(cmap)
+    assert m[1] == "A" and m[2] == "BC"  # array form, multi-unit dst
+    assert (m[0x10], m[0x11], m[0x12]) == ("a", "b", "c")  # increments
+    assert m[0x20] == "\U0001d11e"  # surrogate pair decodes
+    # unmapped code inside a show → U+FFFD via the interpreter
+    fonts = {"F9": ("cid", m)}
+    out = _page_text(b"BT /F9 12 Tf <0001FFFF> Tj ET", fonts)
+    assert out == "A�"
+
+
+def test_esc_rejects_non_latin1_by_name():
+    """_esc is strict: the writer must route non-latin-1 through the
+    CID path, never silently '?'-replace (the r14 advice item)."""
+    with pytest.raises(UnicodeEncodeError):
+        _esc("中文")
 
 
 def test_escapes_and_special_characters():
@@ -72,6 +145,21 @@ def test_damaged_xref_falls_back_to_linear_scan():
         assert extract_pdf_text(damage) == good
 
 
+def test_damaged_xref_stream_falls_back_with_objstm_expansion():
+    """When the 1.5 XREF stream is damaged, the linear scan only sees
+    top-level objects — the page tree and catalog live INSIDE the
+    /ObjStm, so recovery requires the scan's object-stream expansion."""
+    lines = ["objstm fallback body", "line two here", "and third"]
+    pdf = encode_pdf([lines], layout="xref_stream")
+    good = extract_pdf_text(pdf)
+    assert good[0].split("\n") == lines
+    for damage in (
+        pdf.replace(b"startxref", b"startxrXf"),
+        pdf.replace(b"/Type /XRef", b"/Type /XrEf", 1),
+    ):
+        assert extract_pdf_text(damage) == good
+
+
 def test_refusals_by_name():
     with pytest.raises(ValueError, match="not a PDF"):
         extract_pdf_text(b"%PNG nope")
@@ -81,6 +169,21 @@ def test_refusals_by_name():
     )
     with pytest.raises(ValueError, match="encrypted"):
         extract_pdf_text(enc)
+    # trailer-level /Encrypt (where real PDFs put it), 1.5 layout
+    pdf15 = encode_pdf([["secret"]], layout="xref_stream")
+    enc15 = pdf15.replace(
+        b"/Type /XRef", b"/Type /XRef /Encrypt 99 0 R", 1
+    )
+    with pytest.raises(ValueError, match="encrypted"):
+        extract_pdf_text(enc15)
+    # Type0 composite font stripped of its /ToUnicode: undecodable
+    # multi-byte text must refuse by name, not emit garbage
+    upd = encode_pdf([["中文 only line"]])
+    import re
+
+    stripped = re.sub(rb"/ToUnicode \d+ 0 R", b"", upd)
+    with pytest.raises(ValueError, match="without /ToUnicode"):
+        extract_pdf_text(stripped)
 
 
 def test_synthesize_page_structure_and_recovery():
@@ -96,9 +199,32 @@ def test_synthesize_page_structure_and_recovery():
     assert synthesize_pdf(5, text) == pdf  # deterministic
 
 
-def test_truncation_fails_cleanly_or_consistently():
-    pdf = synthesize_pdf(3, "sturdy pdf body text repeated " * 30)
-    base = extract_pdf_text(pdf)
+def test_synthesize_layout_rotation():
+    """The fixture corpus spans the real-world layout mix: even ids →
+    classic 1.4, odd → 1.5 xref streams, doc_id%4==3 → predictor 12 —
+    and every variant recovers the same text (unicode tail included)."""
+    text = "rotating layout body text " * 20 + PDF_UNICODE_TAIL
+    want = " ".join(text.split())
+    for d in range(4):
+        blob = synthesize_pdf(d, text)
+        assert blob[:9] == (b"%PDF-1.4\n" if d % 2 == 0 else b"%PDF-1.5\n")
+        if d % 2:
+            assert b"/Type /ObjStm" in blob and b"/Type /XRef" in blob
+        if d % 4 == 3:
+            assert b"/Predictor 12" in blob
+        pages = extract_pdf_text(blob)
+        joined = " ".join(" ".join(p.split()) for p in pages).strip()
+        assert joined == want, d
+
+
+# doc_id picks the layout: 4 → classic, 1 → xref stream, 3 → xref
+# stream + PNG predictor (synthesize_pdf's rotation)
+@pytest.mark.parametrize("doc_id", [4, 1, 3])
+def test_truncation_fails_cleanly_or_consistently(doc_id):
+    pdf = synthesize_pdf(
+        doc_id,
+        "sturdy pdf body text repeated " * 30 + PDF_UNICODE_TAIL,
+    )
     for cut in range(8, len(pdf), max(1, len(pdf) // 200)):
         try:
             out = extract_pdf_text(pdf[:cut])
@@ -109,8 +235,13 @@ def test_truncation_fails_cleanly_or_consistently():
         assert all(isinstance(p, str) for p in out)
 
 
-def test_bitflips_never_hang_or_crash_uncleanly():
-    blob = bytearray(synthesize_pdf(4, "pdf fuzz corpus body " * 40))
+@pytest.mark.parametrize("doc_id", [4, 1, 3])
+def test_bitflips_never_hang_or_crash_uncleanly(doc_id):
+    blob = bytearray(
+        synthesize_pdf(
+            doc_id, "pdf fuzz corpus body " * 40 + PDF_UNICODE_TAIL
+        )
+    )
     rng = random.Random(777)
     for _ in range(200):
         i = rng.randrange(len(blob))
