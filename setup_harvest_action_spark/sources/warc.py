@@ -58,14 +58,24 @@ def _record(
     return _CRLF.join(head) + _CRLF * 2 + payload + _CRLF * 2
 
 
-def http_response(html: str, status: int = 200) -> bytes:
+def http_response(
+    html: str | None = None,
+    status: int = 200,
+    *,
+    body: bytes | None = None,
+    content_type: str = "text/html; charset=utf-8",
+) -> bytes:
+    """A full HTTP/1.1 response.  ``html`` is UTF-8-encoded for you;
+    pass ``body`` (raw bytes) + ``content_type`` instead when the
+    payload's charset is the point (the charset-decode funnel)."""
     import http.client as _hc
 
-    body = html.encode()
+    if body is None:
+        body = (html or "").encode()
     reason = _hc.responses.get(status, "")
     return (
         f"HTTP/1.1 {status} {reason}".rstrip().encode() + _CRLF
-        + b"Content-Type: text/html; charset=utf-8" + _CRLF
+        + b"Content-Type: " + content_type.encode("latin-1") + _CRLF
         + b"Content-Length: " + str(len(body)).encode() + _CRLF * 2
         + body
     )
@@ -88,6 +98,39 @@ def encode_warc(pages, gzip_members: bool = False) -> bytes:
             _record(
                 "response",
                 http_response(html),
+                uri=uri,
+                content_type="application/http;msgtype=response",
+            )
+        )
+    if not gzip_members:
+        return b"".join(recs)
+    out = bytearray()
+    for r in recs:
+        buf = _io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            g.write(r)
+        out += buf.getvalue()
+    return bytes(out)
+
+
+def encode_warc_responses(
+    responses: list[tuple[str, bytes, str]], gzip_members: bool = False
+) -> bytes:
+    """One WARC file from raw (uri, body_bytes, content_type) HTTP
+    responses — the byte-level sibling of ``encode_warc`` for payloads
+    whose ENCODING is part of the fixture (charset funnel)."""
+    recs = [
+        _record(
+            "warcinfo",
+            b"software: setup-harvest-action-spark\r\n",
+            content_type="application/warc-fields",
+        )
+    ]
+    for uri, body, ctype in responses:
+        recs.append(
+            _record(
+                "response",
+                http_response(body=body, content_type=ctype),
                 uri=uri,
                 content_type="application/http;msgtype=response",
             )
@@ -147,11 +190,19 @@ def parse_warc(payload: bytes) -> list[dict]:
             split = body.find(_CRLF * 2)
             if split < 0:
                 raise ValueError("malformed HTTP response in WARC")
-            status_line = body[: body.find(_CRLF)].decode(
-                "utf-8", "replace"
-            )
+            head_lines = body[:split].split(_CRLF)
+            status_line = head_lines[0].decode("utf-8", "replace")
             parts = status_line.split(None, 2)
             rec["http_status"] = int(parts[1]) if len(parts) > 1 else 0
+            # headers decode as latin-1 (RFC 9110's octet model); the
+            # BODY's charset is the decode layer's problem, not ours
+            http_headers: dict[str, str] = {}
+            for raw_h in head_lines[1:]:
+                hk, _, hv = raw_h.partition(b":")
+                http_headers[hk.strip().decode("latin-1").lower()] = (
+                    hv.strip().decode("latin-1")
+                )
+            rec["http_headers"] = http_headers
             rec["http_body"] = body[split + 4 :]
         records.append(rec)
         pos = body_start + length

@@ -1,0 +1,166 @@
+"""Charset layer (functions/charset.py): WHATWG precedence pins
+(BOM > header > meta > default), label-alias conformance
+(iso-8859-1 → windows-1252, gb2312 → gbk, bare utf-16 → LE), the
+1024-byte prescan window, deterministic mojibake on mis-declared
+bytes, and round-trips through every CHARSET_VARIANTS rung with
+stdlib codecs as the external anchor."""
+
+from __future__ import annotations
+
+import pytest
+
+from setup_harvest_action_spark.functions.charset import (
+    CHARSET_VARIANTS,
+    DEFAULT_ENCODING,
+    charset_from_content_type,
+    decode_bytes,
+    encode_crawl_page,
+    meta_prescan,
+    resolve_label,
+    sniff_charset,
+)
+
+
+def test_whatwg_label_aliases():
+    # the aliases browsers implement (and naive pipelines get wrong)
+    assert resolve_label("ISO-8859-1") == "cp1252"
+    assert resolve_label("latin1") == "cp1252"
+    assert resolve_label("ascii") == "cp1252"
+    assert resolve_label("GB2312") == "gbk"
+    assert resolve_label("utf-16") == "utf-16-le"  # bare = LE per spec
+    assert resolve_label("unicodeFFFE") == "utf-16-be"
+    assert resolve_label("x-sjis") == "shift_jis"
+    assert resolve_label(" 'UTF-8' ") == "utf-8"  # quoted/padded
+    assert resolve_label("tis-620") == "cp874"
+    # non-WHATWG label known to CPython falls through to codecs.lookup
+    assert resolve_label("cp437") == "cp437"
+    assert resolve_label("no-such-charset") is None
+    assert resolve_label(None) is None
+
+
+def test_content_type_param_forms():
+    assert charset_from_content_type("text/html; charset=utf-8") == "utf-8"
+    assert (
+        charset_from_content_type('text/html; charset="Shift_JIS"')
+        == "Shift_JIS"
+    )
+    assert (
+        charset_from_content_type("text/html;CHARSET=gb2312; foo=bar")
+        == "gb2312"
+    )
+    assert charset_from_content_type("text/html") is None
+    assert charset_from_content_type(None) is None
+
+
+def test_precedence_bom_header_meta_default():
+    html = "<html><head><meta charset=shift_jis></head><body>x</body></html>"
+    # meta alone decides
+    assert sniff_charset(html.encode())[0:2] == ("shift_jis", "meta")
+    # header outranks meta
+    assert sniff_charset(
+        html.encode(), "text/html; charset=koi8-r"
+    )[0:2] == ("koi8-r", "header")
+    # BOM outranks a (lying) header
+    assert sniff_charset(
+        b"\xff\xfe" + "x".encode("utf-16-le"),
+        "text/html; charset=iso-8859-1",
+    ) == ("utf-16-le", "bom", 2)
+    assert sniff_charset(b"\xef\xbb\xbfplain", None)[0:2] == (
+        "utf-8",
+        "bom",
+    )
+    # nothing declares → the WHATWG unlabeled default
+    assert sniff_charset(b"<html>bare</html>") == (
+        DEFAULT_ENCODING,
+        "default",
+        0,
+    )
+    # unknown labels fall through the precedence chain
+    assert sniff_charset(
+        b"<meta charset=bogus-enc>", "text/html; charset=also-bogus"
+    )[1] == "default"
+
+
+def test_meta_prescan_window_is_1024_bytes():
+    pad = b"<!-- " + b"x" * 1100 + b" -->"
+    late = pad + b"<meta charset=shift_jis>"
+    assert meta_prescan(late) is None  # outside the spec window
+    early = b"<meta charset=shift_jis>" + pad
+    assert meta_prescan(early) == "shift_jis"
+    # http-equiv form carries charset= inside content
+    he = (
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=EUC-JP">'
+    )
+    assert resolve_label(meta_prescan(he)) == "euc_jp"
+
+
+def test_decode_strips_bom_and_anchors_to_stdlib():
+    text = "Ωμέγα decoded"
+    payload = b"\xff\xfe" + text.encode("utf-16-le")
+    got, codec, source = decode_bytes(payload, "text/html")
+    assert (got, codec, source) == (text, "utf-16-le", "bom")
+    # stdlib anchor: every variant's marker survives its own codec,
+    # declared through that variant's actual channel (meta variants
+    # carry their meta tag; BOM variants their BOM)
+    for marker, codec, ctype, meta, bom in CHARSET_VARIANTS:
+        doc = (f"<meta charset={meta}>" if meta else "") + marker
+        enc = bom + doc.encode(codec)
+        got, used, _ = decode_bytes(enc, ctype)
+        assert got == enc[len(bom):].decode(used), codec
+        assert got.endswith(marker), codec
+
+
+def test_misdeclared_bytes_yield_deterministic_mojibake():
+    """The crawl contract: a wrong declaration never raises — it
+    yields the classic deterministic mojibake (UTF-8 'é' read as
+    cp1252 is 'Ã©')."""
+    payload = "café".encode("utf-8")
+    got, codec, source = decode_bytes(payload, "text/html; charset=latin1")
+    assert (codec, source) == ("cp1252", "header")
+    assert got == "cafÃ©"
+    # undecodable sequence under a strict codec → U+FFFD, no raise
+    got2, _, _ = decode_bytes(b"\x81\x39ok", "text/html; charset=shift_jis")
+    assert "�" in got2 and got2.endswith("ok")
+
+
+def test_encode_crawl_page_variants_roundtrip():
+    """encode_crawl_page → decode_bytes recovers the exact page text
+    for every precedence rung, and boilerplate chars outside the
+    target charset arrive as numeric character references (so the
+    html parser, not the codec, restores them)."""
+    from setup_harvest_action_spark.functions.html_extract import (
+        main_text,
+        synthesize_page,
+    )
+
+    for d in range(len(CHARSET_VARIANTS)):
+        marker, codec, _ctype, _meta, _bom = CHARSET_VARIANTS[d]
+        body = "plain article body words here " * 3 + marker
+        page = synthesize_page(d, body, lang="en")
+        payload, ctype = encode_crawl_page(d, page)
+        text, used, source = decode_bytes(payload, ctype)
+        assert used == codec, d
+        assert main_text(text) == " ".join(body.split()), d
+    # the synthesized page's © footer is outside shift_jis → must be
+    # an entity in the encoded bytes, not a '?' or an exception
+    page2 = synthesize_page(2, "body " + CHARSET_VARIANTS[2][0])
+    payload2, _ = encode_crawl_page(2, page2)
+    assert b"&#169;" in payload2
+
+
+@pytest.mark.parametrize("variant", range(len(CHARSET_VARIANTS)))
+def test_variant_sources_match_oracle_case(variant):
+    """The charset_source column the catalog query reports must match
+    the CASE expression in its DuckDB oracle."""
+    want = ["header", "header", "meta", "header", "bom", "default"][variant]
+    marker, codec, ctype, _meta, _bom = CHARSET_VARIANTS[variant]
+    from setup_harvest_action_spark.functions.html_extract import (
+        synthesize_page,
+    )
+
+    payload, ct = encode_crawl_page(
+        variant, synthesize_page(variant, "body " + marker)
+    )
+    _, _, source = decode_bytes(payload, ct)
+    assert source == want
