@@ -88,6 +88,7 @@ class _BlockParser(HTMLParser):
         self.meta_description: str | None = None
         self.lang: str | None = None
         self.canonical: str | None = None
+        self.links: list[str] = []  # every <a href>, document order
 
     # -- block bookkeeping -------------------------------------------------
     def _flush(self) -> None:
@@ -124,6 +125,12 @@ class _BlockParser(HTMLParser):
                 self.canonical = a.get("href")
         if tag == "title":
             self._in_title = True
+        if tag == "a":
+            # capture BEFORE skip/boiler bookkeeping: a crawler follows
+            # nav/footer links too — the web graph wants all of them
+            href = dict(attrs).get("href")
+            if href:
+                self.links.append(href)
         if tag in _SKIP_SUBTREE:
             self._skip_depth += 1
             return
@@ -194,6 +201,14 @@ def html_to_text(payload: str) -> str:
     libxml2's DOM text."""
     blocks, _ = parse_blocks(payload)
     return _norm_ws(" ".join(b["text"] for b in blocks))
+
+
+def extract_links(payload: str) -> list[str]:
+    """Every <a href> in document order (nav/footer/link-farm
+    included — the crawler follows them all); raw references, to be
+    resolved against the page's base URL (urls.resolve_reference)."""
+    _, p = parse_blocks(payload)
+    return p.links
 
 
 def main_text(payload: str) -> str:

@@ -30,6 +30,8 @@ projection ahead of the shuffle that was happening anyway.
 
 from __future__ import annotations
 
+import re as _re
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
@@ -37,6 +39,97 @@ from setup_harvest_action_spark.catalog import query
 from setup_harvest_action_spark.io.loaders import load_table
 
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+# --- RFC 3986 §5: relative-reference resolution -------------------------------
+#
+# The other half of URL identity: a crawled page's outlinks arrive as
+# relative references ("../doc/7", "//cdn.example/x", "?page=2") that
+# only mean anything against the page's base URL.  Implemented to the
+# RFC's §5.2 pseudocode (strict mode) and conformance-pinned against
+# urllib.parse.urljoin — the stdlib-as-external-oracle discipline —
+# on the RFC's own §5.4 normal AND abnormal example tables plus a
+# randomized matrix (tests/test_urls.py).  Python (the algorithm is
+# inherently iterative) but it runs inside the SAME Arrow-batched map
+# stage that parsed the HTML, so nothing leaves the JVM twice.
+
+# RFC 3986 appendix-B-style component split (scheme, //authority,
+# path, ?query, #fragment — each None when absent)
+_COMPONENT_RE = _re.compile(
+    r"^(?:([A-Za-z][A-Za-z0-9+.\-]*):)?"
+    r"(//[^/?#]*)?([^?#]*)(\?[^#]*)?(#.*)?$"
+)
+
+
+def remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 — the full algorithm, '..' included (resolution
+    REQUIRES it; contrast canonicalize_url, which deliberately leaves
+    '..' alone on already-absolute URLs)."""
+    inp, out = path, []
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            i = inp.find("/", 1)
+            if i < 0:
+                out.append(inp)
+                inp = ""
+            else:
+                out.append(inp[:i])
+                inp = inp[i:]
+    return "".join(out)
+
+
+def resolve_reference(base: str, ref: str) -> str:
+    """RFC 3986 §5.2.2 strict transform-references: absolute refs pass
+    through (dot-segments removed), network-path refs ('//host/x')
+    take the base scheme, absolute paths replace, relative paths merge
+    (§5.2.3) — fragment always from the reference."""
+    bm = _COMPONENT_RE.match(base)
+    rm = _COMPONENT_RE.match(ref)
+    if bm is None or rm is None:  # the regex matches any string; keep
+        return ref  # a guard for type misuse anyway
+    b_scheme, b_auth, b_path, b_query, _ = bm.groups()
+    r_scheme, r_auth, r_path, r_query, r_frag = rm.groups()
+    if r_scheme is not None:
+        t = (r_scheme, r_auth, remove_dot_segments(r_path), r_query)
+    elif r_auth is not None:
+        t = (b_scheme, r_auth, remove_dot_segments(r_path), r_query)
+    elif r_path == "":
+        t = (b_scheme, b_auth, b_path,
+             r_query if r_query is not None else b_query)
+    elif r_path.startswith("/"):
+        t = (b_scheme, b_auth, remove_dot_segments(r_path), r_query)
+    else:
+        if b_auth is not None and b_path == "":
+            merged = "/" + r_path
+        else:
+            merged = b_path[: b_path.rfind("/") + 1] + r_path
+        t = (b_scheme, b_auth, remove_dot_segments(merged), r_query)
+    scheme, auth, path, qry = t
+    return (
+        (scheme + ":" if scheme is not None else "")
+        + (auth or "")
+        + path
+        + (qry or "")
+        + (r_frag or "")
+    )
 
 
 def canonicalize_url(url: Column) -> Column:

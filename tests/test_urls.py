@@ -64,3 +64,128 @@ def test_variants_collapse_to_one(canon):
     out = canon(variants)
     assert out[0] == out[1] == out[2] == "http://example.com/page?a=1&b=2"
     assert out[3] == "http://example.com/page/?a=1&b=2"
+
+
+# --- RFC 3986 §5 relative-reference resolution --------------------------------
+
+
+def test_rfc3986_54_examples_match_urljoin():
+    """The RFC's own §5.4.1 normal and §5.4.2 abnormal example tables,
+    base http://a/b/c/d;p?q — urllib.parse.urljoin implements these
+    exactly, so the stdlib is the external anchor for the whole set."""
+    from urllib.parse import urljoin
+
+    from setup_harvest_action_spark.functions.urls import (
+        resolve_reference,
+    )
+
+    base = "http://a/b/c/d;p?q"
+    refs = [
+        "g:h", "g", "./g", "g/", "/g", "//g", "?y", "g?y", "#s",
+        "g#s", "g?y#s", ";x", "g;x", "g;x?y#s", "", ".", "./", "..",
+        "../", "../g", "../..", "../../", "../../g", "../../../g",
+        "../../../../g", "/./g", "/../g", "g.", ".g", "g..", "..g",
+        "./../g", "./g/.", "g/./h", "g/../h", "g;x=1/./y",
+        "g;x=1/../y", "g?y/./x", "g?y/../x", "g#s/./x", "g#s/../x",
+    ]
+    for r in refs:
+        assert resolve_reference(base, r) == urljoin(base, r), r
+
+
+def test_resolution_randomized_against_urljoin():
+    """Randomized http(s) matrix over the reference classes urljoin
+    is RFC-conformant for (no scheme in the ref, no dot segments in
+    network-path refs — see the deviation golden below)."""
+    import random
+    from urllib.parse import urljoin
+
+    from setup_harvest_action_spark.functions.urls import (
+        resolve_reference,
+    )
+
+    rng = random.Random(1234)
+    segs = ["a", "b", "doc", "x.y", ".", "..", "7", "img"]
+    for _ in range(2000):
+        b = (
+            f"http{'s' if rng.random() < 0.5 else ''}://h{rng.randrange(3)}"
+            ".example/"
+            + "/".join(rng.choice(segs) for _ in range(rng.randrange(0, 4)))
+        )
+        if rng.random() < 0.3:
+            b += "?q=1"
+        kind = rng.random()
+        if kind < 0.25:
+            ref = "/" + "/".join(
+                rng.choice(segs) for _ in range(rng.randrange(0, 4))
+            )
+        elif kind < 0.55:
+            ref = "/".join(
+                rng.choice(segs) for _ in range(rng.randrange(1, 4))
+            )
+        elif kind < 0.65:
+            ref = "?a=2"
+        elif kind < 0.75:
+            ref = "#frag"
+        elif kind < 0.85:
+            ref = "//h9.example/" + rng.choice(["a", "b", "doc"])
+        else:
+            ref = "../" * rng.randrange(1, 4) + rng.choice(segs)
+        if rng.random() < 0.2:
+            ref += "#f"
+        assert resolve_reference(b, ref) == urljoin(b, ref), (b, ref)
+
+
+def test_resolution_removes_dot_segments_in_absolute_refs():
+    """Documented stdlib DEVIATION: RFC 3986 §5.2.2 removes dot
+    segments from ABSOLUTE and network-path references too; CPython's
+    urljoin returns them verbatim (browsers and the WHATWG URL spec
+    side with the RFC — crawl URL identity needs the RFC reading, or
+    '/x/../doc/7' and '/doc/7' become different nodes)."""
+    from urllib.parse import urljoin
+
+    from setup_harvest_action_spark.functions.urls import (
+        resolve_reference,
+    )
+
+    base = "http://h.example/p"
+    assert (
+        resolve_reference(base, "https://o.example/abs/./p/../q")
+        == "https://o.example/abs/q"
+    )
+    assert (
+        resolve_reference(base, "//cdn.example/a/../b")
+        == "http://cdn.example/b"
+    )
+    # pin that the stdlib really does deviate here, so if a future
+    # CPython fixes it this golden flags the matrix can widen
+    assert (
+        urljoin(base, "https://o.example/abs/./p/../q")
+        == "https://o.example/abs/./p/../q"
+    )
+
+
+def test_remove_dot_segments_goldens():
+    from setup_harvest_action_spark.functions.urls import (
+        remove_dot_segments,
+    )
+
+    assert remove_dot_segments("/a/b/c/./../../g") == "/a/g"
+    assert remove_dot_segments("mid/content=5/../6") == "mid/6"
+    assert remove_dot_segments("/../g") == "/g"
+    assert remove_dot_segments("..") == ""
+    assert remove_dot_segments("/a/..") == "/"
+
+
+def test_extract_links_document_order_and_valueless():
+    from setup_harvest_action_spark.functions.html_extract import (
+        extract_links,
+        synthesize_page,
+    )
+
+    page = synthesize_page(9, "article body words " * 5, lang="en")
+    links = extract_links(page)
+    assert links[:6] == [f"/s{i}" for i in range(6)]  # nav, in order
+    assert links[-3:] == ["/about", "/tos", "/privacy"]  # footer
+    assert [x for x in links if x.startswith("/rel9-")]  # link farm
+    # valueless href / anchor without href: skipped, no raise
+    assert extract_links('<a href>x</a><a name=t>y</a><a href="/k">z</a>') == ["/k"]
