@@ -883,7 +883,13 @@ def _leaf_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def ivfpq_index_append(
-    spark: SparkSession, new_emb: DataFrame, index_path: str
+    spark: SparkSession,
+    new_emb: DataFrame,
+    index_path: str,
+    maintain: bool = False,
+    share_threshold: float = 0.25,
+    n_sub: int = 8,
+    emb: DataFrame | None = None,
 ) -> dict:
     """Incrementally index a batch into the composed inverted file:
     PQ-encode AND IVF-assign ONLY ``new_emb`` (columns vec_id, e)
@@ -905,7 +911,15 @@ def ivfpq_index_append(
     centroids, so probe admission degrades until
     ``auto_compact(zorder_by=["centroid_id"])`` re-clusters them —
     the degrade→compact→restored loop is pinned in
-    tests/test_ann_index.py."""
+    tests/test_ann_index.py.
+
+    ``maintain=True`` runs ``ivfpq_maintain`` after the merge — the
+    stats-only celebrity trigger (r14 verdict #5): a cell whose
+    footer-stats row share crossed ``share_threshold`` is refit into
+    ``n_sub`` children right here in the ingest path, at most one per
+    append, already-split cells structurally skipped (no refit storm —
+    churn-pinned in tests).  The maintenance report lands under
+    ``"maintenance"`` in the returned stats."""
     from setup_harvest_action_spark.sources.manifest_sink import (
         register_manifest_sink,
         scan_manifest,
@@ -916,9 +930,19 @@ def ivfpq_index_append(
     cents = scan_manifest(spark, _ivf_centroids_path(index_path))
     vecs = new_emb.select("vec_id", F.col("e").alias("v"))
     codes = pq_encode(new_emb, cb).join(_leaf_assign(vecs, cents), "vec_id")
-    return _merge_with_retry(
+    stats = _merge_with_retry(
         spark, _ivfpq_codes_path(index_path), codes, on=["vec_id"]
     )
+    if maintain:
+        stats = dict(stats)
+        stats["maintenance"] = ivfpq_maintain(
+            spark,
+            index_path,
+            share_threshold=share_threshold,
+            n_sub=n_sub,
+            emb=emb,
+        )
+    return stats
 
 
 def ivfpq_index_stream_append(
@@ -1375,6 +1399,82 @@ def ivfpq_cell_refit(
         "files_rewritten": len(admitted),
         "files_kept": len(keep),
     }
+
+
+def ivfpq_maintain(
+    spark: SparkSession,
+    index_path: str,
+    share_threshold: float = 0.25,
+    n_sub: int = 8,
+    max_refits: int = 1,
+    min_cell_rows: int | None = None,
+    emb: DataFrame | None = None,
+) -> dict:
+    """AUTO-trigger for the celebrity-cell re-fit — the maintenance
+    half ``auto_compact`` is for clustering (r14 verdict #5): read
+    ``ivfpq_cell_shares`` (manifest footer stats only — zero data
+    files opened), refit any TOP-LEVEL cell whose row-share lower
+    bound crosses ``share_threshold``, most-loaded first.
+
+    Storm control is structural, not a timer:
+
+    * a split parent can never re-split (``ivfpq_cell_refit`` raises
+      by contract and this trigger SKIPS it) — so one cell costs at
+      most ONE refit for the index's lifetime, no matter how many
+      appends cross the threshold afterwards;
+    * children are never refit here (two-level contract); a celebrity
+      CHILD is reported in ``hot_children`` as the operator's
+      escalation signal (rebuild with higher ``n_sub``), never acted
+      on;
+    * at most ``max_refits`` per call bounds the latency an append
+      can absorb — remaining candidates wait for the next append's
+      trigger (they are re-measured then, from fresh stats);
+    * ``min_cell_rows`` (default ``4 * n_sub``) keeps tiny-but-
+      borderline cells out entirely: a refit that cannot give each
+      child a handful of members buys nothing.
+
+    Returns {"refits": [refit results], "skipped_split": [...],
+    "hot_children": [...], "shares": {...}} — shares as measured
+    BEFORE any refit this call performed."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        register_manifest_sink,
+        read_manifest,
+        scan_manifest,
+    )
+
+    register_manifest_sink(spark)
+    if min_cell_rows is None:
+        min_cell_rows = 4 * n_sub
+    shares = ivfpq_cell_shares(index_path)
+    m = read_manifest(_ivfpq_codes_path(index_path))
+    total = sum(e["rows"] for e in m["files"]) or 1
+    cents = scan_manifest(spark, _ivf_centroids_path(index_path))
+    split_parents: set[int] = set()
+    children: set[int] = set()
+    if "parent_id" in cents.columns:
+        for r in cents.filter(F.col("parent_id").isNotNull()).collect():
+            split_parents.add(int(r["parent_id"]))
+            children.add(int(r["centroid_id"]))
+    hot = [
+        c
+        for c, s in sorted(shares.items(), key=lambda kv: -kv[1])
+        if s >= share_threshold and s * total >= min_cell_rows
+    ]
+    out: dict = {
+        "refits": [],
+        "skipped_split": [c for c in hot if c in split_parents],
+        "hot_children": [c for c in hot if c in children],
+        "shares": shares,
+    }
+    for cid in hot:
+        if cid in split_parents or cid in children:
+            continue
+        if len(out["refits"]) >= max_refits:
+            break
+        out["refits"].append(
+            ivfpq_cell_refit(spark, index_path, cid, n_sub=n_sub, emb=emb)
+        )
+    return out
 
 
 @query("q_similarity_ivfpq_stored")

@@ -1039,3 +1039,99 @@ def test_lsh_search_bucket_cap_bounds_candidates_and_preserves_parity(
     for q in range(5):
         n_admitted = len({v for (qq, v) in expected_cands if qq == q})
         assert by_q[q] == min(10, n_admitted), q
+
+
+def test_ivfpq_maintain_auto_refit_churn(spark, emb, ivfpq):
+    """The r14 verdict's #5: repeated hot-skewed appends with
+    maintain=True keep the table's per-leaf concentration bounded with
+    NO manual ivfpq_cell_refit call — the stats-only trigger fires
+    inside the append path — and the no-storm contract holds: once a
+    cell splits, no later append refits it (or anything else the churn
+    didn't make hot) again."""
+    import random as _random
+
+    from setup_harvest_action_spark.functions.ann_index import (
+        _ivf_centroids_path,
+        ivfpq_index_append,
+        ivfpq_maintain,
+        ivfpq_search,
+    )
+
+    # a balanced index needs no maintenance: the trigger is a no-op
+    quiet = ivfpq_maintain(spark, ivfpq, share_threshold=0.5)
+    assert quiet["refits"] == [] and quiet["skipped_split"] == []
+
+    # craft hot batches near one stored centroid (jitter ABOVE the
+    # quantization step so reconstruction-mode k-means has structure)
+    cents0 = scan_manifest(spark, _ivf_centroids_path(ivfpq)).collect()
+    target = min(r["centroid_id"] for r in cents0)
+    cv = [r for r in cents0 if r["centroid_id"] == target][0]["cv"]
+    rng = _random.Random(99)
+
+    def hot_batch(start: int, n: int):
+        rows = [
+            (
+                start + j,
+                [round(x + rng.uniform(-0.05, 0.05), 4) for x in cv],
+            )
+            for j in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id BIGINT, e ARRAY<DOUBLE>")
+
+    # append 1: the hot cell crosses the share threshold -> auto-refit
+    s1 = ivfpq_index_append(
+        spark, hot_batch(1000, 40), ivfpq,
+        maintain=True, share_threshold=0.2, n_sub=4,
+    )
+    m1 = s1["maintenance"]
+    assert len(m1["refits"]) == 1
+    hot_cell = m1["refits"][0]["cell"]
+    kids = set(m1["refits"][0]["sub_ids"])
+    # k-means keeps only non-empty children; a tight hot mass can fit
+    # in fewer than n_sub — the split itself is what's structural
+    assert len(kids) >= 2
+
+    # appends 2..3: still hot-skewed, but the split is structural —
+    # no further refit fires (no-storm), children only get REPORTED
+    for start in (1100, 1200):
+        s = ivfpq_index_append(
+            spark, hot_batch(start, 40), ivfpq,
+            maintain=True, share_threshold=0.2, n_sub=4,
+        )
+        mm = s["maintenance"]
+        assert mm["refits"] == [], mm
+        assert hot_cell not in [r.get("cell") for r in mm["refits"]]
+    cents1 = scan_manifest(spark, _ivf_centroids_path(ivfpq))
+    assert (
+        cents1.filter(F.col("parent_id") == hot_cell).count() == len(kids)
+    )  # exactly the one split, never re-split
+
+    # bounded concentration: the parent owns zero rows; the appended
+    # hot mass spread across >= 2 children, and no leaf holds what the
+    # unmaintained cell would have (its original members + all 120
+    # appended hot vectors)
+    rows = _ivfpq_map(spark, ivfpq)
+    from collections import Counter as _Counter
+
+    leaf_counts = _Counter(cid for cid, _ in rows.values())
+    assert leaf_counts.get(hot_cell, 0) == 0
+    unmaintained = 120 + sum(
+        1 for vid, (cid, _) in rows.items()
+        if vid < 1000 and cid in kids
+    )
+    assert max(leaf_counts[k] for k in kids) < unmaintained
+    assert sum(1 for k in kids if leaf_counts.get(k, 0) > 0) >= 2
+
+    # the churned index still searches: a hot vector's neighbors are
+    # other hot vectors, and two-level routing finds them
+    probe = spark.createDataFrame([(list(cv),)], "q ARRAY<DOUBLE>")
+    got = ivfpq_search(
+        spark, ivfpq, probe,
+        emb.unionByName(hot_batch(1000, 40))
+           .unionByName(hot_batch(1100, 40))
+           .unionByName(hot_batch(1200, 40))
+           .dropDuplicates(["vec_id"]),
+        nprobe=2, n_cand=60, top_k=10, sub_nprobe=2,
+    ).collect()
+    assert len(got) == 10
+    assert sum(1 for r in got if r["vec_id"] >= 1000) >= 8
