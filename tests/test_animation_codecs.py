@@ -233,3 +233,84 @@ def test_animation_bitflips_never_hang_or_crash_uncleanly(fmt):
             pass
         finally:
             blob[i] ^= bit
+
+
+def _anim_pair(plan):
+    """Encode one frame PLAN as BOTH an animated GIF and an animated
+    WebP (lossless stills) and return both composited sequences.
+    ``plan`` = (palette, [(indices, offset, dispose_clear)])."""
+    pal, frames = plan
+    gif = encode_gif_animation(
+        [f for f, _, _ in frames],
+        pal,
+        delays=[7 * (i + 1) for i in range(len(frames))],
+        # GIF: 1 = keep, 2 = restore-background (clear rect)
+        disposals=[2 if clear else 1 for _, _, clear in frames],
+        offsets=[off for _, off, _ in frames],
+        screen=(12, 10),
+    )
+    stills = [
+        encode_webp_lossless(
+            f.shape[1], f.shape[0], pal[f], palette=True
+        )
+        for f, _, _ in frames
+    ]
+    webp = encode_webp_animation(
+        stills,
+        offsets=[off for _, off, _ in frames],
+        durations=[70 * (i + 1) for i in range(len(frames))],
+        blends=[False] * len(frames),  # overwrite = GIF opaque render
+        disposals=[clear for _, _, clear in frames],
+        canvas=(12, 10),
+    )
+    g_frames, g_delays = decode_gif_animation(gif)
+    w_frames, w_durs = decode_webp_animation(webp)
+    return (g_frames, g_delays), (w_frames, w_durs)
+
+
+def test_cross_format_composite_equality_full_frames():
+    """The r14 verdict's #6: where the GIF89a and WebP animation
+    models coincide (opaque frames, overwrite render, keep disposal),
+    the two compositors must produce IDENTICAL full-canvas RGBA
+    sequences from the same frame plan — each format's compositor
+    cross-oracles the other, covering the gap libwebpdemux's absence
+    leaves in the system A/B."""
+    rng = np.random.default_rng(31)
+    pal = rng.integers(0, 256, (8, 3), np.uint8)
+    frames = [
+        (rng.integers(0, 8, (10, 12)).astype(np.uint8), (0, 0), False)
+        for _ in range(3)
+    ]
+    (gf, gd), (wf, wd) = _anim_pair((pal, frames))
+    assert len(gf) == len(wf) == 3
+    for a, b in zip(gf, wf):
+        assert a.shape == b.shape == (10, 12, 4)
+        assert (a == b).all()
+        assert (a[..., 3] == 255).all()
+    # timebases: GIF centiseconds vs WebP milliseconds, same plan
+    assert [d * 10 for d in gd] == wd
+
+
+def test_cross_format_composite_equality_partial_and_dispose():
+    """Same cross-oracle over the harder shared subset: partial
+    frames at (even) offsets and clear-to-background disposal — the
+    transparent regions outside painted rectangles and the cleared
+    rectangles must agree byte-for-byte too."""
+    rng = np.random.default_rng(32)
+    pal = rng.integers(0, 256, (8, 3), np.uint8)
+    plan = (
+        pal,
+        [
+            (rng.integers(0, 8, (10, 12)).astype(np.uint8), (0, 0), False),
+            # partial frame, cleared back to transparent after emit
+            (rng.integers(0, 8, (4, 6)).astype(np.uint8), (4, 2), True),
+            # partial frame painted over the hole the clear left
+            (rng.integers(0, 8, (2, 4)).astype(np.uint8), (0, 0), False),
+        ],
+    )
+    (gf, _), (wf, _) = _anim_pair(plan)
+    assert len(gf) == len(wf) == 3
+    for i, (a, b) in enumerate(zip(gf, wf)):
+        assert (a == b).all(), i
+    # the disposal hole is visible in frame 2 of both formats
+    assert (gf[2][2:6, 4:10, 3] == 0).any()
