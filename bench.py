@@ -105,6 +105,16 @@ HEADLINE = [
     # the GIF pipeline decodes 5 frames/doc through LZW + the full
     # GIF89a disposal model.
     "q_multimodal_gif_anim_pipeline",
+    # round 15: price the crawl-ingest surface round-over-round —
+    # the PDF pipeline now spans BOTH file layouts (1.4 xref tables /
+    # 1.5 xref+object streams) plus the ToUnicode composite-font path;
+    # the charset funnel adds the bytes→unicode layer (WARC → HTTP
+    # headers → WHATWG sniff → legacy-codec decode → extraction); the
+    # crawl PageRank prices the extract→resolve→canonicalize→graph
+    # composition including its edge-table materialization cut.
+    "q_multimodal_pdf_pipeline",
+    "q_pipeline_charset_decode",
+    "q_graph_crawl_pagerank",
 ]
 
 

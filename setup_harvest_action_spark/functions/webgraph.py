@@ -170,6 +170,42 @@ def q_graph_crawl_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_edges(spark, sf_dir)
 
 
+@query(
+    "q_graph_crawl_host_graph",
+    oracle=f"""
+WITH {_EDGES_SQL}
+SELECT 'host' || CAST(substr(src, 13, 1) AS VARCHAR) AS src_host,
+       'host' || CAST(substr(dst, 13, 1) AS VARCHAR) AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_src_pages
+FROM edges
+GROUP BY src_host, dst_host
+""",
+)
+def q_graph_crawl_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOST-level aggregation of the crawl link graph — the roll-up
+    real pipelines feed spam/quality priors from (host in-link
+    diversity, host-pair link mass).  Host extraction is one codegen'd
+    regexp over the canonical URL; the aggregate rides the edge
+    table's existing shuffle.  The oracle replays the host arithmetic
+    and the two aggregate shapes (link count + distinct-source count)
+    per host pair."""
+    edges = crawl_edges(spark, sf_dir)
+    host = lambda c: F.regexp_extract(c, r"^https://(host\d+)\.", 1)  # noqa: E731
+    return (
+        edges.select(
+            host(F.col("src")).alias("src_host"),
+            host(F.col("dst")).alias("dst_host"),
+            "src",
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("src").alias("n_src_pages"),
+        )
+    )
+
+
 def _pagerank_unroll_sql() -> str:
     """3 fixed iterations over the SYMMETRIZED edge set — the same
     CTE-unroll discipline as q_graph_pagerank's oracle."""

@@ -13,7 +13,15 @@ degraded plan (a new broadcast of a corpus-scale side, a lost
 pushdown, a window collapsing to one partition) shows up as a field
 change even before it costs wall-clock.
 
-Usage:  python tools/plan_audit.py [sf_dir] [query ...]
+Usage:  python tools/plan_audit.py [--all] [sf_dir] [query ...]
+        python tools/plan_audit.py --check FILE.jsonl
+
+``--check`` compares a recorded audit file against the LIVE catalog
+and exits 1 when any catalog entry is missing from (or stale in) the
+file — the r14 verdict's #7: a post-close catalog addition escaped
+the recorded audit once; tests/test_docs_counts.py now runs this
+check against the newest PLANAUDIT_r*.jsonl, so an entry added after
+the audit was emitted fails the suite until the audit is re-emitted.
 """
 
 from __future__ import annotations
@@ -161,8 +169,35 @@ def audit_plan(df, name: str | None = None) -> dict:
     return facts
 
 
+def check_coverage(path: str) -> tuple[list[str], list[str]]:
+    """(missing, stale): catalog entries absent from the recorded
+    audit file, and file entries no longer in the catalog."""
+    from setup_harvest_action_spark.catalog import load_catalog
+
+    queries, _ = load_catalog()
+    recorded = set()
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                recorded.add(json.loads(line).get("query"))
+    missing = sorted(set(queries) - recorded)
+    stale = sorted(recorded - set(queries) - {None})
+    return missing, stale
+
+
 def main() -> int:
     argv = sys.argv[1:]
+    if "--check" in argv:
+        path = argv[argv.index("--check") + 1]
+        missing, stale = check_coverage(path)
+        if missing:
+            print(f"MISSING from {path}: {' '.join(missing)}")
+        if stale:
+            print(f"STALE in {path}: {' '.join(stale)}")
+        if not missing and not stale:
+            print(f"ok: {path} covers the live catalog exactly")
+        return 1 if (missing or stale) else 0
     audit_all = "--all" in argv
     argv = [a for a in argv if a != "--all"]
     sf_dir = argv[0] if argv and "/" in argv[0] else "/root/testdata/sf0.001"

@@ -680,9 +680,81 @@ def run_ingest_probe() -> None:
         t0 = _t.time()
         cano.write.format("noop").mode("overwrite").save()
         t_canon = _t.time() - t0
+
+        # r15 stages: the charset leg (encode in rotating legacy
+        # charsets → WHATWG sniff → codecs decode → extraction) and
+        # the outlink leg (extract_links → RFC 3986 resolve →
+        # canonicalize), both map-only claims
+        def charset_leg(batches):
+            import hashlib
+
+            from setup_harvest_action_spark.functions.charset import (
+                CHARSET_VARIANTS,
+                decode_bytes,
+                encode_crawl_page,
+            )
+
+            for pdf in batches:
+                out = {"doc_id": [], "md5": []}
+                for d, t in zip(pdf["doc_id"], pdf["text"]):
+                    d = int(d)
+                    marker = CHARSET_VARIANTS[d % len(CHARSET_VARIANTS)][0]
+                    body, ctype = encode_crawl_page(
+                        d, synthesize_page(d, t + " " + marker)
+                    )
+                    text, _c, _s = decode_bytes(body, ctype)
+                    out["doc_id"].append(d)
+                    out["md5"].append(
+                        hashlib.md5(main_text(text).encode()).hexdigest()
+                    )
+                yield pd.DataFrame(out)
+
+        def outlink_leg(batches):
+            from setup_harvest_action_spark.functions.html_extract import (
+                extract_links,
+            )
+            from setup_harvest_action_spark.functions.urls import (
+                resolve_reference,
+            )
+            from setup_harvest_action_spark.functions.webgraph import (
+                page_url,
+                synthesize_crawl_page,
+            )
+
+            for pdf in batches:
+                src, dst = [], []
+                for d, t in zip(pdf["doc_id"], pdf["text"]):
+                    d = int(d)
+                    base = page_url(d)
+                    for ref in extract_links(synthesize_crawl_page(d, t)):
+                        src.append(base)
+                        dst.append(resolve_reference(base, ref))
+                yield pd.DataFrame({"src": src, "dst": dst})
+
+        t_leg = {}
+        for leg_name, fn, schema in (
+            ("charset", charset_leg, "doc_id long, md5 string"),
+            ("outlinks", outlink_leg, "src string, dst string"),
+        ):
+            leg = (
+                docs.select("doc_id", "text")
+                .repartition(32)
+                .mapInPandas(fn, schema)
+            )
+            if leg_name == "outlinks":
+                leg = leg.select(
+                    canonicalize_url(F.col("src")).alias("src"),
+                    canonicalize_url(F.col("dst")).alias("dst"),
+                )
+            leg.write.format("noop").mode("overwrite").save()  # warm-up
+            t0 = _t.time()
+            leg.write.format("noop").mode("overwrite").save()
+            t_leg[leg_name] = _t.time() - t0
         print(
             f"ingest {label}: {n} docs — funnel {t_funnel:.1f}s, "
-            f"url-canonicalize {t_canon:.1f}s",
+            f"url-canonicalize {t_canon:.1f}s, "
+            f"charset {t_leg['charset']:.1f}s, "
+            f"outlinks {t_leg['outlinks']:.1f}s",
             flush=True,
         )
 
