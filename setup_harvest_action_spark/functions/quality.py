@@ -1170,3 +1170,403 @@ def redact_pii(
     if keep_text:
         cols.append(t3.alias("clean_text"))
     return docs.select(*cols)
+
+
+# --- Gopher document-quality rules (r15) ---------------------------------------
+
+GOPHER_DOCS = 400
+_GOPHER_LINE_WORDS = 8
+
+
+def synthesize_structured_doc(doc_id: int, text: str) -> str:
+    """Deterministic document STRUCTURE over the fixture's bare-word
+    text, so the line-level Gopher rules have real pass AND fail cases
+    (the raw fixture has no newlines/bullets/punctuation):
+
+      * raw words chunk into {n}-word lines;
+      * doc_id % 8 == 5: EVERY line gets a bullet ("• ") — fails the
+        bullet rule; % 8 == 1: every 5th line — passes;
+      * doc_id % 4 == 2: every 3rd line's last word gains "..." —
+        ~33% of lines, fails the 30% ellipsis rule;
+      * doc_id % 8 == 3: as many numeric words as raw words append as
+        one extra line — fails the 80%-alphabetic rule; % 8 == 7:
+        three numeric words — passes.
+
+    The catalog oracle never sees this text: it re-derives every
+    metric from the construction ARITHMETIC + raw-token stats, so the
+    measurement code below is what's under test.
+    """.replace("{n}", str(_GOPHER_LINE_WORDS))
+    words = [w for w in text.split() if w]
+    n = _GOPHER_LINE_WORDS
+    lines = [
+        " ".join(words[i : i + n]) for i in range(0, len(words), n)
+    ]
+    if doc_id % 4 == 2:
+        lines = [
+            ln + "..." if i % 3 == 2 else ln
+            for i, ln in enumerate(lines)
+        ]
+    if doc_id % 8 == 5:
+        lines = ["• " + ln for ln in lines]
+    elif doc_id % 8 == 1:
+        lines = [
+            ("• " + ln if i % 5 == 0 else ln)
+            for i, ln in enumerate(lines)
+        ]
+    n_num = (
+        len(words) if doc_id % 8 == 3 else 3 if doc_id % 8 == 7 else 0
+    )
+    if n_num:
+        lines.append(" ".join(str(100 + i) for i in range(n_num)))
+    return "\n".join(lines)
+
+
+def gopher_metrics(doc: str) -> dict:
+    """MEASURE the Gopher quality-rule inputs from a structured
+    document (Rae et al. 2021, arXiv:2112.11446 §A1.1 — the published
+    repetition-free subset): word count, mean word length,
+    ellipsis-symbol-to-word ratio, fraction of lines starting with a
+    bullet, fraction of lines ending with an ellipsis, fraction of
+    words with at least one alphabetic character, and stop-word hits
+    (this repo's STOPWORDS list stands in for the paper's 8-word
+    list — documented deviation).  Bullet markers are stripped before
+    word-level metrics (the marker is layout, not a word)."""
+    from setup_harvest_action_spark.functions.text import STOPWORDS
+
+    lines = doc.split("\n") if doc else []
+    n_lines = len(lines) or 1
+    bullet_lines = sum(
+        1 for ln in lines if ln.startswith(("• ", "- ", "* "))
+    )
+    ellipsis_lines = sum(
+        1 for ln in lines if ln.rstrip().endswith(("...", "…"))
+    )
+    words = [
+        w
+        for ln in lines
+        for w in (
+            ln[2:] if ln.startswith(("• ", "- ", "* ")) else ln
+        ).split()
+        if w
+    ]
+    n_words = len(words) or 1
+    n_alpha = sum(1 for w in words if any(c.isalpha() for c in w))
+    n_ellipsis = sum(w.count("...") + w.count("…") for w in words)
+    n_hash = sum(w.count("#") for w in words)
+    stop_count = sum(1 for w in words if w.rstrip(".…") in STOPWORDS)
+    return {
+        "n_words": len(words),
+        "n_lines": len(lines),
+        "mean_word_len": sum(len(w) for w in words) / n_words,
+        "symbol_ratio": (n_ellipsis + n_hash) / n_words,
+        "bullet_frac": bullet_lines / n_lines,
+        "ellipsis_frac": ellipsis_lines / n_lines,
+        "alpha_frac": n_alpha / n_words,
+        "stop_count": stop_count,
+    }
+
+
+def gopher_pass(m: dict) -> bool:
+    """The published rule thresholds: 50..100k words, mean word length
+    3..10, symbol-to-word ratio <= 0.1, <= 90% bullet lines, <= 30%
+    ellipsis lines, >= 80% alphabetic words, >= 2 stop words."""
+    return (
+        50 <= m["n_words"] <= 100_000
+        and 3 <= m["mean_word_len"] <= 10
+        and m["symbol_ratio"] <= 0.1
+        and m["bullet_frac"] <= 0.9
+        and m["ellipsis_frac"] <= 0.3
+        and m["alpha_frac"] >= 0.8
+        and m["stop_count"] >= 2
+    )
+
+
+@query(
+    "q_quality_gopher_rules",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS n_raw,
+         length(replace(text, ' ', '')) AS sum_raw,
+         len(list_filter(string_split(text, ' '),
+                         t -> t IN ('the', 'a', 'of', 'and', 'in')))
+           AS stop_count
+  FROM documents WHERE doc_id < {GOPHER_DOCS}
+), derived AS (
+  SELECT doc_id, n_raw, sum_raw, stop_count,
+         CAST(ceil(n_raw / {_GOPHER_LINE_WORDS}.0) AS INT) AS n_base,
+         CASE WHEN doc_id % 8 = 3 THEN n_raw
+              WHEN doc_id % 8 = 7 THEN 3 ELSE 0 END AS n_num
+  FROM base
+), counts AS (
+  SELECT doc_id, stop_count,
+         n_raw + n_num AS n_words,
+         n_base + CASE WHEN n_num > 0 THEN 1 ELSE 0 END AS n_lines,
+         CASE WHEN doc_id % 8 = 5 THEN n_base
+              WHEN doc_id % 8 = 1
+                THEN CAST(floor((n_base - 1) / 5.0) AS INT) + 1
+              ELSE 0 END AS n_bullet,
+         CASE WHEN doc_id % 4 = 2 AND n_base >= 3
+                THEN CAST(floor((n_base - 3) / 3.0) AS INT) + 1
+              ELSE 0 END AS n_ell,
+         n_raw AS n_alpha,
+         sum_raw + 3 * n_num + 3 * CASE WHEN doc_id % 4 = 2
+              AND n_base >= 3
+              THEN CAST(floor((n_base - 3) / 3.0) AS INT) + 1
+              ELSE 0 END AS sum_len
+  FROM derived
+)
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       CAST(n_lines AS INT) AS n_lines,
+       CAST(round(sum_len * 1.0 / n_words, 6) AS DOUBLE)
+         AS mean_word_len,
+       CAST(round(n_ell * 1.0 / n_words, 6) AS DOUBLE) AS symbol_ratio,
+       CAST(round(n_bullet * 1.0 / n_lines, 6) AS DOUBLE)
+         AS bullet_frac,
+       CAST(round(n_ell * 1.0 / n_lines, 6) AS DOUBLE)
+         AS ellipsis_frac,
+       CAST(round(n_alpha * 1.0 / n_words, 6) AS DOUBLE) AS alpha_frac,
+       CAST(stop_count AS INT) AS stop_count,
+       CAST(n_words BETWEEN 50 AND 100000
+            AND sum_len * 1.0 / n_words BETWEEN 3 AND 10
+            AND n_ell * 1.0 / n_words <= 0.1
+            AND n_bullet * 1.0 / n_lines <= 0.9
+            AND n_ell * 1.0 / n_lines <= 0.3
+            AND n_alpha * 1.0 / n_words >= 0.8
+            AND stop_count >= 2 AS BOOLEAN) AS passes_gopher
+FROM counts
+""",
+)
+def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-quality rule pack (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1) under the hash gate, the webgraph
+    discipline: each document gains deterministic STRUCTURE (lines,
+    bullet variants, ellipsis variants, numeric-word variants — every
+    rule gets pass AND fail populations), the engine MEASURES the
+    rules from the structured text (``gopher_metrics``: line split,
+    bullet strip, word classes), and the DuckDB oracle re-derives
+    every metric from construction arithmetic + raw-token stats — a
+    measurement bug anywhere (a bullet counted as a word, an ellipsis
+    missed at a line end, an off-by-one in line chunking) flips the
+    hash.  Scale: pure map over Arrow batches; the rule pack is the
+    standard cheap pre-filter ahead of dedup/training."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < GOPHER_DOCS)
+        .select("doc_id", "text")
+    )
+
+    def measure(batches: Iterator):
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_words": [], "n_lines": [],
+                "mean_word_len": [], "symbol_ratio": [],
+                "bullet_frac": [], "ellipsis_frac": [],
+                "alpha_frac": [], "stop_count": [],
+                "passes_gopher": [],
+            }
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                m = gopher_metrics(synthesize_structured_doc(d, t))
+                rows["doc_id"].append(d)
+                rows["n_words"].append(m["n_words"])
+                rows["n_lines"].append(m["n_lines"])
+                rows["mean_word_len"].append(round(m["mean_word_len"], 6))
+                rows["symbol_ratio"].append(round(m["symbol_ratio"], 6))
+                rows["bullet_frac"].append(round(m["bullet_frac"], 6))
+                rows["ellipsis_frac"].append(round(m["ellipsis_frac"], 6))
+                rows["alpha_frac"].append(round(m["alpha_frac"], 6))
+                rows["stop_count"].append(m["stop_count"])
+                rows["passes_gopher"].append(gopher_pass(m))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        measure,
+        "doc_id long, n_words int, n_lines int, mean_word_len double,"
+        " symbol_ratio double, bullet_frac double, ellipsis_frac double,"
+        " alpha_frac double, stop_count int, passes_gopher boolean",
+    )
+
+
+# --- C4 line-level cleaning (r15) ----------------------------------------------
+
+C4_DOCS = 400
+_C4_LINE_WORDS = 8
+
+
+def synthesize_c4_doc(doc_id: int, text: str) -> str:
+    """Deterministic C4-shaped structure: raw words chunk into
+    {n}-word sentences with a terminal period — EXCEPT every 4th line
+    (i % 4 == 3), which gets no terminal punctuation (the C4 line
+    rule's fail case; a short final chunk additionally fails the
+    5-word minimum).  Injections: doc_id % 3 == 1 appends a 2-word
+    line; % 9 == 4 appends a 'lorem ipsum' sentence (doc-level drop);
+    % 9 == 7 appends a brace line (code marker, doc-level drop).  The
+    oracle re-derives cleaning entirely from this arithmetic plus the
+    raw word list.""".replace("{n}", str(_C4_LINE_WORDS))
+    words = [w for w in text.split() if w]
+    n = _C4_LINE_WORDS
+    lines = []
+    for i in range(0, len(words), n):
+        chunk = " ".join(words[i : i + n])
+        idx = i // n
+        lines.append(chunk if idx % 4 == 3 else chunk + ".")
+    if doc_id % 3 == 1:
+        lines.append("too short.")
+    if doc_id % 9 == 4:
+        lines.append("lorem ipsum dolor sit amet.")
+    if doc_id % 9 == 7:
+        lines.append("function() {")
+    return "\n".join(lines)
+
+
+_C4_TERMINAL = (".", "!", "?", '"')
+
+
+def c4_clean(doc: str) -> dict:
+    """The C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683
+    §2.2 — the line- and document-level subset): keep only lines that
+    end in terminal punctuation AND have >= 5 words; drop the whole
+    document when any line contains the braces-of-code marker '{' or
+    the phrase 'lorem ipsum' (case-insensitive), or when fewer than 3
+    lines survive ('at least 3 sentences').  Returns the cleaned text
+    plus the bookkeeping the catalog oracle replays."""
+    lines = doc.split("\n") if doc else []
+    kept = [
+        ln
+        for ln in lines
+        if ln.rstrip().endswith(_C4_TERMINAL) and len(ln.split()) >= 5
+    ]
+    low = doc.lower()
+    if "lorem ipsum" in low:
+        reason = "lorem_ipsum"
+    elif "{" in doc:
+        reason = "brace"
+    elif len(kept) < 3:
+        reason = "min_sentences"
+    else:
+        reason = ""
+    return {
+        "n_lines_in": len(lines),
+        "n_lines_kept": len(kept),
+        "doc_dropped": bool(reason),
+        "drop_reason": reason,
+        "clean_text": None if reason else "\n".join(kept),
+    }
+
+
+@query(
+    "q_quality_c4_line_filters",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS words
+  FROM documents WHERE doc_id < {C4_DOCS}
+), base AS (
+  SELECT doc_id, words, len(words) AS n_raw,
+         CAST(ceil(len(words) / {_C4_LINE_WORDS}.0) AS INT) AS n_base
+  FROM w
+), lines AS (
+  -- fixed 0..255 index cross join (DuckDB can't lateral-parameterize
+  -- generate_series) filtered to each doc's real line count; 256
+  -- lines = 2048 words, far above the fixture (asserted by a guard
+  -- row-count: any doc longer would lose lines AND flip the hash)
+  SELECT doc_id, n_base, t.i,
+         len(words) - {_C4_LINE_WORDS} * t.i AS remaining,
+         array_to_string(list_slice(words, t.i * {_C4_LINE_WORDS} + 1,
+                                    (t.i + 1) * {_C4_LINE_WORDS}), ' ')
+           AS chunk
+  FROM base CROSS JOIN generate_series(0, 255) AS t(i)
+  WHERE t.i < n_base
+), kept AS (
+  SELECT doc_id, i, chunk || '.' AS ln
+  FROM lines
+  WHERE i % 4 <> 3 AND least(remaining, {_C4_LINE_WORDS}) >= 5
+), counts AS (
+  SELECT b.doc_id, b.n_base,
+         b.n_base
+           + CASE WHEN b.doc_id % 3 = 1 THEN 1 ELSE 0 END
+           + CASE WHEN b.doc_id % 9 = 4 THEN 1 ELSE 0 END
+           + CASE WHEN b.doc_id % 9 = 7 THEN 1 ELSE 0 END
+           AS n_lines_in,
+         coalesce(k.n_kept_base, 0)
+           + CASE WHEN b.doc_id % 9 = 4 THEN 1 ELSE 0 END
+           AS n_lines_kept,
+         k.clean_text
+  FROM base b LEFT JOIN (
+    SELECT doc_id, count(*) AS n_kept_base,
+           string_agg(ln, chr(10) ORDER BY i) AS clean_text
+    FROM kept GROUP BY doc_id
+  ) k USING (doc_id)
+)
+SELECT doc_id,
+       CAST(n_lines_in AS INT) AS n_lines_in,
+       CAST(n_lines_kept AS INT) AS n_lines_kept,
+       CAST(doc_id % 9 IN (4, 7) OR n_lines_kept < 3 AS BOOLEAN)
+         AS doc_dropped,
+       CASE WHEN doc_id % 9 = 4 THEN 'lorem_ipsum'
+            WHEN doc_id % 9 = 7 THEN 'brace'
+            WHEN n_lines_kept < 3 THEN 'min_sentences'
+            ELSE '' END AS drop_reason,
+       CASE WHEN doc_id % 9 IN (4, 7) OR n_lines_kept < 3 THEN NULL
+            ELSE md5(clean_text) END AS clean_md5
+FROM counts
+""",
+)
+def q_quality_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's cleaning pass (Raffel et al. 2020 §2.2) under the hash
+    gate — CLEANING, not just scoring: the engine rebuilds each
+    document's surviving text (terminal-punctuation + 5-word line
+    rules; lorem-ipsum / brace / min-3-sentences document drops) and
+    the DuckDB oracle reconstructs the identical cleaned text
+    RELATIONALLY (generate_series + list_slice line reconstruction +
+    ordered string_agg) — the clean_md5 column means a divergence in
+    any kept line, line order, or drop decision flips the hash.
+    Scale: pure map; the oracle's relational rebuild is the test rig,
+    not the production path."""
+    from collections.abc import Iterator
+
+    import hashlib
+
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < C4_DOCS)
+        .select("doc_id", "text")
+    )
+
+    def clean(batches: Iterator):
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_lines_in": [], "n_lines_kept": [],
+                "doc_dropped": [], "drop_reason": [], "clean_md5": [],
+            }
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                r = c4_clean(synthesize_c4_doc(d, t))
+                rows["doc_id"].append(d)
+                rows["n_lines_in"].append(r["n_lines_in"])
+                rows["n_lines_kept"].append(r["n_lines_kept"])
+                rows["doc_dropped"].append(r["doc_dropped"])
+                rows["drop_reason"].append(r["drop_reason"])
+                rows["clean_md5"].append(
+                    None
+                    if r["clean_text"] is None
+                    else hashlib.md5(
+                        r["clean_text"].encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        clean,
+        "doc_id long, n_lines_in int, n_lines_kept int,"
+        " doc_dropped boolean, drop_reason string, clean_md5 string",
+    )

@@ -33,7 +33,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from setup_harvest_action_spark.catalog import query
 from setup_harvest_action_spark.functions.graph import (
@@ -203,6 +203,98 @@ def q_graph_crawl_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_links"),
             F.countDistinct("src").alias("n_src_pages"),
         )
+    )
+
+
+# the frontier's robots policy: a wildcard Disallow exercising the
+# r15 RFC 9309 '*'/'$' matcher INSIDE a composition (paths ending in
+# the digit 7 are off-limits)
+FRONTIER_ROBOTS = """\
+User-agent: *
+Disallow: /doc/*7$
+"""
+
+FRONTIER_PER_HOST = 5
+
+
+@query(
+    "q_pipeline_crawl_frontier",
+    oracle=f"""
+WITH {_EDGES_SQL},
+crawled AS (SELECT DISTINCT src AS url FROM edges),
+candidates AS (
+  SELECT DISTINCT dst AS url FROM edges
+  WHERE dst NOT IN (SELECT url FROM crawled)
+),
+admitted AS (
+  SELECT url, 'host' || CAST(substr(url, 13, 1) AS VARCHAR) AS host
+  FROM candidates
+  WHERE NOT regexp_matches(url, '/doc/.*7$')
+),
+ranked AS (
+  SELECT host, url,
+         row_number() OVER (PARTITION BY host ORDER BY url) AS rank
+  FROM admitted
+)
+SELECT host, url, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {FRONTIER_PER_HOST}
+""",
+)
+def q_pipeline_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl LOOP's next step, composed from this round's pieces
+    and hash-gated end to end: outlink edges → DISTINCT candidate
+    URLs → anti-join against the crawled set (a URL is 'crawled' iff
+    it is some page's canonical self — host-mismatched link targets
+    are organically novel) → robots admission through the RFC 9309
+    WILDCARD matcher (``Disallow: /doc/*7$`` — the r15 '*'/'$'
+    machinery running inside a composition, not just its own unit
+    oracle) → per-host politeness cap (top-{FRONTIER_PER_HOST} per
+    host, rank-windowed).  The oracle replays candidates from link
+    arithmetic, admission as an anchored regex, and the cap as a
+    row_number window.  Scale: the anti-join shuffles on the URL key
+    that exact-dedup already shuffles on; the per-host cap is a
+    WindowGroupLimit (top-k pushdown), the standard frontier shape —
+    no all-pairs, no driver state."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from setup_harvest_action_spark.functions.robots import (
+        can_fetch,
+        parse_robots,
+    )
+
+    edges = crawl_edges(spark, sf_dir)
+    crawled = edges.select(F.col("src").alias("url")).distinct()
+    candidates = (
+        edges.select(F.col("dst").alias("url"))
+        .distinct()
+        .join(crawled, "url", "left_anti")
+    )
+
+    parsed = parse_robots(FRONTIER_ROBOTS)
+
+    def admit(batches: Iterator):
+        for pdf in batches:
+            keep = [
+                can_fetch(
+                    parsed,
+                    "spark-graft-crawler",
+                    "/" + u.split("/", 3)[3],
+                )
+                for u in pdf["url"]
+            ]
+            yield pdf[pd.Series(keep, index=pdf.index)]
+
+    admitted = candidates.mapInPandas(admit, "url string").select(
+        F.regexp_extract("url", r"^https://(host\d+)\.", 1).alias("host"),
+        "url",
+    )
+    w = Window.partitionBy("host").orderBy("url")
+    return (
+        admitted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= FRONTIER_PER_HOST)
+        .select("host", "url", "rank")
     )
 
 
