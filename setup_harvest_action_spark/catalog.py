@@ -63,6 +63,7 @@ _OPERATOR_MODULES = (
     "setup_harvest_action_spark.functions.robots",
     "setup_harvest_action_spark.functions.charset",
     "setup_harvest_action_spark.functions.webgraph",
+    "setup_harvest_action_spark.functions.sitemap",
     "setup_harvest_action_spark.functions.pdf_codec",
     "setup_harvest_action_spark.operators.sql_surface",
     "setup_harvest_action_spark.operators.tpch_shapes",
