@@ -370,6 +370,121 @@ def _serialize_xref_stream(
     return bytes(out)
 
 
+def encode_pdf_update_append_page(base: bytes, lines: list[str]) -> bytes:
+    """INCREMENTAL UPDATE (ISO 32000 §7.5.6): append a revision that
+    adds one page — the file-append-only edit model real-world PDFs
+    accumulate (every save-in-place produces one).  The revision
+    carries a new content stream, a new page object, and a REWRITTEN
+    page-tree node under its ORIGINAL object number (the newest xref
+    section shadows the base's entry), plus a cross-reference section
+    whose /Prev chains to the base's startxref.  The section layout
+    matches the base: classic bases get a classic xref table
+    subsectioned per changed object; 1.5 bases get an xref STREAM
+    (same /W [1 4 2] rows).  Latin-1 text only (the update fixture's
+    scope — the Type0 escalation lives in the full writer); the base
+    must be one of this module's own emissions or structurally
+    equivalent (it is fixture machinery, like encode_warc)."""
+    get, resolve, root, entries, trailer = _open_pdf(base)
+    pages_ref = root.get("Pages")
+    if not isinstance(pages_ref, _Ref):
+        raise ValueError("base PDF catalog has no /Pages reference")
+    pnode = resolve(pages_ref)
+    kids = pnode.get("Kids") or []
+    count = pnode.get("Count", len(kids))
+    root_m = _re.search(rb"/Root\s+(\d+)\s+\d+\s+R", base)
+    if not root_m:
+        raise ValueError("base PDF trailer /Root not found")
+    root_num = int(root_m.group(1))
+    prev_m = list(_re.finditer(rb"startxref\s+(\d+)", base[-400:]))
+    if not prev_m:
+        raise ValueError("base PDF missing startxref")
+    prev = int(prev_m[-1].group(1))
+    is_classic = base[prev : prev + 4] == b"xref"
+
+    max_num = max(entries)
+    c_num, p_num = max_num + 1, max_num + 2
+    ops = [b"BT /F1 12 Tf 72 720 Td"]
+    for i, line in enumerate(lines):
+        if i:
+            ops.append(b"0 -14 Td")
+        ops.append(b"(" + _esc(line) + b") Tj")
+    ops.append(b"ET")
+    comp = _zlib.compress(b"\n".join(ops))
+    kid_str = " ".join(
+        f"{k.num} 0 R" for k in kids if isinstance(k, _Ref)
+    )
+    bodies = [
+        (
+            c_num,
+            f"<< /Length {len(comp)} /Filter /FlateDecode >>".encode(),
+            comp,
+        ),
+        (
+            p_num,
+            (
+                f"<< /Type /Page /Parent {pages_ref.num} 0 R"
+                " /MediaBox [0 0 612 792]"
+                " /Resources << /Font << /F1 1 0 R >> >>"
+                f" /Contents {c_num} 0 R >>"
+            ).encode(),
+            None,
+        ),
+        (
+            pages_ref.num,
+            (
+                f"<< /Type /Pages /Kids [{kid_str} {p_num} 0 R]"
+                f" /Count {count + 1} >>"
+            ).encode(),
+            None,
+        ),
+    ]
+    out = bytearray(base)
+    if not out.endswith(b"\n"):
+        out += b"\n"
+    offs: dict[int, int] = {}
+    for num, body, stream in bodies:
+        offs[num] = len(out)
+        out += str(num).encode() + b" 0 obj\n" + body
+        if stream is not None:
+            out += b"\nstream\n" + stream + b"\nendstream"
+        out += b"\nendobj\n"
+    size = max_num + 3 + (0 if is_classic else 1)
+    if is_classic:
+        xref_at = len(out)
+        out += (
+            b"xref\n"
+            + f"{pages_ref.num} 1\n{offs[pages_ref.num]:010d} 00000 n \n".encode()
+            + f"{c_num} 2\n{offs[c_num]:010d} 00000 n \n".encode()
+            + f"{offs[p_num]:010d} 00000 n \n".encode()
+            + (
+                f"trailer\n<< /Size {size} /Root {root_num} 0 R"
+                f" /Prev {prev} >>\nstartxref\n{xref_at}\n%%EOF\n"
+            ).encode()
+        )
+    else:
+        x_num = max_num + 3
+        xref_at = len(out)
+        rows = b"".join(
+            bytes([1]) + off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+            for off in (
+                offs[pages_ref.num], offs[c_num], offs[p_num], xref_at
+            )
+        )
+        xcomp = _zlib.compress(rows)
+        out += (
+            str(x_num).encode() + b" 0 obj\n"
+            + (
+                f"<< /Type /XRef /Size {size} /W [1 4 2]"
+                f" /Index [{pages_ref.num} 1 {c_num} 3]"
+                f" /Root {root_num} 0 R /Prev {prev}"
+                f" /Filter /FlateDecode /Length {len(xcomp)} >>"
+            ).encode()
+            + b"\nstream\n" + xcomp + b"\nendstream\nendobj\n"
+            + f"startxref\n{xref_at}\n%%EOF\n".encode()
+        )
+    return bytes(out)
+
+
 # --- reader ------------------------------------------------------------------
 
 _WS = b"\x00\t\n\x0c\r "
@@ -612,9 +727,13 @@ def _xref_entries(data: bytes) -> tuple[dict[int, _Entry], dict]:
     damage (the caller falls back to a linear scan).  Walking newest
     section first, only ABSENT object numbers insert — incremental-
     update semantics."""
-    m = _re.search(rb"startxref\s+(\d+)", data[-200:])
-    if not m:
+    # the LAST startxref in the tail window decides — an incremental
+    # update appends a new one after the base's (spec: readers start
+    # from the final trailer)
+    hits = list(_re.finditer(rb"startxref\s+(\d+)", data[-400:]))
+    if not hits:
         raise ValueError("PDF missing startxref")
+    m = hits[-1]
     entries: dict[int, _Entry] = {}
     trailer: dict = {}
     seen: set[int] = set()
@@ -893,15 +1012,11 @@ def _page_text(content: bytes, fonts: dict | None = None) -> str:
     return "\n".join(lines)
 
 
-def extract_pdf_text(payload: bytes) -> list[str]:
-    """Per-page text of a PDF.  Honest scope: classic xref tables
-    (+/Prev, hybrid /XRefStm) AND 1.5 xref streams (/W, /Index, PNG
-    predictors), /ObjStm-packed objects, with a linear-scan fallback
-    (incl. object-stream expansion) for damaged files; FlateDecode
-    and raw streams; simple-font text as latin-1 and Type0 composite
-    fonts through their /ToUnicode CMap.  Encrypted files, non-Flate
-    filters, the TIFF predictor, and Type0 fonts WITHOUT /ToUnicode
-    raise by name."""
+def _open_pdf(payload: bytes):
+    """Shared open machinery: (get, resolve, root, entries, trailer)
+    over either xref layout with the damaged-file fallback and the
+    encryption refusals — extract_pdf_text reads pages through it and
+    encode_pdf_update_append_page locates the page tree with it."""
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
     data = payload
@@ -1002,6 +1117,20 @@ def extract_pdf_text(payload: bytes) -> list[str]:
         raise ValueError("PDF catalog not found")
     if "Encrypt" in root:
         raise ValueError("unsupported PDF: encrypted")
+    return get, resolve, root, entries, trailer
+
+
+def extract_pdf_text(payload: bytes) -> list[str]:
+    """Per-page text of a PDF.  Honest scope: classic xref tables
+    (+/Prev, hybrid /XRefStm, incremental-update sections) AND 1.5
+    xref streams (/W, /Index, PNG predictors), /ObjStm-packed
+    objects, with a linear-scan fallback (incl. object-stream
+    expansion) for damaged files; FlateDecode and raw streams;
+    simple-font text as latin-1 and Type0 composite fonts through
+    their /ToUnicode CMap.  Encrypted files, non-Flate filters, the
+    TIFF predictor, and Type0 fonts WITHOUT /ToUnicode raise by
+    name."""
+    get, resolve, root, _entries, _trailer = _open_pdf(payload)
 
     pages: list[dict] = []
 
@@ -1209,3 +1338,66 @@ def q_multimodal_pdf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(extract, "doc_id long, text_md5 string")
+
+
+@query(
+    "q_multimodal_pdf_update_pipeline",
+    oracle=f"""
+SELECT doc_id,
+       md5(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))
+           || ' revision 2 appended for doc '
+           || CAST(doc_id AS VARCHAR)) AS text_md5,
+       CAST(TRUE AS BOOLEAN) AS has_update
+FROM documents
+WHERE n_chars >= {PDF_MIN_CHARS} AND doc_id < {PDF_DOCS}
+""",
+)
+def q_multimodal_pdf_update_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL-UPDATE extraction under the hash gate: each
+    document's base PDF (layout rotating by doc_id as in
+    q_multimodal_pdf_pipeline) gains an appended-revision section —
+    new content stream + new page + the page-tree node shadowed under
+    its original object number, /Prev chained, classic or
+    xref-stream section matching the base — and extraction of the
+    UPDATED file must recover base text + the revision line
+    md5-exactly.  A reader that ignored the newest xref section, or
+    resolved the shadowed page tree from the base, would miss or
+    duplicate the revision page and flip the hash."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("n_chars") >= PDF_MIN_CHARS)
+            & (F.col("doc_id") < PDF_DOCS)
+        )
+        .select("doc_id", "text")
+    )
+
+    def extract(batches: Iterator):
+        for pdf in batches:
+            out = {"doc_id": [], "text_md5": [], "has_update": []}
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                upd = encode_pdf_update_append_page(
+                    synthesize_pdf(d, t),
+                    [f"revision 2 appended for doc {d}"],
+                )
+                pages = extract_pdf_text(upd)
+                joined = " ".join(
+                    " ".join(p.split()) for p in pages
+                ).strip()
+                out["doc_id"].append(d)
+                out["text_md5"].append(
+                    hashlib.md5(joined.encode()).hexdigest()
+                )
+                out["has_update"].append(len(pages) >= 2)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        extract, "doc_id long, text_md5 string, has_update boolean"
+    )

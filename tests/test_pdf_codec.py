@@ -254,3 +254,62 @@ def test_bitflips_never_hang_or_crash_uncleanly(doc_id):
             assert not isinstance(exc, RecursionError)
         finally:
             blob[i] ^= bit
+
+
+@pytest.mark.parametrize("layout,pred", LAYOUTS)
+def test_incremental_update_appends_page(layout, pred):
+    """ISO 32000 §7.5.6 incremental updates: the revision's xref
+    section shadows the page-tree node, /Prev chains to the base,
+    the section layout matches the base's kind — and the base alone
+    still reads its original pages (append-only)."""
+    from setup_harvest_action_spark.functions.pdf_codec import (
+        encode_pdf_update_append_page,
+    )
+
+    base = encode_pdf(
+        [["page one text here"], ["page two words"]],
+        layout=layout, xref_predictor=pred,
+    )
+    upd = encode_pdf_update_append_page(
+        base, ["revision page three", "second line"]
+    )
+    assert upd.startswith(base)  # strictly append-only
+    pages = extract_pdf_text(upd)
+    assert len(pages) == 3
+    assert pages[0] == "page one text here"
+    assert pages[2] == "revision page three\nsecond line"
+    assert len(extract_pdf_text(base)) == 2
+    # updates stack: a second revision sees the first's page tree
+    upd2 = encode_pdf_update_append_page(upd, ["fourth page"])
+    assert extract_pdf_text(upd2)[3] == "fourth page"
+    # the update section's own kind matches the base layout
+    tail = upd[len(base):]
+    assert (b"trailer" in tail) == (layout == "classic")
+    assert (b"/Type /XRef" in tail) == (layout == "xref_stream")
+
+
+def test_incremental_update_damage_and_fuzz():
+    from setup_harvest_action_spark.functions.pdf_codec import (
+        encode_pdf_update_append_page,
+    )
+
+    base = synthesize_pdf(2, "sturdy update fuzz body " * 20)
+    upd = encode_pdf_update_append_page(base, ["the revision line"])
+    good = extract_pdf_text(upd)
+    # damaged update xref -> linear scan; later offsets win, so the
+    # shadowed page tree still resolves to the REVISED node
+    assert extract_pdf_text(upd.replace(b"startxref", b"startxrXf")) \
+        == good
+    blob = bytearray(upd)
+    rng = random.Random(4242)
+    for _ in range(120):
+        i = rng.randrange(len(blob))
+        bit = 1 << rng.randrange(8)
+        blob[i] ^= bit
+        try:
+            pages = extract_pdf_text(bytes(blob))
+            assert all(isinstance(p, str) for p in pages)
+        except CLEAN_FAILURES as exc:
+            assert not isinstance(exc, RecursionError)
+        finally:
+            blob[i] ^= bit
