@@ -313,3 +313,70 @@ def test_incremental_update_damage_and_fuzz():
             assert not isinstance(exc, RecursionError)
         finally:
             blob[i] ^= bit
+
+
+def test_hybrid_xrefstm_trailer_path():
+    """Hybrid-reference files (ISO 32000 §7.5.8.4): a CLASSIC trailer
+    whose /XRefStm points at a cross-reference STREAM carrying entries
+    the classic table doesn't — built here as an update whose new
+    objects are reachable ONLY through the XRefStm, so a reader that
+    ignored the key would miss the revision page entirely."""
+    import zlib as _z
+
+    base = encode_pdf([["hybrid base page"]], layout="classic")
+    out = bytearray(base)
+    # the update objects: content stream + page + shadowed page tree
+    # (object numbers mirror encode_pdf's classic layout: pages node
+    # is the second-to-last object, root the last)
+    n_objs = base.count(b" 0 obj")
+    pages_num, c_num, p_num = n_objs - 1, n_objs + 1, n_objs + 2
+    comp = _z.compress(b"BT /F1 12 Tf 72 720 Td (revision page) Tj ET")
+    offs = {}
+    for num, body, stream in (
+        (c_num,
+         f"<< /Length {len(comp)} /Filter /FlateDecode >>".encode(),
+         comp),
+        (p_num,
+         (f"<< /Type /Page /Parent {pages_num} 0 R"
+          " /MediaBox [0 0 612 792]"
+          " /Resources << /Font << /F1 1 0 R >> >>"
+          f" /Contents {c_num} 0 R >>").encode(), None),
+        (pages_num,
+         (f"<< /Type /Pages /Kids [{pages_num - 1} 0 R {p_num} 0 R]"
+          " /Count 2 >>").encode(), None),
+    ):
+        offs[num] = len(out)
+        out += str(num).encode() + b" 0 obj\n" + body
+        if stream is not None:
+            out += b"\nstream\n" + stream + b"\nendstream"
+        out += b"\nendobj\n"
+    # the xref STREAM the hybrid trailer advertises
+    x_num = n_objs + 3
+    x_at = len(out)
+    rows = b"".join(
+        bytes([1]) + off.to_bytes(4, "big") + b"\x00\x00"
+        for off in (offs[pages_num], offs[c_num], offs[p_num], x_at)
+    )
+    xcomp = _z.compress(rows)
+    out += (
+        str(x_num).encode() + b" 0 obj\n"
+        + (f"<< /Type /XRef /Size {x_num + 1} /W [1 4 2]"
+           f" /Index [{pages_num} 1 {c_num} 3]"
+           f" /Root {n_objs} 0 R"
+           f" /Filter /FlateDecode /Length {len(xcomp)} >>").encode()
+        + b"\nstream\n" + xcomp + b"\nendstream\nendobj\n"
+    )
+    # a classic trailer with ZERO entries of its own: everything new
+    # arrives via /XRefStm; /Prev chains to the base table
+    import re
+
+    prev = int(re.findall(rb"startxref\s+(\d+)", base)[-1])
+    t_at = len(out)
+    out += (
+        b"xref\n0 0\n"
+        + (f"trailer\n<< /Size {x_num + 1} /Root {n_objs} 0 R"
+           f" /Prev {prev} /XRefStm {x_at} >>\n"
+           f"startxref\n{t_at}\n%%EOF\n").encode()
+    )
+    pages = extract_pdf_text(bytes(out))
+    assert pages == ["hybrid base page", "revision page"]
