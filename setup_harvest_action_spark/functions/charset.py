@@ -114,11 +114,7 @@ _CHARSET_PARAM_RE = _re.compile(
     r"""charset\s*=\s*["']?\s*([^\s"';,]+)""", _re.I
 )
 
-# <meta charset=X> and <meta http-equiv=Content-Type content="...
-# charset=X"> inside the 1024-byte prescan window, bytes-level
-_META_CHARSET_RE = _re.compile(
-    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9._:\-]+)""", _re.I
-)
+_WS_BYTES = b"\t\n\x0c\r "
 
 
 def resolve_label(label: str | None) -> str | None:
@@ -156,13 +152,110 @@ def charset_from_content_type(content_type: str | None) -> str | None:
     return m.group(1) if m else None
 
 
+def _get_attribute(data: bytes, i: int) -> tuple[str, str, int] | None:
+    """One attribute at position ``i`` per the WHATWG prescan's
+    get-an-attribute: returns (lowercased name, value, next position)
+    or None at tag end.  Handles '/' as separator, unquoted and
+    single/double-quoted values (so a '>' INSIDE a quoted value never
+    ends the tag — the reason the prescan is a scanner, not a
+    regex)."""
+    n = len(data)
+    while i < n and (data[i : i + 1] in _WS_BYTES or data[i] == 0x2F):
+        i += 1
+    if i >= n or data[i] == 0x3E:  # '>'
+        return None
+    name = bytearray()
+    while i < n:
+        c = data[i]
+        if c == 0x3D and name:  # '='
+            break
+        if data[i : i + 1] in _WS_BYTES or c in (0x2F, 0x3E):
+            break
+        name.append(c + 0x20 if 0x41 <= c <= 0x5A else c)
+        i += 1
+    while i < n and data[i : i + 1] in _WS_BYTES:
+        i += 1
+    if i >= n or data[i] != 0x3D:  # no value
+        return name.decode("ascii", "replace"), "", i
+    i += 1
+    while i < n and data[i : i + 1] in _WS_BYTES:
+        i += 1
+    value = bytearray()
+    if i < n and data[i] in (0x22, 0x27):  # quoted
+        q = data[i]
+        i += 1
+        while i < n and data[i] != q:
+            value.append(data[i])
+            i += 1
+        i += 1  # past the close quote
+    else:
+        while i < n and data[i : i + 1] not in _WS_BYTES and data[i] != 0x3E:
+            value.append(data[i])
+            i += 1
+    return name.decode("ascii", "replace"), value.decode(
+        "latin-1"
+    ), i
+
+
 def meta_prescan(payload: bytes, window: int = 1024) -> str | None:
-    """The first ``<meta ... charset=..>`` label within the spec's
-    1024-byte prescan window (covers both the charset attribute and
-    the http-equiv Content-Type form, whose charset also arrives via
-    a charset= substring)."""
-    m = _META_CHARSET_RE.search(payload[:window])
-    return m.group(1).decode("ascii", "replace") if m else None
+    """The WHATWG prescan (HTML spec §13.2.3.2 'prescan a byte stream
+    to determine its encoding'), attribute-level — NOT a regex, so
+    ``charset=`` inside an unrelated attribute VALUE or an HTML
+    comment cannot false-positive: ``<meta charset=X>`` wins
+    directly; the ``http-equiv="Content-Type"`` pragma form yields
+    its ``content=`` charset parameter ONLY when the pragma is
+    actually present (the spec's got-pragma rule); every other tag's
+    attributes are consumed quote-aware so their values are opaque.
+    First match within the 1024-byte window decides."""
+    data = payload[:window]
+    i, n = 0, len(data)
+    while i < n:
+        if data[i : i + 4] == b"<!--":
+            j = data.find(b"-->", i + 4)
+            i = (j + 3) if j >= 0 else n
+            continue
+        if data[i] != 0x3C:  # '<'
+            i += 1
+            continue
+        is_meta = data[i + 1 : i + 5].lower() == b"meta" and data[
+            i + 5 : i + 6
+        ] in b"\t\n\x0c\r /"
+        if is_meta:
+            i += 5
+        elif (
+            i + 1 < n
+            and (0x41 <= (data[i + 1] & ~0x20) <= 0x5A or data[i + 1] == 0x2F)
+        ):
+            # any other tag (or end tag): skip its NAME then consume
+            # attributes quote-aware so values can't leak tags
+            i += 1
+            while i < n and data[i : i + 1] not in _WS_BYTES and data[i] != 0x3E:
+                i += 1
+        else:
+            i += 1
+            continue
+        attrs: dict[str, str] = {}
+        while True:
+            hit = _get_attribute(data, i)
+            if hit is None:
+                while i < n and data[i] != 0x3E:
+                    i += 1
+                i += 1
+                break
+            name, value, i = hit
+            attrs.setdefault(name, value)
+        if not is_meta:
+            continue
+        if "charset" in attrs and attrs["charset"].strip():
+            return attrs["charset"].strip()
+        if (
+            attrs.get("http-equiv", "").lower() == "content-type"
+            and "content" in attrs
+        ):
+            label = charset_from_content_type(attrs["content"])
+            if label:
+                return label
+    return None
 
 
 def sniff_charset(

@@ -164,3 +164,31 @@ def test_variant_sources_match_oracle_case(variant):
     )
     _, _, source = decode_bytes(payload, ct)
     assert source == want
+
+
+def test_prescan_is_attribute_aware_not_a_regex():
+    """The WHATWG prescan semantics a regex cannot deliver (r15):
+    'charset=' inside an unrelated attribute VALUE, an HTML comment,
+    or a content= without the Content-Type pragma must NOT decide —
+    while every real declaration form (quoted/unquoted, '/'
+    separator, case-insensitive, pragma) must."""
+    assert meta_prescan(
+        b'<meta name="d" content="use charset=utf-8 in headers">'
+    ) is None
+    assert meta_prescan(b"<!-- <meta charset=koi8-r> --><p>x</p>") is None
+    assert meta_prescan(
+        b'<div data-x="<meta charset=koi8-r>">ok</div>'
+    ) is None
+    assert meta_prescan(b'<meta content="text/html; charset=sjis">') is None
+    assert meta_prescan(
+        b'<meta http-equiv="Content-Type"'
+        b' content="text/html; charset=EUC-JP">'
+    ) == "EUC-JP"
+    assert meta_prescan(b"<meta charset=utf-8>") == "utf-8"
+    assert meta_prescan(b"<meta charset='shift_jis'>") == "shift_jis"
+    assert meta_prescan(b'<META CHARSET="GBK">') == "GBK"
+    assert meta_prescan(b"<meta/charset=big5>") == "big5"
+    # a quoted '>' inside another tag's attribute doesn't end the tag
+    assert meta_prescan(
+        b'<a title="5 > 4"><meta charset=cp1251></a>'
+    ) == "cp1251"
