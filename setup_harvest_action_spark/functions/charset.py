@@ -16,8 +16,16 @@ documented):
     2. transport    (the HTTP Content-Type ``charset=`` parameter)
     3. meta prescan (``<meta charset=..>`` or the http-equiv form,
                      within the first 1024 payload bytes — the spec's
-                     prescan window)
-    4. default      windows-1252 (the WHATWG default for unlabeled
+                     prescan window; a meta-declared UTF-16 label
+                     remaps to UTF-8 and x-user-defined to cp1252 per
+                     the spec's prescan post-processing)
+    4. UTF-8 rung   (corpus-mode deviation, documented at
+                     ``sniff_charset``: non-ASCII payloads that
+                     strict-decode as UTF-8 are UTF-8 — unlabeled
+                     UTF-8 is the most common real-web case and UTF-8
+                     is self-validating; ``utf8_fallback=False``
+                     restores browser order)
+    5. default      windows-1252 (the WHATWG default for unlabeled
                      content in the ``en`` locale group)
 
 Labels resolve through the WHATWG Encoding Standard's label table
@@ -129,9 +137,18 @@ def resolve_label(label: str | None) -> str | None:
     if hit:
         return hit
     try:
-        return _codecs.lookup(norm).name
+        info = _codecs.lookup(norm)
     except LookupError:
         return None
+    # CPython's codec registry also holds bytes↔bytes transforms
+    # (hex, base64, zlib, rot13, …).  A crawled page declaring
+    # charset=hex must NOT route there — payload.decode('hex') raises
+    # LookupError('hex is not a text encoding') mid-pipeline, breaking
+    # the never-an-exception crawl contract.  CodecInfo exposes the
+    # same flag bytes.decode() enforces.
+    if not getattr(info, "_is_text_encoding", True):
+        return None
+    return info.name
 
 
 def sniff_bom(payload: bytes) -> tuple[str | None, int]:
@@ -258,22 +275,55 @@ def meta_prescan(payload: bytes, window: int = 1024) -> str | None:
     return None
 
 
+def _remap_meta_codec(label: str | None, codec: str | None) -> str | None:
+    """The WHATWG prescan post-processing step (HTML spec §13.2.3.2
+    step 5 of 'get an encoding from a meta element' / prescan step
+    2.6): a meta-declared UTF-16 family label becomes UTF-8 — the
+    document self-evidently is NOT UTF-16, or the ASCII-compatible
+    prescan could not have read the declaration — and
+    ``x-user-defined`` becomes windows-1252."""
+    if codec in ("utf-16-le", "utf-16-be"):
+        return "utf-8"
+    if codec is None and label and label.strip().lower() == "x-user-defined":
+        return "cp1252"
+    return codec
+
+
 def sniff_charset(
     payload: bytes,
     content_type: str | None = None,
     default: str = DEFAULT_ENCODING,
+    utf8_fallback: bool = True,
 ) -> tuple[str, str, int]:
     """(codec, source, bom_length) with source in
-    {"bom", "header", "meta", "default"} — the WHATWG precedence."""
+    {"bom", "header", "meta", "utf8_valid", "default"} — the WHATWG
+    precedence, plus one documented corpus-mode deviation: when every
+    declaration rung misses AND the payload contains non-ASCII bytes
+    that strict-decode as UTF-8, the answer is UTF-8 (source
+    ``utf8_valid``) rather than the windows-1252 default.  Unlabeled
+    UTF-8 is the single most common real-web charset case; UTF-8 is
+    self-validating (a multi-byte sequence that survives strict decode
+    is UTF-8 with near-certainty), so this rung is deterministic — not
+    the frequency-analysis heuristics the module excludes.  Pure-ASCII
+    payloads skip the rung (cp1252 and UTF-8 agree on ASCII, and
+    ``default`` is the honest label); set ``utf8_fallback=False`` for
+    byte-exact browser-order behavior."""
     codec, bom_len = sniff_bom(payload)
     if codec:
         return codec, "bom", bom_len
     codec = resolve_label(charset_from_content_type(content_type))
     if codec:
         return codec, "header", 0
-    codec = resolve_label(meta_prescan(payload))
+    meta_label = meta_prescan(payload)
+    codec = _remap_meta_codec(meta_label, resolve_label(meta_label))
     if codec:
         return codec, "meta", 0
+    if utf8_fallback and not payload.isascii():
+        try:
+            payload.decode("utf-8", "strict")
+            return "utf-8", "utf8_valid", 0
+        except UnicodeDecodeError:
+            pass
     return default, "default", 0
 
 
@@ -309,9 +359,13 @@ CHARSET_PAGES_PER_FILE = 20
 # mask a wrong decode), (python codec bytes are written in),
 # (HTTP Content-Type header), (meta charset label injected | None),
 # (BOM bytes | b"").
-# The six variants pin each precedence rung: header label + WHATWG
+# The eight variants pin each precedence rung: header label + WHATWG
 # alias (iso-8859-1 → cp1252, gb2312 → gbk), meta-only, a BOM
-# overriding a LYING header, and the unlabeled default.
+# overriding a LYING header, unlabeled cp1252 hitting the default
+# (its bytes are NOT valid UTF-8, so the utf8_valid rung must pass it
+# by), unlabeled UTF-8 recovered by the validation rung, and a LYING
+# <meta charset=utf-16> on UTF-8 bytes exercising the spec's prescan
+# UTF-16→UTF-8 remap.
 CHARSET_VARIANTS: tuple[tuple[str, str, str, str | None, bytes], ...] = (
     ("šžć čap", "utf-8", "text/html; charset=utf-8", None, b""),
     (
@@ -343,6 +397,20 @@ CHARSET_VARIANTS: tuple[tuple[str, str, str, str | None, bytes], ...] = (
         b"\xff\xfe",
     ),
     ("résumé ©", "cp1252", "text/html", None, b""),  # unlabeled default
+    (
+        "żółć über łódź",
+        "utf-8",
+        "text/html",  # unlabeled; strict-UTF-8 validation recovers it
+        None,
+        b"",
+    ),
+    (
+        "čeština remap",
+        "utf-8",
+        "text/html",  # meta LIES utf-16 → spec prescan remap → utf-8
+        "utf-16",
+        b"",
+    ),
 )
 
 
@@ -376,7 +444,9 @@ SELECT doc_id,
        CASE doc_id % {len(CHARSET_VARIANTS)}
             WHEN 0 THEN 'header' WHEN 1 THEN 'header'
             WHEN 2 THEN 'meta'   WHEN 3 THEN 'header'
-            WHEN 4 THEN 'bom'    ELSE 'default' END AS charset_source
+            WHEN 4 THEN 'bom'    WHEN 5 THEN 'default'
+            WHEN 6 THEN 'utf8_valid'
+            ELSE 'meta' END AS charset_source
 FROM documents
 WHERE n_chars >= {CHARSET_MIN_CHARS} AND doc_id < {CHARSET_DOCS}
 """,
@@ -387,16 +457,21 @@ def q_pipeline_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl page ENCODED in a rotating legacy charset — utf-8,
     windows-1252 under its iso-8859-1 alias, shift_jis declared only
     by <meta> prescan, gbk under its gb2312 alias, UTF-16LE whose BOM
-    overrides a LYING header, and unlabeled windows-1252 hitting the
-    WHATWG default — wrapped in an HTTP response inside a .warc.gz
+    overrides a LYING header, unlabeled windows-1252 hitting the
+    WHATWG default, unlabeled UTF-8 recovered by the strict-validation
+    rung (source ``utf8_valid`` — the corpus-mode deviation documented
+    at ``sniff_charset``), and UTF-8 bytes under a LYING
+    ``<meta charset=utf-16>`` that the spec's prescan post-processing
+    remaps to UTF-8 — wrapped in an HTTP response inside a .warc.gz
     container.  The read side walks WARC records, parses HTTP headers,
     sniffs the charset at WHATWG precedence (BOM > header > meta >
-    default), decodes, strips boilerplate, and must recover the
-    original text + marker md5-exactly AND report the precedence rung
-    that decided each document.  The oracle re-derives both
-    relationally; one alias table entry, prescan window, or precedence
-    swap flips the hash.  Scale: one task per WARC file; the sniff
-    reads ≤1 KiB per doc; decode is one codecs pass — all map-side."""
+    utf8-validation > default), decodes, strips boilerplate, and must
+    recover the original text + marker md5-exactly AND report the
+    precedence rung that decided each document.  The oracle re-derives
+    both relationally; one alias table entry, prescan window, or
+    precedence swap flips the hash.  Scale: one task per WARC file;
+    the sniff reads ≤1 KiB per doc; decode is one codecs pass — all
+    map-side."""
     import hashlib
 
     import pandas as pd

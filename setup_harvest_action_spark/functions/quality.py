@@ -1217,7 +1217,11 @@ def synthesize_structured_doc(doc_id: int, text: str) -> str:
         len(words) if doc_id % 8 == 3 else 3 if doc_id % 8 == 7 else 0
     )
     if n_num:
-        lines.append(" ".join(str(100 + i) for i in range(n_num)))
+        # i % 900 keeps every numeric word in [100, 999] — exactly 3
+        # chars — so the oracle's sum_len arithmetic (sum_raw +
+        # 3*n_num) holds for ANY document length, not just the ≤900
+        # raw words the small fixtures happen to have (ADVICE r15).
+        lines.append(" ".join(str(100 + i % 900) for i in range(n_num)))
     return "\n".join(lines)
 
 

@@ -98,16 +98,24 @@ def crawl_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     farm) are extracted like everything else and fall to the pattern
     filter — the oracle's silence about them is itself checked, since
     a leaked one would add an edge row."""
-    import pandas as pd
-
-    from setup_harvest_action_spark.functions.html_extract import (
-        extract_links,
-    )
-
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < GRAPH_DOCS)
         .select("doc_id", "text", "lang")
+    )
+    return edges_of_pages(docs)
+
+
+def edges_of_pages(docs: DataFrame) -> DataFrame:
+    """The fetch+extract stage over an arbitrary (doc_id, text, lang)
+    page set — ``crawl_edges`` applies it to the whole fixture corpus;
+    the multi-round crawl loop applies it only to the pages actually
+    fetched each round (a real crawler parses a page exactly once,
+    when it is fetched)."""
+    import pandas as pd
+
+    from setup_harvest_action_spark.functions.html_extract import (
+        extract_links,
     )
 
     def links(batches: Iterator):
@@ -206,15 +214,106 @@ def q_graph_crawl_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# the frontier's robots policy: a wildcard Disallow exercising the
-# r15 RFC 9309 '*'/'$' matcher INSIDE a composition (paths ending in
-# the digit 7 are off-limits)
-FRONTIER_ROBOTS = """\
-User-agent: *
-Disallow: /doc/*7$
+# Per-host robots policies (r16: the host-keyed dimension the module
+# docstring of robots.py names — a real crawl fetches/parses ONE
+# robots.txt per host and joins admission on the host key; a single
+# global policy was the r15 simplification).  Seven distinct policies
+# across the seven fixture hosts, chosen so each exercises a different
+# matcher surface: wildcard+'$' anchor, group selection (host1's '*'
+# group blocks EVERYTHING — picking the wrong group flips every row),
+# longest-match Allow-over-Disallow, empty Disallow, block-all,
+# mid-pattern wildcard, and an anchored Allow carve-out.
+HOST_ROBOTS: dict[str, str] = {
+    # wildcard + '$': doc paths ending in 7 are off-limits
+    "host0": "User-agent: *\nDisallow: /doc/*7$\n",
+    # group selection: our crawler's own group only blocks /doc/1*;
+    # the '*' fallback group blocks EVERYTHING
+    "host1": (
+        "User-agent: spark-graft-crawler\nDisallow: /doc/1\n\n"
+        "User-agent: *\nDisallow: /\n"
+    ),
+    # longest match: Allow /doc/2 (6 octets) beats Disallow /doc/ (5)
+    "host2": "User-agent: *\nAllow: /doc/2\nDisallow: /doc/\n",
+    # empty Disallow = allow everything (1994 convention)
+    "host3": "User-agent: *\nDisallow:\n",
+    # block-all
+    "host4": "User-agent: *\nDisallow: /\n",
+    # mid-pattern wildcard: any doc path containing a 3 after /doc/
+    "host5": "User-agent: *\nDisallow: /doc/*3\n",
+    # anchored Allow carve-out: only doc paths ending in 0 admitted
+    "host6": "User-agent: *\nDisallow: /doc/\nAllow: /doc/*0$\n",
+}
+
+# the same seven policies as DuckDB admission predicates over the
+# path (= substr(url, 22) for https://hostN.example/doc/M); kept
+# adjacent to HOST_ROBOTS so a rule edit must touch both or the hash
+# gate catches it
+_ADMIT_CASE_SQL = """
+CASE host
+  WHEN 'host0' THEN NOT regexp_matches(path, '^/doc/.*7$')
+  WHEN 'host1' THEN NOT regexp_matches(path, '^/doc/1')
+  WHEN 'host2' THEN regexp_matches(path, '^/doc/2')
+  WHEN 'host3' THEN TRUE
+  WHEN 'host4' THEN FALSE
+  WHEN 'host5' THEN NOT regexp_matches(path, '^/doc/.*3')
+  ELSE regexp_matches(path, '^/doc/.*0$')
+END
 """
 
+FRONTIER_AGENT = "spark-graft-crawler"
 FRONTIER_PER_HOST = 5
+
+
+def robots_dimension(spark: SparkSession) -> DataFrame:
+    """The per-host robots.txt dimension: one row per host, the raw
+    robots.txt body as fetched.  At scale this is the output of the
+    robots-fetch leg (hosts × ~1 KiB — broadcast-sized next to any
+    URL table); here it is the fixture dict."""
+    return spark.createDataFrame(
+        sorted(HOST_ROBOTS.items()), "host string, robots_txt string"
+    )
+
+
+def robots_admit(candidates: DataFrame, robots_dim: DataFrame) -> DataFrame:
+    """Admission = BROADCAST join of the URL table against the
+    host-keyed robots dimension, then the RFC 9309 matcher per row
+    (parse memoized per host inside each Arrow batch).  Candidates
+    must carry (host, url); hosts with no robots row are admitted
+    (no robots.txt = allow, per protocol)."""
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    from setup_harvest_action_spark.functions.robots import (
+        can_fetch,
+        parse_robots,
+    )
+
+    joined = candidates.join(F.broadcast(robots_dim), "host", "left")
+
+    def admit(batches: _Iter):
+        parsed_by_host: dict = {}
+        for pdf in batches:
+            keep = []
+            for u, h, txt in zip(
+                pdf["url"], pdf["host"], pdf["robots_txt"]
+            ):
+                if txt is None:
+                    keep.append(True)
+                    continue
+                parsed = parsed_by_host.get(h)
+                if parsed is None:
+                    parsed = parsed_by_host[h] = parse_robots(txt)
+                keep.append(
+                    can_fetch(
+                        parsed, FRONTIER_AGENT, "/" + u.split("/", 3)[3]
+                    )
+                )
+            yield pdf.loc[
+                pd.Series(keep, index=pdf.index), ["host", "url"]
+            ]
+
+    return joined.mapInPandas(admit, "host string, url string")
 
 
 @query(
@@ -226,10 +325,13 @@ candidates AS (
   SELECT DISTINCT dst AS url FROM edges
   WHERE dst NOT IN (SELECT url FROM crawled)
 ),
-admitted AS (
-  SELECT url, 'host' || CAST(substr(url, 13, 1) AS VARCHAR) AS host
+hosted AS (
+  SELECT url, 'host' || CAST(substr(url, 13, 1) AS VARCHAR) AS host,
+         substr(url, 22) AS path
   FROM candidates
-  WHERE NOT regexp_matches(url, '/doc/.*7$')
+),
+admitted AS (
+  SELECT host, url FROM hosted WHERE {_ADMIT_CASE_SQL}
 ),
 ranked AS (
   SELECT host, url,
@@ -245,51 +347,33 @@ def q_pipeline_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     and hash-gated end to end: outlink edges → DISTINCT candidate
     URLs → anti-join against the crawled set (a URL is 'crawled' iff
     it is some page's canonical self — host-mismatched link targets
-    are organically novel) → robots admission through the RFC 9309
-    WILDCARD matcher (``Disallow: /doc/*7$`` — the r15 '*'/'$'
-    machinery running inside a composition, not just its own unit
-    oracle) → per-host politeness cap (top-{FRONTIER_PER_HOST} per
-    host, rank-windowed).  The oracle replays candidates from link
-    arithmetic, admission as an anchored regex, and the cap as a
-    row_number window.  Scale: the anti-join shuffles on the URL key
-    that exact-dedup already shuffles on; the per-host cap is a
-    WindowGroupLimit (top-k pushdown), the standard frontier shape —
-    no all-pairs, no driver state."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from setup_harvest_action_spark.functions.robots import (
-        can_fetch,
-        parse_robots,
-    )
-
+    are organically novel) → robots admission through the HOST-KEYED
+    robots dimension (r16: seven distinct per-host policies —
+    wildcard '$' anchors, group selection where the '*' fallback
+    blocks everything, longest-match Allow-over-Disallow, block-all,
+    empty Disallow — broadcast-joined on host, RFC 9309 matcher per
+    row) → per-host politeness cap (top-{FRONTIER_PER_HOST} per host,
+    rank-windowed).  The oracle replays candidates from link
+    arithmetic, admission as per-host anchored-regex predicates, and
+    the cap as a row_number window.  Scale: the anti-join shuffles on
+    the URL key that exact-dedup already shuffles on; robots is a
+    broadcast dimension (hosts × ~1 KiB) so admission stays map-side;
+    the per-host cap is a WindowGroupLimit (top-k pushdown), the
+    standard frontier shape — no all-pairs, no driver state."""
     edges = crawl_edges(spark, sf_dir)
     crawled = edges.select(F.col("src").alias("url")).distinct()
     candidates = (
         edges.select(F.col("dst").alias("url"))
         .distinct()
         .join(crawled, "url", "left_anti")
+        .select(
+            F.regexp_extract(
+                "url", r"^https://(host\d+)\.", 1
+            ).alias("host"),
+            "url",
+        )
     )
-
-    parsed = parse_robots(FRONTIER_ROBOTS)
-
-    def admit(batches: Iterator):
-        for pdf in batches:
-            keep = [
-                can_fetch(
-                    parsed,
-                    "spark-graft-crawler",
-                    "/" + u.split("/", 3)[3],
-                )
-                for u in pdf["url"]
-            ]
-            yield pdf[pd.Series(keep, index=pdf.index)]
-
-    admitted = candidates.mapInPandas(admit, "url string").select(
-        F.regexp_extract("url", r"^https://(host\d+)\.", 1).alias("host"),
-        "url",
-    )
+    admitted = robots_admit(candidates, robots_dimension(spark))
     w = Window.partitionBy("host").orderBy("url")
     return (
         admitted.withColumn("rank", F.row_number().over(w))

@@ -153,7 +153,10 @@ def test_encode_crawl_page_variants_roundtrip():
 def test_variant_sources_match_oracle_case(variant):
     """The charset_source column the catalog query reports must match
     the CASE expression in its DuckDB oracle."""
-    want = ["header", "header", "meta", "header", "bom", "default"][variant]
+    want = [
+        "header", "header", "meta", "header", "bom", "default",
+        "utf8_valid", "meta",
+    ][variant]
     marker, codec, ctype, _meta, _bom = CHARSET_VARIANTS[variant]
     from setup_harvest_action_spark.functions.html_extract import (
         synthesize_page,
@@ -164,6 +167,69 @@ def test_variant_sources_match_oracle_case(variant):
     )
     _, _, source = decode_bytes(payload, ct)
     assert source == want
+
+
+def test_transform_codec_labels_never_decide():
+    """ADVICE r15 (medium): CPython's codec registry also resolves
+    bytes↔bytes transforms (hex, base64, zlib, rot13) — a crawled page
+    declaring one as its charset must fall through the rung, not raise
+    LookupError('hex is not a text encoding') mid-pipeline."""
+    for label in ("hex", "base64", "zlib", "rot13", "bz2", "quopri"):
+        assert resolve_label(label) is None, label
+        # the original repro: decode_bytes must not raise
+        got, codec, source = decode_bytes(
+            b"plain ascii body", f"text/html; charset={label}"
+        )
+        assert (got, codec, source) == (
+            "plain ascii body", DEFAULT_ENCODING, "default",
+        ), label
+        got2, _, _ = decode_bytes(
+            b"<meta charset=" + label.encode() + b">body", "text/html"
+        )
+        assert got2.endswith("body"), label
+    # real text codecs still fall through codecs.lookup as before
+    assert resolve_label("cp437") == "cp437"
+
+
+def test_meta_utf16_remaps_to_utf8_per_spec():
+    """ADVICE r15 (low): HTML spec 13.2.3.2 prescan post-processing —
+    a meta-declared UTF-16 family label becomes UTF-8 (the
+    ASCII-compatible prescan read it, so it cannot be UTF-16), and
+    x-user-defined becomes windows-1252.  Header-declared UTF-16 is
+    NOT remapped (the step is meta-specific)."""
+    pay = "<meta charset=utf-16><p>héllo</p>".encode("utf-8")
+    codec, source, _ = sniff_charset(pay)
+    assert (codec, source) == ("utf-8", "meta")
+    assert decode_bytes(pay)[0] == pay.decode("utf-8")
+    pay_be = b"<meta charset=utf-16be>x"
+    assert sniff_charset(pay_be)[0:2] == ("utf-8", "meta")
+    pay_xud = b"<meta charset=x-user-defined>\x97body"
+    assert sniff_charset(pay_xud)[0:2] == ("cp1252", "meta")
+    # header rung keeps the literal WHATWG mapping (bare utf-16 = LE)
+    assert sniff_charset(
+        "x".encode("utf-16-le"), "text/html; charset=utf-16"
+    )[0:2] == ("utf-16-le", "header")
+
+
+def test_utf8_validation_rung():
+    """The corpus-mode deviation (r15 verdict #2): unlabeled non-ASCII
+    bytes that strict-decode as UTF-8 are UTF-8 (source utf8_valid);
+    pure-ASCII and real cp1252 payloads still hit the default; the
+    flag restores byte-exact browser order."""
+    utf8 = "naïve — héllo żółć".encode("utf-8")
+    assert sniff_charset(utf8) == ("utf-8", "utf8_valid", 0)
+    assert decode_bytes(utf8)[0] == utf8.decode("utf-8")
+    # pure ASCII: cp1252 and UTF-8 agree; 'default' is the honest label
+    assert sniff_charset(b"plain ascii") == (DEFAULT_ENCODING, "default", 0)
+    # real cp1252 bytes are NOT valid UTF-8 → default, as before
+    cp = "héllo résumé".encode("cp1252")
+    assert sniff_charset(cp) == (DEFAULT_ENCODING, "default", 0)
+    # any declaration still outranks the rung
+    assert sniff_charset(utf8, "text/html; charset=koi8-r")[1] == "header"
+    # browser-exact mode: the rung is off
+    assert sniff_charset(utf8, utf8_fallback=False) == (
+        DEFAULT_ENCODING, "default", 0,
+    )
 
 
 def test_prescan_is_attribute_aware_not_a_regex():

@@ -75,6 +75,19 @@ def test_structured_doc_variants_are_deterministic():
         == "100 101 102"
 
 
+def test_numeric_words_stay_three_chars_beyond_900_words():
+    """ADVICE r15 (low): the catalog oracle computes sum_len as
+    sum_raw + 3*n_num — every injected numeric word must be exactly
+    3 chars for ANY document length, including fixtures longer than
+    900 raw words where str(100+i) would reach 4 digits."""
+    text = "word " * 1000  # 1000 raw words, doc_id % 8 == 3 appends 1000
+    nums = synthesize_structured_doc(3, text).split("\n")[-1].split()
+    assert len(nums) == 1000
+    assert all(len(w) == 3 and w.isdigit() for w in nums)
+    # the wrap is deterministic: 100..999 then 100 again
+    assert nums[899] == "999" and nums[900] == "100"
+
+
 def test_empty_and_degenerate_docs_do_not_raise():
     for doc in ("", "\n", "•", "..."):
         m = gopher_metrics(doc)

@@ -1177,3 +1177,16 @@ def test_decontaminate_broadcasts_benchmark_grams(spark, queries):
     assert "BroadcastHashJoin" in tree
     assert "CartesianProduct" not in tree
     assert "HashAggregate" in tree
+
+
+def test_frontier_robots_dimension_is_broadcast(spark, queries):
+    """r16: the host-keyed robots dimension must reach the URL table
+    as a BroadcastHashJoin (hosts × ~1 KiB vs a corpus-scale URL
+    column — shuffling the URL side on host for 7 rows would be the
+    100 TB anti-shape), and the politeness cap must stay a
+    WindowGroupLimit."""
+    plan = plan_of(queries["q_pipeline_crawl_frontier"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree  # robots dim on host
+    assert "WindowGroupLimit" in plan  # per-host politeness cap
+    assert "CartesianProduct" not in tree

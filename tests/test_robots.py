@@ -127,3 +127,44 @@ def test_parser_edges():
     assert not can_fetch(p, "c", "/y", policy="ordered")
     with pytest.raises(ValueError):
         can_fetch(p, "a", "/x", policy="nonsense")
+
+
+def test_host_keyed_robots_policies():
+    """r16: the per-host dimension's seven policies, decision-pinned
+    at the matcher level (the catalog oracle replays them only as
+    regexes — this pins the ruleset → decision mapping itself,
+    including host1's group selection where picking the '*' fallback
+    instead of the crawler's own group would block everything)."""
+    from setup_harvest_action_spark.functions.robots import (
+        can_fetch,
+        parse_robots,
+    )
+    from setup_harvest_action_spark.functions.webgraph import (
+        FRONTIER_AGENT,
+        HOST_ROBOTS,
+    )
+
+    def ok(host, path):
+        return can_fetch(parse_robots(HOST_ROBOTS[host]), FRONTIER_AGENT, path)
+
+    # host0: wildcard + '$' — doc paths ending in 7 blocked
+    assert not ok("host0", "/doc/7") and not ok("host0", "/doc/107")
+    assert ok("host0", "/doc/70") and ok("host0", "/doc/8")
+    # host1: OUR group blocks only /doc/1*; '*' group blocks all
+    assert not ok("host1", "/doc/1") and not ok("host1", "/doc/199")
+    assert ok("host1", "/doc/2") and ok("host1", "/doc/0")
+    other = parse_robots(HOST_ROBOTS["host1"])
+    assert not can_fetch(other, "some-other-bot", "/doc/2")  # '*' group
+    # host2: Allow /doc/2 (6 octets) out-ranks Disallow /doc/ (5)
+    assert ok("host2", "/doc/2") and ok("host2", "/doc/25")
+    assert not ok("host2", "/doc/3") and not ok("host2", "/doc/12")
+    # host3: empty Disallow = allow everything
+    assert ok("host3", "/doc/0") and ok("host3", "/anything")
+    # host4: block-all
+    assert not ok("host4", "/doc/0") and not ok("host4", "/")
+    # host5: mid-pattern wildcard — any 3 after /doc/
+    assert not ok("host5", "/doc/3") and not ok("host5", "/doc/13")
+    assert not ok("host5", "/doc/31") and ok("host5", "/doc/124")
+    # host6: anchored Allow carve-out — only paths ending in 0
+    assert ok("host6", "/doc/0") and ok("host6", "/doc/10")
+    assert not ok("host6", "/doc/1") and not ok("host6", "/doc/105")
