@@ -452,3 +452,155 @@ def crawl_pagerank(
     return ranks.select(
         "node", F.round("rank", 8).cast("double").alias("rank")
     )
+
+
+# --- the crawl LOOP: multi-round frontier (r16) -------------------------------
+
+CRAWL_SEED_MOD = 29  # seeds = doc_id % 29 == 0 → 7 pages spread over hosts
+CRAWL_ROUNDS = 3
+
+
+def _crawl_rounds_sql(rounds: int = CRAWL_ROUNDS) -> str:
+    """Unrolled-CTE oracle for the multi-round crawl — the same
+    discipline as PageRank's iteration unroll: round k's frontier is
+    derived only from CTEs of rounds < k, so DuckDB replays the whole
+    loop relationally from the link arithmetic."""
+    body = f"""WITH {_EDGES_SQL},
+seeds AS (SELECT d FROM d WHERE d % {CRAWL_SEED_MOD} = 0),
+crawled0 AS (
+  SELECT 'https://host' || CAST(d % {_HOSTS} AS VARCHAR) ||
+         '.example/doc/' || CAST(d AS VARCHAR) AS url
+  FROM seeds
+),
+fetched0 AS (SELECT url FROM crawled0),
+disc0 AS (SELECT url FROM crawled0 WHERE FALSE)"""
+    for k in range(1, rounds + 1):
+        p = k - 1
+        body += f""",
+disc{k} AS (
+  SELECT url FROM disc{p}
+  UNION
+  SELECT e.dst AS url FROM edges e JOIN fetched{p} f ON e.src = f.url
+),
+cand{k} AS (
+  SELECT url, 'host' || CAST(substr(url, 13, 1) AS VARCHAR) AS host,
+         substr(url, 22) AS path
+  FROM disc{k}
+  WHERE url NOT IN (SELECT url FROM crawled{p})
+),
+adm{k} AS (SELECT host, url FROM cand{k} WHERE {_ADMIT_CASE_SQL}),
+fr{k} AS (
+  SELECT host, url,
+         row_number() OVER (PARTITION BY host ORDER BY url) AS rank
+  FROM adm{k}
+),
+f{k} AS (
+  SELECT host, url, rank FROM fr{k} WHERE rank <= {FRONTIER_PER_HOST}
+),
+crawled{k} AS (SELECT url FROM crawled{p} UNION SELECT url FROM f{k}),
+fetched{k} AS (
+  SELECT url FROM f{k}
+  WHERE CAST(substr(url, 13, 1) AS INT) =
+        CAST(substr(url, 27) AS INT) % {_HOSTS}
+)"""
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {k} AS round, host, url, CAST(rank AS INT) AS rank FROM f{k}"
+        for k in range(1, rounds + 1)
+    )
+    return body + "\n" + selects
+
+
+@query("q_pipeline_crawl_rounds", oracle=_crawl_rounds_sql())
+def q_pipeline_crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl loop CLOSED (r16): {CRAWL_ROUNDS} unrolled rounds of
+    frontier → fetch → extract → new frontier, hash-gated end to end.
+    Per round: only pages actually FETCHED are parsed (the r15 funnel
+    parsed the whole corpus once — a crawler parses a page when it
+    crawls it); fetched pages' outlinks grow the discovered set;
+    candidates = discovered minus crawled (the crawled set grows by
+    each round's ATTEMPTED frontier — a 404 is still an attempt);
+    admission is the host-keyed robots dimension; the politeness cap
+    is the same per-host WindowGroupLimit.  A frontier URL 'exists'
+    iff its host matches the target document's home host (a
+    host-mismatched link target 404s), so novelty genuinely flows:
+    round 2 fetches different pages than round 1, and the oracle's
+    round-2 CTEs prove the frontier moved.  Scale: each round is one
+    map-side parse over O(frontier) pages + one anti-join on the URL
+    key + the broadcast robots join; the per-round frontier is
+    materialized (lineage cut) exactly like PageRank's edge table —
+    round k never re-parses rounds < k."""
+    return crawl_rounds(spark, sf_dir)
+
+
+def crawl_rounds(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = CRAWL_ROUNDS,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Library form with the materialization location exposed."""
+    from setup_harvest_action_spark.io.materialize import materialize
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < GRAPH_DOCS)
+        .select("doc_id", "text", "lang")
+    )
+    self_url = F.concat(
+        F.lit("https://host"),
+        (F.col("doc_id") % _HOSTS).cast("string"),
+        F.lit(".example/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    seeds = docs.filter(F.col("doc_id") % CRAWL_SEED_MOD == 0)
+    crawled = seeds.select(self_url.alias("url"))
+    fetched = seeds
+    robots = robots_dimension(spark)
+    discovered: DataFrame | None = None
+    frontiers: list[DataFrame] = []
+    for k in range(1, rounds + 1):
+        new_dsts = (
+            edges_of_pages(fetched)
+            .select(F.col("dst").alias("url"))
+            .distinct()
+        )
+        discovered = (
+            new_dsts
+            if discovered is None
+            else discovered.union(new_dsts).distinct()
+        )
+        cand = (
+            discovered.join(crawled, "url", "left_anti")
+            .select(
+                F.regexp_extract(
+                    "url", r"^https://(host\d+)\.", 1
+                ).alias("host"),
+                "url",
+            )
+        )
+        w = Window.partitionBy("host").orderBy("url")
+        frontier = materialize(
+            robots_admit(cand, robots)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= FRONTIER_PER_HOST)
+            .select("host", "url", "rank"),
+            f"crawl_round_{k}",
+            checkpoint_dir,
+        )
+        frontiers.append(frontier.withColumn("round", F.lit(k)))
+        crawled = crawled.union(frontier.select("url")).distinct()
+        # 'fetch' the frontier: a target exists iff its host is the
+        # target document's home host (doc t lives at host t % 7)
+        doc_num = F.substring_index(F.col("url"), "/", -1).cast("int")
+        host_digit = F.substring(F.col("url"), 13, 1).cast("int")
+        exist_ids = (
+            frontier.filter(host_digit == doc_num % _HOSTS)
+            .select(doc_num.alias("doc_id"))
+        )
+        fetched = docs.join(exist_ids, "doc_id", "left_semi")
+    out = frontiers[0]
+    for fr in frontiers[1:]:
+        out = out.unionByName(fr)
+    return out.select(
+        "round", "host", "url", F.col("rank").cast("int").alias("rank")
+    )

@@ -189,3 +189,99 @@ def test_extract_links_document_order_and_valueless():
     assert [x for x in links if x.startswith("/rel9-")]  # link farm
     # valueless href / anchor without href: skipped, no raise
     assert extract_links('<a href>x</a><a name=t>y</a><a href="/k">z</a>') == ["/k"]
+
+
+def test_empty_segment_deviation_goldens():
+    """Documented stdlib DEVIATION (r15 verdict #5): RFC 3986 §5.2.4
+    and the WHATWG URL spec both PRESERVE empty path segments — '..'
+    pops whatever the previous segment is, including an empty one —
+    while CPython's urljoin silently collapses empty segments when
+    dot-segment removal touches them.  Crawl URL identity follows the
+    RFC/browser reading ('//h' and '/h' are different paths)."""
+    from urllib.parse import urljoin
+
+    from setup_harvest_action_spark.functions.urls import (
+        resolve_reference,
+    )
+
+    base = "http://a/b/c/d;p?q"
+    goldens = {
+        # ref: (repo = RFC/WHATWG, stdlib's collapsed answer)
+        "g/..//h": ("http://a/b/c//h", "http://a/b/c/h"),
+        "..//g": ("http://a/b//g", "http://a/b/g"),
+        ".//g": ("http://a/b/c//g", "http://a/b/c/g"),
+        "a//../b": ("http://a/b/c/a/b", "http://a/b/c/b"),
+        "g//": ("http://a/b/c/g//", "http://a/b/c/g/"),
+        "a/..//": ("http://a/b/c//", "http://a/b/c/"),
+    }
+    for ref, (want_repo, want_stdlib) in goldens.items():
+        assert resolve_reference(base, ref) == want_repo, ref
+        # pin that the stdlib really does still collapse, so a future
+        # CPython fix flags that the deviation class can be retired
+        assert urljoin(base, ref) == want_stdlib, ref
+    # the stdlib collapses empty segments even with NO dot segment
+    # in sight — the deviation is the whole class, not just the
+    # dot-adjacent corner
+    assert resolve_reference(base, "x//y") == "http://a/b/c/x//y"
+    assert urljoin(base, "x//y") == "http://a/b/c/x/y"
+
+
+def _whatwg_path_model(merged: str) -> str:
+    """Independent in-test model of RFC 3986 §5.2.4 / WHATWG path
+    resolution — a segment STACK over split('/'), deliberately a
+    different formulation than the repo's single-pass buffer, so the
+    two implementations anchor each other."""
+    segs = merged.split("/")
+    out: list[str] = []
+    for i, s in enumerate(segs[1:], 1):
+        last = i == len(segs) - 1
+        if s == "..":
+            if out:
+                out.pop()
+            if last:
+                out.append("")
+        elif s == ".":
+            if last:
+                out.append("")
+        else:
+            out.append(s)
+    return "/" + "/".join(out)
+
+
+def test_resolution_randomized_with_empty_segments():
+    """Randomized matrix over refs that DO contain empty segments
+    (the class test_resolution_randomized_against_urljoin excludes
+    because the stdlib collapses them): repo output must equal the
+    independent RFC/WHATWG stack model."""
+    import random
+
+    from setup_harvest_action_spark.functions.urls import (
+        resolve_reference,
+    )
+
+    rng = random.Random(4321)
+    segs = ["a", "b", "doc", ".", "..", "", "x.y", "7"]
+    for _ in range(2000):
+        base_path = "/".join(
+            rng.choice(["a", "b", "c", "d"])
+            for _ in range(rng.randrange(0, 4))
+        )
+        base = f"http://h.example/{base_path}"
+        ref = "/".join(
+            rng.choice(segs) for _ in range(rng.randrange(1, 5))
+        )
+        if rng.random() < 0.3:
+            ref = "/" + ref
+        if ref == "" or ref.startswith("//"):
+            # '' is the same-document reference; '//…' is a
+            # network-path reference — both out of this matrix's
+            # path-resolution scope
+            continue
+        got = resolve_reference(base, ref)
+        if ref.startswith("/"):
+            merged = ref
+        else:
+            bp = "/" + base_path
+            merged = bp[: bp.rfind("/") + 1] + ref
+        want = "http://h.example" + _whatwg_path_model(merged)
+        assert got == want, (base, ref)
