@@ -36,6 +36,10 @@ import uuid as _uuid
 _CRLF = b"\r\n"
 
 
+def _rid(uri_or_type: str) -> str:
+    return f"<urn:uuid:{_uuid.uuid5(_uuid.NAMESPACE_URL, uri_or_type)}>"
+
+
 def _record(
     rtype: str,
     payload: bytes,
@@ -43,8 +47,9 @@ def _record(
     date: str = "2026-01-01T00:00:00Z",
     content_type: str = "application/octet-stream",
     record_id: str | None = None,
+    refers_to: str | None = None,
 ) -> bytes:
-    rid = record_id or f"<urn:uuid:{_uuid.uuid5(_uuid.NAMESPACE_URL, uri or rtype)}>"
+    rid = record_id or _rid(uri or rtype)
     head = [
         b"WARC/1.0",
         b"WARC-Type: " + rtype.encode(),
@@ -55,7 +60,55 @@ def _record(
     ]
     if uri is not None:
         head.insert(3, b"WARC-Target-URI: " + uri.encode())
+    if refers_to is not None:
+        head.insert(3, b"WARC-Refers-To: " + refers_to.encode())
     return _CRLF.join(head) + _CRLF * 2 + payload + _CRLF * 2
+
+
+# The three container layouts found in the wild (ISO 28500 Annex D):
+# * "plain"        — uncompressed .warc
+# * "gzip_members" — record-per-gzip-member .warc.gz (the standard
+#                    Common Crawl shape; a production reader can seek)
+# * "gzip_stream"  — the WHOLE file as one gzip stream (discouraged by
+#                    the spec's guidance — no record-level seek — but
+#                    real archives ship it, so the reader must cope)
+WARC_LAYOUTS = ("plain", "gzip_members", "gzip_stream")
+
+
+def _pack(recs: list[bytes], layout: str) -> bytes:
+    if layout == "plain":
+        return b"".join(recs)
+    if layout == "gzip_members":
+        out = bytearray()
+        for r in recs:
+            buf = _io.BytesIO()
+            with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                g.write(r)
+            out += buf.getvalue()
+        return bytes(out)
+    if layout == "gzip_stream":
+        buf = _io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            g.write(b"".join(recs))
+        return buf.getvalue()
+    raise ValueError(f"unknown WARC layout {layout!r}")
+
+
+def http_request(uri: str) -> bytes:
+    """The HTTP/1.1 request a crawler sent for ``uri`` — the payload
+    of a WARC ``request`` record (Common Crawl captures ship
+    request + response + metadata per fetch)."""
+    from urllib.parse import urlsplit
+
+    p = urlsplit(uri)
+    path = p.path or "/"
+    if p.query:
+        path += "?" + p.query
+    return (
+        f"GET {path} HTTP/1.1".encode() + _CRLF
+        + b"Host: " + p.netloc.encode() + _CRLF
+        + b"User-Agent: spark-graft-crawler" + _CRLF * 2
+    )
 
 
 def http_response(
@@ -81,11 +134,21 @@ def http_response(
     )
 
 
-def encode_warc(pages, gzip_members: bool = False) -> bytes:
+def encode_warc(
+    pages,
+    gzip_members: bool = False,
+    layout: str | None = None,
+    with_request_metadata: bool = False,
+) -> bytes:
     """One WARC file from ``pages`` = [(uri, html_str), ...]: a
     warcinfo record then one response record per page, each carrying a
-    full HTTP response.  ``gzip_members`` emits the standard
-    record-per-gzip-member .warc.gz layout."""
+    full HTTP response.  ``layout`` picks among :data:`WARC_LAYOUTS`
+    (``gzip_members=True`` is the legacy spelling of the member
+    layout); ``with_request_metadata`` adds the full capture triple —
+    ``request`` record before and ``metadata`` record (warc-fields,
+    WARC-Refers-To the response) after each response, the Common Crawl
+    .warc layout."""
+    layout = layout or ("gzip_members" if gzip_members else "plain")
     recs = [
         _record(
             "warcinfo",
@@ -94,6 +157,16 @@ def encode_warc(pages, gzip_members: bool = False) -> bytes:
         )
     ]
     for uri, html in pages:
+        if with_request_metadata:
+            recs.append(
+                _record(
+                    "request",
+                    http_request(uri),
+                    uri=uri,
+                    record_id=_rid("req:" + uri),
+                    content_type="application/http;msgtype=request",
+                )
+            )
         recs.append(
             _record(
                 "response",
@@ -102,15 +175,20 @@ def encode_warc(pages, gzip_members: bool = False) -> bytes:
                 content_type="application/http;msgtype=response",
             )
         )
-    if not gzip_members:
-        return b"".join(recs)
-    out = bytearray()
-    for r in recs:
-        buf = _io.BytesIO()
-        with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
-            g.write(r)
-        out += buf.getvalue()
-    return bytes(out)
+        if with_request_metadata:
+            recs.append(
+                _record(
+                    "metadata",
+                    b"fetchTimeMs: "
+                    + str(100 + len(html) % 900).encode()
+                    + b"\r\n",
+                    uri=uri,
+                    record_id=_rid("meta:" + uri),
+                    refers_to=_rid(uri),
+                    content_type="application/warc-fields",
+                )
+            )
+    return _pack(recs, layout)
 
 
 def encode_warc_responses(
@@ -135,15 +213,37 @@ def encode_warc_responses(
                 content_type="application/http;msgtype=response",
             )
         )
-    if not gzip_members:
-        return b"".join(recs)
-    out = bytearray()
-    for r in recs:
-        buf = _io.BytesIO()
-        with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
-            g.write(r)
-        out += buf.getvalue()
-    return bytes(out)
+    return _pack(recs, "gzip_members" if gzip_members else "plain")
+
+
+def encode_wet(entries, layout: str = "gzip_members") -> bytes:
+    """A WET file — the EXTRACTED-TEXT sibling format downstream
+    consumers actually read (Common Crawl's .warc.wet.gz): a warcinfo
+    record declaring the conversion, then one ``conversion`` record
+    per page (Content-Type text/plain, UTF-8 body) whose
+    WARC-Refers-To names the response record the text was extracted
+    from.  ``entries`` = [(uri, extracted_text), ...]."""
+    recs = [
+        _record(
+            "warcinfo",
+            b"software: setup-harvest-action-spark\r\n"
+            b"format: WARC File Format 1.0\r\n"
+            b"conformsTo: WET extraction\r\n",
+            content_type="application/warc-fields",
+        )
+    ]
+    for uri, text in entries:
+        recs.append(
+            _record(
+                "conversion",
+                text.encode("utf-8"),
+                uri=uri,
+                record_id=_rid("wet:" + uri),
+                refers_to=_rid(uri),
+                content_type="text/plain",
+            )
+        )
+    return _pack(recs, layout)
 
 
 def parse_warc(payload: bytes) -> list[dict]:
@@ -294,11 +394,14 @@ def q_pipeline_warc_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_source_warc_stats")
 def q_source_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC container diagnostics per file: record counts by type,
-    compressed vs raw bytes (the gzip-member layout's ratio), mean
-    page size — the ingest-health dashboard.  Rows-only (container
-    arithmetic); the framing itself is oracled by
-    q_pipeline_warc_to_text and pinned adversarially in tests."""
+    """WARC container diagnostics per file ACROSS the three real-world
+    layouts (plain / gzip-members / single-stream-gzip) with the full
+    capture triple (request + response + metadata records, r16):
+    record counts by type, bytes per layout, and a layouts_agree flag
+    asserting all three parses yield the identical record-type
+    sequence.  Rows-only (container arithmetic); the framing itself is
+    oracled by q_pipeline_warc_to_text / q_pipeline_wet_roundtrip and
+    pinned adversarially in tests."""
     import pandas as pd
 
     from setup_harvest_action_spark.functions.html_extract import (
@@ -324,25 +427,127 @@ def q_source_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for d, t, lg in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
         ]
-        gz = encode_warc(pages, gzip_members=True)
-        raw = encode_warc(pages, gzip_members=False)
-        recs = parse_warc(gz)
-        n_resp = sum(1 for r in recs if r["type"] == "response")
+        blobs = {
+            lay: encode_warc(pages, layout=lay, with_request_metadata=True)
+            for lay in WARC_LAYOUTS
+        }
+        parses = {lay: parse_warc(b) for lay, b in blobs.items()}
+        types = [r["type"] for r in parses["gzip_members"]]
+        agree = all(
+            [r["type"] for r in p] == types for p in parses.values()
+        )
         return pd.DataFrame(
             {
                 "file_id": [int(pdf["file_id"].iloc[0])],
-                "n_records": [len(recs)],
-                "n_responses": [n_resp],
-                "raw_bytes": [len(raw)],
-                "gz_bytes": [len(gz)],
-                "compression_ratio": [round(len(raw) / len(gz), 4)],
+                "n_records": [len(types)],
+                "n_responses": [types.count("response")],
+                "n_requests": [types.count("request")],
+                "n_metadata": [types.count("metadata")],
+                "plain_bytes": [len(blobs["plain"])],
+                "member_gz_bytes": [len(blobs["gzip_members"])],
+                "stream_gz_bytes": [len(blobs["gzip_stream"])],
+                "compression_ratio": [
+                    round(
+                        len(blobs["plain"]) / len(blobs["gzip_members"]), 4
+                    )
+                ],
+                "layouts_agree": [bool(agree)],
             }
         )
 
     return docs.groupBy("file_id").applyInPandas(
         one_file,
-        "file_id int, n_records int, n_responses int, raw_bytes long, "
-        "gz_bytes long, compression_ratio double",
+        "file_id int, n_records int, n_responses int, n_requests int, "
+        "n_metadata int, plain_bytes long, member_gz_bytes long, "
+        "stream_gz_bytes long, compression_ratio double, "
+        "layouts_agree boolean",
+    )
+
+
+@query(
+    "q_pipeline_wet_roundtrip",
+    oracle=f"""
+SELECT doc_id,
+       'https://corpus.example/doc/' || doc_id AS target_uri,
+       md5(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')))
+         AS wet_md5,
+       CAST(length(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')))
+         AS INT) AS n_chars_extracted
+FROM documents
+WHERE n_chars >= {WARC_MIN_CHARS} AND doc_id < {WARC_DOCS}
+""",
+)
+def q_pipeline_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel's OUTPUT leg under the hash gate (r16): crawl pages
+    → .warc.gz → parse → boilerplate removal → WET conversion records
+    (.warc.wet.gz, the format downstream corpus consumers read) →
+    parse the WET back → each document's text must survive the full
+    write-read-extract-write-read chain md5-exactly, with the
+    WARC-Refers-To linkage back to the response record verified per
+    conversion record.  The oracle knows only DuckDB's normalization
+    of the raw column; a framing bug in EITHER container, a UTF-8
+    slip in the conversion body, or a broken refers-to chain flips
+    the hash or drops rows.  Scale: one task per WARC file end to
+    end, all map-side."""
+    import hashlib
+
+    import pandas as pd
+
+    from setup_harvest_action_spark.functions.html_extract import (
+        main_text,
+        synthesize_page,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("n_chars") >= WARC_MIN_CHARS)
+            & (F.col("doc_id") < WARC_DOCS)
+        )
+        .select("doc_id", "text", "lang")
+        .withColumn("file_id", (F.col("doc_id") / PAGES_PER_FILE).cast("int"))
+    )
+
+    def one_file(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        pages = [
+            (
+                f"https://corpus.example/doc/{int(d)}",
+                synthesize_page(int(d), t, lang=lg),
+            )
+            for d, t, lg in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
+        ]
+        warc_blob = encode_warc(pages, layout="gzip_members")
+        entries = []
+        for rec in parse_warc(warc_blob):
+            if rec["type"] != "response" or rec.get("http_status") != 200:
+                continue
+            entries.append(
+                (rec["uri"], main_text(rec["http_body"].decode()))
+            )
+        wet_blob = encode_wet(entries, layout="gzip_members")
+        rows = {
+            "doc_id": [],
+            "target_uri": [],
+            "wet_md5": [],
+            "n_chars_extracted": [],
+        }
+        for rec in parse_warc(wet_blob):
+            if rec["type"] != "conversion":
+                continue
+            # the refers-to chain must name the response record
+            assert rec["headers"]["warc-refers-to"] == _rid(rec["uri"])
+            text = rec["payload"].decode("utf-8")
+            rows["doc_id"].append(int(rec["uri"].rsplit("/", 1)[1]))
+            rows["target_uri"].append(rec["uri"])
+            rows["wet_md5"].append(hashlib.md5(text.encode()).hexdigest())
+            rows["n_chars_extracted"].append(len(text))
+        return pd.DataFrame(rows)
+
+    return docs.groupBy("file_id").applyInPandas(
+        one_file,
+        "doc_id long, target_uri string, wet_md5 string, "
+        "n_chars_extracted int",
     )
 
 

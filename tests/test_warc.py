@@ -90,3 +90,79 @@ def test_http_response_framing():
     # pipeline (pinned here at parse level: status surfaces)
     recs = parse_warc(blob)
     assert recs[1]["http_status"] == 200
+
+
+def test_three_layouts_parse_identically():
+    """r16: plain / gzip-members / single-stream-gzip must all yield
+    the identical record sequence, and the full capture triple
+    (request + response + metadata) must survive each layout."""
+    from setup_harvest_action_spark.sources.warc import (
+        WARC_LAYOUTS,
+        encode_warc,
+        parse_warc,
+    )
+
+    pages = [
+        ("https://h.example/a", "<html><body>alpha</body></html>"),
+        ("https://h.example/b", "<html><body>beta</body></html>"),
+    ]
+    parses = {
+        lay: parse_warc(
+            encode_warc(pages, layout=lay, with_request_metadata=True)
+        )
+        for lay in WARC_LAYOUTS
+    }
+    types = [r["type"] for r in parses["plain"]]
+    assert types == [
+        "warcinfo",
+        "request", "response", "metadata",
+        "request", "response", "metadata",
+    ]
+    base = [(r["type"], r["uri"], r["payload"]) for r in parses["plain"]]
+    for lay, recs in parses.items():
+        assert [(r["type"], r["uri"], r["payload"]) for r in recs] == base, lay
+    # the request record carries a real HTTP/1.1 request line + Host
+    req = parses["plain"][1]
+    assert req["payload"].startswith(b"GET /a HTTP/1.1\r\nHost: h.example")
+    # metadata refers back to its response record
+    meta = parses["plain"][3]
+    resp = parses["plain"][2]
+    assert meta["headers"]["warc-refers-to"] == resp["headers"]["warc-record-id"]
+
+
+def test_wet_roundtrip_and_refers_to():
+    """r16: conversion records round-trip UTF-8 text byte-exactly in
+    every layout and link back to the response record id."""
+    from setup_harvest_action_spark.sources.warc import (
+        WARC_LAYOUTS,
+        encode_wet,
+        parse_warc,
+    )
+
+    entries = [
+        ("https://h.example/a", "plain extracted text"),
+        ("https://h.example/b", "naïve — żółć ©"),  # non-ASCII
+    ]
+    for lay in WARC_LAYOUTS:
+        recs = parse_warc(encode_wet(entries, layout=lay))
+        assert [r["type"] for r in recs] == [
+            "warcinfo", "conversion", "conversion",
+        ], lay
+        got = [
+            (r["uri"], r["payload"].decode("utf-8"))
+            for r in recs
+            if r["type"] == "conversion"
+        ]
+        assert got == entries, lay
+        for r in recs[1:]:
+            assert r["headers"]["content-type"] == "text/plain"
+            assert r["headers"]["warc-refers-to"].startswith("<urn:uuid:")
+
+
+def test_unknown_layout_raises():
+    import pytest as _pytest
+
+    from setup_harvest_action_spark.sources.warc import encode_warc
+
+    with _pytest.raises(ValueError):
+        encode_warc([("https://h.example/a", "x")], layout="zip")
