@@ -951,20 +951,62 @@ def ivfpq_index_stream_append(
     index_path: str,
     checkpoint: str,
     timeout_sec: int = 300,
-) -> None:
+    maintain: bool = False,
+    compact_every: int = 0,
+    share_threshold: float = 0.25,
+    n_sub: int = 8,
+    compact_parts: int = 4,
+) -> list[dict]:
     """STREAMING maintenance for the composed index: drain a
     (vec_id, e) stream via foreachBatch → ``ivfpq_index_append`` per
     micro-batch.  Same contract as ``pq_index_stream_append``: the
     checkpoint makes re-runs resume-exactly-once and the append's
-    content-idempotence makes replays harmless.  Compaction is the
-    OTHER half of the loop — run ``auto_compact(zorder_by=
-    ["centroid_id"])`` on a cadence (e.g. every N batches) to restore
-    the routing selectivity streaming appends dilute."""
+    content-idempotence makes replays harmless.
+
+    r16 composes BOTH maintenance halves into the loop itself:
+    ``maintain=True`` runs the stats-only celebrity trigger after each
+    micro-batch merge (≤1 cell refit per batch, split cells
+    structurally skipped — the r15 no-storm contract), and
+    ``compact_every=N`` runs ``auto_compact(zorder_by=
+    ["centroid_id"])`` after every Nth non-empty batch to restore the
+    routing selectivity streaming appends dilute.  The two never
+    starve each other: refit rewrites only the hot cell's files and
+    registers split children; compaction rewrites only small files
+    and never merges across the (vec_id-keyed) content — the churn
+    test drives both together and pins the concentration band.
+    Returns one report per non-empty batch (merge stats, maintenance
+    report, compaction version if one ran)."""
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        auto_compact,
+    )
+
+    reports: list[dict] = []
 
     def _apply(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        ivfpq_index_append(spark, batch_df, index_path)
+        stats = ivfpq_index_append(
+            spark,
+            batch_df,
+            index_path,
+            maintain=maintain,
+            share_threshold=share_threshold,
+            n_sub=n_sub,
+        )
+        report = {"batch_id": batch_id, **stats}
+        if compact_every and (len(reports) + 1) % compact_every == 0:
+            cm = auto_compact(
+                spark,
+                _ivfpq_codes_path(index_path),
+                small_bytes=1 << 30,
+                n_parts=compact_parts,
+                zorder_by=["centroid_id"],
+            )
+            report["compacted"] = {
+                "version": cm["version"],
+                "n_files": len(cm["files"]),
+            }
+        reports.append(report)
 
     q = (
         stream_df.writeStream.foreachBatch(_apply)
@@ -973,6 +1015,7 @@ def ivfpq_index_stream_append(
         .start()
     )
     q.awaitTermination(timeout_sec)
+    return reports
 
 
 def ivfpq_search(

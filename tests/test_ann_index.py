@@ -1135,3 +1135,88 @@ def test_ivfpq_maintain_auto_refit_churn(spark, emb, ivfpq):
     ).collect()
     assert len(got) == 10
     assert sum(1 for r in got if r["vec_id"] >= 1000) >= 8
+
+
+def test_ivfpq_stream_churn_composes_refit_and_compaction(
+    spark, emb, ivfpq, tmp_path
+):
+    """r15 verdict #7: the streaming append loop runs BOTH maintenance
+    halves together under hot-skewed churn — the stats-only auto-refit
+    and the auto_compact(zorder_by=centroid_id) cadence.  Pins:
+    exactly ONE refit across the whole run (the no-storm contract
+    EXTENDED ACROSS COMPACTIONS — the zorder rewrites between batches
+    must not resurrect the trigger), compaction fires on its cadence
+    with monotone versions, the parent cell ends empty with its mass
+    spread over >= 2 children, content is intact, and the final file
+    count sits in the compacted band — neither mechanism starved the
+    other."""
+    import random as _random
+    from collections import Counter
+
+    from setup_harvest_action_spark.functions.ann_index import (
+        _ivf_centroids_path,
+        _ivfpq_codes_path,
+        ivfpq_index_stream_append,
+    )
+
+    cents0 = scan_manifest(spark, _ivf_centroids_path(ivfpq)).collect()
+    target = min(r["centroid_id"] for r in cents0)
+    cv = [r for r in cents0 if r["centroid_id"] == target][0]["cv"]
+    rng = _random.Random(7)
+
+    arrivals = str(tmp_path / "hot_arrivals")
+    for b in range(4):  # 4 micro-batches of 40 hot vectors each
+        rows = [
+            (
+                2000 + 100 * b + j,
+                [round(x + rng.uniform(-0.05, 0.05), 4) for x in cv],
+            )
+            for j in range(40)
+        ]
+        (
+            spark.createDataFrame(rows, "vec_id BIGINT, e ARRAY<DOUBLE>")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(arrivals)
+        )
+    stream = (
+        spark.readStream.schema("vec_id BIGINT, e ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+    )
+    reports = ivfpq_index_stream_append(
+        spark,
+        stream,
+        ivfpq,
+        str(tmp_path / "churn_ckpt"),
+        maintain=True,
+        compact_every=2,
+        share_threshold=0.2,
+        n_sub=4,
+    )
+    assert len(reports) == 4
+    refits = [r for rep in reports for r in rep["maintenance"]["refits"]]
+    assert len(refits) == 1  # once split, never again — even after
+    hot_cell = refits[0]["cell"]  # two compactions rewrote the table
+    kids = set(refits[0]["sub_ids"])
+    compacted = [rep["compacted"] for rep in reports if "compacted" in rep]
+    assert len(compacted) == 2  # cadence: after batches 2 and 4
+    assert compacted[1]["version"] > compacted[0]["version"]
+
+    rows_map = _ivfpq_map(spark, ivfpq)
+    leaf_counts = Counter(cid for cid, _ in rows_map.values())
+    assert leaf_counts.get(hot_cell, 0) == 0  # parent drained
+    assert sum(1 for k in kids if leaf_counts.get(k, 0) > 0) >= 2
+    # concentration band: no child holds what the unmaintained parent
+    # would have (original members + all 160 churned vectors)
+    unmaintained = 160 + sum(
+        1
+        for vid, (cid, _) in rows_map.items()
+        if vid < 2000 and cid in kids
+    )
+    assert max(leaf_counts[k] for k in kids) < unmaintained
+    m = read_manifest(_ivfpq_codes_path(ivfpq))
+    assert m["total_rows"] == SPLIT + 160  # nothing lost, no dups
+    # the final-batch compaction left the table in the small-file
+    # band: everything rewritten into <= compact_parts files
+    assert len(m["files"]) <= 4
