@@ -115,6 +115,14 @@ HEADLINE = [
     "q_multimodal_pdf_pipeline",
     "q_pipeline_charset_decode",
     "q_graph_crawl_pagerank",
+    # round 16: price the crawl LOOP and its output leg — the
+    # multi-round frontier (3 rounds of fetch→extract→frontier with
+    # per-round materialization cuts, host-keyed robots broadcast
+    # join, politeness WindowGroupLimit) and the WET roundtrip
+    # (warc.gz → extract → wet.gz → parse back), the two r16 ingest
+    # compositions.
+    "q_pipeline_crawl_rounds",
+    "q_pipeline_wet_roundtrip",
 ]
 
 

@@ -89,71 +89,76 @@ _EXPECTED_MISSING: frozenset[str] = frozenset()
 DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = (
-    # ---- r15 rotation ----
-    # 50 slots = 12 + 38 (the r14 verdict's #1 ask).  (a) the 12
-    # r14-new entries that have never been driver-sampled — the whole
-    # crawl-ingest family plus the two animation pipelines and the PDF
-    # pipeline; (b) 38 of the 49-entry cohort whose newest driver row
-    # is r09 (the stalest after r14).  Deferred to the r16 queue: the
-    # cohort's 2 rows-only entries (q_multimodal_ppm_pipeline,
-    # q_quality_compression_ratio — they get the weaker rows-only
-    # check, so a slot buys less) and the 9 alphabetically-last hash
-    # entries (q_text_lm_bigram_score, q_text_topk_tokens, the 7
-    # q_window_* rows), plus any r15-new entries.  Entries outside the
-    # window stay hash-verified by tools/verify_oracle.py + pytest
-    # every session.
-    # (a) never-sampled r14 entries:
-    "q_multimodal_gif_anim_pipeline",
-    "q_multimodal_webp_anim_pipeline",
-    "q_text_html_extract",
-    "q_text_html_metadata",
-    "q_text_html_boilerplate_stats",
-    "q_text_url_canonicalize",
-    "q_dedup_url_exact",
-    "q_text_robots_filter",
-    "q_pipeline_warc_to_text",
+    # ---- r16 rotation ----
+    # 50 slots = 9 + 2 + 1 + 11 + 27 (the r15 verdict's #1 ask).
+    # (a) the 9 r15-new entries that have never been driver-sampled
+    # (crawl loop, quality rule packs, PDF incremental updates);
+    # (b) the 2 r16-new entries (multi-round crawl, WET roundtrip);
+    # (c) q_source_warc_stats re-queued — its r16 schema adds the
+    # layout/record-type columns, so the r15 row no longer reflects
+    # the query;
+    # (d) the 11-entry r09-stale remainder (closes the verdict's
+    # "no row predating r10" criterion);
+    # (e) the 27 alphabetically-first entries of the 47-entry cohort
+    # whose newest driver row is r10 — the stalest after (d); the 20
+    # alphabetically-last (q_pricing_summary .. q_text_lm_score) are
+    # the r17 queue.  Entries outside the window stay hash-verified
+    # by tools/verify_oracle.py + pytest every session.
+    # (a) never-sampled r15 entries:
+    "q_pipeline_charset_decode",
+    "q_graph_crawl_outlinks",
+    "q_graph_crawl_pagerank",
+    "q_graph_crawl_host_graph",
+    "q_pipeline_crawl_frontier",
+    "q_pipeline_sitemap_recrawl",
+    "q_quality_gopher_rules",
+    "q_quality_c4_line_filters",
+    "q_multimodal_pdf_update_pipeline",
+    # (b) r16-new entries:
+    "q_pipeline_crawl_rounds",
+    "q_pipeline_wet_roundtrip",
+    # (c) schema-rebased this round:
     "q_source_warc_stats",
-    "q_pipeline_crawl_prep",
-    "q_multimodal_pdf_pipeline",
-    # (b) 38 of the r09-stale cohort:
-    "q_agg_approx_quantiles",
-    "q_agg_chi_square",
-    "q_agg_hll_partitioned",
-    "q_agg_hll_set_algebra",
-    "q_approx_count_distinct",
-    "q_dedup_substring_spans",
-    "q_dedup_winnowing",
-    "q_embedding_outliers",
-    "q_events_interval_coverage",
-    "q_events_interval_coverage_salted",
-    "q_events_sessionize_salted",
-    "q_events_time_decay_score",
-    "q_join_asof_topk",
-    "q_join_cross",
-    "q_join_existence",
-    "q_join_full_outer",
-    "q_join_multikey",
-    "q_join_right_outer",
-    "q_late_supplier_blame",
-    "q_min_cost_supplier",
-    "q_quality_pii_redact",
-    "q_quality_repetition",
-    "q_quality_winsorize",
-    "q_sample_bernoulli_hash",
-    "q_sample_bootstrap",
-    "q_sample_chunk_windows",
-    "q_sample_global_shuffle",
-    "q_sample_mixture_weights",
-    "q_sample_stratified",
-    "q_sample_train_valid_test",
-    "q_setop_except",
-    "q_setop_intersect_all",
-    "q_setop_union_all",
-    "q_setop_union_distinct",
-    "q_source_manifest_changes_stream",
-    "q_source_manifest_skipping",
-    "q_stream_trending_topk",
-    "q_text_kwic_udtf",
+    # (d) the r09-stale remainder:
+    "q_multimodal_ppm_pipeline",
+    "q_quality_compression_ratio",
+    "q_text_lm_bigram_score",
+    "q_text_topk_tokens",
+    "q_window_distribution",
+    "q_window_first_last",
+    "q_window_range_frame",
+    "q_window_running_distinct",
+    "q_window_running_sum",
+    "q_window_sequence_gaps",
+    "q_window_sliding_frame",
+    # (e) 27 of the r10-stale cohort:
+    "q_agg_minmax_stats",
+    "q_agg_percentiles",
+    "q_agg_pivot",
+    "q_constraint_report",
+    "q_cube_lineitem_flags",
+    "q_dedup_components",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_semantic",
+    "q_embedding_kmeans",
+    "q_events_cohort_retention",
+    "q_events_funnel",
+    "q_events_resample_ffill",
+    "q_events_sessionize",
+    "q_events_transitions",
+    "q_grouping_sets",
+    "q_harvest_read_path",
+    "q_harvest_rerun_stats",
+    "q_harvest_rerun_terms",
+    "q_harvest_term_fields",
+    "q_harvest_terms",
+    "q_harvest_unpivot",
+    "q_join_asof",
+    "q_join_asof_forward",
+    "q_large_orders",
+    "q_multimodal_metadata",
+    "q_pagination_page",
 )
 
 _loaded = False
