@@ -274,6 +274,67 @@ def robots_dimension(spark: SparkSession) -> DataFrame:
     )
 
 
+def robots_admission_expr(
+    host_col,
+    path_col,
+    robots: dict[str, str] | None = None,
+    agent: str = FRONTIER_AGENT,
+):
+    """The robots decision as ONE codegen'd boolean column — no
+    Python in the admission path (the r15 verdict's standing note on
+    the frontier's ``can_fetch`` loop).  Per host, the agent's rule
+    group compiles at plan-build time into a specificity-ordered
+    ``when`` chain of anchored ``rlike`` patterns (RFC 9309
+    longest-match: rules sorted by (octet length, allow) descending,
+    first match decides, ties keep file order via the stable sort —
+    the identical decision procedure as ``can_fetch``, equality-pinned
+    in tests/test_robots.py).
+
+    Scope vs :func:`robots_admit`: this inlines the RULESET into the
+    plan, so it fits a bounded host set (one crawl's politeness
+    domain, a fixture, a per-tenant allowlist); the broadcast-join
+    form is the general path when hosts number in the millions.  Both
+    run map-side — this one inside WholeStageCodegen."""
+    from setup_harvest_action_spark.functions.robots import (
+        _rule_regex,
+        _select_group,
+        parse_robots,
+    )
+
+    if robots is None:
+        robots = HOST_ROBOTS
+    cases = None
+    for h, txt in sorted(robots.items()):
+        g = _select_group(parse_robots(txt), agent)
+        rules = (
+            sorted(
+                g["rules"],
+                key=lambda r: (len(r[1]), r[0]),
+                reverse=True,
+            )
+            if g
+            else []
+        )
+        per = None
+        for allow, pattern in rules:
+            cond = path_col.rlike(_rule_regex(pattern).pattern)
+            per = (
+                F.when(cond, F.lit(allow))
+                if per is None
+                else per.when(cond, F.lit(allow))
+            )
+        per_expr = (
+            per.otherwise(F.lit(True)) if per is not None else F.lit(True)
+        )
+        cases = (
+            F.when(host_col == h, per_expr)
+            if cases is None
+            else cases.when(host_col == h, per_expr)
+        )
+    # a host with no robots.txt is admitted (no robots = allow)
+    return cases.otherwise(F.lit(True)) if cases is not None else F.lit(True)
+
+
 def robots_admit(candidates: DataFrame, robots_dim: DataFrame) -> DataFrame:
     """Admission = BROADCAST join of the URL table against the
     host-keyed robots dimension, then the RFC 9309 matcher per row
@@ -555,7 +616,14 @@ def crawl_rounds(
     seeds = docs.filter(F.col("doc_id") % CRAWL_SEED_MOD == 0)
     crawled = seeds.select(self_url.alias("url"))
     fetched = seeds
-    robots = robots_dimension(spark)
+    # the loop runs admission CODEGEN'D (robots_admission_expr): three
+    # admissions per crawl, all inside WholeStageCodegen, no Python
+    # stage — equality-pinned against can_fetch and against the
+    # dimension-join path in tests/test_robots.py
+    admit = robots_admission_expr(
+        F.col("host"),
+        F.regexp_extract("url", r"^https://[^/]+(/.*)$", 1),
+    )
     discovered: DataFrame | None = None
     frontiers: list[DataFrame] = []
     for k in range(1, rounds + 1):
@@ -580,7 +648,7 @@ def crawl_rounds(
         )
         w = Window.partitionBy("host").orderBy("url")
         frontier = materialize(
-            robots_admit(cand, robots)
+            cand.filter(admit)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= FRONTIER_PER_HOST)
             .select("host", "url", "rank"),

@@ -41,38 +41,40 @@ def test_every_oracle_has_a_query():
 
 def test_driver_window_covers_every_component():
     """The first DRIVER_WINDOW catalog entries (all the driver's
-    correctness gate ever records) must front the r15 rotation: the
-    12 r14-new entries that have never been driver-sampled (the whole
-    crawl-ingest family + animation + PDF pipelines) plus 38 of the
-    49-entry r09-stale cohort (the r14 verdict's #1 ask)."""
+    correctness gate ever records) must front the r16 rotation: the
+    9 never-driver-sampled r15 entries, the 2 r16-new entries, the
+    schema-rebased warc stats, the 11-entry r09-stale remainder, and
+    27 of the r10-stale cohort (the r15 verdict's #1 ask)."""
     queries, _ = cat.load_catalog()
     window = list(queries)[: cat.DRIVER_WINDOW]
     assert len(cat._DRIVER_PRIORITY) <= cat.DRIVER_WINDOW
     assert list(cat._DRIVER_PRIORITY) == window[: len(cat._DRIVER_PRIORITY)]
     for name in (
-        # the 12 never-sampled r14 entries — all must earn driver rows
-        "q_multimodal_gif_anim_pipeline",
-        "q_multimodal_webp_anim_pipeline",
-        "q_text_html_extract",
-        "q_text_html_metadata",
-        "q_text_html_boilerplate_stats",
-        "q_text_url_canonicalize",
-        "q_dedup_url_exact",
-        "q_text_robots_filter",
-        "q_pipeline_warc_to_text",
+        # the 9 never-sampled r15 entries — all must earn driver rows
+        "q_pipeline_charset_decode",
+        "q_graph_crawl_outlinks",
+        "q_graph_crawl_pagerank",
+        "q_graph_crawl_host_graph",
+        "q_pipeline_crawl_frontier",
+        "q_pipeline_sitemap_recrawl",
+        "q_quality_gopher_rules",
+        "q_quality_c4_line_filters",
+        "q_multimodal_pdf_update_pipeline",
+        # the r16-new entries + the schema-rebased stats row
+        "q_pipeline_crawl_rounds",
+        "q_pipeline_wet_roundtrip",
         "q_source_warc_stats",
-        "q_pipeline_crawl_prep",
-        "q_multimodal_pdf_pipeline",
-        # representatives of the r09 cohort (the full 38 are pinned by
+        # the r09 remainder (closes the no-row-predating-r10 criterion)
+        "q_multimodal_ppm_pipeline",
+        "q_quality_compression_ratio",
+        "q_text_lm_bigram_score",
+        "q_window_sliding_frame",
+        # representatives of the r10 cohort (the full 27 are pinned by
         # the _DRIVER_PRIORITY == window prefix assertion above)
-        "q_agg_approx_quantiles",
-        "q_dedup_winnowing",
-        "q_join_asof_topk",
-        "q_quality_pii_redact",
-        "q_sample_train_valid_test",
-        "q_source_manifest_skipping",
-        "q_stream_trending_topk",
-        "q_text_kwic_udtf",
+        "q_agg_minmax_stats",
+        "q_dedup_ngram_jaccard",
+        "q_harvest_read_path",
+        "q_pagination_page",
     ):
         assert name in window, name
 

@@ -1190,3 +1190,31 @@ def test_frontier_robots_dimension_is_broadcast(spark, queries):
     assert "BroadcastHashJoin" in tree  # robots dim on host
     assert "WindowGroupLimit" in plan  # per-host politeness cap
     assert "CartesianProduct" not in tree
+
+
+def test_codegen_robots_admission_stays_jvm_side(spark):
+    """r16: robots_admission_expr must compile to a plain Filter
+    inside WholeStageCodegen — no Python stage in the admission path
+    (the dimension-join form pays one broadcast join; this form pays
+    nothing but the rlike chain)."""
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.functions.webgraph import (
+        robots_admission_expr,
+    )
+
+    urls = spark.createDataFrame(
+        [("host0", "https://host0.example/doc/7")], "host string, url string"
+    )
+    df = urls.filter(
+        robots_admission_expr(
+            F.col("host"),
+            F.regexp_extract("url", r"^https://[^/]+(/.*)$", 1),
+        )
+    )
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert "* Filter" in tree  # '*' = inside WholeStageCodegen
+    assert "codegen id" in plan
+    assert "MapInPandas" not in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree

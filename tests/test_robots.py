@@ -168,3 +168,57 @@ def test_host_keyed_robots_policies():
     # host6: anchored Allow carve-out — only paths ending in 0
     assert ok("host6", "/doc/0") and ok("host6", "/doc/10")
     assert not ok("host6", "/doc/1") and not ok("host6", "/doc/105")
+
+
+def test_codegen_admission_equals_matcher_and_dimension_join(spark):
+    """r16: the codegen'd admission column (robots_admission_expr),
+    the Python matcher (can_fetch), and the broadcast-dimension-join
+    path (robots_admit) must agree on every URL — across every
+    per-host policy and a randomized path population that includes
+    wildcard-hit, anchor-hit, and group-selection cases."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.functions.robots import (
+        can_fetch,
+        parse_robots,
+    )
+    from setup_harvest_action_spark.functions.webgraph import (
+        FRONTIER_AGENT,
+        HOST_ROBOTS,
+        robots_admission_expr,
+        robots_admit,
+        robots_dimension,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(400):
+        h = f"host{rng.randrange(7)}"
+        d = rng.randrange(0, 250)
+        rows.append((h, f"https://{h}.example/doc/{d}"))
+    urls = spark.createDataFrame(rows, "host string, url string").distinct()
+
+    got_codegen = {
+        r["url"]
+        for r in urls.filter(
+            robots_admission_expr(
+                F.col("host"),
+                F.regexp_extract("url", r"^https://[^/]+(/.*)$", 1),
+            )
+        ).collect()
+    }
+    got_join = {
+        r["url"]
+        for r in robots_admit(urls, robots_dimension(spark)).collect()
+    }
+    parsed = {h: parse_robots(t) for h, t in HOST_ROBOTS.items()}
+    want = {
+        u
+        for h, u in urls.collect()
+        if can_fetch(parsed[h], FRONTIER_AGENT, "/" + u.split("/", 3)[3])
+    }
+    assert got_codegen == want
+    assert got_join == want
+    assert want and len(want) < urls.count()  # both classes populated
