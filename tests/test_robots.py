@@ -222,3 +222,22 @@ def test_codegen_admission_equals_matcher_and_dimension_join(spark):
     assert got_codegen == want
     assert got_join == want
     assert want and len(want) < urls.count()  # both classes populated
+
+
+def test_crawl_delays_come_from_the_selected_group():
+    """r16: Crawl-delay is interpreted per the AGENT's group — host1's
+    '*' fallback carries a decoy 99s delay that must not leak onto our
+    crawler (whose own group declares none → default), while declared
+    delays flow through and undeclared hosts default."""
+    from setup_harvest_action_spark.functions.webgraph import (
+        CRAWL_DEFAULT_DELAY,
+        crawl_delays,
+    )
+
+    d = crawl_delays()
+    assert d["host0"] == 2.0 and d["host2"] == 5.0
+    assert d["host5"] == 10.0 and d["host6"] == 0.5
+    assert d["host1"] == CRAWL_DEFAULT_DELAY  # decoy not leaked
+    assert d["host3"] == CRAWL_DEFAULT_DELAY
+    # another agent DOES get host1's '*' group delay
+    assert crawl_delays(agent="some-other-bot")["host1"] == 99.0

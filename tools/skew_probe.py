@@ -731,10 +731,43 @@ def run_ingest_probe() -> None:
                         dst.append(resolve_reference(base, ref))
                 yield pd.DataFrame({"src": src, "dst": dst})
 
+        def wet_leg(batches):
+            # r16: the OUTPUT leg — extract → WET conversion records
+            # (.warc.wet.gz) → parse back; write+read of the container
+            # downstream consumers actually ingest
+            import hashlib
+
+            from setup_harvest_action_spark.sources.warc import (
+                encode_wet,
+            )
+
+            for pdf in batches:
+                entries = [
+                    (
+                        f"https://corpus.example/doc/{int(d)}",
+                        main_text(synthesize_page(int(d), t)),
+                    )
+                    for d, t in zip(pdf["doc_id"], pdf["text"])
+                ]
+                out = {"doc_id": [], "md5": []}
+                for i in range(0, len(entries), 20):
+                    blob = encode_wet(entries[i : i + 20])
+                    for rec in parse_warc(blob):
+                        if rec["type"] != "conversion":
+                            continue
+                        out["doc_id"].append(
+                            int(rec["uri"].rsplit("/", 1)[1])
+                        )
+                        out["md5"].append(
+                            hashlib.md5(rec["payload"]).hexdigest()
+                        )
+                yield pd.DataFrame(out)
+
         t_leg = {}
         for leg_name, fn, schema in (
             ("charset", charset_leg, "doc_id long, md5 string"),
             ("outlinks", outlink_leg, "src string, dst string"),
+            ("wet", wet_leg, "doc_id long, md5 string"),
         ):
             leg = (
                 docs.select("doc_id", "text")
@@ -754,7 +787,8 @@ def run_ingest_probe() -> None:
             f"ingest {label}: {n} docs — funnel {t_funnel:.1f}s, "
             f"url-canonicalize {t_canon:.1f}s, "
             f"charset {t_leg['charset']:.1f}s, "
-            f"outlinks {t_leg['outlinks']:.1f}s",
+            f"outlinks {t_leg['outlinks']:.1f}s, "
+            f"wet {t_leg['wet']:.1f}s",
             flush=True,
         )
 
