@@ -753,3 +753,90 @@ def q_pipeline_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("scheduled_at_sec"),
     )
+
+
+# --- WAT: the link graph through the metadata container (r16) -----------------
+
+WAT_PAGES_PER_FILE = 20
+
+
+@query(
+    "q_pipeline_wat_links",
+    oracle=f"WITH {_EDGES_SQL} SELECT src, dst FROM edges",
+)
+def q_pipeline_wat_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl edge table derived THROUGH the WAT container (r16 —
+    the metadata sibling real link-graph consumers read instead of
+    re-parsing HTML): pages → extract_links → WAT metadata records
+    (raw hrefs inside the Common-Crawl-shaped JSON envelope, ~20
+    captures per .warc.wat.gz) → parse the WAT back → JSON envelope →
+    resolve each raw link against the record's target URI →
+    canonicalize → doc-edge filter → distinct.  Same oracle as
+    q_graph_crawl_outlinks: the container + JSON roundtrip must be
+    exactly link-preserving or the hash flips.  Scale: one task per
+    WAT file; the JSON work is Arrow-batched map-side; resolution and
+    canonicalization are the existing legs."""
+    import json
+
+    import pandas as pd
+
+    from setup_harvest_action_spark.functions.html_extract import (
+        extract_links,
+    )
+    from setup_harvest_action_spark.sources.warc import (
+        encode_wat,
+        parse_warc,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < GRAPH_DOCS)
+        .select("doc_id", "text", "lang")
+        .withColumn(
+            "file_id", (F.col("doc_id") / WAT_PAGES_PER_FILE).cast("int")
+        )
+    )
+
+    def one_file(batches: Iterator):
+        for pdf in batches:
+            pdf = pdf.sort_values("doc_id")
+            captures = []
+            for d, t, lg in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                d = int(d)
+                page = synthesize_crawl_page(d, t, lang=lg)
+                captures.append(
+                    (
+                        page_url(d),
+                        200,
+                        {"content-type": "text/html; charset=utf-8"},
+                        extract_links(page),
+                    )
+                )
+            blob = encode_wat(captures)
+            src, dst = [], []
+            for rec in parse_warc(blob):
+                if rec["type"] != "metadata":
+                    continue
+                env = json.loads(rec["payload"].decode("utf-8"))
+                uri = env["Envelope"]["WARC-Header-Metadata"][
+                    "WARC-Target-URI"
+                ]
+                meta = env["Envelope"]["Payload-Metadata"][
+                    "HTTP-Response-Metadata"
+                ]
+                for link in meta["HTML-Metadata"]["Links"]:
+                    src.append(uri)
+                    dst.append(resolve_reference(uri, link["url"]))
+            yield pd.DataFrame({"src_raw": src, "dst_raw": dst})
+
+    raw = docs.repartition("file_id").mapInPandas(
+        one_file, "src_raw string, dst_raw string"
+    )
+    return (
+        raw.select(
+            canonicalize_url(F.col("src_raw")).alias("src"),
+            canonicalize_url(F.col("dst_raw")).alias("dst"),
+        )
+        .filter(F.col("dst").rlike(_DOC_URL_RE))
+        .distinct()
+    )

@@ -246,6 +246,64 @@ def encode_wet(entries, layout: str = "gzip_members") -> bytes:
     return _pack(recs, layout)
 
 
+def encode_wat(captures, layout: str = "gzip_members") -> bytes:
+    """A WAT file — the METADATA sibling (Common Crawl's
+    .warc.wat.gz): one ``metadata`` record per capture whose payload
+    is the JSON envelope (WARC header metadata + HTTP response
+    metadata + the page's raw outgoing links), WARC-Refers-To naming
+    the response record.  ``captures`` =
+    [(uri, http_status, http_headers_dict, raw_links_list), ...].
+    The envelope follows the Common Crawl WAT shape
+    (Envelope → WARC-Header-Metadata / Payload-Metadata →
+    HTTP-Response-Metadata → HTML-Metadata → Links), trimmed to the
+    fields a link-graph consumer reads."""
+    import json as _json
+
+    recs = [
+        _record(
+            "warcinfo",
+            b"software: setup-harvest-action-spark\r\n"
+            b"format: WARC File Format 1.0\r\n"
+            b"conformsTo: WAT extraction\r\n",
+            content_type="application/warc-fields",
+        )
+    ]
+    for uri, status, headers, links in captures:
+        envelope = {
+            "Envelope": {
+                "WARC-Header-Metadata": {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI": uri,
+                },
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "Response-Message": {"Status": int(status)},
+                        "Headers": dict(headers),
+                        "HTML-Metadata": {
+                            "Links": [
+                                {"path": "A@/href", "url": u}
+                                for u in links
+                            ]
+                        },
+                    }
+                },
+            }
+        }
+        recs.append(
+            _record(
+                "metadata",
+                _json.dumps(
+                    envelope, sort_keys=True, separators=(",", ":")
+                ).encode("utf-8"),
+                uri=uri,
+                record_id=_rid("wat:" + uri),
+                refers_to=_rid(uri),
+                content_type="application/json",
+            )
+        )
+    return _pack(recs, layout)
+
+
 def parse_warc(payload: bytes) -> list[dict]:
     """All records of a WARC file (gzip'd or plain): dicts with type /
     uri / headers, and for application/http responses the parsed

@@ -166,3 +166,39 @@ def test_unknown_layout_raises():
 
     with _pytest.raises(ValueError):
         encode_warc([("https://h.example/a", "x")], layout="zip")
+
+
+def test_wat_envelope_shape_and_roundtrip():
+    """r16: WAT metadata records carry the Common-Crawl-shaped JSON
+    envelope (status, headers, raw links) and round-trip in every
+    layout with the refers-to chain intact."""
+    import json
+
+    from setup_harvest_action_spark.sources.warc import (
+        WARC_LAYOUTS,
+        encode_wat,
+        parse_warc,
+    )
+
+    captures = [
+        (
+            "https://h.example/a",
+            200,
+            {"content-type": "text/html"},
+            ["/x", "../y", "https://o.example/z#f"],
+        ),
+        ("https://h.example/b", 404, {}, []),
+    ]
+    for lay in WARC_LAYOUTS:
+        recs = parse_warc(encode_wat(captures, layout=lay))
+        metas = [r for r in recs if r["type"] == "metadata"]
+        assert len(metas) == 2, lay
+        for rec, (uri, status, headers, links) in zip(metas, captures):
+            assert rec["headers"]["content-type"] == "application/json"
+            assert rec["headers"]["warc-refers-to"].startswith("<urn:uuid:")
+            env = json.loads(rec["payload"].decode("utf-8"))["Envelope"]
+            assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == uri
+            resp = env["Payload-Metadata"]["HTTP-Response-Metadata"]
+            assert resp["Response-Message"]["Status"] == status
+            assert resp["Headers"] == headers
+            assert [x["url"] for x in resp["HTML-Metadata"]["Links"]] == links
