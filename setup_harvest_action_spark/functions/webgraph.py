@@ -840,3 +840,109 @@ def q_pipeline_wat_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dst").rlike(_DOC_URL_RE))
         .distinct()
     )
+
+
+# --- streaming crawl ingest (r16) ---------------------------------------------
+
+
+@query(
+    "q_stream_crawl_ingest",
+    oracle=f"""
+WITH {_EDGES_SQL}
+SELECT e.src, e.dst FROM edges e
+WHERE e.src IN (
+  SELECT 'https://host' || CAST(d % {_HOSTS} AS VARCHAR) ||
+         '.example/doc/' || CAST(d AS VARCHAR)
+  FROM d WHERE d % {CRAWL_SEED_MOD} = 0
+)
+""",
+)
+def q_stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRIVAL-DRIVEN crawling — the crawl loop's streaming twin
+    (r16): seed doc ids arrive as a checkpointed file stream in ≥3
+    micro-batches; each micro-batch fetches ITS pages (semi-join on
+    doc_id), parses them exactly once, and MERGEs the canonical
+    edges into a persisted manifest edge table keyed (src, dst) —
+    the same foreachBatch → O(batch) MERGE discipline as the ANN
+    index's streaming maintenance.  After the drain the STORED edge
+    table must hash-match the link arithmetic restricted to the seed
+    pages — the streaming commit path sits inside the correctness
+    gate, and a mid-drain replay of a batch is harmless because the
+    merge is keyed, not appended (content idempotence, pinned with
+    the checkpoint-re-run no-commit test).  Scale: per micro-batch
+    one map-side parse over O(batch) pages + one O(batch) keyed
+    merge into a footer-stats table."""
+    import os
+    import shutil
+    import tempfile
+
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(
+        tempfile.gettempdir(), "shas_crawl", label, "stream_ingest"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return crawl_stream_ingest(spark, sf_dir, base)
+
+
+def crawl_stream_ingest(
+    spark: SparkSession, sf_dir: str, base: str, timeout_sec: int = 300
+) -> DataFrame:
+    """Library form: drain whatever seed files exist under
+    ``base/arrivals`` (written on first call) into the edge table at
+    ``base/edges`` through the checkpoint at ``base/ckpt``; a second
+    call with the same ``base`` resumes the checkpoint and commits
+    NOTHING when no new seed files arrived (pinned in
+    tests/test_crawl_rounds.py)."""
+    import os
+
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        merge_into,
+        register_manifest_sink,
+        scan_manifest,
+    )
+
+    table = os.path.join(base, "edges")
+    arrivals = os.path.join(base, "arrivals")
+    register_manifest_sink(spark)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < GRAPH_DOCS)
+        .select("doc_id", "text", "lang")
+    )
+    if not os.path.isdir(arrivals):
+        seeds = docs.filter(
+            F.col("doc_id") % CRAWL_SEED_MOD == 0
+        ).select("doc_id")
+        seeds.repartitionByRange(3, "doc_id").write.parquet(arrivals)
+
+    def _apply(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pages = docs.join(batch_df.select("doc_id"), "doc_id", "left_semi")
+        edges = edges_of_pages(pages)
+        if not os.path.exists(os.path.join(table, "_manifest.json")):
+            # first batch bootstraps the table (one versioned commit);
+            # every later batch — and any REPLAY of this one after a
+            # mid-drain crash — is a keyed MERGE, so double-delivery
+            # never double-counts
+            (
+                edges.coalesce(1)
+                .write.format("manifest_parquet")
+                .mode("overwrite")
+                .save(table)
+            )
+            return
+        merge_into(spark, table, edges, on=["src", "dst"])
+
+    q = (
+        spark.readStream.schema("doc_id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return scan_manifest(spark, table)

@@ -35,3 +35,40 @@ def test_round2_frontier_differs_and_crawled_is_monotone(spark):
     assert not any(
         r["host"] == "host1" and "/doc/1" in r["url"] for r in rows
     )
+
+
+def test_stream_crawl_ingest_rerun_commits_nothing(spark, tmp_path):
+    """r16 streaming twin: drain seeds → edge table versions advance;
+    a checkpoint re-run with no new seed files commits NOTHING, and
+    the stored edges equal the batch extractor over the same seeds."""
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.functions.webgraph import (
+        CRAWL_SEED_MOD,
+        GRAPH_DOCS,
+        crawl_stream_ingest,
+        edges_of_pages,
+    )
+    from setup_harvest_action_spark.io.loaders import load_table
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        read_manifest,
+    )
+
+    base = str(tmp_path / "stream_ingest")
+    got = crawl_stream_ingest(spark, SF, base)
+    stored = {(r["src"], r["dst"]) for r in got.collect()}
+    docs = (
+        load_table(spark, SF, "documents")
+        .filter(F.col("doc_id") < GRAPH_DOCS)
+        .filter(F.col("doc_id") % CRAWL_SEED_MOD == 0)
+        .select("doc_id", "text", "lang")
+    )
+    want = {
+        (r["src"], r["dst"]) for r in edges_of_pages(docs).collect()
+    }
+    assert stored == want and stored
+    v1 = read_manifest(base + "/edges")["version"]
+    assert v1 >= 3  # bootstrap + >=2 merges (3 seed files)
+    got2 = crawl_stream_ingest(spark, SF, base)
+    assert read_manifest(base + "/edges")["version"] == v1  # no commit
+    assert {(r["src"], r["dst"]) for r in got2.collect()} == want
