@@ -431,6 +431,15 @@ def q_pipeline_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast dimension (hosts × ~1 KiB) so admission stays map-side;
     the per-host cap is a WindowGroupLimit (top-k pushdown), the
     standard frontier shape — no all-pairs, no driver state."""
+    return frontier_from(spark, sf_dir, robots_dimension(spark))
+
+
+def frontier_from(
+    spark: SparkSession, sf_dir: str, robots_dim: DataFrame
+) -> DataFrame:
+    """The frontier derivation against an ARBITRARY host-keyed robots
+    dimension — the fixture dict (``robots_dimension``) or the output
+    of the robots-fetch leg (``q_pipeline_robots_fetch``)."""
     edges = crawl_edges(spark, sf_dir)
     crawled = edges.select(F.col("src").alias("url")).distinct()
     candidates = (
@@ -444,7 +453,7 @@ def q_pipeline_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "url",
         )
     )
-    admitted = robots_admit(candidates, robots_dimension(spark))
+    admitted = robots_admit(candidates, robots_dim)
     w = Window.partitionBy("host").orderBy("url")
     return (
         admitted.withColumn("rank", F.row_number().over(w))
@@ -946,3 +955,56 @@ def crawl_stream_ingest(
     )
     q.awaitTermination(timeout_sec)
     return scan_manifest(spark, table)
+
+
+# --- the robots-fetch leg (r16 post-close) ------------------------------------
+
+
+@query(
+    "q_pipeline_robots_fetch",
+    oracle=f"""
+{_FRONTIER_CTES}
+SELECT host, url, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {FRONTIER_PER_HOST}
+""",
+)
+def q_pipeline_robots_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robots DIMENSION produced the way a crawler actually
+    produces it (r16): each host's /robots.txt is an HTTP response
+    inside a .warc.gz capture; the fetch leg parses the container,
+    keys each body by its request host, and the resulting dimension
+    drives the SAME frontier admission — the output must be
+    hash-identical to q_pipeline_crawl_frontier's, which pins that
+    the container/HTTP/charset path delivers byte-equivalent policy
+    text to the fixture dict (a stray BOM, a CRLF mangling, or a
+    host-keying slip flips the decision set).  Scale: robots.txt
+    fetching is coordinator-scale work (hosts × ~1 KiB); the
+    dimension then broadcasts exactly as before."""
+    from setup_harvest_action_spark.functions.charset import decode_bytes
+    from setup_harvest_action_spark.sources.warc import (
+        encode_warc_responses,
+        parse_warc,
+    )
+
+    blob = encode_warc_responses(
+        [
+            (
+                f"https://{h}.example/robots.txt",
+                txt.encode("utf-8"),
+                "text/plain; charset=utf-8",
+            )
+            for h, txt in sorted(HOST_ROBOTS.items())
+        ],
+        gzip_members=True,
+    )
+    rows = []
+    for rec in parse_warc(blob):
+        if rec["type"] != "response" or rec.get("http_status") != 200:
+            continue
+        host = rec["uri"].split("//", 1)[1].split(".", 1)[0]
+        body, _codec, _src = decode_bytes(
+            rec["http_body"], rec["http_headers"].get("content-type")
+        )
+        rows.append((host, body))
+    fetched_dim = spark.createDataFrame(rows, "host string, robots_txt string")
+    return frontier_from(spark, sf_dir, fetched_dim)
