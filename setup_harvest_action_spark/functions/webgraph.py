@@ -1008,3 +1008,154 @@ def q_pipeline_robots_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((host, body))
     fetched_dim = spark.createDataFrame(rows, "host string, robots_txt string")
     return frontier_from(spark, sf_dir, fetched_dim)
+
+
+# --- sitemap discovery feeding the frontier (r16 post-close) ------------------
+
+SITEMAP_DISC_PER_HOST = 10
+
+
+def sitemap_listed(h: int) -> list[int]:
+    """Doc ids host ``h``'s sitemap lists — deterministic, all on the
+    host's own domain (t % 7 == h), most NOT reachable from the seed
+    pages' outlinks, so sitemap discovery genuinely adds novelty."""
+    return [h + 7 * ((5 * h + 13 * k) % 28)
+            for k in range(SITEMAP_DISC_PER_HOST)]
+
+
+@query(
+    "q_pipeline_frontier_discovery",
+    oracle=f"""
+WITH {_EDGES_SQL},
+seeds AS (SELECT d FROM d WHERE d % {CRAWL_SEED_MOD} = 0),
+crawled0 AS (
+  SELECT 'https://host' || CAST(d % {_HOSTS} AS VARCHAR) ||
+         '.example/doc/' || CAST(d AS VARCHAR) AS url
+  FROM seeds
+),
+linkc AS (
+  SELECT DISTINCT e.dst AS url FROM edges e JOIN crawled0 f ON e.src = f.url
+),
+smc AS (
+  SELECT DISTINCT 'https://host' || CAST(h AS VARCHAR) ||
+         '.example/doc/' ||
+         CAST(h + 7 * ((5 * h + 13 * k) % 28) AS VARCHAR) AS url
+  FROM range({_HOSTS}) t(h), range({SITEMAP_DISC_PER_HOST}) s(k)
+),
+cand AS (
+  SELECT url, max(l) AS l, max(s) AS s
+  FROM (SELECT url, 1 AS l, 0 AS s FROM linkc
+        UNION ALL SELECT url, 0 AS l, 1 AS s FROM smc)
+  GROUP BY url
+),
+fresh AS (
+  SELECT url, l, s, 'host' || CAST(substr(url, 13, 1) AS VARCHAR) AS host,
+         substr(url, 22) AS path
+  FROM cand WHERE url NOT IN (SELECT url FROM crawled0)
+),
+admitted AS (
+  SELECT host, url,
+         CASE WHEN l = 1 AND s = 1 THEN 'both'
+              WHEN l = 1 THEN 'link' ELSE 'sitemap' END AS via
+  FROM fresh WHERE {_ADMIT_CASE_SQL}
+),
+ranked AS (
+  SELECT host, url, via,
+         row_number() OVER (PARTITION BY host ORDER BY url) AS rank
+  FROM admitted
+)
+SELECT host, url, via, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {FRONTIER_PER_HOST}
+""",
+)
+def q_pipeline_frontier_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap DISCOVERY merged into the frontier (r16): early in a
+    crawl the link graph reaches little — per-host sitemaps list URLs
+    nobody has linked yet.  Candidates = outlinks of the SEED pages ∪
+    URLs parsed out of each host's real urlset XML (built + parsed by
+    the sitemaps.org machinery, gzipped, coordinator-scale like the
+    robots fetch), each tagged with its discovery provenance
+    (link / sitemap / both — the 'both' rows prove the union merges,
+    the 'sitemap' rows prove discovery adds genuine novelty); then
+    the usual anti-join against crawled, CODEGEN'D per-host robots
+    admission, and the politeness cap.  The oracle replays the
+    sitemap arithmetic, the provenance CASE, and the frontier CTEs.
+    Scale: the sitemap leg is hosts × ≤50k-entry shards (the protocol
+    cap forces sharding — q_pipeline_sitemap_recrawl owns that
+    surface); everything corpus-shaped rides the existing frontier
+    plan."""
+    from setup_harvest_action_spark.functions.sitemap import (
+        encode_sitemap,
+        parse_sitemap,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < GRAPH_DOCS)
+        .select("doc_id", "text", "lang")
+    )
+    seeds = docs.filter(F.col("doc_id") % CRAWL_SEED_MOD == 0)
+    self_url = F.concat(
+        F.lit("https://host"),
+        (F.col("doc_id") % _HOSTS).cast("string"),
+        F.lit(".example/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    crawled = seeds.select(self_url.alias("url"))
+
+    link_cand = (
+        edges_of_pages(seeds).select(F.col("dst").alias("url")).distinct()
+    )
+    # build + parse each host's REAL urlset XML (gzipped)
+    smap_urls: list[tuple[str]] = []
+    for h in range(_HOSTS):
+        blob = encode_sitemap(
+            [{"loc": page_url(t)} for t in sitemap_listed(h)],
+            gzipped=True,
+        )
+        parsed = parse_sitemap(blob)
+        assert parsed["kind"] == "urlset"
+        smap_urls += [(e["loc"],) for e in parsed["entries"]]
+    smap_cand = spark.createDataFrame(smap_urls, "url string").distinct()
+
+    tagged = (
+        link_cand.select(
+            "url", F.lit(1).alias("l"), F.lit(0).alias("s")
+        ).unionByName(
+            smap_cand.select(
+                "url", F.lit(0).alias("l"), F.lit(1).alias("s")
+            )
+        )
+    )
+    cand = (
+        tagged.groupBy("url")
+        .agg(F.max("l").alias("l"), F.max("s").alias("s"))
+        .join(crawled, "url", "left_anti")
+        .select(
+            F.regexp_extract(
+                "url", r"^https://(host\d+)\.", 1
+            ).alias("host"),
+            "url",
+            "l",
+            "s",
+        )
+    )
+    admitted = cand.filter(
+        robots_admission_expr(
+            F.col("host"),
+            F.regexp_extract("url", r"^https://[^/]+(/.*)$", 1),
+        )
+    ).select(
+        "host",
+        "url",
+        F.when((F.col("l") == 1) & (F.col("s") == 1), "both")
+        .when(F.col("l") == 1, "link")
+        .otherwise("sitemap")
+        .alias("via"),
+    )
+    w = Window.partitionBy("host").orderBy("url")
+    return (
+        admitted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= FRONTIER_PER_HOST)
+        .select("host", "url", "via", F.col("rank").cast("int").alias("rank"))
+    )
