@@ -90,22 +90,24 @@ DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = (
     # ---- r16 rotation ----
-    # 50 slots = 9 + 7 + 1 + 11 + 22 (the r15 verdict's #1 ask).
+    # 50 slots = 9 + 8 + 1 + 11 + 21 (the r15 verdict's #1 ask).
     # (a) the 9 r15-new entries that have never been driver-sampled
     # (crawl loop, quality rule packs, PDF incremental updates);
-    # (b) the 7 r16-new entries (multi-round crawl, WET roundtrip,
+    # (b) the 8 r16-new entries (multi-round crawl, WET roundtrip,
     # crawl-delay schedule, WAT link extraction, streaming crawl
-    # ingest, robots-fetch leg, sitemap-discovery frontier);
+    # ingest, robots-fetch leg, sitemap-discovery frontier,
+    # PageRank-prioritized frontier);
     # (c) q_source_warc_stats re-queued — its r16 schema adds the
     # layout/record-type columns, so the r15 row no longer reflects
     # the query;
     # (d) the 11-entry r09-stale remainder (closes the verdict's
     # "no row predating r10" criterion);
-    # (e) the 22 alphabetically-first entries of the 47-entry cohort
-    # whose newest driver row is r10 — the stalest after (d); the 25
-    # alphabetically-last (q_join_asof, q_join_asof_forward,
-    # q_large_orders, q_multimodal_metadata, q_pagination_page,
-    # q_pricing_summary .. q_text_lm_score) are the r17 queue.  Entries outside the window stay hash-verified
+    # (e) the 21 alphabetically-first entries of the 47-entry cohort
+    # whose newest driver row is r10 — the stalest after (d); the 26
+    # alphabetically-last (q_harvest_unpivot, q_join_asof,
+    # q_join_asof_forward, q_large_orders, q_multimodal_metadata,
+    # q_pagination_page, q_pricing_summary .. q_text_lm_score) are
+    # the r17 queue.  Entries outside the window stay hash-verified
     # by tools/verify_oracle.py + pytest every session.
     # (a) never-sampled r15 entries:
     "q_pipeline_charset_decode",
@@ -125,6 +127,7 @@ _DRIVER_PRIORITY = (
     "q_stream_crawl_ingest",
     "q_pipeline_robots_fetch",
     "q_pipeline_frontier_discovery",
+    "q_pipeline_frontier_prioritized",
     # (c) schema-rebased this round:
     "q_source_warc_stats",
     # (d) the r09-stale remainder:
@@ -139,7 +142,7 @@ _DRIVER_PRIORITY = (
     "q_window_running_sum",
     "q_window_sequence_gaps",
     "q_window_sliding_frame",
-    # (e) 22 of the r10-stale cohort:
+    # (e) 21 of the r10-stale cohort:
     "q_agg_minmax_stats",
     "q_agg_percentiles",
     "q_agg_pivot",
@@ -161,7 +164,6 @@ _DRIVER_PRIORITY = (
     "q_harvest_rerun_terms",
     "q_harvest_term_fields",
     "q_harvest_terms",
-    "q_harvest_unpivot",
 )
 
 _loaded = False

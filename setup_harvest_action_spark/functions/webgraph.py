@@ -462,11 +462,11 @@ def frontier_from(
     )
 
 
-def _pagerank_unroll_sql() -> str:
-    """3 fixed iterations over the SYMMETRIZED edge set — the same
-    CTE-unroll discipline as q_graph_pagerank's oracle."""
-    body = f"""WITH {_EDGES_SQL},
-sym AS (
+def _pagerank_ctes() -> tuple[str, str]:
+    """(CTE chain, final-iteration CTE name) for the 3-iteration
+    symmetrized PageRank unroll — shared by the standalone PageRank
+    oracle and the prioritized-frontier oracle."""
+    body = """sym AS (
   SELECT src, dst FROM edges
   UNION ALL
   SELECT dst AS src, src AS dst FROM edges
@@ -489,8 +489,16 @@ r{i} AS (
   FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.node
 )"""
         prev = f"r{i}"
-    return body + f"""
-SELECT node, CAST(round(rank, 8) AS DOUBLE) AS rank FROM {prev}"""
+    return body, prev
+
+
+def _pagerank_unroll_sql() -> str:
+    """3 fixed iterations over the SYMMETRIZED edge set — the same
+    CTE-unroll discipline as q_graph_pagerank's oracle."""
+    ctes, last = _pagerank_ctes()
+    return f"""WITH {_EDGES_SQL},
+{ctes}
+SELECT node, CAST(round(rank, 8) AS DOUBLE) AS rank FROM {last}"""
 
 
 @query("q_graph_crawl_pagerank", oracle=_pagerank_unroll_sql())
@@ -1158,4 +1166,105 @@ def q_pipeline_frontier_discovery(spark: SparkSession, sf_dir: str) -> DataFrame
         admitted.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= FRONTIER_PER_HOST)
         .select("host", "url", "via", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# --- PageRank-prioritized frontier (r16 post-close) ---------------------------
+
+_PR_CTES, _PR_LAST = _pagerank_ctes()
+
+
+@query(
+    "q_pipeline_frontier_prioritized",
+    oracle=f"""
+WITH {_EDGES_SQL},
+{_PR_CTES},
+pr AS (
+  SELECT node, CAST(round(rank, 8) AS DOUBLE) AS pr FROM {_PR_LAST}
+),
+crawled AS (SELECT DISTINCT src AS url FROM edges),
+candidates AS (
+  SELECT DISTINCT dst AS url FROM edges
+  WHERE dst NOT IN (SELECT url FROM crawled)
+),
+hosted AS (
+  SELECT url, 'host' || CAST(substr(url, 13, 1) AS VARCHAR) AS host,
+         substr(url, 22) AS path
+  FROM candidates
+),
+admitted AS (
+  SELECT host, url FROM hosted WHERE {_ADMIT_CASE_SQL}
+),
+scored AS (
+  SELECT a.host, a.url, coalesce(p.pr, 0.0) AS pr
+  FROM admitted a LEFT JOIN pr p ON a.url = p.node
+),
+ranked AS (
+  SELECT host, url, pr,
+         row_number() OVER (PARTITION BY host ORDER BY pr DESC, url)
+           AS rank
+  FROM scored
+)
+SELECT host, url, CAST(pr AS DOUBLE) AS pr, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {FRONTIER_PER_HOST}
+""",
+)
+def q_pipeline_frontier_prioritized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRIORITY crawling (r16): the frontier ordered by link
+    authority, not lexicographically — each admitted candidate joins
+    its PageRank from the crawl graph (the rounded score the
+    standalone PageRank query already hash-verifies, so the order key
+    is cross-engine exact) and the per-host politeness cap takes the
+    HIGHEST-ranked unknowns first, ties broken by URL.  This is the
+    composition real crawl schedulers run: authority prior → fetch
+    order.  The edge table is materialized ONCE and feeds crawled-set,
+    candidates AND the PageRank iterations (one parse, three
+    consumers); the rank join is node-table-sized; the cap stays a
+    WindowGroupLimit.  The oracle replays PageRank's unroll, the
+    admission predicates, and the priority window in one CTE chain."""
+    from setup_harvest_action_spark.io.materialize import materialize
+
+    edges = materialize(
+        crawl_edges(spark, sf_dir), "frontier_pr_edges", None
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(sym, iterations=ITERATIONS, damping=DAMPING).select(
+        F.col("node"),
+        F.round("rank", 8).cast("double").alias("pr"),
+    )
+    crawled = edges.select(F.col("src").alias("url")).distinct()
+    cand = (
+        edges.select(F.col("dst").alias("url"))
+        .distinct()
+        .join(crawled, "url", "left_anti")
+        .select(
+            F.regexp_extract(
+                "url", r"^https://(host\d+)\.", 1
+            ).alias("host"),
+            "url",
+        )
+    )
+    admitted = cand.filter(
+        robots_admission_expr(
+            F.col("host"),
+            F.regexp_extract("url", r"^https://[^/]+(/.*)$", 1),
+        )
+    )
+    scored = (
+        admitted.join(ranks, admitted.url == ranks.node, "left")
+        .select(
+            "host", "url", F.coalesce("pr", F.lit(0.0)).alias("pr")
+        )
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("pr"), "url")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= FRONTIER_PER_HOST)
+        .select(
+            "host", "url", "pr", F.col("rank").cast("int").alias("rank")
+        )
     )

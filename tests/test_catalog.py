@@ -69,7 +69,7 @@ def test_driver_window_covers_every_component():
         "q_quality_compression_ratio",
         "q_text_lm_bigram_score",
         "q_window_sliding_frame",
-        # representatives of the r10 cohort (the full 22 are pinned by
+        # representatives of the r10 cohort (the full 21 are pinned by
         # the _DRIVER_PRIORITY == window prefix assertion above)
         "q_agg_minmax_stats",
         "q_dedup_ngram_jaccard",
