@@ -1218,3 +1218,17 @@ def test_codegen_robots_admission_stays_jvm_side(spark):
     assert "codegen id" in plan
     assert "MapInPandas" not in tree
     assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+
+
+def test_prioritized_frontier_amortizes_the_parse(spark, queries):
+    """r16: q_pipeline_frontier_prioritized references the edge table
+    three times (crawled set, candidates, PageRank iterations) — the
+    materialization cut must leave ZERO parse stages in the final
+    plan (re-parsing the corpus once per consumer is the 100 TB
+    disaster the cut buys out), admission must stay codegen'd, and
+    the priority cap must be a WindowGroupLimit."""
+    plan = plan_of(queries["q_pipeline_frontier_prioritized"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "MapInPandas" not in tree  # parse amortized into the cut
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+    assert "WindowGroupLimit" in plan  # priority cap pushes down
