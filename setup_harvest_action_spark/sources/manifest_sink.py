@@ -123,6 +123,11 @@ def _write_versioned(
     valid on POSIX filesystems; an object-store deployment swaps this
     one primitive for its CAS/conditional-put (the same slot Delta
     fills with a LogStore and Iceberg with a catalog swap)."""
+    # a zero-row commit (CREATE TABLE with no data yet — the streaming
+    # bootstrap initializes an empty keyed table and MERGEs every
+    # batch) writes no part files, so nothing has created the table
+    # directory before the manifest lands
+    os.makedirs(path, exist_ok=True)
     mpath = os.path.join(path, MANIFEST)
     lock = os.path.join(path, "_commit.lock")
     fd = None

@@ -68,7 +68,7 @@ def test_stream_crawl_ingest_rerun_commits_nothing(spark, tmp_path):
     }
     assert stored == want and stored
     v1 = read_manifest(base + "/edges")["version"]
-    assert v1 >= 3  # bootstrap + >=2 merges (3 seed files)
+    assert v1 >= 4  # empty-table init + 3 keyed merges (3 seed files)
     got2 = crawl_stream_ingest(spark, SF, base)
     assert read_manifest(base + "/edges")["version"] == v1  # no commit
     assert {(r["src"], r["dst"]) for r in got2.collect()} == want
