@@ -111,27 +111,129 @@ def http_request(uri: str) -> bytes:
     )
 
 
+_CHUNK_SIZE = 256  # small enough that fixture pages span several chunks
+
+
+def _chunk_body(body: bytes, size: int = _CHUNK_SIZE) -> bytes:
+    """RFC 9112 §7.1 chunked framing: hex-size line, chunk, CRLF,
+    repeated; terminated by the zero-size last chunk + empty trailer."""
+    out = bytearray()
+    for i in range(0, len(body), size):
+        piece = body[i : i + size]
+        out += f"{len(piece):x}".encode() + _CRLF + piece + _CRLF
+    out += b"0" + _CRLF * 2
+    return bytes(out)
+
+
+def _dechunk_body(body: bytes) -> bytes:
+    """Reverse of :func:`_chunk_body`; tolerates chunk extensions and
+    trailer fields (both legal), raises ValueError on a malformed size
+    line or a chunk whose declared length overruns the payload —
+    truncation is a per-record error, never a hang or a silent raw
+    passthrough into the charset sniffer."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while True:
+        line_end = body.find(_CRLF, pos)
+        if line_end < 0:
+            raise ValueError("truncated chunked body: missing size line")
+        size_token = body[pos:line_end].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            raise ValueError(
+                f"malformed chunk size {size_token[:16]!r}"
+            ) from None
+        pos = line_end + 2
+        if size == 0:
+            return bytes(out)  # trailer fields (if any) are ignored
+        if pos + size + 2 > n:
+            raise ValueError("truncated chunk: declared length overruns body")
+        out += body[pos : pos + size]
+        if body[pos + size : pos + size + 2] != _CRLF:
+            raise ValueError("malformed chunk: missing terminating CRLF")
+        pos += size + 2
+
+
+def _decode_content(body: bytes, coding: str) -> bytes:
+    """Apply a Content-Encoding in reverse (RFC 9110 §8.4).  gzip and
+    deflate are the wild's two stdlib-decodable codings (deflate in
+    both its zlib-wrapped and raw forms — real servers ship both);
+    anything else (br, zstd) is refused honestly per record."""
+    import zlib as _zlib
+
+    c = coding.strip().lower()
+    if c in ("", "identity"):
+        return body
+    if c in ("gzip", "x-gzip"):
+        try:
+            return _gzip.decompress(body)
+        except (OSError, EOFError, _zlib.error) as exc:
+            raise ValueError(f"corrupt gzip body: {exc}") from None
+    if c == "deflate":
+        try:
+            return _zlib.decompress(body)
+        except _zlib.error:
+            try:
+                return _zlib.decompress(body, -_zlib.MAX_WBITS)
+            except _zlib.error as exc:
+                raise ValueError(f"corrupt deflate body: {exc}") from None
+    raise ValueError(f"unsupported content-encoding: {coding!r}")
+
+
 def http_response(
     html: str | None = None,
     status: int = 200,
     *,
     body: bytes | None = None,
     content_type: str = "text/html; charset=utf-8",
+    content_encoding: str | None = None,
+    transfer_encoding: str | None = None,
 ) -> bytes:
     """A full HTTP/1.1 response.  ``html`` is UTF-8-encoded for you;
     pass ``body`` (raw bytes) + ``content_type`` instead when the
-    payload's charset is the point (the charset-decode funnel)."""
+    payload's charset is the point (the charset-decode funnel).
+
+    Real crawl captures carry coded payloads (r17): pass
+    ``content_encoding="gzip"`` to store the body gzip-compressed
+    (Content-Encoding header emitted) and/or
+    ``transfer_encoding="chunked"`` for RFC 9112 chunked framing
+    (Transfer-Encoding header, NO Content-Length — chunking supplies
+    the message length).  Codings compose in wire order: content
+    coding first, then transfer coding, exactly as a server applies
+    them."""
     import http.client as _hc
 
     if body is None:
         body = (html or "").encode()
-    reason = _hc.responses.get(status, "")
-    return (
-        f"HTTP/1.1 {status} {reason}".rstrip().encode() + _CRLF
-        + b"Content-Type: " + content_type.encode("latin-1") + _CRLF
-        + b"Content-Length: " + str(len(body)).encode() + _CRLF * 2
-        + body
-    )
+    head = [f"HTTP/1.1 {status} {_hc.responses.get(status, '')}".rstrip().encode()]
+    head.append(b"Content-Type: " + content_type.encode("latin-1"))
+    if content_encoding is not None:
+        if content_encoding == "gzip":
+            buf = _io.BytesIO()
+            with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                g.write(body)
+            body = buf.getvalue()
+        elif content_encoding == "deflate":
+            import zlib as _zlib
+
+            body = _zlib.compress(body)
+        else:
+            raise ValueError(
+                f"writer supports gzip|deflate, got {content_encoding!r}"
+            )
+        head.append(b"Content-Encoding: " + content_encoding.encode())
+    if transfer_encoding is not None:
+        if transfer_encoding != "chunked":
+            raise ValueError(
+                f"writer supports chunked, got {transfer_encoding!r}"
+            )
+        body = _chunk_body(body)
+        head.append(b"Transfer-Encoding: chunked")
+    else:
+        head.append(b"Content-Length: " + str(len(body)).encode())
+    return _CRLF.join(head) + _CRLF * 2 + body
 
 
 def encode_warc(
@@ -214,6 +316,48 @@ def encode_warc_responses(
             )
         )
     return _pack(recs, "gzip_members" if gzip_members else "plain")
+
+
+# the payload codings found in real captures: identity, gzip content
+# coding, chunked transfer coding, and the two composed (a gzipped
+# representation shipped chunked — wget/Heritrix archives carry all
+# four shapes)
+HTTP_CODINGS = ("identity", "gzip", "chunked", "gzip_chunked")
+
+
+def encode_warc_http(responses, layout: str = "gzip_members") -> bytes:
+    """One WARC file from fully-specified HTTP responses —
+    ``responses`` = [(uri, body_bytes, content_type, coding), ...]
+    with ``coding`` one of :data:`HTTP_CODINGS`.  The sibling of
+    :func:`encode_warc_responses` for captures whose payload CODING is
+    part of the fixture (r17: the chunked/gzip realism leg)."""
+    recs = [
+        _record(
+            "warcinfo",
+            b"software: setup-harvest-action-spark\r\n",
+            content_type="application/warc-fields",
+        )
+    ]
+    for uri, body, ctype, coding in responses:
+        if coding not in HTTP_CODINGS:
+            raise ValueError(f"unknown coding {coding!r}")
+        recs.append(
+            _record(
+                "response",
+                http_response(
+                    body=body,
+                    content_type=ctype,
+                    content_encoding="gzip" if "gzip" in coding else None,
+                    transfer_encoding="chunked"
+                    if "chunked" in coding
+                    else None,
+                ),
+                uri=uri,
+                record_id=_rid(coding + ":" + uri),
+                content_type="application/http;msgtype=response",
+            )
+        )
+    return _pack(recs, layout)
 
 
 def encode_wet(entries, layout: str = "gzip_members") -> bytes:
@@ -361,7 +505,26 @@ def parse_warc(payload: bytes) -> list[dict]:
                     hv.strip().decode("latin-1")
                 )
             rec["http_headers"] = http_headers
-            rec["http_body"] = body[split + 4 :]
+            raw_body = body[split + 4 :]
+            # transport decodings run HERE, before any consumer —
+            # dechunk first (transfer coding wraps the wire message),
+            # then reverse the content coding, so the charset sniffer
+            # and extractor only ever see representation bytes.  A
+            # truncated chunk or corrupt gzip member is an HONEST
+            # per-record error (http_error set, no http_body), never a
+            # hang and never raw coded bytes flowing downstream as if
+            # they were the page.
+            try:
+                if (
+                    http_headers.get("transfer-encoding", "").strip().lower()
+                    == "chunked"
+                ):
+                    raw_body = _dechunk_body(raw_body)
+                rec["http_body"] = _decode_content(
+                    raw_body, http_headers.get("content-encoding", "")
+                )
+            except ValueError as exc:
+                rec["http_error"] = str(exc)
         records.append(rec)
         pos = body_start + length
     return records
@@ -606,6 +769,94 @@ def q_pipeline_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         one_file,
         "doc_id long, target_uri string, wet_md5 string, "
         "n_chars_extracted int",
+    )
+
+
+@query(
+    "q_pipeline_warc_content_codings",
+    oracle=f"""
+SELECT doc_id, coding,
+       md5(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')))
+         AS main_md5
+FROM documents
+CROSS JOIN (VALUES ('identity'), ('gzip'), ('chunked'),
+                   ('gzip_chunked')) c(coding)
+WHERE n_chars >= {WARC_MIN_CHARS} AND doc_id < {WARC_DOCS}
+""",
+)
+def q_pipeline_warc_content_codings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HTTP payload realism under the hash gate (r17, the verdict's
+    #2): every page is captured FOUR ways — identity, Content-Encoding
+    gzip, Transfer-Encoding chunked, and gzip-then-chunked (the
+    composed form real servers ship) — into one .warc.gz per ~20-doc
+    group; the read side dechunks and decompresses BEFORE the charset
+    sniffer sees a byte, then runs the same charset→extract funnel.
+    All four variants must land on the identical md5 per document —
+    the oracle knows only DuckDB's normalization of the raw text and
+    the four coding labels, so a dechunk off-by-one, a gzip slip, or
+    raw coded bytes leaking into the sniffer flips the hash (or drops
+    rows, since an http_error record never yields a row).  Robustness
+    (truncated chunk, corrupt gzip member → honest per-record error)
+    is pinned in tests/test_warc.py.  Scale: one task per WARC file,
+    all map-side — the decode adds zero shuffles."""
+    import hashlib
+
+    import pandas as pd
+
+    from setup_harvest_action_spark.functions.charset import decode_bytes
+    from setup_harvest_action_spark.functions.html_extract import (
+        main_text,
+        synthesize_page,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("n_chars") >= WARC_MIN_CHARS)
+            & (F.col("doc_id") < WARC_DOCS)
+        )
+        .select("doc_id", "text", "lang")
+        .withColumn("file_id", (F.col("doc_id") / PAGES_PER_FILE).cast("int"))
+    )
+
+    def one_file(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        responses = []
+        for d, t, lg in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+            d = int(d)
+            page = synthesize_page(d, t, lang=lg).encode("utf-8")
+            for coding in HTTP_CODINGS:
+                responses.append(
+                    (
+                        f"https://corpus.example/doc/{d}/{coding}",
+                        page,
+                        "text/html; charset=utf-8",
+                        coding,
+                    )
+                )
+        blob = encode_warc_http(responses, layout="gzip_members")
+        rows = {"doc_id": [], "coding": [], "main_md5": []}
+        for rec in parse_warc(blob):
+            if (
+                rec["type"] != "response"
+                or rec.get("http_status") != 200
+                or "http_error" in rec
+            ):
+                continue
+            html, _codec, _src = decode_bytes(
+                rec["http_body"], rec["http_headers"].get("content-type")
+            )
+            text = main_text(html)
+            path = rec["uri"].rsplit("/", 2)
+            rows["doc_id"].append(int(path[1]))
+            rows["coding"].append(path[2])
+            rows["main_md5"].append(hashlib.md5(text.encode()).hexdigest())
+        return pd.DataFrame(rows)
+
+    return docs.groupBy("file_id").applyInPandas(
+        one_file, "doc_id long, coding string, main_md5 string"
     )
 
 

@@ -202,3 +202,139 @@ def test_wat_envelope_shape_and_roundtrip():
             assert resp["Response-Message"]["Status"] == status
             assert resp["Headers"] == headers
             assert [x["url"] for x in resp["HTML-Metadata"]["Links"]] == links
+
+
+# --- r17: chunked transfer coding + content codings --------------------------
+
+
+def _coded_record(coding: str, body: bytes = b"x" * 700):
+    from setup_harvest_action_spark.sources.warc import encode_warc_http
+
+    blob = encode_warc_http(
+        [("https://x.example/c", body, "text/plain", coding)],
+        layout="plain",
+    )
+    return body, parse_warc(blob)[1]
+
+
+def test_all_codings_decode_identically():
+    from setup_harvest_action_spark.sources.warc import HTTP_CODINGS
+
+    body = ("mixed content é ünïcode " * 40).encode("utf-8")
+    for coding in HTTP_CODINGS:
+        _, rec = _coded_record(coding, body)
+        assert "http_error" not in rec, (coding, rec.get("http_error"))
+        assert rec["http_body"] == body, coding
+    # chunked responses carry no Content-Length, the wire reality
+    _, rec = _coded_record("chunked", body)
+    assert "content-length" not in rec["http_headers"]
+    assert rec["http_headers"]["transfer-encoding"] == "chunked"
+
+
+def test_chunked_body_spans_multiple_chunks():
+    from setup_harvest_action_spark.sources.warc import _chunk_body
+
+    body = b"a" * 700
+    framed = _chunk_body(body)
+    # 256-byte chunks -> 3 data chunks + the zero last-chunk
+    assert framed.count(b"\r\n100\r\n") + framed.startswith(b"100\r\n") >= 1
+    assert framed.endswith(b"0\r\n\r\n")
+
+
+def test_deflate_both_wrappings_decode():
+    from setup_harvest_action_spark.sources.warc import _decode_content
+
+    body = b"deflate realism " * 30
+    assert _decode_content(zlib.compress(body), "deflate") == body
+    raw = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+    assert (
+        _decode_content(raw.compress(body) + raw.flush(), "deflate") == body
+    )
+
+
+def test_truncated_chunk_is_per_record_error_not_hang():
+    """A chunk whose declared size overruns the payload must surface
+    as http_error on THAT record; sibling records still parse."""
+    from setup_harvest_action_spark.sources.warc import _record
+
+    # declared chunk size 0x400 but only 10 bytes follow
+    evil = b"400\r\n0123456789"
+    bad = http_response(body=b"ignored")  # placeholder to build head
+    head = bad.split(b"\r\n\r\n")[0]
+    head = head.replace(
+        b"Content-Length: 7", b"Transfer-Encoding: chunked"
+    )
+    payload = head + b"\r\n\r\n" + evil
+    blob = _record(
+        "response",
+        payload,
+        uri="https://x.example/trunc",
+        content_type="application/http;msgtype=response",
+    ) + encode_warc(PAGES)
+    recs = parse_warc(blob)
+    assert "truncated chunk" in recs[0]["http_error"]
+    assert "http_body" not in recs[0]
+    assert recs[2]["http_body"]  # siblings unaffected
+
+
+def test_corrupt_gzip_member_is_per_record_error():
+    from setup_harvest_action_spark.sources.warc import encode_warc_http
+
+    body = b"will be corrupted " * 50
+    blob = bytearray(
+        encode_warc_http(
+            [("https://x.example/g", body, "text/plain", "gzip")],
+            layout="plain",
+        )
+    )
+    # flip a byte deep inside the gzip'd HTTP body (past the headers)
+    blob[-20] ^= 0xFF
+    recs = parse_warc(bytes(blob))
+    rec = recs[1]
+    assert "http_error" in rec and "gzip" in rec["http_error"]
+    assert "http_body" not in rec
+
+
+def test_unsupported_content_coding_refused_honestly():
+    from setup_harvest_action_spark.sources.warc import _record
+
+    resp = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Content-Encoding: br\r\nContent-Length: 4\r\n\r\nXXXX"
+    )
+    blob = _record(
+        "response",
+        resp,
+        uri="https://x.example/br",
+        content_type="application/http;msgtype=response",
+    )
+    rec = parse_warc(blob)[0]
+    assert "unsupported content-encoding" in rec["http_error"]
+    assert "http_body" not in rec
+
+
+def test_malformed_chunk_size_is_per_record_error():
+    from setup_harvest_action_spark.sources.warc import _record
+
+    resp = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\nzz!\r\ndata\r\n0\r\n\r\n"
+    )
+    blob = _record(
+        "response",
+        resp,
+        uri="https://x.example/badsize",
+        content_type="application/http;msgtype=response",
+    )
+    rec = parse_warc(blob)[0]
+    assert "malformed chunk size" in rec["http_error"]
+
+
+def test_chunk_extensions_and_trailers_tolerated():
+    from setup_harvest_action_spark.sources.warc import _dechunk_body
+
+    framed = (
+        b"5;ext=1\r\nhello\r\n6\r\n world\r\n0\r\n"
+        b"X-Trailer: v\r\n\r\n"
+    )
+    assert _dechunk_body(framed) == b"hello world"
