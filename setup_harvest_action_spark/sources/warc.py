@@ -40,6 +40,25 @@ def _rid(uri_or_type: str) -> str:
     return f"<urn:uuid:{_uuid.uuid5(_uuid.NAMESPACE_URL, uri_or_type)}>"
 
 
+def payload_digest(body: bytes) -> str:
+    """``WARC-Payload-Digest`` in the wild's convention (Common Crawl,
+    wget, Heritrix): sha1 over the HTTP entity body, labelled and
+    base32-encoded — ``sha1:3I42H3S6...``."""
+    import base64 as _b64
+    import hashlib as _hashlib
+
+    return "sha1:" + _b64.b32encode(
+        _hashlib.sha1(body).digest()
+    ).decode("ascii")
+
+
+# the revisit profile URI for digest-unchanged recaptures (WARC 1.0
+# §6.7.2 as practiced: Heritrix/Common Crawl storage dedup)
+REVISIT_PROFILE = (
+    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+)
+
+
 def _record(
     rtype: str,
     payload: bytes,
@@ -48,6 +67,8 @@ def _record(
     content_type: str = "application/octet-stream",
     record_id: str | None = None,
     refers_to: str | None = None,
+    digest: str | None = None,
+    profile: str | None = None,
 ) -> bytes:
     rid = record_id or _rid(uri or rtype)
     head = [
@@ -62,6 +83,10 @@ def _record(
         head.insert(3, b"WARC-Target-URI: " + uri.encode())
     if refers_to is not None:
         head.insert(3, b"WARC-Refers-To: " + refers_to.encode())
+    if digest is not None:
+        head.insert(3, b"WARC-Payload-Digest: " + digest.encode())
+    if profile is not None:
+        head.insert(3, b"WARC-Profile: " + profile.encode())
     return _CRLF.join(head) + _CRLF * 2 + payload + _CRLF * 2
 
 
@@ -275,6 +300,7 @@ def encode_warc(
                 http_response(html),
                 uri=uri,
                 content_type="application/http;msgtype=response",
+                digest=payload_digest(html.encode()),
             )
         )
         if with_request_metadata:
@@ -313,6 +339,7 @@ def encode_warc_responses(
                 http_response(body=body, content_type=ctype),
                 uri=uri,
                 content_type="application/http;msgtype=response",
+                digest=payload_digest(body),
             )
         )
     return _pack(recs, "gzip_members" if gzip_members else "plain")
@@ -355,9 +382,87 @@ def encode_warc_http(responses, layout: str = "gzip_members") -> bytes:
                 uri=uri,
                 record_id=_rid(coding + ":" + uri),
                 content_type="application/http;msgtype=response",
+                # the digest is over the REPRESENTATION (the uncoded
+                # entity body) — four codings of one page share it
+                digest=payload_digest(body),
             )
         )
     return _pack(recs, layout)
+
+
+def encode_warc_recrawl(
+    pages, prior_digests: dict[str, str], layout: str = "gzip_members"
+) -> bytes:
+    """A RECRAWL capture with payload-digest storage dedup (r17, the
+    way real archives avoid re-storing unchanged pages): for each
+    (uri, html) whose current payload digest MATCHES
+    ``prior_digests[uri]``, write a ``revisit`` record (profile
+    identical-payload-digest, WARC-Refers-To the original response,
+    HTTP headers only — no body bytes re-stored); changed or new
+    pages get full ``response`` records as usual."""
+    recs = [
+        _record(
+            "warcinfo",
+            b"software: setup-harvest-action-spark\r\n",
+            content_type="application/warc-fields",
+        )
+    ]
+    for uri, html in pages:
+        body = html.encode()
+        digest = payload_digest(body)
+        if prior_digests.get(uri) == digest:
+            recs.append(
+                _record(
+                    "revisit",
+                    b"HTTP/1.1 200 OK" + _CRLF
+                    + b"Content-Type: text/html; charset=utf-8"
+                    + _CRLF * 2,
+                    uri=uri,
+                    record_id=_rid("revisit:" + uri),
+                    refers_to=_rid(uri),
+                    content_type="application/http;msgtype=response",
+                    digest=digest,
+                    profile=REVISIT_PROFILE,
+                )
+            )
+        else:
+            recs.append(
+                _record(
+                    "response",
+                    http_response(html),
+                    uri=uri,
+                    record_id=_rid("r2:" + uri),
+                    content_type="application/http;msgtype=response",
+                    digest=digest,
+                )
+            )
+    return _pack(recs, layout)
+
+
+def resolve_revisits(
+    records: list[dict], bodies_by_digest: dict[str, bytes]
+) -> list[dict]:
+    """Materialize a recrawl's EFFECTIVE corpus: response records pass
+    through; each revisit record's body is resolved from the prior
+    capture via its payload digest (the identical-payload-digest
+    contract).  A revisit whose digest has no prior body is an error —
+    the archive promised the bytes exist elsewhere."""
+    out = []
+    for rec in records:
+        if rec["type"] == "response":
+            out.append(rec)
+        elif rec["type"] == "revisit":
+            digest = rec["headers"].get("warc-payload-digest")
+            body = bodies_by_digest.get(digest or "")
+            if body is None:
+                raise ValueError(
+                    f"unresolvable revisit for {rec['uri']}: digest "
+                    f"{digest!r} not in prior capture"
+                )
+            resolved = dict(rec)
+            resolved["http_body"] = body
+            out.append(resolved)
+    return out
 
 
 def encode_wet(entries, layout: str = "gzip_members") -> bytes:
@@ -488,7 +593,9 @@ def parse_warc(payload: bytes) -> list[dict]:
             "headers": headers,
             "payload": body,
         }
-        if rec["type"] == "response" and body.startswith(b"HTTP/"):
+        if rec["type"] in ("response", "revisit") and body.startswith(
+            b"HTTP/"
+        ):
             split = body.find(_CRLF * 2)
             if split < 0:
                 raise ValueError("malformed HTTP response in WARC")
@@ -857,6 +964,98 @@ def q_pipeline_warc_content_codings(
 
     return docs.groupBy("file_id").applyInPandas(
         one_file, "doc_id long, coding string, main_md5 string"
+    )
+
+
+@query(
+    "q_pipeline_warc_revisit",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'response' ELSE 'revisit' END
+         AS record_type,
+       md5(CASE WHEN doc_id % 3 = 0
+            THEN trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))
+                 || ' updated r2'
+            ELSE trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))
+            END) AS main_md5
+FROM documents
+WHERE n_chars >= {WARC_MIN_CHARS} AND doc_id < {WARC_DOCS}
+""",
+)
+def q_pipeline_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC storage dedup under the hash gate (r17, the verdict's #4):
+    round 1 captures every page with its WARC-Payload-Digest; round 2
+    recrawls the same URLs with one page in three CHANGED (text gains
+    an ' updated r2' suffix) — the writer must emit full ``response``
+    records exactly for the changed third and ``revisit`` records
+    (identical-payload-digest profile, WARC-Refers-To the original,
+    no body bytes re-stored) for the unchanged rest, and the reader
+    must RESOLVE each revisit back to the round-1 bytes through the
+    digest.  The oracle replays the change arithmetic (record_type
+    CASE) and the resolved corpus text per document — a digest slip
+    writes the wrong record type, an unresolvable revisit raises, and
+    a resolution bug flips the md5.  Scale: one task per ~20-doc
+    group runs both rounds end-to-end map-side; at archive scale the
+    digest→bytes lookup is the CDX index join every wayback deployment
+    runs, keyed exactly like our exact-dedup operator."""
+    import hashlib
+
+    import pandas as pd
+
+    from setup_harvest_action_spark.functions.html_extract import (
+        main_text,
+        synthesize_page,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("n_chars") >= WARC_MIN_CHARS)
+            & (F.col("doc_id") < WARC_DOCS)
+        )
+        .select("doc_id", "text", "lang")
+        .withColumn("file_id", (F.col("doc_id") / PAGES_PER_FILE).cast("int"))
+    )
+
+    def one_file(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        uri_of = lambda d: f"https://corpus.example/doc/{d}"  # noqa: E731
+        round1 = [
+            (uri_of(int(d)), synthesize_page(int(d), t, lang=lg))
+            for d, t, lg in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
+        ]
+        blob1 = encode_warc(round1, layout="gzip_members")
+        digests: dict[str, str] = {}
+        bodies: dict[str, bytes] = {}
+        for rec in parse_warc(blob1):
+            if rec["type"] != "response":
+                continue
+            d = rec["headers"]["warc-payload-digest"]
+            digests[rec["uri"]] = d
+            bodies[d] = rec["http_body"]
+        # round 2: every third page changed, the rest byte-identical
+        round2 = [
+            (
+                uri_of(int(d)),
+                synthesize_page(
+                    int(d),
+                    t + " updated r2" if int(d) % 3 == 0 else t,
+                    lang=lg,
+                ),
+            )
+            for d, t, lg in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
+        ]
+        blob2 = encode_warc_recrawl(round2, digests, layout="gzip_members")
+        rows = {"doc_id": [], "record_type": [], "main_md5": []}
+        for rec in resolve_revisits(parse_warc(blob2), bodies):
+            text = main_text(rec["http_body"].decode())
+            rows["doc_id"].append(int(rec["uri"].rsplit("/", 1)[1]))
+            rows["record_type"].append(rec["type"])
+            rows["main_md5"].append(hashlib.md5(text.encode()).hexdigest())
+        return pd.DataFrame(rows)
+
+    return docs.groupBy("file_id").applyInPandas(
+        one_file, "doc_id long, record_type string, main_md5 string"
     )
 
 

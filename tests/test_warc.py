@@ -338,3 +338,81 @@ def test_chunk_extensions_and_trailers_tolerated():
         b"X-Trailer: v\r\n\r\n"
     )
     assert _dechunk_body(framed) == b"hello world"
+
+
+# --- r17: payload digests + revisit records ----------------------------------
+
+
+def test_payload_digest_convention():
+    from setup_harvest_action_spark.sources.warc import payload_digest
+
+    # sha1 of empty payload, base32 — the wild's spelling
+    assert payload_digest(b"") == "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ"
+    blob = encode_warc(PAGES, gzip_members=True)
+    for rec in parse_warc(blob):
+        if rec["type"] == "response":
+            assert rec["headers"]["warc-payload-digest"] == payload_digest(
+                rec["http_body"]
+            )
+
+
+def test_recrawl_writes_revisit_for_unchanged_and_resolves():
+    from setup_harvest_action_spark.sources.warc import (
+        REVISIT_PROFILE,
+        encode_warc_recrawl,
+        resolve_revisits,
+    )
+
+    blob1 = encode_warc(PAGES)
+    digests, bodies = {}, {}
+    for rec in parse_warc(blob1):
+        if rec["type"] == "response":
+            d = rec["headers"]["warc-payload-digest"]
+            digests[rec["uri"]] = d
+            bodies[d] = rec["http_body"]
+    # page 2 changes; 1 and 3 unchanged
+    round2 = [
+        (PAGES[0][0], PAGES[0][1]),
+        (PAGES[1][0], PAGES[1][1].replace("two", "TWO!")),
+        (PAGES[2][0], PAGES[2][1]),
+    ]
+    blob2 = encode_warc_recrawl(round2, digests, layout="plain")
+    recs = parse_warc(blob2)
+    types = [r["type"] for r in recs]
+    assert types == ["warcinfo", "revisit", "response", "revisit"]
+    rev = recs[1]
+    assert rev["headers"]["warc-profile"] == REVISIT_PROFILE
+    assert rev["headers"]["warc-refers-to"]
+    assert rev["http_body"] == b""  # no body bytes re-stored
+    resolved = resolve_revisits(recs, bodies)
+    got = {r["uri"]: r["http_body"].decode() for r in resolved}
+    assert got == {u: h for u, h in round2}
+    # storage dedup is real once bodies outweigh record headers (the
+    # tiny fixture pages above don't): realistic ~8 KiB pages, one
+    # changed of three
+    big = [
+        (f"https://x.example/big/{i}", f"<html><body>{'w' * 8192}{i % 2}</body></html>")
+        for i in range(3)
+    ]
+    d1 = {
+        r["uri"]: r["headers"]["warc-payload-digest"]
+        for r in parse_warc(encode_warc(big))
+        if r["type"] == "response"
+    }
+    big2 = [big[0], (big[1][0], big[1][1].replace("w", "v", 1)), big[2]]
+    assert len(encode_warc_recrawl(big2, d1, layout="plain")) < len(
+        encode_warc(big2)
+    ) * 0.5
+
+
+def test_unresolvable_revisit_raises():
+    from setup_harvest_action_spark.sources.warc import (
+        encode_warc_recrawl,
+        payload_digest,
+        resolve_revisits,
+    )
+
+    digests = {u: payload_digest(h.encode()) for u, h in PAGES}
+    blob = encode_warc_recrawl(PAGES, digests, layout="plain")
+    with pytest.raises(ValueError, match="unresolvable revisit"):
+        resolve_revisits(parse_warc(blob), {})
