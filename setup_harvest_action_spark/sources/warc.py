@@ -495,18 +495,34 @@ def encode_wet(entries, layout: str = "gzip_members") -> bytes:
     return _pack(recs, layout)
 
 
-def encode_wat(captures, layout: str = "gzip_members") -> bytes:
+def encode_wat(
+    captures, layout: str = "gzip_members", triple: bool = False
+) -> bytes:
     """A WAT file — the METADATA sibling (Common Crawl's
     .warc.wat.gz): one ``metadata`` record per capture whose payload
     is the JSON envelope (WARC header metadata + HTTP response
     metadata + the page's raw outgoing links), WARC-Refers-To naming
     the response record.  ``captures`` =
-    [(uri, http_status, http_headers_dict, raw_links_list), ...].
+    [(uri, http_status, http_headers_dict, raw_links_list), ...] or
+    5-tuples with a trailing payload digest (surfaced in
+    ``WARC-Header-Metadata`` exactly where Common Crawl puts it).
     The envelope follows the Common Crawl WAT shape
     (Envelope → WARC-Header-Metadata / Payload-Metadata →
     HTTP-Response-Metadata → HTML-Metadata → Links), trimmed to the
-    fields a link-graph consumer reads."""
+    fields a link-graph consumer reads.
+
+    ``triple=True`` (r17) describes the FULL capture the way real
+    Common Crawl WATs do: one envelope for the warcinfo record
+    (WARC-Info-Metadata) and, per capture, a request envelope
+    (HTTP-Request-Metadata with the GET line) before the response
+    envelope."""
     import json as _json
+    from urllib.parse import urlsplit as _urlsplit
+
+    def _env(payload: dict, uri: str | None, kind: str) -> bytes:
+        return _json.dumps(
+            payload, sort_keys=True, separators=(",", ":")
+        ).encode("utf-8")
 
     recs = [
         _record(
@@ -517,13 +533,70 @@ def encode_wat(captures, layout: str = "gzip_members") -> bytes:
             content_type="application/warc-fields",
         )
     ]
-    for uri, status, headers, links in captures:
+    if triple:
+        recs.append(
+            _record(
+                "metadata",
+                _env(
+                    {
+                        "Envelope": {
+                            "WARC-Header-Metadata": {"WARC-Type": "warcinfo"},
+                            "Payload-Metadata": {
+                                "WARC-Info-Metadata": {
+                                    "software": "setup-harvest-action-spark"
+                                }
+                            },
+                        }
+                    },
+                    None,
+                    "warcinfo",
+                ),
+                record_id=_rid("wat:warcinfo"),
+                content_type="application/json",
+            )
+        )
+    for cap in captures:
+        uri, status, headers, links = cap[:4]
+        digest = cap[4] if len(cap) > 4 else None
+        if triple:
+            p = _urlsplit(uri)
+            path = (p.path or "/") + (("?" + p.query) if p.query else "")
+            recs.append(
+                _record(
+                    "metadata",
+                    _env(
+                        {
+                            "Envelope": {
+                                "WARC-Header-Metadata": {
+                                    "WARC-Type": "request",
+                                    "WARC-Target-URI": uri,
+                                },
+                                "Payload-Metadata": {
+                                    "HTTP-Request-Metadata": {
+                                        "Request-Message": {
+                                            "Method": "GET",
+                                            "Path": path,
+                                            "Version": "HTTP/1.1",
+                                        }
+                                    }
+                                },
+                            }
+                        },
+                        uri,
+                        "request",
+                    ),
+                    uri=uri,
+                    record_id=_rid("wat:req:" + uri),
+                    refers_to=_rid("req:" + uri),
+                    content_type="application/json",
+                )
+            )
+        header_meta = {"WARC-Type": "response", "WARC-Target-URI": uri}
+        if digest is not None:
+            header_meta["WARC-Payload-Digest"] = digest
         envelope = {
             "Envelope": {
-                "WARC-Header-Metadata": {
-                    "WARC-Type": "response",
-                    "WARC-Target-URI": uri,
-                },
+                "WARC-Header-Metadata": header_meta,
                 "Payload-Metadata": {
                     "HTTP-Response-Metadata": {
                         "Response-Message": {"Status": int(status)},
@@ -541,9 +614,7 @@ def encode_wat(captures, layout: str = "gzip_members") -> bytes:
         recs.append(
             _record(
                 "metadata",
-                _json.dumps(
-                    envelope, sort_keys=True, separators=(",", ":")
-                ).encode("utf-8"),
+                _env(envelope, uri, "response"),
                 uri=uri,
                 record_id=_rid("wat:" + uri),
                 refers_to=_rid(uri),
@@ -725,11 +796,15 @@ def q_source_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC container diagnostics per file ACROSS the three real-world
     layouts (plain / gzip-members / single-stream-gzip) with the full
     capture triple (request + response + metadata records, r16):
-    record counts by type, bytes per layout, and a layouts_agree flag
+    record counts by type, bytes per layout, a layouts_agree flag
     asserting all three parses yield the identical record-type
-    sequence.  Rows-only (container arithmetic); the framing itself is
-    oracled by q_pipeline_warc_to_text / q_pipeline_wet_roundtrip and
-    pinned adversarially in tests."""
+    sequence, and (r17) payload-digest accounting: every response
+    must carry a WARC-Payload-Digest that sha1-recomputation over the
+    parsed body reproduces (digests_ok), with the distinct-digest
+    count exposing intra-file duplicates.  Rows-only (container
+    arithmetic); the framing itself is oracled by
+    q_pipeline_warc_to_text / q_pipeline_wet_roundtrip and the digest
+    semantics by q_pipeline_warc_revisit."""
     import pandas as pd
 
     from setup_harvest_action_spark.functions.html_extract import (
@@ -764,6 +839,18 @@ def q_source_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         agree = all(
             [r["type"] for r in p] == types for p in parses.values()
         )
+        # r17: payload digests — every response record must carry one,
+        # and recomputing sha1 over the parsed body must reproduce it
+        responses = [
+            r for r in parses["gzip_members"] if r["type"] == "response"
+        ]
+        stored = [
+            r["headers"].get("warc-payload-digest") for r in responses
+        ]
+        digests_ok = all(
+            s is not None and s == payload_digest(r["http_body"])
+            for s, r in zip(stored, responses)
+        )
         return pd.DataFrame(
             {
                 "file_id": [int(pdf["file_id"].iloc[0])],
@@ -771,6 +858,9 @@ def q_source_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_responses": [types.count("response")],
                 "n_requests": [types.count("request")],
                 "n_metadata": [types.count("metadata")],
+                "n_payload_digests": [sum(s is not None for s in stored)],
+                "n_distinct_digests": [len({s for s in stored if s})],
+                "digests_ok": [bool(digests_ok)],
                 "plain_bytes": [len(blobs["plain"])],
                 "member_gz_bytes": [len(blobs["gzip_members"])],
                 "stream_gz_bytes": [len(blobs["gzip_stream"])],
@@ -786,7 +876,8 @@ def q_source_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("file_id").applyInPandas(
         one_file,
         "file_id int, n_records int, n_responses int, n_requests int, "
-        "n_metadata int, plain_bytes long, member_gz_bytes long, "
+        "n_metadata int, n_payload_digests int, n_distinct_digests int, "
+        "digests_ok boolean, plain_bytes long, member_gz_bytes long, "
         "stream_gz_bytes long, compression_ratio double, "
         "layouts_agree boolean",
     )

@@ -416,3 +416,57 @@ def test_unresolvable_revisit_raises():
     blob = encode_warc_recrawl(PAGES, digests, layout="plain")
     with pytest.raises(ValueError, match="unresolvable revisit"):
         resolve_revisits(parse_warc(blob), {})
+
+
+def test_wat_triple_envelopes_all_three_record_types():
+    """r17: triple WATs describe warcinfo + request + response, carry
+    the payload digest in WARC-Header-Metadata, and roundtrip in
+    every layout."""
+    import json
+
+    from setup_harvest_action_spark.sources.warc import (
+        WARC_LAYOUTS,
+        encode_wat,
+        payload_digest,
+    )
+
+    captures = [
+        (
+            "https://h.example/a?q=1",
+            200,
+            {"content-type": "text/html"},
+            ["/x"],
+            payload_digest(b"body-a"),
+        ),
+        ("https://h.example/b", 404, {}, [], payload_digest(b"body-b")),
+    ]
+    for lay in WARC_LAYOUTS:
+        recs = parse_warc(encode_wat(captures, layout=lay, triple=True))
+        metas = [r for r in recs if r["type"] == "metadata"]
+        # 1 warcinfo envelope + (request + response) per capture
+        assert len(metas) == 1 + 2 * len(captures), lay
+        envs = [
+            json.loads(r["payload"].decode("utf-8"))["Envelope"]
+            for r in metas
+        ]
+        kinds = [e["WARC-Header-Metadata"]["WARC-Type"] for e in envs]
+        assert kinds == ["warcinfo", "request", "response"] * 1 + [
+            "request",
+            "response",
+        ]
+        assert (
+            envs[0]["Payload-Metadata"]["WARC-Info-Metadata"]["software"]
+            == "setup-harvest-action-spark"
+        )
+        req = envs[1]["Payload-Metadata"]["HTTP-Request-Metadata"][
+            "Request-Message"
+        ]
+        assert req == {
+            "Method": "GET",
+            "Path": "/a?q=1",
+            "Version": "HTTP/1.1",
+        }
+        for env, cap in zip(envs[2::2], captures):
+            assert (
+                env["WARC-Header-Metadata"]["WARC-Payload-Digest"] == cap[4]
+            )
