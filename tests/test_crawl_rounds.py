@@ -72,3 +72,32 @@ def test_stream_crawl_ingest_rerun_commits_nothing(spark, tmp_path):
     got2 = crawl_stream_ingest(spark, SF, base)
     assert read_manifest(base + "/edges")["version"] == v1  # no commit
     assert {(r["src"], r["dst"]) for r in got2.collect()} == want
+
+
+def test_budget_caps_diverge_by_delay(spark):
+    """r17: the time-budget composition — host5 (Crawl-delay 10s) gets
+    at most floor(20/10)=2 fetches per round while host6 (0.5s) may
+    take up to 40; host1's decoy '*'-group delay (99s) must NOT leak
+    (its own group declares none -> default 1s -> cap 20)."""
+    from setup_harvest_action_spark.functions.webgraph import (
+        CRAWL_ROUND_BUDGET_SEC,
+        budget_caps,
+        q_pipeline_crawl_budget,
+    )
+
+    caps = budget_caps()
+    assert caps["host5"] == 2 and caps["host6"] == 40
+    assert caps["host1"] == 20  # decoy delay did not leak
+    rows = q_pipeline_crawl_budget(spark, SF).collect()
+    per: dict[tuple[int, str], int] = {}
+    for r in rows:
+        assert r["rank"] <= r["host_cap"]
+        per[(r["round"], r["host"])] = per.get((r["round"], r["host"]), 0) + 1
+    for (rnd, host), n in per.items():
+        assert n <= caps.get(host, int(CRAWL_ROUND_BUDGET_SEC)), (rnd, host)
+    # divergence is visible in the data: some host exceeds the old
+    # constant cap of 5 while host5 never exceeds 2
+    assert any(
+        n > 5 for (rnd, h), n in per.items() if h != "host5"
+    )
+    assert all(n <= 2 for (rnd, h), n in per.items() if h == "host5")
