@@ -1060,6 +1060,189 @@ def crawl_stream_ingest(
     return scan_manifest(spark, table)
 
 
+# --- the streaming crawl LOOP closed (r17) ------------------------------------
+
+
+@query("q_stream_crawl_loop", oracle=_crawl_rounds_sql())
+def q_stream_crawl_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARRIVAL-DRIVEN crawl loop CLOSED (r17, the verdict's #3):
+    r16's streaming twin drained seeds and stopped — here discovered
+    URLs RE-ENTER the stream.  Seed doc ids arrive as a checkpointed
+    file stream; each drain fetches its arrivals' pages exactly once
+    and keyed-MERGEs their self-URLs and canonical edges into
+    persisted manifest tables; after each drain the next admitted
+    frontier is derived FROM THE STORED TABLES (anti-join against
+    crawled, codegen'd robots admission, politeness cap), recorded in
+    a frontier table, and its existing targets are written back to
+    the arrivals directory — the loop runs through the stream until
+    the round bound.  The stored frontier table must hash-match the
+    BATCH loop's oracle (q_pipeline_crawl_rounds' unrolled CTEs) from
+    the same seeds, and a re-run over the same checkpoint commits
+    NOTHING (pinned in tests/test_crawl_rounds.py).  Scale: per drain
+    one map-side parse over O(arrivals) pages + O(batch) keyed
+    merges; the frontier derivation is the same broadcast-admission /
+    WindowGroupLimit plan as the batch loop, reading only the stored
+    edge/crawled tables — never re-parsing pages."""
+    import os
+    import shutil
+    import tempfile
+
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(
+        tempfile.gettempdir(), "shas_crawl", label, "stream_loop"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return crawl_stream_loop(spark, sf_dir, base)
+
+
+def crawl_stream_loop(
+    spark: SparkSession,
+    sf_dir: str,
+    base: str,
+    rounds: int = CRAWL_ROUNDS,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Library form of the closed streaming loop.  Layout under
+    ``base``: ``arrivals/`` (doc-id parquet files — seeds first, then
+    each round's existing frontier targets), ``edges`` / ``crawled``
+    / ``frontier`` manifest tables, ``ckpt`` the stream checkpoint.
+
+    The round BARRIER is the drain boundary, not the micro-batch: the
+    in-stream handler is round-agnostic (it only merges fetch
+    results), so Structured Streaming is free to split or batch
+    arrival files however it likes — replay, maxFilesPerTrigger,
+    multi-file batches all commute because every write is a keyed
+    merge.  The frontier derivation then runs ONCE per drain on the
+    driver-coordinated schedule, exactly like the batch loop's
+    per-round materialization (and like a production crawler's
+    scheduler tick against its frontier store).  A re-entry with the
+    loop already complete (frontier table at the round bound) drains
+    nothing, derives nothing, and commits nothing."""
+    import os
+
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        merge_into,
+        register_manifest_sink,
+        scan_manifest,
+    )
+
+    edges_t = os.path.join(base, "edges")
+    crawled_t = os.path.join(base, "crawled")
+    frontier_t = os.path.join(base, "frontier")
+    arrivals = os.path.join(base, "arrivals")
+    register_manifest_sink(spark)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < GRAPH_DOCS)
+        .select("doc_id", "text", "lang")
+    )
+    self_url = F.concat(
+        F.lit("https://host"),
+        (F.col("doc_id") % _HOSTS).cast("string"),
+        F.lit(".example/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    if not os.path.isdir(arrivals):
+        docs.filter(F.col("doc_id") % CRAWL_SEED_MOD == 0).select(
+            "doc_id"
+        ).write.parquet(arrivals)
+    for path, schema in (
+        (edges_t, "src string, dst string"),
+        (crawled_t, "url string"),
+        (frontier_t, "round int, host string, url string, rank int"),
+    ):
+        if not os.path.exists(os.path.join(path, "_manifest.json")):
+            (
+                spark.createDataFrame([], schema)
+                .write.format("manifest_parquet")
+                .mode("overwrite")
+                .save(path)
+            )
+
+    def _apply(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pages = docs.join(batch_df.select("doc_id"), "doc_id", "left_semi")
+        merge_into(
+            spark,
+            crawled_t,
+            pages.select(self_url.alias("url")).distinct(),
+            on=["url"],
+        )
+        merge_into(
+            spark, edges_t, edges_of_pages(pages), on=["src", "dst"]
+        )
+
+    def _drain() -> None:
+        q = (
+            spark.readStream.schema("doc_id BIGINT")
+            .parquet(arrivals)
+            .writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+
+    admit = robots_admission_expr(
+        F.col("host"),
+        F.regexp_extract("url", r"^https://[^/]+(/.*)$", 1),
+    )
+    w = Window.partitionBy("host").orderBy("url")
+    while True:
+        done = scan_manifest(spark, frontier_t).agg(
+            F.coalesce(F.max("round"), F.lit(0)).alias("r")
+        ).collect()[0]["r"]
+        if done >= rounds:
+            break
+        _drain()
+        k = done + 1
+        frontier = (
+            scan_manifest(spark, edges_t)
+            .select(F.col("dst").alias("url"))
+            .distinct()
+            .join(scan_manifest(spark, crawled_t), "url", "left_anti")
+            .select(
+                F.regexp_extract(
+                    "url", r"^https://(host\d+)\.", 1
+                ).alias("host"),
+                "url",
+            )
+            .filter(admit)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= FRONTIER_PER_HOST)
+            .select(
+                F.lit(k).alias("round"),
+                "host",
+                "url",
+                F.col("rank").cast("int").alias("rank"),
+            )
+        )
+        merge_into(spark, frontier_t, frontier, on=["url"])
+        just = scan_manifest(spark, frontier_t).filter(
+            F.col("round") == k
+        )
+        merge_into(spark, crawled_t, just.select("url"), on=["url"])
+        if k < rounds:
+            # existing targets re-enter the stream: doc t lives at
+            # host t % 7, so a host-mismatched link target 404s
+            doc_num = F.substring_index(F.col("url"), "/", -1).cast("int")
+            host_digit = F.substring(F.col("url"), 13, 1).cast("int")
+            (
+                just.filter(host_digit == doc_num % _HOSTS)
+                .select(doc_num.cast("long").alias("doc_id"))
+                .write.mode("append")
+                .parquet(arrivals)
+            )
+    # the final drain ingests nothing new on a complete loop (re-run
+    # commits nothing) but closes out any arrivals a crash left behind
+    _drain()
+    return scan_manifest(spark, frontier_t).select(
+        "round", "host", "url", "rank"
+    )
+
+
 # --- the robots-fetch leg (r16 post-close) ------------------------------------
 
 

@@ -807,6 +807,14 @@ def scan_manifest(
     m = manifest if manifest is not None else read_manifest(path, version)
     entries = select_files(m, where) if where else m["files"]
     if not m["files"]:
+        # a zero-file manifest WITH a committed schema is a legitimate
+        # table state (empty-init + merge-every-batch, r17); only a
+        # schema-less empty manifest is unreadable
+        sj = m.get("schema")
+        if sj:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(sj))
         raise ValueError(f"empty manifest at {path}")
     if not entries:
         # every file pruned: an empty frame with the table's schema

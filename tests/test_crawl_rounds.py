@@ -101,3 +101,76 @@ def test_budget_caps_diverge_by_delay(spark):
         n > 5 for (rnd, h), n in per.items() if h != "host5"
     )
     assert all(n <= 2 for (rnd, h), n in per.items() if h == "host5")
+
+
+def test_stream_crawl_loop_matches_batch_and_rerun_commits_nothing(
+    spark, tmp_path
+):
+    """r17: the closed streaming loop — stored frontier table equals
+    the batch loop's output from the same seeds; the edge table holds
+    exactly the edges of every page that entered the stream; crawled
+    = seed self-URLs ∪ every frontier URL; and a re-entry over the
+    same checkpoint commits NOTHING to any of the three tables."""
+    import pyspark.sql.functions as F
+
+    from setup_harvest_action_spark.functions.webgraph import (
+        CRAWL_SEED_MOD,
+        GRAPH_DOCS,
+        _HOSTS,
+        crawl_rounds,
+        crawl_stream_loop,
+        edges_of_pages,
+    )
+    from setup_harvest_action_spark.io.loaders import load_table
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        read_manifest,
+        scan_manifest,
+    )
+
+    base = str(tmp_path / "stream_loop")
+    got = crawl_stream_loop(spark, SF, base)
+    stream_rows = {
+        (r["round"], r["host"], r["url"], r["rank"]) for r in got.collect()
+    }
+    batch_rows = {
+        (r["round"], r["host"], r["url"], r["rank"])
+        for r in crawl_rounds(spark, SF).collect()
+    }
+    assert stream_rows == batch_rows and stream_rows
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .filter(F.col("doc_id") < GRAPH_DOCS)
+        .select("doc_id", "text", "lang")
+    )
+    arrived = spark.read.parquet(base + "/arrivals").select("doc_id")
+    fetched = docs.join(arrived, "doc_id", "left_semi")
+    want_edges = {
+        (r["src"], r["dst"]) for r in edges_of_pages(fetched).collect()
+    }
+    got_edges = {
+        (r["src"], r["dst"])
+        for r in scan_manifest(spark, base + "/edges").collect()
+    }
+    assert got_edges == want_edges
+
+    self_urls = {
+        f"https://host{d % _HOSTS}.example/doc/{d}"
+        for d in range(0, GRAPH_DOCS, CRAWL_SEED_MOD)
+    }
+    want_crawled = self_urls | {u for (_, _, u, _) in stream_rows}
+    got_crawled = {
+        r["url"] for r in scan_manifest(spark, base + "/crawled").collect()
+    }
+    assert got_crawled == want_crawled
+
+    versions = {
+        t: read_manifest(f"{base}/{t}")["version"]
+        for t in ("edges", "crawled", "frontier")
+    }
+    got2 = crawl_stream_loop(spark, SF, base)
+    assert {
+        (r["round"], r["host"], r["url"], r["rank"]) for r in got2.collect()
+    } == stream_rows
+    for t, v in versions.items():
+        assert read_manifest(f"{base}/{t}")["version"] == v, t
