@@ -695,10 +695,18 @@ def crawl_rounds(
             .select(F.col("dst").alias("url"))
             .distinct()
         )
-        discovered = (
+        # the DISCOVERED set is materialized per round alongside the
+        # frontier: without this cut, round k's plan unions new_dsts
+        # back through every earlier round's parse stage — re-parsing
+        # each prior frontier's pages, quadratic in rounds (made
+        # visible by plan_audit's materialized-stage view, r17).  A
+        # URL list is tiny; the parse it saves is the expensive leg.
+        discovered = materialize(
             new_dsts
             if discovered is None
-            else discovered.union(new_dsts).distinct()
+            else discovered.union(new_dsts).distinct(),
+            f"crawl_disc_{k}",
+            checkpoint_dir,
         )
         cand = (
             discovered.join(crawled, "url", "left_anti")

@@ -81,6 +81,22 @@ def materialization_dir(spark, tag: str, checkpoint_dir: str | None = None) -> s
 _versions: dict[tuple[str, str], int] = {}
 _KEEP_VERSIONS = 2  # newest + one back (see module docstring)
 
+# Plan-audit hook (r17): materialize() is a lineage CUT, so the stage
+# plan it executes is invisible to any explain() of the returned scan
+# — tools/plan_audit.py saw q_pipeline_crawl_rounds as "3 scans / 0
+# exchanges" because the per-round work hid inside the cut.  When an
+# observer is installed, each materialize() call hands it (tag, df)
+# BEFORE writing, so the auditor can record the inner stage's plan
+# facts alongside the outer plan.  Never set outside auditing.
+_observer = None
+
+
+def set_observer(fn) -> None:
+    """Install (or clear, with ``None``) the audit observer called as
+    ``fn(tag, df)`` on every :func:`materialize`."""
+    global _observer
+    _observer = fn
+
 
 def materialize(
     df: DataFrame, tag: str, checkpoint_dir: str | None = None
@@ -89,6 +105,8 @@ def materialize(
     resolved checkpoint location and return a plain scan of it — the
     lineage cut.  See the module docstring for the aliasing/retention
     contract."""
+    if _observer is not None:
+        _observer(tag, df)
     spark = df.sparkSession
     root = os.path.join(
         materialization_dir(spark, tag, checkpoint_dir),

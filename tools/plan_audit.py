@@ -218,11 +218,28 @@ def main() -> int:
         names = list(queries)  # full-catalog sweep (--all)
     else:
         names = only or [n for n in bench.HEADLINE if n in queries]
+    # see through materialize boundaries (r17): a lineage cut hides
+    # its inner stage from the outer explain — the observer records
+    # each cut stage's plan facts so materialize-using queries audit
+    # their per-round/per-iteration work, not just the final scans
+    from setup_harvest_action_spark.io import materialize as _mat
+
     for name in names:
+        inner: list[dict] = []
+        _mat.set_observer(
+            lambda tag, df: inner.append(
+                {"tag": tag, **audit_plan(df)}
+            )
+        )
         try:
             facts = audit_plan(queries[name](spark, sf_dir), name=name)
         except Exception as exc:  # keep auditing
             facts = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+        finally:
+            _mat.set_observer(None)
+        if inner:
+            facts["materialized_stages"] = len(inner)
+            facts["materialized_plans"] = inner
         print(json.dumps({"query": name, **facts}, sort_keys=True), flush=True)
     return 0
 
