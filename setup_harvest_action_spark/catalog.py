@@ -89,81 +89,76 @@ _EXPECTED_MISSING: frozenset[str] = frozenset()
 DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = (
-    # ---- r16 rotation ----
-    # 50 slots = 9 + 8 + 1 + 11 + 21 (the r15 verdict's #1 ask).
-    # (a) the 9 r15-new entries that have never been driver-sampled
-    # (crawl loop, quality rule packs, PDF incremental updates);
-    # (b) the 8 r16-new entries (multi-round crawl, WET roundtrip,
-    # crawl-delay schedule, WAT link extraction, streaming crawl
-    # ingest, robots-fetch leg, sitemap-discovery frontier,
-    # PageRank-prioritized frontier);
-    # (c) q_source_warc_stats re-queued — its r16 schema adds the
-    # layout/record-type columns, so the r15 row no longer reflects
-    # the query;
-    # (d) the 11-entry r09-stale remainder (closes the verdict's
-    # "no row predating r10" criterion);
-    # (e) the 21 alphabetically-first entries of the 47-entry cohort
-    # whose newest driver row is r10 — the stalest after (d); the 26
-    # alphabetically-last (q_harvest_unpivot, q_join_asof,
-    # q_join_asof_forward, q_large_orders, q_multimodal_metadata,
-    # q_pagination_page, q_pricing_summary .. q_text_lm_score) are
-    # the r17 queue.  Entries outside the window stay hash-verified
-    # by tools/verify_oracle.py + pytest every session.
-    # (a) never-sampled r15 entries:
-    "q_pipeline_charset_decode",
-    "q_graph_crawl_outlinks",
-    "q_graph_crawl_pagerank",
-    "q_graph_crawl_host_graph",
-    "q_pipeline_crawl_frontier",
-    "q_pipeline_sitemap_recrawl",
-    "q_quality_gopher_rules",
-    "q_quality_c4_line_filters",
-    "q_multimodal_pdf_update_pipeline",
-    # (b) r16-new entries:
-    "q_pipeline_crawl_rounds",
-    "q_pipeline_wet_roundtrip",
-    "q_pipeline_crawl_schedule",
-    "q_pipeline_wat_links",
-    "q_stream_crawl_ingest",
-    "q_pipeline_robots_fetch",
-    "q_pipeline_frontier_discovery",
-    "q_pipeline_frontier_prioritized",
-    # (c) schema-rebased this round:
+    # ---- r17 rotation ----
+    # 50 slots = 4 + 1 + 26 + 19 (the r16 verdict's #1 ask).
+    # (a) the 4 r17-new entries, never driver-sampled (HTTP payload
+    # codings, WARC revisit/digest dedup, time-budget politeness,
+    # the closed streaming crawl loop);
+    # (b) q_source_warc_stats re-queued — its r17 schema adds the
+    # payload-digest columns, so the r16 row no longer reflects it;
+    # (c) the 26-entry r10-stale remainder (q_harvest_unpivot ..
+    # q_text_lm_score — closes the verdict's "no live entry's newest
+    # driver row predates r11" criterion);
+    # (d) the 19 alphabetically-first entries of the 49-entry cohort
+    # whose newest driver row is r11 — the stalest after (c); the 30
+    # alphabetically-last (q_multimodal_gif_pipeline ..
+    # q_top_supplier_revenue) are the r18 queue.  Entries outside the
+    # window stay hash-verified by tools/verify_oracle.py + pytest
+    # every session.
+    # (a) r17-new entries:
+    "q_pipeline_warc_content_codings",
+    "q_pipeline_warc_revisit",
+    "q_pipeline_crawl_budget",
+    "q_stream_crawl_loop",
+    # (b) schema-rebased this round:
     "q_source_warc_stats",
-    # (d) the r09-stale remainder:
-    "q_multimodal_ppm_pipeline",
-    "q_quality_compression_ratio",
-    "q_text_lm_bigram_score",
-    "q_text_topk_tokens",
-    "q_window_distribution",
-    "q_window_first_last",
-    "q_window_range_frame",
-    "q_window_running_distinct",
-    "q_window_running_sum",
-    "q_window_sequence_gaps",
-    "q_window_sliding_frame",
-    # (e) 21 of the r10-stale cohort:
-    "q_agg_minmax_stats",
-    "q_agg_percentiles",
-    "q_agg_pivot",
-    "q_constraint_report",
-    "q_cube_lineitem_flags",
-    "q_dedup_components",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_semantic",
-    "q_embedding_kmeans",
-    "q_events_cohort_retention",
-    "q_events_funnel",
-    "q_events_resample_ffill",
-    "q_events_sessionize",
-    "q_events_transitions",
-    "q_grouping_sets",
-    "q_harvest_read_path",
-    "q_harvest_rerun_stats",
-    "q_harvest_rerun_terms",
-    "q_harvest_term_fields",
-    "q_harvest_terms",
+    # (c) the r10-stale remainder:
+    "q_harvest_unpivot",
+    "q_join_asof",
+    "q_join_asof_forward",
+    "q_large_orders",
+    "q_multimodal_metadata",
+    "q_pagination_page",
+    "q_pricing_summary",
+    "q_quality_boilerplate_segments",
+    "q_revenue_by_nation",
+    "q_rollup_order_stats",
+    "q_sample_source_cap",
+    "q_scalar_conditional",
+    "q_scalar_math",
+    "q_shipping_priority",
+    "q_small_quantity_revenue",
+    "q_source_manifest_merge",
+    "q_stream_dedup",
+    "q_stream_dedup_within_watermark",
+    "q_stream_session_windows",
+    "q_stream_sliding_avg",
+    "q_stream_stateful_user_totals",
+    "q_stream_stream_join",
+    "q_stream_tumbling_append_filesink",
+    "q_stream_tumbling_counts",
+    "q_text_bytes_mapinarrow",
+    "q_text_lm_score",
+    # (d) 19 of the r11-stale cohort:
+    "q_bilateral_trade",
+    "q_customer_order_distribution",
+    "q_dedup_minhash",
+    "q_dedup_prefix_filter_join",
+    "q_dedup_simhash",
+    "q_discount_revenue_delta",
+    "q_disjunctive_revenue",
+    "q_dormant_rich_customers",
+    "q_embedding_quantize_int8",
+    "q_events_attribution",
+    "q_events_cusum",
+    "q_graph_hits",
+    "q_graph_kcore",
+    "q_graph_label_propagation",
+    "q_harvest_downstream_preserved",
+    "q_important_parts_value",
+    "q_join_bucketed_colocated",
+    "q_lineitem_priority_matrix",
+    "q_market_basket_rules",
 )
 
 _loaded = False

@@ -41,39 +41,35 @@ def test_every_oracle_has_a_query():
 
 def test_driver_window_covers_every_component():
     """The first DRIVER_WINDOW catalog entries (all the driver's
-    correctness gate ever records) must front the r16 rotation: the
-    9 never-driver-sampled r15 entries, the 2 r16-new entries, the
-    schema-rebased warc stats, the 11-entry r09-stale remainder, and
-    27 of the r10-stale cohort (the r15 verdict's #1 ask)."""
+    correctness gate ever records) must front the r17 rotation: the
+    4 never-driver-sampled r17 entries, the schema-rebased warc
+    stats, the 26-entry r10-stale remainder (closes the no-row-
+    predating-r11 criterion), and 19 of the r11-stale cohort (the
+    r16 verdict's #1 ask)."""
     queries, _ = cat.load_catalog()
     window = list(queries)[: cat.DRIVER_WINDOW]
     assert len(cat._DRIVER_PRIORITY) <= cat.DRIVER_WINDOW
     assert list(cat._DRIVER_PRIORITY) == window[: len(cat._DRIVER_PRIORITY)]
     for name in (
-        # the 9 never-sampled r15 entries — all must earn driver rows
-        "q_pipeline_charset_decode",
-        "q_graph_crawl_outlinks",
-        "q_graph_crawl_pagerank",
-        "q_graph_crawl_host_graph",
-        "q_pipeline_crawl_frontier",
-        "q_pipeline_sitemap_recrawl",
-        "q_quality_gopher_rules",
-        "q_quality_c4_line_filters",
-        "q_multimodal_pdf_update_pipeline",
-        # the r16-new entries + the schema-rebased stats row
-        "q_pipeline_crawl_rounds",
-        "q_pipeline_wet_roundtrip",
+        # the 4 never-sampled r17 entries — all must earn driver rows
+        "q_pipeline_warc_content_codings",
+        "q_pipeline_warc_revisit",
+        "q_pipeline_crawl_budget",
+        "q_stream_crawl_loop",
+        # the schema-rebased stats row (digest columns, r17)
         "q_source_warc_stats",
-        # the r09 remainder (closes the no-row-predating-r10 criterion)
-        "q_multimodal_ppm_pipeline",
-        "q_quality_compression_ratio",
-        "q_text_lm_bigram_score",
-        "q_window_sliding_frame",
-        # representatives of the r10 cohort (the full 21 are pinned by
-        # the _DRIVER_PRIORITY == window prefix assertion above)
-        "q_agg_minmax_stats",
-        "q_dedup_ngram_jaccard",
-        "q_harvest_read_path",
+        # representatives of the r10 remainder (the full 26 are pinned
+        # by the _DRIVER_PRIORITY == window prefix assertion above)
+        "q_harvest_unpivot",
+        "q_join_asof",
+        "q_pricing_summary",
+        "q_stream_tumbling_counts",
+        "q_text_lm_score",
+        # representatives of the 19-entry r11 tranche
+        "q_bilateral_trade",
+        "q_dedup_minhash",
+        "q_graph_label_propagation",
+        "q_market_basket_rules",
     ):
         assert name in window, name
 
