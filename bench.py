@@ -123,6 +123,20 @@ HEADLINE = [
     # compositions.
     "q_pipeline_crawl_rounds",
     "q_pipeline_wet_roundtrip",
+    # round 17: price the archive-realism legs — the four-coding
+    # capture (identity/gzip/chunked/composed: dechunk + gunzip before
+    # the charset funnel, 4 records per page) and the revisit recrawl
+    # (two rounds, digest compute + resolution) are both map-only over
+    # the fixed 300-doc WARC fixture; the budgeted crawl loop prices
+    # the per-host cap when-chain beside q_pipeline_crawl_rounds'
+    # constant cap.  The closed STREAMING loop (q_stream_crawl_loop)
+    # stays out of the headline: its wall-clock is 4 availableNow
+    # drains + ~14 keyed-merge commits of scheduler fixed cost —
+    # pricing the sandbox's streaming overhead, not a plan; its
+    # correctness gate is the driver row + the batch-equivalence pin.
+    "q_pipeline_warc_content_codings",
+    "q_pipeline_warc_revisit",
+    "q_pipeline_crawl_budget",
 ]
 
 
