@@ -90,18 +90,18 @@ DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = (
     # ---- r17 rotation ----
-    # 50 slots = 4 + 1 + 26 + 19 (the r16 verdict's #1 ask).
-    # (a) the 4 r17-new entries, never driver-sampled (HTTP payload
+    # 50 slots = 5 + 1 + 26 + 18 (the r16 verdict's #1 ask).
+    # (a) the 5 r17-new entries, never driver-sampled (HTTP payload
     # codings, WARC revisit/digest dedup, time-budget politeness,
-    # the closed streaming crawl loop);
+    # the closed streaming crawl loop, the CDX seek index);
     # (b) q_source_warc_stats re-queued — its r17 schema adds the
     # payload-digest columns, so the r16 row no longer reflects it;
     # (c) the 26-entry r10-stale remainder (q_harvest_unpivot ..
     # q_text_lm_score — closes the verdict's "no live entry's newest
     # driver row predates r11" criterion);
-    # (d) the 19 alphabetically-first entries of the 49-entry cohort
-    # whose newest driver row is r11 — the stalest after (c); the 30
-    # alphabetically-last (q_multimodal_gif_pipeline ..
+    # (d) the 18 alphabetically-first entries of the 49-entry cohort
+    # whose newest driver row is r11 — the stalest after (c); the 31
+    # alphabetically-last (q_market_basket_rules ..
     # q_top_supplier_revenue) are the r18 queue.  Entries outside the
     # window stay hash-verified by tools/verify_oracle.py + pytest
     # every session.
@@ -110,6 +110,7 @@ _DRIVER_PRIORITY = (
     "q_pipeline_warc_revisit",
     "q_pipeline_crawl_budget",
     "q_stream_crawl_loop",
+    "q_source_warc_cdx",
     # (b) schema-rebased this round:
     "q_source_warc_stats",
     # (c) the r10-stale remainder:
@@ -139,7 +140,7 @@ _DRIVER_PRIORITY = (
     "q_stream_tumbling_counts",
     "q_text_bytes_mapinarrow",
     "q_text_lm_score",
-    # (d) 19 of the r11-stale cohort:
+    # (d) 18 of the r11-stale cohort:
     "q_bilateral_trade",
     "q_customer_order_distribution",
     "q_dedup_minhash",
@@ -158,7 +159,6 @@ _DRIVER_PRIORITY = (
     "q_important_parts_value",
     "q_join_bucketed_colocated",
     "q_lineitem_priority_matrix",
-    "q_market_basket_rules",
 )
 
 _loaded = False

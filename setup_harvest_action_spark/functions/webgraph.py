@@ -1271,25 +1271,32 @@ def q_pipeline_robots_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-identical to q_pipeline_crawl_frontier's, which pins that
     the container/HTTP/charset path delivers byte-equivalent policy
     text to the fixture dict (a stray BOM, a CRLF mangling, or a
-    host-keying slip flips the decision set).  Scale: robots.txt
-    fetching is coordinator-scale work (hosts × ~1 KiB); the
-    dimension then broadcasts exactly as before."""
+    host-keying slip flips the decision set).  r17: the bodies ship
+    with REAL payload codings — the hosts rotate through identity /
+    gzip / chunked / gzip+chunked responses (servers gzip robots.txt
+    like anything else), so the transport-decode leg sits inside this
+    oracle too: a dechunk or gunzip slip mangles a policy and flips
+    the frontier.  Scale: robots.txt fetching is coordinator-scale
+    work (hosts × ~1 KiB); the dimension then broadcasts exactly as
+    before."""
     from setup_harvest_action_spark.functions.charset import decode_bytes
     from setup_harvest_action_spark.sources.warc import (
-        encode_warc_responses,
+        HTTP_CODINGS,
+        encode_warc_http,
         parse_warc,
     )
 
-    blob = encode_warc_responses(
+    blob = encode_warc_http(
         [
             (
                 f"https://{h}.example/robots.txt",
                 txt.encode("utf-8"),
                 "text/plain; charset=utf-8",
+                HTTP_CODINGS[i % len(HTTP_CODINGS)],
             )
-            for h, txt in sorted(HOST_ROBOTS.items())
+            for i, (h, txt) in enumerate(sorted(HOST_ROBOTS.items()))
         ],
-        gzip_members=True,
+        layout="gzip_members",
     )
     rows = []
     for rec in parse_warc(blob):

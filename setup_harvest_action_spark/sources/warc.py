@@ -624,6 +624,112 @@ def encode_wat(
     return _pack(recs, layout)
 
 
+def surt_key(url: str) -> str:
+    """SURT (Sort-friendly URI Reordering Transform) — the canonical
+    key CDX indexes sort by (Internet Archive / pywb convention,
+    trimmed to the fields our fixtures exercise): scheme and default
+    port dropped, host lowercased and comma-reversed, ``)/`` then the
+    lowercased path+query, trailing slash trimmed.
+    ``https://Host3.example/doc/42`` → ``example,host3)/doc/42``."""
+    from urllib.parse import urlsplit
+
+    p = urlsplit(url)
+    host = (p.hostname or "").lower()
+    key = ",".join(reversed(host.split("."))) + ")"
+    path = (p.path or "/").lower()
+    if p.query:
+        path += "?" + p.query.lower()
+    return key + (path.rstrip("/") or "/")
+
+
+def cdx_index(payload: bytes, filename: str = "-") -> list[dict]:
+    """A CDX(J) index of a WARC container — the sidecar every wayback
+    deployment builds so a 100 TB archive is point-seekable: one entry
+    per response/revisit record with its SURT urlkey, HTTP status,
+    mime, payload digest, and the COMPRESSED byte (offset, length) of
+    the record.  For the gzip_members layout offsets address whole
+    gzip members (each record is its own member — the property that
+    makes the layout seekable; the indexer walks members with a
+    zlib decompressobj tracking compressed positions); for plain
+    files they address raw record spans.  ``bytes[offset:offset+
+    length]`` MUST parse back to the record — pinned in tests and by
+    q_source_warc_cdx's seek_ok column."""
+    import zlib as _zlib
+
+    spans: list[tuple[int, int, bytes]] = []  # (offset, length, rec bytes)
+    if payload[:2] == b"\x1f\x8b":
+        pos = 0
+        n = len(payload)
+        while pos < n:
+            d = _zlib.decompressobj(16 + _zlib.MAX_WBITS)
+            out = d.decompress(payload[pos:])
+            consumed = (n - pos) - len(d.unused_data)
+            if consumed <= 0:
+                raise ValueError("corrupt gzip member in WARC")
+            spans.append((pos, consumed, out))
+            pos += consumed
+        if len(spans) == 1 and spans[0][2].count(b"WARC/1.0") > 1:
+            # single-stream layout: no member-level seek exists — CDX
+            # over it indexes the DECOMPRESSED spans (documented
+            # degradation, exactly why the spec discourages the layout)
+            whole = spans[0][2]
+            spans = _plain_spans(whole)
+    else:
+        spans = _plain_spans(payload)
+    entries = []
+    for off, length, blob in spans:
+        recs = parse_warc(blob)
+        if not recs:
+            continue
+        rec = recs[0]
+        if rec["type"] not in ("response", "revisit"):
+            continue
+        entries.append(
+            {
+                "urlkey": surt_key(rec["uri"]),
+                "url": rec["uri"],
+                "status": rec.get("http_status"),
+                "mime": (rec.get("http_headers") or {})
+                .get("content-type", "-")
+                .split(";")[0],
+                "digest": rec["headers"].get("warc-payload-digest"),
+                "offset": off,
+                "length": length,
+                "filename": filename,
+                "record_type": rec["type"],
+            }
+        )
+    return sorted(entries, key=lambda e: e["urlkey"])
+
+
+def _plain_spans(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """(offset, length, bytes) of each record in an UNCOMPRESSED WARC
+    — the same Content-Length walk as parse_warc, keeping positions."""
+    spans = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        while pos < n and payload[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        start = pos
+        hdr_end = payload.find(_CRLF * 2, pos)
+        if hdr_end < 0:
+            raise ValueError("malformed WARC: unterminated headers")
+        m = None
+        for raw in payload[pos:hdr_end].split(_CRLF):
+            k, _, v = raw.partition(b":")
+            if k.strip().lower() == b"content-length":
+                m = int(v.strip())
+        if m is None:
+            raise ValueError("malformed WARC: bad Content-Length")
+        end = hdr_end + 4 + m + 4
+        spans.append((start, end - start, payload[start:end]))
+        pos = end
+    return spans
+
+
 def parse_warc(payload: bytes) -> list[dict]:
     """All records of a WARC file (gzip'd or plain): dicts with type /
     uri / headers, and for application/http responses the parsed
@@ -1147,6 +1253,98 @@ def q_pipeline_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.groupBy("file_id").applyInPandas(
         one_file, "doc_id long, record_type string, main_md5 string"
+    )
+
+
+@query(
+    "q_source_warc_cdx",
+    oracle=f"""
+SELECT doc_id,
+       'example,corpus)/doc/' || doc_id AS urlkey,
+       200 AS status,
+       'text/html' AS mime,
+       TRUE AS digest_ok,
+       TRUE AS seek_ok,
+       CAST(row_number() OVER (
+         PARTITION BY CAST(floor(doc_id / {PAGES_PER_FILE}) AS INT)
+         ORDER BY 'example,corpus)/doc/' || doc_id
+       ) AS INT) AS cdx_rank
+FROM documents
+WHERE n_chars >= {WARC_MIN_CHARS} AND doc_id < {WARC_DOCS}
+""",
+)
+def q_source_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX indexing under the hash gate (r17 post-close): the sidecar
+    index every wayback deployment builds so a 100 TB .warc.gz corpus
+    is point-seekable — per response record its SURT urlkey, status,
+    mime, payload digest, and the COMPRESSED (offset, length) of the
+    record's gzip member.  The query proves the whole contract per
+    document: the SURT arithmetic (oracled as string construction),
+    digest_ok (sha1 recomputed over the body reached BY SEEK — gunzip
+    of bytes[offset:offset+length] — matches the indexed digest),
+    seek_ok (the seek-parsed record equals the full-scan record), and
+    cdx_rank (the index is urlkey-sorted within each file, oracled as
+    a row_number window).  Scale: indexing rides the same one-task-
+    per-WARC-file map stage as parsing; lookups against the index are
+    keyed joins — the digest→bytes resolution q_pipeline_warc_revisit
+    models."""
+    import pandas as pd
+
+    from setup_harvest_action_spark.functions.html_extract import (
+        synthesize_page,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("n_chars") >= WARC_MIN_CHARS)
+            & (F.col("doc_id") < WARC_DOCS)
+        )
+        .select("doc_id", "text", "lang")
+        .withColumn("file_id", (F.col("doc_id") / PAGES_PER_FILE).cast("int"))
+    )
+
+    def one_file(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        pages = [
+            (
+                f"https://corpus.example/doc/{int(d)}",
+                synthesize_page(int(d), t, lang=lg),
+            )
+            for d, t, lg in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
+        ]
+        blob = encode_warc(pages, layout="gzip_members")
+        full = {
+            r["uri"]: r
+            for r in parse_warc(blob)
+            if r["type"] == "response"
+        }
+        rows = {
+            "doc_id": [], "urlkey": [], "status": [], "mime": [],
+            "digest_ok": [], "seek_ok": [], "cdx_rank": [],
+        }
+        for rank, e in enumerate(cdx_index(blob, "fixture.warc.gz"), 1):
+            member = blob[e["offset"] : e["offset"] + e["length"]]
+            seek_rec = parse_warc(_gzip.decompress(member))[0]
+            ref = full[e["url"]]
+            rows["doc_id"].append(int(e["url"].rsplit("/", 1)[1]))
+            rows["urlkey"].append(e["urlkey"])
+            rows["status"].append(int(e["status"]))
+            rows["mime"].append(e["mime"])
+            rows["digest_ok"].append(
+                payload_digest(seek_rec["http_body"]) == e["digest"]
+            )
+            rows["seek_ok"].append(
+                seek_rec["uri"] == ref["uri"]
+                and seek_rec["http_body"] == ref["http_body"]
+            )
+            rows["cdx_rank"].append(rank)
+        return pd.DataFrame(rows)
+
+    return docs.groupBy("file_id").applyInPandas(
+        one_file,
+        "doc_id long, urlkey string, status int, mime string, "
+        "digest_ok boolean, seek_ok boolean, cdx_rank int",
     )
 
 

@@ -470,3 +470,65 @@ def test_wat_triple_envelopes_all_three_record_types():
             assert (
                 env["WARC-Header-Metadata"]["WARC-Payload-Digest"] == cap[4]
             )
+
+
+# --- r17 post-close: SURT + CDX ----------------------------------------------
+
+
+def test_surt_key_rules():
+    from setup_harvest_action_spark.sources.warc import surt_key
+
+    assert surt_key("https://Host3.example/doc/42") == "example,host3)/doc/42"
+    assert surt_key("http://a.b.c.example/") == "example,c,b,a)/"
+    assert surt_key("https://x.example/Path/?Q=1") == "example,x)/path/?q=1"
+    assert surt_key("https://x.example") == "example,x)/"
+
+
+def test_cdx_members_seek_back_to_records():
+    from setup_harvest_action_spark.sources.warc import cdx_index
+
+    blob = encode_warc(PAGES, layout="gzip_members")
+    idx = cdx_index(blob, "t.warc.gz")
+    assert [e["url"] for e in idx] == sorted(u for u, _ in PAGES)
+    assert idx == sorted(idx, key=lambda e: e["urlkey"])
+    for e in idx:
+        member = blob[e["offset"] : e["offset"] + e["length"]]
+        rec = parse_warc(gzip.decompress(member))[0]
+        assert rec["uri"] == e["url"]
+        assert rec["headers"]["warc-payload-digest"] == e["digest"]
+        assert e["mime"] == "text/html" and e["status"] == 200
+    # offsets tile the file with no gaps past the warcinfo member
+    ends = {e["offset"] + e["length"] for e in idx}
+    starts = {e["offset"] for e in idx}
+    assert len(starts) == len(PAGES)
+    assert max(ends) == len(blob)
+
+
+def test_cdx_plain_layout_and_revisit_records():
+    from setup_harvest_action_spark.sources.warc import (
+        cdx_index,
+        encode_warc_recrawl,
+        payload_digest,
+    )
+
+    digests = {u: payload_digest(h.encode()) for u, h in PAGES}
+    blob = encode_warc_recrawl(PAGES, digests, layout="plain")
+    idx = cdx_index(blob)
+    assert {e["record_type"] for e in idx} == {"revisit"}
+    for e in idx:
+        rec = parse_warc(blob[e["offset"] : e["offset"] + e["length"]])[0]
+        assert rec["type"] == "revisit" and rec["uri"] == e["url"]
+
+
+def test_cdx_stream_gzip_documented_degradation():
+    """single-stream gzip has no member seek; the index still forms
+    (decompressed spans) — exactly why the spec discourages it."""
+    from setup_harvest_action_spark.sources.warc import cdx_index
+
+    blob = encode_warc(PAGES, layout="gzip_stream")
+    idx = cdx_index(blob)
+    assert [e["url"] for e in idx] == sorted(u for u, _ in PAGES)
+    plain = gzip.decompress(blob)
+    for e in idx:
+        rec = parse_warc(plain[e["offset"] : e["offset"] + e["length"]])[0]
+        assert rec["uri"] == e["url"]
