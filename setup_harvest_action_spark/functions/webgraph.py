@@ -1125,7 +1125,17 @@ def crawl_stream_loop(
     per-round materialization (and like a production crawler's
     scheduler tick against its frontier store).  A re-entry with the
     loop already complete (frontier table at the round bound) drains
-    nothing, derives nothing, and commits nothing."""
+    nothing, derives nothing, and commits nothing.
+
+    Crash boundary, honestly: the STREAM side is exactly-once (keyed
+    merges + checkpoint).  The scheduler tick (frontier merge →
+    crawled merge → arrivals append) is three commits; a driver
+    crash between them leaves a round whose frontier exists but
+    whose crawled/arrivals legs are missing — re-entry resumes at
+    the derivation guard so the frontier itself never duplicates,
+    but a production deployment would fold the tick into ONE
+    versioned commit (the manifest CAS supports it) rather than
+    three."""
     import os
 
     from setup_harvest_action_spark.sources.manifest_sink import (
@@ -1191,7 +1201,14 @@ def crawl_stream_loop(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
+        # awaitTermination returns False on timeout with the query
+        # STILL RUNNING — proceeding would derive a frontier from
+        # half-merged tables and then double-start the checkpoint
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"crawl stream drain exceeded {timeout_sec}s"
+            )
 
     admit = robots_admission_expr(
         F.col("host"),
@@ -1204,6 +1221,23 @@ def crawl_stream_loop(
         ).collect()[0]["r"]
         if done >= rounds:
             break
+        # tick repair: re-assert crawled ⊇ frontier before deriving.
+        # A crash between the frontier merge and the crawled merge
+        # would otherwise let round done's URLs be re-admitted in
+        # round done+1 — the keyed frontier merge would then REWRITE
+        # their round column (full-row update), silently renumbering
+        # crawl history.  Gated on an actual violation (one tiny
+        # anti-join count) so the clean path commits nothing extra.
+        if done > 0:
+            missing = (
+                scan_manifest(spark, frontier_t)
+                .select("url")
+                .join(
+                    scan_manifest(spark, crawled_t), "url", "left_anti"
+                )
+            )
+            if missing.limit(1).count() > 0:
+                merge_into(spark, crawled_t, missing, on=["url"])
         _drain()
         k = done + 1
         frontier = (
@@ -1231,6 +1265,11 @@ def crawl_stream_loop(
         just = scan_manifest(spark, frontier_t).filter(
             F.col("round") == k
         )
+        if just.limit(1).count() == 0:
+            # converged: the crawl found nothing new to admit, so
+            # max(round) can never advance — stop instead of spinning
+            # (an empty frontier is an empty RESULT, not a hang)
+            break
         merge_into(spark, crawled_t, just.select("url"), on=["url"])
         if k < rounds:
             # existing targets re-enter the stream: doc t lives at

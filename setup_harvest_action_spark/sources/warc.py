@@ -164,12 +164,14 @@ def _dechunk_body(body: bytes) -> bytes:
         if line_end < 0:
             raise ValueError("truncated chunked body: missing size line")
         size_token = body[pos:line_end].split(b";", 1)[0].strip()
-        try:
-            size = int(size_token, 16)
-        except ValueError:
-            raise ValueError(
-                f"malformed chunk size {size_token[:16]!r}"
-            ) from None
+        # strict hex only: int(b'-6', 16) parses, and a negative size
+        # would walk pos BACKWARD — an infinite loop, the exact hang
+        # this decoder promises never to produce
+        if not size_token or any(
+            c not in b"0123456789abcdefABCDEF" for c in size_token
+        ):
+            raise ValueError(f"malformed chunk size {size_token[:16]!r}")
+        size = int(size_token, 16)
         pos = line_end + 2
         if size == 0:
             return bytes(out)  # trailer fields (if any) are ignored
@@ -519,7 +521,7 @@ def encode_wat(
     import json as _json
     from urllib.parse import urlsplit as _urlsplit
 
-    def _env(payload: dict, uri: str | None, kind: str) -> bytes:
+    def _env(payload: dict) -> bytes:
         return _json.dumps(
             payload, sort_keys=True, separators=(",", ":")
         ).encode("utf-8")
@@ -547,9 +549,7 @@ def encode_wat(
                                 }
                             },
                         }
-                    },
-                    None,
-                    "warcinfo",
+                    }
                 ),
                 record_id=_rid("wat:warcinfo"),
                 content_type="application/json",
@@ -581,9 +581,7 @@ def encode_wat(
                                     }
                                 },
                             }
-                        },
-                        uri,
-                        "request",
+                        }
                     ),
                     uri=uri,
                     record_id=_rid("wat:req:" + uri),
@@ -614,7 +612,7 @@ def encode_wat(
         recs.append(
             _record(
                 "metadata",
-                _env(envelope, uri, "response"),
+                _env(envelope),
                 uri=uri,
                 record_id=_rid("wat:" + uri),
                 refers_to=_rid(uri),
@@ -658,22 +656,25 @@ def cdx_index(payload: bytes, filename: str = "-") -> list[dict]:
 
     spans: list[tuple[int, int, bytes]] = []  # (offset, length, rec bytes)
     if payload[:2] == b"\x1f\x8b":
+        view = memoryview(payload)  # per-member slices stay zero-copy
         pos = 0
         n = len(payload)
         while pos < n:
             d = _zlib.decompressobj(16 + _zlib.MAX_WBITS)
-            out = d.decompress(payload[pos:])
+            out = d.decompress(view[pos:])
             consumed = (n - pos) - len(d.unused_data)
             if consumed <= 0:
                 raise ValueError("corrupt gzip member in WARC")
             spans.append((pos, consumed, out))
             pos += consumed
-        if len(spans) == 1 and spans[0][2].count(b"WARC/1.0") > 1:
-            # single-stream layout: no member-level seek exists — CDX
-            # over it indexes the DECOMPRESSED spans (documented
-            # degradation, exactly why the spec discourages the layout)
-            whole = spans[0][2]
-            spans = _plain_spans(whole)
+        if len(spans) == 1 and len(_plain_spans(spans[0][2])) > 1:
+            # STRUCTURALLY a single-stream file (one gzip member
+            # framing several records — a byte-content heuristic would
+            # misfire on a page whose body mentions "WARC/1.0"): no
+            # member-level seek exists, so CDX over it indexes the
+            # DECOMPRESSED spans (documented degradation, exactly why
+            # the spec discourages the layout)
+            spans = _plain_spans(spans[0][2])
     else:
         spans = _plain_spans(payload)
     entries = []
@@ -704,7 +705,11 @@ def cdx_index(payload: bytes, filename: str = "-") -> list[dict]:
 
 def _plain_spans(payload: bytes) -> list[tuple[int, int, bytes]]:
     """(offset, length, bytes) of each record in an UNCOMPRESSED WARC
-    — the same Content-Length walk as parse_warc, keeping positions."""
+    — THE Content-Length framing walk (parse_warc and the CDX indexer
+    both derive from this single implementation, so the two can never
+    disagree on what a record is).  Never driven by separator
+    scanning; negative or missing Content-Length and truncation raise
+    rather than walking backward or reading short."""
     spans = []
     pos = 0
     n = len(payload)
@@ -714,17 +719,28 @@ def _plain_spans(payload: bytes) -> list[tuple[int, int, bytes]]:
         if pos >= n:
             break
         start = pos
-        hdr_end = payload.find(_CRLF * 2, pos)
+        line_end = payload.find(_CRLF, pos)
+        if line_end < 0 or not payload[pos:line_end].startswith(b"WARC/"):
+            raise ValueError("malformed WARC: missing version line")
+        hdr_end = payload.find(_CRLF * 2, line_end)
         if hdr_end < 0:
             raise ValueError("malformed WARC: unterminated headers")
-        m = None
-        for raw in payload[pos:hdr_end].split(_CRLF):
+        length = None
+        for raw in payload[line_end + 2 : hdr_end].split(_CRLF):
             k, _, v = raw.partition(b":")
             if k.strip().lower() == b"content-length":
-                m = int(v.strip())
-        if m is None:
+                try:
+                    length = int(v.strip())
+                except ValueError:
+                    raise ValueError(
+                        "malformed WARC: bad Content-Length"
+                    ) from None
+        if length is None or length < 0:
             raise ValueError("malformed WARC: bad Content-Length")
-        end = hdr_end + 4 + m + 4
+        body_start = hdr_end + 4
+        if body_start + length > n:
+            raise ValueError("truncated WARC record")
+        end = body_start + length
         spans.append((start, end - start, payload[start:end]))
         pos = end
     return spans
@@ -733,37 +749,20 @@ def _plain_spans(payload: bytes) -> list[tuple[int, int, bytes]]:
 def parse_warc(payload: bytes) -> list[dict]:
     """All records of a WARC file (gzip'd or plain): dicts with type /
     uri / headers, and for application/http responses the parsed
-    status + body.  Framing is Content-Length-driven; a record whose
-    declared length overruns the file raises ValueError (truncation is
-    an error, not a silent partial read)."""
+    status + body.  Framing is Content-Length-driven via
+    :func:`_plain_spans` (truncation is an error, not a silent
+    partial read)."""
     if payload[:2] == b"\x1f\x8b":
         payload = _gzip.decompress(payload)
     records: list[dict] = []
-    pos = 0
-    n = len(payload)
-    while pos < n:
-        while pos < n and payload[pos : pos + 2] == _CRLF:
-            pos += 2
-        if pos >= n:
-            break
-        line_end = payload.find(_CRLF, pos)
-        if line_end < 0 or not payload[pos:line_end].startswith(b"WARC/"):
-            raise ValueError("malformed WARC: missing version line")
-        hdr_end = payload.find(_CRLF * 2, line_end)
-        if hdr_end < 0:
-            raise ValueError("malformed WARC: unterminated headers")
+    for _off, _len, blob in _plain_spans(payload):
+        line_end = blob.find(_CRLF)
+        hdr_end = blob.find(_CRLF * 2, line_end)
         headers: dict[str, str] = {}
-        for raw in payload[line_end + 2 : hdr_end].split(_CRLF):
+        for raw in blob[line_end + 2 : hdr_end].split(_CRLF):
             k, _, v = raw.partition(b":")
             headers[k.strip().decode().lower()] = v.strip().decode()
-        try:
-            length = int(headers["content-length"])
-        except (KeyError, ValueError):
-            raise ValueError("malformed WARC: bad Content-Length")
-        body_start = hdr_end + 4
-        if body_start + length > n:
-            raise ValueError("truncated WARC record")
-        body = payload[body_start : body_start + length]
+        body = blob[hdr_end + 4 :]
         rec = {
             "type": headers.get("warc-type", ""),
             "uri": headers.get("warc-target-uri"),
@@ -810,7 +809,6 @@ def parse_warc(payload: bytes) -> list[dict]:
             except ValueError as exc:
                 rec["http_error"] = str(exc)
         records.append(rec)
-        pos = body_start + length
     return records
 
 
@@ -953,8 +951,13 @@ def q_source_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stored = [
             r["headers"].get("warc-payload-digest") for r in responses
         ]
+        # a record with http_error has no http_body — that is a
+        # not-ok, not a crash (this query is the container-health
+        # diagnostic; it must report, never die)
         digests_ok = all(
-            s is not None and s == payload_digest(r["http_body"])
+            s is not None
+            and r.get("http_body") is not None
+            and s == payload_digest(r["http_body"])
             for s, r in zip(stored, responses)
         )
         return pd.DataFrame(

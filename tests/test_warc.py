@@ -532,3 +532,46 @@ def test_cdx_stream_gzip_documented_degradation():
     for e in idx:
         rec = parse_warc(plain[e["offset"] : e["offset"] + e["length"]])[0]
         assert rec["uri"] == e["url"]
+
+
+def test_negative_chunk_size_is_error_not_infinite_loop():
+    """int(b'-6', 16) parses — a negative size walked pos backward
+    forever (r17 review catch).  Strict-hex rejection pins it."""
+    from setup_harvest_action_spark.sources.warc import _dechunk_body
+
+    with pytest.raises(ValueError, match="malformed chunk size"):
+        _dechunk_body(b"1\r\nA\r\n-6\r\n")
+    with pytest.raises(ValueError, match="malformed chunk size"):
+        _dechunk_body(b"+2\r\nAB\r\n0\r\n\r\n")
+    with pytest.raises(ValueError, match="malformed chunk size"):
+        _dechunk_body(b"0x2\r\nAB\r\n0\r\n\r\n")
+
+
+def test_negative_content_length_is_error_not_backward_walk():
+    """Same hang class at the WARC framing layer: a negative
+    Content-Length must raise, not move the walk backward."""
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\n"
+        b"WARC-Record-ID: <urn:uuid:x>\r\n"
+        b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        b"Content-Type: text/plain\r\nContent-Length: -10\r\n\r\nbody\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="bad Content-Length"):
+        parse_warc(rec)
+
+
+def test_cdx_single_record_member_file_with_warc_text_in_body():
+    """The layout decision is structural (record count), not a byte
+    scan: one gzip member whose HTML BODY mentions WARC/1.0 is still
+    a member-seekable file and its offset must address the member."""
+    from setup_harvest_action_spark.sources.warc import cdx_index
+
+    page = [("https://x.example/about-warc",
+             "<html><body><p>the WARC/1.0 and WARC/1.0 formats</p></body></html>")]
+    blob = encode_warc(page, layout="gzip_members")
+    idx = cdx_index(blob)
+    assert len(idx) == 1
+    e = idx[0]
+    member = blob[e["offset"] : e["offset"] + e["length"]]
+    rec = parse_warc(gzip.decompress(member))[0]
+    assert rec["uri"] == page[0][0]
