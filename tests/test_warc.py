@@ -575,3 +575,84 @@ def test_cdx_single_record_member_file_with_warc_text_in_body():
     member = blob[e["offset"] : e["offset"] + e["length"]]
     rec = parse_warc(gzip.decompress(member))[0]
     assert rec["uri"] == page[0][0]
+
+
+def test_coded_container_bitflips_never_hang():
+    """150 random bitflips over a container holding all four coding
+    variants: parse either succeeds (bad records carry http_error) or
+    raises a clean ValueError-class — never hangs, never crashes
+    uncleanly (extends the r14 fuzz to the r17 coded paths)."""
+    from setup_harvest_action_spark.sources.warc import (
+        HTTP_CODINGS,
+        encode_warc_http,
+    )
+
+    body = ("fuzz body é " * 60).encode()
+    blob = bytearray(
+        encode_warc_http(
+            [
+                (f"https://x.example/{c}", body, "text/plain", c)
+                for c in HTTP_CODINGS
+            ],
+            layout="plain",
+        )
+    )
+    rng = random.Random(777)
+    for _ in range(150):
+        i = rng.randrange(len(blob))
+        bit = 1 << rng.randrange(8)
+        blob[i] ^= bit
+        try:
+            recs = parse_warc(bytes(blob))
+            assert isinstance(recs, list)
+            for r in recs:
+                # the parser's promise: a record it CALLS an HTTP
+                # capture either decoded (http_body) or failed
+                # honestly (http_error) — a flipped WARC-Type or
+                # mangled status line downgrades the record instead
+                if r["type"] in ("response", "revisit") and r[
+                    "payload"
+                ].startswith(b"HTTP/"):
+                    assert ("http_body" in r) or ("http_error" in r)
+        except ValueError:
+            pass
+        finally:
+            blob[i] ^= bit
+
+
+def test_chunk_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from setup_harvest_action_spark.sources.warc import (
+        _chunk_body,
+        _dechunk_body,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.binary(max_size=2000),
+        st.integers(min_value=1, max_value=512),
+    )
+    def rt(body, size):
+        assert _dechunk_body(_chunk_body(body, size)) == body
+
+    rt()
+
+
+def test_dechunk_arbitrary_bytes_never_hang_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from setup_harvest_action_spark.sources.warc import _dechunk_body
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.binary(max_size=600))
+    def never_hangs(junk):
+        try:
+            out = _dechunk_body(junk)
+            assert isinstance(out, bytes)
+        except ValueError:
+            pass
+
+    never_hangs()
