@@ -146,6 +146,31 @@ def can_fetch(
     raise ValueError(f"unknown robots policy {policy!r}")
 
 
+# block-all in robots.txt syntax — what RFC 9309 §2.3.1.4 tells a
+# crawler to ASSUME when robots.txt is unreachable (5xx)
+BLOCK_ALL_ROBOTS = "User-agent: *\nDisallow: /\n"
+
+
+def policy_from_fetch(status: int, body: str) -> str:
+    """RFC 9309 §2.3.1 availability semantics — what policy a crawler
+    must ACT ON given the robots.txt fetch outcome:
+
+    * 2xx ("available"): parse the body as-is;
+    * 4xx ("unavailable" — 404 and friends): the crawler MAY access
+      any resource → the empty policy (allow all);
+    * 5xx / network failure ("unreachable"): the crawler MUST assume
+      complete disallow → block-all.
+
+    3xx is not modeled here: the fetch leg is expected to have
+    followed redirects (the RFC caps them at five hops) before
+    recording the terminal capture."""
+    if 200 <= status < 300:
+        return body
+    if 400 <= status < 500:
+        return ""
+    return BLOCK_ALL_ROBOTS
+
+
 # --- catalog query -----------------------------------------------------------
 
 ROBOTS_DOCS = 400

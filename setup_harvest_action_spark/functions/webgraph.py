@@ -380,9 +380,12 @@ def robots_admit(candidates: DataFrame, robots_dim: DataFrame) -> DataFrame:
     return joined.mapInPandas(admit, "host string, url string")
 
 
-# the frontier derivation as a reusable CTE chain (frontier +
-# crawl-delay scheduling share it)
-_FRONTIER_CTES = f"""
+# the frontier derivation as a reusable CTE chain (frontier,
+# crawl-delay scheduling and the availability-semantics leg share it;
+# ``admit_sql`` swaps the admission predicate — the availability query
+# overrides per-host decisions per RFC 9309 §2.3.1)
+def _frontier_ctes(admit_sql: str | None = None) -> str:
+    return f"""
 WITH {_EDGES_SQL},
 crawled AS (SELECT DISTINCT src AS url FROM edges),
 candidates AS (
@@ -395,7 +398,7 @@ hosted AS (
   FROM candidates
 ),
 admitted AS (
-  SELECT host, url FROM hosted WHERE {_ADMIT_CASE_SQL}
+  SELECT host, url FROM hosted WHERE {admit_sql or _ADMIT_CASE_SQL}
 ),
 ranked AS (
   SELECT host, url,
@@ -403,6 +406,9 @@ ranked AS (
   FROM admitted
 )
 """
+
+
+_FRONTIER_CTES = _frontier_ctes()
 
 
 @query(
@@ -1109,6 +1115,8 @@ def crawl_stream_loop(
     base: str,
     rounds: int = CRAWL_ROUNDS,
     timeout_sec: int = 300,
+    host_caps: dict[str, int] | None = None,
+    default_cap: int = FRONTIER_PER_HOST,
 ) -> DataFrame:
     """Library form of the closed streaming loop.  Layout under
     ``base``: ``arrivals/`` (doc-id parquet files — seeds first, then
@@ -1253,13 +1261,22 @@ def crawl_stream_loop(
             )
             .filter(admit)
             .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= FRONTIER_PER_HOST)
-            .select(
-                F.lit(k).alias("round"),
-                "host",
-                "url",
-                F.col("rank").cast("int").alias("rank"),
+            .filter(
+                F.col("rank")
+                <= F.lit(
+                    int(max([default_cap, *(host_caps or {}).values()]))
+                )
             )
+        )
+        if host_caps is not None:
+            frontier = frontier.filter(
+                F.col("rank") <= _host_cap_col(host_caps, default_cap)
+            )
+        frontier = frontier.select(
+            F.lit(k).alias("round"),
+            "host",
+            "url",
+            F.col("rank").cast("int").alias("rank"),
         )
         merge_into(spark, frontier_t, frontier, on=["url"])
         just = scan_manifest(spark, frontier_t).filter(
@@ -1287,6 +1304,47 @@ def crawl_stream_loop(
     _drain()
     return scan_manifest(spark, frontier_t).select(
         "round", "host", "url", "rank"
+    )
+
+
+@query(
+    "q_stream_crawl_budget",
+    oracle=_crawl_rounds_sql(
+        cap_sql=_BUDGET_CAP_SQL, cap_col_sql=_BUDGET_CAP_SQL
+    ),
+)
+def q_stream_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r17 compositions COMPOSED (post-close): the closed
+    streaming crawl loop running under the TIME-BUDGET politeness
+    caps — each drain's frontier derivation admits
+    floor({CRAWL_ROUND_BUDGET_SEC}s / Crawl-delay) URLs per host (the
+    q_pipeline_crawl_budget arithmetic) while discovered URLs
+    re-enter the stream (the q_stream_crawl_loop mechanics).  The
+    stored frontier table must hash-match the BATCH budget loop's
+    unrolled oracle — caps and stream mechanics cannot interfere, or
+    rows move between rounds and the hash flips.  Scale: the cap
+    when-chain rides the derivation's existing plan; nothing new
+    shuffles."""
+    import os
+    import shutil
+    import tempfile
+
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(
+        tempfile.gettempdir(), "shas_crawl", label, "stream_budget"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    caps = budget_caps()
+    default_cap = int(CRAWL_ROUND_BUDGET_SEC // CRAWL_DEFAULT_DELAY)
+    out = crawl_stream_loop(
+        spark,
+        sf_dir,
+        base,
+        host_caps=caps,
+        default_cap=default_cap,
+    )
+    return out.withColumn(
+        "host_cap", _host_cap_col(caps, default_cap).cast("int")
     )
 
 
@@ -1348,6 +1406,94 @@ def q_pipeline_robots_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((host, body))
     fetched_dim = spark.createDataFrame(rows, "host string, robots_txt string")
     return frontier_from(spark, sf_dir, fetched_dim)
+
+
+# per-host robots.txt fetch STATUSES for the availability-semantics
+# leg: host2's robots 404s (RFC 9309: unavailable → allow all — its
+# file policy admitted only /doc/2*, so the flip is visible), host3's
+# 503s (unreachable → assume complete disallow — its file policy was
+# allow-all, so the flip is visible), every other host serves 200
+ROBOTS_FETCH_STATUS: dict[str, int] = {
+    "host2": 404,
+    "host3": 503,
+}
+
+# the same semantics as DuckDB admission arithmetic: the per-host
+# CASE with host2 forced TRUE and host3 forced FALSE
+_ADMIT_STATUS_CASE_SQL = """
+CASE host
+  WHEN 'host0' THEN NOT regexp_matches(path, '^/doc/.*7$')
+  WHEN 'host1' THEN NOT regexp_matches(path, '^/doc/1')
+  WHEN 'host2' THEN TRUE
+  WHEN 'host3' THEN FALSE
+  WHEN 'host4' THEN FALSE
+  WHEN 'host5' THEN NOT regexp_matches(path, '^/doc/.*3')
+  ELSE regexp_matches(path, '^/doc/.*0$')
+END
+"""
+
+
+@query(
+    "q_pipeline_robots_unavailable",
+    oracle=f"""
+{_frontier_ctes(_ADMIT_STATUS_CASE_SQL)}
+SELECT host, url, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {FRONTIER_PER_HOST}
+""",
+)
+def q_pipeline_robots_unavailable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RFC 9309 §2.3.1 AVAILABILITY semantics in the fetch leg (r17
+    post-close): what a crawler must do when robots.txt itself fails
+    to fetch.  host2's /robots.txt 404s — "unavailable" means the
+    crawler MAY access any resource, so its restrictive file policy
+    must NOT apply (allow all); host3's 503s — "unreachable" means
+    the crawler MUST assume complete disallow, so its allow-all file
+    policy must NOT apply (block all); the other five hosts serve 200
+    and keep their parsed policies.  The statuses ride real HTTP
+    responses inside the .warc.gz capture (non-200 records), the
+    policy substitution is :func:`robots.policy_from_fetch`, and the
+    oracle replays the whole frontier with the two per-host decisions
+    flipped — applying host2's dead file policy, or treating host3's
+    5xx as allow, moves admitted rows and flips the hash.  Scale:
+    identical to the robots-fetch leg (coordinator-scale fetch,
+    broadcast dimension)."""
+    from setup_harvest_action_spark.functions.charset import decode_bytes
+    from setup_harvest_action_spark.functions.robots import (
+        policy_from_fetch,
+    )
+    from setup_harvest_action_spark.sources.warc import (
+        encode_warc_http,
+        parse_warc,
+    )
+
+    blob = encode_warc_http(
+        [
+            (
+                f"https://{h}.example/robots.txt",
+                txt.encode("utf-8"),
+                "text/plain; charset=utf-8",
+                "identity",
+                ROBOTS_FETCH_STATUS.get(h, 200),
+            )
+            for h, txt in sorted(HOST_ROBOTS.items())
+        ],
+        layout="gzip_members",
+    )
+    rows = []
+    for rec in parse_warc(blob):
+        if rec["type"] != "response":
+            continue
+        host = rec["uri"].split("//", 1)[1].split(".", 1)[0]
+        body, _codec, _src = decode_bytes(
+            rec["http_body"], rec["http_headers"].get("content-type")
+        )
+        rows.append(
+            (host, policy_from_fetch(rec["http_status"], body))
+        )
+    dim = spark.createDataFrame(rows, "host string, robots_txt string")
+    return frontier_from(spark, sf_dir, dim)
 
 
 # --- sitemap discovery feeding the frontier (r16 post-close) ------------------

@@ -357,9 +357,12 @@ HTTP_CODINGS = ("identity", "gzip", "chunked", "gzip_chunked")
 def encode_warc_http(responses, layout: str = "gzip_members") -> bytes:
     """One WARC file from fully-specified HTTP responses —
     ``responses`` = [(uri, body_bytes, content_type, coding), ...]
-    with ``coding`` one of :data:`HTTP_CODINGS`.  The sibling of
-    :func:`encode_warc_responses` for captures whose payload CODING is
-    part of the fixture (r17: the chunked/gzip realism leg)."""
+    with ``coding`` one of :data:`HTTP_CODINGS`, optionally followed
+    by an HTTP status (default 200 — non-200 captures are how a
+    crawler records a 404'd robots.txt or a 5xx, r17).  The sibling
+    of :func:`encode_warc_responses` for captures whose payload
+    CODING is part of the fixture (r17: the chunked/gzip realism
+    leg)."""
     recs = [
         _record(
             "warcinfo",
@@ -367,7 +370,9 @@ def encode_warc_http(responses, layout: str = "gzip_members") -> bytes:
             content_type="application/warc-fields",
         )
     ]
-    for uri, body, ctype, coding in responses:
+    for resp in responses:
+        uri, body, ctype, coding = resp[:4]
+        status = resp[4] if len(resp) > 4 else 200
         if coding not in HTTP_CODINGS:
             raise ValueError(f"unknown coding {coding!r}")
         recs.append(
@@ -375,6 +380,7 @@ def encode_warc_http(responses, layout: str = "gzip_members") -> bytes:
                 "response",
                 http_response(
                     body=body,
+                    status=status,
                     content_type=ctype,
                     content_encoding="gzip" if "gzip" in coding else None,
                     transfer_encoding="chunked"

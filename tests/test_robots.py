@@ -241,3 +241,56 @@ def test_crawl_delays_come_from_the_selected_group():
     assert d["host3"] == CRAWL_DEFAULT_DELAY
     # another agent DOES get host1's '*' group delay
     assert crawl_delays(agent="some-other-bot")["host1"] == 99.0
+
+
+# --- r17 post-close: RFC 9309 §2.3.1 availability semantics ------------------
+
+
+def test_policy_from_fetch_availability_semantics():
+    from setup_harvest_action_spark.functions.robots import (
+        BLOCK_ALL_ROBOTS,
+        can_fetch,
+        parse_robots,
+        policy_from_fetch,
+    )
+
+    file_policy = "User-agent: *\nDisallow: /doc/\n"
+    # available: the body governs
+    assert policy_from_fetch(200, file_policy) == file_policy
+    # unavailable (4xx): MAY access anything — empty policy
+    for st in (400, 403, 404, 410):
+        p = parse_robots(policy_from_fetch(st, file_policy))
+        assert can_fetch(p, "any-agent", "/doc/1")
+    # unreachable (5xx): MUST assume complete disallow
+    for st in (500, 503, 599):
+        assert policy_from_fetch(st, file_policy) == BLOCK_ALL_ROBOTS
+        p = parse_robots(BLOCK_ALL_ROBOTS)
+        assert not can_fetch(p, "any-agent", "/")
+
+
+def test_robots_unavailable_frontier_flips_only_the_fetch_failed_hosts(
+    spark,
+):
+    """host2 (404) must admit paths its FILE policy blocked; host3
+    (503) must vanish although its file policy allowed everything;
+    every other host must match the normal fetch leg exactly."""
+    from setup_harvest_action_spark.functions.webgraph import (
+        q_pipeline_robots_fetch,
+        q_pipeline_robots_unavailable,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    normal = {
+        (r["host"], r["url"]) for r in q_pipeline_robots_fetch(spark, SF).collect()
+    }
+    flipped = {
+        (r["host"], r["url"])
+        for r in q_pipeline_robots_unavailable(spark, SF).collect()
+    }
+    assert not any(h == "host3" for h, _ in flipped)
+    assert any(h == "host3" for h, _ in normal)
+    h2 = {u for h, u in flipped if h == "host2"}
+    assert h2 and any("/doc/2" not in u.split(".example", 1)[1] for u in h2)
+    others_n = {(h, u) for h, u in normal if h not in ("host2", "host3")}
+    others_f = {(h, u) for h, u in flipped if h not in ("host2", "host3")}
+    assert others_n == others_f
