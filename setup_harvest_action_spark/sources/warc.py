@@ -217,6 +217,7 @@ def http_response(
     content_type: str = "text/html; charset=utf-8",
     content_encoding: str | None = None,
     transfer_encoding: str | None = None,
+    location: str | None = None,
 ) -> bytes:
     """A full HTTP/1.1 response.  ``html`` is UTF-8-encoded for you;
     pass ``body`` (raw bytes) + ``content_type`` instead when the
@@ -236,6 +237,10 @@ def http_response(
         body = (html or "").encode()
     head = [f"HTTP/1.1 {status} {_hc.responses.get(status, '')}".rstrip().encode()]
     head.append(b"Content-Type: " + content_type.encode("latin-1"))
+    if location is not None:
+        # 3xx captures: Location may legally be a RELATIVE reference
+        # (RFC 9110 §10.2.2) — resolution is the consumer's job
+        head.append(b"Location: " + location.encode("latin-1"))
     if content_encoding is not None:
         if content_encoding == "gzip":
             buf = _io.BytesIO()
@@ -445,6 +450,83 @@ def encode_warc_recrawl(
                 )
             )
     return _pack(recs, layout)
+
+
+REDIRECT_MAX_HOPS = 5  # the conventional crawler cap (RFC 9309 names 5)
+
+
+def resolve_redirects(
+    records: list[dict], max_hops: int = REDIRECT_MAX_HOPS
+) -> dict[str, dict]:
+    """Follow HTTP redirect chains ACROSS a capture's records (r17):
+    for every captured URI, chase 3xx ``Location`` headers — resolved
+    against the current URI per RFC 3986, since Location may legally
+    be relative (RFC 9110 §10.2.2) — until a non-3xx record, a loop,
+    the hop cap, or a target that was never captured.  Returns
+    ``{start_uri: {"outcome": "ok"|"redirect_loop"|
+    "too_many_redirects"|"dangling", "final_uri", "hops", "record"}}``
+    — the resolution layer every crawler runs between fetch and
+    parse (a 301's target is where the content actually lives, and
+    URL-alias dedup keys on the terminal URI)."""
+    from setup_harvest_action_spark.functions.urls import (
+        resolve_reference,
+    )
+
+    by_uri = {r["uri"]: r for r in records if r.get("uri")}
+    out: dict[str, dict] = {}
+    for start, rec in by_uri.items():
+        cur_uri, cur = start, rec
+        hops = 0
+        seen = {start}
+        while True:
+            status = cur.get("http_status")
+            if status is None or not (300 <= status < 400):
+                out[start] = {
+                    "outcome": "ok",
+                    "final_uri": cur_uri,
+                    "hops": hops,
+                    "record": cur,
+                }
+                break
+            loc = (cur.get("http_headers") or {}).get("location")
+            if loc is None:
+                out[start] = {
+                    "outcome": "dangling",
+                    "final_uri": None,
+                    "hops": hops,
+                    "record": None,
+                }
+                break
+            nxt = resolve_reference(cur_uri, loc)
+            if nxt in seen:
+                out[start] = {
+                    "outcome": "redirect_loop",
+                    "final_uri": None,
+                    "hops": hops,
+                    "record": None,
+                }
+                break
+            if hops + 1 > max_hops:
+                out[start] = {
+                    "outcome": "too_many_redirects",
+                    "final_uri": None,
+                    "hops": hops,
+                    "record": None,
+                }
+                break
+            target = by_uri.get(nxt)
+            if target is None:
+                out[start] = {
+                    "outcome": "dangling",
+                    "final_uri": nxt,
+                    "hops": hops + 1,
+                    "record": None,
+                }
+                break
+            seen.add(nxt)
+            cur_uri, cur = nxt, target
+            hops += 1
+    return out
 
 
 def resolve_revisits(
@@ -1354,6 +1436,150 @@ def q_source_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
         one_file,
         "doc_id long, urlkey string, status int, mime string, "
         "digest_ok boolean, seek_ok boolean, cdx_rank int",
+    )
+
+
+@query(
+    "q_pipeline_redirect_resolution",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 29 = 0 OR doc_id % 31 = 0 OR doc_id % 4 > 0
+            THEN 'https://corpus.example/r/' || doc_id || '/0'
+            ELSE 'https://corpus.example/doc/' || doc_id
+       END AS start_uri,
+       CASE WHEN doc_id % 29 = 0 THEN 'redirect_loop'
+            WHEN doc_id % 31 = 0 THEN 'too_many_redirects'
+            ELSE 'ok' END AS outcome,
+       CAST(CASE WHEN doc_id % 29 = 0 THEN 1
+                 WHEN doc_id % 31 = 0 THEN 5
+                 ELSE doc_id % 4 END AS INT) AS hops,
+       CASE WHEN doc_id % 29 = 0 OR doc_id % 31 = 0 THEN ''
+            ELSE md5(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')))
+       END AS final_md5
+FROM documents
+WHERE n_chars >= {WARC_MIN_CHARS} AND doc_id < {WARC_DOCS}
+""",
+)
+def q_pipeline_redirect_resolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HTTP redirect chains under the hash gate (r17 post-close — the
+    aliasing layer every crawl resolves between fetch and parse).
+    Per document one of three capture shapes: a CLEAN chain of
+    doc_id%4 hops (statuses rotating 301/302/307/308, Location
+    alternating absolute and RELATIVE — RFC 9110 §10.2.2 allows
+    relative, so resolution goes through the RFC 3986 resolver), a
+    redirect LOOP (r/0 ↔ r/1, every 29th doc), or a 7-hop chain past
+    the {REDIRECT_MAX_HOPS}-hop cap (every 31st, loop class wins
+    ties).  The resolver must land each chain head on the terminal
+    page's md5-exact content or the right failure outcome with the
+    right hop count — the oracle replays the whole construction as
+    arithmetic.  Scale: resolution is per-capture map-side work over
+    an in-batch URI index; at archive scale the chase is a keyed
+    self-join on the redirect edge table, the same shape as the
+    crawl frontier's anti-join."""
+    import hashlib
+
+    import pandas as pd
+
+    from setup_harvest_action_spark.functions.html_extract import (
+        main_text,
+        synthesize_page,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("n_chars") >= WARC_MIN_CHARS)
+            & (F.col("doc_id") < WARC_DOCS)
+        )
+        .select("doc_id", "text", "lang")
+        .withColumn("file_id", (F.col("doc_id") / PAGES_PER_FILE).cast("int"))
+    )
+    _ROT = (301, 302, 307, 308)
+
+    def one_file(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            _record(
+                "warcinfo",
+                b"software: setup-harvest-action-spark\r\n",
+                content_type="application/warc-fields",
+            )
+        ]
+        starts: dict[str, int] = {}
+
+        def hop(d: int, k: int) -> str:
+            return f"https://corpus.example/r/{d}/{k}"
+
+        def redirect(uri: str, k: int, target: str, relative: bool):
+            loc = (
+                target.split("corpus.example", 1)[1] if relative else target
+            )
+            recs.append(
+                _record(
+                    "response",
+                    http_response(
+                        body=b"", status=_ROT[k % 4], location=loc
+                    ),
+                    uri=uri,
+                    record_id=_rid("redir:" + uri),
+                    content_type="application/http;msgtype=response",
+                )
+            )
+
+        for d, t, lg in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+            d = int(d)
+            doc_uri = f"https://corpus.example/doc/{d}"
+            if d % 29 == 0:  # loop: r/0 <-> r/1
+                starts[hop(d, 0)] = d
+                redirect(hop(d, 0), 0, hop(d, 1), relative=False)
+                redirect(hop(d, 1), 1, hop(d, 0), relative=True)
+                continue
+            if d % 31 == 0:  # 7 hops, past the cap
+                starts[hop(d, 0)] = d
+                for k in range(7):
+                    tgt = hop(d, k + 1) if k < 6 else doc_uri
+                    redirect(hop(d, k), k, tgt, relative=k % 2 == 1)
+            else:
+                n_hops = d % 4
+                starts[hop(d, 0) if n_hops else doc_uri] = d
+                for k in range(n_hops):
+                    tgt = hop(d, k + 1) if k < n_hops - 1 else doc_uri
+                    redirect(hop(d, k), k, tgt, relative=k % 2 == 1)
+            recs.append(
+                _record(
+                    "response",
+                    http_response(synthesize_page(d, t, lang=lg)),
+                    uri=doc_uri,
+                    content_type="application/http;msgtype=response",
+                )
+            )
+        blob = _pack(recs, "gzip_members")
+        resolved = resolve_redirects(parse_warc(blob))
+        rows = {
+            "doc_id": [], "start_uri": [], "outcome": [],
+            "hops": [], "final_md5": [],
+        }
+        for start, d in sorted(starts.items(), key=lambda kv: kv[1]):
+            r = resolved[start]
+            rows["doc_id"].append(d)
+            rows["start_uri"].append(start)
+            rows["outcome"].append(r["outcome"])
+            rows["hops"].append(int(r["hops"]))
+            if r["outcome"] == "ok":
+                text = main_text(r["record"]["http_body"].decode())
+                rows["final_md5"].append(
+                    hashlib.md5(text.encode()).hexdigest()
+                )
+            else:
+                rows["final_md5"].append("")
+        return pd.DataFrame(rows)
+
+    return docs.groupBy("file_id").applyInPandas(
+        one_file,
+        "doc_id long, start_uri string, outcome string, hops int, "
+        "final_md5 string",
     )
 
 

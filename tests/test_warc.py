@@ -656,3 +656,70 @@ def test_dechunk_arbitrary_bytes_never_hang_property():
             pass
 
     never_hangs()
+
+
+# --- r17 post-close: redirect resolution -------------------------------------
+
+
+def _redir_rec(uri, status, location):
+    from setup_harvest_action_spark.sources.warc import _record
+
+    return _record(
+        "response",
+        http_response(body=b"", status=status, location=location),
+        uri=uri,
+        record_id=None,
+        content_type="application/http;msgtype=response",
+    )
+
+
+def test_resolve_redirects_chain_loop_cap_dangling():
+    from setup_harvest_action_spark.sources.warc import (
+        _record,
+        resolve_redirects,
+    )
+
+    recs = parse_warc(
+        # clean 2-hop chain with a RELATIVE location on the 2nd hop
+        _redir_rec("https://x.example/a", 301, "https://x.example/b")
+        + _redir_rec("https://x.example/b", 307, "/final")
+        + _record(
+            "response",
+            http_response("<p>done</p>"),
+            uri="https://x.example/final",
+            content_type="application/http;msgtype=response",
+        )
+        # loop pair
+        + _redir_rec("https://x.example/l0", 302, "/l1")
+        + _redir_rec("https://x.example/l1", 302, "/l0")
+        # dangling: target never captured
+        + _redir_rec("https://x.example/d", 308, "/nowhere")
+    )
+    out = resolve_redirects(recs)
+    a = out["https://x.example/a"]
+    assert a["outcome"] == "ok" and a["hops"] == 2
+    assert a["final_uri"] == "https://x.example/final"
+    assert a["record"]["http_body"] == b"<p>done</p>"
+    assert out["https://x.example/l0"]["outcome"] == "redirect_loop"
+    d = out["https://x.example/d"]
+    assert d["outcome"] == "dangling"
+    assert d["final_uri"] == "https://x.example/nowhere"
+
+
+def test_resolve_redirects_hop_cap():
+    from setup_harvest_action_spark.sources.warc import resolve_redirects
+
+    blob = b"".join(
+        _redir_rec(f"https://x.example/h{k}", 301, f"/h{k+1}")
+        for k in range(8)
+    )
+    out = resolve_redirects(parse_warc(blob))
+    r = out["https://x.example/h0"]
+    assert r["outcome"] == "too_many_redirects" and r["hops"] == 5
+    # a custom cap changes the verdict
+    assert (
+        resolve_redirects(parse_warc(blob), max_hops=10)[
+            "https://x.example/h0"
+        ]["outcome"]
+        == "dangling"  # h7 -> /h8 never captured
+    )
