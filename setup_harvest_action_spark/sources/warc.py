@@ -119,21 +119,26 @@ def _pack(recs: list[bytes], layout: str) -> bytes:
     raise ValueError(f"unknown WARC layout {layout!r}")
 
 
-def http_request(uri: str) -> bytes:
+def http_request(uri: str, extra_headers: dict | None = None) -> bytes:
     """The HTTP/1.1 request a crawler sent for ``uri`` — the payload
     of a WARC ``request`` record (Common Crawl captures ship
-    request + response + metadata per fetch)."""
+    request + response + metadata per fetch).  ``extra_headers``
+    carries conditional-request fields (If-None-Match /
+    If-Modified-Since, r17)."""
     from urllib.parse import urlsplit
 
     p = urlsplit(uri)
     path = p.path or "/"
     if p.query:
         path += "?" + p.query
-    return (
+    head = (
         f"GET {path} HTTP/1.1".encode() + _CRLF
         + b"Host: " + p.netloc.encode() + _CRLF
-        + b"User-Agent: spark-graft-crawler" + _CRLF * 2
+        + b"User-Agent: spark-graft-crawler" + _CRLF
     )
+    for k, v in (extra_headers or {}).items():
+        head += k.encode("latin-1") + b": " + v.encode("latin-1") + _CRLF
+    return head + _CRLF
 
 
 _CHUNK_SIZE = 256  # small enough that fixture pages span several chunks
@@ -218,6 +223,7 @@ def http_response(
     content_encoding: str | None = None,
     transfer_encoding: str | None = None,
     location: str | None = None,
+    extra_headers: dict | None = None,
 ) -> bytes:
     """A full HTTP/1.1 response.  ``html`` is UTF-8-encoded for you;
     pass ``body`` (raw bytes) + ``content_type`` instead when the
@@ -241,6 +247,8 @@ def http_response(
         # 3xx captures: Location may legally be a RELATIVE reference
         # (RFC 9110 §10.2.2) — resolution is the consumer's job
         head.append(b"Location: " + location.encode("latin-1"))
+    for k, v in (extra_headers or {}).items():
+        head.append(k.encode("latin-1") + b": " + v.encode("latin-1"))
     if content_encoding is not None:
         if content_encoding == "gzip":
             buf = _io.BytesIO()
@@ -450,6 +458,35 @@ def encode_warc_recrawl(
                 )
             )
     return _pack(recs, layout)
+
+
+def resolve_not_modified(
+    records: list[dict], bodies_by_uri: dict[str, bytes]
+) -> list[dict]:
+    """HTTP cache revalidation (RFC 9110 §15.4.5, r17): a ``304 Not
+    Modified`` capture has no body by definition — its content is the
+    cache's stored representation for THAT URI.  Unlike
+    :func:`resolve_revisits` (archive-side storage dedup, keyed by
+    payload DIGEST), revalidation is URI-keyed: the 304 promises the
+    previously-fetched representation at this URI is still current.
+    Returns the effective corpus; a 304 for a URI with no stored body
+    raises (the cache claimed something it never had)."""
+    out = []
+    for rec in records:
+        if rec["type"] != "response":
+            continue
+        if rec.get("http_status") == 304:
+            body = bodies_by_uri.get(rec["uri"] or "")
+            if body is None:
+                raise ValueError(
+                    f"304 for {rec['uri']} with no cached representation"
+                )
+            resolved = dict(rec)
+            resolved["http_body"] = body
+            out.append(resolved)
+        else:
+            out.append(rec)
+    return out
 
 
 REDIRECT_MAX_HOPS = 5  # the conventional crawler cap (RFC 9309 names 5)
@@ -857,6 +894,24 @@ def parse_warc(payload: bytes) -> list[dict]:
             "headers": headers,
             "payload": body,
         }
+        if rec["type"] == "request" and b" HTTP/" in body.split(
+            _CRLF, 1
+        )[0]:
+            split = body.find(_CRLF * 2)
+            head_lines = body[: split if split >= 0 else len(body)].split(
+                _CRLF
+            )
+            req_parts = head_lines[0].decode("latin-1").split()
+            if len(req_parts) >= 2:
+                rec["http_method"] = req_parts[0]
+                rec["http_path"] = req_parts[1]
+            req_headers: dict[str, str] = {}
+            for raw_h in head_lines[1:]:
+                hk, _, hv = raw_h.partition(b":")
+                req_headers[hk.strip().decode("latin-1").lower()] = (
+                    hv.strip().decode("latin-1")
+                )
+            rec["http_headers"] = req_headers
         if rec["type"] in ("response", "revisit") and body.startswith(
             b"HTTP/"
         ):
@@ -1436,6 +1491,175 @@ def q_source_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
         one_file,
         "doc_id long, urlkey string, status int, mime string, "
         "digest_ok boolean, seek_ok boolean, cdx_rank int",
+    )
+
+
+@query(
+    "q_pipeline_warc_conditional",
+    oracle=f"""
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 200 ELSE 304 END AS INT)
+         AS status,
+       md5(CASE WHEN doc_id % 3 = 0
+            THEN trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))
+                 || ' updated r2'
+            ELSE trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))
+            END) AS main_md5,
+       TRUE AS conditional_ok
+FROM documents
+WHERE n_chars >= {WARC_MIN_CHARS} AND doc_id < {WARC_DOCS}
+""",
+)
+def q_pipeline_warc_conditional(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HTTP conditional revalidation under the hash gate (r17
+    post-close — the cache layer between digest revisit and recrawl
+    scheduling).  Round 1 captures every page with a content-derived
+    ``ETag``; round 2 sends conditional requests (``If-None-Match``
+    in real request records) and the server answers ``304 Not
+    Modified`` (no body) for the unchanged two-thirds and a full
+    ``200`` with a NEW ETag for the changed third.  The reader
+    resolves each 304 to the ROUND-1 representation for that URI
+    (URI-keyed — the contrast with revisit's digest keying is the
+    point) and VERIFIES the protocol contract per capture:
+    status==304 exactly when the request's If-None-Match matches the
+    stored validator (conditional_ok).  The oracle replays status,
+    resolved-content md5 and the contract flag from the change
+    arithmetic.  Scale: one map task runs both rounds per ~20-doc
+    group; at crawl scale the validator store is the URI-keyed
+    state table the frontier already maintains."""
+    import hashlib
+
+    import pandas as pd
+
+    from setup_harvest_action_spark.functions.html_extract import (
+        main_text,
+        synthesize_page,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("n_chars") >= WARC_MIN_CHARS)
+            & (F.col("doc_id") < WARC_DOCS)
+        )
+        .select("doc_id", "text", "lang")
+        .withColumn("file_id", (F.col("doc_id") / PAGES_PER_FILE).cast("int"))
+    )
+
+    def one_file(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        uri_of = lambda d: f"https://corpus.example/doc/{d}"  # noqa: E731
+        # round 1: full fetch, ETag = content digest (the common
+        # server convention), stored as the crawler's validator cache
+        round1 = [
+            (uri_of(int(d)), synthesize_page(int(d), t, lang=lg))
+            for d, t, lg in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
+        ]
+        recs1 = []
+        for uri, page in round1:
+            body = page.encode()
+            recs1.append(
+                _record(
+                    "response",
+                    http_response(
+                        body=body,
+                        extra_headers={"ETag": f'"{payload_digest(body)}"'},
+                    ),
+                    uri=uri,
+                    content_type="application/http;msgtype=response",
+                )
+            )
+        cache: dict[str, tuple[str, bytes]] = {}  # uri -> (etag, body)
+        for rec in parse_warc(_pack(recs1, "gzip_members")):
+            if rec["type"] == "response":
+                cache[rec["uri"]] = (
+                    rec["http_headers"]["etag"],
+                    rec["http_body"],
+                )
+        # round 2: conditional requests; the 'server' (fixture) answers
+        # 304 iff the presented validator still matches current content
+        recs2 = []
+        for d, t, lg in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+            d = int(d)
+            uri = uri_of(d)
+            etag, _body1 = cache[uri]
+            current = synthesize_page(
+                d, t + " updated r2" if d % 3 == 0 else t, lang=lg
+            ).encode()
+            cur_tag = f'"{payload_digest(current)}"'
+            recs2.append(
+                _record(
+                    "request",
+                    http_request(uri, {"If-None-Match": etag}),
+                    uri=uri,
+                    record_id=_rid("c-req:" + uri),
+                    content_type="application/http;msgtype=request",
+                )
+            )
+            if cur_tag == etag:
+                recs2.append(
+                    _record(
+                        "response",
+                        http_response(
+                            body=b"",
+                            status=304,
+                            extra_headers={"ETag": etag},
+                        ),
+                        uri=uri,
+                        record_id=_rid("c-304:" + uri),
+                        content_type="application/http;msgtype=response",
+                    )
+                )
+            else:
+                recs2.append(
+                    _record(
+                        "response",
+                        http_response(
+                            body=current,
+                            extra_headers={"ETag": cur_tag},
+                        ),
+                        uri=uri,
+                        record_id=_rid("c-200:" + uri),
+                        content_type="application/http;msgtype=response",
+                    )
+                )
+        parsed2 = parse_warc(_pack(recs2, "gzip_members"))
+        inm_by_uri = {
+            r["uri"]: r["http_headers"].get("if-none-match")
+            for r in parsed2
+            if r["type"] == "request"
+        }
+        effective = resolve_not_modified(
+            parsed2, {u: b for u, (_t, b) in cache.items()}
+        )
+        rows = {
+            "doc_id": [], "status": [], "main_md5": [],
+            "conditional_ok": [],
+        }
+        for rec in effective:
+            uri = rec["uri"]
+            text = main_text(rec["http_body"].decode())
+            stored_tag, _ = cache[uri]
+            # the protocol contract: 304 exactly when the presented
+            # validator matches what the server would compute now —
+            # which for unchanged pages IS the stored tag
+            ok = (rec["http_status"] == 304) == (
+                inm_by_uri.get(uri) == rec["http_headers"].get("etag")
+                and rec["http_headers"].get("etag") == stored_tag
+            )
+            rows["doc_id"].append(int(uri.rsplit("/", 1)[1]))
+            rows["status"].append(int(rec["http_status"]))
+            rows["main_md5"].append(
+                hashlib.md5(text.encode()).hexdigest()
+            )
+            rows["conditional_ok"].append(bool(ok))
+        return pd.DataFrame(rows)
+
+    return docs.groupBy("file_id").applyInPandas(
+        one_file,
+        "doc_id long, status int, main_md5 string, conditional_ok boolean",
     )
 
 

@@ -723,3 +723,45 @@ def test_resolve_redirects_hop_cap():
         ]["outcome"]
         == "dangling"  # h7 -> /h8 never captured
     )
+
+
+def test_request_records_parse_method_path_and_headers():
+    from setup_harvest_action_spark.sources.warc import (
+        _record,
+        http_request,
+    )
+
+    blob = _record(
+        "request",
+        http_request(
+            "https://x.example/a?q=1", {"If-None-Match": '"abc"'}
+        ),
+        uri="https://x.example/a?q=1",
+        content_type="application/http;msgtype=request",
+    )
+    rec = parse_warc(blob)[0]
+    assert rec["http_method"] == "GET"
+    assert rec["http_path"] == "/a?q=1"
+    assert rec["http_headers"]["if-none-match"] == '"abc"'
+    assert rec["http_headers"]["host"] == "x.example"
+
+
+def test_resolve_not_modified_is_uri_keyed_and_raises_uncached():
+    from setup_harvest_action_spark.sources.warc import (
+        _record,
+        resolve_not_modified,
+    )
+
+    r304 = _record(
+        "response",
+        http_response(body=b"", status=304),
+        uri="https://x.example/a",
+        content_type="application/http;msgtype=response",
+    )
+    recs = parse_warc(r304)
+    out = resolve_not_modified(
+        recs, {"https://x.example/a": b"<p>cached</p>"}
+    )
+    assert out[0]["http_body"] == b"<p>cached</p>"
+    with pytest.raises(ValueError, match="no cached representation"):
+        resolve_not_modified(recs, {})
