@@ -1663,6 +1663,132 @@ def q_pipeline_warc_conditional(
     )
 
 
+_IMG_CTYPES = {
+    "ppm": "image/x-portable-pixmap",
+    "bmp": "image/bmp",
+    "png": "image/png",
+}
+
+
+@query(
+    "q_pipeline_warc_resources",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         8 + doc_id % 13 AS w,
+         6 + doc_id % 7 AS h
+  FROM documents
+  WHERE n_chars >= {WARC_MIN_CHARS} AND doc_id < {WARC_DOCS}
+),
+px AS (
+  SELECT d.doc_id, ((31 * d.doc_id + t.i * 2654435761) % 256) AS v
+  FROM d, range(0, 720) t(i)
+  WHERE t.i < d.w * d.h * 3
+)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 3 = 0 THEN 'ppm'
+            WHEN d.doc_id % 3 = 1 THEN 'bmp' ELSE 'png' END AS fmt,
+       CAST(d.w AS INT) AS width,
+       CAST(d.h AS INT) AS height,
+       CAST(round(avg(px.v), 4) AS DOUBLE) AS mean_px,
+       TRUE AS sniffed_ok
+FROM d JOIN px ON d.doc_id = px.doc_id
+GROUP BY d.doc_id, d.w, d.h
+""",
+)
+def q_pipeline_warc_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal records INSIDE the archive container (r17
+    post-close): real crawls capture images beside pages, and the
+    ingest layer routes each record by its MAGIC BYTES to the right
+    decoder.  Per document one image resource (PPM/BMP/PNG rotating
+    by doc_id, dimensions doc_id-derived) rides a response record
+    with its image content-type; the reader sniffs the payload
+    (decode_image_auto), fully DECODES the binary (three genuinely
+    different containers — raw PPM, padded bottom-up BGR BMP,
+    zlib-filtered PNG), and reports width/height/mean-pixel plus a
+    sniffed_ok flag (magic-byte route must agree with the declared
+    content-type).  The pixel arithmetic ((31·d + 177·i) mod 256) is
+    replayed RELATIONALLY by the oracle, so the binary decode sits
+    under the value hash — a BMP row-padding slip or a PNG filter
+    bug moves mean_px and flips the hash.  Scale: one task per WARC
+    file; decode is Arrow-batched map-side work, the same shape as
+    the multimodal family."""
+    import numpy as np
+    import pandas as pd
+
+    from setup_harvest_action_spark.functions.multimodal import (
+        decode_image_auto,
+        synthesize_bmp,
+        synthesize_png,
+        synthesize_ppm,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("n_chars") >= WARC_MIN_CHARS)
+            & (F.col("doc_id") < WARC_DOCS)
+        )
+        .select("doc_id")
+        .withColumn("file_id", (F.col("doc_id") / PAGES_PER_FILE).cast("int"))
+    )
+    synth = {"ppm": synthesize_ppm, "bmp": synthesize_bmp, "png": synthesize_png}
+    magic_fmt = lambda b: (  # noqa: E731
+        "ppm" if b[:2] == b"P6" else "bmp" if b[:2] == b"BM" else "png"
+    )
+
+    def one_file(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            _record(
+                "warcinfo",
+                b"software: setup-harvest-action-spark\r\n",
+                content_type="application/warc-fields",
+            )
+        ]
+        for d in pdf["doc_id"]:
+            d = int(d)
+            fmt = ("ppm", "bmp", "png")[d % 3]
+            w, h = 8 + d % 13, 6 + d % 7
+            recs.append(
+                _record(
+                    "response",
+                    http_response(
+                        body=synth[fmt](d, width=w, height=h),
+                        content_type=_IMG_CTYPES[fmt],
+                    ),
+                    uri=f"https://corpus.example/img/{d}.{fmt}",
+                    content_type="application/http;msgtype=response",
+                )
+            )
+        rows = {
+            "doc_id": [], "fmt": [], "width": [], "height": [],
+            "mean_px": [], "sniffed_ok": [],
+        }
+        for rec in parse_warc(_pack(recs, "gzip_members")):
+            ctype = (rec.get("http_headers") or {}).get("content-type", "")
+            if rec["type"] != "response" or not ctype.startswith("image/"):
+                continue
+            img = decode_image_auto(rec["http_body"])
+            d = int(rec["uri"].rsplit("/", 1)[1].split(".")[0])
+            fmt = magic_fmt(rec["http_body"])
+            # exact integer sum / size matches DuckDB's avg division
+            mean = float(img.astype(np.uint64).sum()) / img.size
+            rows["doc_id"].append(d)
+            rows["fmt"].append(fmt)
+            rows["width"].append(int(img.shape[1]))
+            rows["height"].append(int(img.shape[0]))
+            rows["mean_px"].append(round(mean, 4))
+            rows["sniffed_ok"].append(_IMG_CTYPES[fmt] == ctype)
+        return pd.DataFrame(rows)
+
+    return docs.groupBy("file_id").applyInPandas(
+        one_file,
+        "doc_id long, fmt string, width int, height int, "
+        "mean_px double, sniffed_ok boolean",
+    )
+
+
 @query(
     "q_pipeline_redirect_resolution",
     oracle=f"""
