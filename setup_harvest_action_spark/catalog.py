@@ -90,22 +90,23 @@ DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = (
     # ---- r17 rotation ----
-    # 50 slots = 10 + 1 + 26 + 13 (the r16 verdict's #1 ask).
-    # (a) the 10 r17-new entries, never driver-sampled (HTTP payload
+    # 50 slots = 12 + 1 + 26 + 11 (the r16 verdict's #1 ask).
+    # (a) the 12 r17-new entries, never driver-sampled (HTTP payload
     # codings, WARC revisit/digest dedup, time-budget politeness,
     # the closed streaming crawl loop, the CDX seek index, RFC 9309
     # availability semantics, the budgeted streaming loop, redirect
     # resolution, ETag/304 conditional revalidation, multimodal
-    # records in the container);
+    # records in the container, redirect-fed frontier discovery,
+    # the streaming loop's WET corpus output);
     # (b) q_source_warc_stats re-queued — its r17 schema adds the
     # payload-digest columns, so the r16 row no longer reflects it;
     # (c) the 26-entry r10-stale remainder (q_harvest_unpivot ..
     # q_text_lm_score — closes the verdict's "no live entry's newest
     # driver row predates r11" criterion);
-    # (d) the 13 alphabetically-first entries of the 49-entry cohort
-    # whose newest driver row is r11 — the stalest after (c); the 36
-    # alphabetically-last (q_graph_label_propagation ..
-    # q_top_supplier_revenue) are the r18 queue.  Entries outside the
+    # (d) the 11 alphabetically-first entries of the 49-entry cohort
+    # whose newest driver row is r11 — the stalest after (c); the 38
+    # alphabetically-last (q_graph_hits .. q_top_supplier_revenue)
+    # are the r18 queue.  Entries outside the
     # window stay hash-verified by tools/verify_oracle.py + pytest
     # every session.
     # (a) r17-new entries:
@@ -119,6 +120,8 @@ _DRIVER_PRIORITY = (
     "q_pipeline_redirect_resolution",
     "q_pipeline_warc_conditional",
     "q_pipeline_warc_resources",
+    "q_pipeline_frontier_redirects",
+    "q_stream_crawl_wet",
     # (b) schema-rebased this round:
     "q_source_warc_stats",
     # (c) the r10-stale remainder:
@@ -148,7 +151,7 @@ _DRIVER_PRIORITY = (
     "q_stream_tumbling_counts",
     "q_text_bytes_mapinarrow",
     "q_text_lm_score",
-    # (d) 13 of the r11-stale cohort:
+    # (d) 11 of the r11-stale cohort:
     "q_bilateral_trade",
     "q_customer_order_distribution",
     "q_dedup_minhash",
@@ -160,8 +163,6 @@ _DRIVER_PRIORITY = (
     "q_embedding_quantize_int8",
     "q_events_attribution",
     "q_events_cusum",
-    "q_graph_hits",
-    "q_graph_kcore",
 )
 
 _loaded = False

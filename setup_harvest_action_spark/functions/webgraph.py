@@ -558,6 +558,7 @@ def _crawl_rounds_sql(
     rounds: int = CRAWL_ROUNDS,
     cap_sql: str | None = None,
     cap_col_sql: str | None = None,
+    select_sql: str | None = None,
 ) -> str:
     """Unrolled-CTE oracle for the multi-round crawl — the same
     discipline as PageRank's iteration unroll: round k's frontier is
@@ -609,6 +610,8 @@ fetched{k} AS (
     cap_out = (
         f", CAST({cap_col_sql} AS INT) AS host_cap" if cap_col_sql else ""
     )
+    if select_sql is not None:
+        return body + "\n" + select_sql
     selects = "\nUNION ALL\n".join(
         f"SELECT {k} AS round, host, url, CAST(rank AS INT) AS rank"
         f"{cap_out} FROM f{k}"
@@ -1077,6 +1080,46 @@ def crawl_stream_ingest(
 # --- the streaming crawl LOOP closed (r17) ------------------------------------
 
 
+def wet_rows_of_pages(pages: DataFrame) -> DataFrame:
+    """(url, wet_md5, n_chars) per fetched page, derived THROUGH the
+    WET container: synthesize → extract → encode_wet → parse back —
+    the corpus output leg keeps the container in the loop, so a WET
+    framing slip corrupts the stored corpus, not just a sidecar."""
+    import hashlib
+
+    import pandas as pd
+
+    from setup_harvest_action_spark.functions.html_extract import main_text
+    from setup_harvest_action_spark.sources.warc import (
+        encode_wet,
+        parse_warc,
+    )
+
+    def rows(batches: Iterator):
+        for pdf in batches:
+            entries = []
+            for d, t, lg in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                d = int(d)
+                page = synthesize_crawl_page(d, t, lang=lg)
+                entries.append((page_url(d), main_text(page)))
+            out = {"url": [], "wet_md5": [], "n_chars": []}
+            if entries:
+                for rec in parse_warc(encode_wet(entries)):
+                    if rec["type"] != "conversion":
+                        continue
+                    text = rec["payload"].decode("utf-8")
+                    out["url"].append(rec["uri"])
+                    out["wet_md5"].append(
+                        hashlib.md5(text.encode()).hexdigest()
+                    )
+                    out["n_chars"].append(len(text))
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(
+        rows, "url string, wet_md5 string, n_chars int"
+    )
+
+
 @query("q_stream_crawl_loop", oracle=_crawl_rounds_sql())
 def q_stream_crawl_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ARRIVAL-DRIVEN crawl loop CLOSED (r17, the verdict's #3):
@@ -1117,6 +1160,7 @@ def crawl_stream_loop(
     timeout_sec: int = 300,
     host_caps: dict[str, int] | None = None,
     default_cap: int = FRONTIER_PER_HOST,
+    wet_output: bool = False,
 ) -> DataFrame:
     """Library form of the closed streaming loop.  Layout under
     ``base``: ``arrivals/`` (doc-id parquet files — seeds first, then
@@ -1155,6 +1199,7 @@ def crawl_stream_loop(
     edges_t = os.path.join(base, "edges")
     crawled_t = os.path.join(base, "crawled")
     frontier_t = os.path.join(base, "frontier")
+    wet_t = os.path.join(base, "wet")
     arrivals = os.path.join(base, "arrivals")
     register_manifest_sink(spark)
 
@@ -1173,11 +1218,14 @@ def crawl_stream_loop(
         docs.filter(F.col("doc_id") % CRAWL_SEED_MOD == 0).select(
             "doc_id"
         ).write.parquet(arrivals)
-    for path, schema in (
+    tables = [
         (edges_t, "src string, dst string"),
         (crawled_t, "url string"),
         (frontier_t, "round int, host string, url string, rank int"),
-    ):
+    ]
+    if wet_output:
+        tables.append((wet_t, "url string, wet_md5 string, n_chars int"))
+    for path, schema in tables:
         if not os.path.exists(os.path.join(path, "_manifest.json")):
             (
                 spark.createDataFrame([], schema)
@@ -1199,6 +1247,14 @@ def crawl_stream_loop(
         merge_into(
             spark, edges_t, edges_of_pages(pages), on=["src", "dst"]
         )
+        if wet_output:
+            # the corpus OUTPUT leg rides the same drain: each batch's
+            # pages go through the real WET container (encode → parse
+            # back) and keyed-MERGE into the stored corpus — replay
+            # commits the same rows, so exactly-once carries over
+            merge_into(
+                spark, wet_t, wet_rows_of_pages(pages), on=["url"]
+            )
 
     def _drain() -> None:
         q = (
@@ -1345,6 +1401,65 @@ def q_stream_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.withColumn(
         "host_cap", _host_cap_col(caps, default_cap).cast("int")
+    )
+
+
+WET_STREAM_ROUNDS = 2  # depth lives in q_stream_crawl_loop; this
+# entry's point is the OUTPUT table, so two rounds keep the driver
+# gate fast (each extra round costs a full drain + derivation of
+# scheduler fixed cost at fixture scale)
+
+_WET_SELECT_SQL = f"""
+SELECT CAST(substr(f.url, 27) AS BIGINT) AS doc_id, f.url,
+       md5(trim(regexp_replace(d2.text, '[ \\t\\n\\r]+', ' ', 'g')))
+         AS wet_md5
+FROM (SELECT url FROM fetched0
+      UNION SELECT url FROM fetched1) f
+JOIN documents d2 ON d2.doc_id = CAST(substr(f.url, 27) AS BIGINT)
+"""
+
+
+@query(
+    "q_stream_crawl_wet",
+    oracle=_crawl_rounds_sql(
+        rounds=WET_STREAM_ROUNDS, select_sql=_WET_SELECT_SQL
+    ),
+)
+def q_stream_crawl_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming crawl loop's CORPUS OUTPUT leg (r17 post-close):
+    while the loop runs, every drained batch's pages also flow
+    through the real WET container (synthesize → extract →
+    encode_wet → parse back) and keyed-MERGE into a stored corpus
+    table — the arrival-driven version of q_pipeline_wet_roundtrip.
+    After the loop closes, the stored corpus must hold EXACTLY the
+    pages the crawl actually fetched across all rounds (seeds +
+    every round's existing frontier targets except the final
+    unfetched frontier), each with the md5 of its extracted text —
+    the oracle replays the multi-round fetch-set CTEs and joins the
+    raw documents for the text hash, so a lost batch, a double
+    merge, or a WET framing slip all flip the hash.  Scale: the WET
+    leg is O(batch) map-side work per drain + an O(batch) keyed
+    merge — the output table grows exactly as fast as the crawl."""
+    import os
+    import shutil
+    import tempfile
+
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        scan_manifest,
+    )
+
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(
+        tempfile.gettempdir(), "shas_crawl", label, "stream_wet"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    crawl_stream_loop(
+        spark, sf_dir, base, rounds=WET_STREAM_ROUNDS, wet_output=True
+    )
+    doc_num = F.substring_index(F.col("url"), "/", -1).cast("bigint")
+    return (
+        scan_manifest(spark, os.path.join(base, "wet"))
+        .select(doc_num.alias("doc_id"), "url", "wet_md5")
     )
 
 
@@ -1644,6 +1759,235 @@ def q_pipeline_frontier_discovery(spark: SparkSession, sf_dir: str) -> DataFrame
         admitted.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= FRONTIER_PER_HOST)
         .select("host", "url", "via", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# --- redirect targets feeding the frontier (r17 post-close) -------------------
+
+
+@query(
+    "q_pipeline_frontier_redirects",
+    oracle=f"""
+WITH {_EDGES_SQL},
+seeds AS (SELECT d FROM d WHERE d % {CRAWL_SEED_MOD} = 0),
+crawled0 AS (
+  SELECT 'https://host' || CAST(d % {_HOSTS} AS VARCHAR) ||
+         '.example/doc/' || CAST(d AS VARCHAR) AS url
+  FROM seeds
+),
+disc1 AS (
+  SELECT DISTINCT e.dst AS url FROM edges e
+  JOIN crawled0 f ON e.src = f.url
+),
+cand1 AS (
+  SELECT url, 'host' || CAST(substr(url, 13, 1) AS VARCHAR) AS host,
+         substr(url, 22) AS path
+  FROM disc1 WHERE url NOT IN (SELECT url FROM crawled0)
+),
+adm1 AS (SELECT host, url FROM cand1 WHERE {_ADMIT_CASE_SQL}),
+f1 AS (
+  SELECT host, url FROM (
+    SELECT host, url,
+           row_number() OVER (PARTITION BY host ORDER BY url) AS rank
+    FROM adm1
+  ) WHERE rank <= {FRONTIER_PER_HOST}
+),
+crawled1 AS (SELECT url FROM crawled0 UNION SELECT url FROM f1),
+fetched1 AS (
+  SELECT url FROM f1
+  WHERE CAST(substr(url, 13, 1) AS INT) =
+        CAST(substr(url, 27) AS INT) % {_HOSTS}
+),
+redir AS (
+  SELECT DISTINCT
+    'https://host' ||
+    CAST(CAST(substr(url, 27) AS INT) % {_HOSTS} AS VARCHAR) ||
+    '.example/doc/' || substr(url, 27) AS url
+  FROM f1
+  WHERE CAST(substr(url, 13, 1) AS INT) <>
+        CAST(substr(url, 27) AS INT) % {_HOSTS}
+),
+linkc AS (
+  SELECT DISTINCT e.dst AS url FROM edges e
+  JOIN fetched1 f ON e.src = f.url
+),
+cand AS (
+  SELECT url, max(l) AS l, max(r) AS r
+  FROM (SELECT url, 1 AS l, 0 AS r FROM linkc
+        UNION ALL SELECT url, 0 AS l, 1 AS r FROM redir)
+  GROUP BY url
+),
+fresh AS (
+  SELECT url, l, r,
+         'host' || CAST(substr(url, 13, 1) AS VARCHAR) AS host,
+         substr(url, 22) AS path
+  FROM cand WHERE url NOT IN (SELECT url FROM crawled1)
+),
+admitted AS (
+  SELECT host, url,
+         CASE WHEN l = 1 AND r = 1 THEN 'both'
+              WHEN l = 1 THEN 'link' ELSE 'redirect' END AS via
+  FROM fresh WHERE {_ADMIT_CASE_SQL}
+),
+ranked AS (
+  SELECT host, url, via,
+         row_number() OVER (PARTITION BY host ORDER BY url) AS rank
+  FROM admitted
+)
+SELECT host, url, via, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {FRONTIER_PER_HOST}
+""",
+)
+def q_pipeline_frontier_redirects(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REDIRECT targets feeding the frontier (r17 post-close): a
+    host-mismatched link target no longer dead-ends — the server
+    301s to the document's TRUE host (the http→canonical-host
+    aliasing every real crawl hits), and the Location target is a
+    DISCOVERY exactly like an outlink.  Round 1 runs the standard
+    frontier; fetching it yields pages for matched-host URLs and
+    real 301 captures (parsed from the WARC, Location resolved per
+    RFC 3986) for mismatched ones; round 2's candidates are the
+    fetched pages' outlinks ∪ the redirect targets, provenance-
+    tagged (link / redirect / both — the redirect-only rows prove
+    aliased content becomes reachable that links alone cannot
+    reach), then the usual anti-join, codegen'd robots admission and
+    politeness cap.  The oracle replays the redirect arithmetic
+    (true host = doc % {_HOSTS}) beside the link CTEs.  Scale: the
+    redirect leg is O(frontier) map-side capture parsing; the
+    discovery union rides the existing frontier plan."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    from setup_harvest_action_spark.sources.warc import (
+        _pack,
+        _record,
+        http_response,
+        parse_warc,
+        resolve_redirects,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < GRAPH_DOCS)
+        .select("doc_id", "text", "lang")
+    )
+    seeds = docs.filter(F.col("doc_id") % CRAWL_SEED_MOD == 0)
+    self_url = F.concat(
+        F.lit("https://host"),
+        (F.col("doc_id") % _HOSTS).cast("string"),
+        F.lit(".example/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    crawled0 = seeds.select(self_url.alias("url"))
+    admit = robots_admission_expr(
+        F.col("host"),
+        F.regexp_extract("url", r"^https://[^/]+(/.*)$", 1),
+    )
+    w = Window.partitionBy("host").orderBy("url")
+    f1 = (
+        edges_of_pages(seeds)
+        .select(F.col("dst").alias("url"))
+        .distinct()
+        .join(crawled0, "url", "left_anti")
+        .select(
+            F.regexp_extract("url", r"^https://(host\d+)\.", 1).alias(
+                "host"
+            ),
+            "url",
+        )
+        .filter(admit)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= FRONTIER_PER_HOST)
+        .select("host", "url")
+    )
+    from setup_harvest_action_spark.io.materialize import materialize
+
+    f1 = materialize(f1, "frontier_redirects_f1", None)
+    crawled1 = crawled0.union(f1.select("url")).distinct()
+    doc_num = F.substring_index(F.col("url"), "/", -1).cast("int")
+    host_digit = F.substring(F.col("url"), 13, 1).cast("int")
+    exist_ids = (
+        f1.filter(host_digit == doc_num % _HOSTS)
+        .select(doc_num.alias("doc_id"))
+    )
+    fetched1 = docs.join(exist_ids, "doc_id", "left_semi")
+
+    # the mismatched fetches come back as REAL 301 captures: build the
+    # WARC per batch, parse it, resolve Location per RFC 3986
+    mismatched = f1.filter(host_digit != doc_num % _HOSTS).select("url")
+
+    def redirect_targets(batches: _It):
+        for pdf in batches:
+            recs = []
+            for u in pdf["url"]:
+                t = int(u.rsplit("/", 1)[1])
+                true_url = page_url(t)
+                recs.append(
+                    _record(
+                        "response",
+                        http_response(
+                            body=b"", status=301, location=true_url
+                        ),
+                        uri=u,
+                        record_id=None,
+                        content_type="application/http;msgtype=response",
+                    )
+                )
+            targets = []
+            if recs:
+                resolved = resolve_redirects(
+                    parse_warc(_pack(recs, "plain"))
+                )
+                for start, r in resolved.items():
+                    # a 301 whose target was not captured in THIS
+                    # batch resolves as dangling with final_uri set —
+                    # the Location target is the discovery
+                    if r["final_uri"] and r["final_uri"] != start:
+                        targets.append(r["final_uri"])
+            yield pd.DataFrame({"url": targets})
+
+    redir = mismatched.mapInPandas(
+        redirect_targets, "url string"
+    ).distinct()
+    linkc = (
+        edges_of_pages(fetched1).select(F.col("dst").alias("url")).distinct()
+    )
+    tagged = (
+        linkc.select("url", F.lit(1).alias("l"), F.lit(0).alias("r"))
+        .unionByName(
+            redir.select("url", F.lit(0).alias("l"), F.lit(1).alias("r"))
+        )
+    )
+    cand = (
+        tagged.groupBy("url")
+        .agg(F.max("l").alias("l"), F.max("r").alias("r"))
+        .join(crawled1, "url", "left_anti")
+        .select(
+            F.regexp_extract("url", r"^https://(host\d+)\.", 1).alias(
+                "host"
+            ),
+            "url",
+            "l",
+            "r",
+        )
+    )
+    admitted = cand.filter(admit).select(
+        "host",
+        "url",
+        F.when((F.col("l") == 1) & (F.col("r") == 1), "both")
+        .when(F.col("l") == 1, "link")
+        .otherwise("redirect")
+        .alias("via"),
+    )
+    return (
+        admitted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= FRONTIER_PER_HOST)
+        .select(
+            "host", "url", "via", F.col("rank").cast("int").alias("rank")
+        )
     )
 
 

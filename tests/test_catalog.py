@@ -42,16 +42,16 @@ def test_every_oracle_has_a_query():
 def test_driver_window_covers_every_component():
     """The first DRIVER_WINDOW catalog entries (all the driver's
     correctness gate ever records) must front the r17 rotation: the
-    10 never-driver-sampled r17 entries, the schema-rebased warc
+    12 never-driver-sampled r17 entries, the schema-rebased warc
     stats, the 26-entry r10-stale remainder (closes the no-row-
-    predating-r11 criterion), and 13 of the r11-stale cohort (the
+    predating-r11 criterion), and 11 of the r11-stale cohort (the
     r16 verdict's #1 ask)."""
     queries, _ = cat.load_catalog()
     window = list(queries)[: cat.DRIVER_WINDOW]
     assert len(cat._DRIVER_PRIORITY) <= cat.DRIVER_WINDOW
     assert list(cat._DRIVER_PRIORITY) == window[: len(cat._DRIVER_PRIORITY)]
     for name in (
-        # the 10 never-sampled r17 entries — all must earn driver rows
+        # the 12 never-sampled r17 entries — all must earn driver rows
         "q_pipeline_warc_content_codings",
         "q_pipeline_warc_revisit",
         "q_pipeline_crawl_budget",
@@ -62,6 +62,8 @@ def test_driver_window_covers_every_component():
         "q_pipeline_redirect_resolution",
         "q_pipeline_warc_conditional",
         "q_pipeline_warc_resources",
+        "q_pipeline_frontier_redirects",
+        "q_stream_crawl_wet",
         # the schema-rebased stats row (digest columns, r17)
         "q_source_warc_stats",
         # representatives of the r10 remainder (the full 26 are pinned
@@ -71,10 +73,10 @@ def test_driver_window_covers_every_component():
         "q_pricing_summary",
         "q_stream_tumbling_counts",
         "q_text_lm_score",
-        # representatives of the 13-entry r11 tranche
+        # representatives of the 11-entry r11 tranche
         "q_bilateral_trade",
         "q_dedup_minhash",
-        "q_graph_kcore",
+        "q_events_cusum",
     ):
         assert name in window, name
 
