@@ -161,14 +161,26 @@ def policy_from_fetch(status: int, body: str) -> str:
     * 5xx / network failure ("unreachable"): the crawler MUST assume
       complete disallow → block-all.
 
-    3xx is not modeled here: the fetch leg is expected to have
-    followed redirects (the RFC caps them at five hops) before
-    recording the terminal capture."""
+    3xx is NOT modeled here and raises: the fetch leg must have
+    followed redirects first (RFC 9309 §2.3.1.2 caps them at five
+    hops — :func:`~setup_harvest_action_spark.sources.warc.
+    resolve_redirects` composed on the robots leg is
+    ``robots_policies_from_capture``); silently mapping a redirect
+    into the unreachable branch would turn a 301'd robots.txt into
+    block-all with no signal (r17 advice).  1xx is equally outside
+    the model — a robots.txt fetch never terminates on an interim
+    response."""
     if 200 <= status < 300:
         return body
     if 400 <= status < 500:
         return ""
-    return BLOCK_ALL_ROBOTS
+    if 500 <= status < 600:
+        return BLOCK_ALL_ROBOTS
+    raise ValueError(
+        f"robots.txt fetch status {status} is outside the modeled "
+        "2xx/4xx/5xx classes — resolve redirects (RFC 9309 "
+        "§2.3.1.2) before applying availability semantics"
+    )
 
 
 # --- catalog query -----------------------------------------------------------

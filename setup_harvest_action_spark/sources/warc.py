@@ -491,15 +491,26 @@ def resolve_not_modified(
 
 REDIRECT_MAX_HOPS = 5  # the conventional crawler cap (RFC 9309 names 5)
 
+# the 3xx statuses that actually REDIRECT (carry a Location the client
+# should follow).  304 Not Modified has no Location by definition
+# (RFC 9110 §15.4.5 — it is a revalidation answer, resolved by
+# resolve_not_modified), 300 Multiple Choices offers options without
+# mandating one, 305/306 are deprecated/reserved — all terminal here
+# (r17 advice: a 304 misreported as 'dangling' would break composing
+# conditional revalidation with redirect resolution).
+REDIRECT_STATUSES = (301, 302, 303, 307, 308)
+
 
 def resolve_redirects(
     records: list[dict], max_hops: int = REDIRECT_MAX_HOPS
 ) -> dict[str, dict]:
     """Follow HTTP redirect chains ACROSS a capture's records (r17):
-    for every captured URI, chase 3xx ``Location`` headers — resolved
-    against the current URI per RFC 3986, since Location may legally
-    be relative (RFC 9110 §10.2.2) — until a non-3xx record, a loop,
-    the hop cap, or a target that was never captured.  Returns
+    for every captured URI, chase :data:`REDIRECT_STATUSES`
+    ``Location`` headers — resolved against the current URI per
+    RFC 3986, since Location may legally be relative (RFC 9110
+    §10.2.2) — until a non-redirect record (including 304/300/305,
+    which are 3xx but terminal), a loop, the hop cap, or a target
+    that was never captured.  Returns
     ``{start_uri: {"outcome": "ok"|"redirect_loop"|
     "too_many_redirects"|"dangling", "final_uri", "hops", "record"}}``
     — the resolution layer every crawler runs between fetch and
@@ -517,7 +528,7 @@ def resolve_redirects(
         seen = {start}
         while True:
             status = cur.get("http_status")
-            if status is None or not (300 <= status < 400):
+            if status not in REDIRECT_STATUSES:
                 out[start] = {
                     "outcome": "ok",
                     "final_uri": cur_uri,

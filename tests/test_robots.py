@@ -266,6 +266,14 @@ def test_policy_from_fetch_availability_semantics():
         assert policy_from_fetch(st, file_policy) == BLOCK_ALL_ROBOTS
         p = parse_robots(BLOCK_ALL_ROBOTS)
         assert not can_fetch(p, "any-agent", "/")
+    # r18 (r17 advice): 1xx/3xx are outside the availability model —
+    # silently returning block-all would misclassify a redirect; the
+    # caller must resolve redirects first (RFC 9309 §2.3.1.2)
+    import pytest
+
+    for st in (100, 101, 300, 301, 302, 304, 307, 308):
+        with pytest.raises(ValueError, match="outside the modeled"):
+            policy_from_fetch(st, file_policy)
 
 
 def test_robots_unavailable_frontier_flips_only_the_fetch_failed_hosts(

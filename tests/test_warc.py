@@ -725,6 +725,45 @@ def test_resolve_redirects_hop_cap():
     )
 
 
+def test_resolve_redirects_non_redirect_3xx_is_terminal():
+    """r18 (r17 advice): 304 Not Modified carries no Location by
+    definition and 300/305 don't mandate one — they must resolve as
+    terminal 'ok' records, not 'dangling', so conditional-revalidation
+    captures compose with redirect resolution."""
+    from setup_harvest_action_spark.sources.warc import (
+        _record,
+        resolve_redirects,
+    )
+
+    recs = parse_warc(
+        _record(
+            "response",
+            http_response(body=b"", status=304),
+            uri="https://x.example/cached",
+            content_type="application/http;msgtype=response",
+        )
+        + _record(
+            "response",
+            http_response(body=b"pick one", status=300),
+            uri="https://x.example/multi",
+            content_type="application/http;msgtype=response",
+        )
+        # a 301 INTO a 304: the chain ends ok at the 304 record
+        + _redir_rec("https://x.example/old", 301, "/cached")
+    )
+    out = resolve_redirects(recs)
+    for uri, hops in (
+        ("https://x.example/cached", 0),
+        ("https://x.example/multi", 0),
+        ("https://x.example/old", 1),
+    ):
+        assert out[uri]["outcome"] == "ok", uri
+        assert out[uri]["hops"] == hops, uri
+    assert out["https://x.example/old"]["final_uri"] == (
+        "https://x.example/cached"
+    )
+
+
 def test_request_records_parse_method_path_and_headers():
     from setup_harvest_action_spark.sources.warc import (
         _record,
