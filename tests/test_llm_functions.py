@@ -250,7 +250,9 @@ def test_bmp_pipeline_matches_ppm_and_pure_python(spark, queries):
         assert r.mean_r == round(float(means[0]), 4)
         assert r.mean_g == round(float(means[1]), 4)
         assert r.mean_b == round(float(means[2]), 4)
-        assert r.thumb_md5 == hashlib.md5(expected_thumb.tobytes()).hexdigest()
+        assert r.thumb_md5 == hashlib.md5(
+            expected_thumb.tobytes().hex().encode()
+        ).hexdigest()
     ppm_rows = {
         r.doc_id: r
         for r in queries["q_multimodal_ppm_pipeline"](
@@ -850,7 +852,9 @@ def test_png_pipeline_matches_ppm_and_bmp(spark, queries):
         assert r.mean_r == round(float(means[0]), 4)
         assert r.mean_g == round(float(means[1]), 4)
         assert r.mean_b == round(float(means[2]), 4)
-        assert r.thumb_md5 == hashlib.md5(expected_thumb.tobytes()).hexdigest()
+        assert r.thumb_md5 == hashlib.md5(
+            expected_thumb.tobytes().hex().encode()
+        ).hexdigest()
     ppm_rows = {
         r.doc_id: r
         for r in queries["q_multimodal_ppm_pipeline"](
@@ -905,7 +909,9 @@ def test_ppm_pipeline_matches_pure_python(spark, queries):
         assert r.mean_r == round(float(means[0]), 4)
         assert r.mean_g == round(float(means[1]), 4)
         assert r.mean_b == round(float(means[2]), 4)
-        assert r.thumb_md5 == hashlib.md5(expected_thumb.tobytes()).hexdigest()
+        assert r.thumb_md5 == hashlib.md5(
+            expected_thumb.tobytes().hex().encode()
+        ).hexdigest()
 
 
 def test_pairs_threshold_lsh_candidates_lose_nothing(spark, queries):

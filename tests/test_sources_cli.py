@@ -543,7 +543,10 @@ def test_cli_catalog_list_and_errors(capsys):
     assert out.count("\n") == len(queries)
     assert f"q_pricing_summary  [oracled]" in out
     assert "q_dedup_minhash  [oracled]" in out  # md5-promoted in r10
-    assert "q_multimodal_ppm_pipeline  [rows-only]" in out
+    # ppm graduated to a full hash oracle in r18 (pixel-arithmetic
+    # replay); the stored-ANN lifecycle entry stays rows-only by design
+    assert "q_multimodal_ppm_pipeline  [oracled]" in out
+    assert "q_similarity_ann_lsh_stored  [rows-only]" in out
 
     assert main(["catalog"]) == 1
     assert "Invalid input" in capsys.readouterr().out
