@@ -725,6 +725,33 @@ def test_resolve_redirects_hop_cap():
     )
 
 
+def test_revalidation_status_rfc9110_precedence():
+    """r18: If-None-Match, when present, is evaluated and
+    If-Modified-Since MUST be ignored (RFC 9110 §13.1.3); date-only
+    revalidation compares not-later-than; obsolete date formats parse."""
+    from setup_harvest_action_spark.sources.warc import (
+        http_date,
+        parse_http_date,
+        revalidation_status,
+    )
+
+    t0, t1 = 1700000000, 1700086400
+    # entity tag wins: date says modified, tag says not -> 304
+    assert revalidation_status('"a"', http_date(t0), '"a"', http_date(t1)) == 304
+    # tag mismatch -> 200 even when the date would say unmodified
+    assert revalidation_status('"a"', http_date(t1), '"b"', http_date(t0)) == 200
+    # date-only: not later -> 304; later -> 200
+    assert revalidation_status(None, http_date(t0), None, http_date(t0)) == 304
+    assert revalidation_status(None, http_date(t1), None, http_date(t0)) == 304
+    assert revalidation_status(None, http_date(t0), None, http_date(t1)) == 200
+    # unconditional / validator-free -> 200
+    assert revalidation_status(None, None, None, None) == 200
+    assert revalidation_status(None, http_date(t0), None, None) == 200
+    # round-trip + the obsolete rfc850 form MUST be accepted
+    assert parse_http_date(http_date(t0)) == t0
+    assert parse_http_date("Tuesday, 14-Nov-23 22:13:20 GMT") == t0
+
+
 def test_resolve_redirects_non_redirect_3xx_is_terminal():
     """r18 (r17 advice): 304 Not Modified carries no Location by
     definition and 300/305 don't mandate one — they must resolve as
