@@ -183,6 +183,56 @@ def policy_from_fetch(status: int, body: str) -> str:
     )
 
 
+def robots_policies_from_capture(records: list[dict]) -> dict[str, str]:
+    """The COMPLETE robots-fetch resolution a crawler runs over a
+    capture (r18, the verdict's #4): RFC 9309 §2.3.1.2 requires
+    following at least five consecutive redirects for the robots.txt
+    resource itself, THEN applying the §2.3.1 availability semantics
+    to the terminal fetch.  For every captured ``…/robots.txt`` URI:
+
+    * the redirect chain is chased via
+      :func:`~setup_harvest_action_spark.sources.warc.
+      resolve_redirects` (relative Locations, loop detection, the
+      five-hop cap) — so a 301'd robots.txt's POLICY APPLIES, read
+      from the terminal record (which may live at any URI, even
+      another origin);
+    * a chain that never reaches a fetchable record — a loop, more
+      than five hops, or a target that was never captured — means no
+      robots.txt could be obtained: §2.3.1.2 says the crawler MAY
+      then assume the file is UNAVAILABLE, i.e. allow-all (the empty
+      policy), NOT the unreachable block-all (that is reserved for
+      5xx on a fetch that did complete);
+    * a terminal record resolves through :func:`policy_from_fetch`
+      (2xx body / 4xx allow-all / 5xx block-all).
+
+    Returns ``{host: policy_text}`` keyed by the first DNS label of
+    the robots URI's authority (the fixture convention shared by the
+    fetch legs).  Bodies decode through the charset funnel like any
+    other capture."""
+    from setup_harvest_action_spark.functions.charset import decode_bytes
+    from setup_harvest_action_spark.sources.warc import resolve_redirects
+
+    resolved = resolve_redirects(records)
+    out: dict[str, str] = {}
+    for start, res in resolved.items():
+        # a crawl's robots fetch STARTS at exactly /robots.txt
+        # (RFC 9309 §2.3: the well-known path at the authority root);
+        # redirect TARGETS may live anywhere and must not re-key
+        netloc_path = start.split("//", 1)[1]
+        if netloc_path.split("/", 1)[1:] != ["robots.txt"]:
+            continue
+        host = netloc_path.split(".", 1)[0]
+        if res["outcome"] != "ok":
+            out[host] = ""  # unavailable -> allow all
+            continue
+        rec = res["record"]
+        body, _codec, _src = decode_bytes(
+            rec["http_body"], rec["http_headers"].get("content-type")
+        )
+        out[host] = policy_from_fetch(rec["http_status"], body)
+    return out
+
+
 # --- catalog query -----------------------------------------------------------
 
 ROBOTS_DOCS = 400

@@ -1611,6 +1611,123 @@ def q_pipeline_robots_unavailable(
     return frontier_from(spark, sf_dir, dim)
 
 
+# the redirect-composition leg's admission CASE: host1's policy
+# arrives via a relative 301 (applies unchanged), host5's via an
+# absolute 301 whose TARGET serves a different policy (the target's
+# rules govern), host2 loops / host4 exceeds five hops / host6
+# dangles (all unavailable -> allow all); host0/host3 serve 200
+_ADMIT_REDIRECT_CASE_SQL = """
+CASE host
+  WHEN 'host0' THEN NOT regexp_matches(path, '^/doc/.*7$')
+  WHEN 'host1' THEN NOT regexp_matches(path, '^/doc/1')
+  WHEN 'host2' THEN TRUE
+  WHEN 'host3' THEN TRUE
+  WHEN 'host4' THEN TRUE
+  WHEN 'host5' THEN NOT regexp_matches(path, '^/doc/.*9$')
+  ELSE TRUE
+END
+"""
+
+# the policy host5's redirect TARGET serves — different from
+# HOST_ROBOTS['host5'], proving the terminal record governs
+_HOST5_ALT_ROBOTS = "User-agent: *\nDisallow: /doc/*9$\n"
+
+
+@query(
+    "q_pipeline_robots_redirects",
+    oracle=f"""
+{_frontier_ctes(_ADMIT_REDIRECT_CASE_SQL)}
+SELECT host, url, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {FRONTIER_PER_HOST}
+""",
+)
+def q_pipeline_robots_redirects(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Redirect resolution COMPOSED into the robots-fetch leg (r18,
+    the verdict's #4): RFC 9309 §2.3.1.2 requires following at least
+    five redirects for robots.txt itself.  The capture rotates the
+    wild's redirect shapes across hosts — host1's /robots.txt 301s
+    with a RELATIVE Location to /r/robots.txt (its policy must apply
+    unchanged), host5's 301s to an absolute URI whose target serves a
+    DIFFERENT policy (the terminal record's rules must govern, not
+    the origin fixture's), host2's redirect-loops, host4's chain runs
+    six hops past the five-hop cap, host6's target was never captured
+    — each failed chain means no robots.txt could be OBTAINED, which
+    §2.3.1.2 maps to UNAVAILABLE (allow all), distinct from the
+    unreachable 5xx block-all — and host0/host3 serve plain 200s.
+    Resolution is :func:`robots.robots_policies_from_capture` (=
+    ``resolve_redirects`` + ``policy_from_fetch``), and the resulting
+    dimension drives the standard frontier; the oracle replays every
+    per-host outcome as admission predicates, so a mis-followed hop,
+    a loop mis-classified as block-all, or a policy read from the
+    wrong record moves admitted rows and flips the hash.  Scale:
+    robots fetching stays coordinator-scale (hosts × ~1 KiB, a few
+    extra records per redirecting host); the dimension broadcasts
+    exactly as before."""
+    from setup_harvest_action_spark.functions.robots import (
+        robots_policies_from_capture,
+    )
+    from setup_harvest_action_spark.sources.warc import (
+        _pack,
+        _record,
+        http_response,
+        parse_warc,
+    )
+
+    def rob(host: str, path: str = "/robots.txt"):
+        return f"https://{host}.example{path}"
+
+    def rec(uri, *, status=200, body="", location=None):
+        return _record(
+            "response",
+            http_response(
+                body=body.encode(),
+                status=status,
+                content_type="text/plain; charset=utf-8",
+                location=location,
+            ),
+            uri=uri,
+            record_id=None,
+            content_type="application/http;msgtype=response",
+        )
+
+    recs = [
+        rec(rob("host0"), body=HOST_ROBOTS["host0"]),
+        # relative Location, policy applies at the target
+        rec(rob("host1"), status=301, location="/r/robots.txt"),
+        rec(rob("host1", "/r/robots.txt"), body=HOST_ROBOTS["host1"]),
+        # loop
+        rec(rob("host2"), status=302, location="/a"),
+        rec(rob("host2", "/a"), status=302, location="/robots.txt"),
+        rec(rob("host3"), body=HOST_ROBOTS["host3"]),
+        # six hops — past the RFC's five
+        rec(rob("host4"), status=301, location="/h1"),
+        *[
+            rec(rob("host4", f"/h{i}"), status=301, location=f"/h{i+1}")
+            for i in range(1, 6)
+        ],
+        rec(rob("host4", "/h6"), body=HOST_ROBOTS["host4"]),
+        # absolute cross-path redirect; the TARGET's policy governs
+        rec(
+            rob("host5"),
+            status=301,
+            location="https://host5.example/alt/robots.txt",
+        ),
+        rec(rob("host5", "/alt/robots.txt"), body=_HOST5_ALT_ROBOTS),
+        # dangling: the target was never captured
+        rec(rob("host6"), status=301, location="/moved/robots.txt"),
+    ]
+    policies = robots_policies_from_capture(
+        parse_warc(_pack(recs, "gzip_members"))
+    )
+    assert set(policies) == set(HOST_ROBOTS), sorted(policies)
+    dim = spark.createDataFrame(
+        sorted(policies.items()), "host string, robots_txt string"
+    )
+    return frontier_from(spark, sf_dir, dim)
+
+
 # --- sitemap discovery feeding the frontier (r16 post-close) ------------------
 
 SITEMAP_DISC_PER_HOST = 10

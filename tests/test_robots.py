@@ -276,6 +276,60 @@ def test_policy_from_fetch_availability_semantics():
             policy_from_fetch(st, file_policy)
 
 
+def test_robots_policies_from_capture_follows_redirects():
+    """r18: RFC 9309 §2.3.1.2 — a 301'd robots.txt's policy applies
+    (read from the terminal record); loop / >5 hops / dangling mean
+    the file could not be OBTAINED -> unavailable -> allow-all; a 5xx
+    terminal after a redirect still maps to block-all; non-robots
+    start URIs never produce entries."""
+    from setup_harvest_action_spark.functions.robots import (
+        BLOCK_ALL_ROBOTS,
+        robots_policies_from_capture,
+    )
+    from setup_harvest_action_spark.sources.warc import (
+        _pack,
+        _record,
+        http_response,
+        parse_warc,
+    )
+
+    policy = "User-agent: *\nDisallow: /doc/\n"
+
+    def rec(uri, *, status=200, body="", location=None):
+        return _record(
+            "response",
+            http_response(
+                body=body.encode(),
+                status=status,
+                content_type="text/plain; charset=utf-8",
+                location=location,
+            ),
+            uri=uri,
+            record_id=None,
+            content_type="application/http;msgtype=response",
+        )
+
+    recs = [
+        rec("https://a.example/robots.txt", status=301, location="/r.txt"),
+        rec("https://a.example/r.txt", body=policy),
+        rec("https://b.example/robots.txt", status=302, location="/x"),
+        rec("https://b.example/x", status=302, location="/robots.txt"),
+        rec("https://c.example/robots.txt", status=301, location="/gone"),
+        # a redirect INTO a 5xx: the fetch completed -> unreachable
+        rec("https://e.example/robots.txt", status=301, location="/r"),
+        rec("https://e.example/r", status=503),
+        # a page that is not a robots start URI
+        rec("https://a.example/doc/1", body="<p>hi</p>"),
+    ]
+    out = robots_policies_from_capture(parse_warc(_pack(recs, "plain")))
+    assert out == {
+        "a": policy,
+        "b": "",  # loop -> unavailable -> allow all
+        "c": "",  # dangling -> unavailable -> allow all
+        "e": BLOCK_ALL_ROBOTS,  # terminal 503 -> unreachable
+    }
+
+
 def test_robots_unavailable_frontier_flips_only_the_fetch_failed_hosts(
     spark,
 ):
