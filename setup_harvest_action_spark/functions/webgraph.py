@@ -1179,15 +1179,23 @@ def crawl_stream_loop(
     loop already complete (frontier table at the round bound) drains
     nothing, derives nothing, and commits nothing.
 
-    Crash boundary, honestly: the STREAM side is exactly-once (keyed
-    merges + checkpoint).  The scheduler tick (frontier merge →
-    crawled merge → arrivals append) is three commits; a driver
-    crash between them leaves a round whose frontier exists but
-    whose crawled/arrivals legs are missing — re-entry resumes at
-    the derivation guard so the frontier itself never duplicates,
-    but a production deployment would fold the tick into ONE
-    versioned commit (the manifest CAS supports it) rather than
-    three."""
+    Crash boundary: the STREAM side is exactly-once (keyed merges +
+    checkpoint), and the scheduler tick is ONE versioned commit (r18,
+    the r17 verdict's #5) — the frontier merge.  The other two legs
+    of the old three-commit tick became DERIVED state: the crawled
+    set used for admission is ``crawled ∪ frontier`` (so the stored
+    ``crawled`` table holds exactly the pages that entered the
+    stream, written only by the exactly-once stream side), and the
+    arrivals directory is reconciled FROM the committed frontier
+    table at the top of every tick (an exact anti-join appends
+    precisely the committed-but-unwritten targets — nothing on a
+    clean pass or a re-entry over a complete loop, exactly round
+    ``done``'s targets in the happy path, exactly what a crash
+    dropped otherwise).  A crash at ANY point therefore re-enters to
+    a state fully determined by the last frontier commit: before the
+    merge, the tick replays; after it, the next tick's reconcile
+    supplies the arrivals.  No repair of cross-table invariants is
+    ever needed because no cross-table invariant exists."""
     import os
 
     from setup_harvest_action_spark.sources.manifest_sink import (
@@ -1279,36 +1287,57 @@ def crawl_stream_loop(
         F.regexp_extract("url", r"^https://[^/]+(/.*)$", 1),
     )
     w = Window.partitionBy("host").orderBy("url")
+    # existing targets re-enter the stream: doc t lives at host
+    # t % 7, so a host-mismatched link target 404s
+    doc_num = F.substring_index(F.col("url"), "/", -1).cast("int")
+    host_digit = F.substring(F.col("url"), 13, 1).cast("int")
     while True:
         done = scan_manifest(spark, frontier_t).agg(
             F.coalesce(F.max("round"), F.lit(0)).alias("r")
         ).collect()[0]["r"]
         if done >= rounds:
             break
-        # tick repair: re-assert crawled ⊇ frontier before deriving.
-        # A crash between the frontier merge and the crawled merge
-        # would otherwise let round done's URLs be re-admitted in
-        # round done+1 — the keyed frontier merge would then REWRITE
-        # their round column (full-row update), silently renumbering
-        # crawl history.  Gated on an actual violation (one tiny
-        # anti-join count) so the clean path commits nothing extra.
         if done > 0:
+            # reconcile arrivals FROM the committed frontier (the
+            # derived-state half of the one-commit tick): append
+            # exactly the committed rounds' existing targets that the
+            # arrivals directory lacks — round ``done``'s on a clean
+            # pass, whatever a crash dropped otherwise, nothing on a
+            # converged re-entry.  Duplicates are impossible (exact
+            # anti-join), so the stream never re-delivers and a no-op
+            # pass commits nothing anywhere.
             missing = (
                 scan_manifest(spark, frontier_t)
-                .select("url")
+                .filter(host_digit == doc_num % _HOSTS)
+                .select(doc_num.cast("long").alias("doc_id"))
                 .join(
-                    scan_manifest(spark, crawled_t), "url", "left_anti"
+                    spark.read.parquet(arrivals).select("doc_id"),
+                    "doc_id",
+                    "left_anti",
                 )
             )
             if missing.limit(1).count() > 0:
-                merge_into(spark, crawled_t, missing, on=["url"])
+                missing.write.mode("append").parquet(arrivals)
         _drain()
         k = done + 1
         frontier = (
             scan_manifest(spark, edges_t)
             .select(F.col("dst").alias("url"))
             .distinct()
-            .join(scan_manifest(spark, crawled_t), "url", "left_anti")
+            # the admission 'crawled set' is crawled ∪ frontier: the
+            # stored crawled table holds exactly the pages the stream
+            # fetched (host-matched targets — written only by the
+            # exactly-once stream side), while dangling frontier URLs
+            # are excluded by their own frontier rows.  Same set the
+            # old crawled-table merge maintained, with no second
+            # scheduler commit.
+            .join(
+                scan_manifest(spark, crawled_t)
+                .select("url")
+                .union(scan_manifest(spark, frontier_t).select("url")),
+                "url",
+                "left_anti",
+            )
             .select(
                 F.regexp_extract(
                     "url", r"^https://(host\d+)\.", 1
@@ -1334,27 +1363,21 @@ def crawl_stream_loop(
             "url",
             F.col("rank").cast("int").alias("rank"),
         )
+        # THE tick's single versioned commit; every other leg is
+        # derived from it (a URL can never be re-admitted, so the
+        # keyed merge can never rewrite an earlier round's row)
         merge_into(spark, frontier_t, frontier, on=["url"])
-        just = scan_manifest(spark, frontier_t).filter(
-            F.col("round") == k
-        )
-        if just.limit(1).count() == 0:
+        if (
+            scan_manifest(spark, frontier_t)
+            .filter(F.col("round") == k)
+            .limit(1)
+            .count()
+            == 0
+        ):
             # converged: the crawl found nothing new to admit, so
             # max(round) can never advance — stop instead of spinning
             # (an empty frontier is an empty RESULT, not a hang)
             break
-        merge_into(spark, crawled_t, just.select("url"), on=["url"])
-        if k < rounds:
-            # existing targets re-enter the stream: doc t lives at
-            # host t % 7, so a host-mismatched link target 404s
-            doc_num = F.substring_index(F.col("url"), "/", -1).cast("int")
-            host_digit = F.substring(F.col("url"), 13, 1).cast("int")
-            (
-                just.filter(host_digit == doc_num % _HOSTS)
-                .select(doc_num.cast("long").alias("doc_id"))
-                .write.mode("append")
-                .parquet(arrivals)
-            )
     # the final drain ingests nothing new on a complete loop (re-run
     # commits nothing) but closes out any arrivals a crash left behind
     _drain()

@@ -106,11 +106,15 @@ def test_budget_caps_diverge_by_delay(spark):
 def test_stream_crawl_loop_matches_batch_and_rerun_commits_nothing(
     spark, tmp_path
 ):
-    """r17: the closed streaming loop — stored frontier table equals
-    the batch loop's output from the same seeds; the edge table holds
-    exactly the edges of every page that entered the stream; crawled
-    = seed self-URLs ∪ every frontier URL; and a re-entry over the
-    same checkpoint commits NOTHING to any of the three tables."""
+    """r17 (tick re-shaped r18): the closed streaming loop — stored
+    frontier table equals the batch loop's output from the same
+    seeds; the edge table holds exactly the edges of every page that
+    entered the stream; crawled = the self-URLs of exactly those
+    pages (seeds ∪ host-matched frontier targets — written only by
+    the exactly-once stream side; dangling frontier URLs are excluded
+    from admission by their own frontier rows, not by a second
+    scheduler commit); and a re-entry over the same checkpoint
+    commits NOTHING to any of the three tables."""
     import pyspark.sql.functions as F
 
     from setup_harvest_action_spark.functions.webgraph import (
@@ -158,7 +162,14 @@ def test_stream_crawl_loop_matches_batch_and_rerun_commits_nothing(
         f"https://host{d % _HOSTS}.example/doc/{d}"
         for d in range(0, GRAPH_DOCS, CRAWL_SEED_MOD)
     }
-    want_crawled = self_urls | {u for (_, _, u, _) in stream_rows}
+    want_crawled = self_urls | {
+        u
+        for (rnd, _, u, _) in stream_rows
+        # host-matched targets actually fetch; the final round's
+        # frontier is never fetched (its targets don't re-enter)
+        if rnd < max(r for (r, _, _, _) in stream_rows)
+        and u[12] == str(int(u.rsplit("/", 1)[1]) % _HOSTS)
+    }
     got_crawled = {
         r["url"] for r in scan_manifest(spark, base + "/crawled").collect()
     }
@@ -174,3 +185,64 @@ def test_stream_crawl_loop_matches_batch_and_rerun_commits_nothing(
     } == stream_rows
     for t, v in versions.items():
         assert read_manifest(f"{base}/{t}")["version"] == v, t
+
+
+def test_stream_crawl_loop_resumes_after_crash_at_the_commit_boundary(
+    spark, tmp_path
+):
+    """r18 (the r17 verdict's #5): the scheduler tick is ONE
+    versioned commit — the frontier merge — so the worst crash point
+    is immediately after it, with that round's arrivals not yet
+    written and its fetches not yet merged.  A run bounded at
+    rounds=1 halts in EXACTLY that state (round-1 frontier committed,
+    nothing else); re-entering with the full bound must reconcile the
+    arrivals from the committed frontier and converge to a stored
+    state identical to an uninterrupted full run — no repair step, no
+    duplicated rows, no renumbered rounds."""
+    from setup_harvest_action_spark.functions.webgraph import (
+        CRAWL_ROUNDS,
+        crawl_stream_loop,
+    )
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        scan_manifest,
+    )
+
+    crashed = str(tmp_path / "crashed")
+    crawl_stream_loop(spark, SF, crashed, rounds=1)
+    # the crash-equivalent state: a committed round-1 frontier whose
+    # targets never reached the arrivals directory
+    f1 = scan_manifest(spark, crashed + "/frontier")
+    assert f1.filter("round = 1").count() > 0
+    arrived = {
+        r["doc_id"]
+        for r in spark.read.parquet(crashed + "/arrivals").collect()
+    }
+    committed = {
+        int(r["url"].rsplit("/", 1)[1])
+        for r in f1.filter("round = 1").collect()
+        # host-matched targets are the ones a fetch would deliver
+        if r["url"][12] == str(int(r["url"].rsplit("/", 1)[1]) % 7)
+    }
+    assert committed and not (arrived & committed)
+
+    resumed = {
+        (r["round"], r["host"], r["url"], r["rank"])
+        for r in crawl_stream_loop(
+            spark, SF, crashed, rounds=CRAWL_ROUNDS
+        ).collect()
+    }
+    clean_base = str(tmp_path / "clean")
+    clean = {
+        (r["round"], r["host"], r["url"], r["rank"])
+        for r in crawl_stream_loop(
+            spark, SF, clean_base, rounds=CRAWL_ROUNDS
+        ).collect()
+    }
+    assert resumed == clean and resumed
+    for t in ("edges", "crawled"):
+        assert {
+            tuple(r) for r in scan_manifest(spark, crashed + "/" + t).collect()
+        } == {
+            tuple(r)
+            for r in scan_manifest(spark, clean_base + "/" + t).collect()
+        }, t
