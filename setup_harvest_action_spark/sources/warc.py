@@ -59,6 +59,21 @@ REVISIT_PROFILE = (
 )
 
 
+def utf8_prefix(data: bytes) -> str:
+    """Decoded text of a length-truncated UTF-8 payload (r18): an
+    incremental decode that HOLDS BACK an incomplete trailing sequence
+    — the byte cap may fall mid-codepoint — instead of mojibake (a
+    replacement char for bytes the server actually sent whole) or
+    ``errors='ignore'`` (which would also swallow MID-stream
+    corruption, a real decode error this function must still
+    raise)."""
+    import codecs
+
+    return codecs.getincrementaldecoder("utf-8")("strict").decode(
+        data, False
+    )
+
+
 def _record(
     rtype: str,
     payload: bytes,
@@ -69,6 +84,7 @@ def _record(
     refers_to: str | None = None,
     digest: str | None = None,
     profile: str | None = None,
+    truncated: str | None = None,
 ) -> bytes:
     rid = record_id or _rid(uri or rtype)
     head = [
@@ -87,6 +103,10 @@ def _record(
         head.insert(3, b"WARC-Payload-Digest: " + digest.encode())
     if profile is not None:
         head.insert(3, b"WARC-Profile: " + profile.encode())
+    if truncated is not None:
+        # ISO 28500 §5.13: reason in {length, time, disconnect,
+        # unspecified}; record Content-Length frames the STORED bytes
+        head.insert(3, b"WARC-Truncated: " + truncated.encode())
     return _CRLF.join(head) + _CRLF * 2 + payload + _CRLF * 2
 
 
@@ -408,6 +428,61 @@ def encode_warc_http(responses, layout: str = "gzip_members") -> bytes:
                 digest=payload_digest(body),
             )
         )
+    return _pack(recs, layout)
+
+
+def encode_warc_length_capped(
+    responses: list[tuple[str, bytes, str]],
+    cap: int,
+    layout: str = "gzip_members",
+) -> bytes:
+    """Length-capped capture (r18): real crawlers bound what they
+    store per fetch (Common Crawl caps bodies at 1 MiB).  For each
+    (uri, body, content_type) whose entity exceeds ``cap`` bytes, the
+    crawler cuts the WIRE — the record stores the HTTP headers intact
+    (Content-Length still declaring the ORIGINAL entity size: the
+    header is what the server sent, the truth about what was cut)
+    followed by only the first ``cap`` body bytes — and marks the
+    record ``WARC-Truncated: length`` (ISO 28500 §5.13); the WARC
+    Content-Length frames the stored bytes.  The payload digest is
+    over the STORED bytes (warcio's convention), so a truncated and a
+    full capture of one page carry DISTINCT digests and the
+    revisit/dedup layer correctly treats them as different payloads —
+    a truncated capture can never satisfy a revisit of the full
+    page."""
+    recs = [
+        _record(
+            "warcinfo",
+            b"software: setup-harvest-action-spark\r\n",
+            content_type="application/warc-fields",
+        )
+    ]
+    for uri, body, ctype in responses:
+        wire = http_response(body=body, content_type=ctype)
+        if len(body) > cap:
+            hdr_end = wire.find(_CRLF * 2) + 4
+            stored = wire[: hdr_end + cap]
+            recs.append(
+                _record(
+                    "response",
+                    stored,
+                    uri=uri,
+                    record_id=_rid("trunc:" + uri),
+                    content_type="application/http;msgtype=response",
+                    digest=payload_digest(body[:cap]),
+                    truncated="length",
+                )
+            )
+        else:
+            recs.append(
+                _record(
+                    "response",
+                    wire,
+                    uri=uri,
+                    content_type="application/http;msgtype=response",
+                    digest=payload_digest(body),
+                )
+            )
     return _pack(recs, layout)
 
 
@@ -1943,6 +2018,145 @@ def q_pipeline_warc_last_modified(
         one_file,
         "doc_id long, validators string, status int, main_md5 string, "
         "spurious_refetch boolean, revalidated_ok boolean",
+    )
+
+
+TRUNC_CAP = 256  # fixture-scale stand-in for Common Crawl's 1 MiB cap
+
+
+@query(
+    "q_pipeline_warc_truncated",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         md5(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))) AS h
+  FROM documents
+  WHERE n_chars >= {WARC_MIN_CHARS} AND doc_id < {WARC_DOCS}
+),
+b AS (
+  SELECT doc_id, n_chars,
+         substr(repeat(h, CAST(n_chars // 32 AS INT) + 1), 1, n_chars)
+           AS ascii_body
+  FROM d
+)
+SELECT doc_id,
+       (n_chars > {TRUNC_CAP}) AS truncated,
+       CAST(LEAST(n_chars, {TRUNC_CAP}) AS INT) AS stored_len,
+       md5(CASE
+         WHEN n_chars > {TRUNC_CAP} AND doc_id % 4 = 1
+           THEN substr(ascii_body, 1, {TRUNC_CAP} - 1)
+         WHEN n_chars > {TRUNC_CAP}
+           THEN substr(ascii_body, 1, {TRUNC_CAP})
+         ELSE ascii_body END) AS text_md5,
+       (n_chars > {TRUNC_CAP}) AS digest_distinct,
+       (n_chars <= {TRUNC_CAP}) AS revisited
+FROM b
+""",
+)
+def q_pipeline_warc_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-capped captures END TO END (r18, the verdict's #6):
+    each document's body is a deterministic ASCII stream of n_chars
+    bytes (its normalized-text md5, repeated — so the byte content
+    replays relationally); the crawler stores at most {TRUNC_CAP}
+    bytes per fetch, marking over-cap records ``WARC-Truncated:
+    length`` with HTTP headers intact (Content-Length still declares
+    the ORIGINAL size) and the payload digest over the STORED bytes.
+    The straddle class (doc%4==1, over-cap) carries a two-byte UTF-8
+    character ACROSS the cap boundary, so the stored payload ends in
+    a dangling lead byte — the extractor must decode exactly the
+    complete-codepoint prefix ({TRUNC_CAP}-1 bytes), never mojibake
+    past the cut (:func:`utf8_prefix`).  Round 2 recrawls every page
+    in full against the stored digests: an unchanged under-cap page
+    dedups to a ``revisit``, while a truncated capture can NEVER
+    satisfy one (its digest is of the partial payload — ``revisited``
+    false), and ``digest_distinct`` pins that stored-vs-full digests
+    differ exactly for the truncated class.  Every column replays in
+    DuckDB from n_chars arithmetic.  Scale: the cap is a per-record
+    map-side cut inside the same parse task; no new shuffles."""
+    import pandas as pd
+
+    from setup_harvest_action_spark.functions.html_extract import (
+        main_text,
+        synthesize_page,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("n_chars") >= WARC_MIN_CHARS)
+            & (F.col("doc_id") < WARC_DOCS)
+        )
+        .select("doc_id", "text", "lang", "n_chars")
+        .withColumn("file_id", (F.col("doc_id") / PAGES_PER_FILE).cast("int"))
+    )
+
+    def one_file(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import hashlib
+
+        pdf = pdf.sort_values("doc_id")
+        uri_of = lambda d: f"https://corpus.example/doc/{d}"  # noqa: E731
+        bodies: dict[str, str] = {}
+        responses = []
+        for d, t, lg, n in zip(
+            pdf["doc_id"], pdf["text"], pdf["lang"], pdf["n_chars"]
+        ):
+            d, n = int(d), int(n)
+            norm = main_text(synthesize_page(d, t, lang=lg))
+            base = hashlib.md5(norm.encode()).hexdigest()
+            body = (base * (n // 32 + 1))[:n]
+            if n > TRUNC_CAP and d % 4 == 1:
+                # a 2-byte codepoint straddling the cap boundary
+                body = (
+                    body[: TRUNC_CAP - 1] + "é" + body[TRUNC_CAP + 1 :]
+                )
+            bodies[uri_of(d)] = body
+            responses.append(
+                (uri_of(d), body.encode(), "text/plain; charset=utf-8")
+            )
+        blob1 = encode_warc_length_capped(responses, TRUNC_CAP)
+        rows = {
+            "doc_id": [], "truncated": [], "stored_len": [],
+            "text_md5": [], "digest_distinct": [], "revisited": [],
+        }
+        stored_digests: dict[str, str] = {}
+        for rec in parse_warc(blob1):
+            if rec["type"] != "response":
+                continue
+            uri = rec["uri"]
+            trunc = rec["headers"].get("warc-truncated") == "length"
+            stored = rec["http_body"]
+            text = utf8_prefix(stored) if trunc else stored.decode()
+            stored_digests[uri] = rec["headers"]["warc-payload-digest"]
+            rows["doc_id"].append(int(uri.rsplit("/", 1)[1]))
+            rows["truncated"].append(trunc)
+            rows["stored_len"].append(len(stored))
+            rows["text_md5"].append(
+                hashlib.md5(text.encode()).hexdigest()
+            )
+            rows["digest_distinct"].append(
+                rec["headers"]["warc-payload-digest"]
+                != payload_digest(bodies[uri].encode())
+            )
+        # round 2: a FULL recrawl of unchanged pages — an under-cap
+        # page dedups to a revisit; a truncated prior capture never
+        # satisfies one (digest of the partial bytes)
+        blob2 = encode_warc_recrawl(
+            sorted(bodies.items()), stored_digests
+        )
+        revisited = {
+            rec["uri"]: rec["type"] == "revisit"
+            for rec in parse_warc(blob2)
+            if rec["type"] in ("response", "revisit")
+        }
+        rows["revisited"] = [
+            revisited[uri_of(d)] for d in rows["doc_id"]
+        ]
+        return pd.DataFrame(rows)
+
+    return docs.groupBy("file_id").applyInPandas(
+        one_file,
+        "doc_id long, truncated boolean, stored_len int, text_md5 string, "
+        "digest_distinct boolean, revisited boolean",
     )
 
 

@@ -725,6 +725,68 @@ def test_resolve_redirects_hop_cap():
     )
 
 
+def test_length_capped_capture_truncation_contract():
+    """r18: over-cap bodies store exactly cap bytes flagged
+    WARC-Truncated: length with the HTTP Content-Length still
+    declaring the original size; the payload digest covers the STORED
+    bytes; utf8_prefix drops a dangling lead byte but raises on
+    mid-stream corruption; a truncated prior capture never satisfies
+    a revisit."""
+    import pytest
+
+    from setup_harvest_action_spark.sources.warc import (
+        encode_warc_length_capped,
+        encode_warc_recrawl,
+        payload_digest,
+        utf8_prefix,
+    )
+
+    full = b"x" * 90
+    straddle = b"a" * 49 + "é".encode() + b"b" * 40  # 2-byte char at 49..50
+    short = b"tiny"
+    blob = encode_warc_length_capped(
+        [
+            ("https://t.example/full", full, "text/plain; charset=utf-8"),
+            ("https://t.example/mid", straddle, "text/plain; charset=utf-8"),
+            ("https://t.example/short", short, "text/plain; charset=utf-8"),
+        ],
+        50,
+    )
+    recs = {r["uri"]: r for r in parse_warc(blob) if r["type"] == "response"}
+    f = recs["https://t.example/full"]
+    assert f["headers"]["warc-truncated"] == "length"
+    assert len(f["http_body"]) == 50
+    assert f["http_headers"]["content-length"] == "90"  # the wire truth
+    assert f["headers"]["warc-payload-digest"] == payload_digest(full[:50])
+    m = recs["https://t.example/mid"]
+    assert m["http_body"][-1:] == b"\xc3"  # the dangling lead byte
+    assert utf8_prefix(m["http_body"]) == "a" * 49
+    s = recs["https://t.example/short"]
+    assert "warc-truncated" not in s["headers"]
+    assert s["http_body"] == short
+    # mid-stream corruption is still an error, not silently swallowed
+    with pytest.raises(UnicodeDecodeError):
+        utf8_prefix(b"ok\xc3then more")
+    # a truncated capture's digest can never satisfy a full revisit
+    blob2 = encode_warc_recrawl(
+        [("https://t.example/full", "x" * 90),
+         ("https://t.example/short", "tiny")],
+        {
+            "https://t.example/full": f["headers"]["warc-payload-digest"],
+            "https://t.example/short": s["headers"]["warc-payload-digest"],
+        },
+    )
+    types = {
+        r["uri"]: r["type"]
+        for r in parse_warc(blob2)
+        if r["type"] in ("response", "revisit")
+    }
+    assert types == {
+        "https://t.example/full": "response",
+        "https://t.example/short": "revisit",
+    }
+
+
 def test_revalidation_status_rfc9110_precedence():
     """r18: If-None-Match, when present, is evaluated and
     If-Modified-Since MUST be ignored (RFC 9110 §13.1.3); date-only
