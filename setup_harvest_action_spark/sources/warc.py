@@ -899,18 +899,31 @@ def cdx_index(payload: bytes, filename: str = "-") -> list[dict]:
     """A CDX(J) index of a WARC container — the sidecar every wayback
     deployment builds so a 100 TB archive is point-seekable: one entry
     per response/revisit record with its SURT urlkey, HTTP status,
-    mime, payload digest, and the COMPRESSED byte (offset, length) of
-    the record.  For the gzip_members layout offsets address whole
-    gzip members (each record is its own member — the property that
-    makes the layout seekable; the indexer walks members with a
-    zlib decompressobj tracking compressed positions); for plain
-    files they address raw record spans.  ``bytes[offset:offset+
-    length]`` MUST parse back to the record — pinned in tests and by
-    q_source_warc_cdx's seek_ok column."""
+    mime, payload digest, and the byte (offset, length) of the
+    record.  Every entry names its byte SPACE in ``addressing`` (r18,
+    the r17 advice — spans in two different spaces through unmarked
+    fields would send a consumer seeking garbage):
+
+    * ``member`` — gzip_members: offsets address whole gzip members
+      of the file AS STORED (each record its own member — the
+      property that makes the layout seekable; the indexer walks
+      members with a zlib decompressobj tracking compressed
+      positions);
+    * ``plain`` — uncompressed files: raw record spans, also the
+      file as stored;
+    * ``decompressed`` — the single-stream degradation: no
+      member-level seek exists, so spans address the INFLATED
+      stream; a consumer must gunzip the whole file first (exactly
+      why the spec discourages the layout).
+
+    ``bytes[offset:offset+length]`` of the named space MUST parse
+    back to the record — pinned in tests and by q_source_warc_cdx's
+    seek_ok column across layouts."""
     import zlib as _zlib
 
     spans: list[tuple[int, int, bytes]] = []  # (offset, length, rec bytes)
     if payload[:2] == b"\x1f\x8b":
+        addressing = "member"
         view = memoryview(payload)  # per-member slices stay zero-copy
         pos = 0
         n = len(payload)
@@ -928,9 +941,11 @@ def cdx_index(payload: bytes, filename: str = "-") -> list[dict]:
             # misfire on a page whose body mentions "WARC/1.0"): no
             # member-level seek exists, so CDX over it indexes the
             # DECOMPRESSED spans (documented degradation, exactly why
-            # the spec discourages the layout)
+            # the spec discourages the layout), marked as such
             spans = _plain_spans(spans[0][2])
+            addressing = "decompressed"
     else:
+        addressing = "plain"
         spans = _plain_spans(payload)
     entries = []
     for off, length, blob in spans:
@@ -953,6 +968,7 @@ def cdx_index(payload: bytes, filename: str = "-") -> list[dict]:
                 "length": length,
                 "filename": filename,
                 "record_type": rec["type"],
+                "addressing": addressing,
             }
         )
     return sorted(entries, key=lambda e: e["urlkey"])
@@ -1535,35 +1551,44 @@ def q_pipeline_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_source_warc_cdx",
     oracle=f"""
-SELECT doc_id,
-       'example,corpus)/doc/' || doc_id AS urlkey,
+SELECT d.doc_id, l.layout,
+       'example,corpus)/doc/' || d.doc_id AS urlkey,
        200 AS status,
        'text/html' AS mime,
+       l.addressing,
        TRUE AS digest_ok,
        TRUE AS seek_ok,
        CAST(row_number() OVER (
-         PARTITION BY CAST(floor(doc_id / {PAGES_PER_FILE}) AS INT)
-         ORDER BY 'example,corpus)/doc/' || doc_id
+         PARTITION BY CAST(floor(d.doc_id / {PAGES_PER_FILE}) AS INT),
+                      l.layout
+         ORDER BY 'example,corpus)/doc/' || d.doc_id
        ) AS INT) AS cdx_rank
-FROM documents
-WHERE n_chars >= {WARC_MIN_CHARS} AND doc_id < {WARC_DOCS}
+FROM documents d,
+     (VALUES ('gzip_members', 'member'),
+             ('gzip_stream', 'decompressed')) l(layout, addressing)
+WHERE d.n_chars >= {WARC_MIN_CHARS} AND d.doc_id < {WARC_DOCS}
 """,
 )
 def q_source_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDX indexing under the hash gate (r17 post-close): the sidecar
-    index every wayback deployment builds so a 100 TB .warc.gz corpus
-    is point-seekable — per response record its SURT urlkey, status,
-    mime, payload digest, and the COMPRESSED (offset, length) of the
-    record's gzip member.  The query proves the whole contract per
-    document: the SURT arithmetic (oracled as string construction),
-    digest_ok (sha1 recomputed over the body reached BY SEEK — gunzip
-    of bytes[offset:offset+length] — matches the indexed digest),
-    seek_ok (the seek-parsed record equals the full-scan record), and
-    cdx_rank (the index is urlkey-sorted within each file, oracled as
-    a row_number window).  Scale: indexing rides the same one-task-
-    per-WARC-file map stage as parsing; lookups against the index are
-    keyed joins — the digest→bytes resolution q_pipeline_warc_revisit
-    models."""
+    """CDX indexing under the hash gate (r17 post-close; r18 adds the
+    ADDRESSING contract): the sidecar index every wayback deployment
+    builds so a 100 TB .warc.gz corpus is point-seekable — per
+    response record its SURT urlkey, status, mime, payload digest,
+    and a byte (offset, length) whose SPACE each entry now names.
+    Each file group is indexed in BOTH wild gzip layouts:
+    ``gzip_members`` entries address the compressed file itself
+    (``addressing='member'`` — seek, slice, gunzip the one member),
+    while the single-stream layout has no member seek, so its entries
+    honestly address the INFLATED stream (``addressing=
+    'decompressed'`` — the r17 advice: the same span fields in an
+    unmarked different byte space would send a consumer seeking
+    garbage).  digest_ok/seek_ok re-verify the contract per record BY
+    FOLLOWING the marker — the member path seeks the stored file, the
+    decompressed path gunzips the whole file first — and cdx_rank
+    pins urlkey-sort within each (file, layout).  Scale: indexing
+    rides the same one-task-per-WARC-file map stage as parsing;
+    lookups against the index are keyed joins — the digest→bytes
+    resolution q_pipeline_warc_revisit models."""
     import pandas as pd
 
     from setup_harvest_action_spark.functions.html_extract import (
@@ -1589,38 +1614,55 @@ def q_source_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for d, t, lg in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
         ]
-        blob = encode_warc(pages, layout="gzip_members")
-        full = {
-            r["uri"]: r
-            for r in parse_warc(blob)
-            if r["type"] == "response"
-        }
         rows = {
-            "doc_id": [], "urlkey": [], "status": [], "mime": [],
-            "digest_ok": [], "seek_ok": [], "cdx_rank": [],
+            "doc_id": [], "layout": [], "urlkey": [], "status": [],
+            "mime": [], "addressing": [], "digest_ok": [], "seek_ok": [],
+            "cdx_rank": [],
         }
-        for rank, e in enumerate(cdx_index(blob, "fixture.warc.gz"), 1):
-            member = blob[e["offset"] : e["offset"] + e["length"]]
-            seek_rec = parse_warc(_gzip.decompress(member))[0]
-            ref = full[e["url"]]
-            rows["doc_id"].append(int(e["url"].rsplit("/", 1)[1]))
-            rows["urlkey"].append(e["urlkey"])
-            rows["status"].append(int(e["status"]))
-            rows["mime"].append(e["mime"])
-            rows["digest_ok"].append(
-                payload_digest(seek_rec["http_body"]) == e["digest"]
-            )
-            rows["seek_ok"].append(
-                seek_rec["uri"] == ref["uri"]
-                and seek_rec["http_body"] == ref["http_body"]
-            )
-            rows["cdx_rank"].append(rank)
+        for layout in ("gzip_members", "gzip_stream"):
+            blob = encode_warc(pages, layout=layout)
+            inflated = _gzip.decompress(blob)
+            full = {
+                r["uri"]: r
+                for r in parse_warc(blob)
+                if r["type"] == "response"
+            }
+            for rank, e in enumerate(
+                cdx_index(blob, f"fixture.{layout}.warc.gz"), 1
+            ):
+                # consume the span exactly as the marker directs
+                if e["addressing"] == "member":
+                    seek_rec = parse_warc(
+                        _gzip.decompress(
+                            blob[e["offset"] : e["offset"] + e["length"]]
+                        )
+                    )[0]
+                else:
+                    seek_rec = parse_warc(
+                        inflated[e["offset"] : e["offset"] + e["length"]]
+                    )[0]
+                ref = full[e["url"]]
+                rows["doc_id"].append(int(e["url"].rsplit("/", 1)[1]))
+                rows["layout"].append(layout)
+                rows["urlkey"].append(e["urlkey"])
+                rows["status"].append(int(e["status"]))
+                rows["mime"].append(e["mime"])
+                rows["addressing"].append(e["addressing"])
+                rows["digest_ok"].append(
+                    payload_digest(seek_rec["http_body"]) == e["digest"]
+                )
+                rows["seek_ok"].append(
+                    seek_rec["uri"] == ref["uri"]
+                    and seek_rec["http_body"] == ref["http_body"]
+                )
+                rows["cdx_rank"].append(rank)
         return pd.DataFrame(rows)
 
     return docs.groupBy("file_id").applyInPandas(
         one_file,
-        "doc_id long, urlkey string, status int, mime string, "
-        "digest_ok boolean, seek_ok boolean, cdx_rank int",
+        "doc_id long, layout string, urlkey string, status int, "
+        "mime string, addressing string, digest_ok boolean, "
+        "seek_ok boolean, cdx_rank int",
     )
 
 

@@ -491,6 +491,7 @@ def test_cdx_members_seek_back_to_records():
     idx = cdx_index(blob, "t.warc.gz")
     assert [e["url"] for e in idx] == sorted(u for u, _ in PAGES)
     assert idx == sorted(idx, key=lambda e: e["urlkey"])
+    assert {e["addressing"] for e in idx} == {"member"}  # r18 marker
     for e in idx:
         member = blob[e["offset"] : e["offset"] + e["length"]]
         rec = parse_warc(gzip.decompress(member))[0]
@@ -515,6 +516,7 @@ def test_cdx_plain_layout_and_revisit_records():
     blob = encode_warc_recrawl(PAGES, digests, layout="plain")
     idx = cdx_index(blob)
     assert {e["record_type"] for e in idx} == {"revisit"}
+    assert {e["addressing"] for e in idx} == {"plain"}  # r18 marker
     for e in idx:
         rec = parse_warc(blob[e["offset"] : e["offset"] + e["length"]])[0]
         assert rec["type"] == "revisit" and rec["uri"] == e["url"]
@@ -528,6 +530,8 @@ def test_cdx_stream_gzip_documented_degradation():
     blob = encode_warc(PAGES, layout="gzip_stream")
     idx = cdx_index(blob)
     assert [e["url"] for e in idx] == sorted(u for u, _ in PAGES)
+    # r18: the degraded byte space is MARKED, not implicit
+    assert {e["addressing"] for e in idx} == {"decompressed"}
     plain = gzip.decompress(blob)
     for e in idx:
         rec = parse_warc(plain[e["offset"] : e["offset"] + e["length"]])[0]
