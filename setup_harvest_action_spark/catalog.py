@@ -89,80 +89,81 @@ _EXPECTED_MISSING: frozenset[str] = frozenset()
 DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = (
-    # ---- r17 rotation ----
-    # 50 slots = 12 + 1 + 26 + 11 (the r16 verdict's #1 ask).
-    # (a) the 12 r17-new entries, never driver-sampled (HTTP payload
-    # codings, WARC revisit/digest dedup, time-budget politeness,
-    # the closed streaming crawl loop, the CDX seek index, RFC 9309
-    # availability semantics, the budgeted streaming loop, redirect
-    # resolution, ETag/304 conditional revalidation, multimodal
-    # records in the container, redirect-fed frontier discovery,
-    # the streaming loop's WET corpus output);
-    # (b) q_source_warc_stats re-queued — its r17 schema adds the
-    # payload-digest columns, so the r16 row no longer reflects it;
-    # (c) the 26-entry r10-stale remainder (q_harvest_unpivot ..
-    # q_text_lm_score — closes the verdict's "no live entry's newest
-    # driver row predates r11" criterion);
-    # (d) the 11 alphabetically-first entries of the 49-entry cohort
-    # whose newest driver row is r11 — the stalest after (c); the 38
-    # alphabetically-last (q_graph_hits .. q_top_supplier_revenue)
-    # are the r18 queue.  Entries outside the
-    # window stay hash-verified by tools/verify_oracle.py + pytest
-    # every session.
-    # (a) r17-new entries:
-    "q_pipeline_warc_content_codings",
-    "q_pipeline_warc_revisit",
-    "q_pipeline_crawl_budget",
-    "q_stream_crawl_loop",
+    # ---- r18 rotation ----
+    # 50 slots = 3 + 4 + 38 + 5 (the r17 verdict's #1 ask: retire the
+    # rotation debt entirely).
+    # (a) the 3 r18-new entries, never driver-sampled
+    # (Last-Modified/If-Modified-Since revalidation, robots.txt
+    # redirect composition, WARC-Truncated length caps);
+    # (b) 4 entries re-queued because r18 CHANGED them:
+    # q_source_warc_cdx gained layout/addressing columns; the
+    # ppm/bmp/audio pipelines graduated from rows-only to full hash
+    # oracles (thumbnail hash now md5-over-hex) — their old driver
+    # rows were rows-only and no longer reflect the output;
+    # (c) the COMPLETE 38-entry cohort whose newest driver row is
+    # r11 (q_graph_hits .. q_top_supplier_revenue, the r17 verdict's
+    # declared r18 queue — q_multimodal_png_pipeline rides here and
+    # also carries its r18 oracle graduation).  With these, no live
+    # entry's newest driver row predates r12;
+    # (d) the 5 alphabetically-first entries of the 44-entry cohort
+    # whose newest driver row is r12 — the stalest after (c); the
+    # remaining 39 (q_agg_incremental_rollup .. alphabetical tail)
+    # are the r19 queue.  Entries outside the window stay hash-verified by
+    # tools/verify_oracle.py + pytest every session.
+    # (a) r18-new entries:
+    "q_pipeline_warc_last_modified",
+    "q_pipeline_robots_redirects",
+    "q_pipeline_warc_truncated",
+    # (b) r18-changed entries:
     "q_source_warc_cdx",
-    "q_pipeline_robots_unavailable",
-    "q_stream_crawl_budget",
-    "q_pipeline_redirect_resolution",
-    "q_pipeline_warc_conditional",
-    "q_pipeline_warc_resources",
-    "q_pipeline_frontier_redirects",
-    "q_stream_crawl_wet",
-    # (b) schema-rebased this round:
-    "q_source_warc_stats",
-    # (c) the r10-stale remainder:
-    "q_harvest_unpivot",
-    "q_join_asof",
-    "q_join_asof_forward",
-    "q_large_orders",
-    "q_multimodal_metadata",
-    "q_pagination_page",
-    "q_pricing_summary",
-    "q_quality_boilerplate_segments",
-    "q_revenue_by_nation",
-    "q_rollup_order_stats",
-    "q_sample_source_cap",
-    "q_scalar_conditional",
-    "q_scalar_math",
-    "q_shipping_priority",
-    "q_small_quantity_revenue",
-    "q_source_manifest_merge",
-    "q_stream_dedup",
-    "q_stream_dedup_within_watermark",
-    "q_stream_session_windows",
-    "q_stream_sliding_avg",
-    "q_stream_stateful_user_totals",
-    "q_stream_stream_join",
-    "q_stream_tumbling_append_filesink",
-    "q_stream_tumbling_counts",
-    "q_text_bytes_mapinarrow",
-    "q_text_lm_score",
-    # (d) 11 of the r11-stale cohort:
-    "q_bilateral_trade",
-    "q_customer_order_distribution",
-    "q_dedup_minhash",
-    "q_dedup_prefix_filter_join",
-    "q_dedup_simhash",
-    "q_discount_revenue_delta",
-    "q_disjunctive_revenue",
-    "q_dormant_rich_customers",
-    "q_embedding_quantize_int8",
-    "q_events_attribution",
-    "q_events_cusum",
+    "q_multimodal_ppm_pipeline",
+    "q_multimodal_bmp_pipeline",
+    "q_multimodal_audio_pipeline",
+    # (c) the full r11-stale cohort:
+    "q_graph_hits",
+    "q_graph_kcore",
+    "q_graph_label_propagation",
+    "q_harvest_downstream_preserved",
+    "q_important_parts_value",
+    "q_join_bucketed_colocated",
+    "q_lineitem_priority_matrix",
+    "q_market_basket_rules",
+    "q_multimodal_gif_pipeline",
+    "q_multimodal_jpeg_pipeline",
+    "q_multimodal_png_pipeline",
+    "q_national_market_share",
+    "q_part_supplier_diversity",
+    "q_pipeline_spec_run",
+    "q_priority_late_ship",
+    "q_product_type_profit",
+    "q_promo_revenue_ratio",
+    "q_promotable_suppliers",
+    "q_quality_auc",
+    "q_quality_calibration",
+    "q_quality_k_anonymity",
+    "q_returned_items_topk",
+    "q_sample_temperature",
+    "q_scd2_point_in_time",
+    "q_similarity_pq_adc",
+    "q_source_manifest_bloom_skipping",
+    "q_source_manifest_cdc_rollup",
+    "q_source_manifest_evolution",
+    "q_source_manifest_stream_merge",
+    "q_source_manifest_table_changes",
+    "q_source_orc_roundtrip",
+    "q_stream_approx_distinct_users",
+    "q_stream_stream_join_full_outer",
+    "q_text_bpe_encode",
+    "q_text_bpe_train",
+    "q_text_feature_hashing",
+    "q_text_textrank",
+    "q_top_supplier_revenue",
+    # (d) 5 of the r12-stale cohort:
+    "q_agg_benford",
+    "q_agg_count_min_sketch",
+    "q_agg_entropy",
+    "q_agg_geomean_udaf",
+    "q_agg_gini",
 )
 
 _loaded = False

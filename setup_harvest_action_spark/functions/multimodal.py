@@ -4814,7 +4814,38 @@ def synthesize_gif(doc_id: int, width: int = IMG_W, height: int = IMG_H) -> byte
     return encode_gif(width, height, vals.reshape(height, width))
 
 
-@query("q_multimodal_gif_pipeline")
+# GIF oracle (r18 graduation): grayscale values at the PPM pixel
+# formula's RED-channel positions, expanded to identical R=G=B on
+# decode — every column replays relationally like _RGB_PIPELINE_ORACLE
+_GIF_PIPELINE_ORACLE = f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+px AS (
+  SELECT d.doc_id, ((31 * d.doc_id + (3 * t.i) * 2654435761) % 256) AS v
+  FROM d, range(0, {IMG_W * IMG_H}) t(i)
+),
+ch AS (SELECT doc_id, round(avg(v), 4) AS m FROM px GROUP BY doc_id),
+tpx AS (
+  SELECT d.doc_id, y.i AS yi, x.i AS xi,
+         ((31 * d.doc_id
+           + (3 * (((y.i * {IMG_H}) // {THUMB_H}) * {IMG_W}
+                   + ((x.i * {IMG_W}) // {THUMB_W})))
+             * 2654435761) % 256) AS v
+  FROM d, range(0, {THUMB_H}) y(i), range(0, {THUMB_W}) x(i)
+),
+th AS (
+  SELECT doc_id,
+         md5(string_agg(printf('%02x%02x%02x', v, v, v), ''
+                        ORDER BY yi, xi)) AS thumb_md5
+  FROM tpx GROUP BY doc_id
+)
+SELECT d.doc_id, CAST({IMG_W} AS INT) AS width,
+       CAST({IMG_H} AS INT) AS height,
+       ch.m AS mean_r, ch.m AS mean_g, ch.m AS mean_b, th.thumb_md5
+FROM d JOIN ch USING (doc_id) JOIN th USING (doc_id)
+"""
+
+
+@query("q_multimodal_gif_pipeline", oracle=_GIF_PIPELINE_ORACLE)
 def q_multimodal_gif_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image pipeline #5 — the LZW (dictionary-codec) path:
     synthesize a deterministic grayscale GIF per document, decode
@@ -4823,8 +4854,10 @@ def q_multimodal_gif_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     palette expansion), nearest-neighbor resize, per-channel means +
     thumbnail hash.  GIF is lossless, so the gray-channel statistics
     equal the PPM pipeline's RED channel exactly (shared pixel
-    arithmetic) — pinned in the golden test.  No oracle (binary ops
-    are outside DuckDB)."""
+    arithmetic) — pinned in the golden test.  r18: hash-oracled via
+    the relational replay of the gray expansion
+    (``_GIF_PIPELINE_ORACLE``); golden raw-byte values stay pinned in
+    tests."""
     import hashlib
 
     import pandas as pd
@@ -4853,7 +4886,11 @@ def q_multimodal_gif_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mr.append(round(float(means[0]), 4))
                 mg.append(round(float(means[1]), 4))
                 mb.append(round(float(means[2]), 4))
-                tmd5.append(hashlib.md5(thumb.tobytes()).hexdigest())
+                tmd5.append(
+                    hashlib.md5(
+                        thumb.tobytes().hex().encode()
+                    ).hexdigest()
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": doc_ids,

@@ -41,42 +41,36 @@ def test_every_oracle_has_a_query():
 
 def test_driver_window_covers_every_component():
     """The first DRIVER_WINDOW catalog entries (all the driver's
-    correctness gate ever records) must front the r17 rotation: the
-    12 never-driver-sampled r17 entries, the schema-rebased warc
-    stats, the 26-entry r10-stale remainder (closes the no-row-
-    predating-r11 criterion), and 11 of the r11-stale cohort (the
-    r16 verdict's #1 ask)."""
+    correctness gate ever records) must front the r18 rotation: the
+    3 r18-new entries, the 4 r18-changed entries (cdx schema, oracle
+    graduations), the COMPLETE 38-entry r11-stale cohort (the r17
+    verdict's #1 ask — retires the rotation debt), and the first 5 of
+    the r12-stale cohort."""
     queries, _ = cat.load_catalog()
     window = list(queries)[: cat.DRIVER_WINDOW]
     assert len(cat._DRIVER_PRIORITY) <= cat.DRIVER_WINDOW
     assert list(cat._DRIVER_PRIORITY) == window[: len(cat._DRIVER_PRIORITY)]
     for name in (
-        # the 12 never-sampled r17 entries — all must earn driver rows
-        "q_pipeline_warc_content_codings",
-        "q_pipeline_warc_revisit",
-        "q_pipeline_crawl_budget",
-        "q_stream_crawl_loop",
+        # the 3 r18-new entries — all must earn driver rows
+        "q_pipeline_warc_last_modified",
+        "q_pipeline_robots_redirects",
+        "q_pipeline_warc_truncated",
+        # the 4 r18-changed entries
         "q_source_warc_cdx",
-        "q_pipeline_robots_unavailable",
-        "q_stream_crawl_budget",
-        "q_pipeline_redirect_resolution",
-        "q_pipeline_warc_conditional",
-        "q_pipeline_warc_resources",
-        "q_pipeline_frontier_redirects",
-        "q_stream_crawl_wet",
-        # the schema-rebased stats row (digest columns, r17)
-        "q_source_warc_stats",
-        # representatives of the r10 remainder (the full 26 are pinned
-        # by the _DRIVER_PRIORITY == window prefix assertion above)
-        "q_harvest_unpivot",
-        "q_join_asof",
-        "q_pricing_summary",
-        "q_stream_tumbling_counts",
-        "q_text_lm_score",
-        # representatives of the 11-entry r11 tranche
-        "q_bilateral_trade",
-        "q_dedup_minhash",
-        "q_events_cusum",
+        "q_multimodal_ppm_pipeline",
+        "q_multimodal_bmp_pipeline",
+        "q_multimodal_audio_pipeline",
+        # representatives of the full 38-entry r11 cohort (the whole
+        # list is pinned by the _DRIVER_PRIORITY == window prefix
+        # assertion above)
+        "q_graph_hits",
+        "q_multimodal_png_pipeline",
+        "q_scd2_point_in_time",
+        "q_text_bpe_train",
+        "q_top_supplier_revenue",
+        # the first 5 of the r12-stale tranche
+        "q_agg_benford",
+        "q_agg_gini",
     ):
         assert name in window, name
 

@@ -1431,7 +1431,9 @@ def test_gif_pipeline_matches_ppm_red_channel(spark, queries):
         assert (r.width, r.height) == (IMG_W, IMG_H)
         assert r.mean_r == round(float(means[0]), 4)
         assert r.mean_r == r.mean_g == r.mean_b  # grayscale
-        assert r.thumb_md5 == hashlib.md5(expected_thumb.tobytes()).hexdigest()
+        assert r.thumb_md5 == hashlib.md5(
+            expected_thumb.tobytes().hex().encode()
+        ).hexdigest()
     ppm_rows = {
         r.doc_id: r
         for r in queries["q_multimodal_ppm_pipeline"](
