@@ -90,25 +90,26 @@ DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = (
     # ---- r18 rotation ----
-    # 50 slots = 3 + 4 + 38 + 5 (the r17 verdict's #1 ask: retire the
+    # 50 slots = 3 + 6 + 38 + 3 (the r17 verdict's #1 ask: retire the
     # rotation debt entirely).
     # (a) the 3 r18-new entries, never driver-sampled
     # (Last-Modified/If-Modified-Since revalidation, robots.txt
     # redirect composition, WARC-Truncated length caps);
-    # (b) 4 entries re-queued because r18 CHANGED them:
+    # (b) 6 entries re-queued because r18 CHANGED them:
     # q_source_warc_cdx gained layout/addressing columns; the
-    # ppm/bmp/audio pipelines graduated from rows-only to full hash
-    # oracles (thumbnail hash now md5-over-hex) — their old driver
-    # rows were rows-only and no longer reflect the output;
+    # ppm/bmp/audio/tiff/png-palette pipelines graduated from
+    # rows-only to full hash oracles (pixel hashes now md5-over-hex)
+    # — their old driver rows were rows-only and no longer reflect
+    # the output (gif graduated too and rides the (c) cohort);
     # (c) the COMPLETE 38-entry cohort whose newest driver row is
     # r11 (q_graph_hits .. q_top_supplier_revenue, the r17 verdict's
     # declared r18 queue — q_multimodal_png_pipeline rides here and
     # also carries its r18 oracle graduation).  With these, no live
     # entry's newest driver row predates r12;
-    # (d) the 5 alphabetically-first entries of the 44-entry cohort
+    # (d) the 3 alphabetically-first entries of the 44-entry cohort
     # whose newest driver row is r12 — the stalest after (c); the
-    # remaining 39 (q_agg_incremental_rollup .. alphabetical tail)
-    # are the r19 queue.  Entries outside the window stay hash-verified by
+    # remaining 41 (q_agg_geomean_udaf .. alphabetical tail) are the
+    # r19 queue.  Entries outside the window stay hash-verified by
     # tools/verify_oracle.py + pytest every session.
     # (a) r18-new entries:
     "q_pipeline_warc_last_modified",
@@ -119,6 +120,8 @@ _DRIVER_PRIORITY = (
     "q_multimodal_ppm_pipeline",
     "q_multimodal_bmp_pipeline",
     "q_multimodal_audio_pipeline",
+    "q_multimodal_tiff_pipeline",
+    "q_multimodal_png_palette_pipeline",
     # (c) the full r11-stale cohort:
     "q_graph_hits",
     "q_graph_kcore",
@@ -158,12 +161,10 @@ _DRIVER_PRIORITY = (
     "q_text_feature_hashing",
     "q_text_textrank",
     "q_top_supplier_revenue",
-    # (d) 5 of the r12-stale cohort:
+    # (d) 3 of the r12-stale cohort:
     "q_agg_benford",
     "q_agg_count_min_sketch",
     "q_agg_entropy",
-    "q_agg_geomean_udaf",
-    "q_agg_gini",
 )
 
 _loaded = False

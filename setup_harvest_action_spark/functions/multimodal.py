@@ -1051,7 +1051,52 @@ def synthesize_tiff(doc_id: int, width: int = IMG_W, height: int = IMG_H) -> byt
     return encode_tiff(rgba, 2, comp, pred, big_endian=be)
 
 
-@query("q_multimodal_tiff_pipeline")
+# TIFF oracle (r18 graduation): the synthesizer cycles four
+# photometrics by (doc//4)%4 — RGB (the shared pixel formula), gray
+# (red channel expanded to R=G=B), palette (doc-seeded 16-color map
+# indexed by red%16), RGBA (alpha = green) — and every decoded byte
+# replays relationally from that arithmetic regardless of the
+# compression/predictor/byte-order the container cycled through
+# (losslessness is exactly what the oracle pins).
+_TIFF_PIPELINE_ORACLE = """
+WITH d AS (SELECT doc_id, (doc_id // 4) % 4 AS kind
+           FROM documents WHERE doc_id < 200),
+px AS (
+  SELECT d.doc_id, d.kind, t.i AS q,
+    CASE d.kind
+      WHEN 0 THEN (31*d.doc_id + t.i*2654435761) % 256
+      WHEN 1 THEN (31*d.doc_id + (3*(t.i//3))*2654435761) % 256
+      WHEN 2 THEN (17*d.doc_id + 3
+                   + (3*((31*d.doc_id + (3*(t.i//3))*2654435761) % 16)
+                      + t.i%3) * 40503) % 256
+      ELSE CASE WHEN t.i % 4 = 3
+           THEN (31*d.doc_id + (3*(t.i//4)+1)*2654435761) % 256
+           ELSE (31*d.doc_id + (3*(t.i//4)+(t.i%4))*2654435761) % 256 END
+    END AS b
+  FROM d, range(0, 6144) t(i)
+  WHERE t.i < CASE WHEN d.kind = 3 THEN 6144 ELSE 4608 END
+),
+ch AS (
+  SELECT doc_id,
+    round(avg(CASE WHEN q % (CASE WHEN kind=3 THEN 4 ELSE 3 END) = 0
+              THEN b END), 4) AS mean_r,
+    round(avg(CASE WHEN q % (CASE WHEN kind=3 THEN 4 ELSE 3 END) = 1
+              THEN b END), 4) AS mean_g,
+    round(avg(CASE WHEN q % (CASE WHEN kind=3 THEN 4 ELSE 3 END) = 2
+              THEN b END), 4) AS mean_b
+  FROM px GROUP BY doc_id
+),
+h AS (SELECT doc_id, md5(string_agg(printf('%02x', b), '' ORDER BY q))
+        AS px_md5
+      FROM px GROUP BY doc_id)
+SELECT d.doc_id, CAST(48 AS INT) AS width, CAST(32 AS INT) AS height,
+       (d.kind = 3) AS has_alpha, ch.mean_r, ch.mean_g, ch.mean_b,
+       h.px_md5
+FROM d JOIN ch USING (doc_id) JOIN h USING (doc_id)
+"""
+
+
+@query("q_multimodal_tiff_pipeline", oracle=_TIFF_PIPELINE_ORACLE)
 def q_multimodal_tiff_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image pipeline #11 — baseline TIFF (r13), the 13th decode
     family and the SECOND dictionary codec (TIFF-LZW: MSB-first codes,
@@ -1063,8 +1108,9 @@ def q_multimodal_tiff_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-compression inflate, predictor integration, colormap scaling)
     and emit per-channel means, alpha presence, and the pixel md5.
     Same two-stage Arrow-batched mapInPandas shape as every decode
-    pipeline.  No oracle (binary ops are outside DuckDB); rows-only +
-    conformance pytest.
+    pipeline.  r18: hash-oracled — all four photometrics replay
+    relationally (``_TIFF_PIPELINE_ORACLE``); conformance pytest
+    (libtiff A/B) continues to pin the raw decoder.
 
     100 TB: decode is map-only over the corpus partitioning; per-doc
     cost bounded by pixel count; a decode error quarantines the row
@@ -1099,7 +1145,9 @@ def q_multimodal_tiff_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["mean_r"].append(round(float(img[:, :, 0].mean()), 4))
                 out["mean_g"].append(round(float(img[:, :, 1].mean()), 4))
                 out["mean_b"].append(round(float(img[:, :, 2].mean()), 4))
-                out["px_md5"].append(hashlib.md5(img.tobytes()).hexdigest())
+                out["px_md5"].append(
+                    hashlib.md5(img.tobytes().hex().encode()).hexdigest()
+                )
             yield pd.DataFrame(out)
 
     images = docs.select("doc_id").mapInPandas(
@@ -1134,7 +1182,47 @@ def synthesize_png_palette(doc_id: int, width: int = IMG_W, height: int = IMG_H)
     )
 
 
-@query("q_multimodal_png_palette_pipeline")
+# Palette-PNG oracle (r18 graduation): 16-color doc-seeded palette,
+# 4-bit indices at the idx formula, tRNS alpha on entries 0/1 —
+# every decoded RGBA byte replays relationally; interlacing (odd
+# docs) must be pixel-invisible or the hash flips.
+_PNG_PALETTE_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+px AS (
+  SELECT d.doc_id, t.i AS q,
+    ((131*d.doc_id + (t.i//4)*2654435761) % 16) AS j,
+    t.i % 4 AS c
+  FROM d, range(0, 6144) t(i)
+),
+b AS (
+  SELECT doc_id, q, j, c,
+    CASE WHEN c = 3
+      THEN CASE j WHEN 0 THEN 0 WHEN 1 THEN 160 ELSE 255 END
+      ELSE (17*doc_id + 5 + (3*j + c) * 40503) % 256
+    END AS v
+  FROM px
+),
+ch AS (
+  SELECT doc_id,
+    round(avg(CASE WHEN c = 0 THEN v END), 4) AS mean_r,
+    round(avg(CASE WHEN c = 1 THEN v END), 4) AS mean_g,
+    round(avg(CASE WHEN c = 2 THEN v END), 4) AS mean_b,
+    round(avg(CASE WHEN c = 3
+              THEN CASE WHEN v < 255 THEN 1.0 ELSE 0.0 END END), 4)
+      AS transparent_frac
+  FROM b GROUP BY doc_id
+),
+h AS (SELECT doc_id, md5(string_agg(printf('%02x', v), '' ORDER BY q))
+        AS rgba_md5
+      FROM b GROUP BY doc_id)
+SELECT d.doc_id, CAST(48 AS INT) AS width, CAST(32 AS INT) AS height,
+       (d.doc_id % 2 = 1) AS interlaced,
+       ch.mean_r, ch.mean_g, ch.mean_b, ch.transparent_frac, h.rgba_md5
+FROM d JOIN ch USING (doc_id) JOIN h USING (doc_id)
+"""
+
+
+@query("q_multimodal_png_palette_pipeline", oracle=_PNG_PALETTE_ORACLE)
 def q_multimodal_png_palette_pipeline(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1147,8 +1235,9 @@ def q_multimodal_png_palette_pipeline(
     fraction, interlace flag parity, and the RGBA md5.  The decode
     path is byte-exact vs system libpng16 on 111 configurations
     (tools/png_ab.py), so the per-doc hashes pin conformant output.
-    No oracle (binary ops are outside DuckDB); rows-only + conformance
-    pytest.
+    r18: hash-oracled — the palette/tRNS arithmetic replays
+    relationally (``_PNG_PALETTE_ORACLE``); the libpng A/B
+    conformance pytest continues to pin the raw decoder.
 
     100 TB: decode is map-only over the corpus partitioning, Arrow-
     batched two-stage mapInPandas like every decode pipeline; a decode
@@ -1189,7 +1278,9 @@ def q_multimodal_png_palette_pipeline(
                 out["transparent_frac"].append(
                     round(float((img[:, :, 3] < 255).mean()), 4)
                 )
-                out["rgba_md5"].append(hashlib.md5(img.tobytes()).hexdigest())
+                out["rgba_md5"].append(
+                    hashlib.md5(img.tobytes().hex().encode()).hexdigest()
+                )
             yield pd.DataFrame(out)
 
     images = docs.select("doc_id").mapInPandas(

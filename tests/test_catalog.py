@@ -42,9 +42,9 @@ def test_every_oracle_has_a_query():
 def test_driver_window_covers_every_component():
     """The first DRIVER_WINDOW catalog entries (all the driver's
     correctness gate ever records) must front the r18 rotation: the
-    3 r18-new entries, the 4 r18-changed entries (cdx schema, oracle
+    3 r18-new entries, the 6 r18-changed entries (cdx schema, oracle
     graduations), the COMPLETE 38-entry r11-stale cohort (the r17
-    verdict's #1 ask — retires the rotation debt), and the first 5 of
+    verdict's #1 ask — retires the rotation debt), and the first 3 of
     the r12-stale cohort."""
     queries, _ = cat.load_catalog()
     window = list(queries)[: cat.DRIVER_WINDOW]
@@ -55,11 +55,13 @@ def test_driver_window_covers_every_component():
         "q_pipeline_warc_last_modified",
         "q_pipeline_robots_redirects",
         "q_pipeline_warc_truncated",
-        # the 4 r18-changed entries
+        # the 6 r18-changed entries
         "q_source_warc_cdx",
         "q_multimodal_ppm_pipeline",
         "q_multimodal_bmp_pipeline",
         "q_multimodal_audio_pipeline",
+        "q_multimodal_tiff_pipeline",
+        "q_multimodal_png_palette_pipeline",
         # representatives of the full 38-entry r11 cohort (the whole
         # list is pinned by the _DRIVER_PRIORITY == window prefix
         # assertion above)
@@ -68,9 +70,9 @@ def test_driver_window_covers_every_component():
         "q_scd2_point_in_time",
         "q_text_bpe_train",
         "q_top_supplier_revenue",
-        # the first 5 of the r12-stale tranche
+        # the first 3 of the r12-stale tranche
         "q_agg_benford",
-        "q_agg_gini",
+        "q_agg_entropy",
     ):
         assert name in window, name
 

@@ -493,7 +493,9 @@ def test_png_palette_pipeline_rows_and_goldens(spark, queries):
     for row in out[:20] + out[-5:]:
         img = decode_png(synthesize_png_palette(row["doc_id"]))
         assert img.shape == (row["height"], row["width"], 4)
-        assert row["rgba_md5"] == hashlib.md5(img.tobytes()).hexdigest()
+        assert row["rgba_md5"] == hashlib.md5(
+            img.tobytes().hex().encode()
+        ).hexdigest()
         assert row["interlaced"] == bool(row["doc_id"] % 2)
         assert row["transparent_frac"] == round(
             float((img[:, :, 3] < 255).mean()), 4
@@ -815,7 +817,9 @@ def test_tiff_pipeline_rows_and_goldens(spark, queries):
     for row in out[:16] + out[-4:]:
         img = decode_image_auto(synthesize_tiff(row["doc_id"]))
         assert img.shape[:2] == (row["height"], row["width"])
-        assert row["px_md5"] == hashlib.md5(img.tobytes()).hexdigest()
+        assert row["px_md5"] == hashlib.md5(
+            img.tobytes().hex().encode()
+        ).hexdigest()
         assert row["mean_r"] == round(float(img[:, :, 0].mean()), 4)
 
 
