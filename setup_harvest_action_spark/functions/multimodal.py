@@ -3703,7 +3703,41 @@ def synthesize_webp(doc_id: int, width: int = IMG_W, height: int = IMG_H) -> byt
     )
 
 
-@query("q_multimodal_webp_pipeline")
+# VP8L oracle (r18 graduation): the fixture's gradient formula —
+# r=(7x+3d), g=(11y+5d), b=(2x+3y+7d) mod 256 — replays relationally;
+# lossless decode means the stored statistics must equal it exactly.
+_WEBP_PIPELINE_ORACLE = f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+pix AS (
+  SELECT d.doc_id,
+     (x.i*7 + d.doc_id*3) % 256 AS r,
+     (y.i*11 + d.doc_id*5) % 256 AS g,
+     (x.i*2 + y.i*3 + d.doc_id*7) % 256 AS b
+  FROM d, range(0, {IMG_H}) y(i), range(0, {IMG_W}) x(i)
+),
+ch AS (SELECT doc_id, round(avg(r), 4) AS mean_r,
+              round(avg(g), 4) AS mean_g, round(avg(b), 4) AS mean_b
+       FROM pix GROUP BY doc_id),
+tp AS (
+  SELECT d.doc_id, ty.i AS yi, tx.i AS xi,
+     (((tx.i*{IMG_W})//{THUMB_W})*7 + d.doc_id*3) % 256 AS r,
+     (((ty.i*{IMG_H})//{THUMB_H})*11 + d.doc_id*5) % 256 AS g,
+     (((tx.i*{IMG_W})//{THUMB_W})*2
+      + ((ty.i*{IMG_H})//{THUMB_H})*3 + d.doc_id*7) % 256 AS b
+  FROM d, range(0, {THUMB_H}) ty(i), range(0, {THUMB_W}) tx(i)
+),
+th AS (SELECT doc_id,
+              md5(string_agg(printf('%02x%02x%02x', r, g, b), ''
+                             ORDER BY yi, xi)) AS thumb_md5
+       FROM tp GROUP BY doc_id)
+SELECT d.doc_id, CAST({IMG_W} AS INT) AS width,
+       CAST({IMG_H} AS INT) AS height,
+       ch.mean_r, ch.mean_g, ch.mean_b, th.thumb_md5
+FROM d JOIN ch USING (doc_id) JOIN th USING (doc_id)
+"""
+
+
+@query("q_multimodal_webp_pipeline", oracle=_WEBP_PIPELINE_ORACLE)
 def q_multimodal_webp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image pipeline #7 — WebP lossless (VP8L), the other format
     web crawls actually serve beside progressive JPEG: synthesize a
@@ -3711,8 +3745,9 @@ def q_multimodal_webp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     LZ77, meta prefix groups), decode through ``decode_image_auto``,
     nearest-neighbor resize, per-channel means + thumbnail hash.
     Lossless ⇒ statistics are byte-identical to the synthesized
-    pixels; golden values pinned in tests/test_llm_functions.py.  No
-    oracle (binary ops are outside DuckDB)."""
+    pixels; golden values pinned in tests/test_llm_functions.py.
+    r18: hash-oracled — the gradient pixel formula replays
+    relationally (``_WEBP_PIPELINE_ORACLE``)."""
     import hashlib
 
     import pandas as pd
@@ -3741,7 +3776,11 @@ def q_multimodal_webp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mr.append(round(float(means[0]), 4))
                 mg.append(round(float(means[1]), 4))
                 mb.append(round(float(means[2]), 4))
-                tmd5.append(hashlib.md5(thumb.tobytes()).hexdigest())
+                tmd5.append(
+                    hashlib.md5(
+                        thumb.tobytes().hex().encode()
+                    ).hexdigest()
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": doc_ids,

@@ -1721,7 +1721,9 @@ def test_webp_pipeline_stats_match_synthesized_pixels(spark, queries):
         assert r["mean_g"] == round(float(means[1]), 4)
         assert r["mean_b"] == round(float(means[2]), 4)
         thumb = resize_nearest(img, THUMB_W, THUMB_H)
-        assert r["thumb_md5"] == hashlib.md5(thumb.tobytes()).hexdigest()
+        assert r["thumb_md5"] == hashlib.md5(
+            thumb.tobytes().hex().encode()
+        ).hexdigest()
 
 
 def test_substring_removal_closure_no_spans_survive(spark, queries):
