@@ -68,7 +68,7 @@ from setup_harvest_action_spark.functions.similarity import (
     _l2,
     _pq_oracle,
     _slice,
-    pq_fit,
+    pq_fit_fused,
 )
 from setup_harvest_action_spark.io.loaders import load_table
 
@@ -82,16 +82,12 @@ def _codes_path(index_path: str) -> str:
 
 
 def fit_codebooks(emb: DataFrame) -> DataFrame:
-    """All PQ_M sub-codebooks as ONE relation (m, cluster, c) — the
-    storable image of ``pq_fit``'s list of per-subspace frames."""
-    books = pq_fit(emb)
-    out = None
-    for m, cent in enumerate(books):
-        tagged = cent.select(
-            F.lit(m).alias("m"), "cluster", F.col("c").alias("c")
-        )
-        out = tagged if out is None else out.unionByName(tagged)
-    return out
+    """All PQ_M sub-codebooks as ONE relation (m, cluster, c) — since
+    r18 this is :func:`pq_fit_fused`'s native shape (one fused
+    (m, cluster)-keyed Lloyd chain), not a PQ_M-way union of
+    independent fits; the build writes one codebook fit instead of
+    running four."""
+    return pq_fit_fused(emb)
 
 
 def pq_encode(emb: DataFrame, codebooks: DataFrame) -> DataFrame:
@@ -103,12 +99,13 @@ def pq_encode(emb: DataFrame, codebooks: DataFrame) -> DataFrame:
     Arg-min orders on (round(dist, 6), cluster, centroid) — the exact
     struct `q_similarity_pq_adc` compares, so stored codes are
     bit-identical to the inline query's and both share one oracle."""
-    df = emb
-    for m in range(PQ_M):
-        one = codebooks.filter(F.col("m") == m).agg(
-            F.collect_list(F.struct("cluster", "c")).alias(f"cs{m}")
-        )
-        df = df.crossJoin(F.broadcast(one))
+    # one broadcast of the whole (m, cluster, c) relation (r18): the
+    # per-subspace filtered aggs were PQ_M broadcast exchanges over the
+    # same table; the per-m scorer now filters its subspace inline
+    one = codebooks.agg(
+        F.collect_list(F.struct("m", "cluster", "c")).alias("cs")
+    )
+    df = emb.crossJoin(F.broadcast(one))
 
     def _scorer(m: int):
         # one-argument lambda: a second parameter would be bound by
@@ -123,7 +120,12 @@ def pq_encode(emb: DataFrame, codebooks: DataFrame) -> DataFrame:
         return score
 
     best = [
-        F.array_min(F.transform(F.col(f"cs{m}"), _scorer(m)))
+        F.array_min(
+            F.transform(
+                F.filter(F.col("cs"), lambda s: s["m"] == F.lit(m)),
+                _scorer(m),
+            )
+        )
         for m in range(PQ_M)
     ]
     return df.select(

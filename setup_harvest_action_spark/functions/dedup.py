@@ -96,6 +96,23 @@ def pushdown_barrier(expr: Column) -> Column:
     return expr + (F.spark_partition_id() * F.lit(0))
 
 
+def shingle_key(sh: Column) -> Column:
+    """Inverted-index key for one shingle/window string under the
+    sketch-spelling knob (r18, extending the r11 minhash/simhash/
+    winnowing precedent to the remaining md5 explodes): the oracle
+    spelling is 16 hex chars of md5 — the one hash DuckDB shares — and
+    the production/bench spelling is a single JVM ``xxhash64`` long (no
+    hex round-trip, an 8-byte shuffle key instead of a 16-char string).
+    Key semantics are hash-agnostic — posting lists group the same
+    windows either way — so the reported pair sets are identical on the
+    fixture (pinned in tests/test_hash_spellings.py); a 64-bit
+    collision could only merge two postings, the same 2⁻⁶⁴-scale trade
+    both spellings already accept."""
+    if production_hash_spelling():
+        return F.xxhash64(sh)
+    return F.substring(F.md5(sh), 1, 16)
+
+
 def shingles(toks: Column, k: int = SHINGLE_K) -> Column:
     """Word k-shingles as strings ('tok1 tok2 tok3') over a PRE-BOUND
     token array column.
@@ -230,12 +247,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = docs.select("doc_id", tokens_col().alias("toks")).select(
         "doc_id",
         F.explode(
-            F.array_distinct(
-                F.transform(
-                    shingles(F.col("toks")),
-                    lambda sh: F.substring(F.md5(sh), 1, 16),
-                )
-            )
+            F.array_distinct(F.transform(shingles(F.col("toks")), shingle_key))
         ).alias("shingle"),
     )
     surviving = (
@@ -885,12 +897,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = docs.select("doc_id", tokens_col().alias("toks")).select(
         "doc_id",
         F.explode(
-            F.array_distinct(
-                F.transform(
-                    shingles(F.col("toks")),
-                    lambda sh: F.substring(F.md5(sh), 1, 16),
-                )
-            )
+            F.array_distinct(F.transform(shingles(F.col("toks")), shingle_key))
         ).alias("shingle"),
     )
     is_new = F.col("doc_id") >= INCR_SPLIT
@@ -1123,12 +1130,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = docs.select("doc_id", tokens_col().alias("toks")).select(
         "doc_id",
         F.explode(
-            F.array_distinct(
-                F.transform(
-                    shingles(F.col("toks")),
-                    lambda sh: F.substring(F.md5(sh), 1, 16),
-                )
-            )
+            F.array_distinct(F.transform(shingles(F.col("toks")), shingle_key))
         ).alias("shingle"),
     )
     surviving = (
@@ -1250,19 +1252,27 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode is ~24× C bytes, the documented exactness premium; the
     corpus-wide default is the §8 winnowing twin at p·24× C."""
     docs = load_table(spark, sf_dir, "documents")
+    # spelling knob (r18): the stride-1 explode is this query's whole
+    # cost — one hash per character position — so the production
+    # spelling swaps the md5+hex round-trip for a single xxhash64 long
+    # per window (the r11 minhash trade applied to the heaviest md5
+    # explode left; pair-set equality pinned in test_hash_spellings.py)
+    if production_hash_spelling():
+        span_expr = (
+            f"transform(sequence(1, length(text) - {SPAN_LEN} + 1),"
+            f" i -> xxhash64(substring(text, i, {SPAN_LEN})))"
+        )
+    else:
+        span_expr = (
+            f"transform(sequence(1, length(text) - {SPAN_LEN} + 1),"
+            f" i -> substring(md5(substring(text, i,"
+            f" {SPAN_LEN})), 1, 16))"
+        )
     spans = (
         docs.filter(F.length("text") >= SPAN_LEN)
         .select(
             "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(1, length(text) - {SPAN_LEN} + 1),"
-                        f" i -> substring(md5(substring(text, i,"
-                        f" {SPAN_LEN})), 1, 16))"
-                    )
-                )
-            ).alias("span"),
+            F.explode(F.array_distinct(F.expr(span_expr))).alias("span"),
         )
     )
     postings = (

@@ -623,7 +623,16 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = und.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for i in range(LPA_ROUNDS):
+    # r18: the per-round label materialize is GONE (guide §1.2/§2.4).
+    # Unlike CC (labels referenced twice per round — union + the
+    # convergence join — so the uncut plan is O(2^k)) and k-core (two
+    # semi-joins per round), each LPA round references the previous
+    # labels exactly ONCE (the neighbor join), so the unrolled
+    # LPA_ROUNDS plan grows LINEARLY and runs as one lazy job over the
+    # materialized edge table — four parquet write+read hops and four
+    # job launches saved per query, zero change to the per-round
+    # algebra the oracle unrolls.
+    for _ in range(LPA_ROUNDS):
         counts = (
             und.join(
                 labels.select(
@@ -639,7 +648,6 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "max_by(label, cnt * 1000000000 - label)"
             ).alias("label")
         )
-        labels = materialize(labels, f"lpa_labels_{i}")
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.min("node").cast("long").alias("min_node"),

@@ -28,6 +28,7 @@ from setup_harvest_action_spark.io.loaders import load_table
 
 N_QUERY_VECS = 5  # exact top-k query set: vec_id < 5
 TOP_K = 3
+EMB_DIM = 64  # fixture embedding dimension (= PQ_M * PQ_SUB)
 LSH_TABLES = 8  # multi-table LSH: L tables ...
 LSH_BITS = 6  # ... of H sign-bits each
 IVF_CENTROIDS = 16  # IVF coarse quantizer size
@@ -558,22 +559,26 @@ def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def _update(assigned: DataFrame) -> DataFrame:
-    """Per-cluster centroid update: posexplode dims → (cluster, dim)
-    mean — one keyed aggregate with map-side partial combine — then
-    re-assemble the ordered centroid array.  Empty clusters drop (both
-    engines)."""
-    return (
-        assigned.select("cluster", F.posexplode("e").alias("dim", "val"))
-        .groupBy("cluster", "dim")
-        .agg(F.avg("val").alias("m"))
-        .groupBy("cluster")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                lambda s: s["m"],
-            ).alias("c")
-        )
+def _update(assigned: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """Per-cluster centroid update as ``dim`` per-element ``avg``
+    aggregates over the vector column — ONE exchange keyed on cluster,
+    partial-combined map-side (each map task ships K rows of ``dim``
+    running (sum, count) pairs).
+
+    r18 optimization (guide §2.3/§2.4): the previous spelling
+    posexploded every vector into (cluster, dim, val) rows and
+    aggregated twice — groupBy(cluster, dim) mean, then
+    groupBy(cluster) to re-assemble the array — two Exchanges per
+    Lloyd iteration plus an N·dim-row generator stage.  ``avg(e[d])``
+    visits the identical value multiset per (cluster, d) group, so
+    the centroid means are the same numbers (the round-6 arg-min tie
+    discipline absorbs accumulation-order ulps exactly as before);
+    empty clusters drop in both spellings (groupBy only sees present
+    clusters).  The vector dimension is a compile-time constant of
+    each index family (embeddings: EMB_DIM; PQ slices: PQ_SUB), so
+    the aggregate list is a fixed-width codegen'd plan."""
+    return assigned.groupBy("cluster").agg(
+        F.array(*[F.avg(F.col("e")[d]) for d in range(dim)]).alias("c")
     )
 
 
@@ -846,21 +851,74 @@ def _slice(col, m: int):
     return F.slice(col, m * PQ_SUB + 1, PQ_SUB)
 
 
-def pq_fit(emb: DataFrame) -> list[DataFrame]:
-    """Fit PQ_M independent PQ_K-word codebooks on vector slices —
-    each is the exact kmeans recurrence of ``kmeans_assignments`` on a
-    PQ_SUB-dim projection (deterministic init: first PQ_K vectors).
-    Returns the per-subspace centroid tables (cluster, c)."""
-    books = []
-    for m in range(PQ_M):
-        sub = emb.select("vec_id", _slice(F.col("e"), m).alias("e"))
-        cent = sub.filter(F.col("vec_id") < PQ_K).select(
-            F.col("vec_id").cast("int").alias("cluster"), F.col("e").alias("c")
+def pq_fit_fused(emb: DataFrame) -> DataFrame:
+    """Fit all PQ_M sub-codebooks as ONE (m, cluster)-keyed Lloyd
+    recurrence and return the fused relation ``(m, cluster, c)``.
+
+    r18 optimization (guide §2.3/§2.4, measured via the plan audit):
+    the per-subspace loop ran PQ_M independent fits whose plans shared
+    nothing — ``q_similarity_pq_adc`` compiled to 28 Exchanges / 14
+    corpus scans with ZERO reuse, because each subspace's slice made
+    every subtree unique.  Fused, the corpus slices once into
+    (vec_id, m, e) rows (a PQ_M-way inline posexplode — PQ_SUB doubles
+    per row, the same bytes the four separate scans each projected),
+    every Lloyd iteration is ONE broadcast assignment over all
+    PQ_M·PQ_K centroids plus ONE (m, cluster)-keyed per-element-avg
+    aggregate, and all PQ_M codebooks fall out of a single chain.
+    Per-subspace numbers are unchanged: each (m, cluster, d) group
+    averages exactly the rows the separate fit averaged, the arg-min
+    orders on the identical (round(dist, 6), cluster) struct within
+    each subspace's own centroid list, and the unrolled DuckDB oracle
+    is untouched.  At 100 TB this is the difference between PQ_M·
+    (PQ_ITERS+1) corpus passes and (PQ_ITERS+1)."""
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[_slice(F.col("e"), m) for m in range(PQ_M)])
+        ).alias("m", "e"),
+    )
+    cent = sub.filter(F.col("vec_id") < PQ_K).select(
+        "m",
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.col("e").alias("c"),
+    )
+    for _ in range(PQ_ITERS):
+        cents = cent.agg(
+            F.collect_list(F.struct("m", "cluster", "c")).alias("cs")
         )
-        for _ in range(PQ_ITERS):
-            cent = _update(_assign(sub, cent))
-        books.append(cent)
-    return books
+        mine = F.filter(F.col("cs"), lambda s: s["m"] == F.col("m"))
+        best = F.array_min(
+            F.transform(
+                mine,
+                lambda s: F.struct(
+                    F.round(_l2(F.col("e"), s["c"]), 6).alias("dr"),
+                    s["cluster"].alias("cluster"),
+                ),
+            )
+        )
+        assigned = (
+            sub.crossJoin(F.broadcast(cents))
+            .select("m", best["cluster"].alias("cluster"), "e")
+        )
+        cent = assigned.groupBy("m", "cluster").agg(
+            F.array(*[F.avg(F.col("e")[d]) for d in range(PQ_SUB)]).alias(
+                "c"
+            )
+        )
+    return cent
+
+
+def pq_fit(emb: DataFrame) -> list[DataFrame]:
+    """Per-subspace view of :func:`pq_fit_fused` — the original
+    signature, kept for callers that want one centroid table per
+    subspace.  All PQ_M frames filter the SAME fused chain, so a plan
+    that consumes several of them reuses one fit (ReusedExchange on
+    the fused aggregate) instead of running PQ_M fits."""
+    fused = pq_fit_fused(emb)
+    return [
+        fused.filter(F.col("m") == m).select("cluster", "c")
+        for m in range(PQ_M)
+    ]
 
 
 @query("q_similarity_pq_adc", oracle=_pq_oracle())
@@ -898,16 +956,20 @@ def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    books = pq_fit(emb)
-    df = emb.filter(F.col("vec_id") != PQ_PROBE)
-    for m, cent in enumerate(books):
-        df = df.crossJoin(
-            F.broadcast(
-                cent.agg(
-                    F.collect_list(F.struct("cluster", "c")).alias(f"cs{m}")
-                )
-            )
-        )
+    # ONE broadcast of the fused (m, cluster, c) fit (r18): the four
+    # per-subspace collect_list broadcasts each dragged their own copy
+    # of the codebook-fit chain into the plan — 4 broadcast exchanges
+    # over 4 unshared fits.  A single collect_list over the fused
+    # relation ships the identical PQ_M·PQ_K centroids once and the
+    # per-m scorer filters its subspace inline (a 64-element array
+    # scan, free next to the distance arithmetic).
+    fused = pq_fit_fused(emb)
+    cents_row = fused.agg(
+        F.collect_list(F.struct("m", "cluster", "c")).alias("cs")
+    )
+    df = emb.filter(F.col("vec_id") != PQ_PROBE).crossJoin(
+        F.broadcast(cents_row)
+    )
     probe = emb.filter(F.col("vec_id") == PQ_PROBE).select(
         F.col("e").alias("q")
     )
@@ -925,7 +987,12 @@ def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         return score
 
     best = [
-        F.array_min(F.transform(F.col(f"cs{m}"), _scorer(m)))
+        F.array_min(
+            F.transform(
+                F.filter(F.col("cs"), lambda s: s["m"] == F.lit(m)),
+                _scorer(m),
+            )
+        )
         for m in range(PQ_M)
     ]
     adc2 = None

@@ -710,15 +710,23 @@ def crawl_rounds(
         # each prior frontier's pages, quadratic in rounds (made
         # visible by plan_audit's materialized-stage view, r17).  A
         # URL list is tiny; the parse it saves is the expensive leg.
-        discovered = materialize(
+        #
+        # r18 fusion (guide §2.4/§1.2): discovered set and frontier
+        # land in ONE tagged write per round instead of two — the
+        # frontier derives from the discovered set inside the same
+        # plan, and the discovered set's distinct Exchange subtree is
+        # identical under both union branches, so ReusedExchange runs
+        # the parse ONCE per round while the materialize count (and
+        # with it the per-round job/commit overhead, the loop's
+        # dominant cost at fixture scale) halves.  The frontier
+        # branch's WindowGroupLimit shape is untouched.
+        disc = (
             new_dsts
             if discovered is None
-            else discovered.union(new_dsts).distinct(),
-            f"crawl_disc_{k}",
-            checkpoint_dir,
+            else discovered.union(new_dsts).distinct()
         )
         cand = (
-            discovered.join(crawled, "url", "left_anti")
+            disc.join(crawled, "url", "left_anti")
             .select(
                 F.regexp_extract(
                     "url", r"^https://(host\d+)\.", 1
@@ -739,10 +747,26 @@ def crawl_rounds(
             ranked = ranked.filter(
                 F.col("rank") <= _host_cap_col(host_caps, default_cap)
             )
-        frontier = materialize(
-            ranked.select("host", "url", "rank"),
+        combined = materialize(
+            disc.select(
+                F.lit("d").alias("part"),
+                F.lit(None).cast("string").alias("host"),
+                "url",
+                F.lit(None).cast("int").alias("rank"),
+            ).unionByName(
+                ranked.select(
+                    F.lit("f").alias("part"),
+                    "host",
+                    "url",
+                    F.col("rank").cast("int").alias("rank"),
+                )
+            ),
             f"crawl_round_{k}",
             checkpoint_dir,
+        )
+        discovered = combined.filter(F.col("part") == "d").select("url")
+        frontier = combined.filter(F.col("part") == "f").select(
+            "host", "url", "rank"
         )
         frontiers.append(frontier.withColumn("round", F.lit(k)))
         crawled = crawled.union(frontier.select("url")).distinct()

@@ -10,8 +10,12 @@ import pytest
 
 from setup_harvest_action_spark.functions.dedup import (
     SKETCH_HASH_ENV,
+    q_dedup_containment,
+    q_dedup_incremental,
     q_dedup_minhash,
+    q_dedup_ngram_jaccard,
     q_dedup_simhash,
+    q_dedup_substring_spans,
     q_dedup_winnowing,
 )
 
@@ -53,6 +57,51 @@ def test_winnowing_pair_set_identical_across_spellings(
     x64_pairs = _pairs(_with_x64(monkeypatch, q_dedup_winnowing, spark))
     assert md5_pairs == x64_pairs
     assert md5_pairs
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_ngram_jaccard_rows_identical_across_spellings(
+    spark, monkeypatch, md5_spelling
+):
+    # r18: the shingle-key explode gained the xxhash64 spelling — the
+    # FULL rows (pair + jaccard value, which folds in the per-doc
+    # distinct-shingle sizes) must match, not just the pair set
+    md5_rows = _rows(q_dedup_ngram_jaccard(spark, SF))
+    x64_rows = _rows(_with_x64(monkeypatch, q_dedup_ngram_jaccard, spark))
+    assert md5_rows == x64_rows
+    assert md5_rows
+
+
+def test_containment_rows_identical_across_spellings(
+    spark, monkeypatch, md5_spelling
+):
+    md5_rows = _rows(q_dedup_containment(spark, SF))
+    x64_rows = _rows(_with_x64(monkeypatch, q_dedup_containment, spark))
+    assert md5_rows == x64_rows
+    assert md5_rows
+
+
+def test_substring_spans_rows_identical_across_spellings(
+    spark, monkeypatch, md5_spelling
+):
+    # stride-1 keeps every window in both spellings, so even the
+    # shared_spans counts must agree (unlike winnowing's 1/8 samples)
+    md5_rows = _rows(q_dedup_substring_spans(spark, SF))
+    x64_rows = _rows(_with_x64(monkeypatch, q_dedup_substring_spans, spark))
+    assert md5_rows == x64_rows
+    assert md5_rows
+
+
+def test_incremental_rows_identical_across_spellings(
+    spark, monkeypatch, md5_spelling
+):
+    md5_rows = _rows(q_dedup_incremental(spark, SF))
+    x64_rows = _rows(_with_x64(monkeypatch, q_dedup_incremental, spark))
+    assert md5_rows == x64_rows
+    assert md5_rows
 
 
 def test_simhash_duplicate_groups_collapse_in_both_spellings(
