@@ -71,6 +71,7 @@ from setup_harvest_action_spark.functions.similarity import (
     pq_fit_fused,
 )
 from setup_harvest_action_spark.io.loaders import load_table
+from setup_harvest_action_spark.io.parallelism import spread
 
 
 def _codebooks_path(index_path: str) -> str:
@@ -382,7 +383,7 @@ def q_stream_similarity_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(_index_scratch(sf_dir), os.pardir, "pq_stream")
     shutil.rmtree(base, ignore_errors=True)
     out = os.path.join(base, "index")
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double().alias("e")
     )
     hi = emb.agg(F.max("vec_id").alias("hi")).first()["hi"]
@@ -562,7 +563,7 @@ def q_similarity_ann_lsh_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = os.path.join(_index_scratch(sf_dir), os.pardir, "lsh_index")
     shutil.rmtree(out, ignore_errors=True)
-    vecs = load_table(spark, sf_dir, "embeddings").select(
+    vecs = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double().alias("v")
     )
     hi = vecs.agg(F.max("vec_id").alias("hi")).first()["hi"]
@@ -754,7 +755,7 @@ def q_similarity_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = os.path.join(_index_scratch(sf_dir), os.pardir, "ivf_index")
     shutil.rmtree(out, ignore_errors=True)
-    vecs = load_table(spark, sf_dir, "embeddings").select(
+    vecs = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double().alias("v")
     )
     hi = vecs.agg(F.max("vec_id").alias("hi")).first()["hi"]
@@ -1549,7 +1550,7 @@ def q_similarity_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = os.path.join(_index_scratch(sf_dir), os.pardir, "ivfpq_index")
     shutil.rmtree(out, ignore_errors=True)
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double().alias("e")
     )
     hi = emb.agg(F.max("vec_id").alias("hi")).first()["hi"]
@@ -1608,7 +1609,7 @@ def q_similarity_pq_adc_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fresh index per call: the build+append lifecycle is stateful;
     # repeated gate/bench runs must re-prove from the same commits
     shutil.rmtree(out, ignore_errors=True)
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double().alias("e")
     )
     hi = emb.agg(F.max("vec_id").alias("hi")).first()["hi"]
@@ -1645,7 +1646,7 @@ def q_similarity_pq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     promotion r11 gave the stored lifecycle."""
     out = os.path.join(_index_scratch(sf_dir), os.pardir, "pq_delete")
     shutil.rmtree(out, ignore_errors=True)
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double().alias("e")
     )
     pq_index_build(spark, emb, out, fit_on=emb)

@@ -349,6 +349,7 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 from setup_harvest_action_spark.catalog import query  # noqa: E402
 from setup_harvest_action_spark.io.loaders import load_table  # noqa: E402
+from setup_harvest_action_spark.io.parallelism import spread_groups  # noqa: E402
 
 CHARSET_DOCS = 300
 CHARSET_MIN_CHARS = 30
@@ -527,6 +528,6 @@ def q_pipeline_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows["charset_source"].append(source)
         return pd.DataFrame(rows)
 
-    return docs.groupBy("file_id").applyInPandas(
+    return spread_groups(docs, "file_id").groupBy("file_id").applyInPandas(
         one_file, "doc_id long, main_md5 string, charset_source string"
     )

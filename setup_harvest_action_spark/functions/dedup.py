@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from setup_harvest_action_spark.catalog import query
 from setup_harvest_action_spark.io.loaders import load_table
+from setup_harvest_action_spark.io.parallelism import spread
 from setup_harvest_action_spark.io.materialize import materialize
 
 # Sketch-hash spelling knob (r11, VERDICT r10 #5): the md5 spellings
@@ -243,7 +244,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (recall floor 1.0, pinned).
 
     Shuffle-volume model at 100 TB: SCALE.md §1."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     ds = docs.select("doc_id", tokens_col().alias("toks")).select(
         "doc_id",
         F.explode(
@@ -440,7 +441,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shuffle-volume model at 100 TB: SCALE.md §2.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs)
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     # one (band, bucket) struct per band, exploded from a single pass
@@ -531,7 +532,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``minhash_signatures``: one-line swap back to xxhash64 once the
     contract is pinned, if the md5 ever shows up in a profile —
     the vote/pack plan shape is hash-agnostic."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         F.explode(F.filter(F.split(F.col("text"), " "), lambda t: t != "")).alias(
@@ -683,8 +684,11 @@ def connected_components(
     being written plus the round being read — and vacuums older ones,
     so disk stays bounded at 2·|V| rows regardless of rounds run.
     Rounds needed = graph diameter ≤ max_iter; convergence is detected
-    with an explicit changed-labels count, so bounded components cost
-    bounded rounds.  At 100 TB each round is a shuffle keyed by vertex
+    by observing ``sum(label)`` on the round being written (labels are
+    per-vertex monotone non-increasing under min-propagation, so an
+    unchanged sum IS the fixpoint — no join against the previous
+    round's labels needed), so bounded components cost bounded
+    rounds.  At 100 TB each round is a shuffle keyed by vertex
     id, and the parquet hop doubles as lineage truncation that
     survives executor loss — no checkpoint() needed."""
     # Symmetrized edges are referenced by EVERY round's join — cut their
@@ -697,25 +701,28 @@ def connected_components(
         "cc_edges",
         checkpoint_dir,
     )
-    # Intra-loop rounds version under their OWN tag: each round only
-    # needs the previous round's files, which is exactly the
-    # two-version retention materialize() keeps.  The caller-visible
-    # result is published under "cc_labels" ONCE per call (below), so
-    # a frame returned by an earlier call keeps reading its own
-    # version regardless of how many rounds this call runs.
-    labels = materialize(
+    # Round-1 labels derive INLINE from the sym scan (r18, guide §1.2):
+    # every distinct vertex starts as its own label.  Round 1's plan
+    # references this subtree twice (neighbor join + union), but both
+    # references hang off the same bounded parquet scan, so the plan
+    # stays constant-size — the separate init materialize was one more
+    # |V|-row write+read job per call with no lineage role.  Intra-loop
+    # rounds version under their OWN tag: each round only needs the
+    # previous round's files, which is exactly the two-version
+    # retention materialize() keeps.  The caller-visible result is
+    # published under "cc_labels" ONCE per call (below), so a frame
+    # returned by an earlier call keeps reading its own version
+    # regardless of how many rounds this call runs.
+    labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()
-        .withColumn("label", F.col("id")),
-        "cc_labels_iter",
-        checkpoint_dir,
+        .withColumn("label", F.col("id"))
     )
     from pyspark.sql import Observation
 
+    prev_sum = None
     for _ in range(max_iter):
-        neigh = sym.join(
-            labels.withColumnRenamed("id", "v"), "v"
-        ).select(F.col("u").alias("id"), "label")
+        candidate = labels
         # Materialize EVERY round (parquet ping-pong, io/materialize.py)
         # rather than cache(): cache truncates re-execution but NOT the
         # logical plan, so after k rounds the plan tree is O(2^k) nodes
@@ -725,31 +732,37 @@ def connected_components(
         # (|V| rows, 2 columns) and keeps every round's plan constant-
         # size; same discipline as PageRank and BFS.
         #
-        # Convergence detection RIDES the write: the previous round's
-        # label joins back on (a parquet scan of the ping-pong file)
-        # and a CollectMetrics Observation counts changed labels during
-        # the same job — ONE action per round instead of write +
-        # separate changed-check join (the load-stats pattern of
-        # harvest/load.py: strictly one fewer action and one fewer
-        # parquet scan of the fresh labels per round; at sf0.1 the
-        # saving sits inside the run-to-run band, at cluster scale
-        # it is one fewer full |V|-row job per round).
+        # Convergence detection RIDES the write (r18 refinement of the
+        # r16 observation pattern): labels are per-vertex monotone
+        # non-increasing (each round's candidate is min over the old
+        # label ∪ neighbor labels, and each jump applies least()), so
+        # the rounds' label SUMS strictly decrease until the fixpoint
+        # and are equal exactly AT it.  Observing sum(label) on the
+        # candidate itself therefore replaces the old changed-count
+        # join against the previous round's labels — one fewer |V|-row
+        # join per round, same one-action-per-round discipline.  The
+        # decimal(38,0) sum cannot overflow for any realistic |V|.
         obs = Observation()
+        # Each round is one neighbor hop (min over old label ∪
+        # neighbor labels) + one POINTER-DOUBLING jump (r11 — labels
+        # are always existing vertex ids, so label(label) is an
+        # equi-join on the label table itself; min()/least() keep the
+        # fixpoint identical, the recursive-CTE oracles re-prove it
+        # every round).  r18 A/B'd fusing TWO hop+jump steps per
+        # materialized round (3 parquet rounds instead of 6 on the
+        # sf0.1 ER graph): the fused plan spawned MORE AQE stage-jobs
+        # than the saved write/read round-trips (44 → 50 jobs/run,
+        # q_dedup_components 3.1 → 3.6 s) — the per-round fixed cost
+        # here is per-exchange scheduling, not the parquet hop — so
+        # one step per round stays.
+        neigh = sym.join(
+            candidate.withColumnRenamed("id", "v"), "v"
+        ).select(F.col("u").alias("id"), "label")
         candidate = (
-            labels.unionByName(neigh)
+            candidate.unionByName(neigh)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         )
-        # POINTER DOUBLING (r11): one extra self-join per round takes
-        # each vertex to min(label, label(label)) — label distances
-        # halve, so rounds drop from O(diameter) to O(log diameter)
-        # (measured 9 → 6 label materializations on the sf0.1
-        # entity-resolution graph; full query 10.0 → 7.6s median).
-        # Labels are
-        # always existing vertex ids (they start as ids and only
-        # min-propagate), so the jump join is an equi-join on the
-        # label table itself; min() keeps the fixpoint identical —
-        # the recursive-CTE oracles re-prove it every round.
         jump = candidate.select(
             F.col("id").alias("label"), F.col("label").alias("_label2")
         )
@@ -762,21 +775,16 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        audited = (
-            candidate.join(
-                labels.select("id", F.col("label").alias("_old")), "id"
-            )
-            .observe(
-                obs,
-                F.sum(
-                    (F.col("label") != F.col("_old")).cast("long")
-                ).alias("changed"),
-            )
-            .drop("_old")
+        audited = candidate.observe(
+            obs,
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("label_sum"),
         )
         labels = materialize(audited, "cc_labels_iter", checkpoint_dir)
-        if int(obs.get["changed"] or 0) == 0:
+        cur_sum = obs.get["label_sum"]
+        # None = empty vertex set (no edges): trivially converged.
+        if cur_sum is None or (prev_sum is not None and cur_sum == prev_sum):
             break
+        prev_sum = cur_sum
     return materialize(labels, "cc_labels", checkpoint_dir)
 
 
@@ -893,7 +901,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle).  Exact-dup check is one keyed join on fingerprints.
     This is the loop a 100 TB pipeline actually runs daily; the full
     pairwise queries are its backfill counterpart."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     ds = docs.select("doc_id", tokens_col().alias("toks")).select(
         "doc_id",
         F.explode(
@@ -1126,7 +1134,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-sensitive family (a shared header alone can push a
     short doc over the |A∩B|/|A| threshold), so the cap matters most
     here (recall floor 1.0, pinned)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     ds = docs.select("doc_id", tokens_col().alias("toks")).select(
         "doc_id",
         F.explode(
@@ -1251,7 +1259,7 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle-volume model at 100 TB: SCALE.md §7 — the stride-1 window
     explode is ~24× C bytes, the documented exactness premium; the
     corpus-wide default is the §8 winnowing twin at p·24× C."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # spelling knob (r18): the stride-1 explode is this query's whole
     # cost — one hash per character position — so the production
     # spelling swaps the md5+hex round-trip for a single xxhash64 long
@@ -1352,7 +1360,7 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index family.  Shuffle-volume model: SCALE.md §8
     (the sampled twin of §7's full stride-1 index; p = 1/8 scales
     every S1 term, measured 24.6 s vs 73.6 s at the 10× probe)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     if production_hash_spelling():
         # benched/production: 64-bit xxhash64 fingerprints with the
         # same 1/8 mod-p selection (pmod(h, 8) = 0 keeps 1 slice of 8,
@@ -1871,7 +1879,7 @@ def q_dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent kept-position set spelling.  Docs shorter than
     {SPAN_LEN} chars, or with no shared window, pass through verbatim
     (md5-equal)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     clean = remove_shared_substrings(docs).join(
         docs.select("doc_id", F.length("text").alias("orig_len")), "doc_id"
     )

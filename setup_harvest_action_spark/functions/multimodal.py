@@ -57,6 +57,19 @@ FEATURE_SCHEMA = (
 )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Re-spread the byte-tiny doc-id slice across the session's
+    shuffle width before each CPU-heavy decode map stage — the
+    200-row fixture slice packs into ONE parquet input split, so
+    without this every decode pipeline ran its whole Python decode
+    stage as a SINGLE task (measured: q_multimodal_webp_lossy_pipeline
+    2.05 s single-task → 0.9 s spread at sf0.1).  Rationale and the
+    scale argument: io/parallelism.py."""
+    from setup_harvest_action_spark.io.parallelism import spread
+
+    return spread(df)
+
+
 def with_binary_payload(docs: DataFrame) -> DataFrame:
     """Attach the opaque payload + typed metadata columns — the storage
     shape for any modality: (payload binary, media_type, n_bytes)."""
@@ -933,7 +946,7 @@ def q_multimodal_bmp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    images = docs.select("doc_id").mapInPandas(
+    images = _spread(docs.select("doc_id")).mapInPandas(
         make_images, "doc_id long, payload binary"
     )
     return images.mapInPandas(
@@ -1004,7 +1017,7 @@ def q_multimodal_ppm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    images = docs.select("doc_id").mapInPandas(
+    images = _spread(docs.select("doc_id")).mapInPandas(
         make_images, "doc_id long, payload binary"
     )
     return images.mapInPandas(
@@ -1150,7 +1163,7 @@ def q_multimodal_tiff_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    images = docs.select("doc_id").mapInPandas(
+    images = _spread(docs.select("doc_id")).mapInPandas(
         make_images, "doc_id long, payload binary"
     )
     return images.mapInPandas(
@@ -1283,7 +1296,7 @@ def q_multimodal_png_palette_pipeline(
                 )
             yield pd.DataFrame(out)
 
-    images = docs.select("doc_id").mapInPandas(
+    images = _spread(docs.select("doc_id")).mapInPandas(
         make_images, "doc_id long, payload binary"
     )
     return images.mapInPandas(
@@ -1354,7 +1367,7 @@ def q_multimodal_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    images = docs.select("doc_id").mapInPandas(
+    images = _spread(docs.select("doc_id")).mapInPandas(
         make_images, "doc_id long, payload binary"
     )
     return images.mapInPandas(
@@ -1764,7 +1777,7 @@ def q_multimodal_audio_codecs_pipeline(
                 rows.append(feats)
             yield pd.DataFrame(rows)
 
-    clips = docs.select("doc_id").mapInPandas(
+    clips = _spread(docs.select("doc_id")).mapInPandas(
         make_clips, "doc_id long, payload binary"
     )
     return clips.mapInPandas(
@@ -1864,7 +1877,7 @@ def q_multimodal_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append(feats)
             yield pd.DataFrame(rows)
 
-    clips = docs.select("doc_id").mapInPandas(
+    clips = _spread(docs.select("doc_id")).mapInPandas(
         make_clips, "doc_id long, payload binary"
     )
     return clips.mapInPandas(
@@ -3040,7 +3053,7 @@ def q_multimodal_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    images = docs.select("doc_id").mapInPandas(
+    images = _spread(docs.select("doc_id")).mapInPandas(
         make_images, "doc_id long, payload binary"
     )
     return images.mapInPandas(
@@ -3662,7 +3675,7 @@ def q_multimodal_progressive_jpeg_pipeline(
                 }
             )
 
-    images = docs.select("doc_id").mapInPandas(
+    images = _spread(docs.select("doc_id")).mapInPandas(
         make_images, "doc_id long, payload binary"
     )
     return images.mapInPandas(
@@ -3793,7 +3806,7 @@ def q_multimodal_webp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    images = docs.select("doc_id").mapInPandas(
+    images = _spread(docs.select("doc_id")).mapInPandas(
         make_images, "doc_id long, payload binary"
     )
     return images.mapInPandas(
@@ -3882,7 +3895,7 @@ def q_multimodal_webp_lossy_pipeline(
                 )
             yield pd.DataFrame(out)
 
-    images = docs.select("doc_id").mapInPandas(
+    images = _spread(docs.select("doc_id")).mapInPandas(
         make_images, "doc_id long, payload binary"
     )
     return images.mapInPandas(
@@ -3977,7 +3990,7 @@ def q_multimodal_webp_alpha_pipeline(
                 )
             yield pd.DataFrame(out)
 
-    images = docs.select("doc_id").mapInPandas(
+    images = _spread(docs.select("doc_id")).mapInPandas(
         make_images, "doc_id long, payload binary"
     )
     return images.mapInPandas(
@@ -4364,7 +4377,7 @@ def q_multimodal_jpeg_arith_pipeline(
                 out["rgb_md5"].append(hashlib.md5(img.tobytes()).hexdigest())
             yield pd.DataFrame(out)
 
-    images = docs.select("doc_id").mapInPandas(
+    images = _spread(docs.select("doc_id")).mapInPandas(
         make_images, "doc_id long, payload binary"
     )
     return images.mapInPandas(
@@ -5033,7 +5046,7 @@ def q_multimodal_gif_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    images = docs.select("doc_id").mapInPandas(
+    images = _spread(docs.select("doc_id")).mapInPandas(
         make_images, "doc_id long, payload binary"
     )
     return images.mapInPandas(
@@ -5177,7 +5190,7 @@ def q_multimodal_gif_anim_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
                 )
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(
+    return _spread(docs).mapInPandas(
         clips,
         "doc_id long, n_frames int, n_sampled int, total_delay_cs int, "
         "mean_rgb double, opaque_ratio double",
@@ -5234,7 +5247,7 @@ def q_multimodal_webp_anim_pipeline(spark: SparkSession, sf_dir: str) -> DataFra
                 )
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(
+    return _spread(docs).mapInPandas(
         clips,
         "doc_id long, n_frames int, n_sampled int, total_duration_ms int, "
         "mean_luma double, mean_alpha double",
@@ -5333,7 +5346,7 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": ids, "payload_md5": md5s, "phash": phashes}
             )
 
-    hashed = docs.mapInPandas(
+    hashed = _spread(docs).mapInPandas(
         hash_images, "doc_id long, payload_md5 string, phash string"
     )
     return hashed.groupBy("phash").agg(
@@ -5498,7 +5511,7 @@ def q_multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["mean_luma"].append(round(float(np.mean(lumas)), 4))
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(
+    return _spread(docs).mapInPandas(
         clips,
         "doc_id long, width int, height int, n_frames int, "
         "n_sampled int, mean_luma double",

@@ -1235,7 +1235,8 @@ import pyspark.sql.functions as F  # noqa: E402
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 from setup_harvest_action_spark.catalog import query  # noqa: E402
-from setup_harvest_action_spark.io.loaders import load_table  # noqa: E402
+from setup_harvest_action_spark.io.loaders import load_table
+from setup_harvest_action_spark.io.parallelism import spread  # noqa: E402
 
 PDF_DOCS = 300
 PDF_MIN_CHARS = 30
@@ -1337,7 +1338,7 @@ def q_multimodal_pdf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(extract, "doc_id long, text_md5 string")
+    return spread(docs).mapInPandas(extract, "doc_id long, text_md5 string")
 
 
 @query(
@@ -1398,6 +1399,6 @@ def q_multimodal_pdf_update_pipeline(
                 out["has_update"].append(len(pages) >= 2)
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(
+    return spread(docs).mapInPandas(
         extract, "doc_id long, text_md5 string, has_update boolean"
     )

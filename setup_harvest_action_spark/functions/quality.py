@@ -43,6 +43,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from setup_harvest_action_spark.catalog import query
 from setup_harvest_action_spark.functions.text import tokens
 from setup_harvest_action_spark.io.loaders import load_table
+from setup_harvest_action_spark.io.parallelism import spread
 
 # Gopher-style repetition gates (Rae et al. 2021, table A1 spirit —
 # values tuned to the synthetic fixture's vocabulary so both outcomes
@@ -143,7 +144,7 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + GROUP BY; values are identical.  (The exploded Spark
     form measured 4.9s at sf0.1 — two corpus-scale shuffles; this
     form is a single scan.)"""
-    toks = _with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = _with_tokens(spread(load_table(spark, sf_dir, "documents")))
     base = toks.filter(F.size("toks") >= 2).select(
         "doc_id",
         F.size("toks").alias("nt"),
@@ -204,7 +205,7 @@ def q_quality_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure per-row regex — map-only, whole-stage codegen, zero shuffle
     at any scale.  Spark's ``regexp_replace`` is global by default;
     DuckDB needs the explicit ``'g'`` flag."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.regexp_count(F.col("text"), F.lit(PII_PATTERN))
@@ -255,7 +256,7 @@ def q_quality_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc dedup → broadcast-hash join → per-doc count: the only
     corpus-scale shuffle is the (doc_id, shingle) dedup aggregation,
     which partial-combines map-side."""
-    toks = _with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = _with_tokens(spread(load_table(spark, sf_dir, "documents")))
     tri = toks.select(
         "doc_id", F.explode(ngrams(F.col("toks"), DECONTAM_NGRAM)).alias("shingle")
     )
@@ -458,7 +459,7 @@ def q_quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             return None
         return round(len(zlib.compress(raw, 6)) / len(raw), 6)
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     ratio = compression_ratio(F.col("text"))
     verdict = (
         F.when(ratio < 0.25, F.lit("too_compressible"))
@@ -550,7 +551,7 @@ def q_quality_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFram
     Segment order restores via ``array_sort`` on (seg_idx, seg)
     structs, so reassembly is exact; a no-removal document round-trips
     to its original (trimmed) text."""
-    toks = _with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = _with_tokens(spread(load_table(spark, sf_dir, "documents")))
     segs = (
         toks.filter(F.size("toks") >= 1)
         .select("doc_id", F.posexplode(_segments(F.col("toks"))))
@@ -1109,7 +1110,7 @@ def q_quality_pii_typed_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side codegen'd expressions, zero shuffles, no UDF; scales as
     one corpus scan.  The planted CASE is fixture plumbing; production
     use is ``redact_pii`` below on raw text."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     planted = docs.select(
         "doc_id",
         F.concat(
@@ -1361,7 +1362,7 @@ def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     docs = (
-        load_table(spark, sf_dir, "documents")
+        spread(load_table(spark, sf_dir, "documents"))
         .filter(F.col("doc_id") < GOPHER_DOCS)
         .select("doc_id", "text")
     )
@@ -1541,7 +1542,7 @@ def q_quality_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     docs = (
-        load_table(spark, sf_dir, "documents")
+        spread(load_table(spark, sf_dir, "documents"))
         .filter(F.col("doc_id") < C4_DOCS)
         .select("doc_id", "text")
     )

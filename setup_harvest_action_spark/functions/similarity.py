@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from setup_harvest_action_spark.catalog import query
 from setup_harvest_action_spark.io.loaders import load_table
+from setup_harvest_action_spark.io.parallelism import spread
 
 N_QUERY_VECS = 5  # exact top-k query set: vec_id < 5
 TOP_K = 3
@@ -952,7 +953,7 @@ def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     10/10 at sf0.01; floor pinned in tests/test_llm_functions.py) —
     which is exactly why real systems re-rank.  The oracle unrolls
     all PQ_M codebook fits and replays both stages identically."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from setup_harvest_action_spark.catalog import query
 from setup_harvest_action_spark.io.loaders import load_table
+from setup_harvest_action_spark.io.parallelism import spread
 from setup_harvest_action_spark.io.materialize import materialize
 
 # Tiny English stopword set shared by quality scoring; the fixture
@@ -172,7 +173,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way BM25's stats do — a 1-row aggregate broadcast-cross-joined
     into the plan — so constructing the query launches NO Spark job and
     the count is not baked in as a driver-side literal."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs_total"))
     toks = docs.select("doc_id", F.explode(tokens()).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -275,7 +276,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides (this fixture's same-vocabulary languages produce exactly
     such near-ties, which kept this query rows-only until r7).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # substring with a dynamic start needs expr(): build (doc_id, trigram)
     grams = docs.select(
         "doc_id",
@@ -441,7 +442,7 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexical ranking function TF-IDF feeds into.  See ``bm25_scores``
     for the plan shape; at 100 TB the df/avgdl aggregates are the only
     corpus-wide state and they are O(|query terms|) and O(1)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     scored = bm25_scores(docs)
     return scored.select(
         "doc_id", F.round("score", 6).alias("bm25")
@@ -699,7 +700,7 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocabulary table is exactly the model; a real KenLM swap-in
     would replace the join with a Pandas-UDF scorer against a
     broadcast binary model."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     dt = (
         docs.select("doc_id", F.explode(tokens()).alias("token"))
         .groupBy("doc_id", "token")
@@ -902,7 +903,7 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     the counts scales with the corpus.  PMI uses the simple n_pair /
     n_tokens estimator on both sides; ties break on the pair so the
     top-{PMI_TOP} is deterministic."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # project the token array FIRST (HOF CSE trap — see OPERATORS.md):
     # index expressions below reference the column, never re-tokenize
     toks = docs.select(tokens().alias("toks"))
@@ -1138,7 +1139,7 @@ def q_text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate.  At 100 TB the
     bigram table IS the model — the swap-in for a real KenLM binary
     is a Pandas-UDF scorer against a broadcast model file."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # bind the token array to a real column BEFORE the bigram lambda —
     # an inline filter(split(...)) would re-tokenize per position (the
     # O(len²) CSE trap documented on dedup.shingles)
@@ -1321,7 +1322,7 @@ def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is scanned once.  Same unrolled-CTE oracle pattern as
     q_graph_pagerank; weighted row-normalization (w/wdeg) replaces
     1/outdeg."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         F.posexplode(
@@ -1410,7 +1411,7 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the SAME exploded relation, so AQE reuses the exchange; no
     all-pairs anything, no caps needed (df is a count, not a posting
     list)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id",
         F.explode(

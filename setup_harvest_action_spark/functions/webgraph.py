@@ -98,7 +98,16 @@ def crawl_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     farm) are extracted like everything else and fall to the pattern
     filter — the oracle's silence about them is itself checked, since
     a leaked one would add an edge row."""
-    docs = (
+    from setup_harvest_action_spark.io.parallelism import spread
+
+    # Re-spread the full 200-page corpus before the Python parse stage
+    # (io/parallelism.py): the slice is one parquet split, so the HTML
+    # parse otherwise runs single-task.  The multi-round crawl loop
+    # deliberately does NOT spread its per-round fetch sets — those
+    # are ≤ politeness-cap × hosts rows and the extra exchange per
+    # round measured slower (crawl_rounds 3.7 → 5.5 s) than the tiny
+    # parse it spreads.
+    docs = spread(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < GRAPH_DOCS)
         .select("doc_id", "text", "lang")

@@ -1110,6 +1110,7 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 from setup_harvest_action_spark.catalog import query  # noqa: E402
 from setup_harvest_action_spark.io.loaders import load_table  # noqa: E402
+from setup_harvest_action_spark.io.parallelism import spread_groups  # noqa: E402
 
 WARC_DOCS = 300
 WARC_MIN_CHARS = 30
@@ -1177,7 +1178,7 @@ def q_pipeline_warc_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(rows)
 
     return (
-        docs.groupBy("file_id")
+        spread_groups(docs, "file_id").groupBy("file_id")
         .applyInPandas(
             one_file, "doc_id long, target_uri string, main_md5 string"
         )
@@ -1271,7 +1272,7 @@ def q_source_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return docs.groupBy("file_id").applyInPandas(
+    return spread_groups(docs, "file_id").groupBy("file_id").applyInPandas(
         one_file,
         "file_id int, n_records int, n_responses int, n_requests int, "
         "n_metadata int, n_payload_digests int, n_distinct_digests int, "
@@ -1361,7 +1362,7 @@ def q_pipeline_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows["n_chars_extracted"].append(len(text))
         return pd.DataFrame(rows)
 
-    return docs.groupBy("file_id").applyInPandas(
+    return spread_groups(docs, "file_id").groupBy("file_id").applyInPandas(
         one_file,
         "doc_id long, target_uri string, wet_md5 string, "
         "n_chars_extracted int",
@@ -1451,7 +1452,7 @@ def q_pipeline_warc_content_codings(
             rows["main_md5"].append(hashlib.md5(text.encode()).hexdigest())
         return pd.DataFrame(rows)
 
-    return docs.groupBy("file_id").applyInPandas(
+    return spread_groups(docs, "file_id").groupBy("file_id").applyInPandas(
         one_file, "doc_id long, coding string, main_md5 string"
     )
 
@@ -1543,7 +1544,7 @@ def q_pipeline_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows["main_md5"].append(hashlib.md5(text.encode()).hexdigest())
         return pd.DataFrame(rows)
 
-    return docs.groupBy("file_id").applyInPandas(
+    return spread_groups(docs, "file_id").groupBy("file_id").applyInPandas(
         one_file, "doc_id long, record_type string, main_md5 string"
     )
 
@@ -1658,7 +1659,7 @@ def q_source_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["cdx_rank"].append(rank)
         return pd.DataFrame(rows)
 
-    return docs.groupBy("file_id").applyInPandas(
+    return spread_groups(docs, "file_id").groupBy("file_id").applyInPandas(
         one_file,
         "doc_id long, layout string, urlkey string, status int, "
         "mime string, addressing string, digest_ok boolean, "
@@ -1829,7 +1830,7 @@ def q_pipeline_warc_conditional(
             rows["conditional_ok"].append(bool(ok))
         return pd.DataFrame(rows)
 
-    return docs.groupBy("file_id").applyInPandas(
+    return spread_groups(docs, "file_id").groupBy("file_id").applyInPandas(
         one_file,
         "doc_id long, status int, main_md5 string, conditional_ok boolean",
     )
@@ -2056,7 +2057,7 @@ def q_pipeline_warc_last_modified(
             )
         return pd.DataFrame(rows)
 
-    return docs.groupBy("file_id").applyInPandas(
+    return spread_groups(docs, "file_id").groupBy("file_id").applyInPandas(
         one_file,
         "doc_id long, validators string, status int, main_md5 string, "
         "spurious_refetch boolean, revalidated_ok boolean",
@@ -2195,7 +2196,7 @@ def q_pipeline_warc_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return pd.DataFrame(rows)
 
-    return docs.groupBy("file_id").applyInPandas(
+    return spread_groups(docs, "file_id").groupBy("file_id").applyInPandas(
         one_file,
         "doc_id long, truncated boolean, stored_len int, text_md5 string, "
         "digest_distinct boolean, revisited boolean",
@@ -2321,7 +2322,7 @@ def q_pipeline_warc_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows["sniffed_ok"].append(_IMG_CTYPES[fmt] == ctype)
         return pd.DataFrame(rows)
 
-    return docs.groupBy("file_id").applyInPandas(
+    return spread_groups(docs, "file_id").groupBy("file_id").applyInPandas(
         one_file,
         "doc_id long, fmt string, width int, height int, "
         "mean_px double, sniffed_ok boolean",
@@ -2465,7 +2466,7 @@ def q_pipeline_redirect_resolution(
                 rows["final_md5"].append("")
         return pd.DataFrame(rows)
 
-    return docs.groupBy("file_id").applyInPandas(
+    return spread_groups(docs, "file_id").groupBy("file_id").applyInPandas(
         one_file,
         "doc_id long, start_uri string, outcome string, hops int, "
         "final_md5 string",
@@ -2564,7 +2565,7 @@ def q_pipeline_crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows["n_tokens"].append(len(text.split()))
         return pd.DataFrame(rows)
 
-    return docs.groupBy("file_id").applyInPandas(
+    return spread_groups(docs, "file_id").groupBy("file_id").applyInPandas(
         one_file,
         "doc_id long, path string, main_md5 string, n_tokens int",
     )

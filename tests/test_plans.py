@@ -985,7 +985,12 @@ def test_boilerplate_builds_hashed_df_index_and_reassembles_once(spark, queries)
     with conf(spark, "spark.sql.adaptive.enabled", "false"):
         plan = plan_of(queries["q_quality_boilerplate_segments"](spark, SF))
         tree = plan.split("\n\n")[0]
-    assert tree.count("Scan parquet") == 2  # index pass + probe pass
+    # r18: the corpus-spread repartition (io/parallelism.py) is now a
+    # shared subtree of BOTH passes, so ReuseExchange serves the probe
+    # pass from the index pass's scan — ONE parquet scan total where
+    # the pre-spread plan needed two.
+    assert tree.count("Scan parquet") == 1
+    assert "ReusedExchange" in tree
     assert tree.count("Generate") == 2  # one explode per pass
     assert "count(distinct doc_id" in plan
     assert "CartesianProduct" not in tree
