@@ -5190,7 +5190,11 @@ def q_multimodal_gif_anim_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
                 )
             yield pd.DataFrame(out)
 
-    return _spread(docs).mapInPandas(
+    # NOT spread: the 5-frame GIF compositing over the small anim slice
+    # is ~0.35 s single-task; the spread exchange measured net-slower
+    # (0.37 -> 0.48 s at sf0.1), so this pipeline keeps the scan
+    # partitioning (guide §1.1 — measure, keep only wins).
+    return docs.mapInPandas(
         clips,
         "doc_id long, n_frames int, n_sampled int, total_delay_cs int, "
         "mean_rgb double, opaque_ratio double",

@@ -560,26 +560,33 @@ def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def _update(assigned: DataFrame, dim: int = EMB_DIM) -> DataFrame:
-    """Per-cluster centroid update as ``dim`` per-element ``avg``
-    aggregates over the vector column — ONE exchange keyed on cluster,
-    partial-combined map-side (each map task ships K rows of ``dim``
-    running (sum, count) pairs).
+def _update(assigned: DataFrame) -> DataFrame:
+    """Per-cluster centroid update: posexplode dims → (cluster, dim)
+    mean — one keyed aggregate with map-side partial combine — then
+    re-assemble the ordered centroid array.  Empty clusters drop (both
+    engines).
 
-    r18 optimization (guide §2.3/§2.4): the previous spelling
-    posexploded every vector into (cluster, dim, val) rows and
-    aggregated twice — groupBy(cluster, dim) mean, then
-    groupBy(cluster) to re-assemble the array — two Exchanges per
-    Lloyd iteration plus an N·dim-row generator stage.  ``avg(e[d])``
-    visits the identical value multiset per (cluster, d) group, so
-    the centroid means are the same numbers (the round-6 arg-min tie
-    discipline absorbs accumulation-order ulps exactly as before);
-    empty clusters drop in both spellings (groupBy only sees present
-    clusters).  The vector dimension is a compile-time constant of
-    each index family (embeddings: EMB_DIM; PQ slices: PQ_SUB), so
-    the aggregate list is a fixed-width codegen'd plan."""
-    return assigned.groupBy("cluster").agg(
-        F.array(*[F.avg(F.col("e")[d]) for d in range(dim)]).alias("c")
+    r18 A/B note (guide §1.1): a one-exchange spelling — ``dim``
+    per-element ``avg(e[d])`` aggregates keyed on cluster — was tried
+    for this function and REVERTED: despite one fewer Exchange it
+    measured consistently slower for the kmeans path at sf0.1
+    (q_embedding_kmeans ~0.86 s with this spelling vs ~1.1 s with the
+    wide-aggregate one; 64 array extractions per input row in the
+    partial-agg stage cost more than the skinny explode).  The fused
+    PQ fit keeps its own inline wide-aggregate update over PQ_SUB=16
+    element slices — validated as part of the fused fit's overall win
+    (q_similarity_pq_adc 4.43 → 2.4 s vs r17), not per-spelling."""
+    return (
+        assigned.select("cluster", F.posexplode("e").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
     )
 
 

@@ -173,7 +173,11 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way BM25's stats do — a 1-row aggregate broadcast-cross-joined
     into the plan — so constructing the query launches NO Spark job and
     the count is not baked in as a driver-side literal."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    # NOT spread (io/parallelism.py): the tokenize+explode here is
+    # light and `docs` is referenced three times (n, tf-side, df-side)
+    # — the r18 A/B measured the spread exchange net-slower (0.62 →
+    # 1.04 s at sf0.1), unlike the heavy hash-explode dedup queries.
+    docs = load_table(spark, sf_dir, "documents")
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs_total"))
     toks = docs.select("doc_id", F.explode(tokens()).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))

@@ -154,10 +154,19 @@ def test_outliers_broadcasts_centroids(spark, queries):
 def test_repetition_is_map_only(spark, queries):
     """All repetition metrics are computed inside the row (sorted-run
     counting instead of explode + GROUP BY) — the plan must contain no
-    Exchange at all."""
+    KEYED exchange and no aggregate.  r18: the input gains ONE
+    round-robin spread exchange (io/parallelism.py — the per-row
+    scoring is the heavy stage and otherwise ran single-task on the
+    one-split fixture scan); that exchange moves rows unkeyed and
+    unchanged, so the map-only property — nothing is ever grouped,
+    joined, or exploded — still holds and is what this pin asserts."""
     df = queries["q_quality_repetition"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "HashAggregate" not in plan
+    assert "Generate" not in plan
+    assert "Join" not in plan
 
 
 def test_compression_ratio_matches_direct_zlib(spark, queries):
