@@ -148,6 +148,7 @@ def pq_index_build(
     ranges — the property that makes later appends rewrite nothing."""
     from setup_harvest_action_spark.sources.manifest_sink import (
         register_manifest_sink,
+        scan_manifest,
     )
 
     register_manifest_sink(spark)
@@ -158,7 +159,13 @@ def pq_index_build(
         .mode("overwrite")
         .save(_codebooks_path(index_path))
     )
-    codes = pq_encode(emb, cb)
+    # Encode with the codebooks READ BACK from the committed table
+    # (r19, guide §1.2): ``cb`` is the lazy fit chain, so using it as
+    # the encode's broadcast input re-ran the ENTIRE Lloyd fit a second
+    # time inside the codes write.  The committed rows are the same
+    # doubles bit-exact (parquet stores IEEE754 verbatim), and the scan
+    # is one tiny file.
+    codes = pq_encode(emb, scan_manifest(spark, _codebooks_path(index_path)))
     (
         codes.repartitionByRange(n_parts, "vec_id")
         .write.format("manifest_parquet")
@@ -299,15 +306,22 @@ def pq_index_search(
     if exclude_vec_id is not None:
         codes = codes.filter(F.col("vec_id") != exclude_vec_id)
     cb = scan_manifest(spark, _codebooks_path(index_path))
-    df = codes
-    for m in range(PQ_M):
-        one = cb.filter(F.col("m") == m).agg(
+    # ONE broadcast for all PQ_M lookup maps AND the probe (r19, guide
+    # §2.4): the per-m filtered aggs were PQ_M separate broadcast
+    # exchanges over the same tiny codebook table, plus one more for
+    # the probe — each a scheduled job.  collect_list skips nulls, so
+    # the when() is the same per-subspace filter.
+    maps_row = cb.agg(
+        *[
             F.map_from_entries(
-                F.collect_list(F.struct("cluster", "c"))
+                F.collect_list(
+                    F.when(F.col("m") == m, F.struct("cluster", "c"))
+                )
             ).alias(f"map{m}")
-        )
-        df = df.crossJoin(F.broadcast(one))
-    df = df.crossJoin(F.broadcast(probe))
+            for m in range(PQ_M)
+        ]
+    )
+    df = codes.crossJoin(F.broadcast(maps_row.crossJoin(probe)))
     adc2 = None
     for m in range(PQ_M):
         cent = F.col(f"map{m}")[F.col("codes")[m]]
@@ -322,10 +336,11 @@ def pq_index_search(
         .orderBy("adc_dist", "vec_id")
         .limit(PQ_CAND)
     )
+    # the candidate pool and the probe ride ONE broadcast into the
+    # exact re-rank (the pool is PQ_CAND rows; the probe one row)
     return (
-        F.broadcast(cand)
+        F.broadcast(cand.crossJoin(probe))
         .join(emb, "vec_id")
-        .crossJoin(F.broadcast(probe))
         .select(
             "vec_id",
             "codes",
@@ -383,10 +398,9 @@ def q_stream_similarity_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(_index_scratch(sf_dir), os.pardir, "pq_stream")
     shutil.rmtree(base, ignore_errors=True)
     out = os.path.join(base, "index")
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", _as_double().alias("e")
-    )
-    hi = emb.agg(F.max("vec_id").alias("hi")).first()["hi"]
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = spread(raw).select("vec_id", _as_double().alias("e"))
+    hi = raw.agg(F.max("vec_id").alias("hi")).first()["hi"]
     split = int(hi // 4)
     pq_index_build(
         spark, emb.filter(F.col("vec_id") <= split), out, fit_on=emb
@@ -1609,10 +1623,11 @@ def q_similarity_pq_adc_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fresh index per call: the build+append lifecycle is stateful;
     # repeated gate/bench runs must re-prove from the same commits
     shutil.rmtree(out, ignore_errors=True)
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", _as_double().alias("e")
-    )
-    hi = emb.agg(F.max("vec_id").alias("hi")).first()["hi"]
+    base = load_table(spark, sf_dir, "embeddings")
+    emb = spread(base).select("vec_id", _as_double().alias("e"))
+    # the split scalar scans the RAW table (column-pruned, no spread
+    # exchange, no embedding cast — r19): same max, cheaper job
+    hi = base.agg(F.max("vec_id").alias("hi")).first()["hi"]
     split = int(hi * 3 // 4)
     pq_index_build(
         spark, emb.filter(F.col("vec_id") <= split), out, fit_on=emb

@@ -701,22 +701,25 @@ def connected_components(
         "cc_edges",
         checkpoint_dir,
     )
-    # Round-1 labels derive INLINE from the sym scan (r18, guide §1.2):
-    # every distinct vertex starts as its own label.  Round 1's plan
-    # references this subtree twice (neighbor join + union), but both
-    # references hang off the same bounded parquet scan, so the plan
-    # stays constant-size — the separate init materialize was one more
-    # |V|-row write+read job per call with no lineage role.  Intra-loop
-    # rounds version under their OWN tag: each round only needs the
-    # previous round's files, which is exactly the two-version
-    # retention materialize() keeps.  The caller-visible result is
-    # published under "cc_labels" ONCE per call (below), so a frame
-    # returned by an earlier call keeps reading its own version
-    # regardless of how many rounds this call runs.
+    # Round-1 labels derive INLINE from the sym scan (r18, guide §1.2)
+    # — and since r19 they are the FIRST HOP, not the identity: the
+    # old identity init cost one Exchange(u) for its distinct(), and
+    # min(u, min(neighbors)) over the same exchange is the identical
+    # shuffle with the first propagation step folded in — one full
+    # hop+jump+materialize round saved for the same plan cost.  (Every
+    # vertex of ``sym`` appears as ``u`` because the edge set is
+    # symmetrized, so the groupBy covers the whole vertex set exactly
+    # like the distinct did.)  Intra-loop rounds version under their
+    # OWN tag: each round only needs the previous round's files, which
+    # is exactly the two-version retention materialize() keeps.  The
+    # caller-visible result is published under "cc_labels" ONCE per
+    # call (below), so a frame returned by an earlier call keeps
+    # reading its own version regardless of how many rounds this call
+    # runs.
     labels = (
-        sym.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        sym.groupBy("u")
+        .agg(F.least(F.col("u"), F.min("v")).alias("label"))
+        .select(F.col("u").alias("id"), "label")
     )
     from pyspark.sql import Observation
 
@@ -782,6 +785,13 @@ def connected_components(
         labels = materialize(audited, "cc_labels_iter", checkpoint_dir)
         cur_sum = obs.get["label_sum"]
         # None = empty vertex set (no edges): trivially converged.
+        # Round 1 can never stop on the sum check (prev_sum is None),
+        # so a graph already at its fixpoint after init — degenerate,
+        # self-loop-only inputs — pays one extra hop+jump+materialize
+        # round versus the old changed-count join.  Accepted: seeding
+        # prev_sum would cost an extra observation job on EVERY call
+        # to save one round on inputs that cannot occur here (edges
+        # come from near-dup pair builders, which never emit u == v).
         if cur_sum is None or (prev_sum is not None and cur_sum == prev_sum):
             break
         prev_sum = cur_sum

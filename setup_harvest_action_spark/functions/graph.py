@@ -286,6 +286,8 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shuffle-volume model at 100 TB: SCALE.md §4.
     """
+    from pyspark.sql import Observation
+
     li = load_table(spark, sf_dir, "lineitem")
     pairs = materialize(copurchase_pairs(li), "triangle_pairs")
     deg = (
@@ -299,23 +301,39 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = (
+    # r19 (guide §1.2/§2.4): the oriented edge list was a LAZY subtree
+    # consumed three times (the closure's probe side plus both
+    # adjacency builds), each consumer re-running pairs ⋈ deg ⋈ deg —
+    # the before-plan carried 21 parquet scans / 14 exchanges with
+    # zero reuse.  Materializing oriented once (|E| rows, two ints)
+    # turns all three consumers into scans of one bounded table, and
+    # n_edges rides the write as an Observation (orientation is a
+    # bijection on edges, so count(oriented) IS count(pairs) — the
+    # separate pairs-count job disappears).
+    obs = Observation()
+    oriented = materialize(
         pairs.join(du, "u")
         .join(dv, "v")
         .select(
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
+        .observe(obs, F.count(F.lit(1)).alias("n_edges")),
+        "triangle_oriented",
     )
+    n_edges = int(obs.get["n_edges"])
     adj = oriented.groupBy("src").agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
     a_u = adj.select(F.col("src").alias("e_src"), F.col("nbrs").alias("nbrs_src"))
     a_v = adj.select(F.col("src").alias("e_dst"), F.col("nbrs").alias("nbrs_dst"))
-    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    n_wedges = deg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("double").alias("n_wedges")
+    # node count and wedge count come from ONE aggregation over deg
+    # (two scalar jobs fused; same values, same types)
+    deg_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("double").alias(
+            "n_wedges"
+        ),
     )
     n_tri = (
         oriented.select(
@@ -327,11 +345,9 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").cast("bigint").alias("n_triangles"))
     )
     return (
-        n_edges.crossJoin(F.broadcast(n_nodes))
-        .crossJoin(F.broadcast(n_wedges))
-        .crossJoin(F.broadcast(n_tri))
+        n_tri.crossJoin(F.broadcast(deg_stats))
         .select(
-            "n_edges",
+            F.lit(n_edges).cast("bigint").alias("n_edges"),
             "n_nodes",
             "n_wedges",
             "n_triangles",

@@ -1235,7 +1235,7 @@ import pyspark.sql.functions as F  # noqa: E402
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 from setup_harvest_action_spark.catalog import query  # noqa: E402
-from setup_harvest_action_spark.io.loaders import load_table
+from setup_harvest_action_spark.io.loaders import load_table  # noqa: E402
 from setup_harvest_action_spark.io.parallelism import spread  # noqa: E402
 
 PDF_DOCS = 300

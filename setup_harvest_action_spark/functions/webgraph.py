@@ -756,18 +756,38 @@ def crawl_rounds(
             ranked = ranked.filter(
                 F.col("rank") <= _host_cap_col(host_caps, default_cap)
             )
+        # r19 (guide §2.4): the CRAWLED set joins discovered+frontier in
+        # the round's one tagged write.  It was previously accumulated
+        # lazily (crawled ∪ frontier).distinct() per round, so round
+        # k's anti-join re-evaluated a k-deep chain of union+distinct
+        # exchanges; written as part 'c' it is ONE distinct riding the
+        # write, and the next round's anti-join reads a bounded scan.
+        # The 'c' branch references the ranked subtree a second time,
+        # but only above the frontier's host Exchange (ReusedExchange
+        # dedups below it) — frontier-sized, not parse-sized.
         combined = materialize(
             disc.select(
                 F.lit("d").alias("part"),
                 F.lit(None).cast("string").alias("host"),
                 "url",
                 F.lit(None).cast("int").alias("rank"),
-            ).unionByName(
+            )
+            .unionByName(
                 ranked.select(
                     F.lit("f").alias("part"),
                     "host",
                     "url",
                     F.col("rank").cast("int").alias("rank"),
+                )
+            )
+            .unionByName(
+                crawled.union(ranked.select("url"))
+                .distinct()
+                .select(
+                    F.lit("c").alias("part"),
+                    F.lit(None).cast("string").alias("host"),
+                    "url",
+                    F.lit(None).cast("int").alias("rank"),
                 )
             ),
             f"crawl_round_{k}",
@@ -778,7 +798,7 @@ def crawl_rounds(
             "host", "url", "rank"
         )
         frontiers.append(frontier.withColumn("round", F.lit(k)))
-        crawled = crawled.union(frontier.select("url")).distinct()
+        crawled = combined.filter(F.col("part") == "c").select("url")
         # 'fetch' the frontier: a target exists iff its host is the
         # target document's home host (doc t lives at host t % 7)
         doc_num = F.substring_index(F.col("url"), "/", -1).cast("int")

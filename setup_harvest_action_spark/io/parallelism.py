@@ -28,15 +28,25 @@ from pyspark.sql import DataFrame
 
 
 def _width(df: DataFrame) -> int:
-    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # Non-numeric conf values exist in the wild (e.g. managed platforms
+    # set "auto"); fall back to the cluster's default parallelism so a
+    # spread-wrapped constructor never raises at planning time.
+    raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
 
 
 def _narrow(df: DataFrame, width: int) -> bool:
     """True when ``df``'s current partitioning is narrower than the
-    session's shuffle width.  For the scan-rooted frames this module
-    is applied to, partition enumeration is pure planning metadata —
-    no job launches (pinned by test_plans.py's zero-job constructor
-    tests).  This is the scale-adaptive guard: on a cluster the scan
+    session's shuffle width.  SPREAD MUST ONLY WRAP SCAN-ROOTED
+    FRAMES: ``df.rdd`` on a plan containing exchanges would, under
+    AQE, eagerly execute the upstream stages at query-construction
+    time.  For scan-rooted frames partition enumeration is pure
+    planning metadata — no job launches (pinned by test_plans.py's
+    zero-job constructor tests, including one directly over a spread
+    call site: test_spread_construction_launches_no_job).  This is the scale-adaptive guard: on a cluster the scan
     already arrives at ≥width splits and every spread below becomes a
     no-op, so the spreads can never re-shuffle a corpus that is
     already parallel — they only pay (once, input-sized) when the

@@ -840,12 +840,23 @@ def _stage_parts(df, path: str, bloom_columns=()) -> list[dict]:
     (delete_where / merge_into / compact): the staged parts are
     invisible until the caller's manifest flip names them, so a crash
     mid-stage leaves only unreferenced orphans for vacuum."""
+    staging = os.path.join(path, f".stage-{uuid.uuid4().hex}")
+    df.write.parquet(staging)
+    return _adopt_staged(staging, path, bloom_columns)
+
+
+def _adopt_staged(staging: str, path: str, bloom_columns=()) -> list[dict]:
+    """Rename the parquet parts of an already-written ``staging``
+    directory into ``<path>/data/`` and return their manifest entries
+    — the second half of :func:`_stage_parts`, split out so a caller
+    that staged a frame for OTHER reasons (``merge_into`` stages its
+    source once to avoid re-executing the source plan per job) can
+    adopt those same bytes as table files without a second write.
+    Removes ``staging`` when done."""
     import shutil as _shutil
 
     import pyarrow.parquet as pq
 
-    staging = os.path.join(path, f".stage-{uuid.uuid4().hex}")
-    df.write.parquet(staging)
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
     entries: list[dict] = []
@@ -1016,95 +1027,130 @@ def merge_into(
                 )
             source = source.select(*table_cols)
             tgt_cols = table_cols
-    # Delta parity: >1 source row per key makes the surviving value
-    # shuffle-order nondeterministic — refuse loudly
-    if (
-        source.groupBy(*keys)
-        .count()
-        .filter(_F.col("count") > 1)
-        .limit(1)
-        .count()
-    ):
-        raise ValueError(
-            f"source has multiple rows per merge key {keys} — "
-            "deduplicate the source first (Delta raises the same error)"
-        )
-    # stats-admitted candidates: per-key source [min,max] vs file stats
-    bounds = source.agg(
-        *[_F.min(k).alias(f"__lo_{k}") for k in keys],
-        *[_F.max(k).alias(f"__hi_{k}") for k in keys],
-    ).first()
-    if bounds[f"__lo_{keys[0]}"] is None:  # empty source: nothing moves
-        return m
-    triples = []
-    for k in keys:
-        triples.append((k, ">=", bounds[f"__lo_{k}"]))
-        triples.append((k, "<=", bounds[f"__hi_{k}"]))
-    candidates = select_files(m, triples)
-    keep_entries = [e for e in m["files"] if e not in candidates]
-    tgt = (
-        _read_entries(spark, path, m, candidates).select(*tgt_cols)
-        if candidates
-        else None
-    )
     if update_cols is not None:
         if when_matched != "update":
             raise ValueError("update_cols requires when_matched='update'")
         bad = set(update_cols) - (set(source.columns) - set(keys))
         if bad:
             raise ValueError(f"update_cols not updatable columns: {sorted(bad)}")
-    pieces: list = []
-    if tgt is not None:
-        if when_matched == "update" and update_cols is not None:
-            # column-subset update (Delta's UPDATE SET col = s.col):
-            # matched target rows keep non-listed columns in place
-            cols = tgt.columns
-            upd = (
-                tgt.alias("t")
-                .join(source.alias("s"), keys, "inner")
-                .select(
-                    *[
-                        _F.col(
-                            f"s.{c}" if c in update_cols else f"t.{c}"
-                        ).alias(c)
-                        for c in cols
-                    ]
-                )
+    # Stage the source plan ONCE (r19, guide §1.2/§2.4): the previous
+    # shape executed the source plan THREE times — the key-ambiguity
+    # check, the key-bounds agg, and the rewrite write each re-ran it
+    # (for an index append that is a whole encode pass per job).  Now
+    # one write lands the source in a private staging dir inside the
+    # table, and every later use — the single stats job, the joins,
+    # and (on the plain-upsert path) the inserted table files
+    # themselves, adopted by rename — reads those bytes instead.
+    import shutil as _shutil
+
+    staging = os.path.join(path, f".stage-{uuid.uuid4().hex}")
+    source.write.parquet(staging)
+    try:
+        staged = [
+            os.path.join(staging, n)
+            for n in sorted(os.listdir(staging))
+            if n.endswith(".parquet")
+        ]
+        if not any(
+            pq.ParquetFile(f).metadata.num_rows for f in staged
+        ):  # empty source: nothing moves (footer check, no job)
+            return m
+        # explicit schema: the dot-prefixed staging dir is a hidden
+        # path, so schema inference logs a (benign) all-paths-ignored
+        # warning; the writer's schema is authoritative anyway
+        src = spark.read.schema(source.schema).parquet(staging)
+        # ONE stats job: per-key multiplicity (Delta parity: >1 source
+        # row per key makes the surviving value shuffle-order
+        # nondeterministic — refuse loudly) + the key bounds that feed
+        # stats-admitted candidate selection, together.
+        per_key = src.groupBy(*keys).agg(_F.count(_F.lit(1)).alias("__n"))
+        stats = per_key.agg(
+            _F.max("__n").alias("__maxn"),
+            *[_F.min(k).alias(f"__lo_{k}") for k in keys],
+            *[_F.max(k).alias(f"__hi_{k}") for k in keys],
+        ).first()
+        if stats["__maxn"] > 1:
+            raise ValueError(
+                f"source has multiple rows per merge key {keys} — "
+                "deduplicate the source first (Delta raises the same error)"
             )
-            pieces.append(tgt.join(source.select(*keys), keys, "left_anti"))
-            pieces.append(upd)
-            if when_not_matched == "insert":
-                pieces.append(
-                    source.join(tgt.select(*keys), keys, "left_anti")
-                )
-        elif when_matched == "update" and when_not_matched == "insert":
-            # the upsert fast path: ONE anti-join (target minus source
-            # keys) + the whole source — no semi/anti pair
-            pieces = [
-                tgt.join(source.select(*keys), keys, "left_anti"),
-                source,
-            ]
-        else:
-            pieces.append(tgt.join(source.select(*keys), keys, "left_anti"))
-            if when_matched == "update":
-                pieces.append(
-                    source.join(tgt.select(*keys), keys, "left_semi")
-                )
-            if when_not_matched == "insert":
-                pieces.append(
-                    source.join(tgt.select(*keys), keys, "left_anti")
-                )
-    elif when_not_matched == "insert":
-        pieces.append(source)
-    new_entries = list(keep_entries)
-    if pieces:
-        new_entries.extend(
-            _stage_parts(
-                reduce(_DF.unionByName, pieces),
-                path,
-                bloom_columns=m.get("bloom_columns") or (),
-            )
+        triples = []
+        for k in keys:
+            triples.append((k, ">=", stats[f"__lo_{k}"]))
+            triples.append((k, "<=", stats[f"__hi_{k}"]))
+        candidates = select_files(m, triples)
+        keep_entries = [e for e in m["files"] if e not in candidates]
+        tgt = (
+            _read_entries(spark, path, m, candidates).select(*tgt_cols)
+            if candidates
+            else None
         )
+        # The staged source parts ARE the inserted rows verbatim
+        # whenever the merge's output contains the whole source: the
+        # plain full-row upsert (target-minus-keys ∪ source), and any
+        # insert with zero candidate files (nothing can match).  Adopt
+        # them by rename — no second write of the source bytes.
+        adopt_source = when_not_matched == "insert" and (
+            tgt is None
+            or (when_matched == "update" and update_cols is None)
+        )
+        pieces: list = []
+        if tgt is not None:
+            if when_matched == "update" and update_cols is not None:
+                # column-subset update (Delta's UPDATE SET col = s.col):
+                # matched target rows keep non-listed columns in place
+                cols = tgt.columns
+                upd = (
+                    tgt.alias("t")
+                    .join(src.alias("s"), keys, "inner")
+                    .select(
+                        *[
+                            _F.col(
+                                f"s.{c}" if c in update_cols else f"t.{c}"
+                            ).alias(c)
+                            for c in cols
+                        ]
+                    )
+                )
+                pieces.append(tgt.join(src.select(*keys), keys, "left_anti"))
+                pieces.append(upd)
+                if when_not_matched == "insert":
+                    pieces.append(
+                        src.join(tgt.select(*keys), keys, "left_anti")
+                    )
+            elif adopt_source:
+                # the upsert fast path: ONE anti-join write (target
+                # minus source keys); the source half is adopted below
+                pieces = [tgt.join(src.select(*keys), keys, "left_anti")]
+            else:
+                pieces.append(tgt.join(src.select(*keys), keys, "left_anti"))
+                if when_matched == "update":
+                    pieces.append(
+                        src.join(tgt.select(*keys), keys, "left_semi")
+                    )
+                if when_not_matched == "insert":
+                    pieces.append(
+                        src.join(tgt.select(*keys), keys, "left_anti")
+                    )
+        new_entries = list(keep_entries)
+        if pieces:
+            new_entries.extend(
+                _stage_parts(
+                    reduce(_DF.unionByName, pieces),
+                    path,
+                    bloom_columns=m.get("bloom_columns") or (),
+                )
+            )
+        if adopt_source:
+            # adoption LAST: the anti-join piece above reads the staged
+            # files; renaming them into data/ must wait for that write
+            new_entries.extend(
+                _adopt_staged(
+                    staging, path, bloom_columns=m.get("bloom_columns") or ()
+                )
+            )
+    finally:
+        _shutil.rmtree(staging, ignore_errors=True)
     manifest = {
         "files": sorted(new_entries, key=lambda e: e["file"]),
         "total_rows": sum(e["rows"] for e in new_entries),

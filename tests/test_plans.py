@@ -256,6 +256,22 @@ def test_tfidf_construction_launches_no_job(spark, queries):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_spread_construction_launches_no_job(spark, queries):
+    """spread()/spread_groups() call df.rdd.getNumPartitions() on their
+    input; on a SCAN-ROOTED frame that is planning metadata only.  Pin
+    it at a real spread call site (q_quality_repetition wraps its scan
+    in spread) so a future non-scan-rooted call site — where AQE would
+    eagerly execute upstream exchanges at construction time — fails
+    this test instead of silently running jobs per constructor call."""
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    n_before = len(before) if before else 0
+    queries["q_quality_repetition"](spark, SF)
+    after = tracker.getJobIdsForGroup(None)
+    n_after = len(after) if after else 0
+    assert n_after == n_before, "spread construction ran a Spark job"
+
+
 def test_hash_samplers_are_map_only(spark, queries):
     """The Bernoulli sample and split assignment must stay map-only —
     membership is a pure function of the row, so there is NO Exchange

@@ -167,6 +167,10 @@ def test_repetition_is_map_only(spark, queries):
     assert "HashAggregate" not in plan
     assert "Generate" not in plan
     assert "Join" not in plan
+    # the ONE allowed exchange is the round-robin spread — any second
+    # exchange (of any kind) is a regression this pin must catch
+    assert plan.count("Exchange") == 1
+    assert "roundrobinpartitioning" in plan.lower()
 
 
 def test_compression_ratio_matches_direct_zlib(spark, queries):

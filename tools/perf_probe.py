@@ -5,7 +5,7 @@ materialization as bench.py), records wall-clock per run, the number
 of Spark JOBS the query launches (statusTracker over a per-query job
 group — a direct proxy for materialize/broadcast/collect fixed costs
 that plan-shape stats miss), and dumps ``explain("formatted")`` to
-``plans/r18/<query>_<label>.txt``.
+``plans/<plan-dir>/<query>_<label>.txt`` (default ``plans/r19``).
 
 Usage:
     python tools/perf_probe.py [--label before|after] [--runs N]
@@ -37,6 +37,7 @@ def main() -> None:
     )
     ap.add_argument("--no-plans", action="store_true")
     ap.add_argument("--all-headline", action="store_true")
+    ap.add_argument("--plan-dir", default="r19")
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_SKETCH_HASH", "xxhash64")
@@ -52,7 +53,7 @@ def main() -> None:
     spark = get_spark("perf-probe")
     sc = spark.sparkContext
     queries = ent.queries()
-    plan_dir = os.path.join(REPO, "plans", "r18")
+    plan_dir = os.path.join(REPO, "plans", args.plan_dir)
     os.makedirs(plan_dir, exist_ok=True)
 
     # warmup
