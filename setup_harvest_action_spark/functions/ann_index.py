@@ -165,10 +165,20 @@ def pq_index_build(
     # time inside the codes write.  The committed rows are the same
     # doubles bit-exact (parquet stores IEEE754 verbatim), and the scan
     # is one tiny file.
-    codes = pq_encode(emb, scan_manifest(spark, _codebooks_path(index_path)))
+    #
+    # Range-partition the INPUT, not the encoded output (r19):
+    # repartitionByRange runs a separate range-bounds sampling job over
+    # its child, so ranging the codes executed the encode twice per
+    # build.  The encode is row-wise (broadcast crossJoin + projection),
+    # so partitioning and the range exchange's local sort survive it —
+    # identical disjoint vec_id file ranges, one encode pass, and the
+    # sampler now scans only (vec_id, e).
+    codes = pq_encode(
+        emb.repartitionByRange(n_parts, "vec_id"),
+        scan_manifest(spark, _codebooks_path(index_path)),
+    )
     (
-        codes.repartitionByRange(n_parts, "vec_id")
-        .write.format("manifest_parquet")
+        codes.write.format("manifest_parquet")
         .mode("overwrite")
         .save(_codes_path(index_path))
     )
@@ -454,10 +464,15 @@ def lsh_index_build(
     )
 
     register_manifest_sink(spark)
-    codes = lsh_codes(vecs, hyperplanes_df(spark))
+    # range the INPUT: the coding transform is row-multiplying but
+    # per-vector, so the range exchange's vec_id clustering survives it
+    # and the range sampler never re-runs the coding (r19, see
+    # pq_index_build)
+    codes = lsh_codes(
+        vecs.repartitionByRange(n_parts, "vec_id"), hyperplanes_df(spark)
+    )
     (
-        codes.repartitionByRange(n_parts, "vec_id")
-        .write.format("manifest_parquet")
+        codes.write.format("manifest_parquet")
         .mode("overwrite")
         .save(_lsh_codes_path(index_path))
     )
@@ -655,10 +670,12 @@ def ivf_index_build(
         .mode("overwrite")
         .save(_ivf_centroids_path(index_path))
     )
-    assign = _ivf_assign(vecs, cents)
+    # range the INPUT (r19, see pq_index_build): assignment is a
+    # row-wise broadcast arg-min, so the vec_id clustering survives it
+    # and the range sampler never re-runs the assignment
+    assign = _ivf_assign(vecs.repartitionByRange(n_parts, "vec_id"), cents)
     (
-        assign.repartitionByRange(n_parts, "vec_id")
-        .write.format("manifest_parquet")
+        assign.write.format("manifest_parquet")
         .mode("overwrite")
         .save(_ivf_assign_path(index_path))
     )
@@ -834,8 +851,17 @@ def ivfpq_index_build(
         .mode("overwrite")
         .save(_codebooks_path(index_path))
     )
+    from setup_harvest_action_spark.sources.manifest_sink import (
+        scan_manifest,
+    )
+
+    # encode with the committed codebooks scanned back — the lazy fit
+    # chain otherwise re-runs inside the codes write (r19, see
+    # pq_index_build); bit-identical doubles through parquet
     assign = _ivf_assign(vecs, cents)
-    codes = pq_encode(emb, cb).join(assign, "vec_id")
+    codes = pq_encode(
+        emb, scan_manifest(spark, _codebooks_path(index_path))
+    ).join(assign, "vec_id")
     (
         codes.repartitionByRange(n_parts, "centroid_id")
         .sortWithinPartitions("centroid_id", "vec_id")
