@@ -527,10 +527,12 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(10) rounds on power-law graphs — the same round-bound argument
     as label-propagation CC (SCALE.md §5)."""
     li = load_table(spark, sf_dir, "lineitem")
-    pairs = materialize(copurchase_pairs(li), "kcore_pairs")
+    # ONE materialize — the peel only reads the symmetrized form; see
+    # the interleaved A/B note on q_graph_label_propagation (r19)
+    cp = copurchase_pairs(li)
     und = materialize(
-        pairs.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
-            pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        cp.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+            cp.select(F.col("v").alias("a"), F.col("u").alias("b"))
         ),
         "kcore_und",
     )
@@ -629,10 +631,19 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min_weight=2 — repeated co-purchase: the sparse, community-
     # bearing backbone (the dense 1-hit graph collapses LPA to two
     # giant labels — measured on the fixture)
-    pairs = materialize(copurchase_pairs(li, min_weight=2), "lpa_pairs")
+    #
+    # ONE materialize (r19, guide §2.4): LPA only ever reads the
+    # symmetrized form, so the intermediate pairs table was a whole
+    # write+read job cycle with no reader of its own; both union
+    # branches share the pair build's final (u, v) aggregate exchange,
+    # which AQE reuses inside the write.  Interleaved A/B at sf0.1
+    # (sequential probes drift too much to decide this): two-step
+    # 3.056 s median vs folded 2.564 s, jobs 18 → 16, every folded
+    # pass faster than its adjacent two-step pass.
+    cp = copurchase_pairs(li, min_weight=2)
     und = materialize(
-        pairs.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
-            pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        cp.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+            cp.select(F.col("v").alias("a"), F.col("u").alias("b"))
         ),
         "lpa_und",
     )
